@@ -1,0 +1,53 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Protocol mirrors the reference's benchto setup (reference:
+presto-benchto-benchmarks/src/main/resources/benchmarks/presto/tpch.yaml —
+prewarm runs then measured runs): one prewarm pass amortizes JVM/session
+startup and parquet footer reads, then each query is timed once.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from presto_spark.queries import REGISTRY
+from presto_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    spark = get_spark("presto_spark_bench")
+
+    names = [n for n, q in REGISTRY.items() if "bench" in q.tags]
+
+    # Prewarm: run the flagship query once to warm codegen/file listing.
+    REGISTRY[names[0]].spark(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = REGISTRY[name].spark(spark, sf_dir)
+        df.collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "tpch_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""Presto → Spark SQL dialect translation (name-level).
+
+Presto's SQL grammar (reference: presto-parser/src/main/antlr4/com/facebook/
+presto/sql/parser/SqlBase.g4) is ANSI-compatible with Spark SQL for the
+overwhelming majority of surface; what survives as a difference is
+function *names* with polymorphic types (SQL UDFs are monomorphic, so
+registry.py can't cover them) and a few functions whose Presto name
+collides with a Spark builtin of different semantics (Spark refuses to
+let a SQL UDF shadow a builtin).  This module rewrites those spellings.
+
+The rewrite is regex-based on word-boundary + '(' — deliberately
+lightweight: it does not parse SQL, so a string literal containing e.g.
+``"cardinality("`` would be rewritten too.  Documented limitation; the
+alternative (full ANTLR transpile) is out of scope and the Spark parser
+catches any mis-rewrite loudly.
+"""
+
+from __future__ import annotations
+
+import re
+
+# Pure renames, call-compatible 1:1.
+_SIMPLE_MAP = {
+    # aggregates (reference: presto-main-base/.../operator/aggregation/)
+    "approx_distinct": "approx_count_distinct",  # ApproximateCountDistinctAggregation.java:41
+    "arbitrary": "any_value",                    # ArbitraryAggregationFunction.java
+    "approx_percentile": "percentile_approx",    # ApproximateLongPercentileAggregations.java
+    # scalar polymorphics (SQL UDFs can't be generic over element type)
+    "cardinality": "size",                       # operator/scalar/ArrayCardinalityFunction.java
+    "from_unixtime": "timestamp_seconds",        # DateTimeFunctions.java fromUnixTime → TIMESTAMP
+}
+
+_simple_renames_re = re.compile(
+    r"\b(" + "|".join(_SIMPLE_MAP) + r")\s*\(", re.IGNORECASE
+)
+
+# Pattern rules with argument reshuffles, applied in order.
+_PATTERN_RULES: list[tuple[re.Pattern[str], object]] = [
+    # date_add('unit', n, ts) → timestampadd(UNIT, n, ts)
+    # (DateTimeFunctions.java dateAdd; fires only when the 1st arg is a
+    #  string literal, so Spark's 2-arg date_add(date, n) is untouched.)
+    (re.compile(r"\bdate_add\s*\(\s*'(\w+)'\s*,", re.IGNORECASE),
+     lambda m: f"timestampadd({m.group(1).upper()},"),
+    # date_diff('unit', a, b) → timestampdiff(UNIT, a, b)
+    (re.compile(r"\bdate_diff\s*\(\s*'(\w+)'\s*,", re.IGNORECASE),
+     lambda m: f"timestampdiff({m.group(1).upper()},"),
+    # Presto TRY(CAST(x AS t)) → TRY_CAST(x AS t); general TRY() has no
+    # Spark analog and is documented unsupported.
+    (re.compile(r"\bTRY\s*\(\s*CAST\s*\(", re.IGNORECASE), "(TRY_CAST("),
+    # bitwise scalar functions (reference: operator/scalar/BitwiseFunctions.java)
+    (re.compile(r"\bbitwise_and\s*\(", re.IGNORECASE), "bit_and_scalar("),
+    (re.compile(r"\bbitwise_or\s*\(", re.IGNORECASE), "bit_or_scalar("),
+    (re.compile(r"\bbitwise_xor\s*\(", re.IGNORECASE), "bit_xor_scalar("),
+    (re.compile(r"\bbitwise_not\s*\(", re.IGNORECASE), "bit_not_scalar("),
+]
+
+# Scalar bitwise shims used above — registered by registry.register_functions
+# (names don't collide with builtins; bodies are plain JVM expressions).
+BITWISE_UDFS = {
+    "bit_and_scalar": ("a BIGINT, b BIGINT", "BIGINT", "a & b"),
+    "bit_or_scalar": ("a BIGINT, b BIGINT", "BIGINT", "a | b"),
+    "bit_xor_scalar": ("a BIGINT, b BIGINT", "BIGINT", "a ^ b"),
+    "bit_not_scalar": ("a BIGINT", "BIGINT", "~a"),
+}
+
+
+def translate(sql: str) -> str:
+    """Rewrite Presto spellings to Spark spellings.  Idempotent."""
+    out = _simple_renames_re.sub(
+        lambda m: _SIMPLE_MAP[m.group(1).lower()] + "(", sql
+    )
+    for pat, repl in _PATTERN_RULES:
+        out = pat.sub(repl, out)  # type: ignore[arg-type]
+    return out

@@ -1,0 +1,195 @@
+"""Presto-compatibility scalar function layer.
+
+Presto ships ~650 ``@ScalarFunction`` registrations (reference:
+presto-main-base/.../operator/scalar/ — 164 files, registered in
+presto-main-base/.../metadata/BuiltInTypeAndFunctionNamespaceManager.java:525).
+Spark already provides most of them natively; this module fills the gaps
+with **SQL UDFs** (``CREATE TEMPORARY FUNCTION ... RETURN <expr>``,
+Spark 4) so the shims stay JVM-side inside Catalyst/whole-stage-codegen —
+never Python row UDFs.  Functions whose Presto name collides with a Spark
+builtin of different semantics are handled by the dialect rewriter
+(see dialect.py) because Spark refuses to shadow builtins.
+
+Each entry cites the Presto source it reproduces.  All bodies are pure
+column expressions → they inline into codegen and scale like builtins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# name -> (arg signature, return type, body expression, reference citation)
+_SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
+    # ---- string (reference: operator/scalar/StringFunctions.java:62) ----
+    "strpos": (
+        "s STRING, sub STRING", "INT", "instr(s, sub)",
+        "StringFunctions.java stringPosition (1-based, 0 if absent)"),
+    # NOTE: chr / levenshtein / split_part / regexp_like etc. exist as
+    # Spark builtins with Presto-compatible semantics — no shim needed.
+    "codepoint": ("s STRING", "INT", "ascii(s)", "StringFunctions.java codepoint"),
+    "hamming_distance": (
+        "a STRING, b STRING", "BIGINT",
+        """CASE WHEN length(a) != length(b)
+                THEN raise_error('hamming_distance: equal length required')
+                ELSE aggregate(zip_with(split(a, ''), split(b, ''),
+                                        (x, y) -> IF(x = y, 0L, 1L)),
+                               0L, (acc, v) -> acc + v) END""",
+        "StringFunctions.java hammingDistance (fails on unequal length)"),
+    "levenshtein_distance": (
+        "a STRING, b STRING", "INT", "levenshtein(a, b)",
+        "StringFunctions.java levenshteinDistance"),
+    "from_utf8": ("b BINARY", "STRING", "decode(b, 'UTF-8')",
+                  "StringFunctions.java fromUtf8"),
+    "to_utf8": ("s STRING", "BINARY", "encode(s, 'UTF-8')",
+                "StringFunctions.java toUtf8"),
+    "starts_with": ("s STRING, p STRING", "BOOLEAN", "startswith(s, p)",
+                    "StringFunctions.java startsWith"),
+    "ends_with": ("s STRING, p STRING", "BOOLEAN", "endswith(s, p)",
+                  "StringFunctions.java endsWith"),
+    # ---- math (reference: operator/scalar/MathFunctions.java:80) ----
+    "truncate": (
+        "x DOUBLE", "DOUBLE", "sign(x) * floor(abs(x))",
+        "MathFunctions.java truncate (toward zero)"),
+    "is_finite": ("x DOUBLE", "BOOLEAN", "NOT (isnan(x) OR abs(x) = double('Infinity'))",
+                  "MathFunctions.java isFinite"),
+    "is_infinite": ("x DOUBLE", "BOOLEAN", "abs(x) = double('Infinity')",
+                    "MathFunctions.java isInfinite"),
+    "is_nan": ("x DOUBLE", "BOOLEAN", "isnan(x)", "MathFunctions.java isNaN"),
+    "infinity": ("", "DOUBLE", "double('Infinity')", "MathFunctions.java infinity"),
+    "nan": ("", "DOUBLE", "double('NaN')", "MathFunctions.java nan"),
+    "to_base": ("x BIGINT, radix INT", "STRING", "lower(conv(cast(x AS STRING), 10, radix))",
+                "MathFunctions.java toBase (lowercase digits)"),
+    "from_base": ("s STRING, radix INT", "BIGINT", "cast(conv(s, radix, 10) AS BIGINT)",
+                  "MathFunctions.java fromBase"),
+    "cosine_similarity": (
+        "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", "DOUBLE",
+        """aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
+           / (sqrt(aggregate(a, 0D, (acc, v) -> acc + v * v))
+              * sqrt(aggregate(b, 0D, (acc, v) -> acc + v * v)))""",
+        "MathFunctions.java cosineSimilarity (array form; Presto also has map form)"),
+    # ---- date/time (reference: operator/scalar/DateTimeFunctions.java:71) ----
+    # Presto day_of_week: ISO, Monday=1..Sunday=7; Spark weekday: Monday=0.
+    "day_of_week": ("t TIMESTAMP_NTZ", "INT", "weekday(t) + 1",
+                    "DateTimeFunctions.java dayOfWeekFromTimestamp (ISO)"),
+    "dow": ("t TIMESTAMP_NTZ", "INT", "weekday(t) + 1", "DateTimeFunctions.java dow"),
+    "day_of_year": ("t TIMESTAMP_NTZ", "INT", "dayofyear(t)",
+                    "DateTimeFunctions.java dayOfYearFromTimestamp"),
+    "doy": ("t TIMESTAMP_NTZ", "INT", "dayofyear(t)", "DateTimeFunctions.java doy"),
+    "day_of_month": ("t TIMESTAMP_NTZ", "INT", "day(t)", "DateTimeFunctions.java"),
+    "week": ("t TIMESTAMP_NTZ", "INT", "weekofyear(t)",
+             "DateTimeFunctions.java weekFromTimestamp (ISO week)"),
+    "week_of_year": ("t TIMESTAMP_NTZ", "INT", "weekofyear(t)", "DateTimeFunctions.java"),
+    "year_of_week": ("t TIMESTAMP_NTZ", "INT", "cast(date_format(t, 'YYYY') AS INT)",
+                     "DateTimeFunctions.java yearOfWeekFromTimestamp (ISO week-year)"),
+    "yow": ("t TIMESTAMP_NTZ", "INT", "cast(date_format(t, 'YYYY') AS INT)",
+            "DateTimeFunctions.java yow"),
+    "to_unixtime": (
+        "t TIMESTAMP_NTZ", "DOUBLE",
+        "cast(unix_micros(to_utc_timestamp(t, 'UTC')) AS DOUBLE) / 1e6",
+        "DateTimeFunctions.java toUnixTime (returns DOUBLE seconds)"),
+    "last_day_of_month": ("t TIMESTAMP_NTZ", "DATE", "last_day(cast(t AS DATE))",
+                          "DateTimeFunctions.java lastDayOfMonth"),
+    "format_datetime": (
+        "t TIMESTAMP_NTZ, f STRING", "STRING", "date_format(t, f)",
+        "DateTimeFunctions.java formatDatetime (Joda pattern ≈ java.time; "
+        "known deltas on exotic pattern letters)"),
+    # ---- JSON (reference: operator/scalar/JsonFunctions.java:64) ----
+    "json_extract_scalar": (
+        "j STRING, p STRING", "STRING", "get_json_object(j, p)",
+        "JsonFunctions.java jsonExtractScalar — JSONPath subset $.a[0].b"),
+    "json_extract": (
+        "j STRING, p STRING", "STRING", "get_json_object(j, p)",
+        "JsonExtract.java — returns JSON-encoded text"),
+    "json_parse": ("s STRING", "STRING", "s",
+                   "JsonFunctions.java jsonParse — JSON modeled as STRING"),
+    "json_format": ("j STRING", "STRING", "j", "JsonFunctions.java jsonFormat"),
+    "json_size": (
+        "j STRING, p STRING", "INT",
+        """CASE WHEN get_json_object(j, p) IS NULL THEN NULL
+                WHEN get_json_object(j, p) LIKE '[%' THEN json_array_length(get_json_object(j, p))
+                WHEN get_json_object(j, p) LIKE '{%' THEN size(json_object_keys(get_json_object(j, p)))
+                ELSE 0 END""",
+        "JsonFunctions.java jsonSize"),
+    # ---- binary (reference: operator/scalar/VarbinaryFunctions.java) ----
+    "to_hex": ("b BINARY", "STRING", "upper(hex(b))", "VarbinaryFunctions.java toHexVarchar"),
+    "from_hex": ("s STRING", "BINARY", "unhex(s)", "VarbinaryFunctions.java fromHexVarchar"),
+    "to_big_endian_64": ("x BIGINT", "BINARY",
+                         "unhex(lpad(hex(x), 16, '0'))",
+                         "VarbinaryFunctions.java toBigEndian64"),
+    # ---- URL (reference: operator/scalar/UrlFunctions.java:42) ----
+    "url_extract_host": ("u STRING", "STRING", "parse_url(u, 'HOST')",
+                         "UrlFunctions.java urlExtractHost"),
+    "url_extract_path": ("u STRING", "STRING", "parse_url(u, 'PATH')",
+                         "UrlFunctions.java urlExtractPath"),
+    "url_extract_query": ("u STRING", "STRING", "parse_url(u, 'QUERY')",
+                          "UrlFunctions.java urlExtractQuery"),
+    "url_extract_protocol": ("u STRING", "STRING", "parse_url(u, 'PROTOCOL')",
+                             "UrlFunctions.java urlExtractProtocol"),
+    "url_extract_port": (
+        "u STRING", "BIGINT",
+        "cast(nullif(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#:]+:([0-9]+)', 1), '') AS BIGINT)",
+        "UrlFunctions.java urlExtractPort"),
+    "url_extract_parameter": ("u STRING, name STRING", "STRING",
+                              "parse_url(u, 'QUERY', name)",
+                              "UrlFunctions.java urlExtractParameter"),
+    # NOTE: url_encode / url_decode / typeof are Spark builtins with
+    # Presto-compatible semantics — no shim needed.
+    "bit_count_64": ("x BIGINT", "INT", "bit_count(x)", "BitwiseFunctions.java bitCount"),
+    # ---- array helpers Presto has and Spark spells differently ----
+    "array_average": (
+        "a ARRAY<DOUBLE>", "DOUBLE",
+        """CASE WHEN size(filter(a, x -> x IS NOT NULL)) = 0 THEN NULL
+           ELSE aggregate(filter(a, x -> x IS NOT NULL), 0D, (acc, v) -> acc + v)
+                / size(filter(a, x -> x IS NOT NULL)) END""",
+        "ArrayAverageFunction.java (null elements ignored)"),
+    "array_sum": (
+        "a ARRAY<DOUBLE>", "DOUBLE",
+        "aggregate(filter(a, x -> x IS NOT NULL), 0D, (acc, v) -> acc + v)",
+        "ArraySumFunction.java"),
+    "array_cum_sum": (
+        "a ARRAY<DOUBLE>", "ARRAY<DOUBLE>",
+        """aggregate(a, array(0D),
+                     (acc, v) -> array_append(acc, element_at(acc, -1) + v),
+                     acc -> slice(acc, 2, size(a)))""",
+        "ArrayCumSumFunction.java"),
+    "array_has_duplicates": (
+        "a ARRAY<STRING>", "BOOLEAN", "size(a) != size(array_distinct(a))",
+        "ArrayHasDuplicatesFunction.java"),
+    "array_duplicates": (
+        "a ARRAY<STRING>", "ARRAY<STRING>",
+        "array_distinct(filter(a, x -> size(filter(a, y -> y = x)) > 1))",
+        "ArrayDuplicatesFunction.java"),
+    "array_ngrams": (
+        "a ARRAY<STRING>, n INT", "ARRAY<ARRAY<STRING>>",
+        """CASE WHEN size(a) < n THEN array(a)
+           ELSE transform(sequence(1, size(a) - n + 1), i -> slice(a, i, n)) END""",
+        "ArrayNgramsFunction.java (ngrams)"),
+    "trim_array": ("a ARRAY<STRING>, n INT", "ARRAY<STRING>",
+                   "slice(a, 1, size(a) - n)",
+                   "ArrayTrimFunction.java"),
+}
+
+
+from presto_spark.functions.dialect import BITWISE_UDFS
+
+
+def _ddl(name: str, args: str, ret: str, body: str) -> str:
+    return (f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) "
+            f"RETURNS {ret} RETURN {body}")
+
+
+def register_functions(spark: SparkSession) -> list[str]:
+    """Register the Presto-compat SQL UDFs into this session.
+
+    Returns the list of registered names.  Failures raise — a shim that
+    silently fails to register would surface as a confusing parse error
+    at query time instead.
+    """
+    registered = []
+    for name, (args, ret, body, _cite) in _SQL_UDFS.items():
+        spark.sql(_ddl(name, args, ret, body))
+        registered.append(name)
+    for name, (args, ret, body) in BITWISE_UDFS.items():
+        spark.sql(_ddl(name, args, ret, body))
+        registered.append(name)
+    return registered

@@ -1,0 +1,14 @@
+"""Query registry — importing this package registers all query suites.
+
+The registry is the single source of truth consumed by
+``__spark_entry__.py`` (driver contract), ``tests/`` (differential
+correctness), and ``bench.py`` (throughput).
+"""
+
+from presto_spark.queries.base import REGISTRY, Query
+
+# Importing the suite modules populates REGISTRY via their module-level
+# sql_query()/register() calls.
+from presto_spark.queries import tpch  # noqa: F401,E402
+
+__all__ = ["REGISTRY", "Query"]
