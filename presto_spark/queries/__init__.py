@@ -10,5 +10,7 @@ from presto_spark.queries.base import REGISTRY, Query
 # Importing the suite modules populates REGISTRY via their module-level
 # sql_query()/register() calls.
 from presto_spark.queries import tpch  # noqa: F401,E402
+from presto_spark.queries import relational  # noqa: F401,E402
+from presto_spark.queries import functions_suite  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "Query"]

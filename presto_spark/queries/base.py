@@ -25,7 +25,18 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from presto_spark.functions.registry import register_functions
 from presto_spark.sources.catalog import register_tables
+
+_FUNCS_READY: set[int] = set()
+
+
+def prepare(spark: SparkSession, sf_dir: str) -> None:
+    """Register tables (per sf_dir) and compat functions (once/session)."""
+    register_tables(spark, sf_dir)
+    if id(spark) not in _FUNCS_READY:
+        register_functions(spark)
+        _FUNCS_READY.add(id(spark))
 
 
 @dataclass
@@ -52,6 +63,13 @@ def register(name, oracle, doc="", tags=()):
     return deco
 
 
+def dual_sql_query(name, spark_sql, duck_sql, doc="", tags=()):
+    """Register a query whose Spark and DuckDB texts differ (dialect gap:
+    e.g. LATERAL VIEW explode vs UNNEST, get_json_object vs
+    json_extract_string)."""
+    return sql_query(name, spark_sql, oracle=duck_sql, doc=doc, tags=tags)
+
+
 def sql_query(name, spark_sql, oracle=None, doc="", tags=()):
     """Register a SQL-defined query; oracle defaults to the same text.
 
@@ -61,7 +79,7 @@ def sql_query(name, spark_sql, oracle=None, doc="", tags=()):
     """
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        register_tables(spark, sf_dir)
+        prepare(spark, sf_dir)
         return spark.sql(spark_sql)
 
     fn.__name__ = name

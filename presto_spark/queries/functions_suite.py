@@ -1,0 +1,390 @@
+"""Scalar/aggregate function conformance suite.
+
+Mirrors the reference's golden-corpus style
+(presto-product-tests/src/main/resources/sql-tests/testcases/ — 374 .sql
+files grouped by function category) compressed into one query per
+category over the driver tables.  Function citations: reference
+presto-main-base/.../operator/scalar/ and operator/aggregation/.
+
+Where the Spark and DuckDB spellings differ the query is registered with
+dual texts; the *values* asserted are identical.
+"""
+
+from presto_spark.queries.base import dual_sql_query, sql_query
+
+# ---- strings (reference: operator/scalar/StringFunctions.java:62) ----
+
+dual_sql_query(
+    "fn_string_suite",
+    """
+    SELECT
+      p_partkey,
+      upper(p_name) AS up, lower(p_brand) AS lo,
+      substr(p_name, 1, 4) AS sub4,
+      length(p_name) AS len,
+      trim('  pad  ') AS trimmed,
+      lpad(p_brand, 12, '*') AS padded,
+      replace(p_name, ' ', '_') AS replaced,
+      reverse(p_type) AS rev,
+      split_part(p_name, ' ', 1) AS first_word,
+      instr(p_name, 'a') AS strpos_a,
+      concat(p_brand, ':', p_type) AS joined,
+      repeat('ab', 3) AS rep,
+      translate(p_type, 'AEO', 'aeo') AS translated,
+      md5(p_name) AS md5_hex,
+      levenshtein(p_brand, 'Brand#1') AS lev
+    FROM part WHERE p_partkey <= 30
+    ORDER BY p_partkey
+    """,
+    """
+    SELECT
+      p_partkey,
+      upper(p_name) AS up, lower(p_brand) AS lo,
+      substr(p_name, 1, 4) AS sub4,
+      length(p_name) AS len,
+      trim('  pad  ') AS trimmed,
+      lpad(p_brand, 12, '*') AS padded,
+      replace(p_name, ' ', '_') AS replaced,
+      reverse(p_type) AS rev,
+      split_part(p_name, ' ', 1) AS first_word,
+      instr(p_name, 'a') AS strpos_a,
+      concat(p_brand, ':', p_type) AS joined,
+      repeat('ab', 3) AS rep,
+      translate(p_type, 'AEO', 'aeo') AS translated,
+      md5(p_name) AS md5_hex,
+      levenshtein(p_brand, 'Brand#1') AS lev
+    FROM part WHERE p_partkey <= 30
+    ORDER BY p_partkey
+    """,
+    doc="String function battery (StringFunctions.java: upper/lower/"
+        "substr/length/trim/lpad/replace/reverse/split_part/strpos/"
+        "concat/repeat/translate/levenshtein_distance; md5 from "
+        "VarbinaryFunctions.java).",
+    tags=("functions",),
+)
+
+dual_sql_query(
+    "fn_regex_suite",
+    """
+    SELECT
+      p_partkey,
+      regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+      regexp_replace(p_name, '[aeiou]', '.') AS devoweled,
+      p_name RLIKE '^[a-z]+ ' AS starts_word,
+      size(split(p_name, '[ ]')) AS n_tokens
+    FROM part WHERE p_partkey <= 30
+    ORDER BY p_partkey
+    """,
+    """
+    SELECT
+      p_partkey,
+      regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+      regexp_replace(p_name, '[aeiou]', '.', 'g') AS devoweled,
+      regexp_matches(p_name, '^[a-z]+ ') AS starts_word,
+      len(string_split_regex(p_name, '[ ]')) AS n_tokens
+    FROM part WHERE p_partkey <= 30
+    ORDER BY p_partkey
+    """,
+    doc="Regex battery (JoniRegexpFunctions.java regexp_extract/"
+        "regexp_replace/regexp_like/regexp_split). NB: Spark "
+        "regexp_replace is global by default; DuckDB needs the 'g' flag.",
+    tags=("functions",),
+)
+
+# ---- date/time (reference: operator/scalar/DateTimeFunctions.java:71) ----
+
+dual_sql_query(
+    "fn_datetime_suite",
+    """
+    SELECT
+      o_orderkey,
+      year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+      hour(o_orderdate) AS h,
+      weekday(o_orderdate) + 1 AS iso_dow,
+      dayofyear(o_orderdate) AS doy,
+      CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      timestampdiff(DAY, o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS days_to_2000,
+      timestampadd(MONTH, 2, o_orderdate) AS plus_2m,
+      to_unixtime(o_orderdate) AS epoch_s,
+      date_format(o_orderdate, 'yyyy-MM-dd') AS fmt
+    FROM orders WHERE o_orderkey <= 40
+    ORDER BY o_orderkey
+    """,
+    """
+    SELECT
+      o_orderkey,
+      year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+      hour(o_orderdate) AS h,
+      isodow(o_orderdate) AS iso_dow,
+      dayofyear(o_orderdate) AS doy,
+      CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS days_to_2000,
+      o_orderdate + INTERVAL 2 MONTH AS plus_2m,
+      epoch(o_orderdate) AS epoch_s,
+      strftime(o_orderdate, '%Y-%m-%d') AS fmt
+    FROM orders WHERE o_orderkey <= 40
+    ORDER BY o_orderkey
+    """,
+    doc="Date/time battery (DateTimeFunctions.java: year/month/day/hour/"
+        "day_of_week(ISO)/day_of_year/date_trunc/date_diff/date_add/"
+        "to_unixtime/format_datetime). Spark side uses the engine's "
+        "Presto-name shims where registered (to_unixtime).",
+    tags=("functions",),
+)
+
+# ---- arrays & higher-order functions (reference: operator/scalar/
+# ArrayTransformFunction.java:75, ArrayFilterFunction.java,
+# ArrayReduceFunction.java, ZipWithFunction.java, SequenceFunction.java) ----
+
+dual_sql_query(
+    "fn_array_hof_suite",
+    """
+    SELECT
+      array_join(transform(sequence(1, 5), x -> x * x), ',') AS squares,
+      aggregate(sequence(1, 10), 0, (acc, x) -> acc + x) AS sum_1_10,
+      array_join(filter(sequence(1, 10), x -> x % 2 = 0), ',') AS evens,
+      array_join(array_sort(array_distinct(array(3, 1, 3, 2))), ',') AS dedup,
+      array_join(zip_with(sequence(1, 3), sequence(10, 12), (a, b) -> a + b), ',') AS zipped,
+      array_join(slice(sequence(1, 10), 2, 3), ',') AS sliced,
+      array_join(flatten(array(array(1, 2), array(3))), ',') AS flat,
+      element_at(sequence(10, 50, 10), 2) AS elem2,
+      array_position(array('a', 'b', 'c'), 'b') AS pos_b,
+      array_contains(sequence(1, 5), 3) AS has_3,
+      size(sequence(1, 7)) AS card,
+      array_max(array(4, 9, 2)) AS amax,
+      array_min(array(4, 9, 2)) AS amin
+    """,
+    """
+    SELECT
+      array_to_string(list_transform(range(1, 6), x -> x * x), ',') AS squares,
+      list_sum(range(1, 11))::INT AS sum_1_10,
+      array_to_string(list_filter(range(1, 11), x -> x % 2 = 0), ',') AS evens,
+      array_to_string(list_sort(list_distinct([3, 1, 3, 2])), ',') AS dedup,
+      array_to_string(list_transform(list_zip(range(1, 4), range(10, 13)),
+                                     z -> z[1] + z[2]), ',') AS zipped,
+      array_to_string(list_slice(range(1, 11), 2, 4), ',') AS sliced,
+      array_to_string(flatten([[1, 2], [3]]), ',') AS flat,
+      list_extract(range(10, 51, 10), 2) AS elem2,
+      list_position(['a', 'b', 'c'], 'b') AS pos_b,
+      list_contains(range(1, 6), 3) AS has_3,
+      len(range(1, 8)) AS card,
+      list_max([4, 9, 2]) AS amax,
+      list_min([4, 9, 2]) AS amin
+    """,
+    doc="Array + lambda HOF battery (transform/filter/reduce/zip_with/"
+        "array_distinct/slice/flatten/element_at/array_position/contains/"
+        "cardinality/array_max/array_min — ArrayFunctions + "
+        "SequenceFunction.java). Presto arrays are 1-based: element_at "
+        "and position semantics asserted here.",
+    tags=("functions",),
+)
+
+# ---- JSON (reference: operator/scalar/JsonFunctions.java:64) ----
+
+dual_sql_query(
+    "fn_json_events",
+    """
+    SELECT
+      event_type,
+      count(*) AS n,
+      CAST(sum(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      min(get_json_object(props, '$.missing')) AS always_null
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    """
+    SELECT
+      event_type,
+      count(*) AS n,
+      CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      min(json_extract_string(props, '$.missing')) AS always_null
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="JSON extraction over events.props (json_extract_scalar — "
+        "JsonFunctions.java:64, JsonExtract.java; JSONPath subset).",
+    tags=("functions", "json"),
+)
+
+# ---- conditional / null handling (reference: sql/relational special forms,
+# TryCastFunction.java) ----
+
+sql_query(
+    "fn_conditional_suite",
+    """
+    SELECT
+      o_orderkey,
+      CASE WHEN o_totalprice > 300000 THEN 'big'
+           WHEN o_totalprice > 100000 THEN 'mid'
+           ELSE 'small' END AS bucket,
+      coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+      if(o_orderpriority = '1-URGENT', 1, 0) AS is_urgent,
+      least(o_totalprice, 250000.0) AS capped,
+      greatest(o_custkey, 100) AS floored,
+      try_cast(o_orderpriority AS INTEGER) AS bad_cast_null
+    FROM orders WHERE o_orderkey <= 40
+    ORDER BY o_orderkey
+    """,
+    doc="Conditional forms: CASE/coalesce/nullif/if/least/greatest/"
+        "try_cast (Presto TRY(CAST) — TryCastFunction.java). NB: Presto "
+        "least/greatest return NULL on NULL input; Spark and DuckDB both "
+        "skip NULLs — engine-level deviation documented in DEVIATIONS.md.",
+    tags=("functions",),
+)
+
+# ---- exact moment statistics (reference: operator/aggregation/
+# CentralMomentsAggregation.java, DoubleCorrelationAggregation.java,
+# DoubleCovarianceAggregation.java) ----
+
+sql_query(
+    "agg_moment_stats_exact",
+    """
+    WITH s AS (
+      SELECT
+        count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+        CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sy,
+        CAST(sum(CAST(l_discount AS DECIMAL(4,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS syy,
+        CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sxy
+      FROM lineitem
+    )
+    SELECT
+      round((sxx - sx * sx / n) / (n - 1), 6) AS var_samp_qty,
+      round((sxx - sx * sx / n) / n, 6) AS var_pop_qty,
+      round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_samp_qty,
+      round((sxy - sx * sy / n) / (n - 1), 6) AS covar_samp,
+      round((sxy - sx * sy / n)
+            / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr_qd
+    FROM s
+    """,
+    doc="variance/stddev/covar/corr computed from exact decimal power "
+        "sums (CentralMomentsAggregation.java semantics) — deterministic "
+        "across engines; native single-pass implementations are "
+        "FP-order-dependent so parity with them is asserted with "
+        "tolerance in tests/test_functions.py instead.",
+    tags=("functions", "agg"),
+)
+
+# ---- ordered array_agg + string_agg histogram (reference:
+# operator/aggregation/arrayagg/, AggregationNode.java:102 ORDER BY,
+# histogram/) ----
+
+dual_sql_query(
+    "agg_array_agg_ordered",
+    """
+    SELECT
+      o_custkey,
+      array_join(transform(array_sort(collect_list(struct(o_orderdate, o_orderkey))),
+                           s -> s.o_orderkey), ',') AS orders_by_date
+    FROM orders
+    WHERE o_custkey <= 10
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+    """
+    SELECT
+      o_custkey,
+      array_to_string(array_agg(o_orderkey ORDER BY o_orderdate, o_orderkey), ',')
+        AS orders_by_date
+    FROM orders
+    WHERE o_custkey <= 10
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+    doc="array_agg(x ORDER BY y) — Presto supports agg-level ORDER BY "
+        "(AggregationNode.java:102); Spark lacks it, shimmed as "
+        "array_sort(collect_list(struct)) which is the scalable "
+        "equivalent (sort inside each group, no extra shuffle).",
+    tags=("functions", "agg"),
+)
+
+dual_sql_query(
+    "agg_histogram_as_string",
+    """
+    SELECT concat_ws(',', sort_array(collect_list(concat(l_returnflag, ':', CAST(cnt AS STRING))))) AS hist
+    FROM (SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag) t
+    """,
+    """
+    SELECT string_agg(l_returnflag || ':' || CAST(cnt AS VARCHAR), ','
+                      ORDER BY l_returnflag || ':' || CAST(cnt AS VARCHAR)) AS hist
+    FROM (SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag) t
+    """,
+    doc="histogram() equivalent (operator/aggregation/histogram/) — "
+        "map<value,count> rendered as a sorted entry string for "
+        "cross-engine hashing.",
+    tags=("functions", "agg"),
+)
+
+# ---- approx aggregates: error-envelope checks (reference:
+# ApproximateCountDistinctAggregation.java:41,
+# ApproximateLongPercentileAggregations.java) ----
+
+sql_query(
+    "agg_approx_distinct_envelope",
+    """
+    SELECT
+      CASE WHEN abs(ad - ed) <= 0.05 * ed THEN true ELSE false END AS approx_ok
+    FROM (
+      SELECT approx_count_distinct(l_partkey) AS ad,
+             count(DISTINCT l_partkey) AS ed
+      FROM lineitem
+    ) t
+    """,
+    oracle="SELECT true AS approx_ok",
+    doc="approx_distinct within its 5% standard-error envelope of the "
+        "exact count (the reference tests assert the same bound — "
+        "TestApproximateCountDistinctAggregation.java); sketch bytes are "
+        "engine-specific so the envelope, not the value, is the contract.",
+    tags=("functions", "agg"),
+)
+
+sql_query(
+    "agg_approx_percentile_envelope",
+    """
+    SELECT
+      CASE WHEN ap BETWEEN p40 AND p60 THEN true ELSE false END AS approx_ok
+    FROM (
+      SELECT
+        percentile_approx(o_totalprice, 0.5) AS ap,
+        percentile(o_totalprice, 0.4) AS p40,
+        percentile(o_totalprice, 0.6) AS p60
+      FROM orders
+    ) t
+    """,
+    oracle="SELECT true AS approx_ok",
+    doc="approx_percentile(0.5) lands within the exact p40–p60 band "
+        "(QuantileDigestAggregationFunction.java semantics; value is "
+        "sketch-dependent so the band is the contract).",
+    tags=("functions", "agg"),
+)
+
+# ---- misc aggregates (reference: BooleanAndAggregation.java,
+# CountIfAggregation.java, BitwiseAndAggregation.java,
+# GeometricMeanAggregations.java, ChecksumAggregationFunction.java) ----
+
+sql_query(
+    "agg_misc_suite",
+    """
+    SELECT
+      l_returnflag,
+      count_if(l_quantity > 25) AS n_heavy,
+      bool_and(l_quantity > 0) AS all_positive,
+      bool_or(l_discount > 0.09) AS any_big_discount,
+      bit_and(CAST(l_quantity AS BIGINT)) AS qty_bit_and,
+      bit_or(CAST(l_quantity AS BIGINT)) AS qty_bit_or,
+      round(exp(avg(ln(CAST(l_quantity AS DECIMAL(12,2))))), 6) AS geo_mean_qty,
+      min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="count_if/bool_and/bool_or/bitwise_and_agg/bitwise_or_agg/"
+        "geometric_mean (as exp(avg(ln)) — GeometricMeanAggregations.java "
+        "is the same math) + min/max over timestamps. avg(ln) is "
+        "order-dependent in principle; ln of small integers keeps the "
+        "rounding at 6dp stable (verified at sf0.01 and sf0.1).",
+    tags=("functions", "agg"),
+)

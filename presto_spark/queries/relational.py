@@ -1,0 +1,541 @@
+"""Relational operator conformance suite.
+
+One query per operator family from SURVEY.md §2 (reference operator files
+cited per query).  These mirror the reference's suites:
+AbstractTestJoinQueries.java, AbstractTestWindowQueries.java,
+AbstractTestAggregations.java, AbstractTestOrderByQueries.java
+(presto-tests/src/main/java/com/facebook/presto/tests/).
+"""
+
+from presto_spark.queries.base import dual_sql_query, sql_query
+
+# ---------------------------------------------------------------------------
+# Joins (reference: operator/LookupJoinOperator.java, HashBuilderOperator.java,
+# NestedLoopJoinOperator.java, HashSemiJoinOperator.java, LookupOuterOperator.java)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "join_full_outer",
+    """
+    SELECT
+      coalesce(c.nk, s.nk) AS nationkey,
+      c.n_customers,
+      s.n_suppliers
+    FROM (SELECT c_nationkey AS nk, count(*) AS n_customers
+          FROM customer GROUP BY c_nationkey) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nk, count(*) AS n_suppliers
+          FROM supplier GROUP BY s_nationkey) s
+      ON c.nk = s.nk
+    ORDER BY nationkey
+    """,
+    doc="FULL OUTER join with unmatched rows on both sides "
+        "(LookupOuterOperator.java emits unmatched build rows).",
+    tags=("relational", "join"),
+)
+
+sql_query(
+    "join_right_outer",
+    """
+    SELECT s_suppkey, s_name, li.cnt
+    FROM (SELECT l_suppkey, count(*) AS cnt
+          FROM lineitem WHERE l_quantity > 49 GROUP BY l_suppkey) li
+    RIGHT OUTER JOIN supplier ON li.l_suppkey = s_suppkey
+    ORDER BY s_suppkey
+    """,
+    doc="RIGHT OUTER join (JoinType.java RIGHT); null-extends probe side.",
+    tags=("relational", "join"),
+)
+
+sql_query(
+    "join_semi_anti",
+    """
+    SELECT
+      (SELECT count(*) FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)) AS n_semi,
+      (SELECT count(*) FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 400000)) AS n_anti
+    """,
+    doc="Semi + anti join via EXISTS / NOT EXISTS "
+        "(HashSemiJoinOperator.java:198, SetBuilderOperator.java; "
+        "Catalyst → LeftSemi/LeftAnti).",
+    tags=("relational", "join"),
+)
+
+sql_query(
+    "join_cross",
+    """
+    SELECT r1.r_name AS from_region, r2.r_name AS to_region
+    FROM region r1 CROSS JOIN region r2
+    WHERE r1.r_regionkey <> r2.r_regionkey
+    ORDER BY from_region, to_region
+    """,
+    doc="Cross join + residual filter (NestedLoopJoinOperator.java:367).",
+    tags=("relational", "join"),
+)
+
+sql_query(
+    "join_theta_inequality",
+    """
+    SELECT n_name, r_name
+    FROM nation JOIN region ON n_regionkey < r_regionkey
+    ORDER BY n_name, r_name
+    """,
+    doc="Non-equi (theta) join — Presto runs these on the NL join path; "
+        "Spark → BroadcastNestedLoopJoin (5-row build side).",
+    tags=("relational", "join"),
+)
+
+sql_query(
+    "join_multi_key_with_residual",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey
+     AND l_quantity * 1000 < o_totalprice
+    WHERE o_orderstatus = 'F' AND l_linenumber = 1
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="Equi join + residual (non-equi) filter — JoinNode equi-criteria "
+        "plus filter expression (presto-spi/.../plan/JoinNode.java).",
+    tags=("relational", "join"),
+)
+
+# ---------------------------------------------------------------------------
+# Window functions (reference: operator/WindowOperator.java:947,
+# operator/window/*.java, FrameInfo.java)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "window_ranking",
+    """
+    SELECT
+      o_orderkey,
+      row_number()   OVER w AS rn,
+      rank()         OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS rk,
+      dense_rank()   OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS drk,
+      ntile(4)       OVER w AS nt,
+      CAST(round(percent_rank() OVER w, 9) AS DOUBLE) AS prk,
+      CAST(round(cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) , 9) AS DOUBLE) AS cd
+    FROM orders
+    WHERE o_custkey <= 20
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+    doc="Ranking window functions (RowNumberFunction.java, RankFunction.java, "
+        "DenseRankFunction.java, NTileFunction.java, PercentRankFunction.java, "
+        "CumulativeDistributionFunction.java). rank/cume_dist use a "
+        "low-cardinality ORDER BY to exercise peer groups; row_number/ntile "
+        "orderings are made total with o_orderkey.",
+    tags=("relational", "window"),
+)
+
+sql_query(
+    "window_value_functions",
+    """
+    SELECT
+      event_id,
+      lag(value, 1)        OVER wo AS prev_value,
+      lead(value, 2, -1.0) OVER wo AS next2_value,
+      first_value(value)   OVER w AS first_v,
+      last_value(value)    OVER w AS last_v,
+      nth_value(value, 3)  OVER w AS third_v
+    FROM events
+    WHERE user_id <= 5
+    WINDOW wo AS (PARTITION BY user_id ORDER BY ts_ns),
+           w AS (PARTITION BY user_id ORDER BY ts_ns
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY event_id
+    """,
+    oracle="""
+    SELECT
+      event_id,
+      lag(value, 1)        OVER w AS prev_value,
+      lead(value, 2, -1.0) OVER w AS next2_value,
+      first_value(value)   OVER w AS first_v,
+      last_value(value)    OVER w AS last_v,
+      nth_value(value, 3)  OVER w AS third_v
+    FROM (SELECT event_id, user_id, value, epoch_ns(ts) AS ts_ns FROM events) e
+    WHERE user_id <= 5
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY event_id
+    """,
+    doc="Value window functions with explicit frame (LagFunction.java, "
+        "LeadFunction.java w/ default, FirstValueFunction.java, "
+        "LastValueFunction.java, NthValueFunction.java). Ordering by raw "
+        "nanos (ts_ns) for exact cross-engine order.",
+    tags=("relational", "window"),
+)
+
+sql_query(
+    "window_aggregate_frames",
+    """
+    SELECT
+      event_id,
+      CAST(sum(CAST(value AS DECIMAL(12,2)))
+           OVER (PARTITION BY user_id ORDER BY ts_ns
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum,
+      count(*) OVER (PARTITION BY user_id ORDER BY ts_ns
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS cnt_3,
+      CAST(max(CAST(value AS DECIMAL(12,2)))
+           OVER (PARTITION BY user_id ORDER BY ts_ns
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS max_all
+    FROM events
+    WHERE user_id <= 5
+    ORDER BY event_id
+    """,
+    oracle="""
+    SELECT
+      event_id,
+      CAST(sum(CAST(value AS DECIMAL(12,2)))
+           OVER (PARTITION BY user_id ORDER BY ts_ns
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum,
+      count(*) OVER (PARTITION BY user_id ORDER BY ts_ns
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS cnt_3,
+      CAST(max(CAST(value AS DECIMAL(12,2)))
+           OVER (PARTITION BY user_id ORDER BY ts_ns
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS max_all
+    FROM (SELECT event_id, user_id, value, epoch_ns(ts) AS ts_ns FROM events) e
+    WHERE user_id <= 5
+    ORDER BY event_id
+    """,
+    doc="Aggregates as window functions over ROWS/RANGE frames "
+        "(AggregateWindowFunction.java; FrameInfo.java:26 frame model). "
+        "Running sum uses exact decimal so frame-order is hash-stable.",
+    tags=("relational", "window"),
+)
+
+sql_query(
+    "window_top_n_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) t
+    WHERE rn <= 3
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="Rank-filter fused top-k per group (TopNRowNumberOperator.java:382; "
+        "WindowFilterPushDown.java:63 → Spark InferWindowGroupLimit does "
+        "the same pushdown, verified in test_plans.py).",
+    tags=("relational", "window", "bench"),
+)
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube (reference: operator/GroupIdOperator.java:198,
+# AggregationNode.java:317 groupingSets)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="ROLLUP grouping sets (GroupIdOperator.java; SqlBase.g4:309-311).",
+    tags=("relational", "agg"),
+)
+
+sql_query(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS cnt,
+           grouping(l_returnflag) AS g_rf,
+           grouping(l_linestatus) AS g_ls
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="Explicit GROUPING SETS + grouping() marker function "
+        "(GroupIdOperator.java:198).",
+    tags=("relational", "agg"),
+)
+
+sql_query(
+    "agg_distinct_and_filter",
+    """
+    SELECT
+      l_returnflag,
+      count(DISTINCT l_partkey) AS nparts,
+      count(DISTINCT l_suppkey) AS nsupps,
+      count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+           FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS discounted_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Multiple DISTINCT aggregates + FILTER clause "
+        "(MarkDistinctOperator.java:199, "
+        "MultipleDistinctAggregationToMarkDistinct.java, "
+        "ImplementFilteredAggregations.java).",
+    tags=("relational", "agg", "bench"),
+)
+
+# ---------------------------------------------------------------------------
+# Set operations (reference: ImplementIntersectAndExceptAsUnion.java:104,
+# UnionNode/IntersectNode/ExceptNode)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "setop_union_intersect_except",
+    """
+    SELECT 'union_all' AS op, count(*) AS cnt FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ) u
+    UNION ALL
+    SELECT 'union_distinct' AS op, count(*) AS cnt FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      UNION
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ) ud
+    UNION ALL
+    SELECT 'intersect' AS op, count(*) AS cnt FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ) i
+    UNION ALL
+    SELECT 'except' AS op, count(*) AS cnt FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ) e
+    ORDER BY op
+    """,
+    doc="UNION ALL / UNION / INTERSECT / EXCEPT "
+        "(ImplementIntersectAndExceptAsUnion.java:104 → Catalyst "
+        "semi/anti-join rewrites).",
+    tags=("relational", "setop"),
+)
+
+sql_query(
+    "setop_intersect_except_all",
+    """
+    SELECT 'intersect_all' AS op, count(*) AS cnt FROM (
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+      INTERSECT ALL
+      SELECT l_suppkey FROM lineitem WHERE l_quantity > 40
+    ) i
+    UNION ALL
+    SELECT 'except_all' AS op, count(*) AS cnt FROM (
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+      EXCEPT ALL
+      SELECT l_suppkey FROM lineitem WHERE l_quantity > 40
+    ) e
+    ORDER BY op
+    """,
+    doc="INTERSECT ALL / EXCEPT ALL multiplicity semantics "
+        "(SetOperationNode.java; ALL variants in "
+        "ImplementIntersectAndExceptAsUnion.java).",
+    tags=("relational", "setop"),
+)
+
+# ---------------------------------------------------------------------------
+# Unnest / lateral (reference: operator/unnest/UnnestOperator.java:327,
+# SqlBase.g4:377 UNNEST, :378 LATERAL)
+# ---------------------------------------------------------------------------
+
+dual_sql_query(
+    "unnest_with_ordinality",
+    """
+    SELECT p_partkey, word, ord0 + 1 AS ord
+    FROM part
+    LATERAL VIEW posexplode(split(p_name, ' ')) t AS ord0, word
+    WHERE p_partkey <= 20
+    ORDER BY p_partkey, ord
+    """,
+    """
+    SELECT p_partkey, u.word AS word, u.ord AS ord
+    FROM (SELECT p_partkey,
+                 unnest(list_transform(string_split(p_name, ' '),
+                                       (w, i) -> {'word': w, 'ord': i})) AS u
+          FROM part WHERE p_partkey <= 20) t
+    ORDER BY p_partkey, ord
+    """,
+    doc="UNNEST WITH ORDINALITY (UnnestOperator.java; ordinality via "
+        "posexplode on the Spark side, 1-based to match Presto).",
+    tags=("relational", "unnest"),
+)
+
+dual_sql_query(
+    "unnest_multi_array_zip",
+    """
+    WITH arrs AS (
+      SELECT transform(array_sort(collect_list(struct(r_regionkey, r_name))),
+                       s -> s.r_regionkey) AS ks,
+             transform(array_sort(collect_list(struct(r_regionkey, r_name))),
+                       s -> s.r_name) AS ns
+      FROM region)
+    SELECT pos + 1 AS idx, z.ks AS r_key, z.ns AS r_name
+    FROM arrs LATERAL VIEW posexplode(arrays_zip(ks, ns)) t AS pos, z
+    ORDER BY idx
+    """,
+    """
+    WITH arrs AS (SELECT list(r_regionkey ORDER BY r_regionkey) AS ks,
+                         list(r_name ORDER BY r_regionkey) AS ns
+                  FROM region)
+    SELECT u.ord AS idx, u.k AS r_key, u.n AS r_name
+    FROM (SELECT unnest(list_transform(list_zip(ks, ns),
+                        (z, i) -> {'k': z[1], 'n': z[2], 'ord': i})) AS u
+          FROM arrs) t
+    ORDER BY idx
+    """,
+    doc="Multi-argument UNNEST zips arrays positionally "
+        "(UnnestOperator.java multi-channel; Spark arrays_zip+posexplode).",
+    tags=("relational", "unnest"),
+)
+
+# ---------------------------------------------------------------------------
+# Sort / limit / offset / distinct-limit (reference: OrderByOperator.java:384,
+# LimitOperator.java, OffsetNode, DistinctLimitOperator.java:288)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "sort_limit_offset",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 15 OFFSET 5
+    """,
+    doc="Total sort + LIMIT/OFFSET (OrderByOperator.java, OffsetNode, "
+        "ImplementOffset.java; Spark TakeOrderedAndProject).",
+    tags=("relational", "sort"),
+)
+
+sql_query(
+    "distinct_limit",
+    """
+    SELECT count(*) AS n FROM (
+      SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem LIMIT 4
+    ) t
+    """,
+    doc="DISTINCT + LIMIT fusion (DistinctLimitOperator.java:288). Output "
+        "is the count (=4) — the chosen rows are engine-dependent, the "
+        "cardinality is not.",
+    tags=("relational", "sort"),
+)
+
+sql_query(
+    "sort_nulls_ordering",
+    """
+    SELECT nk, cnt FROM (
+      SELECT CASE WHEN s_nationkey < 10 THEN NULL ELSE s_nationkey END AS nk,
+             count(*) AS cnt
+      FROM supplier GROUP BY 1
+    ) t
+    ORDER BY nk ASC NULLS FIRST, cnt
+    """,
+    doc="Explicit NULLS FIRST ordering — Presto defaults NULLS LAST for "
+        "ASC (SortOrder in presto-common), Spark defaults NULLS FIRST; "
+        "explicit spelling pins the semantics both sides.",
+    tags=("relational", "sort"),
+)
+
+# ---------------------------------------------------------------------------
+# Subqueries (reference: ApplyNode/LateralJoinNode decorrelation rules:
+# TransformCorrelatedScalarAggregationToJoin.java:66,
+# TransformExistsApplyToLateralNode.java, EnforceSingleRowOperator.java:128)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "subquery_scalar_uncorrelated",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                                     / count(*) FROM orders)
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    doc="Uncorrelated scalar subquery (EnforceSingleRowOperator.java:128).",
+    tags=("relational", "subquery"),
+)
+
+sql_query(
+    "subquery_correlated_scalar",
+    """
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                              / count(*)
+                       FROM customer c2
+                       WHERE c2.c_nationkey = customer.c_nationkey)
+      AND c_custkey <= 50
+    ORDER BY c_custkey
+    """,
+    doc="Correlated scalar aggregation subquery → decorrelated to "
+        "agg+join (TransformCorrelatedScalarAggregationToJoin.java:66).",
+    tags=("relational", "subquery"),
+)
+
+sql_query(
+    "subquery_in_uncorrelated",
+    """
+    SELECT count(*) AS n_building_lines
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders, customer
+      WHERE o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+    )
+    """,
+    doc="IN-subquery → semi join "
+        "(TransformUncorrelatedInPredicateSubqueryToSemiJoin.java:56).",
+    tags=("relational", "subquery"),
+)
+
+# ---------------------------------------------------------------------------
+# Values / inline tables (reference: operator/ValuesOperator.java:120)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "values_inline_table",
+    """
+    SELECT t.flag, t.label, count(*) AS cnt
+    FROM lineitem
+    JOIN (VALUES ('A', 'returned-A'), ('N', 'kept-N'), ('R', 'returned-R'))
+         AS t(flag, label)
+      ON l_returnflag = t.flag
+    GROUP BY t.flag, t.label
+    ORDER BY t.flag
+    """,
+    doc="VALUES inline literal table joined against a scan "
+        "(ValuesOperator.java; LocalExecutionPlanner.java:1746).",
+    tags=("relational",),
+)
+
+# ---------------------------------------------------------------------------
+# Sample (reference: SampleNode.java:33, ImplementBernoulliSampleAsFilter.java)
+# — deterministic envelope check: sampling is seeded differently per engine,
+# so the query asserts the *statistical contract*, not exact rows.
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "sample_bernoulli_envelope",
+    """
+    SELECT CASE WHEN cnt BETWEEN CAST(0.05 * total AS BIGINT)
+                             AND CAST(0.15 * total AS BIGINT)
+                THEN true ELSE false END AS within_envelope
+    FROM (SELECT (SELECT count(*) FROM lineitem TABLESAMPLE (10 PERCENT)) AS cnt,
+                 (SELECT count(*) FROM lineitem) AS total) t
+    """,
+    oracle="SELECT true AS within_envelope",
+    doc="TABLESAMPLE BERNOULLI (SampleNode.java:33) — compared on the "
+        "statistical envelope (10% ±5pp) because row selection is "
+        "engine-seeded; the oracle pins the expected boolean.",
+    tags=("relational",),
+)

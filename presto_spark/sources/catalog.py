@@ -41,11 +41,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # TIMESTAMP(NANOS) column surfaces as BIGINT nanos (see
         # session.py nanosAsLong); convert to TIMESTAMP_NTZ at µs
         # precision — same truncation DuckDB applies, so the oracle and
-        # the engine observe identical timestamps.
-        df = df.withColumn(
-            "ts",
-            F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-            .cast("timestamp_ntz"),
+        # the engine observe identical timestamps.  Keep the raw nanos
+        # as ts_ns: window orderings use it for exact cross-engine
+        # ordering (DuckDB keeps ns precision; epoch_ns(ts) matches).
+        df = (
+            df.withColumn("ts_ns", F.col("ts"))
+            .withColumn(
+                "ts",
+                F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+                .cast("timestamp_ntz"),
+            )
         )
     return df
 

@@ -1,0 +1,106 @@
+"""Unit tests for the Presto-compat function layer.
+
+Native-vs-shim parity cases that are FP-order dependent (and therefore
+excluded from the hash-exact oracle queries) are asserted here with
+tolerance — mirroring how the reference tests approximate aggregations
+(presto-main-base/src/test/.../aggregation/).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from presto_spark.functions.dialect import translate
+from presto_spark.queries.base import prepare
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _prep(spark):
+    prepare(spark, SF_DIR)
+
+
+def one(spark, expr):
+    return spark.sql(f"SELECT {expr} AS v").collect()[0].v
+
+
+def test_dialect_translate_renames():
+    assert translate("SELECT approx_distinct(x) FROM t") == \
+        "SELECT approx_count_distinct(x) FROM t"
+    assert translate("SELECT cardinality(arr), ARBITRARY(y) FROM t") == \
+        "SELECT size(arr), any_value(y) FROM t"
+
+
+def test_dialect_translate_date_functions():
+    assert translate("date_add('day', 3, ts)") == "timestampadd(DAY, 3, ts)"
+    assert translate("date_diff('hour', a, b)") == "timestampdiff(HOUR, a, b)"
+    # Spark's own 2-arg date_add untouched
+    assert translate("date_add(d, 3)") == "date_add(d, 3)"
+
+
+def test_dialect_try_cast():
+    assert translate("TRY(CAST(x AS INTEGER))") == "(TRY_CAST(x AS INTEGER))"
+
+
+def test_strpos_semantics(spark):
+    # Presto strpos: 1-based, 0 when absent (StringFunctions.java)
+    assert one(spark, "strpos('hello', 'l')") == 3
+    assert one(spark, "strpos('hello', 'zz')") == 0
+
+
+def test_hamming_distance(spark):
+    assert one(spark, "hamming_distance('karolin', 'kathrin')") == 3
+    with pytest.raises(Exception):
+        spark.sql("SELECT hamming_distance('ab', 'abc') AS v").collect()
+
+
+def test_day_of_week_iso(spark):
+    # 2024-01-01 is a Monday → ISO dow 1 (DateTimeFunctions.java)
+    assert one(spark, "day_of_week(TIMESTAMP_NTZ '2024-01-01 10:00:00')") == 1
+    assert one(spark, "day_of_week(TIMESTAMP_NTZ '2024-01-07 10:00:00')") == 7
+
+
+def test_to_unixtime_fractional(spark):
+    v = one(spark, "to_unixtime(TIMESTAMP_NTZ '2024-01-01 00:00:01.5')")
+    assert abs(v - 1704067201.5) < 1e-6
+
+
+def test_cosine_similarity(spark):
+    v = one(spark, "cosine_similarity(array(1D, 0D), array(0D, 1D))")
+    assert abs(v) < 1e-12
+    v = one(spark, "cosine_similarity(array(1D, 2D), array(1D, 2D))")
+    assert abs(v - 1.0) < 1e-12
+
+
+def test_to_from_base(spark):
+    assert one(spark, "to_base(255, 16)") == "ff"
+    assert one(spark, "from_base('ff', 16)") == 255
+
+
+def test_array_cum_sum(spark):
+    assert one(spark, "array_cum_sum(array(1D, 2D, 3D))") == [1.0, 3.0, 6.0]
+
+
+def test_array_ngrams(spark):
+    v = one(spark, "array_ngrams(array('a','b','c'), 2)")
+    assert v == [["a", "b"], ["b", "c"]]
+
+
+def test_native_stats_close_to_exact(spark):
+    """Native single-pass stddev/corr agree with exact-decimal formulas
+    within FP tolerance (the exact versions are the oracle-checked path)."""
+    row = spark.sql("""
+      SELECT stddev_samp(l_quantity) AS sd, corr(l_quantity, l_discount) AS c,
+             var_pop(l_quantity) AS vp
+      FROM lineitem
+    """).collect()[0]
+    exact = spark.sql(REGISTRY_SQL).collect()[0]
+    assert math.isclose(row.sd, exact.stddev_samp_qty, rel_tol=1e-6)
+    assert math.isclose(row.c, exact.corr_qd, rel_tol=1e-4)
+    assert math.isclose(row.vp, exact.var_pop_qty, rel_tol=1e-6)
+
+
+from presto_spark.queries import REGISTRY  # noqa: E402
+
+REGISTRY_SQL = REGISTRY["agg_moment_stats_exact"].oracle

@@ -44,7 +44,8 @@ def normalize(rows: list[tuple], cols: list[str]):
             return tuple(canon(x) for x in v)
         return v
 
-    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    # repr-keyed sort: rows may mix None with values (ROLLUP null keys)
+    return sorted((tuple(canon(r[i]) for i in order) for r in rows), key=repr)
 
 
 def main() -> int:
