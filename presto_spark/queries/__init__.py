@@ -12,5 +12,6 @@ from presto_spark.queries.base import REGISTRY, Query
 from presto_spark.queries import tpch  # noqa: F401,E402
 from presto_spark.queries import relational  # noqa: F401,E402
 from presto_spark.queries import functions_suite  # noqa: F401,E402
+from presto_spark.queries import llm  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "Query"]

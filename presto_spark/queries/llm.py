@@ -1,0 +1,498 @@
+"""LLM-data operator queries with DuckDB oracles.
+
+The dedup/similarity/text operators use deterministic mod-arithmetic
+hashes (llm/text.py poly_hash, llm/dedup.py HASH_PARAMS), so even
+MinHash signatures and SimHash values are reproduced bit-exactly by the
+oracle — the strongest correctness check available for these operators.
+Spark side runs the real DataFrame transforms from presto_spark.llm.
+"""
+
+from pyspark.sql import functions as F
+
+from presto_spark.llm import dedup, multimodal, similarity, text
+from presto_spark.queries.base import prepare, register
+
+# ---- shared DuckDB SQL fragments (mirror llm/text.py + llm/dedup.py) ----
+
+D_CODES = ("list_transform(string_split({s}, ''), c -> ord(c)::BIGINT)")
+D_POLY = ("list_reduce(list_prepend(0::BIGINT, " + D_CODES + "), "
+          "(acc, x) -> (acc * 31 + x) % 1000000007)")
+D_TOKENS = "string_split_regex(lower(trim({s})), '\\s+')"
+# word 3-gram shingle hashes, distinct
+D_SHINGLES = (
+    "list_distinct(list_transform("
+    "  CASE WHEN len(" + D_TOKENS + ") < 3"
+    "       THEN [array_to_string(" + D_TOKENS + ", ' ')]"
+    "       ELSE list_transform(range(1, len(" + D_TOKENS + ") - 1),"
+    "                           i -> array_to_string(list_slice(" + D_TOKENS + ", i, i + 2), ' '))"
+    "  END,"
+    "  g -> " + D_POLY.replace("{s}", "g") + "))"
+)
+D_PARAMS = ("list_transform(range(0, 16), "
+            "j -> {'a': 1000003 * (j + 1) + 17, 'b': 7919 * (j + 1) + 3})")
+D_SIG = ("list_transform(" + D_PARAMS + ", "
+         "p -> list_min(list_transform(sh, h -> (p.a * h + p.b) % 1000000007)))")
+
+
+def _shingles_for(s: str) -> str:
+    return D_SHINGLES.replace("{s}", s)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash groupBy; duplicates synthesized by unioning a shifted
+# copy of every 10th doc — testdata has no exact dupes).
+# ---------------------------------------------------------------------------
+
+@register(
+    "llm_exact_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    dd AS (
+      SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM corpus GROUP BY md5(text)
+    )
+    SELECT
+      count(*) AS n_unique,
+      CAST(sum(n_copies) AS BIGINT) AS n_total,
+      CAST(sum(n_copies) - count(*) AS BIGINT) AS n_dropped,
+      CAST(sum(keep_id) AS BIGINT) AS keeper_checksum
+    FROM dd
+    """,
+    doc="Exact dedup via digest groupBy (llm/dedup.py exact_dedup). Only "
+        "(digest,id) shuffles — at 100 TB the text never moves.",
+    tags=("llm", "dedup", "bench"),
+)
+def llm_exact_dedup(spark, sf_dir):
+    prepare(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    corpus = docs.unionAll(
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    dd = dedup.exact_dedup(corpus)
+    return dd.agg(
+        F.count("*").alias("n_unique"),
+        F.sum("n_copies").cast("bigint").alias("n_total"),
+        (F.sum("n_copies") - F.count("*")).cast("bigint").alias("n_dropped"),
+        F.sum("keep_id").cast("bigint").alias("keeper_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signature parity — bit-exact against the oracle.
+# ---------------------------------------------------------------------------
+
+@register(
+    "llm_minhash_signature",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(""" + D_SIG + """, ',') AS signature
+    FROM (SELECT doc_id, """ + _shingles_for("text") + """ AS sh
+          FROM documents WHERE doc_id < 20) t
+    ORDER BY doc_id
+    """,
+    doc="16-hash MinHash signatures over word 3-gram shingles "
+        "(llm/dedup.py minhash_signature) — bit-exact parity with the "
+        "oracle's mod-arithmetic implementation.",
+    tags=("llm", "dedup"),
+)
+def llm_minhash_signature(spark, sf_dir):
+    prepare(spark, sf_dir)
+    docs = spark.table("documents").where(F.col("doc_id") < 20)
+    return (
+        dedup.with_minhash(docs.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            F.array_join(F.transform("minhash", lambda x: x.cast("string")), ",")
+            .alias("signature"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dedup: verified pairs.
+# ---------------------------------------------------------------------------
+
+@register(
+    "llm_lsh_near_dedup",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, """ + _shingles_for("text") + """ AS sh FROM documents
+    ),
+    sig AS (SELECT doc_id, """ + D_SIG + """ AS sig FROM sh),
+    banded AS (
+      SELECT doc_id, b.band, b.bucket FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(0, 4), b -> {
+                 'band': b,
+                 'bucket': list_reduce(
+                    list_prepend(0::BIGINT, list_slice(sig, b * 4 + 1, b * 4 + 4)),
+                    (acc, x) -> (acc * 31 + x % 1000003) % 1000000007)
+               })) AS b
+        FROM sig) t
+    ),
+    cands AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+    FROM cands
+    JOIN sh a ON cands.id_a = a.doc_id
+    JOIN sh b ON cands.id_b = b.doc_id
+    WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    doc="Full MinHash-LSH near-dedup pipeline (llm/dedup.py "
+        "near_dedup_pairs): 4 bands x 4 rows banding, bucket self-join, "
+        "exact-Jaccard verification at 0.5 — one LSH shuffle + one "
+        "candidate join at any scale.",
+    tags=("llm", "dedup", "bench"),
+)
+def llm_lsh_near_dedup(spark, sf_dir):
+    prepare(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    return dedup.near_dedup_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# SimHash parity.
+# ---------------------------------------------------------------------------
+
+@register(
+    "llm_simhash",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 16), b ->
+             CASE WHEN list_reduce(list_prepend(0::BIGINT,
+                    list_transform(toks, h -> ((h // (2 ** b)::BIGINT) % 2 * 2 - 1)::BIGINT)),
+                    (acc, x) -> acc + x) > 0
+                  THEN (2 ** b)::BIGINT ELSE 0::BIGINT END)),
+             (acc, x) -> acc + x) AS simhash
+    FROM (
+      SELECT doc_id,
+             list_transform(""" + D_TOKENS.replace("{s}", "text") + """,
+                            t -> """ + D_POLY.replace("{s}", "t") + """) AS toks
+      FROM documents WHERE doc_id < 20) t
+    ORDER BY doc_id
+    """,
+    doc="16-bit SimHash (llm/dedup.py simhash16) — majority vote per bit "
+        "over token hashes; div/mod arithmetic so the oracle reproduces "
+        "it without engine-specific bitops.",
+    tags=("llm", "dedup"),
+)
+def llm_simhash(spark, sf_dir):
+    prepare(spark, sf_dir)
+    docs = spark.table("documents").where(F.col("doc_id") < 20)
+    return (
+        docs.select("doc_id", dedup.simhash16(F.col("text")).alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard all-pairs (bounded window of the corpus).
+# ---------------------------------------------------------------------------
+
+@register(
+    "llm_ngram_jaccard_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, """ + _shingles_for("text") + """ AS sh
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) > 0
+    ORDER BY id_a, id_b
+    """,
+    doc="Exact n-gram Jaccard similarity, all-pairs over a bounded slice "
+        "(llm/dedup.py jaccard). The unbounded version routes through "
+        "LSH candidates (llm_lsh_near_dedup) — all-pairs is O(n^2) and "
+        "exists as the verification primitive.",
+    tags=("llm", "dedup"),
+)
+def llm_ngram_jaccard_pairs(spark, sf_dir):
+    prepare(spark, sf_dir)
+    docs = spark.table("documents").where(F.col("doc_id") < 40)
+    sh = docs.select("doc_id", dedup.word_shingles(F.col("text")).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dedup.jaccard(F.col("a.sh"), F.col("b.sh")).alias("jaccard"),
+        )
+        .where(F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))) > 0)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text statistics / quality / language id / fingerprint / token count.
+# ---------------------------------------------------------------------------
+
+@register(
+    "llm_text_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           len(toks) AS n_tokens,
+           round(list_reduce(list_prepend(0::BIGINT,
+                   list_transform(toks, t -> length(t)::BIGINT)),
+                 (acc, x) -> acc + x)::DOUBLE / len(toks), 6) AS avg_token_len,
+           round(len(list_filter(toks, t -> list_contains(
+                   ['the','a','an','and','or','of','to','in','is','it'], t)))::DOUBLE
+                 / len(toks), 6) AS stopword_ratio
+    FROM (SELECT doc_id, text, """ + D_TOKENS.replace("{s}", "text") + """ AS toks
+          FROM documents WHERE doc_id < 50) t
+    ORDER BY doc_id
+    """,
+    doc="Per-document statistics (llm/text.py with_text_stats): token "
+        "count, average token length, stopword ratio — map-side only.",
+    tags=("llm", "text"),
+)
+def llm_text_stats(spark, sf_dir):
+    prepare(spark, sf_dir)
+    docs = spark.table("documents").where(F.col("doc_id") < 50)
+    return (
+        text.with_text_stats(docs)
+        .select("doc_id", "n_chars_calc", "n_tokens", "avg_token_len",
+                "stopword_ratio")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "llm_language_id",
+    oracle="""
+    WITH marked AS (
+      SELECT lang,
+             list_sort(list_transform([
+               {'code': 'de', 'marks': ['der','und','die','das','ist']},
+               {'code': 'en', 'marks': ['the','and','of','to','is']},
+               {'code': 'es', 'marks': ['el','la','de','que','los']},
+               {'code': 'fr', 'marks': ['le','la','et','les','des']},
+               {'code': 'zh', 'marks': ['de5','shi4','le5','zai4','he2']}
+             ], m -> {'hits': len(list_filter(""" + D_TOKENS.replace("{s}", "text") + """,
+                                              t -> list_contains(m.marks, t))),
+                      'code': m.code}), 'DESC') AS ranked
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN ranked[1].hits > 0 THEN ranked[1].code ELSE 'und' END AS lang_pred,
+           count(*) AS n
+    FROM marked
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Heuristic language ID (llm/text.py language_id): argmax of "
+        "marker-token hits, deterministic tie-break; output is the "
+        "(actual, predicted) confusion table.",
+    tags=("llm", "text"),
+)
+def llm_language_id(spark, sf_dir):
+    prepare(spark, sf_dir)
+    docs = spark.table("documents")
+    return (
+        text.language_id(docs)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+@register(
+    "llm_fingerprint",
+    oracle="""
+    SELECT doc_id, """ + D_POLY.replace("{s}", "text") + """ AS fingerprint
+    FROM documents WHERE doc_id < 30
+    ORDER BY doc_id
+    """,
+    doc="Rolling-hash fingerprint (llm/text.py poly_hash) — bit-exact "
+        "cross-engine.",
+    tags=("llm", "text"),
+)
+def llm_fingerprint(spark, sf_dir):
+    prepare(spark, sf_dir)
+    docs = spark.table("documents").where(F.col("doc_id") < 30)
+    return text.with_fingerprint(docs).select("doc_id", "fingerprint").orderBy("doc_id")
+
+
+@register(
+    "llm_token_count",
+    oracle="""
+    SELECT lang,
+           CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT)
+             AS total_tokens,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="BPE-ish token counting (llm/text.py bpe_ish_tokens): letter "
+        "runs / digit runs / punctuation as tokens, aggregated per "
+        "language.",
+    tags=("llm", "text"),
+)
+def llm_token_count(spark, sf_dir):
+    prepare(spark, sf_dir)
+    docs = spark.table("documents")
+    return (
+        docs.select("lang", F.size(text.bpe_ish_tokens(F.col("text"))).alias("nt"))
+        .groupBy("lang")
+        .agg(F.sum("nt").cast("bigint").alias("total_tokens"),
+             F.count("*").alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "llm_quality_filter",
+    oracle="""
+    WITH stats AS (
+      SELECT lang,
+             len(toks) AS n_tokens,
+             round(list_reduce(list_prepend(0::BIGINT,
+                     list_transform(toks, t -> length(t)::BIGINT)),
+                   (acc, x) -> acc + x)::DOUBLE / len(toks), 6) AS avg_token_len,
+             round(len(list_filter(toks, t -> list_contains(
+                     ['the','a','an','and','or','of','to','in','is','it'], t)))::DOUBLE
+                   / len(toks), 6) AS stopword_ratio
+      FROM (SELECT lang, """ + D_TOKENS.replace("{s}", "text") + """ AS toks FROM documents) t
+    )
+    SELECT lang, count(*) AS n_kept
+    FROM (
+      SELECT lang,
+             CASE WHEN n_tokens < 5 THEN 0.0
+                  ELSE round(least(n_tokens / 100.0, 1.0) * 0.4
+                           + least(avg_token_len / 8.0, 1.0) * 0.3
+                           + least(stopword_ratio * 5.0, 1.0) * 0.3, 6) END AS quality
+      FROM stats) q
+    WHERE quality > 0.5
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Quality-score filter (llm/text.py quality_score): Gopher/"
+        "C4-style composite heuristic, kept-docs count per language.",
+    tags=("llm", "text", "bench"),
+)
+def llm_quality_filter(spark, sf_dir):
+    prepare(spark, sf_dir)
+    docs = spark.table("documents")
+    return (
+        text.quality_score(docs)
+        .where(F.col("quality") > 0.5)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search.
+# ---------------------------------------------------------------------------
+
+@register(
+    "llm_cosine_topk",
+    oracle="""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             list_reduce(list_prepend(0.0, list_transform(list_zip(q.qv, v.vec),
+                         z -> z[1] * z[2])), (acc, x) -> acc + x)
+             / (sqrt(list_reduce(list_prepend(0.0, list_transform(q.qv, x -> x * x)),
+                     (acc, x) -> acc + x))
+              * sqrt(list_reduce(list_prepend(0.0, list_transform(v.vec, x -> x * x)),
+                     (acc, x) -> acc + x))) AS sim_raw
+      FROM v CROSS JOIN q
+      WHERE v.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, round(sim_raw, 6) AS sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim_raw DESC, neighbor_id) AS rn
+          FROM scored) t
+    WHERE rn <= 3
+    ORDER BY query_id, neighbor_id
+    """,
+    doc="Brute-force cosine top-k (llm/similarity.py cosine_topk): "
+        "broadcast query set, JVM-side zip_with dot products, per-query "
+        "window top-k. The exact ANN baseline.",
+    tags=("llm", "similarity", "bench"),
+)
+def llm_cosine_topk(spark, sf_dir):
+    prepare(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return similarity.cosine_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=3
+    ).orderBy("query_id", "neighbor_id")
+
+
+@register(
+    "llm_ann_lsh_recall",
+    oracle="SELECT true AS recall_ok",
+    doc="Sign-LSH bucketed ANN (llm/similarity.py ann_topk_lsh) validated "
+        "in-query: recall@3 against the brute-force baseline must clear "
+        "the floor for 4-plane/16-bucket LSH. The envelope (not the "
+        "neighbor set) is the contract, mirroring the approx-aggregate "
+        "pattern.",
+    tags=("llm", "similarity"),
+)
+def llm_ann_lsh_recall(spark, sf_dir):
+    prepare(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(emb, queries, k=3).select(
+        "query_id", F.col("neighbor_id").alias("nb")
+    )
+    approx = similarity.ann_topk_lsh(emb, queries, k=3).select(
+        "query_id", F.col("neighbor_id").alias("nb")
+    )
+    hits = exact.join(approx, ["query_id", "nb"]).count()
+    total = exact.count()
+    recall = hits / total if total else 0.0
+    return spark.createDataFrame([(recall >= 0.2,)], "recall_ok boolean")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (mapInPandas) — features are deterministic byte
+# arithmetic, so even the Arrow-batched Python path is oracle-checked.
+# ---------------------------------------------------------------------------
+
+@register(
+    "llm_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           [length(text)::DOUBLE,
+            ord(substr(text, 1, 1))::DOUBLE,
+            ord(substr(text, -1, 1))::DOUBLE,
+            (list_reduce(list_prepend(0::BIGINT, """ + D_CODES.replace("{s}", "text") + """),
+                         (acc, x) -> acc + x) % 1000000007)::DOUBLE] AS features
+    FROM documents WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+    doc="Multimodal payload pipeline (llm/multimodal.py): binary column "
+        "+ metadata struct + Arrow-batched mapInPandas feature "
+        "extraction. Decode is stubbed (no imaging libs in container); "
+        "the deterministic byte-feature extractor proves the Spark "
+        "plumbing end-to-end against the oracle.",
+    tags=("llm", "multimodal"),
+)
+def llm_multimodal_features(spark, sf_dir):
+    prepare(spark, sf_dir)
+    docs = spark.table("documents").where(F.col("doc_id") < 50)
+    with_payload = multimodal.attach_payload(docs)
+    return multimodal.extract_features(with_payload).orderBy("doc_id")

@@ -1,0 +1,68 @@
+"""Differential + behavioral tests for the LLM-data operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from presto_spark.llm import dedup, multimodal, similarity, text
+from presto_spark.queries import REGISTRY
+from tests.conftest import SF_DIR, assert_same
+
+LLM = [n for n, q in REGISTRY.items() if "llm" in q.tags]
+
+
+@pytest.mark.parametrize("name", LLM)
+def test_llm_query_matches_oracle(spark, duck, name):
+    q = REGISTRY[name]
+    sdf = q.spark(spark, SF_DIR)
+    if q.oracle is None:
+        assert sdf.count() >= 0
+    else:
+        assert_same(sdf, duck, q.oracle)
+
+
+def test_minhash_similar_docs_share_signature_entries(spark):
+    """Two near-identical texts must agree on most signature positions —
+    the property LSH banding depends on."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "the quick brown fox jumps over the lazy dog again and often"),
+         (3, "completely different words appear in this unrelated sentence")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.minhash for r in dedup.with_minhash(df).collect()}
+    agree_12 = sum(a == b for a, b in zip(rows[1], rows[2]))
+    agree_13 = sum(a == b for a, b in zip(rows[1], rows[3]))
+    assert agree_12 > agree_13
+    assert agree_12 >= len(rows[1]) // 2
+
+
+def test_exact_dedup_drops_copies(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    out = {r.keep_id: r.n_copies for r in dedup.exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_cosine_topk_identical_vector_ranks_first(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.cosine_topk(df, df.where(F.col("vec_id") == 1), k=2).collect()
+    assert out[0].neighbor_id == 2 and abs(out[0].sim - 1.0) < 1e-9
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+
+
+def test_quality_score_bounds(spark):
+    docs = spark.table("documents")
+    from presto_spark.queries.base import prepare
+    prepare(spark, SF_DIR)
+    qs = text.quality_score(spark.table("documents"))
+    row = qs.agg(F.min("quality").alias("lo"), F.max("quality").alias("hi")).collect()[0]
+    assert 0.0 <= row.lo <= row.hi <= 1.0
