@@ -13,5 +13,6 @@ from presto_spark.queries import tpch  # noqa: F401,E402
 from presto_spark.queries import relational  # noqa: F401,E402
 from presto_spark.queries import functions_suite  # noqa: F401,E402
 from presto_spark.queries import llm  # noqa: F401,E402
+from presto_spark.queries import events_suite  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "Query"]

@@ -1,0 +1,169 @@
+"""Event-time windowing queries (streaming-extension semantics in batch).
+
+The same expressions run under Structured Streaming
+(tests/test_streaming.py proves batch/stream equivalence with an
+AvailableNow drain); here they run in batch so the DuckDB oracle can
+check the arithmetic.
+"""
+
+from pyspark.sql import functions as F
+
+from presto_spark.queries.base import prepare, register
+from presto_spark.streaming import windows
+
+
+@register(
+    "event_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS win_start,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Tumbling 1h event-time windows (streaming/windows.py tumbling; "
+        "Spark F.window). Presto has no event-time windowing (SURVEY "
+        "§2.10) — Spark-native extension.",
+    tags=("events", "streaming", "bench"),
+)
+def event_tumbling_window(spark, sf_dir):
+    prepare(spark, sf_dir)
+    ev = spark.table("events")
+    return (
+        windows.tumbling(ev, "ts", "1 hour", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("win_start"),
+            "event_type", "n", "total_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+@register(
+    "event_sliding_window",
+    oracle="""
+    WITH buckets AS (
+      SELECT unnest([time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)),
+                     time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) - INTERVAL 30 MINUTE])
+               AS win_start,
+             value
+      FROM events
+    )
+    SELECT win_start, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM buckets
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Sliding windows (1h long, 30m slide): each event lands in two "
+        "buckets (streaming/windows.py sliding). Oracle replicates the "
+        "bucket expansion with unnest.",
+    tags=("events", "streaming"),
+)
+def event_sliding_window(spark, sf_dir):
+    prepare(spark, sf_dir)
+    ev = spark.table("events")
+    return (
+        windows.sliding(ev, "ts", "1 hour", "30 minutes")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("win_start"),
+            "n", "total_value",
+        )
+        .orderBy("win_start")
+    )
+
+
+@register(
+    "event_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, epoch_ns(ts) AS tsn,
+             CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts))
+                       OVER (PARTITION BY user_id ORDER BY epoch_ns(ts))
+                  > 1800 * 1000000000::BIGINT OR
+                  lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts))
+                  IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, tsn,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY tsn
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM ordered
+    )
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions,
+           max(cnt) AS largest_session
+    FROM (SELECT user_id, session_id, count(*) AS cnt
+          FROM sessions GROUP BY 1, 2) s
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Session windows, 30min gap (streaming/windows.py session; Spark "
+        "session_window merging state machine). Oracle derives the same "
+        "sessions via gaps-and-islands over nanosecond timestamps; "
+        "microsecond truncation cannot split/merge a session because gap "
+        "boundaries at exactly 30min would need sub-µs alignment.",
+    tags=("events", "streaming"),
+)
+def event_session_window(spark, sf_dir):
+    prepare(spark, sf_dir)
+    ev = spark.table("events")
+    per_session = (
+        windows.session(ev, "ts", "30 minutes", "user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("cnt").alias("largest_session"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "event_json_enrichment",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           count(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50)
+             AS k_big,
+           CAST(min(value) AS DOUBLE) AS min_value,
+           CAST(max(value) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Typical event-pipeline enrichment: JSON property extraction + "
+        "conditional aggregation over the stream table.",
+    tags=("events",),
+)
+def event_json_enrichment(spark, sf_dir):
+    prepare(spark, sf_dir)
+    ev = spark.table("events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(k).cast("bigint").alias("k_sum"),
+            F.count_if(k > 50).alias("k_big"),
+            F.min("value").cast("double").alias("min_value"),
+            F.max("value").cast("double").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )

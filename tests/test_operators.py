@@ -1,0 +1,129 @@
+"""Unit tests for operator builders (operators/ package).
+
+Mirrors the reference's per-operator unit tests
+(presto-main-base/src/test/.../operator/Test*Operator.java) with small
+hand-constructed DataFrames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from presto_spark.operators import aggregates as A
+from presto_spark.operators import cte, relational as R
+
+
+def test_map_agg(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "z", 3)], "g string, k string, v int"
+    )
+    rows = {r.g: r.m for r in df.groupBy("g").agg(A.map_agg(F.col("k"), F.col("v")).alias("m")).collect()}
+    assert rows == {"a": {"x": 1, "y": 2}, "b": {"z": 3}}
+
+
+def test_multimap_agg(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "x", 2), ("a", "y", 3)], "g string, k string, v int"
+    )
+    rows = {r.g: r.m for r in df.groupBy("g").agg(A.multimap_agg(F.col("k"), F.col("v")).alias("m")).collect()}
+    assert rows["a"]["x"] == [1, 2]
+    assert rows["a"]["y"] == [3]
+
+
+def test_histogram(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (1, "b")], "g int, v string")
+    (row,) = df.groupBy("g").agg(A.histogram(F.col("v")).alias("h")).collect()
+    assert row.h == {"a": 2, "b": 1}
+
+
+def test_array_agg_ordered(spark):
+    df = spark.createDataFrame(
+        [(1, "c", 3), (1, "a", 1), (1, "b", 2)], "g int, v string, o int"
+    )
+    (row,) = (
+        df.groupBy("g")
+        .agg(A.array_agg_ordered(F.col("v"), F.col("o")).alias("a"))
+        .collect()
+    )
+    assert row.a == ["a", "b", "c"]
+
+
+def test_min_n_max_n(spark):
+    df = spark.createDataFrame([(1, v) for v in [5, 3, 9, 1, 7]], "g int, v int")
+    (row,) = (
+        df.groupBy("g")
+        .agg(A.max_n(F.col("v"), 2).alias("mx"), A.min_n(F.col("v"), 2).alias("mn"))
+        .collect()
+    )
+    assert row.mx == [9, 7]
+    assert row.mn == [1, 3]
+
+
+def test_checksum_order_insensitive(spark):
+    df1 = spark.createDataFrame([(1, "a"), (1, "b")], "g int, v string")
+    df2 = spark.createDataFrame([(1, "b"), (1, "a")], "g int, v string")
+    c1 = df1.groupBy("g").agg(A.checksum(F.col("v")).alias("c")).collect()[0].c
+    c2 = df2.groupBy("g").agg(A.checksum(F.col("v")).alias("c")).collect()[0].c
+    assert c1 == c2
+
+
+def test_geometric_mean(spark):
+    df = spark.createDataFrame([(1, 2.0), (1, 8.0)], "g int, v double")
+    (row,) = df.groupBy("g").agg(A.geometric_mean(F.col("v")).alias("gm")).collect()
+    assert abs(row.gm - 4.0) < 1e-9
+
+
+def test_reduce_agg(spark):
+    df = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "g int, v int")
+    (row,) = (
+        df.groupBy("g")
+        .agg(A.reduce_agg(F.col("v"), 1, lambda acc, x: acc * x).alias("prod"))
+        .collect()
+    )
+    assert row.prod == 24
+
+
+def test_top_n_plan_is_take_ordered(spark):
+    df = spark.range(1000).withColumn("v", F.col("id") % 7)
+    plan = R.top_n(df, 5, F.col("v").desc())._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_grouped_top_n(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 9)], "k string, v int"
+    )
+    out = R.grouped_top_n(df, ["k"], 2, F.col("v").desc()).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.k, []).append(r.v)
+    assert sorted(got["a"]) == [2, 3]
+    assert got["b"] == [9]
+
+
+def test_unnest_with_ordinality(spark):
+    df = spark.createDataFrame([(1, ["x", "y"])], "id int, arr array<string>")
+    rows = R.unnest(df, "arr", "e", with_ordinality=True).orderBy("ordinality").collect()
+    assert [(r.e, r.ordinality) for r in rows] == [("x", 1), ("y", 2)]
+
+
+def test_mark_distinct(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k int, v string")
+    out = R.mark_distinct(df, ["k"]).collect()
+    flags = sorted((r.k, r.is_distinct) for r in out)
+    assert flags == [(1, False), (1, True), (2, True)]
+
+
+def test_assign_unique_id_is_unique(spark):
+    df = spark.range(100).repartition(8)
+    out = R.assign_unique_id(df).select("unique_id").collect()
+    ids = [r.unique_id for r in out]
+    assert len(set(ids)) == len(ids)
+
+
+def test_materialized_context_persists_and_releases(spark):
+    df = spark.range(10)
+    with cte.materialized(df) as d:
+        assert d.count() == 10
+        assert d.storageLevel.useMemory
+    assert not df.storageLevel.useMemory

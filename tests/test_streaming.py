@@ -1,0 +1,92 @@
+"""Batch/stream equivalence for the event-time windowing extension.
+
+The same windowing expression (streaming/windows.py) is run (a) in batch
+over the events parquet and (b) as a Structured Streaming query with
+Trigger.AvailableNow draining the same files — results must match.
+This is the determinism contract that makes the streaming extension
+testable (Presto itself has no streaming operators, SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from presto_spark.streaming import windows
+from tests.conftest import SF_DIR
+
+
+def _window_agg(grouped):
+    return grouped.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("total_value"),
+    ).select(
+        F.col("win.start").alias("win_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@pytest.fixture(scope="module")
+def events_schema(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+
+
+def test_tumbling_batch_equals_stream(spark, events_schema, tmp_path):
+    from presto_spark.sources.catalog import load_table
+
+    # The file stream source requires a directory; stage the driver's
+    # single parquet file behind a symlink (read-only testdata).
+    (tmp_path / "events.parquet").symlink_to(f"{SF_DIR}/events.parquet")
+
+    batch = load_table(spark, SF_DIR, "events")
+    expected = {
+        tuple(r)
+        for r in _window_agg(
+            windows.tumbling(batch, "ts", "1 hour", "event_type")
+        ).collect()
+    }
+
+    stream = windows.stream_events(
+        spark, str(tmp_path), events_schema, watermark="10 minutes"
+    )
+    q = windows.run_to_memory_sink(
+        _window_agg(windows.tumbling(stream, "ts", "1 hour", "event_type")),
+        "tumbling_equiv",
+    )
+    got = {tuple(r) for r in spark.table("tumbling_equiv").collect()}
+    q.stop()
+    assert got == expected
+
+
+def test_session_window_merges_within_gap(spark):
+    df = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 00:00:00"),
+            ("u1", "2024-01-01 00:10:00"),  # same session (10m < 30m gap)
+            ("u1", "2024-01-01 01:00:00"),  # new session (50m > 30m gap)
+            ("u2", "2024-01-01 00:00:00"),
+        ],
+        "user_id string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = (
+        windows.session(df, "ts", "30 minutes", "user_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r.cnt)
+    assert sorted(per_user["u1"]) == [1, 2]
+    assert per_user["u2"] == [1]
+
+
+def test_watermark_present_in_stream_plan(spark, events_schema):
+    stream = windows.stream_events(
+        spark, f"{SF_DIR}/events.parquet", events_schema, watermark="15 minutes"
+    )
+    assert stream.isStreaming
+    # Watermark node must be in the logical plan — it is what bounds
+    # state for unbounded sources.
+    assert "EventTimeWatermark" in stream._jdf.queryExecution().logical().toString()
