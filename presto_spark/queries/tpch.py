@@ -470,3 +470,97 @@ sql_query(
         "modulus (no phone column). avg spelled as exact sum/count.",
     tags=("tpch",),
 )
+
+sql_query(
+    "q02_minimum_cost_supplier",
+    """
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+    FROM part, supplier, lineitem, nation, region
+    WHERE p_partkey = l_partkey
+      AND s_suppkey = l_suppkey
+      AND p_size = 15
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND l_extendedprice = (
+        SELECT min(l2.l_extendedprice)
+        FROM lineitem l2, supplier s2, nation n2, region r2
+        WHERE l2.l_partkey = p_partkey
+          AND s2.s_suppkey = l2.l_suppkey
+          AND s2.s_nationkey = n2.n_nationkey
+          AND n2.n_regionkey = r2.r_regionkey
+          AND r2.r_name = 'EUROPE'
+      )
+    GROUP BY s_acctbal, s_name, n_name, p_partkey, p_name
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 (tpch/q02.sql): correlated scalar MIN subquery over the "
+        "same join graph, decorrelated by Catalyst to an aggregate+join "
+        "(reference rule: TransformCorrelatedScalarAggregationToJoin.java:66). "
+        "partsupp absent → supply cost re-shaped onto lineitem "
+        "l_extendedprice; GROUP BY dedups multi-lineitem matches.",
+    tags=("tpch", "bench"),
+)
+
+sql_query(
+    "q11_important_stock",
+    """
+    SELECT l_partkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                               * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS value
+    FROM lineitem, supplier, nation, region
+    WHERE l_suppkey = s_suppkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+    GROUP BY l_partkey
+    HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > (
+      SELECT 1.5 * avg(v) FROM (
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS v
+        FROM lineitem, supplier, nation, region
+        WHERE l_suppkey = s_suppkey
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+        GROUP BY l_partkey
+      ) pv
+    )
+    ORDER BY value DESC, l_partkey
+    """,
+    doc="TPC-H Q11 (tpch/q11.sql): group-agg HAVING vs uncorrelated "
+        "global scalar subquery (EnforceSingleRowOperator.java guard). "
+        "partsupp absent → inventory value re-shaped onto lineitem; "
+        "nation filter widened to region (sparse suppliers at tiny SF); "
+        "threshold is 1.5x mean per-part value — scale-invariant vs the "
+        "reference's 0.0001/SF fraction.",
+    tags=("tpch", "bench"),
+)
+
+sql_query(
+    "q20_potential_part_promotion",
+    """
+    SELECT s_name, s_acctbal
+    FROM supplier, nation
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        WHERE l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'
+          )
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(l_quantity) > 30
+      )
+      AND s_nationkey = n_nationkey
+    ORDER BY s_name
+    """,
+    doc="TPC-H Q20 (tpch/q20.sql): nested IN subqueries → semi-join "
+        "chain with a grouped-HAVING threshold inside "
+        "(TransformUncorrelatedInPredicateSubqueryToSemiJoin.java:56). "
+        "partsupp availqty re-shaped onto shipped-quantity sums; "
+        "single-nation filter dropped (1 supplier/nation at tiny SF).",
+    tags=("tpch", "bench"),
+)
