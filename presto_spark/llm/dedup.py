@@ -46,23 +46,41 @@ LSH_BANDS = 4
 LSH_ROWS = NUM_HASHES // LSH_BANDS  # 4 rows per band
 
 
+def token_hashes(col: Column) -> Column:
+    """Per-token char-level poly hashes — each token hashed exactly once."""
+    return F.transform(tokens(col), lambda t: _poly_hash_str(t))
+
+
+def shingles_from_token_hashes(th: Column, n: int = 3) -> Column:
+    """Distinct n-gram shingle hashes from a token-hash array.
+
+    A shingle hash folds the n member token hashes with the same 31-base
+    recurrence — O(n) per shingle on 8-byte ints, vs re-hashing every
+    character of the joined shingle string (the naive form re-reads each
+    character n times; measured 6.3s → 2s for shingling sf0.1).
+    """
+    combine = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, h: (acc * 31 + h) % MOD
+    )
+    return F.array_distinct(
+        F.when(F.size(th) < n, F.array(combine(th))).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(th) - n + 1),
+                lambda i: combine(F.slice(th, i, n)),
+            )
+        )
+    )
+
+
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles, each reduced to a poly-hash int.
 
     Shingle→int immediately (SQL-side) so downstream operators never
     carry string arrays — at corpus scale the signature pipeline touches
-    8-byte ints only.
+    8-byte ints only.  Single-expression form; prefer with_shingles for
+    pipelines (materializes token hashes so they compute once).
     """
-    toks = tokens(col)
-    grams = F.when(
-        F.size(toks) < n, F.array(F.array_join(toks, " "))
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
-    )
-    return F.array_distinct(F.transform(grams, lambda g: _poly_hash_str(g)))
+    return shingles_from_token_hashes(token_hashes(col), n)
 
 
 def _poly_hash_str(col: Column) -> Column:
@@ -78,15 +96,18 @@ def with_shingles(
 ) -> DataFrame:
     """(id, shingles ARRAY<BIGINT>) — the materialization point.
 
-    Shingling is the expensive map step (split + n-gram + hash per
-    token); every consumer below reuses this column.  Callers that fan
-    out into multiple consumers should persist it (near_dedup_pairs
+    Two-step projection: token hashes land in a real column first, so
+    CollapseProject cannot inline (and so duplicate) the expensive
+    char-level hashing into the shingle expression that references it
+    repeatedly.  Every consumer below reuses this column; callers that
+    fan out into multiple consumers should persist it (near_dedup_pairs
     does) — the engine's CTE-materialization policy (SURVEY §4:
     LogicalCteOptimizer.java has no Catalyst analog, so we persist
     explicitly at the operator level).
     """
-    return df.select(
-        F.col(id_col), word_shingles(F.col(text_col)).alias("shingles")
+    th = df.select(F.col(id_col), token_hashes(F.col(text_col)).alias("th"))
+    return th.select(
+        F.col(id_col), shingles_from_token_hashes(F.col("th")).alias("shingles")
     )
 
 

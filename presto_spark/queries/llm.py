@@ -18,24 +18,38 @@ D_CODES = ("list_transform(string_split({s}, ''), c -> ord(c)::BIGINT)")
 D_POLY = ("list_reduce(list_prepend(0::BIGINT, " + D_CODES + "), "
           "(acc, x) -> (acc * 31 + x) % 1000000007)")
 D_TOKENS = "string_split_regex(lower(trim({s})), '\\s+')"
-# word 3-gram shingle hashes, distinct
+# per-token poly hashes (each token hashed once — mirrors
+# llm/dedup.py token_hashes)
+D_TOKHASH = ("list_transform(" + D_TOKENS + ", t -> "
+             + D_POLY.replace("{s}", "t") + ")")
+# word 3-gram shingle hashes: fold the 3 member token hashes with the
+# same 31-base recurrence (mirrors shingles_from_token_hashes)
+_D_COMB = ("list_reduce(list_prepend(0::BIGINT, {arr}), "
+           "(acc, x) -> (acc * 31 + x) % 1000000007)")
 D_SHINGLES = (
-    "list_distinct(list_transform("
-    "  CASE WHEN len(" + D_TOKENS + ") < 3"
-    "       THEN [array_to_string(" + D_TOKENS + ", ' ')]"
-    "       ELSE list_transform(range(1, len(" + D_TOKENS + ") - 1),"
-    "                           i -> array_to_string(list_slice(" + D_TOKENS + ", i, i + 2), ' '))"
-    "  END,"
-    "  g -> " + D_POLY.replace("{s}", "g") + "))"
+    "list_distinct("
+    "  CASE WHEN len(th) < 3"
+    "       THEN [" + _D_COMB.format(arr="th") + "]"
+    "       ELSE list_transform(range(1, len(th) - 1),"
+    "                           i -> " + _D_COMB.format(arr="list_slice(th, i, i + 2)") + ")"
+    "  END)"
 )
+
+
+def _shingle_src(table_filter: str, s: str = "text") -> str:
+    """FROM-clause producing (doc_id, th) token-hash rows."""
+    return ("(SELECT doc_id, " + D_TOKHASH.replace("{s}", s) + " AS th "
+            "FROM " + table_filter + ")")
 D_PARAMS = ("list_transform(range(0, 16), "
             "j -> {'a': 1000003 * (j + 1) + 17, 'b': 7919 * (j + 1) + 3})")
 D_SIG = ("list_transform(" + D_PARAMS + ", "
          "p -> list_min(list_transform(sh, h -> (p.a * h + p.b) % 1000000007)))")
 
 
-def _shingles_for(s: str) -> str:
-    return D_SHINGLES.replace("{s}", s)
+def _shingles_for(table_filter: str) -> str:
+    """(doc_id, sh) shingle-hash rows for a documents subset."""
+    return ("(SELECT doc_id, " + D_SHINGLES + " AS sh FROM "
+            + _shingle_src(table_filter) + " tsrc)")
 
 
 # ---------------------------------------------------------------------------
@@ -91,8 +105,7 @@ def llm_exact_dedup(spark, sf_dir):
     oracle="""
     SELECT doc_id,
            array_to_string(""" + D_SIG + """, ',') AS signature
-    FROM (SELECT doc_id, """ + _shingles_for("text") + """ AS sh
-          FROM documents WHERE doc_id < 20) t
+    FROM """ + _shingles_for("(SELECT * FROM documents WHERE doc_id < 20) d") + """ t
     ORDER BY doc_id
     """,
     doc="16-hash MinHash signatures over word 3-gram shingles "
@@ -122,7 +135,7 @@ def llm_minhash_signature(spark, sf_dir):
     "llm_lsh_near_dedup",
     oracle="""
     WITH sh AS (
-      SELECT doc_id, """ + _shingles_for("text") + """ AS sh FROM documents
+      SELECT doc_id, sh FROM """ + _shingles_for("documents") + """ t
     ),
     sig AS (SELECT doc_id, """ + D_SIG + """ AS sig FROM sh),
     banded AS (
@@ -206,8 +219,8 @@ def llm_simhash(spark, sf_dir):
     "llm_ngram_jaccard_pairs",
     oracle="""
     WITH sh AS (
-      SELECT doc_id, """ + _shingles_for("text") + """ AS sh
-      FROM documents WHERE doc_id < 40
+      SELECT doc_id, sh
+      FROM """ + _shingles_for("(SELECT * FROM documents WHERE doc_id < 40) d") + """ t
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(len(list_intersect(a.sh, b.sh))::DOUBLE /
