@@ -1,0 +1,194 @@
+"""Sketch/approximate-aggregate queries with envelope or exact oracles.
+
+Sketch payloads are engine-specific (DataSketches vs Presto's Airlift
+HLL), so cross-engine checks assert the documented error envelope —
+the reference's own strategy
+(TestApproximateCountDistinctAggregation.java asserts bounds, not
+bytes).  Compositions that are exact (top-k frequency, width-bucket
+histogram) get full value oracles.
+"""
+
+from pyspark.sql import functions as F
+
+from presto_spark.operators import sketches
+from presto_spark.queries.base import prepare, register
+
+
+@register(
+    "sketch_hll_mergeable_rollup",
+    oracle="SELECT true AS partial_ok, true AS merged_ok",
+    doc="approx_set per nation → merge() rollup to region "
+        "(ApproximateSetAggregation.java + MergeHyperLogLogAggregation"
+        ".java): the two-level mergeable-sketch pattern. Asserts the "
+        "merged estimate lands within 5% of the exact region-level "
+        "distinct count AND that merging partials equals sketching "
+        "directly — without rescanning raw rows for the rollup.",
+    tags=("sketch", "agg"),
+)
+def sketch_hll_mergeable_rollup(spark, sf_dir):
+    prepare(spark, sf_dir)
+    cust = spark.table("customer").join(
+        spark.table("nation"),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    # Level 1: one sketch per nation (the stored partial);
+    # Level 2: merge partials up to region — no raw-row rescan.
+    partials = (
+        cust.groupBy("n_nationkey", "n_regionkey")
+        .agg(sketches.approx_set("c_custkey").alias("nation_sketch"))
+        .groupBy("n_regionkey")
+        .agg(sketches.merge_hll("nation_sketch").alias("region_sketch"))
+        .select(
+            "n_regionkey",
+            sketches.hll_cardinality("region_sketch").alias("est"),
+        )
+    )
+    exact = cust.groupBy("n_regionkey").agg(
+        F.countDistinct("c_custkey").alias("ed")
+    )
+    direct = cust.groupBy("n_regionkey").agg(
+        sketches.hll_cardinality(
+            sketches.approx_set("c_custkey")
+        ).alias("direct_est")
+    )
+    joined = partials.join(exact, "n_regionkey").join(direct, "n_regionkey")
+    return joined.agg(
+        F.bool_and(
+            F.abs(F.col("est") - F.col("ed")) <= 0.05 * F.col("ed")
+        ).alias("partial_ok"),
+        F.bool_and(
+            F.abs(F.col("est") - F.col("direct_est")) <= 0.01 * F.col("direct_est")
+        ).alias("merged_ok"),
+    )
+
+
+@register(
+    "sketch_approx_most_frequent",
+    oracle="""
+    WITH counted AS (
+      SELECT l_returnflag, l_suppkey AS v, count(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT l_returnflag, v, n,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, v ASC) AS rk
+      FROM counted
+    )
+    SELECT l_returnflag,
+           CAST(sum(n) AS BIGINT) AS topk_total,
+           CAST(sum(v * rk) AS BIGINT) AS topk_checksum
+    FROM ranked WHERE rk <= 3
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="approx_most_frequent(3, l_suppkey) per returnflag "
+        "(approxmostfrequent/): two-level count + per-group top-k slice; "
+        "checked exactly via count/rank checksum (deterministic "
+        "count-desc, value-asc tie-break).",
+    tags=("sketch", "agg"),
+)
+def sketch_approx_most_frequent(spark, sf_dir):
+    prepare(spark, sf_dir)
+    li = spark.table("lineitem")
+    amf = sketches.approx_most_frequent(li, ["l_returnflag"], "l_suppkey", 3)
+    entries = F.map_entries("freq")  # preserves insertion (rank) order
+    return (
+        amf.select(
+            "l_returnflag",
+            F.aggregate(
+                entries, F.lit(0).cast("long"), lambda acc, e: acc + e["value"]
+            ).alias("topk_total"),
+            F.aggregate(
+                F.zip_with(
+                    entries,
+                    F.sequence(F.lit(1), F.size(entries)),
+                    lambda e, i: e["key"] * i,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("topk_checksum"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "sketch_numeric_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(CASE WHEN l_quantity < 0.0 THEN 0
+                       WHEN l_quantity >= 50.0 THEN 11
+                       ELSE floor(l_quantity / 5.0) + 1 END AS BIGINT) AS bucket
+      FROM lineitem
+    )
+    SELECT bucket, count(*) AS n,
+           CAST((bucket - 1) * 5.0 AS DOUBLE) AS lo_edge,
+           CAST(bucket * 5.0 AS DOUBLE) AS hi_edge
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+    doc="numeric_histogram(10, l_quantity) with fixed [0,50) bounds "
+        "(NumericHistogramAggregation analog): width_bucket + groupBy — "
+        "map-side bucketing, one shuffle, exact oracle.",
+    tags=("sketch", "agg", "bench"),
+)
+def sketch_numeric_histogram(spark, sf_dir):
+    prepare(spark, sf_dir)
+    li = spark.table("lineitem")
+    h = sketches.numeric_histogram(li, [], "l_quantity", 10, 0.0, 50.0)
+    return (
+        h.select(
+            "bucket", "n",
+            F.round("lo_edge", 3).alias("lo_edge"),
+            F.round("hi_edge", 3).alias("hi_edge"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "sketch_approx_percentile_groups",
+    oracle="""
+    SELECT l_returnflag,
+           CASE WHEN ap BETWEEN p45 AND p55 THEN true ELSE false END AS p50_ok,
+           CASE WHEN ap90 BETWEEN p85 AND p95 THEN true ELSE false END AS p90_ok
+    FROM (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.5) AS ap,
+             quantile_cont(l_extendedprice, 0.9) AS ap90,
+             quantile_cont(l_extendedprice, 0.45) AS p45,
+             quantile_cont(l_extendedprice, 0.55) AS p55,
+             quantile_cont(l_extendedprice, 0.85) AS p85,
+             quantile_cont(l_extendedprice, 0.95) AS p95
+      FROM lineitem GROUP BY l_returnflag
+    ) t
+    ORDER BY l_returnflag
+    """,
+    doc="approx_percentile(x, [0.5, 0.9]) per group "
+        "(qdigest-backed in Presto; KLL-style mergeable summaries in "
+        "Spark): estimates must land inside a +/-5-percentile band of "
+        "the exact quantiles.",
+    tags=("sketch", "agg"),
+)
+def sketch_approx_percentile_groups(spark, sf_dir):
+    prepare(spark, sf_dir)
+    li = spark.table("lineitem")
+    exact = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.45)").alias("p45"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("p55"),
+        F.expr("percentile(l_extendedprice, 0.85)").alias("p85"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        sketches.approx_percentile("l_extendedprice", 0.5).alias("ap"),
+        sketches.approx_percentile("l_extendedprice", 0.9).alias("ap90"),
+    )
+    return (
+        approx.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.col("ap").between(F.col("p45"), F.col("p55")).alias("p50_ok"),
+            F.col("ap90").between(F.col("p85"), F.col("p95")).alias("p90_ok"),
+        )
+        .orderBy("l_returnflag")
+    )
