@@ -12,6 +12,7 @@ from presto_spark.queries.base import REGISTRY, Query
 from presto_spark.queries import tpch  # noqa: F401,E402
 from presto_spark.queries import relational  # noqa: F401,E402
 from presto_spark.queries import functions_suite  # noqa: F401,E402
+from presto_spark.queries import functions_suite2  # noqa: F401,E402
 from presto_spark.queries import llm  # noqa: F401,E402
 from presto_spark.queries import events_suite  # noqa: F401,E402
 from presto_spark.queries import sketch_suite  # noqa: F401,E402

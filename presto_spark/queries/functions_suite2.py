@@ -1,0 +1,306 @@
+"""Scalar-function conformance, part 2: map/binary/URL/bitwise/interval.
+
+Continues functions_suite.py's golden-corpus compression (reference
+taxonomy: presto-docs/src/main/sphinx/functions/ — 35 categories).
+Categories here complete the SURVEY §2.8 inventory rows that part 1
+left uncovered: map functions, binary/crypto, URL, bitwise, and
+date/time interval arithmetic.
+"""
+
+from presto_spark.queries.base import dual_sql_query, sql_query
+
+# ---- maps (reference: operator/scalar/MapFilterFunction.java,
+# MapTransformValueFunction.java:89, MapZipWithFunction.java,
+# MapConcatFunction.java) ----
+# Maps are unordered, so every output is serialized to sorted entry
+# strings — the same canonicalization both engines can agree on.
+
+dual_sql_query(
+    "fn_map_suite",
+    """
+    WITH m AS (
+      SELECT n_nationkey AS k,
+             map('a', n_nationkey, 'b', n_regionkey,
+                 'c', n_nationkey + n_regionkey) AS mp
+      FROM nation
+    )
+    SELECT
+      k,
+      array_join(array_sort(transform(map_entries(mp),
+                 e -> concat(e.key, '=', cast(e.value AS STRING)))), ',')
+        AS entries_str,
+      array_join(array_sort(map_keys(mp)), ',') AS keys_str,
+      cast(element_at(mp, 'b') AS BIGINT) AS val_b,
+      size(mp) AS n_entries,
+      array_join(array_sort(transform(map_entries(
+          map_filter(mp, (x, v) -> v > 2)),
+          e -> e.key)), ',') AS big_keys,
+      array_join(array_sort(transform(map_entries(
+          transform_values(mp, (x, v) -> v * 10)),
+          e -> concat(e.key, '=', cast(e.value AS STRING)))), ',')
+        AS scaled_str
+    FROM m
+    ORDER BY k
+    """,
+    """
+    WITH m AS (
+      SELECT n_nationkey AS k,
+             MAP {'a': n_nationkey, 'b': n_regionkey,
+                  'c': n_nationkey + n_regionkey} AS mp
+      FROM nation
+    )
+    SELECT
+      k,
+      array_to_string(list_sort(list_transform(map_entries(mp),
+                      e -> concat(e.key, '=', e.value::VARCHAR))), ',')
+        AS entries_str,
+      array_to_string(list_sort(map_keys(mp)), ',') AS keys_str,
+      CAST(element_at(mp, 'b')[1] AS BIGINT) AS val_b,
+      cardinality(mp) AS n_entries,
+      coalesce(array_to_string(list_sort(list_transform(
+          map_entries(mp), e -> CASE WHEN e.value > 2 THEN e.key END)
+          .list_filter(x -> x IS NOT NULL)), ','), '') AS big_keys,
+      array_to_string(list_sort(list_transform(map_entries(mp),
+                      e -> concat(e.key, '=', (e.value * 10)::VARCHAR))), ',')
+        AS scaled_str
+    FROM m
+    ORDER BY k
+    """,
+    doc="Map function battery (map_from_entries/map_entries/map_keys/"
+        "element_at/cardinality/map_filter/transform_values — "
+        "MapFilterFunction.java, MapTransformValueFunction.java:89). "
+        "Outputs canonicalized to sorted entry strings (maps are "
+        "unordered).",
+    tags=("functions", "map"),
+)
+
+# ---- binary / crypto (reference: operator/scalar/VarbinaryFunctions.java,
+# HmacFunctions.java) ----
+
+dual_sql_query(
+    "fn_binary_suite",
+    """
+    SELECT
+      n_nationkey,
+      md5(n_name) AS h_md5,
+      sha2(n_name, 256) AS h_sha256,
+      base64(encode(n_name, 'UTF-8')) AS b64,
+      decode(unbase64(base64(encode(n_name, 'UTF-8'))), 'UTF-8') AS b64_rt,
+      upper(hex(encode(substr(n_name, 1, 4), 'UTF-8'))) AS hex4,
+      length(encode(n_name, 'UTF-8')) AS n_bytes
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    """
+    SELECT
+      n_nationkey,
+      md5(n_name) AS h_md5,
+      sha256(n_name) AS h_sha256,
+      to_base64(encode(n_name)) AS b64,
+      decode(from_base64(to_base64(encode(n_name)))) AS b64_rt,
+      upper(hex(encode(substr(n_name, 1, 4)))) AS hex4,
+      octet_length(encode(n_name)) AS n_bytes
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    doc="Binary/crypto battery (VarbinaryFunctions.java: md5, sha256, "
+        "to/from_base64, to_hex, length). to_utf8 ≡ encode; "
+        "round-trips asserted.",
+    tags=("functions", "binary"),
+)
+
+# ---- URL (reference: operator/scalar/UrlFunctions.java:42) ----
+# DuckDB has no URL parser: fixed literal inputs, literal expected rows.
+
+sql_query(
+    "fn_url_suite",
+    """
+    WITH u AS (
+      SELECT stack(3,
+        1, 'https://example.com:8080/docs/view?id=42&lang=en#frag',
+        2, 'http://user@sub.host.org/a/b',
+        3, 'ftp://files.net/pub'
+      ) AS (i, url)
+    )
+    SELECT
+      i,
+      parse_url(url, 'HOST') AS host,
+      parse_url(url, 'PATH') AS path,
+      parse_url(url, 'QUERY') AS query,
+      parse_url(url, 'PROTOCOL') AS protocol,
+      parse_url(url, 'QUERY', 'id') AS param_id
+    FROM u ORDER BY i
+    """,
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'example.com', '/docs/view', 'id=42&lang=en', 'https', '42'),
+      (2, 'sub.host.org', '/a/b', NULL, 'http', NULL),
+      (3, 'files.net', '/pub', NULL, 'ftp', NULL)
+    ) AS t(i, host, path, query, protocol, param_id)
+    ORDER BY i
+    """,
+    doc="URL battery (UrlFunctions.java:42 url_extract_host/path/query/"
+        "protocol/parameter → parse_url). DuckDB has no URL parser, so "
+        "the oracle is the expected literal table (host excludes port).",
+    tags=("functions", "url"),
+)
+
+# ---- bitwise (reference: operator/scalar/BitwiseFunctions.java) ----
+
+dual_sql_query(
+    "fn_bitwise_suite",
+    """
+    SELECT
+      n_nationkey,
+      n_nationkey & 12 AS b_and,
+      n_nationkey | 3 AS b_or,
+      cast(n_nationkey ^ 5 AS BIGINT) AS b_xor,
+      cast(~n_nationkey AS BIGINT) AS b_not,
+      shiftleft(n_nationkey, 2) AS shl,
+      shiftright(n_nationkey, 1) AS shr,
+      bit_count(n_nationkey) AS popcnt
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    """
+    SELECT
+      n_nationkey,
+      n_nationkey & 12 AS b_and,
+      n_nationkey | 3 AS b_or,
+      CAST(xor(n_nationkey, 5) AS BIGINT) AS b_xor,
+      CAST(~n_nationkey AS BIGINT) AS b_not,
+      n_nationkey << 2 AS shl,
+      n_nationkey >> 1 AS shr,
+      bit_count(n_nationkey::BIT) AS popcnt
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    doc="Bitwise battery (BitwiseFunctions.java: bitwise_and/or/xor/not, "
+        "shifts, bit_count).",
+    tags=("functions", "bitwise"),
+)
+
+# ---- date/time interval arithmetic (reference:
+# operator/scalar/DateTimeFunctions.java:71 dateAdd/dateDiff/dateTrunc) ----
+
+dual_sql_query(
+    "fn_interval_suite",
+    """
+    SELECT
+      o_orderkey,
+      date_trunc('month', o_orderdate) AS month_start,
+      date_trunc('quarter', o_orderdate) AS q_start,
+      o_orderdate + INTERVAL '30' DAY AS plus30d,
+      o_orderdate - INTERVAL '2' HOUR AS minus2h,
+      cast(timestampdiff(DAY, timestamp'1995-01-01 00:00:00', o_orderdate)
+           AS BIGINT) AS days_since_95,
+      cast(timestampdiff(MONTH, timestamp'1995-01-01 00:00:00', o_orderdate)
+           AS BIGINT) AS months_since_95,
+      timestampadd(MONTH, 3, o_orderdate) AS plus3mo,
+      year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+      month(o_orderdate) AS mo, day(o_orderdate) AS dom,
+      hour(o_orderdate) AS hr
+    FROM orders WHERE o_orderkey <= 50
+    ORDER BY o_orderkey
+    """,
+    """
+    SELECT
+      o_orderkey,
+      CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS q_start,
+      o_orderdate + INTERVAL 30 DAY AS plus30d,
+      o_orderdate - INTERVAL 2 HOUR AS minus2h,
+      date_diff('day', timestamp'1995-01-01 00:00:00', o_orderdate)
+        AS days_since_95,
+      date_diff('month', timestamp'1995-01-01 00:00:00', o_orderdate)
+        AS months_since_95,
+      o_orderdate + INTERVAL 3 MONTH AS plus3mo,
+      year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+      month(o_orderdate) AS mo, day(o_orderdate) AS dom,
+      hour(o_orderdate) AS hr
+    FROM orders WHERE o_orderkey <= 50
+    ORDER BY o_orderkey
+    """,
+    doc="Interval/date-part battery (DateTimeFunctions.java: date_trunc, "
+        "date_add/date_diff — Presto's unit-string spellings map to "
+        "timestampadd/timestampdiff via the dialect layer — interval "
+        "literals, extract shorthands).",
+    tags=("functions", "datetime"),
+)
+
+# ---- window extras: RANGE interval frames + IGNORE NULLS ----
+
+dual_sql_query(
+    "window_range_interval_frame",
+    """
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_last_hour,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+             AS sum_last_hour
+    FROM events
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    """
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_last_hour,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+             AS sum_last_hour
+    FROM (SELECT event_id, user_id, value,
+                 time_bucket(INTERVAL 1 MICROSECOND, CAST(ts AS TIMESTAMP)) AS ts
+          FROM events) e
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    doc="RANGE frame with a time interval bound over event time "
+        "(FrameInfo.java:26 RANGE frames; WindowNode.java:323). Oracle "
+        "truncates ns→µs to match the engine's timestamp precision.",
+    tags=("window", "events"),
+)
+
+dual_sql_query(
+    "window_ignore_nulls",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS v
+      FROM orders WHERE o_orderkey <= 100
+    )
+
+    SELECT o_orderkey,
+           lag(v) IGNORE NULLS OVER wo AS prev_nn,
+           lead(v) IGNORE NULLS OVER wo AS next_nn,
+           first_value(v) IGNORE NULLS OVER wf AS first_nn,
+           last_value(v) IGNORE NULLS OVER wf AS last_nn
+    FROM t
+    WINDOW wo AS (ORDER BY o_orderkey),
+           wf AS (ORDER BY o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderkey
+    """,
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS v
+      FROM orders WHERE o_orderkey <= 100
+    )
+
+    SELECT o_orderkey,
+           lag(v IGNORE NULLS) OVER wo AS prev_nn,
+           lead(v IGNORE NULLS) OVER wo AS next_nn,
+           first_value(v IGNORE NULLS) OVER wf AS first_nn,
+           last_value(v IGNORE NULLS) OVER wf AS last_nn
+    FROM t
+    WINDOW wo AS (ORDER BY o_orderkey),
+           wf AS (ORDER BY o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderkey
+    """,
+    doc="IGNORE NULLS navigation functions (LagFunction.java/"
+        "LeadFunction.java/FirstValueFunction.java with ignoreNulls).",
+    tags=("window",),
+)

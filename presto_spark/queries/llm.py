@@ -454,6 +454,60 @@ def llm_cosine_topk(spark, sf_dir):
     ).orderBy("query_id", "neighbor_id")
 
 
+_D_COS = (
+    "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
+    "z -> z[1] * z[2])), (acc, x) -> acc + x) "
+    "/ (sqrt(list_reduce(list_prepend(0.0, list_transform({a}, x -> x * x)), "
+    "(acc, x) -> acc + x)) "
+    "* sqrt(list_reduce(list_prepend(0.0, list_transform({b}, x -> x * x)), "
+    "(acc, x) -> acc + x)))"
+)
+
+
+@register(
+    "llm_ann_ivf_topk",
+    oracle="""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+               FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, vec AS cv FROM v WHERE vec_id < 8),
+    casg AS (
+      SELECT vec_id, vec, cent_id AS cell FROM (
+        SELECT v.vec_id, v.vec, c.cent_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY """ + _D_COS.format(a="v.vec", b="c.cv") + """ DESC,
+                                           c.cent_id) AS rn
+        FROM v CROSS JOIN cents c) t
+      WHERE rn = 1
+    ),
+    qasg AS (SELECT vec_id AS query_id, vec AS qv, cell
+             FROM casg WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             """ + _D_COS.format(a="q.qv", b="c.vec") + """ AS sim_raw
+      FROM casg c JOIN qasg q USING (cell)
+      WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, round(sim_raw, 6) AS sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim_raw DESC, neighbor_id) AS rn
+          FROM scored) t
+    WHERE rn <= 3
+    ORDER BY query_id, neighbor_id
+    """,
+    doc="IVF ANN, nprobe=1 (llm/similarity.py ann_topk_ivf): "
+        "deterministic coarse quantizer (first-8 vectors), broadcast "
+        "cell assignment, exact cosine inside the probed cell. "
+        "Bit-exact full-value oracle — the scale path beyond sign-LSH.",
+    tags=("llm", "similarity"),
+)
+def llm_ann_ivf_topk(spark, sf_dir):
+    prepare(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return similarity.ann_topk_ivf(
+        emb, emb.where(F.col("vec_id") < 5), k=3, n_centroids=8
+    ).orderBy("query_id", "neighbor_id")
+
+
 @register(
     "llm_ann_lsh_recall",
     oracle="SELECT true AS recall_ok",
