@@ -15,11 +15,18 @@ surface Presto never had.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from presto_spark.functions.dialect import translate
 from presto_spark.functions.registry import register_functions
+from presto_spark.session_properties import set_session_property
 from presto_spark.sources.catalog import TABLES, register_tables
+
+_SET_SESSION_RE = re.compile(
+    r"^\s*SET\s+SESSION\s+(\w+)\s*=\s*'?([^';]+)'?\s*;?\s*$", re.IGNORECASE
+)
 
 
 class Engine:
@@ -43,7 +50,16 @@ class Engine:
 
         ``dialect='presto'`` applies the name-level Presto→Spark rewrite
         (functions/dialect.py) before parsing; pass ``'spark'`` to skip.
+
+        ``SET SESSION <prop> = <value>`` statements are routed through
+        the session-property façade (session_properties.py — reference:
+        SystemSessionProperties.java), mirroring Presto's session
+        tuning surface; other statements go to Spark SQL.
         """
+        m = _SET_SESSION_RE.match(query)
+        if m:
+            set_session_property(self.spark, m.group(1).lower(), m.group(2))
+            return self.spark.createDataFrame([(True,)], "set_session boolean")
         if dialect == "presto":
             query = translate(query)
         return self.spark.sql(query)

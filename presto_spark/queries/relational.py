@@ -539,3 +539,29 @@ sql_query(
         "engine-seeded; the oracle pins the expected boolean.",
     tags=("relational",),
 )
+
+# ---------------------------------------------------------------------------
+# Lateral correlated subquery (reference: LateralJoinNode.java, ApplyNode.java;
+# grammar SqlBase.g4:378 LATERAL).
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "lateral_top_orders_per_nation",
+    """
+    SELECT n.n_name, t.o_orderkey, t.o_totalprice
+    FROM nation n,
+         LATERAL (
+           SELECT o.o_orderkey, o.o_totalprice
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           WHERE c.c_nationkey = n.n_nationkey
+           ORDER BY o.o_totalprice DESC, o.o_orderkey
+           LIMIT 2
+         ) t
+    WHERE n.n_nationkey < 10
+    ORDER BY n.n_name, t.o_totalprice DESC, t.o_orderkey
+    """,
+    doc="LATERAL correlated derived table: top-2 orders per nation "
+        "(LateralJoinNode.java / ApplyNode.java; Catalyst decorrelates "
+        "to a ranked window join). Same text runs on DuckDB.",
+    tags=("relational", "lateral"),
+)
