@@ -22,11 +22,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from presto_spark.queries import REGISTRY  # noqa: E402
 
 
-def _configure(spark: SparkSession) -> SparkSession:
+def _configure(spark: SparkSession, sf_dir: str | None = None) -> SparkSession:
     """Apply engine session settings to a driver-provided session."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    if sf_dir is not None:
+        from presto_spark.session import tune_for_input
+
+        tune_for_input(spark, sf_dir)
     return spark
 
 
@@ -41,7 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, q in REGISTRY.items():
         def make(qq):
             def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-                _configure(spark)
+                _configure(spark, sf_dir)
                 return qq.spark(spark, sf_dir)
             return run
         out[name] = make(q)

@@ -19,13 +19,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from presto_spark.queries import REGISTRY
-from presto_spark.session import get_spark
+from presto_spark.session import get_spark, tune_for_input
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
     spark = get_spark("presto_spark_bench")
+    tune_for_input(spark, sf_dir)
 
     names = [n for n, q in REGISTRY.items() if "bench" in q.tags]
 

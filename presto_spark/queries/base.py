@@ -29,11 +29,20 @@ from presto_spark.functions.registry import register_functions
 from presto_spark.sources.catalog import register_tables
 
 _FUNCS_READY: set[int] = set()
+_CURRENT_SF_DIR: dict[int, str] = {}
 
 
 def prepare(spark: SparkSession, sf_dir: str) -> None:
-    """Register tables (per sf_dir) and compat functions (once/session)."""
-    register_tables(spark, sf_dir)
+    """Register tables and compat functions (each once per session).
+
+    Table registration is memoized on the session's *current* sf_dir —
+    re-registering rereads 10 parquet footers per query, pure driver
+    overhead that dominated small-SF bench times; switching sf_dir
+    re-registers so the views always point at the requested data.
+    """
+    if _CURRENT_SF_DIR.get(id(spark)) != sf_dir:
+        register_tables(spark, sf_dir)
+        _CURRENT_SF_DIR[id(spark)] = sf_dir
     if id(spark) not in _FUNCS_READY:
         register_functions(spark)
         _FUNCS_READY.add(id(spark))

@@ -81,3 +81,28 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
+
+
+def tune_for_input(spark: SparkSession, data_dir: str) -> int:
+    """Size shuffle partitions to the input volume (~128 MB each).
+
+    The rule a production job uses: partitions = input_bytes / 128 MB,
+    floored at the core count (keep every core busy) and capped at 200k
+    (far above any real fan-out; 100 TB → ~800k raw, capped).  AQE
+    coalescing then adapts downward per stage at runtime — this sets
+    the ceiling the right order of magnitude so tiny inputs don't pay
+    64-task scheduling overhead and huge inputs don't OOM reducers.
+    Presto's equivalent knob is hash_partition_count
+    (SystemSessionProperties.java:109), set statically per cluster.
+    """
+    total = 0
+    for root, _dirs, files in os.walk(data_dir):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    cores = spark.sparkContext.defaultParallelism
+    parts = max(cores, min(200_000, total // (128 * 1024 * 1024)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    return parts
