@@ -71,6 +71,41 @@ def unnest(
     return df.select("*", F.explode(F.col(array_col)).alias(out_col)).drop(array_col)
 
 
+def groups_frame(
+    df: DataFrame,
+    partition_by: list[str],
+    order_col: str,
+    n_preceding: int,
+    n_following: int,
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """GROUPS window frames, which Spark lacks (WindowNode.java:323-330
+    lists GROUPS; Spark supports only ROWS/RANGE).
+
+    A GROUPS frame counts *peer groups* (rows tying on the order key)
+    instead of physical rows.  Emulation: dense_rank() numbers the peer
+    groups 1..n consecutively, so a RANGE frame over dense_rank with
+    the same offsets is exactly the GROUPS frame.  Two window passes
+    over one shuffle (both windows share partitioning+ordering, so
+    Spark evaluates them in a single WindowExec sort).
+
+    ``aggs`` maps output column name → aggregate Column (built with the
+    ``value`` columns, e.g. ``{"s": F.sum("v")}``); each is applied
+    over the emulated frame.
+    """
+    order_window = Window.partitionBy(*partition_by).orderBy(order_col)
+    with_dr = df.withColumn("__dr", F.dense_rank().over(order_window))
+    frame = (
+        Window.partitionBy(*partition_by)
+        .orderBy("__dr")
+        .rangeBetween(-n_preceding, n_following)
+    )
+    out = with_dr
+    for name, agg in aggs.items():
+        out = out.withColumn(name, agg.over(frame))
+    return out.drop("__dr")
+
+
 def sample_bernoulli(df: DataFrame, fraction: float, seed: int | None = None) -> DataFrame:
     """TABLESAMPLE BERNOULLI (SampleNode.java:33) — per-row coin flip."""
     return df.sample(withReplacement=False, fraction=fraction, seed=seed)

@@ -565,3 +565,63 @@ sql_query(
         "to a ranked window join). Same text runs on DuckDB.",
     tags=("relational", "lateral"),
 )
+
+# ---------------------------------------------------------------------------
+# GROUPS window frame emulation (reference: WindowNode.java:323-330 lists
+# ROWS|RANGE|GROUPS; Spark has no GROUPS — emulated via dense_rank+RANGE,
+# operators/relational.py groups_frame). DuckDB supports GROUPS natively,
+# so the oracle checks the emulation against the real thing.
+# ---------------------------------------------------------------------------
+
+def _register_groups_frame():
+    from pyspark.sql import functions as F
+
+    from presto_spark.operators.relational import groups_frame
+    from presto_spark.queries.base import prepare, register
+
+    @register(
+        "window_groups_frame_emulation",
+        oracle="""
+        WITH t AS (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 dense_rank() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate) AS dr
+          FROM orders WHERE o_custkey < 100
+        )
+        SELECT a.o_custkey, a.o_orderkey,
+               CAST(sum(CAST(b.o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                 AS grp_sum,
+               count(*) AS grp_n
+        FROM t a JOIN t b
+          ON a.o_custkey = b.o_custkey AND b.dr BETWEEN a.dr - 1 AND a.dr
+        GROUP BY a.o_custkey, a.o_orderkey
+        ORDER BY a.o_custkey, a.o_orderkey
+        """,
+        doc="GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW emulated with "
+            "dense_rank + RANGE (groups_frame). The oracle expands the "
+            "frame definition independently as a peer-group self-join — "
+            "a from-first-principles differential proof of the "
+            "emulation.",
+        tags=("window",),
+    )
+    def window_groups_frame_emulation(spark, sf_dir):
+        prepare(spark, sf_dir)
+        orders = spark.table("orders").where(F.col("o_custkey") < 100)
+        out = groups_frame(
+            orders,
+            ["o_custkey"],
+            "o_orderdate",
+            n_preceding=1,
+            n_following=0,
+            aggs={
+                "grp_sum": F.sum(F.col("o_totalprice").cast("decimal(14,2)")),
+                "grp_n": F.count(F.lit(1)),
+            },
+        )
+        return out.select(
+            "o_custkey", "o_orderkey",
+            F.col("grp_sum").cast("double").alias("grp_sum"), "grp_n",
+        ).orderBy("o_custkey", "o_orderkey")
+
+
+_register_groups_frame()

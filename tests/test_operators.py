@@ -127,3 +127,23 @@ def test_materialized_context_persists_and_releases(spark):
         assert d.count() == 10
         assert d.storageLevel.useMemory
     assert not df.storageLevel.useMemory
+
+
+def test_groups_frame_ties_counted_as_one_group(spark):
+    """Rows tying on the order key form one peer group — a GROUPS frame
+    of 1 PRECEDING spans the whole previous tie-group, however many
+    rows it has (the semantics ROWS frames cannot express)."""
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 1, 20), ("a", 2, 30), ("a", 3, 40)],
+        "k string, o int, v int",
+    )
+    out = R.groups_frame(
+        df, ["k"], "o", n_preceding=1, n_following=0, aggs={"s": F.sum("v")}
+    )
+    got = {(r.o, r.v): r.s for r in out.collect()}
+    # o=2: its group (30) + full previous tie-group (10+20) = 60
+    assert got[(2, 30)] == 60
+    # o=3: 40 + 30 = 70 (only one row in the o=2 group)
+    assert got[(3, 40)] == 70
+    # o=1 rows: no preceding group → just the tie-group sum 30
+    assert got[(1, 10)] == 30 and got[(1, 20)] == 30

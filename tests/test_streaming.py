@@ -90,3 +90,40 @@ def test_watermark_present_in_stream_plan(spark, events_schema):
     # Watermark node must be in the logical plan — it is what bounds
     # state for unbounded sources.
     assert "EventTimeWatermark" in stream._jdf.queryExecution().logical().toString()
+
+
+def test_stateful_running_stats_matches_batch(spark, events_schema, tmp_path):
+    """applyInPandasWithState custom operator: after draining the whole
+    file source, per-user state must equal the batch groupBy."""
+    from presto_spark.streaming import stateful
+
+    (tmp_path / "events.parquet").symlink_to(f"{SF_DIR}/events.parquet")
+    stream = (
+        spark.readStream.schema(events_schema)
+        .parquet(str(tmp_path))
+        .where(F.col("user_id") < 10)
+    )
+    out = stateful.running_user_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    # "update" mode re-emits a row per micro-batch; the last emit per
+    # user is the final state (single batch here, so rows are final).
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in spark.table("running_stats").collect()
+    }
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet").where(F.col("user_id") < 10)
+    expected = {
+        r.user_id: (r.n, round(r.t, 6))
+        for r in batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert got == expected
