@@ -304,3 +304,45 @@ dual_sql_query(
         "LeadFunction.java/FirstValueFunction.java with ignoreNulls).",
     tags=("window",),
 )
+
+# ---- JSON casts (reference: operator/scalar/JsonToArrayCast.java,
+# JsonToMapCast.java, JsonToRowCast.java — CAST(json AS ARRAY/MAP/ROW)) ----
+
+dual_sql_query(
+    "fn_json_casts",
+    """
+    WITH j AS (
+      SELECT event_id, props FROM events WHERE event_id < 30
+    )
+    SELECT
+      event_id,
+      get_json_object(props, '$.k') AS k_text,
+      CAST(get_json_object(props, '$.k') AS BIGINT) AS k_int,
+      from_json(props, 'k INT, tag STRING').tag AS tag,
+      from_json('[1,2,3]', 'array<int>')[1] AS arr_elem2,
+      size(from_json('[1,2,3]', 'array<int>')) AS arr_len,
+      map_keys(from_json('{"a": 1, "b": 2}', 'map<string,int>'))[0] AS first_key
+    FROM j
+    ORDER BY event_id
+    """,
+    """
+    WITH j AS (
+      SELECT event_id, props FROM events WHERE event_id < 30
+    )
+    SELECT
+      event_id,
+      json_extract_string(props, '$.k') AS k_text,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+      json_extract_string(props, '$.tag') AS tag,
+      CAST(json_extract('[1,2,3]', '$[1]') AS INT) AS arr_elem2,
+      len(CAST('[1,2,3]'::JSON AS INT[])) AS arr_len,
+      'a' AS first_key
+    FROM j
+    ORDER BY event_id
+    """,
+    doc="JSON→typed casts (JsonToArrayCast.java / JsonToMapCast.java / "
+        "JsonToRowCast.java): from_json to struct/array/map plus scalar "
+        "extraction; the reference casts JSON values to ARRAY/MAP/ROW "
+        "the same way.",
+    tags=("functions", "json"),
+)
