@@ -167,3 +167,151 @@ def event_json_enrichment(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "event_funnel_conversion",
+    oracle="""
+    WITH stage AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS t_buy
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      count(*) AS n_users,
+      count(*) FILTER (WHERE t_view IS NOT NULL) AS n_viewed,
+      count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view) AS n_clicked,
+      count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view
+                         AND t_buy > t_click) AS n_converted
+    FROM stage
+    """,
+    doc="Ordered funnel (view -> click -> purchase): min-timestamp per "
+        "stage per user, sequenced by comparison — one shuffle on "
+        "user_id regardless of corpus size. Classic event-analytics "
+        "shape Presto serves via min_by/filters.",
+    tags=("events", "bench"),
+)
+def event_funnel_conversion(spark, sf_dir):
+    prepare(spark, sf_dir)
+    ev = spark.table("events")
+    ns = F.col("ts_ns")
+    stage = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", ns)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", ns)).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", ns)).alias("t_buy"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    converted = clicked & (F.col("t_buy") > F.col("t_click"))
+    return stage.agg(
+        F.count("*").alias("n_users"),
+        F.count_if(viewed).alias("n_viewed"),
+        F.count_if(clicked).alias("n_clicked"),
+        F.count_if(converted).alias("n_converted"),
+    )
+
+
+@register(
+    "event_daily_retention",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+      FROM events
+    )
+    SELECT a.d AS day0, count(DISTINCT a.user_id) AS active,
+           count(DISTINCT b.user_id) AS retained_next_day
+    FROM activity a LEFT JOIN activity b
+      ON a.user_id = b.user_id AND b.d = a.d + INTERVAL 1 DAY
+    GROUP BY a.d
+    ORDER BY a.d
+    """,
+    doc="Next-day retention: distinct active users per day self-joined "
+        "on (user, day+1). Shuffles only (user_id, date) pairs — the "
+        "cohort-analysis shape at any scale.",
+    tags=("events", "bench"),
+)
+def event_daily_retention(spark, sf_dir):
+    prepare(spark, sf_dir)
+    ev = spark.table("events")
+    activity = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    a, b = activity.alias("a"), activity.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.d") == F.date_add(F.col("a.d"), 1)),
+            "left",
+        )
+        .groupBy(F.col("a.d").alias("day0"))
+        .agg(
+            F.countDistinct(F.col("a.user_id")).alias("active"),
+            F.countDistinct(F.col("b.user_id")).alias("retained_next_day"),
+        )
+        .orderBy("day0")
+    )
+
+
+@register(
+    "event_sessionization_sql",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, epoch_ns(ts) AS tsn,
+             CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts))
+                       OVER (PARTITION BY user_id ORDER BY epoch_ns(ts))
+                  > 1800 * 1000000000::BIGINT
+                  OR lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY epoch_ns(ts)) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WHERE user_id < 50
+    ),
+    numbered AS (
+      SELECT user_id, tsn,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY tsn
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           count(*) AS n_events,
+           CAST((max(tsn) - min(tsn)) // 1000000000 AS BIGINT) AS duration_s
+    FROM numbered
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_no
+    """,
+    doc="Gaps-and-islands sessionization in pure SQL (lag + running sum "
+        "of session starts) — the batch equivalent of the "
+        "session_window operator, exercising WindowOperator.java "
+        "semantics end-to-end with a 30min gap.",
+    tags=("events", "window"),
+)
+def event_sessionization_sql(spark, sf_dir):
+    prepare(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    ev = spark.table("events").where(F.col("user_id") < 50)
+    w = W.partitionBy("user_id").orderBy("ts_ns")
+    gap_ns = 1800 * 1_000_000_000
+    ordered = ev.select(
+        "user_id", "ts_ns",
+        F.when(
+            (F.col("ts_ns") - F.lag("ts_ns").over(w) > gap_ns)
+            | F.lag("ts_ns").over(w).isNull(),
+            1,
+        ).otherwise(0).alias("is_new"),
+    )
+    numbered = ordered.withColumn(
+        "session_no",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return (
+        numbered.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.floor((F.max("ts_ns") - F.min("ts_ns")) / 1_000_000_000)
+            .cast("bigint").alias("duration_s"),
+        )
+        .orderBy("user_id", "session_no")
+    )
