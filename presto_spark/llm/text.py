@@ -142,3 +142,68 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Rolling-hash document fingerprint (deterministic, oracle-checkable)."""
     return df.withColumn("fingerprint", poly_hash(F.col(text_col)))
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks.
+
+    The canonical training-data op: (doc) → (doc, chunk_no, chunk_text,
+    n_tokens).  Stride = chunk_tokens - overlap; the final partial
+    window is kept.  Pure JVM expression (tokens → sequence of slices →
+    posexplode): map-side only, no shuffle — at 100 TB chunking is free
+    parallelism, bounded by the scan.
+    """
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(toks) - overlap, F.lit(1)),
+        F.lit(stride),
+    )
+    chunks = F.transform(
+        starts, lambda s: F.array_join(F.slice(toks, s, chunk_tokens), " ")
+    )
+    out = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_no", "chunk_text")
+    )
+    return out.withColumn(
+        "n_tokens", F.size(tokens(F.col("chunk_text")))
+    ).withColumn("chunk_no", F.col("chunk_no") + 1)
+
+
+def vocabulary(
+    df: DataFrame, text_col: str = "text", min_count: int = 2
+) -> DataFrame:
+    """Corpus vocabulary: (token, n_docs, n_occurrences), count-filtered.
+
+    explode + two-level count with map-side partial aggregation — the
+    shuffle carries (token, partial counts), never documents.  The
+    foundation for BPE training / frequency-based filtering.
+    """
+    toked = df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("token"))
+    per_tok = toked.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return per_tok.where(F.col("n_occurrences") >= min_count)
+
+
+def normalize_nfc(df: DataFrame, text_col: str = "text",
+                  out_col: str = "text_nfc") -> DataFrame:
+    """Unicode NFC normalization (reference: operator/scalar/
+    StringFunctions.java normalize()).
+
+    Spark has no normalize builtin, so this is the one text op that
+    crosses into Python — as an Arrow-batched pandas iterator
+    (mapInPandas shape via pandas_udf), never per-row py4j.  DuckDB's
+    nfc_normalize provides the cross-engine oracle.
+    """
+    from presto_spark.llm._pandas_udfs import nfc_normalize_udf
+
+    return df.withColumn(out_col, nfc_normalize_udf(F.col(text_col)))

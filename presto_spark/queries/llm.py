@@ -563,3 +563,88 @@ def llm_multimodal_features(spark, sf_dir):
     docs = spark.table("documents").where(F.col("doc_id") < 50)
     with_payload = multimodal.attach_payload(docs)
     return multimodal.extract_features(with_payload).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Training-data prep: chunking, vocabulary, unicode normalization.
+# ---------------------------------------------------------------------------
+
+@register(
+    "llm_chunk_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents WHERE doc_id < 30
+    ),
+    chunks AS (
+      SELECT doc_id,
+             generate_subscripts(starts, 1) AS chunk_no,
+             list_transform(starts,
+               s -> array_to_string(list_slice(t, s, s + 63), ' ')) AS ctexts
+      FROM (SELECT doc_id, t,
+                   range(1, greatest(len(t) - 16, 1) + 1, 48) AS starts
+            FROM toks) x
+    )
+    SELECT doc_id, chunk_no, ctexts[chunk_no] AS chunk_text,
+           len(string_split_regex(ctexts[chunk_no], '\\s+')) AS n_tokens
+    FROM chunks
+    ORDER BY doc_id, chunk_no
+    """,
+    doc="Overlapping token-window chunking (llm/text.py chunk_documents: "
+        "64-token windows, 16 overlap, stride 48) — the canonical "
+        "LLM-corpus op; map-side only, no shuffle. Oracle rebuilds the "
+        "same windows with list slices.",
+    tags=("llm", "text", "bench"),
+)
+def llm_chunk_documents(spark, sf_dir):
+    prepare(spark, sf_dir)
+    docs = spark.table("documents").where(F.col("doc_id") < 30)
+    return text.chunk_documents(docs).orderBy("doc_id", "chunk_no")
+
+
+@register(
+    "llm_vocabulary",
+    oracle="""
+    WITH toked AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    )
+    SELECT token, count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM toked
+    GROUP BY token
+    HAVING count(*) >= 5
+    ORDER BY token
+    """,
+    doc="Corpus vocabulary with document frequencies (llm/text.py "
+        "vocabulary): explode + two-level count, shuffle carries only "
+        "(token, partial counts) — BPE-training / frequency-filter "
+        "foundation.",
+    tags=("llm", "text", "bench"),
+)
+def llm_vocabulary(spark, sf_dir):
+    prepare(spark, sf_dir)
+    docs = spark.table("documents")
+    return text.vocabulary(docs, min_count=5).orderBy("token")
+
+
+@register(
+    "llm_normalize_nfc",
+    oracle="""
+    SELECT doc_id, nfc_normalize(text) AS text_nfc,
+           length(nfc_normalize(text)) AS n_chars_nfc
+    FROM documents WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+    doc="Unicode NFC normalization (StringFunctions.java normalize()): "
+        "the one text op crossing into Python — Arrow-batched pandas "
+        "UDF, never per-row; DuckDB nfc_normalize is the oracle.",
+    tags=("llm", "text"),
+)
+def llm_normalize_nfc(spark, sf_dir):
+    prepare(spark, sf_dir)
+    docs = spark.table("documents").where(F.col("doc_id") < 50)
+    out = text.normalize_nfc(docs)
+    return out.select(
+        "doc_id", "text_nfc", F.length("text_nfc").alias("n_chars_nfc")
+    ).orderBy("doc_id")
