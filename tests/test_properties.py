@@ -1,0 +1,55 @@
+"""Property-based tests (hypothesis) for pure-Python engine pieces.
+
+The reference has no fuzzing (SURVEY §5.7); these go beyond it for the
+components where property testing is cheap and valuable: the dialect
+rewriter (pure string → string) and the distribution-layer invariants.
+Spark-dependent properties use small bounded examples to keep runtime
+sane.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from presto_spark.functions.dialect import translate
+from presto_spark.session_properties import _duration_to_seconds
+
+IDENT = st.from_regex(r"[a-z_][a-z0-9_]{0,10}", fullmatch=True)
+
+
+@given(st.text(alphabet=st.characters(codec="ascii"), max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_translate_idempotent(sql):
+    """Applying the dialect rewrite twice == once (documented contract)."""
+    once = translate(sql)
+    assert translate(once) == once
+
+
+@given(IDENT)
+@settings(max_examples=100, deadline=None)
+def test_translate_leaves_unknown_functions_alone(name):
+    """Only the mapped spellings are rewritten."""
+    if name in {"approx_distinct", "arbitrary", "approx_percentile",
+                "cardinality", "from_unixtime", "try"}:
+        return
+    sql = f"SELECT {name}(x) FROM t"
+    assert translate(sql) == sql
+
+
+@given(st.sampled_from(["day", "hour", "month", "year", "second", "minute"]),
+       st.integers(min_value=-1000, max_value=1000))
+@settings(max_examples=50, deadline=None)
+def test_date_add_rewrite_shape(unit, n):
+    out = translate(f"SELECT date_add('{unit}', {n}, ts) FROM t")
+    assert f"timestampadd({unit.upper()}, {n}, ts)" in out
+    # Spark's own 2-arg date_add must never be touched.
+    assert translate("SELECT date_add(d, 3) FROM t") == "SELECT date_add(d, 3) FROM t"
+
+
+@given(st.integers(min_value=0, max_value=10_000),
+       st.sampled_from(["s", "m", "h", "d"]))
+@settings(max_examples=50, deadline=None)
+def test_duration_parse(n, unit):
+    mult = {"s": 1, "m": 60, "h": 3600, "d": 86400}[unit]
+    assert _duration_to_seconds(f"{n}{unit}") == n * mult
