@@ -36,6 +36,14 @@ _simple_renames_re = re.compile(
 
 # Pattern rules with argument reshuffles, applied in order.
 _PATTERN_RULES: list[tuple[re.Pattern[str], object]] = [
+    # Presto array subscripts are 1-based and arr[1] is the FIRST
+    # element (ArraySubscriptOperator.java); Spark's [] is 0-based — a
+    # silent off-by-one for any Presto query. Rewrite integer-literal
+    # subscripts on simple (possibly dotted) identifiers to element_at,
+    # which is 1-based in Spark, matching Presto. Map access uses
+    # string/expression keys and is left alone (same semantics in both).
+    (re.compile(r"\b(\w+(?:\.\w+)*)\[(\d+)\]"),
+     lambda m: f"element_at({m.group(1)}, {m.group(2)})"),
     # date_add('unit', n, ts) → timestampadd(UNIT, n, ts)
     # (DateTimeFunctions.java dateAdd; fires only when the 1st arg is a
     #  string literal, so Spark's 2-arg date_add(date, n) is untouched.)

@@ -57,3 +57,27 @@ def test_explain_surface(eng):
 def test_try_cast_rewrite(eng):
     row = eng.sql("SELECT TRY(CAST('abc' AS INTEGER)) AS x").collect()[0]
     assert row.x is None
+
+
+def test_array_subscript_is_one_based_in_presto_dialect(eng):
+    """Presto arr[1] = first element (ArraySubscriptOperator.java); the
+    dialect rewrites column subscripts to 1-based element_at.  Scope:
+    simple (dotted) identifiers — subscripting a function call result
+    directly is not rewritten (documented; needs a parser, not regex).
+    """
+    row = eng.sql(
+        "WITH t AS (SELECT array(10, 20, 30) AS arr) "
+        "SELECT arr[1] AS first_elem, t.arr[3] AS last_elem FROM t"
+    ).collect()[0]
+    assert row.first_elem == 10
+    assert row.last_elem == 30
+
+
+def test_subscript_rewrite_spark_dialect_untouched(eng):
+    """dialect='spark' keeps Spark's native 0-based subscript."""
+    row = eng.sql(
+        "WITH t AS (SELECT array(10, 20, 30) AS arr) "
+        "SELECT arr[1] AS second_elem FROM t",
+        dialect="spark",
+    ).collect()[0]
+    assert row.second_elem == 20
