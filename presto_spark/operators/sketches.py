@@ -30,13 +30,15 @@ from pyspark.sql import functions as F
 
 # ---- HYPERLOGLOG value functions (approx_set / merge / cardinality) ----
 
-def approx_set(col: Column | str, lg_k: int = 12) -> Column:
+def approx_set(col: Column | str, lg_k: int = 14) -> Column:
     """approx_set(x) → HLL sketch value (ApproximateSetAggregation.java).
 
     Returns a mergeable BinaryType sketch — store it per fine-grained
     group (e.g. per day+dim), then roll up with merge_hll without
     touching raw rows again: the pattern that makes 100 TB distinct
-    counting incremental.
+    counting incremental.  lg_k=14 (16 KB registers) keeps relative
+    error ~0.8% so union re-estimation stays inside the 5% envelope at
+    any cardinality; Presto's default HLL is the same order (4 KB).
     """
     return F.hll_sketch_agg(col, F.lit(lg_k))
 

@@ -17,5 +17,6 @@ from presto_spark.queries import llm  # noqa: F401,E402
 from presto_spark.queries import events_suite  # noqa: F401,E402
 from presto_spark.queries import sketch_suite  # noqa: F401,E402
 from presto_spark.queries import dml_suite  # noqa: F401,E402
+from presto_spark.queries import presto_dialect_suite  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "Query"]

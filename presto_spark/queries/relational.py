@@ -625,3 +625,57 @@ def _register_groups_frame():
 
 
 _register_groups_frame()
+
+# ---------------------------------------------------------------------------
+# Analytics shapes: market basket (self-join), year-over-year growth
+# (window over yearly rollup) — classic warehouse workloads exercising
+# self-join dedup and lag-over-aggregate.
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "analytics_market_basket",
+    """
+    WITH pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, count(*) AS n_orders_together
+    FROM pairs
+    GROUP BY part_a, part_b
+    HAVING count(*) >= 2
+    ORDER BY n_orders_together DESC, part_a, part_b
+    LIMIT 50
+    """,
+    doc="Market-basket co-occurrence: self-join lineitem on order key "
+        "(a.part < b.part dedups pairs), count pairs, top-k. The "
+        "self-join shuffles on l_orderkey once; pair counting is a "
+        "second shuffle on the pair key.",
+    tags=("relational", "bench"),
+)
+
+sql_query(
+    "analytics_yoy_growth",
+    """
+    WITH yearly AS (
+      SELECT n_name, year(o_orderdate) AS yr,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+      FROM orders, customer, nation
+      WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+      GROUP BY n_name, year(o_orderdate)
+    )
+    SELECT n_name, yr, revenue,
+           lag(revenue) OVER (PARTITION BY n_name ORDER BY yr) AS prev_revenue,
+           CAST(round(
+             CASE WHEN lag(revenue) OVER (PARTITION BY n_name ORDER BY yr) > 0
+                  THEN (revenue - lag(revenue) OVER (PARTITION BY n_name ORDER BY yr))
+                       / lag(revenue) OVER (PARTITION BY n_name ORDER BY yr) * 100
+             END, 4) AS DOUBLE) AS yoy_pct
+    FROM yearly
+    ORDER BY n_name, yr
+    """,
+    doc="Year-over-year revenue growth per nation: rollup to (nation, "
+        "year), then lag window over the aggregate — partial aggregation "
+        "shrinks data before the window's small shuffle.",
+    tags=("relational", "bench"),
+)
