@@ -346,3 +346,60 @@ dual_sql_query(
         "the same way.",
     tags=("functions", "json"),
 )
+
+# ---- math (reference: operator/scalar/MathFunctions.java:80 — 1,933 LoC) ----
+
+dual_sql_query(
+    "fn_math_suite",
+    """
+    SELECT
+      n_nationkey,
+      abs(n_nationkey - 12) AS abs_v,
+      CAST(sign(n_nationkey - 12) AS INT) AS sign_v,
+      mod(n_nationkey, 7) AS mod_v,
+      CAST(ceil(n_nationkey / 4.0) AS BIGINT) AS ceil_v,
+      CAST(floor(n_nationkey / 4.0) AS BIGINT) AS floor_v,
+      CAST(round(sqrt(n_nationkey), 6) AS DOUBLE) AS sqrt_v,
+      CAST(round(exp(n_nationkey / 10.0), 6) AS DOUBLE) AS exp_v,
+      CAST(round(ln(n_nationkey + 1), 6) AS DOUBLE) AS ln_v,
+      CAST(round(log10(n_nationkey + 1), 6) AS DOUBLE) AS log10_v,
+      CAST(round(power(n_nationkey, 2.5), 4) AS DOUBLE) AS pow_v,
+      CAST(round(sin(n_nationkey), 6) AS DOUBLE) AS sin_v,
+      CAST(round(cos(n_nationkey), 6) AS DOUBLE) AS cos_v,
+      CAST(round(atan2(n_nationkey, 3), 6) AS DOUBLE) AS atan2_v,
+      CAST(round(degrees(n_nationkey / 10.0), 6) AS DOUBLE) AS deg_v,
+      CAST(round(radians(n_nationkey * 10), 6) AS DOUBLE) AS rad_v,
+      greatest(n_nationkey, 10, 15) AS greatest_v,
+      least(n_nationkey, 10, 15) AS least_v,
+      CAST(round(pi(), 6) AS DOUBLE) AS pi_v
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    """
+    SELECT
+      n_nationkey,
+      abs(n_nationkey - 12) AS abs_v,
+      CAST(sign(n_nationkey - 12) AS INT) AS sign_v,
+      mod(n_nationkey, 7) AS mod_v,
+      CAST(ceil(n_nationkey / 4.0) AS BIGINT) AS ceil_v,
+      CAST(floor(n_nationkey / 4.0) AS BIGINT) AS floor_v,
+      CAST(round(sqrt(n_nationkey), 6) AS DOUBLE) AS sqrt_v,
+      CAST(round(exp(n_nationkey / 10.0), 6) AS DOUBLE) AS exp_v,
+      CAST(round(ln(n_nationkey + 1), 6) AS DOUBLE) AS ln_v,
+      CAST(round(log10(n_nationkey + 1), 6) AS DOUBLE) AS log10_v,
+      CAST(round(pow(n_nationkey, 2.5), 4) AS DOUBLE) AS pow_v,
+      CAST(round(sin(n_nationkey), 6) AS DOUBLE) AS sin_v,
+      CAST(round(cos(n_nationkey), 6) AS DOUBLE) AS cos_v,
+      CAST(round(atan2(n_nationkey, 3), 6) AS DOUBLE) AS atan2_v,
+      CAST(round(degrees(n_nationkey / 10.0), 6) AS DOUBLE) AS deg_v,
+      CAST(round(radians(n_nationkey * 10), 6) AS DOUBLE) AS rad_v,
+      greatest(n_nationkey, 10, 15) AS greatest_v,
+      least(n_nationkey, 10, 15) AS least_v,
+      CAST(round(pi(), 6) AS DOUBLE) AS pi_v
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    doc="Math battery (MathFunctions.java:80: abs/sign/mod/ceil/floor/"
+        "sqrt/exp/ln/log10/power/trig/degrees/radians/greatest/least/pi).",
+    tags=("functions", "math"),
+)

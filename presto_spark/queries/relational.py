@@ -679,3 +679,40 @@ sql_query(
         "shrinks data before the window's small shuffle.",
     tags=("relational", "bench"),
 )
+
+dual_sql_query(
+    "join_null_safe_equality",
+    """
+    WITH l AS (SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                           ELSE o_orderkey % 5 END AS k
+               FROM orders WHERE o_orderkey <= 200),
+         r AS (SELECT stack(6, 0, 'zero', 1, 'one', 2, 'two', 3, 'three',
+                            4, 'four', CAST(NULL AS INT), 'null-bucket')
+                 AS (k, label))
+    SELECT coalesce(cast(l.k AS STRING), 'NULL') AS k_str, r.label,
+           count(*) AS n
+    FROM l JOIN r ON l.k <=> r.k
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    """
+    WITH l AS (SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                           ELSE o_orderkey % 5 END AS k
+               FROM orders WHERE o_orderkey <= 200),
+         r AS (SELECT * FROM (VALUES (0, 'zero'), (1, 'one'), (2, 'two'),
+                                     (3, 'three'), (4, 'four'),
+                                     (CAST(NULL AS INT), 'null-bucket'))
+                 AS t(k, label))
+    SELECT coalesce(CAST(l.k AS VARCHAR), 'NULL') AS k_str, r.label,
+           count(*) AS n
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Null-safe join equality: Presto/DuckDB IS NOT DISTINCT FROM = "
+        "Spark <=> — NULL keys match the NULL bucket instead of "
+        "dropping (JoinNode equi-criteria with null-aware semantics).",
+    tags=("relational", "join"),
+)
