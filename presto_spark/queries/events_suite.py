@@ -315,3 +315,58 @@ def event_sessionization_sql(spark, sf_dir):
         )
         .orderBy("user_id", "session_no")
     )
+
+
+@register(
+    "event_stream_stateful_stats",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events WHERE user_id < 25
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Custom stateful streaming operator (streaming/stateful.py "
+        "running_user_stats, applyInPandasWithState): the events file "
+        "is drained as a stream with Trigger.AvailableNow, per-key "
+        "state accumulates (count, sum), and the final state must equal "
+        "the batch aggregation — the oracle. Exercises Spark's state "
+        "store through the driver's correctness gate.",
+    tags=("events", "streaming"),
+)
+def event_stream_stateful_stats(spark, sf_dir):
+    import os
+    import tempfile
+
+    prepare(spark, sf_dir)
+    from presto_spark.streaming import stateful
+
+    # File stream source needs a directory; stage a symlink.
+    d = tempfile.mkdtemp(prefix="presto_spark_stream_")
+    os.symlink(os.path.join(sf_dir, "events.parquet"),
+               os.path.join(d, "events.parquet"))
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema).parquet(d)
+        .where(F.col("user_id") < 25)
+        .withColumn(
+            "value", F.col("value").cast("decimal(12,2)").cast("double")
+        )
+    )
+    out = stateful.running_user_stats(stream)
+    qname = "stateful_stats_" + os.path.basename(d).split("_")[-1]
+    q = (
+        out.writeStream.format("memory").queryName(qname)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return (
+        spark.table(qname)
+        .select(
+            "user_id", "n_events",
+            F.col("total_value").cast("decimal(12,2)").cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
