@@ -716,3 +716,69 @@ dual_sql_query(
         "dropping (JoinNode equi-criteria with null-aware semantics).",
     tags=("relational", "join"),
 )
+
+dual_sql_query(
+    "unnest_map_entries",
+    """
+    WITH m AS (
+      SELECT n_nationkey AS k,
+             map('r', n_regionkey, 'n2', n_nationkey * 2) AS mp
+      FROM nation WHERE n_nationkey < 10
+    )
+    SELECT k, mkey, mval
+    FROM m LATERAL VIEW explode(mp) AS mkey, mval
+    ORDER BY k, mkey
+    """,
+    """
+    WITH m AS (
+      SELECT n_nationkey AS k,
+             MAP {'r': n_regionkey, 'n2': n_nationkey * 2} AS mp
+      FROM nation WHERE n_nationkey < 10
+    )
+    SELECT k, unnest(map_keys(mp)) AS mkey, unnest(map_values(mp)) AS mval
+    FROM m
+    ORDER BY k, mkey
+    """,
+    doc="UNNEST of a MAP into (key, value) rows (UnnestOperator.java "
+        "handles maps; grammar SqlBase.g4:377): Spark LATERAL VIEW "
+        "explode ≡ Presto UNNEST(map).",
+    tags=("relational", "unnest"),
+)
+
+dual_sql_query(
+    "fn_struct_suite",
+    """
+    WITH t AS (
+      SELECT n_nationkey,
+             named_struct('name', n_name, 'region', n_regionkey,
+                          'score', n_nationkey * 1.5) AS info
+      FROM nation
+    )
+    SELECT n_nationkey,
+           info.name AS name_field,
+           info.region AS region_field,
+           CAST(info.score AS DOUBLE) AS score_field,
+           named_struct('a', 1, 'b', 'x') = named_struct('a', 1, 'b', 'x')
+             AS struct_eq
+    FROM t
+    ORDER BY n_nationkey
+    """,
+    """
+    WITH t AS (
+      SELECT n_nationkey,
+             {'name': n_name, 'region': n_regionkey,
+              'score': n_nationkey * 1.5} AS info
+      FROM nation
+    )
+    SELECT n_nationkey,
+           info.name AS name_field,
+           info.region AS region_field,
+           CAST(info.score AS DOUBLE) AS score_field,
+           {'a': 1, 'b': 'x'} = {'a': 1, 'b': 'x'} AS struct_eq
+    FROM t
+    ORDER BY n_nationkey
+    """,
+    doc="ROW type (RowType.java:39 → StructType): construction, named "
+        "field access, struct equality.",
+    tags=("functions", "struct"),
+)
