@@ -84,3 +84,46 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             })
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize slot. Requires PIL/libvips — not in this container."""
+    raise NotImplementedError(
+        "image resize requires an imaging library; wire "
+        "PIL.Image.resize here — sample_frames/extract_features show "
+        "the batch plumbing a real implementation drops into"
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = 32,
+    stride: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame sampling over a binary payload: every ``stride``-th
+    fixed-size frame → one row per sampled frame.
+
+    A video decoder would emit real frames here; the byte-chunk stand-in
+    keeps the exact plan shape — map-side chunk + posexplode, no
+    shuffle — and is pure arithmetic, so the oracle checks the pipeline
+    end-to-end.  Output: (id, frame_no [1-based among sampled], frame,
+    n_frames_total).
+    """
+    n_frames = F.ceil(F.length("payload") / F.lit(frame_bytes)).cast("int")
+    starts = F.sequence(F.lit(1), F.greatest(n_frames, F.lit(1)), F.lit(stride))
+    frames = F.transform(
+        starts,
+        lambda i: F.substring(
+            F.col("payload"), (i - 1) * frame_bytes + 1, frame_bytes
+        ),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(frames).alias("frame_idx", "frame"),
+            n_frames.alias("n_frames_total"),
+        )
+        .withColumn("frame_no", F.col("frame_idx") + 1)
+        .drop("frame_idx")
+    )

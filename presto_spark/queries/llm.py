@@ -648,3 +648,44 @@ def llm_normalize_nfc(spark, sf_dir):
     return out.select(
         "doc_id", "text_nfc", F.length("text_nfc").alias("n_chars_nfc")
     ).orderBy("doc_id")
+
+
+@register(
+    "llm_multimodal_frame_sample",
+    oracle="""
+    -- documents are ASCII (verified), so varchar slicing == byte slicing
+    WITH f AS (
+      SELECT doc_id,
+             generate_subscripts(starts, 1) AS frame_no,
+             list_transform(starts,
+               i -> substring(text, CAST((i - 1) * 32 + 1 AS INT), 32)) AS frames,
+             CAST(ceil(length(text) / 32.0) AS INT) AS n_frames_total
+      FROM (SELECT doc_id, text,
+                   range(1, greatest(CAST(ceil(length(text) / 32.0) AS INT),
+                                     1) + 1, 2) AS starts
+            FROM documents WHERE doc_id < 20) t
+    )
+    SELECT doc_id, frame_no, frames[frame_no] AS frame_text,
+           length(frames[frame_no]) AS frame_len, n_frames_total
+    FROM f
+    ORDER BY doc_id, frame_no
+    """,
+    doc="Video-style frame sampling plumbing (llm/multimodal.py "
+        "sample_frames): fixed-size frames from the binary payload, "
+        "every 2nd sampled, posexplode to rows — map-side only. Real "
+        "decoder slots (decode_image/resize_image) raise "
+        "NotImplementedError; the byte-chunk stand-in proves the plan "
+        "shape against the oracle.",
+    tags=("llm", "multimodal"),
+)
+def llm_multimodal_frame_sample(spark, sf_dir):
+    prepare(spark, sf_dir)
+    docs = spark.table("documents").where(F.col("doc_id") < 20)
+    with_payload = multimodal.attach_payload(docs)
+    out = multimodal.sample_frames(with_payload, frame_bytes=32, stride=2)
+    return out.select(
+        "doc_id", "frame_no",
+        F.decode("frame", "UTF-8").alias("frame_text"),
+        F.length("frame").alias("frame_len"),
+        "n_frames_total",
+    ).orderBy("doc_id", "frame_no")
