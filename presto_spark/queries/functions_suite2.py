@@ -403,3 +403,50 @@ dual_sql_query(
         "sqrt/exp/ln/log10/power/trig/degrees/radians/greatest/least/pi).",
     tags=("functions", "math"),
 )
+
+# ---- min_by/max_by + checksum (reference: minmaxby/ package,
+# ChecksumAggregationFunction.java) ----
+
+dual_sql_query(
+    "agg_minmax_by_checksum",
+    """
+    WITH li AS (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             l_orderkey * 10 + l_linenumber AS uniq
+      FROM lineitem
+    )
+    SELECT
+      l_returnflag,
+      min_by(l_orderkey, uniq) AS first_order,
+      max_by(l_orderkey, uniq) AS last_order,
+      min_by(l_linenumber, uniq) AS first_line,
+      CAST(sum(cast(conv(substr(md5(cast(uniq AS STRING)), 1, 8), 16, 10)
+               AS BIGINT)) AS BIGINT) AS row_checksum
+    FROM li
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    """
+    WITH li AS (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             l_orderkey * 10 + l_linenumber AS uniq
+      FROM lineitem
+    )
+    SELECT
+      l_returnflag,
+      arg_min(l_orderkey, uniq) AS first_order,
+      arg_max(l_orderkey, uniq) AS last_order,
+      arg_min(l_linenumber, uniq) AS first_line,
+      CAST(sum(CAST(concat('0x', substring(md5(uniq::VARCHAR), 1, 8))
+               AS BIGINT)) AS BIGINT) AS row_checksum
+    FROM li
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="min_by/max_by (minmaxby/ package; arg_min/arg_max in DuckDB) "
+        "keyed on a unique ordering value for determinism, plus an "
+        "order-insensitive row checksum as sum of 32-bit md5 prefixes — "
+        "ChecksumAggregationFunction.java's xor-of-xxhash64 contract "
+        "with cross-engine-computable primitives.",
+    tags=("functions", "agg"),
+)
