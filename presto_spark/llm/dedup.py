@@ -227,6 +227,67 @@ def near_dedup_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → (doc_id, cluster_id).
+
+    cluster_id = min doc_id reachable through the pair graph.  Iterative
+    min-label propagation: each round joins current labels across edges
+    and keeps the smaller label, until a fixpoint (checked via count of
+    changed labels).  Near-dup graphs are shallow (duplicate groups, not
+    long chains), so rounds ≈ graph diameter ≈ 2-4; each round is one
+    shuffle on doc_id.  This is the standard Spark CC-by-label-prop —
+    GraphFrames does the same plan.
+
+    ``pairs``: (id_a, id_b) undirected edges.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    # localCheckpoint each round: truncates the lineage so round N's
+    # plan doesn't replan rounds 1..N-1 (the classic iterative-DataFrame
+    # trap); also materializes, so `changed` reuses the same result.
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        # smallest neighbor label per node
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nb_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nb_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .where(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def simhash16(col: Column) -> Column:
     """16-bit SimHash over word tokens (deterministic, oracle-checkable).
 

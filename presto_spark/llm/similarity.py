@@ -48,6 +48,17 @@ def as_double(a: Column) -> Column:
     return F.transform(a, lambda x: x.cast("double"))
 
 
+def l2_normalize(a: Column) -> Column:
+    """Unit-length vector: v / ||v||; zero vectors pass through.
+
+    Standard pre-step before cosine/IP search (normalized vectors make
+    dot product == cosine, halving the per-pair arithmetic).  Pure
+    JVM expression, map-side.
+    """
+    n = norm(a)
+    return F.when(n == 0, a).otherwise(F.transform(a, lambda x: x / n))
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

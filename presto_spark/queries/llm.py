@@ -689,3 +689,105 @@ def llm_multimodal_frame_sample(spark, sf_dir):
         F.length("frame").alias("frame_len"),
         "n_frames_total",
     ).orderBy("doc_id", "frame_no")
+
+
+@register(
+    "llm_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      -- same LSH-verified near-dup pairs the engine clusters
+      SELECT id_a, id_b FROM (
+        WITH sh AS (
+          SELECT doc_id, sh FROM """ + _shingles_for("documents") + """ t
+        ),
+        sig AS (SELECT doc_id, """ + D_SIG + """ AS sig FROM sh),
+        banded AS (
+          SELECT doc_id, b.band, b.bucket FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(0, 4), b -> {
+                     'band': b,
+                     'bucket': list_reduce(
+                        list_prepend(0::BIGINT, list_slice(sig, b * 4 + 1, b * 4 + 4)),
+                        (acc, x) -> (acc * 31 + x % 1000003) % 1000000007)
+                   })) AS b
+            FROM sig) t
+        ),
+        cands AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+        )
+        SELECT id_a, id_b
+        FROM cands JOIN sh a ON cands.id_a = a.doc_id
+                   JOIN sh b ON cands.id_b = b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+      ) v
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk AS (
+      SELECT src AS doc_id, src AS reach FROM edges
+      UNION
+      SELECT w.doc_id, e.dst
+      FROM walk w JOIN edges e ON w.reach = e.src
+    )
+    SELECT doc_id, min(reach) AS cluster_id
+    FROM walk GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Near-duplicate cluster assignment: connected components over "
+        "LSH-verified pairs via iterative min-label propagation "
+        "(llm/dedup.py dedup_clusters — one shuffle per round, rounds = "
+        "graph diameter). The iterative-algorithm class the driver "
+        "flags as non-SQL; DuckDB's recursive CTE reachability closure "
+        "provides a full-value oracle anyway.",
+    tags=("llm", "dedup"),
+)
+def llm_dedup_clusters(spark, sf_dir):
+    prepare(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    pairs = dedup.near_dedup_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    return dedup.dedup_clusters(pairs).orderBy("doc_id")
+
+
+@register(
+    "llm_embedding_normalize",
+    oracle="""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+               FROM embeddings WHERE vec_id < 50),
+    n AS (SELECT vec_id, vec,
+                 sqrt(list_reduce(list_prepend(0.0,
+                      list_transform(vec, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+          FROM v)
+    SELECT vec_id,
+           round(CASE WHEN nrm = 0 THEN nrm ELSE
+             sqrt(list_reduce(list_prepend(0.0,
+               list_transform(list_transform(vec, x -> x / nrm), x -> x * x)),
+               (acc, x) -> acc + x)) END, 6) AS unit_norm,
+           round(vec[1] / nullif(nrm, 0), 6) AS first_component
+    FROM n
+    ORDER BY vec_id
+    """,
+    doc="L2 normalization (llm/similarity.py l2_normalize): unit-length "
+        "check + first component — the pre-step that turns cosine "
+        "search into plain dot products.",
+    tags=("llm", "similarity"),
+)
+def llm_embedding_normalize(spark, sf_dir):
+    prepare(spark, sf_dir)
+    emb = spark.table("embeddings").where(F.col("vec_id") < 50)
+    unit = emb.select(
+        "vec_id",
+        similarity.l2_normalize(
+            similarity.as_double(F.col("embedding"))
+        ).alias("u"),
+        similarity.norm(similarity.as_double(F.col("embedding"))).alias("nrm"),
+    )
+    return unit.select(
+        "vec_id",
+        F.round(similarity.norm(F.col("u")), 6).alias("unit_norm"),
+        F.round(F.element_at("u", 1) , 6).alias("first_component"),
+    ).orderBy("vec_id")

@@ -66,3 +66,14 @@ def test_quality_score_bounds(spark):
     qs = text.quality_score(spark.table("documents"))
     row = qs.agg(F.min("quality").alias("lo"), F.max("quality").alias("hi")).collect()[0]
     assert 0.0 <= row.lo <= row.hi <= 1.0
+
+
+def test_dedup_clusters_transitive(spark):
+    """a-b and b-c near-dup edges must land a, b, c in ONE cluster —
+    the transitivity single-pair dedup misses."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(pairs).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[10] == out[11] == 10
