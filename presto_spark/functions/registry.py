@@ -167,6 +167,20 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
     "trim_array": ("a ARRAY<STRING>, n INT", "ARRAY<STRING>",
                    "slice(a, 1, size(a) - n)",
                    "ArrayTrimFunction.java"),
+    # Simplified S-stemmer (Harman): -ies→-y, -es→-e, -s→'' with the
+    # standard guards. Presto's word_stem uses Lucene's full Porter
+    # stemmer — this is a DOCUMENTED APPROXIMATION agreeing on the
+    # plural-stripping cases; swap in a pandas-UDF Porter if full
+    # parity is ever needed.
+    "word_stem": (
+        "w STRING", "STRING",
+        """CASE
+             WHEN w RLIKE '.*[^ae]ies$' THEN concat(substring(w, 1, length(w) - 3), 'y')
+             WHEN w RLIKE '.*[^aeo]es$' THEN substring(w, 1, length(w) - 1)
+             WHEN w RLIKE '.*[^us]s$' AND NOT w RLIKE '.*ss$'
+               THEN substring(w, 1, length(w) - 1)
+             ELSE w END""",
+        "WordStemFunction.java (S-stemmer approximation)"),
 }
 
 

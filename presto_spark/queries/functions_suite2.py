@@ -450,3 +450,39 @@ dual_sql_query(
         "with cross-engine-computable primitives.",
     tags=("functions", "agg"),
 )
+
+# ---- word_stem (reference: operator/scalar/WordStemFunction.java) ----
+
+dual_sql_query(
+    "fn_word_stem",
+    """
+    WITH words AS (
+      SELECT stack(8, 1, 'stories', 2, 'churches', 3, 'dogs', 4, 'glass',
+                      5, 'ties', 6, 'shoes', 7, 'cats', 8, 'bus')
+        AS (i, w)
+    )
+    SELECT i, w, word_stem(w) AS stem FROM words ORDER BY i
+    """,
+    """
+    WITH words AS (
+      SELECT * FROM (VALUES (1, 'stories'), (2, 'churches'), (3, 'dogs'),
+                            (4, 'glass'), (5, 'ties'), (6, 'shoes'),
+                            (7, 'cats'), (8, 'bus')) AS t(i, w)
+    )
+    SELECT i, w,
+           CASE
+             WHEN regexp_matches(w, '[^ae]ies$')
+               THEN concat(substring(w, 1, length(w) - 3), 'y')
+             WHEN regexp_matches(w, '[^aeo]es$')
+               THEN substring(w, 1, length(w) - 1)
+             WHEN regexp_matches(w, '[^us]s$') AND NOT regexp_matches(w, 'ss$')
+               THEN substring(w, 1, length(w) - 1)
+             ELSE w END AS stem
+    FROM words ORDER BY i
+    """,
+    doc="word_stem (WordStemFunction.java) as the S-stemmer "
+        "approximation registered in functions/registry.py — the same "
+        "rules spelled in both engines (documented deviation from "
+        "Lucene's full Porter stemmer).",
+    tags=("functions",),
+)

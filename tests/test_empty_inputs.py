@@ -1,0 +1,65 @@
+"""Empty-input robustness: every operator class must handle 0 rows.
+
+Empty partitions and fully-filtered inputs are routine at 100 TB
+(partition pruning can zero out whole scans); operators must return
+empty/identity results, not throw.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from presto_spark.llm import dedup, similarity, text
+from presto_spark.operators import aggregates as A
+from presto_spark.operators import relational as R
+from presto_spark.operators import sketches as S
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+def test_aggregates_on_empty(spark):
+    df = spark.createDataFrame([], "g int, v int")
+    out = df.groupBy("g").agg(
+        A.map_agg(F.lit("k"), F.col("v")).alias("m"),
+        A.max_n(F.col("v"), 2).alias("mx"),
+    )
+    assert out.count() == 0
+    # global agg over empty: one row, null/zero aggregates
+    (row,) = df.agg(F.count("*").alias("n"), F.sum("v").alias("s")).collect()
+    assert row.n == 0 and row.s is None
+
+
+def test_window_ops_on_empty(spark):
+    df = spark.createDataFrame([], "k string, o int, v int")
+    assert R.grouped_top_n(df, ["k"], 2, F.col("v").desc()).count() == 0
+    assert R.groups_frame(df, ["k"], "o", 1, 0, {"s": F.sum("v")}).count() == 0
+
+
+def test_dedup_pipeline_on_empty(spark):
+    docs = _empty_docs(spark)
+    assert dedup.exact_dedup(docs).count() == 0
+    assert dedup.near_dedup_pairs(docs).count() == 0
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.dedup_clusters(pairs).count() == 0
+
+
+def test_similarity_on_empty(spark):
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert similarity.cosine_topk(emb, emb).count() == 0
+    assert similarity.ann_topk_ivf(emb, emb).count() == 0
+
+
+def test_text_ops_on_empty(spark):
+    docs = _empty_docs(spark)
+    assert text.chunk_documents(docs).count() == 0
+    assert text.vocabulary(docs, min_count=1).count() == 0
+    assert text.with_text_stats(docs).count() == 0
+
+
+def test_sketches_on_empty(spark):
+    df = spark.createDataFrame([], "g int, v long")
+    assert S.approx_most_frequent(df, ["g"], "v", 3).count() == 0
+    (row,) = df.agg(S.approx_distinct("v").alias("e")).collect()
+    assert row.e == 0
