@@ -27,6 +27,7 @@ def _configure(spark: SparkSession, sf_dir: str | None = None) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     if sf_dir is not None:
         from presto_spark.session import tune_for_input
 

@@ -486,3 +486,73 @@ dual_sql_query(
         "Lucene's full Porter stemmer).",
     tags=("functions",),
 )
+
+dual_sql_query(
+    "fn_map_suite2",
+    """
+    WITH m AS (
+      SELECT n_nationkey AS k,
+             map('a', n_nationkey, 'b', n_regionkey) AS m1,
+             map('b', 100, 'c', 200) AS m2
+      FROM nation WHERE n_nationkey < 10
+    )
+    SELECT
+      k,
+      array_join(array_sort(transform(map_entries(
+          map_concat(m1, m2)),
+          e -> concat(e.key, '=', cast(e.value AS STRING)))), ',')
+        AS concat_str,
+      array_join(array_sort(transform(map_entries(
+          transform_keys(m1, (x, v) -> upper(x))),
+          e -> concat(e.key, '=', cast(e.value AS STRING)))), ',')
+        AS upkeys_str,
+      array_join(array_sort(transform(map_entries(
+          map_zip_with(m1, m2, (x, v1, v2) ->
+            coalesce(v1, 0) + coalesce(v2, 0))),
+          e -> concat(e.key, '=', cast(e.value AS STRING)))), ',')
+        AS zip_str,
+      array_join(array_sort(transform(map_entries(
+          map_from_arrays(array('p', 'q'), array(k, k + 1))),
+          e -> concat(e.key, '=', cast(e.value AS STRING)))), ',')
+        AS from_arrays_str
+    FROM m
+    ORDER BY k
+    """,
+    """
+    WITH m AS (
+      SELECT n_nationkey AS k,
+             MAP {'a': n_nationkey, 'b': n_regionkey} AS m1,
+             MAP {'b': 100, 'c': 200} AS m2
+      FROM nation WHERE n_nationkey < 10
+    ),
+    keys AS (
+      SELECT k, m1, m2,
+             list_distinct(list_concat(map_keys(m1), map_keys(m2))) AS allk
+      FROM m
+    )
+    SELECT
+      k,
+      array_to_string(list_sort(list_transform(allk,
+          kk -> concat(kk, '=', coalesce(element_at(m2, kk)[1],
+                                         element_at(m1, kk)[1])::VARCHAR))), ',')
+        AS concat_str,
+      array_to_string(list_sort(list_transform(map_entries(m1),
+          e -> concat(upper(e.key), '=', e.value::VARCHAR))), ',')
+        AS upkeys_str,
+      array_to_string(list_sort(list_transform(allk,
+          kk -> concat(kk, '=', (coalesce(element_at(m1, kk)[1], 0)
+                                 + coalesce(element_at(m2, kk)[1], 0))::VARCHAR))), ',')
+        AS zip_str,
+      array_to_string(list_sort(['p=' || k::VARCHAR,
+                                 'q=' || (k + 1)::VARCHAR]), ',')
+        AS from_arrays_str
+    FROM keys
+    ORDER BY k
+    """,
+    doc="Map battery part 2: map_concat (last-wins like Presto), "
+        "transform_keys, map_zip_with, map_from_arrays "
+        "(MapConcatFunction.java, MapZipWithFunction.java). DuckDB "
+        "lacks these HOFs — the oracle expands the definitions over the "
+        "key union.",
+    tags=("functions", "map"),
+)

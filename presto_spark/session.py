@@ -68,6 +68,9 @@ def get_spark(
         # layer (sources/catalog.py) — DuckDB-truncation-compatible.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.ansi.enabled", "false")
+        # Presto map_concat/map_from_entries are last-wins on duplicate
+        # keys (MapConcatFunction.java); Spark's default is EXCEPTION.
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -100,3 +100,14 @@ def test_substr_negative_start_counts_from_end(spark):
 def test_concat_null_propagates(spark):
     """Presto concat(NULL, x) → NULL; Spark agrees."""
     assert _one(spark, "concat('a', CAST(NULL AS STRING))") is None
+
+
+def test_map_duplicate_keys_last_wins(spark):
+    """Presto map_concat keeps the last value for duplicate keys
+    (MapConcatFunction.java); the engine pins
+    spark.sql.mapKeyDedupPolicy=LAST_WIN to match (Spark's default
+    throws)."""
+    (row,) = spark.sql(
+        "SELECT map_concat(map('a', 1), map('a', 9))['a'] AS v"
+    ).collect()
+    assert row.v == 9
