@@ -556,3 +556,43 @@ dual_sql_query(
         "key union.",
     tags=("functions", "map"),
 )
+
+# ---- higher moments + linear regression (reference:
+# CentralMomentsAggregation.java skewness/kurtosis,
+# DoubleRegressionAggregation.java regr_slope/regr_intercept) ----
+
+sql_query(
+    "agg_moments_regression",
+    """
+    WITH s AS (
+      SELECT
+        count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxxx,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem
+    )
+    SELECT
+      n,
+      round((sxxx / n - 3 * (sx / n) * (sxx / n) + 2 * (sx / n) * (sx / n) * (sx / n))
+            / power(sxx / n - (sx / n) * (sx / n), 1.5), 6) AS skewness_pop,
+      round((sxy / n - (sx / n) * (sy / n))
+            / (sxx / n - (sx / n) * (sx / n)), 6) AS regr_slope,
+      round((sy / n) - ((sxy / n - (sx / n) * (sy / n))
+            / (sxx / n - (sx / n) * (sx / n))) * (sx / n), 4) AS regr_intercept
+    FROM s
+    """,
+    doc="Population skewness + regr_slope/regr_intercept "
+        "(CentralMomentsAggregation.java, DoubleRegressionAggregation"
+        ".java) computed from exact decimal power sums — the moment "
+        "formulas both engines then evaluate identically in DOUBLE "
+        "(one-pass builtin implementations drift between engines; "
+        "power sums don't).",
+    tags=("functions", "agg"),
+)
