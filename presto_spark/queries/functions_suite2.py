@@ -596,3 +596,67 @@ sql_query(
         "power sums don't).",
     tags=("functions", "agg"),
 )
+
+# ---- decimal arithmetic + cast matrix (reference: DecimalType.java:25,
+# UnscaledDecimal128Arithmetic.java — 128-bit path; sql/analyzer/
+# coercions for the cast matrix) ----
+
+sql_query(
+    "fn_decimal_cast_suite",
+    """
+    WITH v AS (
+      SELECT CAST(o_totalprice AS DECIMAL(14,2)) AS d,
+             CAST(o_orderkey AS DECIMAL(10,0)) AS k,
+             o_orderkey
+      FROM orders WHERE o_orderkey <= 40
+    )
+    SELECT
+      o_orderkey,
+      CAST(d + CAST(0.05 AS DECIMAL(4,2)) AS DECIMAL(15,2)) AS add_scale,
+      CAST(d * CAST(1.1 AS DECIMAL(3,1)) AS DECIMAL(18,3)) AS mul_scale,
+      CAST(d / 7 AS DECIMAL(20,6)) AS div_scale,
+      CAST(d AS BIGINT) AS to_bigint,  -- engine truncates (see doc)
+      CAST(CAST(d AS DOUBLE) AS DECIMAL(14,2)) AS double_roundtrip,
+      CAST(CAST(o_orderkey AS STRING) AS BIGINT) AS string_roundtrip,
+      CAST(CAST('123.45' AS DECIMAL(10,2)) AS STRING) AS dec_to_str,
+      CAST('2020-06-15' AS DATE) AS str_to_date,
+      CAST(CAST('2020-06-15 12:30:00' AS TIMESTAMP) AS DATE) AS ts_to_date,
+      year(CAST('2020-06-15' AS DATE)) AS date_year,
+      CAST(true AS INT) AS bool_to_int,
+      CAST(1 AS BOOLEAN) AS int_to_bool
+    FROM v
+    ORDER BY o_orderkey
+    """,
+    oracle="""
+    WITH v AS (
+      SELECT CAST(o_totalprice AS DECIMAL(14,2)) AS d,
+             CAST(o_orderkey AS DECIMAL(10,0)) AS k,
+             o_orderkey
+      FROM orders WHERE o_orderkey <= 40
+    )
+    SELECT
+      o_orderkey,
+      CAST(d + CAST(0.05 AS DECIMAL(4,2)) AS DECIMAL(15,2)) AS add_scale,
+      CAST(d * CAST(1.1 AS DECIMAL(3,1)) AS DECIMAL(18,3)) AS mul_scale,
+      CAST(d / 7 AS DECIMAL(20,6)) AS div_scale,
+      CAST(trunc(d) AS BIGINT) AS to_bigint,
+      CAST(CAST(d AS DOUBLE) AS DECIMAL(14,2)) AS double_roundtrip,
+      CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS string_roundtrip,
+      CAST(CAST('123.45' AS DECIMAL(10,2)) AS VARCHAR) AS dec_to_str,
+      CAST('2020-06-15' AS DATE) AS str_to_date,
+      CAST(CAST('2020-06-15 12:30:00' AS TIMESTAMP) AS DATE) AS ts_to_date,
+      year(CAST('2020-06-15' AS DATE)) AS date_year,
+      CAST(true AS INT) AS bool_to_int,
+      CAST(1 AS BOOLEAN) AS int_to_bool
+    FROM v
+    ORDER BY o_orderkey
+    """,
+    doc="Decimal arithmetic scale rules (add/multiply/divide widen per "
+        "DecimalType.java) with explicit result types, plus the cast "
+        "matrix rows: decimal<->bigint/double/string, string<->date, "
+        "timestamp->date, bool<->int (sql/analyzer coercions). "
+        "DEVIATION pinned: decimal->bigint truncates toward zero in the "
+        "engine (Spark/ANSI-off) where Presto and DuckDB round "
+        "half-up; the oracle truncates explicitly.",
+    tags=("functions", "types"),
+)

@@ -111,3 +111,11 @@ def test_map_duplicate_keys_last_wins(spark):
         "SELECT map_concat(map('a', 1), map('a', 9))['a'] AS v"
     ).collect()
     assert row.v == 9
+
+
+def test_decimal_to_bigint_truncates(spark):
+    """DEVIATION: Spark casts DECIMAL→BIGINT by truncation toward zero;
+    Presto rounds half-up. Pinned so the behavior is deliberate and
+    documented (fn_decimal_cast_suite oracle truncates explicitly)."""
+    assert _one(spark, "CAST(CAST(2.9 AS DECIMAL(3,1)) AS BIGINT)") == 2
+    assert _one(spark, "CAST(CAST(-2.9 AS DECIMAL(3,1)) AS BIGINT)") == -2
