@@ -19,7 +19,8 @@ package provides is:
 """
 
 from presto_spark.engine import Engine
-from presto_spark.session import get_spark
+from presto_spark.session import get_spark, tune_for_input
+from presto_spark.session_properties import set_session_property
 
-__all__ = ["Engine", "get_spark"]
+__all__ = ["Engine", "get_spark", "tune_for_input", "set_session_property"]
 __version__ = "0.1.0"
