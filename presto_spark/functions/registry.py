@@ -181,6 +181,30 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
                THEN substring(w, 1, length(w) - 1)
              ELSE w END""",
         "WordStemFunction.java (S-stemmer approximation)"),
+    # ---- TIME type shims (reference: presto-common/.../type/TimeType.java)
+    # Spark has no TIME type (SURVEY §1.2): the engine models TIME as
+    # BIGINT millis-of-day. These shims construct/extract/format it.
+    "time_from_timestamp": (
+        "t TIMESTAMP_NTZ", "BIGINT",
+        """(hour(t) * 3600000L + minute(t) * 60000L + second(t) * 1000L
+            + CAST(date_format(t, 'SSS') AS BIGINT))""",
+        "TimeType.java — TIME modeled as millis-of-day"),
+    "time_of": (
+        "h INT, m INT, s INT", "BIGINT",
+        "h * 3600000L + m * 60000L + s * 1000L",
+        "TimeType.java constructor analog"),
+    "hour_of_time": ("ms BIGINT", "INT", "CAST(ms div 3600000 AS INT)",
+                     "DateTimeFunctions.java hourFromTime"),
+    "minute_of_time": ("ms BIGINT", "INT", "CAST((ms div 60000) % 60 AS INT)",
+                       "DateTimeFunctions.java minuteFromTime"),
+    "second_of_time": ("ms BIGINT", "INT", "CAST((ms div 1000) % 60 AS INT)",
+                       "DateTimeFunctions.java secondFromTime"),
+    "format_time": (
+        "ms BIGINT", "STRING",
+        """concat(lpad(CAST(ms div 3600000 AS STRING), 2, '0'), ':',
+                  lpad(CAST((ms div 60000) % 60 AS STRING), 2, '0'), ':',
+                  lpad(CAST((ms div 1000) % 60 AS STRING), 2, '0'))""",
+        "TimeType.java display form HH:mm:ss"),
 }
 
 

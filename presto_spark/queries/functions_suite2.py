@@ -660,3 +660,55 @@ sql_query(
         "half-up; the oracle truncates explicitly.",
     tags=("functions", "types"),
 )
+
+# ---- TIME type shims (reference: presto-common/.../type/TimeType.java;
+# DateTimeFunctions.java hour/minute/secondFromTime).  Spark has no TIME
+# type (SURVEY §1.2): the engine models TIME as BIGINT millis-of-day and
+# ships constructor/extractor/format shims in functions/registry.py.
+# The oracle spells the same arithmetic over epoch_ms.
+
+dual_sql_query(
+    "fn_time_type",
+    """
+    WITH e AS (
+      SELECT event_id, time_from_timestamp(ts) AS tms
+      FROM events WHERE event_id <= 40
+    )
+    SELECT
+      event_id,
+      tms,
+      hour_of_time(tms) AS h,
+      minute_of_time(tms) AS m,
+      second_of_time(tms) AS s,
+      format_time(tms) AS hms,
+      time_of(hour_of_time(tms), minute_of_time(tms), second_of_time(tms))
+        AS whole_sec_ms
+    FROM e
+    ORDER BY event_id
+    """,
+    """
+    WITH e AS (
+      SELECT event_id, epoch_ms(ts) % 86400000 AS tms
+      FROM events WHERE event_id <= 40
+    )
+    SELECT
+      event_id,
+      tms,
+      CAST(tms // 3600000 AS INTEGER) AS h,
+      CAST((tms // 60000) % 60 AS INTEGER) AS m,
+      CAST((tms // 1000) % 60 AS INTEGER) AS s,
+      concat(lpad(CAST(tms // 3600000 AS VARCHAR), 2, '0'), ':',
+             lpad(CAST((tms // 60000) % 60 AS VARCHAR), 2, '0'), ':',
+             lpad(CAST((tms // 1000) % 60 AS VARCHAR), 2, '0')) AS hms,
+      CAST((tms // 3600000) * 3600000
+           + ((tms // 60000) % 60) * 60000
+           + ((tms // 1000) % 60) * 1000 AS BIGINT) AS whole_sec_ms
+    FROM e
+    ORDER BY event_id
+    """,
+    doc="TIME-as-millis-of-day model (TimeType.java has no Spark "
+        "equivalent): time_from_timestamp / time_of constructors, "
+        "hour/minute/second_of_time extractors, format_time HH:mm:ss — "
+        "all registered as SQL UDFs so they inline into codegen.",
+    tags=("functions", "types"),
+)

@@ -61,6 +61,19 @@ def test_day_of_week_iso(spark):
     assert one(spark, "day_of_week(TIMESTAMP_NTZ '2024-01-07 10:00:00')") == 7
 
 
+def test_time_shims(spark):
+    # TIME modeled as BIGINT millis-of-day (TimeType.java, SURVEY §1.2)
+    assert one(spark, "time_of(9, 5, 3)") == 9 * 3600000 + 5 * 60000 + 3000
+    assert one(spark, "format_time(time_of(9, 5, 3))") == "09:05:03"
+    assert one(spark, "format_time(0L)") == "00:00:00"
+    assert one(spark, "hour_of_time(86399999L)") == 23
+    assert one(spark, "minute_of_time(86399999L)") == 59
+    assert one(spark, "second_of_time(86399999L)") == 59
+    ms = one(spark,
+             "time_from_timestamp(TIMESTAMP_NTZ '2024-01-01 12:34:56.789')")
+    assert ms == 12 * 3600000 + 34 * 60000 + 56789
+
+
 def test_to_unixtime_fractional(spark):
     v = one(spark, "to_unixtime(TIMESTAMP_NTZ '2024-01-01 00:00:01.5')")
     assert abs(v - 1704067201.5) < 1e-6
