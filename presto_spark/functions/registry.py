@@ -205,6 +205,116 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
                   lpad(CAST((ms div 60000) % 60 AS STRING), 2, '0'), ':',
                   lpad(CAST((ms div 1000) % 60 AS STRING), 2, '0'))""",
         "TimeType.java display form HH:mm:ss"),
+    # ---- datetime misc (reference: operator/scalar/DateTimeFunctions.java)
+    "to_iso8601": (
+        "t TIMESTAMP_NTZ", "STRING",
+        "date_format(t, \"yyyy-MM-dd'T'HH:mm:ss.SSS\")",
+        "DateTimeFunctions.java toISO8601 (engine TIMESTAMP is zone-less, "
+        "so no offset suffix — documented deviation)"),
+    "from_iso8601_date": (
+        "s STRING", "DATE", "to_date(s, 'yyyy-MM-dd')",
+        "DateTimeFunctions.java fromISO8601Date"),
+    "parse_duration": (
+        "s STRING", "DOUBLE",
+        """CAST(regexp_extract(s, '^\\\\s*([0-9]*\\\\.?[0-9]+)\\\\s*([a-z]+)\\\\s*$', 1)
+               AS DOUBLE)
+           * CASE regexp_extract(s, '^\\\\s*([0-9]*\\\\.?[0-9]+)\\\\s*([a-z]+)\\\\s*$', 2)
+               WHEN 'ns' THEN 0.000001
+               WHEN 'us' THEN 0.001
+               WHEN 'ms' THEN 1.0
+               WHEN 's'  THEN 1000.0
+               WHEN 'm'  THEN 60000.0
+               WHEN 'h'  THEN 3600000.0
+               WHEN 'd'  THEN 86400000.0
+             END""",
+        "DateTimeFunctions.java parseDuration — result in millis (the "
+        "engine models duration as DOUBLE millis)"),
+    "at_timezone": (
+        "t TIMESTAMP_NTZ, tz STRING", "TIMESTAMP_NTZ",
+        "convert_timezone('UTC', tz, t)",
+        "DateTimeFunctions.java atTimeZone — engine TIMESTAMP is "
+        "zone-less UTC; result is the wall-clock time in tz"),
+    # ---- string/map misc (reference: operator/scalar/StringFunctions.java,
+    # SplitToMapFunction.java)
+    "split_to_map": (
+        "s STRING, ed STRING, kd STRING", "MAP<STRING,STRING>",
+        "str_to_map(s, ed, kd)",
+        "SplitToMapFunction.java — Spark str_to_map is the same contract"),
+    # ---- probability / statistics (reference: operator/scalar/
+    # MathFunctions.java, WilsonInterval.java).  All closed-form column
+    # arithmetic — no UDF rows, stays in codegen.
+    "wilson_interval_lower": (
+        "x BIGINT, n BIGINT, z DOUBLE", "DOUBLE",
+        """((x / CAST(n AS DOUBLE)) + z * z / (2 * n)
+            - z * sqrt(((x / CAST(n AS DOUBLE)) * (1 - x / CAST(n AS DOUBLE))
+                        + z * z / (4 * n)) / n))
+           / (1 + z * z / n)""",
+        "WilsonInterval.java lower bound"),
+    "wilson_interval_upper": (
+        "x BIGINT, n BIGINT, z DOUBLE", "DOUBLE",
+        """((x / CAST(n AS DOUBLE)) + z * z / (2 * n)
+            + z * sqrt(((x / CAST(n AS DOUBLE)) * (1 - x / CAST(n AS DOUBLE))
+                        + z * z / (4 * n)) / n))
+           / (1 + z * z / n)""",
+        "WilsonInterval.java upper bound"),
+    "cauchy_cdf": (
+        "median DOUBLE, scale DOUBLE, v DOUBLE", "DOUBLE",
+        "0.5 + atan((v - median) / scale) / pi()",
+        "MathFunctions.java cauchyCdf (closed form)"),
+    "erf_shim": (
+        "x DOUBLE", "DOUBLE",
+        """sign(x) * (1 - (((((1.061405429 * (1 / (1 + 0.3275911 * abs(x)))
+             - 1.453152027) * (1 / (1 + 0.3275911 * abs(x)))
+             + 1.421413741) * (1 / (1 + 0.3275911 * abs(x)))
+             - 0.284496736) * (1 / (1 + 0.3275911 * abs(x)))
+             + 0.254829592) * (1 / (1 + 0.3275911 * abs(x))))
+           * exp(-x * x))""",
+        "Abramowitz-Stegun 7.1.26 erf approximation (|err| < 1.5e-7), "
+        "basis for normal_cdf"),
+    "normal_cdf": (
+        "mean DOUBLE, sd DOUBLE, v DOUBLE", "DOUBLE",
+        "0.5 * (1 + erf_shim((v - mean) / (sd * sqrt(2))))",
+        "MathFunctions.java normalCdf"),
+    "inverse_normal_cdf": (
+        "mean DOUBLE, sd DOUBLE, p DOUBLE", "DOUBLE",
+        """mean + sd * (CASE
+             WHEN p < 0.02425 THEN
+               (((((-0.007784894002430293 * sqrt(-2 * ln(p))
+                   - 0.3223964580411365) * sqrt(-2 * ln(p))
+                   - 2.400758277161838) * sqrt(-2 * ln(p))
+                   - 2.549732539343734) * sqrt(-2 * ln(p))
+                   + 4.374664141464968) * sqrt(-2 * ln(p))
+                   + 2.938163982698783)
+               / ((((0.007784695709041462 * sqrt(-2 * ln(p))
+                   + 0.3224671290700398) * sqrt(-2 * ln(p))
+                   + 2.445134137142996) * sqrt(-2 * ln(p))
+                   + 3.754408661907416) * sqrt(-2 * ln(p)) + 1)
+             WHEN p > 1 - 0.02425 THEN
+               -((((( -0.007784894002430293 * sqrt(-2 * ln(1 - p))
+                   - 0.3223964580411365) * sqrt(-2 * ln(1 - p))
+                   - 2.400758277161838) * sqrt(-2 * ln(1 - p))
+                   - 2.549732539343734) * sqrt(-2 * ln(1 - p))
+                   + 4.374664141464968) * sqrt(-2 * ln(1 - p))
+                   + 2.938163982698783)
+               / ((((0.007784695709041462 * sqrt(-2 * ln(1 - p))
+                   + 0.3224671290700398) * sqrt(-2 * ln(1 - p))
+                   + 2.445134137142996) * sqrt(-2 * ln(1 - p))
+                   + 3.754408661907416) * sqrt(-2 * ln(1 - p)) + 1)
+             ELSE
+               (((((-39.69683028665376 * ((p - 0.5) * (p - 0.5))
+                   + 220.9460984245205) * ((p - 0.5) * (p - 0.5))
+                   - 275.9285104469687) * ((p - 0.5) * (p - 0.5))
+                   + 138.357751867269) * ((p - 0.5) * (p - 0.5))
+                   - 30.66479806614716) * ((p - 0.5) * (p - 0.5))
+                   + 2.506628277459239) * (p - 0.5)
+               / (((((-54.47609879822406 * ((p - 0.5) * (p - 0.5))
+                   + 161.5858368580409) * ((p - 0.5) * (p - 0.5))
+                   - 155.6989798598866) * ((p - 0.5) * (p - 0.5))
+                   + 66.80131188771972) * ((p - 0.5) * (p - 0.5))
+                   - 13.28068155288572) * ((p - 0.5) * (p - 0.5)) + 1)
+           END)""",
+        "MathFunctions.java inverseNormalCdf — Acklam's rational "
+        "approximation (|rel err| < 1.15e-9)"),
 }
 
 

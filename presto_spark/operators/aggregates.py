@@ -107,3 +107,32 @@ def reduce_agg(col: Column, zero, merge) -> Column:
     collect + fold.  For large groups prefer expressing the reduction as
     a native aggregate; this is the general-lambda fallback."""
     return F.aggregate(F.collect_list(col), F.lit(zero), merge)
+
+
+def set_agg(col: Column) -> Column:
+    """set_agg(x) → ARRAY of distinct values (SetAggregationFunction.java).
+
+    Order is unspecified in Presto; sorted here so downstream renders
+    are deterministic.
+    """
+    return F.array_sort(F.collect_set(col))
+
+
+def map_union(col: Column) -> Column:
+    """map_union(m) → union of the group's maps (MapUnionAggregation.java).
+
+    Entry-level flatten keeps it one shuffle; duplicate keys follow the
+    engine-wide LAST_WIN pin (collect order is nondeterministic, so with
+    duplicate keys across rows the surviving value is arbitrary — same
+    contract as Presto, which keeps an arbitrary one).
+    """
+    return F.map_from_entries(F.flatten(F.collect_list(F.map_entries(col))))
+
+
+def entropy(count_col: Column) -> Column:
+    """entropy(c) → Shannon entropy in bits of the count distribution
+    (EntropyAggregation.java): log2(S) - sum(c*log2(c))/S, zero counts
+    ignored.  Pure power-sum composition — partial-agg friendly."""
+    c = F.when(count_col > 0, count_col.cast("double"))
+    s = F.sum(c)
+    return F.log2(s) - F.sum(c * F.log2(c)) / s

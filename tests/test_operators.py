@@ -147,3 +147,31 @@ def test_groups_frame_ties_counted_as_one_group(spark):
     assert got[(3, 40)] == 70
     # o=1 rows: no preceding group → just the tie-group sum 30
     assert got[(1, 10)] == 30 and got[(1, 20)] == 30
+
+
+def test_set_agg(spark):
+    df = spark.createDataFrame(
+        [(1, "b"), (1, "a"), (1, "b"), (2, "c")], "g int, v string"
+    )
+    rows = {r.g: r.s for r in
+            df.groupBy("g").agg(A.set_agg(F.col("v")).alias("s")).collect()}
+    assert rows == {1: ["a", "b"], 2: ["c"]}
+
+
+def test_map_union(spark):
+    df = spark.createDataFrame(
+        [(1, {"a": 1}), (1, {"b": 2}), (2, {"c": 3})],
+        "g int, m map<string,int>",
+    )
+    rows = {r.g: r.u for r in
+            df.groupBy("g").agg(A.map_union(F.col("m")).alias("u")).collect()}
+    assert rows == {1: {"a": 1, "b": 2}, 2: {"c": 3}}
+
+
+def test_entropy(spark):
+    # uniform over 4 outcomes -> 2 bits; zero counts ignored
+    df = spark.createDataFrame(
+        [(1, 5), (1, 5), (1, 5), (1, 5), (1, 0)], "g int, c int"
+    )
+    (row,) = df.groupBy("g").agg(A.entropy(F.col("c")).alias("h")).collect()
+    assert abs(row.h - 2.0) < 1e-9
