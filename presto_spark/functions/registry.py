@@ -315,6 +315,52 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
            END)""",
         "MathFunctions.java inverseNormalCdf — Acklam's rational "
         "approximation (|rel err| < 1.15e-9)"),
+    # ---- IPADDRESS / IPPREFIX (reference: presto-common/.../type/
+    # IpAddressType.java, IpPrefixType.java; operator/scalar/
+    # IpPrefixFunctions.java).  Engine models both as canonical STRINGs
+    # (SURVEY §1.2); IPv4 only — IPv6 documented out of scope.  All
+    # arithmetic is pow-of-2 integer math, no shifts (keeps the same
+    # spelling valid in the DuckDB oracle).
+    "ip2long_shim": (
+        "ip STRING", "BIGINT",
+        """((CAST(element_at(split(ip, '\\\\.'), 1) AS BIGINT) * 256
+             + CAST(element_at(split(ip, '\\\\.'), 2) AS BIGINT)) * 256
+             + CAST(element_at(split(ip, '\\\\.'), 3) AS BIGINT)) * 256
+             + CAST(element_at(split(ip, '\\\\.'), 4) AS BIGINT)""",
+        "IpAddressType.java — dotted-quad to uint32"),
+    "long2ip_shim": (
+        "l BIGINT", "STRING",
+        """concat(CAST((l div 16777216) % 256 AS STRING), '.',
+                  CAST((l div 65536) % 256 AS STRING), '.',
+                  CAST((l div 256) % 256 AS STRING), '.',
+                  CAST(l % 256 AS STRING))""",
+        "IpAddressType.java — uint32 to dotted-quad"),
+    "ip_prefix": (
+        "ip STRING, bits INT", "STRING",
+        """concat(long2ip_shim((ip2long_shim(ip)
+                    div CAST(pow(2, 32 - bits) AS BIGINT))
+                  * CAST(pow(2, 32 - bits) AS BIGINT)),
+                  '/', CAST(bits AS STRING))""",
+        "IpPrefixFunctions.java ipPrefix — canonical network address"),
+    "ip_subnet_min": (
+        "pfx STRING", "STRING",
+        "element_at(split(pfx, '/'), 1)",
+        "IpPrefixFunctions.java ipSubnetMin (prefix is already the "
+        "canonical network address)"),
+    "ip_subnet_max": (
+        "pfx STRING", "STRING",
+        """long2ip_shim(ip2long_shim(element_at(split(pfx, '/'), 1))
+             + CAST(pow(2, 32 - CAST(element_at(split(pfx, '/'), 2) AS INT))
+                    AS BIGINT) - 1)""",
+        "IpPrefixFunctions.java ipSubnetMax"),
+    "is_subnet_of": (
+        "pfx STRING, ip STRING", "BOOLEAN",
+        """ip2long_shim(ip) >= ip2long_shim(element_at(split(pfx, '/'), 1))
+           AND ip2long_shim(ip) <=
+               ip2long_shim(element_at(split(pfx, '/'), 1))
+               + CAST(pow(2, 32 - CAST(element_at(split(pfx, '/'), 2) AS INT))
+                      AS BIGINT) - 1""",
+        "IpPrefixFunctions.java isSubnetOf(prefix, address)"),
 }
 
 

@@ -915,3 +915,81 @@ dual_sql_query(
         "partial-aggregation friendly, no collected state.",
     tags=("functions", "agg"),
 )
+
+# ---- IPADDRESS / IPPREFIX functions (reference: IpPrefixFunctions.java;
+# types IpAddressType.java/IpPrefixType.java modeled as canonical strings,
+# IPv4 scope).  Oracle recomputes the same pow-of-2 integer arithmetic.
+
+dual_sql_query(
+    "fn_ip_suite",
+    """
+    WITH c AS (
+      SELECT c_custkey AS k,
+             concat('10.', CAST(c_custkey % 256 AS STRING), '.',
+                    CAST((c_custkey * 7) % 256 AS STRING), '.',
+                    CAST((c_custkey * 13) % 256 AS STRING)) AS ip
+      FROM customer WHERE c_custkey <= 40
+    )
+    SELECT
+      k, ip,
+      ip_prefix(ip, 24) AS pfx24,
+      ip_prefix(ip, 12) AS pfx12,
+      ip_subnet_min(ip_prefix(ip, 24)) AS smin,
+      ip_subnet_max(ip_prefix(ip, 24)) AS smax,
+      is_subnet_of('10.0.0.0/8', ip) AS in10_8,
+      is_subnet_of('192.168.0.0/16', ip) AS in_private16
+    FROM c
+    ORDER BY k
+    """,
+    """
+    WITH c AS (
+      SELECT c_custkey AS k,
+             concat('10.', CAST(c_custkey % 256 AS VARCHAR), '.',
+                    CAST((c_custkey * 7) % 256 AS VARCHAR), '.',
+                    CAST((c_custkey * 13) % 256 AS VARCHAR)) AS ip
+      FROM customer WHERE c_custkey <= 40
+    ),
+    l AS (
+      SELECT k, ip,
+             ((CAST(string_split(ip, '.')[1] AS BIGINT) * 256
+               + CAST(string_split(ip, '.')[2] AS BIGINT)) * 256
+               + CAST(string_split(ip, '.')[3] AS BIGINT)) * 256
+               + CAST(string_split(ip, '.')[4] AS BIGINT) AS lv
+      FROM c
+    ),
+    n AS (
+      SELECT k, ip, lv,
+             (lv // 256) * 256 AS net24,
+             (lv // 1048576) * 1048576 AS net12
+      FROM l
+    )
+    SELECT
+      k, ip,
+      concat(CAST((net24 // 16777216) % 256 AS VARCHAR), '.',
+             CAST((net24 // 65536) % 256 AS VARCHAR), '.',
+             CAST((net24 // 256) % 256 AS VARCHAR), '.',
+             CAST(net24 % 256 AS VARCHAR), '/24') AS pfx24,
+      concat(CAST((net12 // 16777216) % 256 AS VARCHAR), '.',
+             CAST((net12 // 65536) % 256 AS VARCHAR), '.',
+             CAST((net12 // 256) % 256 AS VARCHAR), '.',
+             CAST(net12 % 256 AS VARCHAR), '/12') AS pfx12,
+      concat(CAST((net24 // 16777216) % 256 AS VARCHAR), '.',
+             CAST((net24 // 65536) % 256 AS VARCHAR), '.',
+             CAST((net24 // 256) % 256 AS VARCHAR), '.',
+             CAST(net24 % 256 AS VARCHAR)) AS smin,
+      concat(CAST(((net24 + 255) // 16777216) % 256 AS VARCHAR), '.',
+             CAST(((net24 + 255) // 65536) % 256 AS VARCHAR), '.',
+             CAST(((net24 + 255) // 256) % 256 AS VARCHAR), '.',
+             CAST((net24 + 255) % 256 AS VARCHAR)) AS smax,
+      lv BETWEEN 167772160 AND 184549375 AS in10_8,
+      lv BETWEEN 3232235520 AND 3232301055 AS in_private16
+    FROM n
+    ORDER BY k
+    """,
+    doc="ip_prefix / ip_subnet_min / ip_subnet_max / is_subnet_of "
+        "(IpPrefixFunctions.java) over the canonical-string IPv4 model — "
+        "network masking as pow-of-2 integer arithmetic, oracle "
+        "recomputes numerically (192.168.0.0/16 bounds are the literal "
+        "uint32 range).",
+    tags=("functions",),
+)

@@ -117,3 +117,13 @@ def test_native_stats_close_to_exact(spark):
 from presto_spark.queries import REGISTRY  # noqa: E402
 
 REGISTRY_SQL = REGISTRY["agg_moment_stats_exact"].oracle
+
+
+def test_ip_functions(spark):
+    # IpPrefixFunctions.java — canonical-string IPv4 model
+    assert one(spark, "ip_prefix('192.168.255.255', 9)") == "192.128.0.0/9"
+    assert one(spark, "ip_prefix('1.2.3.4', 32)") == "1.2.3.4/32"
+    assert one(spark, "ip_subnet_min('192.64.0.0/10')") == "192.64.0.0"
+    assert one(spark, "ip_subnet_max('192.64.0.0/10')") == "192.127.255.255"
+    assert one(spark, "is_subnet_of('192.64.0.0/10', '192.100.1.2')") is True
+    assert one(spark, "is_subnet_of('192.64.0.0/10', '192.128.0.0')") is False
