@@ -315,6 +315,36 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
            END)""",
         "MathFunctions.java inverseNormalCdf — Acklam's rational "
         "approximation (|rel err| < 1.15e-9)"),
+    # ---- closed-form distribution CDFs (reference: operator/scalar/
+    # MathFunctions.java weibullCdf/laplaceCdf/logisticCdf + inverses).
+    # beta/binomial/chi-squared/f/gamma/poisson CDFs need incomplete
+    # beta/gamma integrals — documented out of scope.
+    "weibull_cdf": (
+        "a DOUBLE, b DOUBLE, v DOUBLE", "DOUBLE",
+        "CASE WHEN v <= 0 THEN 0.0 ELSE 1 - exp(-pow(v / b, a)) END",
+        "MathFunctions.java weibullCdf"),
+    "inverse_weibull_cdf": (
+        "a DOUBLE, b DOUBLE, p DOUBLE", "DOUBLE",
+        "b * pow(-ln(1 - p), 1 / a)",
+        "MathFunctions.java inverseWeibullCdf"),
+    "laplace_cdf": (
+        "mean DOUBLE, scale DOUBLE, v DOUBLE", "DOUBLE",
+        """CASE WHEN v < mean THEN 0.5 * exp((v - mean) / scale)
+                ELSE 1 - 0.5 * exp(-(v - mean) / scale) END""",
+        "MathFunctions.java laplaceCdf"),
+    "inverse_laplace_cdf": (
+        "mean DOUBLE, scale DOUBLE, p DOUBLE", "DOUBLE",
+        """CASE WHEN p < 0.5 THEN mean + scale * ln(2 * p)
+                ELSE mean - scale * ln(2 * (1 - p)) END""",
+        "MathFunctions.java inverseLaplaceCdf"),
+    "logistic_cdf": (
+        "mean DOUBLE, scale DOUBLE, v DOUBLE", "DOUBLE",
+        "1 / (1 + exp(-(v - mean) / scale))",
+        "MathFunctions.java logisticCdf"),
+    "inverse_logistic_cdf": (
+        "mean DOUBLE, scale DOUBLE, p DOUBLE", "DOUBLE",
+        "mean + scale * ln(p / (1 - p))",
+        "MathFunctions.java inverseLogisticCdf"),
     # ---- IPADDRESS / IPPREFIX (reference: presto-common/.../type/
     # IpAddressType.java, IpPrefixType.java; operator/scalar/
     # IpPrefixFunctions.java).  Engine models both as canonical STRINGs

@@ -993,3 +993,57 @@ dual_sql_query(
         "uint32 range).",
     tags=("functions",),
 )
+
+# ---- closed-form distribution CDFs (reference: MathFunctions.java
+# weibullCdf/laplaceCdf/logisticCdf and inverses) — identical closed
+# forms spelled in both engines; round-trips pin the inverse pairs.
+
+dual_sql_query(
+    "fn_cdf_suite",
+    """
+    WITH v AS (
+      SELECT l_orderkey AS k, CAST(l_quantity AS DOUBLE) / 10 AS x,
+             (CAST(l_linenumber AS DOUBLE) + 0.5) / 8 AS p
+      FROM lineitem WHERE l_orderkey <= 100 AND l_linenumber <= 7
+    )
+    SELECT
+      k, round(x, 6) AS x, round(p, 6) AS p,
+      round(weibull_cdf(1.5D, 2.0D, x), 8) AS wcdf,
+      round(laplace_cdf(2.0D, 1.5D, x), 8) AS lacdf,
+      round(logistic_cdf(2.0D, 1.5D, x), 8) AS locdf,
+      round(inverse_weibull_cdf(1.5D, 2.0D, weibull_cdf(1.5D, 2.0D, x)), 8)
+        AS w_roundtrip,
+      round(inverse_laplace_cdf(2.0D, 1.5D, p), 8) AS inv_la,
+      round(inverse_logistic_cdf(2.0D, 1.5D, p), 8) AS inv_lo
+    FROM v
+    ORDER BY k, x, p
+    """,
+    """
+    WITH v AS (
+      SELECT l_orderkey AS k, CAST(l_quantity AS DOUBLE) / 10 AS x,
+             (CAST(l_linenumber AS DOUBLE) + 0.5) / 8 AS p
+      FROM lineitem WHERE l_orderkey <= 100 AND l_linenumber <= 7
+    )
+    SELECT
+      k, round(x, 6) AS x, round(p, 6) AS p,
+      round(CASE WHEN x <= 0 THEN 0.0 ELSE 1 - exp(-pow(x / 2.0, 1.5)) END, 8)
+        AS wcdf,
+      round(CASE WHEN x < 2.0 THEN 0.5 * exp((x - 2.0) / 1.5)
+                 ELSE 1 - 0.5 * exp(-(x - 2.0) / 1.5) END, 8) AS lacdf,
+      round(1 / (1 + exp(-(x - 2.0) / 1.5)), 8) AS locdf,
+      round(2.0 * pow(-ln(1 - (CASE WHEN x <= 0 THEN 0.0
+                                    ELSE 1 - exp(-pow(x / 2.0, 1.5)) END)),
+                      1 / 1.5), 8) AS w_roundtrip,
+      round(CASE WHEN p < 0.5 THEN 2.0 + 1.5 * ln(2 * p)
+                 ELSE 2.0 - 1.5 * ln(2 * (1 - p)) END, 8) AS inv_la,
+      round(2.0 + 1.5 * ln(p / (1 - p)), 8) AS inv_lo
+    FROM v
+    ORDER BY k, x, p
+    """,
+    doc="weibull/laplace/logistic CDFs and closed-form inverses "
+        "(MathFunctions.java) — same arithmetic both engines, round(8) "
+        "absorbs libm ulp differences; weibull round-trip pins the "
+        "inverse pair. Incomplete-integral CDFs (beta/gamma/chi2/F/"
+        "binomial/poisson) documented out of scope.",
+    tags=("functions",),
+)
