@@ -1047,3 +1047,59 @@ dual_sql_query(
         "binomial/poisson) documented out of scope.",
     tags=("functions",),
 )
+
+# ---- array set operations (reference: operator/scalar/
+# ArrayUnionFunction.java, ArrayIntersectFunction.java,
+# ArrayExceptFunction.java, ArraysOverlapFunction.java,
+# ArrayRemoveFunction.java, RepeatFunction.java) — distinct-element
+# semantics match Presto; sorted renders for cross-engine hashing.
+
+dual_sql_query(
+    "fn_array_setops_suite",
+    """
+    WITH v AS (
+      SELECT n_nationkey AS k,
+             array(n_nationkey, n_nationkey + 1, n_regionkey) AS a,
+             array(n_regionkey, n_regionkey + 1) AS b
+      FROM nation WHERE n_nationkey < 10
+    )
+    SELECT
+      k,
+      array_join(array_sort(array_union(a, b)), ',') AS u,
+      array_join(array_sort(array_intersect(a, b)), ',') AS i,
+      array_join(array_sort(array_except(a, b)), ',') AS e,
+      arrays_overlap(a, b) AS ov,
+      array_join(array_remove(array(1, 2, 3, 2), 2), ',') AS removed,
+      array_join(array_repeat('x', 3), ',') AS repeated,
+      array_join(reverse(sequence(1, 4)), ',') AS rev
+    FROM v
+    ORDER BY k
+    """,
+    """
+    WITH v AS (
+      SELECT n_nationkey AS k,
+             [n_nationkey, n_nationkey + 1, n_regionkey] AS a,
+             [n_regionkey, n_regionkey + 1] AS b
+      FROM nation WHERE n_nationkey < 10
+    )
+    SELECT
+      k,
+      coalesce(array_to_string(list_sort(list_distinct(list_concat(a, b))),
+                               ','), '') AS u,
+      coalesce(array_to_string(list_sort(list_distinct(
+          list_filter(a, x -> list_contains(b, x)))), ','), '') AS i,
+      coalesce(array_to_string(list_sort(list_distinct(
+          list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS e,
+      list_has_any(a, b) AS ov,
+      array_to_string(list_filter([1, 2, 3, 2], x -> x != 2), ',') AS removed,
+      array_to_string(list_transform(range(1, 4), i -> 'x'), ',') AS repeated,
+      array_to_string(list_reverse_sort(range(1, 5)), ',') AS rev
+    FROM v
+    ORDER BY k
+    """,
+    doc="array_union/intersect/except (distinct-element semantics), "
+        "arrays_overlap, array_remove, repeat, reverse — the array "
+        "set-operation rows of SURVEY §2.8; DuckDB spells them as "
+        "list_filter/list_distinct compositions.",
+    tags=("functions",),
+)
