@@ -1103,3 +1103,38 @@ dual_sql_query(
         "list_filter/list_distinct compositions.",
     tags=("functions",),
 )
+
+# ---- sequence over temporal types + comparator array_sort (reference:
+# SequenceFunction.java date/timestamp variants; ArraySortComparatorFunction
+# .java).  Golden oracle: expected values hand-computed (single row).
+
+sql_query(
+    "fn_sequence_temporal",
+    """
+    SELECT
+      array_join(transform(
+          sequence(DATE '2024-01-01', DATE '2024-01-22', interval 1 week),
+          d -> CAST(d AS STRING)), ',') AS weekly,
+      array_join(sequence(5, 1, -2), ',') AS countdown,
+      array_join(array_sort(array(-3, 1, -2),
+          (l, r) -> CASE WHEN abs(l) < abs(r) THEN -1
+                         WHEN abs(l) > abs(r) THEN 1 ELSE 0 END), ',')
+        AS by_abs,
+      array_join(transform(
+          sequence(TIMESTAMP_NTZ '2024-01-01 00:00:00',
+                   TIMESTAMP_NTZ '2024-01-01 06:00:00', interval 2 hour),
+          t -> date_format(t, 'HH:mm')), ',') AS hours
+    """,
+    oracle="""
+    SELECT
+      '2024-01-01,2024-01-08,2024-01-15,2024-01-22' AS weekly,
+      '5,3,1' AS countdown,
+      '1,-2,-3' AS by_abs,
+      '00:00,02:00,04:00,06:00' AS hours
+    """,
+    doc="sequence(date/timestamp, stop, interval step) and descending "
+        "integer step (SequenceFunction.java variants), array_sort with "
+        "a comparator lambda (ArraySortComparatorFunction.java) — "
+        "hand-computed golden values as the oracle.",
+    tags=("functions",),
+)
