@@ -782,3 +782,65 @@ dual_sql_query(
         "field access, struct equality.",
     tags=("functions", "struct"),
 )
+
+# ---- Recursive CTEs (reference: Presto WITH RECURSIVE expansion,
+# SqlQueryExpander / analyzer recursive-reference rules; SURVEY §2.9).
+# Spark 4.1 executes WITH RECURSIVE natively as an iterative union-loop
+# (UnionLoop node) — each iteration is a distributed step, so depth, not
+# data size, bounds the loop: a date spine is O(#months) iterations and a
+# hierarchy walk is O(tree height) ≈ log(rows), both scale-safe at 100 TB.
+
+sql_query(
+    "recursive_date_spine",
+    """
+    WITH RECURSIVE months(m) AS (
+      SELECT DATE '1995-01-01'
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+      WHERE m < DATE '1996-12-01'
+    ),
+    mo AS (
+      SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+             count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total
+      FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01'
+        AND o_orderdate < DATE '1997-01-01'
+      GROUP BY year(o_orderdate) * 100 + month(o_orderdate)
+    )
+    SELECT year(m) * 100 + month(m) AS ym,
+           CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(coalesce(total, 0.0) AS DOUBLE) AS total
+    FROM months LEFT JOIN mo ON year(m) * 100 + month(m) = mo.ym
+    ORDER BY ym
+    """,
+    doc="WITH RECURSIVE date spine (calendar gap-fill): generate every "
+        "month in a range recursively, LEFT JOIN monthly order totals so "
+        "zero-order months still appear.  Same text runs on DuckDB.",
+    tags=("relational", "recursive"),
+)
+
+sql_query(
+    "recursive_tree_rollup",
+    """
+    WITH RECURSIVE tree(k, depth) AS (
+      SELECT CAST(c_custkey AS BIGINT), 1 FROM customer
+      WHERE c_custkey BETWEEN 1 AND 9
+      UNION ALL
+      SELECT CAST(c.c_custkey AS BIGINT), t.depth + 1
+      FROM customer c JOIN tree t
+        ON CAST(floor(c.c_custkey / 10) AS BIGINT) = t.k
+    )
+    SELECT depth,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM tree GROUP BY depth ORDER BY depth
+    """,
+    doc="WITH RECURSIVE hierarchy traversal: decimal-digit tree over "
+        "c_custkey (parent = floor(key/10)), per-level rollup.  Depth is "
+        "log10(rows) — the recursion re-joins the full table each level "
+        "but runs only ~7 levels even at 100 TB.",
+    tags=("relational", "recursive"),
+)
