@@ -55,6 +55,22 @@ _PATTERN_RULES: list[tuple[re.Pattern[str], object]] = [
     # Presto TRY(CAST(x AS t)) → TRY_CAST(x AS t); general TRY() has no
     # Spark analog and is documented unsupported.
     (re.compile(r"\bTRY\s*\(\s*CAST\s*\(", re.IGNORECASE), "(TRY_CAST("),
+    # Map-predicate HOFs (reference: presto-sql-helpers/.../MapSqlFunctions
+    # .java allKeysMatch/anyKeysMatch/noKeysMatch/anyValuesMatch/
+    # noValuesMatch).  Their lambda parameter rules out a SQL UDF shim, so
+    # rewrite to Spark's forall/exists over map_keys/map_values.  The map
+    # argument must be a simple (dotted) identifier — same documented
+    # limitation as the subscript rule above.
+    (re.compile(r"\ball_keys_match\s*\(\s*(\w+(?:\.\w+)*)\s*,", re.IGNORECASE),
+     lambda m: f"forall(map_keys({m.group(1)}),"),
+    (re.compile(r"\bany_keys_match\s*\(\s*(\w+(?:\.\w+)*)\s*,", re.IGNORECASE),
+     lambda m: f"exists(map_keys({m.group(1)}),"),
+    (re.compile(r"\bno_keys_match\s*\(\s*(\w+(?:\.\w+)*)\s*,", re.IGNORECASE),
+     lambda m: f"NOT exists(map_keys({m.group(1)}),"),
+    (re.compile(r"\bany_values_match\s*\(\s*(\w+(?:\.\w+)*)\s*,", re.IGNORECASE),
+     lambda m: f"exists(map_values({m.group(1)}),"),
+    (re.compile(r"\bno_values_match\s*\(\s*(\w+(?:\.\w+)*)\s*,", re.IGNORECASE),
+     lambda m: f"NOT exists(map_values({m.group(1)}),"),
     # bitwise scalar functions (reference: operator/scalar/BitwiseFunctions.java)
     (re.compile(r"\bbitwise_and\s*\(", re.IGNORECASE), "bit_and_scalar("),
     (re.compile(r"\bbitwise_or\s*\(", re.IGNORECASE), "bit_or_scalar("),

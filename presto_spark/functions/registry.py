@@ -167,6 +167,136 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
     "trim_array": ("a ARRAY<STRING>, n INT", "ARRAY<STRING>",
                    "slice(a, 1, size(a) - n)",
                    "ArrayTrimFunction.java"),
+    # ---- SQL-invoked function plugin parity (reference: presto-sql-helpers/
+    # presto-sql-invoked-functions-plugin/.../ArraySqlFunctions.java,
+    # MapSqlFunctions.java, MapNormalizeFunction.java,
+    # StringSqlFunctions.java).  SQL UDFs are monomorphic, so each shim
+    # picks a representative element type (BIGINT arrays / STRING→BIGINT
+    # maps); lambda-parameter overloads are handled by dialect.py rules
+    # instead (SQL UDF parameters cannot be functions).  Order matters:
+    # later shims call earlier ones (Spark resolves at registration).
+    "remove_nulls": (
+        "a ARRAY<BIGINT>", "ARRAY<BIGINT>",
+        "filter(a, x -> x IS NOT NULL)",
+        "ArraySqlFunctions.java removeNulls"),
+    "array_sort_desc": (
+        "a ARRAY<BIGINT>", "ARRAY<BIGINT>",
+        """concat(reverse(array_sort(filter(a, x -> x IS NOT NULL))),
+                  filter(a, x -> x IS NULL))""",
+        "ArraySqlFunctions.java arraySortDesc (nulls appended last)"),
+    "array_top_n": (
+        "a ARRAY<BIGINT>, n INT", "ARRAY<BIGINT>",
+        """IF(n < 0, raise_error('Parameter n to ARRAY_TOP_N is negative'),
+              slice(array_sort_desc(a), 1, n))""",
+        "ArraySqlFunctions.java arrayTopN (descending, nulls last)"),
+    "array_frequency": (
+        "a ARRAY<STRING>", "MAP<STRING, INT>",
+        """map_from_entries(transform(
+               array_distinct(filter(a, x -> x IS NOT NULL)),
+               k -> struct(k AS key,
+                           CAST(size(filter(a, y -> y = k)) AS INT) AS value)))""",
+        "ArraySqlFunctions.java arrayFrequency (nulls ignored)"),
+    "array_least_frequent": (
+        "a ARRAY<STRING>, n INT", "ARRAY<STRING>",
+        """IF(n < 0, raise_error('n must be greater than or equal to 0'),
+           CASE WHEN size(filter(a, x -> x IS NOT NULL)) = 0 THEN NULL
+           ELSE transform(
+                  slice(array_sort(transform(
+                          array_distinct(filter(a, x -> x IS NOT NULL)),
+                          k -> struct(size(filter(a, y -> y = k)) AS c,
+                                      k AS k))), 1, n),
+                  s -> s.k) END)""",
+        "ArraySqlFunctions.java arrayNLeastFrequent (count asc, element asc)"),
+    "array_split_into_chunks": (
+        "a ARRAY<BIGINT>, sz INT", "ARRAY<ARRAY<BIGINT>>",
+        """IF(sz <= 0, raise_error('Invalid slice size. Size must be greater than zero.'),
+              transform(sequence(1, size(a), sz), x -> slice(a, x, sz)))""",
+        "ArraySqlFunctions.java arraySplitIntoChunks"),
+    "array_transpose": (
+        "a ARRAY<ARRAY<BIGINT>>", "ARRAY<ARRAY<BIGINT>>",
+        """IF(size(a) = 0, a,
+           IF(exists(a, r -> size(r) != size(element_at(a, 1))),
+              raise_error('All rows must have the same length for matrix transpose'),
+              transform(sequence(1, size(element_at(a, 1))),
+                        x -> transform(a, y -> element_at(y, x)))))""",
+        "ArraySqlFunctions.java arrayTranspose"),
+    "map_key_exists": (
+        "m MAP<STRING, BIGINT>, k STRING", "BOOLEAN",
+        "array_contains(map_keys(m), k)",
+        "MapSqlFunctions.java mapKeysExists"),
+    "map_remove_null_values": (
+        "m MAP<STRING, BIGINT>", "MAP<STRING, BIGINT>",
+        "map_filter(m, (k, v) -> v IS NOT NULL)",
+        "MapSqlFunctions.java mapRemoveNulls"),
+    "map_top_n": (
+        "m MAP<STRING, BIGINT>, n INT", "MAP<STRING, BIGINT>",
+        """IF(n < 0, raise_error('n must be greater than or equal to 0'),
+           map_from_entries(slice(concat(
+             array_sort(map_entries(map_filter(m, (k, v) -> v IS NOT NULL)),
+               (x, y) -> CASE WHEN x.value < y.value THEN 1
+                              WHEN x.value > y.value THEN -1
+                              WHEN x.key < y.key THEN 1
+                              WHEN x.key > y.key THEN -1 ELSE 0 END),
+             array_sort(map_entries(map_filter(m, (k, v) -> v IS NULL)),
+               (x, y) -> CASE WHEN x.key < y.key THEN 1
+                              WHEN x.key > y.key THEN -1 ELSE 0 END)
+           ), 1, n)))""",
+        "MapSqlFunctions.java mapTopN (value desc, key desc ties; "
+        "null-valued entries last, key desc)"),
+    "map_keys_by_top_n_values": (
+        "m MAP<STRING, BIGINT>, n INT", "ARRAY<STRING>",
+        "map_keys(map_top_n(m, n))",
+        "MapSqlFunctions.java mapKeysByTopNValues"),
+    "map_top_n_keys": (
+        "m MAP<STRING, BIGINT>, n INT", "ARRAY<STRING>",
+        """IF(n < 0, raise_error('n must be greater than or equal to 0'),
+              slice(reverse(array_sort(map_keys(m))), 1, n))""",
+        "MapSqlFunctions.java mapTopNKeys (key desc)"),
+    "map_top_n_values": (
+        "m MAP<STRING, BIGINT>, n INT", "ARRAY<BIGINT>",
+        """IF(n < 0, raise_error('n must be greater than or equal to 0'),
+              slice(array_sort_desc(map_values(m)), 1, n))""",
+        "MapSqlFunctions.java mapTopNValues (value desc, nulls last)"),
+    "map_normalize": (
+        "m MAP<STRING, DOUBLE>", "MAP<STRING, DOUBLE>",
+        """transform_values(m, (k, v) -> v /
+               aggregate(map_values(m), 0D, (acc, x) -> acc + coalesce(x, 0D)))""",
+        "MapNormalizeFunction.java (value / sum of non-null values)"),
+    "map_int_keys_to_array": (
+        "m MAP<INT, STRING>", "ARRAY<STRING>",
+        """IF(array_max(map_keys(m)) > 10000,
+              raise_error('Max key value must be <= 10k for map_int_keys_to_array function'),
+           IF(array_min(map_keys(m)) <= 0,
+              raise_error('Only positive keys allowed in map_int_keys_to_array function'),
+              transform(sequence(1, array_max(map_keys(m))),
+                        k -> element_at(m, CAST(k AS INT)))))""",
+        "MapSqlFunctions.java mapIntKeysToArray (1..max, NULL gaps)"),
+    "array_to_map_int_keys": (
+        "a ARRAY<STRING>", "MAP<INT, STRING>",
+        """IF(size(a) > 10000,
+              raise_error('Max number of elements must be <= 10k for array_to_map_int_keys function'),
+              map_from_entries(filter(
+                transform(sequence(1, size(a)),
+                          i -> struct(CAST(i AS INT) AS key,
+                                      element_at(a, i) AS value)),
+                e -> e.value IS NOT NULL)))""",
+        "MapSqlFunctions.java arrayToMapIntKeys (index→value, nulls dropped)"),
+    "replace_first": (
+        "s STRING, search STRING, repl STRING", "STRING",
+        """IF(repl IS NULL, NULL,
+           IF(instr(s, search) = 0, s,
+              concat(substring(s, 1, instr(s, search) - 1), repl,
+                     substring(s, instr(s, search) + length(search)))))""",
+        "StringSqlFunctions.java replaceFirst"),
+    "trail": (
+        "s STRING, n INT", "STRING",
+        "reverse(substring(reverse(s), 1, n))",
+        "StringSqlFunctions.java trail (last N characters)"),
+    "split_part_reverse": (
+        "s STRING, d STRING, idx BIGINT", "STRING",
+        """element_at(split(s, concat('\\\\Q', d, '\\\\E')), CAST(idx AS INT))""",
+        "StringSqlFunctions.java splitPartReverse (negative = from end; "
+        "delimiter regex-quoted since Spark split takes a regex)"),
     # Simplified S-stemmer (Harman): -ies→-y, -es→-e, -s→'' with the
     # standard guards. Presto's word_stem uses Lucene's full Porter
     # stemmer — this is a DOCUMENTED APPROXIMATION agreeing on the

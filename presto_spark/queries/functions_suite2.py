@@ -1138,3 +1138,147 @@ sql_query(
         "hand-computed golden values as the oracle.",
     tags=("functions",),
 )
+
+# ---- SQL-invoked function plugin battery (reference: presto-sql-helpers/
+# presto-sql-invoked-functions-plugin — ArraySqlFunctions.java,
+# MapSqlFunctions.java, MapNormalizeFunction.java, StringSqlFunctions.java;
+# shims in functions/registry.py).
+
+dual_sql_query(
+    "fn_array_sql_ordering",
+    """
+    WITH t AS (
+      SELECT n_nationkey AS k,
+             array(CAST(n_nationkey AS BIGINT),
+                   CAST(24 - n_nationkey AS BIGINT),
+                   CAST(NULL AS BIGINT),
+                   CAST(n_regionkey * 7 AS BIGINT)) AS a
+      FROM nation
+    )
+    SELECT k,
+           array_join(remove_nulls(a), ',') AS no_nulls,
+           array_join(transform(array_sort_desc(a),
+               x -> coalesce(CAST(x AS STRING), 'N')), ',') AS sorted_desc,
+           array_join(transform(array_top_n(a, 3),
+               x -> coalesce(CAST(x AS STRING), 'N')), ',') AS top3
+    FROM t ORDER BY k
+    """,
+    """
+    WITH t AS (
+      SELECT n_nationkey AS k,
+             [CAST(n_nationkey AS BIGINT), CAST(24 - n_nationkey AS BIGINT),
+              NULL, CAST(n_regionkey * 7 AS BIGINT)] AS a
+      FROM nation
+    )
+    SELECT k,
+           array_to_string(list_filter(a, x -> x IS NOT NULL), ',') AS no_nulls,
+           array_to_string(list_transform(list_sort(a, 'DESC', 'NULLS LAST'),
+               x -> coalesce(CAST(x AS VARCHAR), 'N')), ',') AS sorted_desc,
+           array_to_string(list_transform(list_sort(a, 'DESC', 'NULLS LAST')[1:3],
+               x -> coalesce(CAST(x AS VARCHAR), 'N')), ',') AS top3
+    FROM t ORDER BY k
+    """,
+    doc="remove_nulls / array_sort_desc / array_top_n shims "
+        "(ArraySqlFunctions.java) vs DuckDB's independent "
+        "list_filter/list_sort('DESC','NULLS LAST') — data-driven over "
+        "nation-derived arrays containing a NULL.",
+    tags=("functions",),
+)
+
+sql_query(
+    "fn_array_sql_golden",
+    """
+    SELECT
+      array_join(transform(array_sort(map_entries(
+          array_frequency(array('a', 'b', 'a', NULL, 'a')))),
+          e -> concat(e.key, ':', CAST(e.value AS STRING))), ',') AS freq,
+      array_join(array_least_frequent(array('b', 'a', 'c', 'b', 'c', 'b'), 2),
+                 ',') AS least2,
+      array_join(transform(array_split_into_chunks(array(1L, 2L, 3L, 4L, 5L), 2),
+          c -> array_join(c, '-')), ',') AS chunks,
+      array_join(transform(array_transpose(array(array(1L, 2L, 3L),
+                                                 array(4L, 5L, 6L))),
+          r -> array_join(r, '-')), ',') AS transposed
+    """,
+    oracle="""
+    SELECT 'a:3,b:1' AS freq,
+           'a,c' AS least2,
+           '1-2,3-4,5' AS chunks,
+           '1-4,2-5,3-6' AS transposed
+    """,
+    doc="array_frequency (nulls ignored), array_least_frequent (count asc "
+        "then element asc), array_split_into_chunks (ragged tail), "
+        "array_transpose — hand-computed goldens "
+        "(ArraySqlFunctions.java bodies).",
+    tags=("functions",),
+)
+
+sql_query(
+    "fn_map_sql_golden",
+    """
+    WITH t AS (
+      SELECT map('x', 5L, 'y', 9L, 'z', CAST(NULL AS BIGINT), 'w', 9L) AS m
+    )
+    SELECT
+      array_join(transform(map_entries(map_top_n(m, 2)),
+          e -> concat(e.key, ':', CAST(e.value AS STRING))), ',') AS top2,
+      array_join(map_keys_by_top_n_values(m, 3), ',') AS keys_by_top3,
+      array_join(map_top_n_keys(m, 2), ',') AS top2_keys,
+      array_join(map_top_n_values(m, 2), ',') AS top2_vals,
+      map_key_exists(m, 'z') AS has_z,
+      array_join(transform(array_sort(map_entries(map_remove_null_values(m))),
+          e -> concat(e.key, ':', CAST(e.value AS STRING))), ',') AS no_null_vals,
+      array_join(transform(array_sort(map_entries(
+          map_normalize(map('a', 1.0D, 'b', 3.0D)))),
+          e -> concat(e.key, ':', CAST(CAST(e.value * 100 AS INT) AS STRING))),
+          ',') AS normalized_pct,
+      array_join(transform(map_int_keys_to_array(map(1, 'p', 3, 'q')),
+          x -> coalesce(x, 'N')), ',') AS int_keys_arr,
+      array_join(transform(array_sort(map_entries(
+          array_to_map_int_keys(array('u', NULL, 'v')))),
+          e -> concat(CAST(e.key AS STRING), ':', e.value)), ',') AS arr_to_map
+    FROM t
+    """,
+    oracle="""
+    SELECT 'y:9,w:9' AS top2,
+           'y,w,x' AS keys_by_top3,
+           'z,y' AS top2_keys,
+           '9,9' AS top2_vals,
+           true AS has_z,
+           'w:9,x:5,y:9' AS no_null_vals,
+           'a:25,b:75' AS normalized_pct,
+           'p,N,q' AS int_keys_arr,
+           '1:u,3:v' AS arr_to_map
+    """,
+    doc="map_top_n family (value desc, key desc ties, null values last), "
+        "map_key_exists, map_remove_null_values, map_normalize, "
+        "map_int_keys_to_array / array_to_map_int_keys — hand-computed "
+        "goldens (MapSqlFunctions.java, MapNormalizeFunction.java).",
+    tags=("functions",),
+)
+
+dual_sql_query(
+    "fn_string_sql_suite2",
+    """
+    SELECT n_nationkey AS k,
+           replace_first(n_name, 'A', '*') AS rf,
+           trail(n_name, 4) AS t4,
+           split_part_reverse(concat(n_name, '|', n_comment), '|', -1)
+             AS last_part,
+           split_part_reverse(concat(n_name, '|', n_comment), '|', 1)
+             AS first_part
+    FROM nation ORDER BY k
+    """,
+    """
+    SELECT n_nationkey AS k,
+           regexp_replace(n_name, 'A', '*') AS rf,
+           right(n_name, 4) AS t4,
+           string_split(n_name || '|' || n_comment, '|')[-1] AS last_part,
+           string_split(n_name || '|' || n_comment, '|')[1] AS first_part
+    FROM nation ORDER BY k
+    """,
+    doc="replace_first / trail / split_part_reverse shims "
+        "(StringSqlFunctions.java) vs DuckDB's independent spellings "
+        "(non-global regexp_replace, right(), negative list index).",
+    tags=("functions",),
+)
