@@ -79,10 +79,16 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
     "week": ("t TIMESTAMP_NTZ", "INT", "weekofyear(t)",
              "DateTimeFunctions.java weekFromTimestamp (ISO week)"),
     "week_of_year": ("t TIMESTAMP_NTZ", "INT", "weekofyear(t)", "DateTimeFunctions.java"),
-    "year_of_week": ("t TIMESTAMP_NTZ", "INT", "cast(date_format(t, 'YYYY') AS INT)",
-                     "DateTimeFunctions.java yearOfWeekFromTimestamp (ISO week-year)"),
-    "yow": ("t TIMESTAMP_NTZ", "INT", "cast(date_format(t, 'YYYY') AS INT)",
-            "DateTimeFunctions.java yow"),
+    # ISO week-year = calendar year of the ISO week's Thursday (Spark rejects
+    # the week-based 'YYYY' pattern letter since 3.0).
+    "year_of_week": (
+        "t TIMESTAMP_NTZ", "INT",
+        "year(date_add(cast(t AS DATE), 3 - weekday(cast(t AS DATE))))",
+        "DateTimeFunctions.java yearOfWeekFromTimestamp (ISO week-year)"),
+    "yow": (
+        "t TIMESTAMP_NTZ", "INT",
+        "year(date_add(cast(t AS DATE), 3 - weekday(cast(t AS DATE))))",
+        "DateTimeFunctions.java yow"),
     "to_unixtime": (
         "t TIMESTAMP_NTZ", "DOUBLE",
         "cast(unix_micros(to_utc_timestamp(t, 'UTC')) AS DOUBLE) / 1e6",
@@ -94,9 +100,14 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
         "DateTimeFunctions.java formatDatetime (Joda pattern ≈ java.time; "
         "known deltas on exotic pattern letters)"),
     # ---- JSON (reference: operator/scalar/JsonFunctions.java:64) ----
+    # Presto returns NULL when the path lands on an object/array; only true
+    # scalars (string/number/bool) come back as text.
     "json_extract_scalar": (
-        "j STRING, p STRING", "STRING", "get_json_object(j, p)",
-        "JsonFunctions.java jsonExtractScalar — JSONPath subset $.a[0].b"),
+        "j STRING, p STRING", "STRING",
+        """CASE WHEN get_json_object(j, p) LIKE '[%'
+                  OR get_json_object(j, p) LIKE '{%' THEN NULL
+                ELSE get_json_object(j, p) END""",
+        "JsonFunctions.java jsonExtractScalar — NULL on non-scalar match"),
     "json_extract": (
         "j STRING, p STRING", "STRING", "get_json_object(j, p)",
         "JsonExtract.java — returns JSON-encoded text"),

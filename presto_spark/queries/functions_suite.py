@@ -106,7 +106,9 @@ dual_sql_query(
       timestampdiff(DAY, o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS days_to_2000,
       timestampadd(MONTH, 2, o_orderdate) AS plus_2m,
       to_unixtime(o_orderdate) AS epoch_s,
-      date_format(o_orderdate, 'yyyy-MM-dd') AS fmt
+      date_format(o_orderdate, 'yyyy-MM-dd') AS fmt,
+      year_of_week(o_orderdate) AS yow_v,
+      yow(timestampadd(DAY, -180, o_orderdate)) AS yow_shift
     FROM orders WHERE o_orderkey <= 40
     ORDER BY o_orderkey
     """,
@@ -121,7 +123,9 @@ dual_sql_query(
       date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS days_to_2000,
       o_orderdate + INTERVAL 2 MONTH AS plus_2m,
       epoch(o_orderdate) AS epoch_s,
-      strftime(o_orderdate, '%Y-%m-%d') AS fmt
+      strftime(o_orderdate, '%Y-%m-%d') AS fmt,
+      CAST(isoyear(o_orderdate) AS INT) AS yow_v,
+      CAST(isoyear(o_orderdate - INTERVAL 180 DAY) AS INT) AS yow_shift
     FROM orders WHERE o_orderkey <= 40
     ORDER BY o_orderkey
     """,

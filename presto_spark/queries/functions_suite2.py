@@ -321,7 +321,10 @@ dual_sql_query(
       from_json(props, 'k INT, tag STRING').tag AS tag,
       from_json('[1,2,3]', 'array<int>')[1] AS arr_elem2,
       size(from_json('[1,2,3]', 'array<int>')) AS arr_len,
-      map_keys(from_json('{"a": 1, "b": 2}', 'map<string,int>'))[0] AS first_key
+      map_keys(from_json('{"a": 1, "b": 2}', 'map<string,int>'))[0] AS first_key,
+      json_extract_scalar('{"a":{"b":1}}', '$.a') AS nonscalar_obj,
+      json_extract_scalar('{"a":[1,2]}', '$.a') AS nonscalar_arr,
+      json_extract_scalar('{"a":{"b":1}}', '$.a.b') AS scalar_leaf
     FROM j
     ORDER BY event_id
     """,
@@ -336,7 +339,10 @@ dual_sql_query(
       json_extract_string(props, '$.tag') AS tag,
       CAST(json_extract('[1,2,3]', '$[1]') AS INT) AS arr_elem2,
       len(CAST('[1,2,3]'::JSON AS INT[])) AS arr_len,
-      'a' AS first_key
+      'a' AS first_key,
+      CAST(NULL AS VARCHAR) AS nonscalar_obj,
+      CAST(NULL AS VARCHAR) AS nonscalar_arr,
+      '1' AS scalar_leaf
     FROM j
     ORDER BY event_id
     """,
@@ -1263,18 +1269,20 @@ dual_sql_query(
     SELECT n_nationkey AS k,
            replace_first(n_name, 'A', '*') AS rf,
            trail(n_name, 4) AS t4,
-           split_part_reverse(concat(n_name, '|', n_comment), '|', -1)
-             AS last_part,
-           split_part_reverse(concat(n_name, '|', n_comment), '|', 1)
-             AS first_part
+           split_part_reverse(concat(n_name, '|', CAST(n_nationkey AS STRING)),
+                              '|', -1) AS last_part,
+           split_part_reverse(concat(n_name, '|', CAST(n_nationkey AS STRING)),
+                              '|', 1) AS first_part
     FROM nation ORDER BY k
     """,
     """
     SELECT n_nationkey AS k,
            regexp_replace(n_name, 'A', '*') AS rf,
            right(n_name, 4) AS t4,
-           string_split(n_name || '|' || n_comment, '|')[-1] AS last_part,
-           string_split(n_name || '|' || n_comment, '|')[1] AS first_part
+           string_split(n_name || '|' || CAST(n_nationkey AS VARCHAR), '|')[-1]
+             AS last_part,
+           string_split(n_name || '|' || CAST(n_nationkey AS VARCHAR), '|')[1]
+             AS first_part
     FROM nation ORDER BY k
     """,
     doc="replace_first / trail / split_part_reverse shims "

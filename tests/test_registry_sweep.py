@@ -1,0 +1,36 @@
+"""Complement sweep: every registry query NOT covered by the
+relational/functions (test_relational.py), tpch (test_tpch.py), or llm
+(test_llm.py) parametrized sweeps runs its oracle diff here.
+
+This guarantees no registered query can fall outside pytest coverage —
+the events/sketch/dml/dialect/window suites land here, and any future
+suite with a new tag is swept automatically.
+"""
+
+import pytest
+
+from presto_spark.queries import REGISTRY
+from tests.conftest import SF_DIR, assert_same
+
+_COVERED_ELSEWHERE = {"relational", "functions", "tpch", "llm"}
+
+NAMES = [
+    n for n, q in REGISTRY.items()
+    if not (_COVERED_ELSEWHERE & set(q.tags))
+]
+
+
+def test_sweep_is_nonempty():
+    # events/sketch/dml/dialect must be registered and uncovered elsewhere
+    prefixes = {n.split("_")[0] for n in NAMES}
+    assert {"event", "sketch", "dml", "presto"} <= prefixes, prefixes
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_matches_oracle(spark, duck, name):
+    q = REGISTRY[name]
+    sdf = q.spark(spark, SF_DIR)
+    if q.oracle is None:
+        assert sdf.count() >= 0
+    else:
+        assert_same(sdf, duck, q.oracle)
