@@ -19,6 +19,12 @@ from __future__ import annotations
 
 import re
 
+from presto_spark.functions.datetime_formats import (
+    UnsupportedPatternError,
+    joda_to_java,
+    mysql_to_java,
+)
+
 # Pure renames, call-compatible 1:1.
 _SIMPLE_MAP = {
     # aggregates (reference: presto-main-base/.../operator/aggregation/)
@@ -88,10 +94,105 @@ BITWISE_UDFS = {
 }
 
 
+# --- datetime-format dialect calls -----------------------------------------
+# Presto date_format/date_parse speak MySQL %-patterns, format_datetime/
+# parse_datetime speak Joda (DateTimeFunctions.java:71 area).  When the
+# pattern argument is a string literal we translate it to java.time and
+# lower the call onto Spark's date_format/to_timestamp.  Non-literal
+# patterns are left untouched (documented limitation).
+_DT_FORMAT_FNS = {
+    "date_format": ("date_format", mysql_to_java),
+    "date_parse": ("to_timestamp", mysql_to_java),
+    "format_datetime": ("date_format", joda_to_java),
+    "parse_datetime": ("to_timestamp", joda_to_java),
+}
+
+_dt_call_re = re.compile(
+    r"\b(" + "|".join(_DT_FORMAT_FNS) + r")\s*\(", re.IGNORECASE
+)
+
+_literal_re = re.compile(r"^'((?:[^']|'')*)'$")
+
+
+def _split_call(sql: str, open_paren: int):
+    """Scan from the '(' at ``open_paren``; return (args, close_index) with
+    args split at top-level commas, or None if unbalanced."""
+    depth = 0
+    in_str = False
+    args: list[str] = []
+    start = open_paren + 1
+    i = open_paren
+    while i < len(sql):
+        c = sql[i]
+        if in_str:
+            if c == "'":
+                # '' escape stays inside the string
+                if i + 1 < len(sql) and sql[i + 1] == "'":
+                    i += 2
+                    continue
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                args.append(sql[start:i])
+                return args, i
+        elif c == "," and depth == 1:
+            args.append(sql[start:i])
+            start = i + 1
+        i += 1
+    return None
+
+
+def _rewrite_datetime_formats(sql: str) -> str:
+    out = []
+    pos = 0
+    while True:
+        m = _dt_call_re.search(sql, pos)
+        if m is None:
+            out.append(sql[pos:])
+            break
+        parsed = _split_call(sql, m.end() - 1)
+        if parsed is None:
+            out.append(sql[pos:m.end()])
+            pos = m.end()
+            continue
+        args, close = parsed
+        lit = _literal_re.match(args[-1].strip()) if len(args) == 2 else None
+        if lit is None:
+            out.append(sql[pos:close + 1])
+            pos = close + 1
+            continue
+        target, xlate = _DT_FORMAT_FNS[m.group(1).lower()]
+        raw = lit.group(1).replace("''", "'")
+        if xlate is mysql_to_java and "%" not in raw:
+            # No %-specifiers: either already java.time (idempotent
+            # re-translate) or a degenerate all-literal pattern — leave it.
+            out.append(sql[pos:close + 1])
+            pos = close + 1
+            continue
+        try:
+            java = xlate(raw)
+        except UnsupportedPatternError:
+            out.append(sql[pos:close + 1])
+            pos = close + 1
+            continue
+        out.append(sql[pos:m.start()])
+        out.append(
+            f"{target}({args[0].strip()}, '{java.replace(chr(39), chr(39) * 2)}')"
+        )
+        pos = close + 1
+    return "".join(out)
+
+
 def translate(sql: str) -> str:
     """Rewrite Presto spellings to Spark spellings.  Idempotent."""
+    out = _rewrite_datetime_formats(sql)
     out = _simple_renames_re.sub(
-        lambda m: _SIMPLE_MAP[m.group(1).lower()] + "(", sql
+        lambda m: _SIMPLE_MAP[m.group(1).lower()] + "(", out
     )
     for pat, repl in _PATTERN_RULES:
         out = pat.sub(repl, out)  # type: ignore[arg-type]

@@ -98,3 +98,49 @@ _presto_sql(
         "TRY_CAST. DuckDB lists are natively 1-based — same values.",
     tags=("dialect",),
 )
+
+
+_presto_sql(
+    "fn_datetime_format_suite",
+    # --- Presto dialect: MySQL %-patterns (date_format/date_parse) and
+    #     Joda patterns (format_datetime/parse_datetime) ---
+    """
+    SELECT o_orderkey,
+           date_format(o_orderdate, '%Y-%m-%d %H:%i:%s') AS mysql_full,
+           date_format(o_orderdate, '%d/%m/%y') AS mysql_dmy,
+           date_format(o_orderdate, '%M %e, %Y') AS mysql_named,
+           date_format(o_orderdate, 'on %W at %T') AS mysql_literal_text,
+           date_format(o_orderdate, '%j') AS mysql_doy,
+           date_format(o_orderdate, '%h %p') AS mysql_12h,
+           date_parse('1995-07-15 10:30:00', '%Y-%m-%d %H:%i:%s')
+             AS mysql_parsed,
+           format_datetime(o_orderdate, 'YYYY/MM/dd') AS joda_era_year,
+           format_datetime(o_orderdate, 'yyyy-MM-dd HH:mm') AS joda_plain,
+           parse_datetime('2001-3-4', 'yyyy-M-d') AS joda_parsed
+    FROM orders WHERE o_orderkey <= 40
+    ORDER BY o_orderkey
+    """,
+    # --- DuckDB oracle (strftime/strptime %-dialect) ---
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS mysql_full,
+           strftime(o_orderdate, '%d/%m/%y') AS mysql_dmy,
+           strftime(o_orderdate, '%B %-d, %Y') AS mysql_named,
+           strftime(o_orderdate, 'on %A at %H:%M:%S') AS mysql_literal_text,
+           strftime(o_orderdate, '%j') AS mysql_doy,
+           strftime(o_orderdate, '%I %p') AS mysql_12h,
+           strptime('1995-07-15 10:30:00', '%Y-%m-%d %H:%M:%S')
+             AS mysql_parsed,
+           strftime(o_orderdate, '%Y/%m/%d') AS joda_era_year,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M') AS joda_plain,
+           TIMESTAMP '2001-03-04 00:00:00' AS joda_parsed
+    FROM orders WHERE o_orderkey <= 40
+    ORDER BY o_orderkey
+    """,
+    doc="Datetime format-dialect layer (DateTimeFunctions.java dateFormat/"
+        "dateParse use MySQL %-patterns, formatDatetime/parseDatetime use "
+        "Joda): literal patterns are translated to java.time by "
+        "functions/datetime_formats.py, incl. quoting of literal text and "
+        "the Joda year-of-era Y -> y fix; oracle is DuckDB strftime/strptime.",
+    tags=("dialect", "datetime"),
+)

@@ -127,3 +127,36 @@ def test_ip_functions(spark):
     assert one(spark, "ip_subnet_max('192.64.0.0/10')") == "192.127.255.255"
     assert one(spark, "is_subnet_of('192.64.0.0/10', '192.100.1.2')") is True
     assert one(spark, "is_subnet_of('192.64.0.0/10', '192.128.0.0')") is False
+
+
+# ---- datetime-format dialect translators (DateTimeFunctions.java:71) ----
+
+def test_mysql_pattern_translation():
+    from presto_spark.functions.datetime_formats import (
+        UnsupportedPatternError, mysql_to_java)
+    import pytest as _pytest
+    assert mysql_to_java('%Y-%m-%d %H:%i:%s') == 'yyyy-MM-dd HH:mm:ss'
+    assert mysql_to_java('%M %e, %Y') == 'MMMM d, yyyy'
+    # literal letters must be quoted for java.time
+    assert mysql_to_java('on %W') == "'on 'EEEE"
+    assert mysql_to_java('100%% done') == "'100% done'"
+    with _pytest.raises(UnsupportedPatternError):
+        mysql_to_java('%v')  # week-based: Spark rejects 'w'
+
+
+def test_joda_pattern_translation():
+    from presto_spark.functions.datetime_formats import joda_to_java
+    assert joda_to_java('YYYY/MM/dd') == 'yyyy/MM/dd'
+    assert joda_to_java("yyyy-MM-dd'T'HH:mm:ssZZ") == "yyyy-MM-dd'T'HH:mm:ssxxx"
+    assert joda_to_java("'at' HH") == "'at' HH"
+
+
+def test_dialect_datetime_rewrite_idempotent():
+    from presto_spark.functions.dialect import translate
+    s = "SELECT date_format(ts, '%Y-%m') , date_parse(s, '%Y'), " \
+        "format_datetime(ts, 'YYYY'), date_format(ts, fmt_col) FROM t"
+    t1 = translate(s)
+    assert "date_format(ts, 'yyyy-MM')" in t1
+    assert "to_timestamp(s, 'yyyy')" in t1
+    assert "date_format(ts, fmt_col)" in t1  # non-literal untouched
+    assert translate(t1) == t1
