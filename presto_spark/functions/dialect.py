@@ -188,9 +188,55 @@ def _rewrite_datetime_formats(sql: str) -> str:
     return "".join(out)
 
 
+# --- extended-JSONPath routing ---------------------------------------------
+# Presto compiles simple paths with its own tokenizer and falls back to
+# Jayway JsonPath for everything else (JsonPath.java:156-167 build()).
+# Spark's get_json_object covers the simple subset plus [*]; literal
+# paths using recursive descent, object wildcard, bracket/quoted names,
+# negative indices, slices, or filters route to the Arrow-batched Python
+# tier (functions/_json_pandas_udfs.py). Non-literal paths keep the JVM
+# function (documented limitation — same as the datetime patterns above).
+_JSON_FNS = {"json_extract", "json_extract_scalar", "json_size"}
+
+_json_call_re = re.compile(
+    r"\b(" + "|".join(_JSON_FNS) + r")\s*\(", re.IGNORECASE
+)
+
+_EXTENDED_PATH = re.compile(
+    r"\.\.|\.\*|\[\s*['\"]|\[\?|\[-\d|\[\s*-?\d*\s*:"
+)
+
+
+def _rewrite_jsonpath_calls(sql: str) -> str:
+    out = []
+    pos = 0
+    while True:
+        m = _json_call_re.search(sql, pos)
+        if m is None:
+            out.append(sql[pos:])
+            break
+        parsed = _split_call(sql, m.end() - 1)
+        if parsed is None:
+            out.append(sql[pos:m.end()])
+            pos = m.end()
+            continue
+        args, close = parsed
+        lit = _literal_re.match(args[-1].strip()) if len(args) == 2 else None
+        if lit is None or not _EXTENDED_PATH.search(lit.group(1)):
+            out.append(sql[pos:close + 1])
+            pos = close + 1
+            continue
+        out.append(sql[pos:m.start()])
+        out.append(f"{m.group(1).lower()}_py({args[0].strip()}, "
+                   f"'{lit.group(1)}')")
+        pos = close + 1
+    return "".join(out)
+
+
 def translate(sql: str) -> str:
     """Rewrite Presto spellings to Spark spellings.  Idempotent."""
     out = _rewrite_datetime_formats(sql)
+    out = _rewrite_jsonpath_calls(out)
     out = _simple_renames_re.sub(
         lambda m: _SIMPLE_MAP[m.group(1).lower()] + "(", out
     )

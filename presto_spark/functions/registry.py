@@ -557,4 +557,17 @@ def register_functions(spark: SparkSession) -> list[str]:
     for name, (args, ret, body) in BITWISE_UDFS.items():
         spark.sql(_ddl(name, args, ret, body))
         registered.append(name)
+    # Extended-JSONPath tier (recursive descent / filters / bracket names /
+    # slices — Jayway fallback in the reference, JsonPath.java:140).
+    # Arrow-batched pandas UDFs; the dialect layer routes literal extended
+    # paths here, plain paths stay on JVM get_json_object.
+    from presto_spark.functions import _json_pandas_udfs as _jp
+
+    for name, fn in (
+        ("json_extract_py", _jp.json_extract_py),
+        ("json_extract_scalar_py", _jp.json_extract_scalar_py),
+        ("json_size_py", _jp.json_size_py),
+    ):
+        spark.udf.register(name, fn)
+        registered.append(name)
     return registered

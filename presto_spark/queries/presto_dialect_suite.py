@@ -144,3 +144,57 @@ _presto_sql(
         "the Joda year-of-era Y -> y fix; oracle is DuckDB strftime/strptime.",
     tags=("dialect", "datetime"),
 )
+
+
+_JDOC = ('{"store":{"book":[{"author":"a1","price":8.95,"tags":["x","y"]},'
+         '{"author":"a2","price":12.99},{"author":"a3","price":5.0}],'
+         '"bicycle":{"price":19.95}},"reg date":"2020-01-02","n":7}')
+
+_presto_sql(
+    "fn_jsonpath_suite",
+    # --- Presto dialect: extended JSONPath (Jayway fallback tier,
+    #     JsonPath.java buildJayway) routed to the Arrow python tier by
+    #     the dialect layer; simple paths stay on JVM get_json_object ---
+    f"""
+    SELECT n_nationkey,
+           json_extract('{_JDOC}', '$..price') AS all_prices,
+           json_extract('{_JDOC}', '$.store.book[?(@.price<10)].author')
+             AS cheap_authors,
+           json_extract('{_JDOC}', '$[''reg date'']') AS bracket_name,
+           json_extract_scalar('{_JDOC}', '$[''reg date'']') AS bracket_scalar,
+           json_extract('{_JDOC}', '$.store.book[-1].author') AS neg_index,
+           json_extract('{_JDOC}', '$.store.book[0:2].price') AS sliced,
+           json_extract('{_JDOC}', '$.store.book[*].author') AS jvm_wildcard,
+           json_size('{_JDOC}', '$.store.*') AS store_size,
+           json_extract_scalar('{_JDOC}', '$..author') AS scalar_on_multi,
+           json_extract('{_JDOC}', '$..zzz') AS empty_descent,
+           json_extract('{_JDOC}', '$.missing') AS missing_field
+    FROM nation WHERE n_nationkey < 3
+    ORDER BY n_nationkey
+    """,
+    # --- DuckDB oracle: hand-computed goldens (the reference pins the
+    #     same cases in TestJsonExtract.java) ---
+    """
+    SELECT n_nationkey,
+           '[8.95,12.99,5.0,19.95]' AS all_prices,
+           '["a1","a3"]' AS cheap_authors,
+           '"2020-01-02"' AS bracket_name,
+           '2020-01-02' AS bracket_scalar,
+           '"a3"' AS neg_index,
+           '[8.95,12.99]' AS sliced,
+           '["a1","a2","a3"]' AS jvm_wildcard,
+           2 AS store_size,
+           CAST(NULL AS VARCHAR) AS scalar_on_multi,
+           '[]' AS empty_descent,
+           CAST(NULL AS VARCHAR) AS missing_field
+    FROM nation WHERE n_nationkey < 3
+    ORDER BY n_nationkey
+    """,
+    doc="Extended JSONPath tier (JsonPath.java:156 build — Presto "
+        "tokenizer fast path, Jayway fallback for descent/filters/"
+        "bracket names/negative-index/slices): dialect layer routes "
+        "literal extended paths to functions/_json_pandas_udfs.py, "
+        "[*] and dotted paths stay JVM-side. Goldens hand-computed "
+        "(reference pins: TestJsonExtract.java).",
+    tags=("dialect", "json"),
+)

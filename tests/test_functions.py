@@ -160,3 +160,42 @@ def test_dialect_datetime_rewrite_idempotent():
     assert "to_timestamp(s, 'yyyy')" in t1
     assert "date_format(ts, fmt_col)" in t1  # non-literal untouched
     assert translate(t1) == t1
+
+
+# ---- extended JSONPath tier (JsonPath.java buildJayway fallback) ----
+
+def test_jsonpath_evaluator():
+    from presto_spark.functions.jsonpath import (
+        JsonPathError, extract_json, extract_scalar, json_size)
+    import pytest as _pytest
+    doc = ('{"a":{"b":[{"x":1},{"x":2}],"c":{"x":3}},"k y":"v","arr":[1,2,3]}')
+    assert extract_json(doc, '$..x') == '[1,2,3]'
+    assert extract_json(doc, '$.a.b[?(@.x==2)]') == '[{"x":2}]'
+    assert extract_json(doc, "$['k y']") == '"v"'
+    assert extract_scalar(doc, "$['k y']") == 'v'
+    assert extract_json(doc, '$.arr[-1]') == '3'
+    assert extract_json(doc, '$.arr[0:2]') == '[1,2]'
+    assert extract_json(doc, '$.a.*') == '[[{"x":1},{"x":2}],{"x":3}]'
+    assert json_size(doc, '$.a') == 2
+    assert json_size(doc, '$.arr') == 3
+    assert json_size(doc, "$['k y']") == 0
+    # definite no-match -> NULL; indefinite no-match -> []
+    assert extract_json(doc, '$.zzz') is None
+    assert extract_json(doc, '$..zzz') == '[]'
+    # scalar on non-scalar / multi -> NULL (Presto jsonExtractScalar)
+    assert extract_scalar(doc, '$.a') is None
+    assert extract_scalar(doc, '$..x') is None
+    # invalid JSON -> NULL (InvalidJsonException handling)
+    assert extract_json('{oops', '$.a') is None
+    with _pytest.raises(JsonPathError):
+        extract_json(doc, 'a.b')  # must start with $
+
+
+def test_dialect_jsonpath_routing():
+    from presto_spark.functions.dialect import translate
+    # extended literal paths -> python tier
+    assert "json_extract_py" in translate("SELECT json_extract(j, '$..p')")
+    assert "json_size_py" in translate("SELECT json_size(j, '$.a[?(@.x)]')")
+    # simple and non-literal paths stay JVM-side
+    assert "json_extract(" in translate("SELECT json_extract(j, '$.a[0].b')")
+    assert "json_extract(" in translate("SELECT json_extract(j, p)")
