@@ -192,3 +192,59 @@ def sketch_approx_percentile_groups(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "sketch_quantile_mergeable_rollup",
+    oracle="""
+    SELECT l_returnflag, true AS q25_ok, true AS q50_ok, true AS q75_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Mergeable quantile sketches (QuantileDigestAggregationFunction"
+        ".java qdigest_agg + MergeQuantileDigestFunction + "
+        "QuantileDigestFunctions.java value_at_quantile): level-1 "
+        "sketch per (returnflag, month) via sharded applyInPandas, "
+        "level-2 merge to returnflag WITHOUT rescanning raw rows, then "
+        "JVM-side value_at_quantile. Envelope oracle: each estimate "
+        "must land between the exact q∓0.03 percentiles (rank-error "
+        "band; sketch bytes are engine-specific, as with HLL).",
+    tags=("sketch", "agg"),
+)
+def sketch_quantile_mergeable_rollup(spark, sf_dir):
+    from presto_spark.operators import qsketch
+
+    prepare(spark, sf_dir)
+    li = spark.table("lineitem").select(
+        "l_returnflag",
+        F.month("l_shipdate").alias("mo"),
+        F.col("l_extendedprice").cast("double").alias("price"),
+    )
+    # Level 1: stored partial per (returnflag, month) — the sketch table a
+    # dashboard would persist daily.
+    partials = qsketch.quantile_sketch_agg(
+        li, ["l_returnflag", "mo"], "price", k=512, n_shards=8
+    )
+    # Level 2: roll months up to returnflag, sketch-sized input only.
+    merged = qsketch.merge_quantile_sketches(partials, ["l_returnflag"], k=512)
+    est = merged.select(
+        "l_returnflag",
+        qsketch.sketch_quantiles_col([0.25, 0.5, 0.75]).alias("est"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile(price, array(0.22,0.28,0.47,0.53,0.72,0.78))"
+        ).alias("band")
+    )
+    return (
+        est.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            ((F.col("est")[0] >= F.col("band")[0])
+             & (F.col("est")[0] <= F.col("band")[1])).alias("q25_ok"),
+            ((F.col("est")[1] >= F.col("band")[2])
+             & (F.col("est")[1] <= F.col("band")[3])).alias("q50_ok"),
+            ((F.col("est")[2] >= F.col("band")[4])
+             & (F.col("est")[2] <= F.col("band")[5])).alias("q75_ok"),
+        )
+        .orderBy("l_returnflag")
+    )

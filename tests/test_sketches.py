@@ -58,3 +58,61 @@ def test_approx_percentile_close(spark):
     df = spark.range(1, 1001).select(F.col("id").cast("double").alias("v"))
     est = df.agg(S.approx_percentile("v", 0.5).alias("p")).collect()[0].p
     assert 450 <= est <= 550
+
+
+# ---- mergeable quantile sketches (qsketch.py; reference:
+# QuantileDigestAggregationFunction.java / QuantileDigestFunctions.java) ----
+
+def test_qsketch_compact_preserves_weight_and_bounds_rank_error():
+    import numpy as np
+    from presto_spark.operators.qsketch import _build, _value_at
+
+    rng = np.random.RandomState(42)
+    vals = rng.lognormal(4.0, 1.0, size=50_000)
+    vs, ws = _build(vals, k=512)
+    assert len(vs) <= 512
+    assert abs(ws.sum() - len(vals)) < 1e-6  # total weight exact
+    exact = np.sort(vals)
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9):
+        est = _value_at(vs, ws, q)
+        # estimate's true rank within ±2% of q
+        rank = np.searchsorted(exact, est) / len(vals)
+        assert abs(rank - q) < 0.02, (q, rank)
+
+
+def test_qsketch_merge_is_order_insensitive_and_accurate():
+    import numpy as np
+    from presto_spark.operators.qsketch import _build, _merge, _value_at
+
+    rng = np.random.RandomState(7)
+    parts = [rng.normal(100, 15, size=n) for n in (5000, 300, 12000, 80)]
+    sketches = [_build(p, 256) for p in parts]
+    f = _merge([s[0] for s in sketches], [s[1] for s in sketches], 256)
+    r = _merge([s[0] for s in reversed(sketches)],
+               [s[1] for s in reversed(sketches)], 256)
+    # determinism: same entries regardless of merge order
+    assert np.allclose(f[0], r[0]) and np.allclose(f[1], r[1])
+    allv = np.sort(np.concatenate(parts))
+    for q in (0.25, 0.5, 0.75):
+        rank = np.searchsorted(allv, _value_at(*f, q)) / len(allv)
+        assert abs(rank - q) < 0.03, (q, rank)
+
+
+def test_qsketch_spark_two_level_rollup(spark):
+    from pyspark.sql import functions as F
+    from presto_spark.operators import qsketch
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 4).alias("g"),
+        ((F.col("id") * 2654435761) % 100_000).cast("double").alias("v"),
+    )
+    partials = qsketch.quantile_sketch_agg(
+        df, ["g"], "v", k=256, n_shards=4)
+    merged = qsketch.merge_quantile_sketches(partials, ["g"], k=256)
+    rows = merged.select(
+        "g", qsketch.sketch_quantiles_col([0.5]).alias("est")
+    ).collect()
+    assert len(rows) == 4
+    for r in rows:
+        # v is uniform-ish on [0, 100k) within each group
+        assert 40_000 < r.est[0] < 60_000, (r.g, r.est)
