@@ -166,9 +166,15 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
     "array_has_duplicates": (
         "a ARRAY<STRING>", "BOOLEAN", "size(a) != size(array_distinct(a))",
         "ArrayHasDuplicatesFunction.java"),
+    # Sorted-adjacent spelling: O(n log n), no per-key filter pass.
     "array_duplicates": (
         "a ARRAY<STRING>", "ARRAY<STRING>",
-        "array_distinct(filter(a, x -> size(filter(a, y -> y = x)) > 1))",
+        """CASE WHEN size(a) < 2 THEN array()
+           ELSE array_distinct(transform(
+               filter(sequence(2, size(array_sort(a))),
+                      i -> element_at(array_sort(a), i) <=>
+                           element_at(array_sort(a), i - 1)),
+               i -> element_at(array_sort(a), i))) END""",
         "ArrayDuplicatesFunction.java"),
     "array_ngrams": (
         "a ARRAY<STRING>, n INT", "ARRAY<ARRAY<STRING>>",
@@ -200,6 +206,9 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
         """IF(n < 0, raise_error('Parameter n to ARRAY_TOP_N is negative'),
               slice(array_sort_desc(a), 1, n))""",
         "ArraySqlFunctions.java arrayTopN (descending, nulls last)"),
+    # O(n·k) over one ROW's array — bounded by row width, not data size
+    # (the aggregate-shaped analogs are operators/aggregates.py
+    # histogram/histogram_table, which are run-count / two-level).
     "array_frequency": (
         "a ARRAY<STRING>", "MAP<STRING, INT>",
         """map_from_entries(transform(

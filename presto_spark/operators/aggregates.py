@@ -9,8 +9,26 @@ friendly, no pandas UDAFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _run_starts(sorted_arr: Column, eq) -> Column:
+    """1-based start positions of equal-runs in a sorted array.
+
+    ``eq(i, j)`` compares elements at 1-based positions i and j.  The
+    greatest(i-1, 1) guard avoids element_at(_, 0), which Spark rejects;
+    at i=1 the comparison degenerates to self-equality and the explicit
+    ``i == 1`` term marks the run start.
+    """
+    # greatest(n, 1): sequence(1, 0) would DESCEND ([1, 0]) and index 0
+    # into the array; an empty input yields starts=[1] and callers guard
+    # the whole expression with size > 0.
+    n = F.size(sorted_arr)
+    return F.filter(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: (i == F.lit(1)) | ~eq(i, F.greatest(i - 1, F.lit(1))),
+    )
 
 
 def map_agg(key: Column, value: Column) -> Column:
@@ -24,40 +42,110 @@ def map_agg(key: Column, value: Column) -> Column:
 def multimap_agg(key: Column, value: Column) -> Column:
     """multimap_agg(k, v) → MAP<K, ARRAY<V>> (multimapagg/).
 
-    Composition: collect entries, group per key via map_from_entries on
-    (key → collected list) built with a nested aggregate.
+    Sorted-run construction: sort the collected entries by key, find run
+    starts, slice each run — O(n log n) in the group size instead of a
+    filter pass per distinct key (O(n·k)), so a hot key cannot blow up
+    executor CPU.  For data-sized inputs use :func:`multimap_table`,
+    whose shuffle carries (group, key) partial lists instead of whole
+    groups.
     """
-    entries = F.collect_list(F.struct(key.alias("k"), value.alias("v")))
-    keys = F.array_distinct(F.transform(entries, lambda e: e["k"]))
-    return F.map_from_entries(
-        F.transform(
-            keys,
-            lambda k: F.struct(
-                k.alias("key"),
-                F.transform(
-                    F.filter(entries, lambda e: e["k"] == k), lambda e: e["v"]
-                ).alias("value"),
-            ),
-        )
+    s = F.array_sort(F.collect_list(F.struct(key.alias("k"), value.alias("v"))))
+    starts = _run_starts(
+        s, lambda i, j: F.element_at(s, i)["k"].eqNullSafe(F.element_at(s, j)["k"])
+    )
+    n = F.size(s)
+    return F.when(
+        n > 0,
+        F.map_from_entries(
+            F.transform(
+                starts,
+                lambda st, x: F.struct(
+                    F.element_at(s, st)["k"].alias("key"),
+                    F.transform(
+                        F.slice(
+                            s, st,
+                            F.coalesce(F.element_at(starts, x + 2), n + 1) - st,
+                        ),
+                        lambda e: e["v"],
+                    ).alias("value"),
+                ),
+            )
+        ),
     )
 
 
 def histogram(value: Column) -> Column:
     """histogram(v) → MAP<V, BIGINT> counts (DoubleHistogramAggregation.java).
 
-    Built as map over collected values; for high-cardinality inputs
-    pre-aggregate with groupBy(value).count() instead (the scalable
-    spelling — this builder is for per-group maps of modest size).
+    Sorted-run counting over the collected values — O(n log n) per
+    group, no per-key filter pass.  The collected array is still
+    group-sized; for data-sized inputs use :func:`histogram_table`
+    (two-level shuffle spelling).
     """
-    vals = F.collect_list(value)
-    keys = F.array_distinct(vals)
-    return F.map_from_entries(
-        F.transform(
-            keys,
-            lambda k: F.struct(
-                k.alias("key"),
-                F.size(F.filter(vals, lambda v: v == k)).cast("long").alias("value"),
-            ),
+    s = F.array_sort(F.collect_list(value))
+    starts = _run_starts(
+        s, lambda i, j: F.element_at(s, i).eqNullSafe(F.element_at(s, j))
+    )
+    n = F.size(s)
+    return F.when(
+        n > 0,
+        F.map_from_entries(
+            F.transform(
+                starts,
+                lambda st, x: F.struct(
+                    F.element_at(s, st).alias("key"),
+                    (F.coalesce(F.element_at(starts, x + 2), n + 1) - st)
+                    .cast("long").alias("value"),
+                ),
+            )
+        ),
+    )
+
+
+def histogram_table(df: DataFrame, group_cols: list, value_col: str) -> DataFrame:
+    """histogram(v) per group — the scalable two-level default.
+
+    Level 1 shuffles (group, value) counts with map-side partial
+    aggregation (the shuffle carries one row per distinct (group,
+    value), never raw rows); level 2 assembles the per-group map from
+    already-counted entries.  This is the plan the array-based
+    :func:`histogram` approximates for small groups, and the one to use
+    when a group can be data-sized.  Returns group_cols + ``hist``.
+    """
+    counted = (
+        df.groupBy(*group_cols, F.col(value_col).alias("__v"))
+        .agg(F.count("*").alias("__n"))
+    )
+    return (
+        counted.groupBy(*group_cols)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("__v"), F.col("__n")))
+            ).alias("hist")
+        )
+    )
+
+
+def multimap_table(
+    df: DataFrame, group_cols: list, key_col: str, value_col: str
+) -> DataFrame:
+    """multimap_agg(k, v) per group — two-level scalable default.
+
+    Level 1 collects values per (group, key) — partial lists combine
+    across partitions, so the first shuffle carries per-key lists, not
+    whole groups; level 2 assembles the map.  Returns group_cols +
+    ``mmap``.
+    """
+    per_key = (
+        df.groupBy(*group_cols, F.col(key_col).alias("__k"))
+        .agg(F.array_sort(F.collect_list(value_col)).alias("__vs"))
+    )
+    return (
+        per_key.groupBy(*group_cols)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("__k"), F.col("__vs")))
+            ).alias("mmap")
         )
     )
 

@@ -61,11 +61,21 @@ class ParquetTable:
         self._rewrite(df)
 
     def delete_where(self, cond: Column) -> int:
-        """DELETE WHERE cond → rows deleted (DeleteOperator.java)."""
-        cur = self.read()
-        n_before = cur.count()
-        self._rewrite(cur.where(~cond | cond.isNull()))
-        return n_before - self.read().count()
+        """DELETE WHERE cond → rows deleted (DeleteOperator.java).
+
+        The deleted-row count is taken as an observed metric on the
+        rewrite scan itself — no extra table passes (a count() before
+        and after would add two full scans per DELETE).
+        """
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        observed = self.read().observe(
+            obs, F.sum(F.coalesce(cond.cast("long"), F.lit(0))).alias("n_deleted")
+        )
+        self._rewrite(observed.where(~cond | cond.isNull()))
+        n = obs.get["n_deleted"]
+        return int(n) if n is not None else 0
 
     def update(self, cond: Column, assignments: dict[str, Column]) -> None:
         """UPDATE SET col=expr WHERE cond (UpdateOperator.java)."""

@@ -111,3 +111,58 @@ def test_scan_count_q14_reads_two_tables_once(spark):
     df = REGISTRY["q14_promo_effect"].spark(spark, SF_DIR)
     plan = _physical(df)
     assert plan.count("FileScan parquet") == 2
+
+
+def test_histogram_table_two_level_no_raw_collect(spark):
+    """The scalable histogram default must shuffle counted (group, value)
+    rows, never collect raw values across the first exchange — the first
+    aggregate below the exchange is a count, and collect_list appears
+    only above it (operators/aggregates.py histogram_table)."""
+    from presto_spark.operators.aggregates import histogram_table
+
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    plan = _physical(histogram_table(df, ["l_returnflag"], "l_linenumber"))
+    first_exchange = plan.index("Exchange")
+    below = plan[first_exchange:]
+    # partial count below the first shuffle
+    assert "partial_count" in below or "count" in below
+    # no collect_list in the pre-shuffle (deepest) stage
+    deepest = plan[plan.rindex("Exchange"):]
+    assert "collect_list" not in deepest
+
+
+def test_histogram_column_matches_table_spelling(spark):
+    """Array-form histogram (sorted run-count) and two-level
+    histogram_table agree value-for-value."""
+    from presto_spark.operators.aggregates import histogram, histogram_table
+
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(2000)
+    a = {
+        r.g: dict(r.h)
+        for r in df.groupBy(F.col("l_returnflag").alias("g"))
+        .agg(histogram(F.col("l_linenumber")).alias("h")).collect()
+    }
+    b = {
+        r.l_returnflag: dict(r.hist)
+        for r in histogram_table(df, ["l_returnflag"], "l_linenumber").collect()
+    }
+    assert a == b and len(a) >= 2
+
+
+def test_multimap_agg_matches_table_spelling(spark):
+    from presto_spark.operators.aggregates import multimap_agg, multimap_table
+
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet").limit(500)
+    a = {
+        r.g: {k: sorted(v) for k, v in r.m.items()}
+        for r in df.groupBy(F.col("o_orderpriority").alias("g"))
+        .agg(multimap_agg(F.col("o_orderstatus"), F.col("o_orderkey")).alias("m"))
+        .collect()
+    }
+    b = {
+        r.o_orderpriority: {k: sorted(v) for k, v in r.mmap.items()}
+        for r in multimap_table(
+            df, ["o_orderpriority"], "o_orderstatus", "o_orderkey"
+        ).collect()
+    }
+    assert a == b and len(a) >= 3
