@@ -233,6 +233,138 @@ def _rewrite_jsonpath_calls(sql: str) -> str:
     return "".join(out)
 
 
+# --- polymorphic macro expansion -------------------------------------------
+# SQL UDFs are monomorphic (each shim registers ONE element type), but
+# several Presto functions are generic over the element type and their
+# bodies are pure HOF compositions — Spark HOFs *are* polymorphic.  On
+# the dialect path we macro-expand these calls inline, so any element
+# type works (ArraySqlFunctions.java removeNulls/arraySortDesc/arrayTopN,
+# ArrayTrimFunction.java, ArraySplitIntoChunks, ArrayNgramsFunction.java).
+# Lambda vars use the _ps_ prefix so an argument referencing a column
+# named ``x``/``i`` cannot be captured by the introduced lambda scope.
+_SORT_DESC = ("concat(reverse(array_sort(filter({a}, _ps_x -> _ps_x IS NOT "
+              "NULL))), filter({a}, _ps_x -> _ps_x IS NULL))")
+
+_MACROS: dict[str, tuple[int, object]] = {
+    "remove_nulls": (1, lambda a: f"filter(({a[0]}), _ps_x -> _ps_x IS NOT NULL)"),
+    "array_sort_desc": (1, lambda a: _SORT_DESC.format(a=f"({a[0]})")),
+    "array_top_n": (
+        2, lambda a: f"slice({_SORT_DESC.format(a=f'({a[0]})')}, 1, ({a[1]}))"),
+    "trim_array": (
+        2, lambda a: f"slice(({a[0]}), 1, size(({a[0]})) - ({a[1]}))"),
+    "array_split_into_chunks": (
+        2, lambda a: (f"transform(sequence(1, size(({a[0]})), ({a[1]})), "
+                      f"_ps_i -> slice(({a[0]}), _ps_i, ({a[1]})))")),
+    "array_ngrams": (
+        2, lambda a: (f"CASE WHEN size(({a[0]})) < ({a[1]}) THEN array(({a[0]})) "
+                      f"ELSE transform(sequence(1, size(({a[0]})) - ({a[1]}) + 1), "
+                      f"_ps_i -> slice(({a[0]}), _ps_i, ({a[1]}))) END")),
+}
+
+_macro_call_re = re.compile(
+    r"\b(" + "|".join(_MACROS) + r")\s*\(", re.IGNORECASE
+)
+
+# General TRY(expr) (reference: TryFunction.java).  TRY(CAST(..)) is
+# already rewritten to TRY_CAST by the pattern rule above; here the
+# remaining cases: a top-level binary arithmetic op lowers to Spark's
+# try_* function (NULL on overflow/div-zero, matching Presto), anything
+# else unwraps to (expr) — the engine runs non-ANSI, where div-by-zero
+# and bad element access already yield NULL (tests/test_semantics.py).
+_TRY_OPS = [("+", "try_add"), ("-", "try_subtract"),
+            ("*", "try_multiply"), ("/", "try_divide"), ("%", "try_mod")]
+
+_try_call_re = re.compile(r"\bTRY\s*\(", re.IGNORECASE)
+
+
+def _split_top_binary(expr: str):
+    """(lhs, op, rhs) at the lowest-precedence, rightmost top-level binary
+    operator, or None."""
+    depth = 0
+    in_str = False
+    add_idx = mul_idx = None
+    prev = ""
+    for i, c in enumerate(expr):
+        if in_str:
+            if c == "'":
+                in_str = False
+            continue
+        if c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and c in "+-*/%":
+            is_unary = c in "+-" and (prev == "" or prev in "(,+-*/%<>=")
+            if not is_unary:
+                if c in "+-":
+                    add_idx = i
+                else:
+                    mul_idx = i
+        if not c.isspace():
+            prev = c
+    idx = add_idx if add_idx is not None else mul_idx
+    if idx is None:
+        return None
+    return expr[:idx].strip(), expr[idx], expr[idx + 1:].strip()
+
+
+def _expand_macros_and_try(sql: str) -> str:
+    changed = True
+    guard = 0
+    while changed and guard < 10:
+        changed = False
+        guard += 1
+        # macro calls
+        out = []
+        pos = 0
+        while True:
+            m = _macro_call_re.search(sql, pos)
+            if m is None:
+                out.append(sql[pos:])
+                break
+            parsed = _split_call(sql, m.end() - 1)
+            nargs, build = _MACROS[m.group(1).lower()]
+            if parsed is None or len(parsed[0]) != nargs:
+                out.append(sql[pos:m.end()])
+                pos = m.end()
+                continue
+            args, close = parsed
+            out.append(sql[pos:m.start()])
+            out.append(build([a.strip() for a in args]))
+            pos = close + 1
+            changed = True
+        sql = "".join(out)
+        # general TRY(expr)
+        out = []
+        pos = 0
+        while True:
+            m = _try_call_re.search(sql, pos)
+            if m is None:
+                out.append(sql[pos:])
+                break
+            parsed = _split_call(sql, m.end() - 1)
+            if parsed is None or len(parsed[0]) != 1:
+                out.append(sql[pos:m.end()])
+                pos = m.end()
+                continue
+            args, close = parsed
+            inner = args[0].strip()
+            split = _split_top_binary(inner)
+            out.append(sql[pos:m.start()])
+            if split is not None:
+                lhs, op, rhs = split
+                fn = dict(_TRY_OPS)[op]
+                out.append(f"{fn}({lhs}, {rhs})")
+            else:
+                out.append(f"({inner})")
+            pos = close + 1
+            changed = True
+        sql = "".join(out)
+    return sql
+
+
 def translate(sql: str) -> str:
     """Rewrite Presto spellings to Spark spellings.  Idempotent."""
     out = _rewrite_datetime_formats(sql)
@@ -242,4 +374,4 @@ def translate(sql: str) -> str:
     )
     for pat, repl in _PATTERN_RULES:
         out = pat.sub(repl, out)  # type: ignore[arg-type]
-    return out
+    return _expand_macros_and_try(out)

@@ -67,6 +67,16 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
            / (sqrt(aggregate(a, 0D, (acc, v) -> acc + v * v))
               * sqrt(aggregate(b, 0D, (acc, v) -> acc + v * v)))""",
         "MathFunctions.java cosineSimilarity (array form; Presto also has map form)"),
+    # Sparse-vector (map) overload — Presto overloads the same name; SQL
+    # UDFs are monomorphic so the map form registers with a _map suffix.
+    "cosine_similarity_map": (
+        "m1 MAP<STRING,DOUBLE>, m2 MAP<STRING,DOUBLE>", "DOUBLE",
+        """aggregate(map_values(map_zip_with(m1, m2,
+                       (k, x, y) -> coalesce(x, 0D) * coalesce(y, 0D))),
+                     0D, (acc, v) -> acc + v)
+           / (sqrt(aggregate(map_values(m1), 0D, (acc, v) -> acc + v * v))
+              * sqrt(aggregate(map_values(m2), 0D, (acc, v) -> acc + v * v)))""",
+        "MathFunctions.java cosineSimilarity (MAP<VARCHAR,DOUBLE> form)"),
     # ---- date/time (reference: operator/scalar/DateTimeFunctions.java:71) ----
     # Presto day_of_week: ISO, Monday=1..Sunday=7; Spark weekday: Monday=0.
     "day_of_week": ("t TIMESTAMP_NTZ", "INT", "weekday(t) + 1",

@@ -198,3 +198,53 @@ _presto_sql(
         "(reference pins: TestJsonExtract.java).",
     tags=("dialect", "json"),
 )
+
+
+_presto_sql(
+    "presto_dialect_try_and_generics",
+    # --- Presto dialect: general TRY(expr) + polymorphic array macros ---
+    """
+    SELECT n_nationkey,
+           TRY(1/0) AS div_zero,
+           TRY(9223372036854775807 + 1) AS add_overflow,
+           TRY(n_nationkey * 9223372036854775807) AS mul_overflow,
+           TRY(CAST('abc' AS INTEGER)) AS bad_cast,
+           TRY(n_nationkey + 1) AS ok_add,
+           remove_nulls(array(1.5, NULL, 2.5)) AS rn_double,
+           array_top_n(array(1.5, 3.5, 2.5), 2) AS topn_double,
+           trim_array(array('a', 'b', 'c'), 1) AS trim_str,
+           array_split_into_chunks(array(1.5, 2.5, 3.5), 2) AS chunks_double,
+           round(cosine_similarity_map(map('a', 1.0, 'b', 2.0),
+                                       map('a', 2.0, 'c', 1.0)), 6) AS cos_map
+    FROM nation WHERE n_nationkey < 3
+    ORDER BY n_nationkey
+    """,
+    # --- DuckDB oracle: hand-computed (TRY semantics: NULL on div-zero/
+    #     overflow/bad-cast — TryFunction.java) ---
+    """
+    SELECT n_nationkey,
+           CAST(NULL AS DOUBLE) AS div_zero,
+           CAST(NULL AS BIGINT) AS add_overflow,
+           CASE n_nationkey WHEN 0 THEN 0
+                WHEN 1 THEN 9223372036854775807
+                ELSE NULL END AS mul_overflow,
+           CAST(NULL AS INTEGER) AS bad_cast,
+           n_nationkey + 1 AS ok_add,
+           [1.5, 2.5] AS rn_double,
+           [3.5, 2.5] AS topn_double,
+           ['a', 'b'] AS trim_str,
+           [[1.5, 2.5], [3.5]] AS chunks_double,
+           CAST(0.4 AS DOUBLE) AS cos_map
+    FROM nation WHERE n_nationkey < 3
+    ORDER BY n_nationkey
+    """,
+    doc="General TRY(expr) rewrite (TryFunction.java): top-level binary "
+        "arithmetic lowers to Spark try_add/try_subtract/try_multiply/"
+        "try_divide/try_mod (NULL on overflow and div-zero), other "
+        "expressions unwrap under the engine's non-ANSI NULL semantics. "
+        "Plus polymorphic macro expansion of the monomorphic array shims "
+        "(remove_nulls/array_top_n/trim_array/array_split_into_chunks "
+        "over DOUBLE/STRING arrays) and the MAP<VARCHAR,DOUBLE> "
+        "cosine_similarity overload (MathFunctions.java).",
+    tags=("dialect", "functions"),
+)

@@ -199,3 +199,29 @@ def test_dialect_jsonpath_routing():
     # simple and non-literal paths stay JVM-side
     assert "json_extract(" in translate("SELECT json_extract(j, '$.a[0].b')")
     assert "json_extract(" in translate("SELECT json_extract(j, p)")
+
+
+# ---- general TRY + polymorphic macro expansion (TryFunction.java,
+# ArraySqlFunctions.java generics) ----
+
+def test_dialect_general_try_rewrite():
+    from presto_spark.functions.dialect import translate
+    assert "try_divide(1, 0)" in translate("SELECT TRY(1/0)")
+    assert "try_add(a, b * c)" in translate("SELECT TRY(a + b * c)")
+    assert "try_subtract(a + b, c)" in translate("SELECT TRY(a + b - c)")
+    # TRY(CAST) keeps the dedicated TRY_CAST rule
+    assert "TRY_CAST(x AS INT" in translate("SELECT TRY(CAST(x AS INTEGER))")
+    # non-arithmetic: unwraps (non-ANSI null semantics)
+    assert translate("SELECT TRY(element_at(a, 9))") == \
+        "SELECT (element_at(a, 9))"
+    # unary minus is not a binary split point
+    assert "try_add(a, -5)" in translate("SELECT TRY(a + -5)")
+
+
+def test_dialect_macro_expansion_polymorphic():
+    from presto_spark.functions.dialect import translate
+    t = translate("SELECT remove_nulls(arr) FROM t")
+    assert "filter((arr), _ps_x -> _ps_x IS NOT NULL)" in t
+    t2 = translate("SELECT array_top_n(remove_nulls(a), 3)")
+    assert "_MACROS" not in t2 and "remove_nulls" not in t2  # nested expanded
+    assert translate(t2) == t2  # idempotent
