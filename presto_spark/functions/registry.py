@@ -394,6 +394,44 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
         "convert_timezone('UTC', tz, t)",
         "DateTimeFunctions.java atTimeZone — engine TIMESTAMP is "
         "zone-less UTC; result is the wall-clock time in tz"),
+    # ---- TIMESTAMP WITH TIME ZONE (reference: presto-common/.../type/
+    # TimestampWithTimeZoneType.java — a packed (instant, zone-id) value,
+    # DateTimeEncoding.java).  Spark has no per-value zone, so the engine
+    # models TSWTZ as STRUCT<utc TIMESTAMP_NTZ, tz STRING>: the instant
+    # normalized to UTC plus the display zone.  Instant comparisons and
+    # arithmetic use .utc; zone-dependent rendering goes through tz_wall.
+    "with_timezone": (
+        "t TIMESTAMP_NTZ, tz STRING", "STRUCT<utc: TIMESTAMP_NTZ, tz: STRING>",
+        "named_struct('utc', convert_timezone(tz, 'UTC', t), 'tz', tz)",
+        "DateTimeFunctions.java withTimezone — wall clock in tz → TSWTZ"),
+    "tz_at_timezone": (
+        "z STRUCT<utc: TIMESTAMP_NTZ, tz: STRING>, tz2 STRING",
+        "STRUCT<utc: TIMESTAMP_NTZ, tz: STRING>",
+        "named_struct('utc', z.utc, 'tz', tz2)",
+        "DateTimeFunctions.java atTimeZone (TSWTZ form) — same instant, "
+        "new display zone"),
+    "tz_wall": (
+        "z STRUCT<utc: TIMESTAMP_NTZ, tz: STRING>", "TIMESTAMP_NTZ",
+        "convert_timezone('UTC', z.tz, z.utc)",
+        "TimestampWithTimeZoneType.java display semantics — local wall "
+        "clock in the value's own zone"),
+    "tz_to_unixtime": (
+        "z STRUCT<utc: TIMESTAMP_NTZ, tz: STRING>", "DOUBLE",
+        "to_unixtime(z.utc)",
+        "DateTimeFunctions.java toUnixTime over TSWTZ (zone-independent)"),
+    "tz_to_iso8601": (
+        "z STRUCT<utc: TIMESTAMP_NTZ, tz: STRING>", "STRING",
+        """concat(
+             date_format(tz_wall(z), "yyyy-MM-dd'T'HH:mm:ss.SSS"),
+             IF(CAST(to_unixtime(tz_wall(z)) - to_unixtime(z.utc) AS INT) >= 0,
+                '+', '-'),
+             lpad(CAST(abs(CAST(to_unixtime(tz_wall(z)) - to_unixtime(z.utc)
+                                AS INT)) div 3600 AS STRING), 2, '0'),
+             ':',
+             lpad(CAST((abs(CAST(to_unixtime(tz_wall(z)) - to_unixtime(z.utc)
+                                 AS INT)) % 3600) div 60 AS STRING), 2, '0'))""",
+        "DateTimeFunctions.java toISO8601 (TSWTZ form — offset suffix "
+        "derived from the wall/UTC delta)"),
     # ---- string/map misc (reference: operator/scalar/StringFunctions.java,
     # SplitToMapFunction.java)
     "split_to_map": (

@@ -1290,3 +1290,54 @@ dual_sql_query(
         "(non-global regexp_replace, right(), negative list index).",
     tags=("functions",),
 )
+
+
+# ---- TIMESTAMP WITH TIME ZONE (reference: presto-common/.../type/
+# TimestampWithTimeZoneType.java, DateTimeEncoding.java packed encoding;
+# DateTimeFunctions.java with_timezone/at_timezone) ----
+
+dual_sql_query(
+    "fn_timezone_suite",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_orderdate AS ts FROM orders WHERE o_orderkey <= 30
+    )
+    SELECT o_orderkey,
+      with_timezone(ts, 'Asia/Kolkata').utc AS kolkata_utc,
+      tz_wall(with_timezone(ts, 'Asia/Kolkata')) AS kolkata_roundtrip,
+      tz_wall(tz_at_timezone(with_timezone(ts, 'America/New_York'),
+                             'Europe/Paris')) AS ny_as_paris,
+      CAST(with_timezone(TIMESTAMP_NTZ '2020-03-08 01:30:00',
+                         'America/New_York').utc AS STRING) AS dst_before,
+      CAST(with_timezone(TIMESTAMP_NTZ '2020-03-08 03:30:00',
+                         'America/New_York').utc AS STRING) AS dst_after,
+      tz_to_unixtime(with_timezone(TIMESTAMP_NTZ '2021-06-01 00:00:00',
+                                   'Europe/Paris')) AS paris_epoch,
+      tz_to_iso8601(with_timezone(TIMESTAMP_NTZ '2021-06-01 00:00:00',
+                                  'Asia/Kolkata')) AS iso_kolkata
+    FROM t ORDER BY o_orderkey
+    """,
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_orderdate AS ts FROM orders WHERE o_orderkey <= 30
+    )
+    SELECT o_orderkey,
+      timezone('UTC', timezone('Asia/Kolkata', ts)) AS kolkata_utc,
+      ts AS kolkata_roundtrip,
+      timezone('Europe/Paris', timezone('America/New_York', ts)) AS ny_as_paris,
+      '2020-03-08 06:30:00' AS dst_before,
+      '2020-03-08 07:30:00' AS dst_after,
+      epoch(timezone('UTC', timezone('Europe/Paris',
+            TIMESTAMP '2021-06-01 00:00:00'))) AS paris_epoch,
+      '2021-06-01T00:00:00.000+05:30' AS iso_kolkata
+    FROM t ORDER BY o_orderkey
+    """,
+    doc="TIMESTAMP WITH TIME ZONE model: STRUCT<utc, tz> values via "
+        "with_timezone / tz_at_timezone / tz_wall / tz_to_unixtime / "
+        "tz_to_iso8601 (TimestampWithTimeZoneType.java per-value zone; "
+        "DateTimeFunctions.java at_timezone keeps the instant). Zones "
+        "cover +5:30 (Kolkata), CET/CEST (Paris), and the US spring-"
+        "forward DST boundary (EST→EDT offsets pinned as goldens); "
+        "DuckDB ICU timezone() is the oracle.",
+    tags=("functions", "datetime"),
+)
