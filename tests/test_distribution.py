@@ -89,3 +89,65 @@ def test_salted_left_join_keeps_unmatched(spark):
     out = D.salted_join(left, right, on=["k"], how="left").collect()
     got = {(r.k, r.m) for r in out}
     assert got == {(1, "m"), (5, None)}
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """DPP (Presto dynamic filtering analog, DynamicFilterSourceOperator
+    .java): a selective dim filter must prune fact partitions at runtime
+    — the fact scan carries a dynamicpruningexpression on the partition
+    column."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    fact = orders.withColumn("order_year", F.year("o_orderdate"))
+    path = str(tmp_path / "fact_by_year")
+    D.write_partitioned(fact, path, ["order_year"])
+
+    years = spark.createDataFrame(
+        [(1995, "mid"), (1996, "mid")], "order_year int, era string"
+    )
+    joined = (
+        spark.read.parquet(path)
+        .join(F.broadcast(years.where(F.col("era") == "mid")), "order_year")
+        .groupBy("era").count()
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_runtime_bloom_filter_join(spark):
+    """Runtime bloom-filter join (session.py runtime.bloomFilter conf,
+    Presto's row-level dynamic filtering): with the size thresholds
+    relaxed, a selective build side injects bloom_filter_might_contain
+    into the probe-side scan filter."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100MB",
+        )
+        # bloom filters are only injected for shuffle joins — a
+        # broadcast-able build side would make the filter redundant
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").where(
+            F.col("o_totalprice") > 400000
+        )
+        joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")) \
+                   .groupBy("o_orderpriority").count()
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan, \
+            plan[:2000]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
