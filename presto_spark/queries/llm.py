@@ -111,7 +111,7 @@ def llm_exact_dedup(spark, sf_dir):
     doc="16-hash MinHash signatures over word 3-gram shingles "
         "(llm/dedup.py minhash_signature) — bit-exact parity with the "
         "oracle's mod-arithmetic implementation.",
-    tags=("llm", "dedup"),
+    tags=("llm", "dedup", "bench"),
 )
 def llm_minhash_signature(spark, sf_dir):
     prepare(spark, sf_dir)
@@ -498,7 +498,7 @@ _D_COS = (
         "deterministic coarse quantizer (first-8 vectors), broadcast "
         "cell assignment, exact cosine inside the probed cell. "
         "Bit-exact full-value oracle — the scale path beyond sign-LSH.",
-    tags=("llm", "similarity"),
+    tags=("llm", "similarity", "bench"),
 )
 def llm_ann_ivf_topk(spark, sf_dir):
     prepare(spark, sf_dir)
@@ -744,7 +744,7 @@ def llm_multimodal_frame_sample(spark, sf_dir):
         "graph diameter). The iterative-algorithm class the driver "
         "flags as non-SQL; DuckDB's recursive CTE reachability closure "
         "provides a full-value oracle anyway.",
-    tags=("llm", "dedup"),
+    tags=("llm", "dedup", "bench"),
 )
 def llm_dedup_clusters(spark, sf_dir):
     prepare(spark, sf_dir)

@@ -818,7 +818,7 @@ sql_query(
     doc="WITH RECURSIVE date spine (calendar gap-fill): generate every "
         "month in a range recursively, LEFT JOIN monthly order totals so "
         "zero-order months still appear.  Same text runs on DuckDB.",
-    tags=("relational", "recursive"),
+    tags=("relational", "recursive", "bench"),
 )
 
 sql_query(
@@ -842,5 +842,5 @@ sql_query(
         "c_custkey (parent = floor(key/10)), per-level rollup.  Depth is "
         "log10(rows) — the recursion re-joins the full table each level "
         "but runs only ~7 levels even at 100 TB.",
-    tags=("relational", "recursive"),
+    tags=("relational", "recursive", "bench"),
 )

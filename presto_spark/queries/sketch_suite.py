@@ -208,7 +208,7 @@ def sketch_approx_percentile_groups(spark, sf_dir):
         "JVM-side value_at_quantile. Envelope oracle: each estimate "
         "must land between the exact q∓0.03 percentiles (rank-error "
         "band; sketch bytes are engine-specific, as with HLL).",
-    tags=("sketch", "agg"),
+    tags=("sketch", "agg", "bench"),
 )
 def sketch_quantile_mergeable_rollup(spark, sf_dir):
     from presto_spark.operators import qsketch
