@@ -21,5 +21,6 @@ from presto_spark.queries import tpch  # noqa: F401,E402
 from presto_spark.queries import relational  # noqa: F401,E402
 from presto_spark.queries import functions_suite  # noqa: F401,E402
 from presto_spark.queries import functions_suite2  # noqa: F401,E402
+from presto_spark.queries import tpcds_suite  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "Query"]
