@@ -328,11 +328,10 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
         "StringSqlFunctions.java splitPartReverse (negative = from end; "
         "delimiter regex-quoted since Spark split takes a regex)"),
     # Simplified S-stemmer (Harman): -ies→-y, -es→-e, -s→'' with the
-    # standard guards. Presto's word_stem uses Lucene's full Porter
-    # stemmer — this is a DOCUMENTED APPROXIMATION agreeing on the
-    # plural-stripping cases; swap in a pandas-UDF Porter if full
-    # parity is ever needed.
-    "word_stem": (
+    # standard guards — the JVM-side fast tier.  Full Porter parity
+    # (WordStemFunction.java → Lucene PorterStemmer) is ``word_stem``,
+    # an Arrow-batched UDF over functions/porter.py registered below.
+    "word_stem_simple": (
         "w STRING", "STRING",
         """CASE
              WHEN w RLIKE '.*[^ae]ies$' THEN concat(substring(w, 1, length(w) - 3), 'y')
@@ -627,4 +626,11 @@ def register_functions(spark: SparkSession) -> list[str]:
     ):
         spark.udf.register(name, fn)
         registered.append(name)
+    # word_stem: full Porter parity (WordStemFunction.java → Lucene
+    # PorterStemmer).  Arrow-batched; the JVM S-stemmer stays available
+    # as word_stem_simple for hot paths that accept the approximation.
+    from presto_spark.functions import _text_pandas_udfs as _tp
+
+    spark.udf.register("word_stem", _tp.word_stem_udf)
+    registered.append("word_stem")
     return registered

@@ -463,33 +463,30 @@ dual_sql_query(
     "fn_word_stem",
     """
     WITH words AS (
-      SELECT stack(8, 1, 'stories', 2, 'churches', 3, 'dogs', 4, 'glass',
-                      5, 'ties', 6, 'shoes', 7, 'cats', 8, 'bus')
+      SELECT stack(12, 1, 'stories', 2, 'churches', 3, 'dogs', 4, 'glass',
+                       5, 'ties', 6, 'shoes', 7, 'cats', 8, 'bus',
+                       9, 'relational', 10, 'motoring', 11, 'happiness',
+                       12, 'adjustable')
         AS (i, w)
     )
     SELECT i, w, word_stem(w) AS stem FROM words ORDER BY i
     """,
     """
-    WITH words AS (
-      SELECT * FROM (VALUES (1, 'stories'), (2, 'churches'), (3, 'dogs'),
-                            (4, 'glass'), (5, 'ties'), (6, 'shoes'),
-                            (7, 'cats'), (8, 'bus')) AS t(i, w)
-    )
-    SELECT i, w,
-           CASE
-             WHEN regexp_matches(w, '[^ae]ies$')
-               THEN concat(substring(w, 1, length(w) - 3), 'y')
-             WHEN regexp_matches(w, '[^aeo]es$')
-               THEN substring(w, 1, length(w) - 1)
-             WHEN regexp_matches(w, '[^us]s$') AND NOT regexp_matches(w, 'ss$')
-               THEN substring(w, 1, length(w) - 1)
-             ELSE w END AS stem
-    FROM words ORDER BY i
+    SELECT * FROM (VALUES
+      (1, 'stories', 'stori'), (2, 'churches', 'church'),
+      (3, 'dogs', 'dog'), (4, 'glass', 'glass'),
+      (5, 'ties', 'ti'), (6, 'shoes', 'shoe'),
+      (7, 'cats', 'cat'), (8, 'bus', 'bu'),
+      (9, 'relational', 'relat'), (10, 'motoring', 'motor'),
+      (11, 'happiness', 'happi'), (12, 'adjustable', 'adjust'))
+      AS t(i, w, stem)
+    ORDER BY i
     """,
-    doc="word_stem (WordStemFunction.java) as the S-stemmer "
-        "approximation registered in functions/registry.py — the same "
-        "rules spelled in both engines (documented deviation from "
-        "Lucene's full Porter stemmer).",
+    doc="word_stem (WordStemFunction.java → Lucene PorterStemmer): full "
+        "Porter algorithm over functions/porter.py, Arrow-batched. "
+        "Goldens are canonical outputs from Porter's 1980 paper "
+        "vocabulary (incl. the famous ties→ti / bus→bu edge cases); "
+        "tests/test_functions.py pins 80+ more.",
     tags=("functions",),
 )
 

@@ -225,3 +225,44 @@ def test_dialect_macro_expansion_polymorphic():
     t2 = translate("SELECT array_top_n(remove_nulls(a), 3)")
     assert "_MACROS" not in t2 and "remove_nulls" not in t2  # nested expanded
     assert translate(t2) == t2  # idempotent
+
+
+def test_porter_stemmer_canonical_vocabulary():
+    """Canonical cases from Porter's 1980 paper (the algorithm behind
+    Lucene's PorterStemmer, WordStemFunction.java)."""
+    from presto_spark.functions.porter import stem
+    cases = {
+        'caresses': 'caress', 'ponies': 'poni', 'ties': 'ti',
+        'caress': 'caress', 'cats': 'cat', 'feed': 'feed',
+        'agreed': 'agre', 'plastered': 'plaster', 'bled': 'bled',
+        'motoring': 'motor', 'sing': 'sing', 'conflated': 'conflat',
+        'troubled': 'troubl', 'sized': 'size', 'hopping': 'hop',
+        'tanned': 'tan', 'falling': 'fall', 'hissing': 'hiss',
+        'fizzed': 'fizz', 'failing': 'fail', 'filing': 'file',
+        'happy': 'happi', 'sky': 'sky', 'relational': 'relat',
+        'conditional': 'condit', 'rational': 'ration',
+        'valenci': 'valenc', 'hesitanci': 'hesit', 'digitizer': 'digit',
+        'conformabli': 'conform', 'radicalli': 'radic',
+        'differentli': 'differ', 'vileli': 'vile',
+        'analogousli': 'analog', 'vietnamization': 'vietnam',
+        'predication': 'predic', 'operator': 'oper',
+        'feudalism': 'feudal', 'decisiveness': 'decis',
+        'hopefulness': 'hope', 'callousness': 'callous',
+        'formaliti': 'formal', 'sensitiviti': 'sensit',
+        'sensibiliti': 'sensibl', 'triplicate': 'triplic',
+        'formative': 'form', 'formalize': 'formal',
+        'electriciti': 'electr', 'electrical': 'electr',
+        'hopeful': 'hope', 'goodness': 'good', 'revival': 'reviv',
+        'allowance': 'allow', 'inference': 'infer',
+        'airliner': 'airlin', 'gyroscopic': 'gyroscop',
+        'adjustable': 'adjust', 'defensible': 'defens',
+        'irritant': 'irrit', 'replacement': 'replac',
+        'adjustment': 'adjust', 'dependent': 'depend',
+        'adoption': 'adopt', 'communism': 'commun',
+        'activate': 'activ', 'angulariti': 'angular',
+        'homologous': 'homolog', 'effective': 'effect',
+        'bowdlerize': 'bowdler', 'probate': 'probat', 'rate': 'rate',
+        'cease': 'ceas', 'controll': 'control', 'roll': 'roll',
+    }
+    bad = {w: (stem(w), want) for w, want in cases.items() if stem(w) != want}
+    assert not bad, bad
