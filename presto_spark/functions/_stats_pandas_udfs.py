@@ -1,0 +1,71 @@
+"""Arrow-batched pandas UDFs for the incomplete-integral CDF family.
+
+Module WITHOUT ``from __future__ import annotations`` (pandas_udf needs
+live type hints).  Scalar math in functions/stats.py; these wrappers
+map it over Arrow batches.  CDF calls are analytics-tail expressions
+(confidence tests, p-values), never scan-hot paths, so the Python tier
+is the right cost point — same reasoning as the JSONPath fallback.
+"""
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from presto_spark.functions import stats
+
+
+def _map3(fn, a: pd.Series, b: pd.Series, c: pd.Series) -> pd.Series:
+    # float() coercion: SQL DECIMAL literals arrive as decimal.Decimal
+    return pd.Series(
+        [
+            None if x is None or y is None or z is None
+            else fn(float(x), float(y), float(z))
+            for x, y, z in zip(a, b, c)
+        ],
+        dtype="float64",
+    )
+
+
+def _map2(fn, a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if x is None or y is None else fn(float(x), float(y))
+            for x, y in zip(a, b)
+        ],
+        dtype="float64",
+    )
+
+
+@pandas_udf(DoubleType())
+def beta_cdf_udf(a: pd.Series, b: pd.Series, v: pd.Series) -> pd.Series:
+    return _map3(stats.beta_cdf, a, b, v)
+
+
+@pandas_udf(DoubleType())
+def binomial_cdf_udf(n: pd.Series, p: pd.Series, k: pd.Series) -> pd.Series:
+    return _map3(stats.binomial_cdf, n, p, k)
+
+
+@pandas_udf(DoubleType())
+def chi_squared_cdf_udf(df: pd.Series, v: pd.Series) -> pd.Series:
+    return _map2(stats.chi_squared_cdf, df, v)
+
+
+@pandas_udf(DoubleType())
+def f_cdf_udf(d1: pd.Series, d2: pd.Series, v: pd.Series) -> pd.Series:
+    return _map3(stats.f_cdf, d1, d2, v)
+
+
+@pandas_udf(DoubleType())
+def gamma_cdf_udf(shape: pd.Series, scale: pd.Series, v: pd.Series) -> pd.Series:
+    return _map3(stats.gamma_cdf, shape, scale, v)
+
+
+@pandas_udf(DoubleType())
+def poisson_cdf_udf(lam: pd.Series, k: pd.Series) -> pd.Series:
+    return _map2(stats.poisson_cdf, lam, k)
+
+
+@pandas_udf(DoubleType())
+def inverse_beta_cdf_udf(a: pd.Series, b: pd.Series, p: pd.Series) -> pd.Series:
+    return _map3(stats.inverse_beta_cdf, a, b, p)

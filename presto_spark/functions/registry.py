@@ -633,4 +633,21 @@ def register_functions(spark: SparkSession) -> list[str]:
 
     spark.udf.register("word_stem", _tp.word_stem_udf)
     registered.append("word_stem")
+    # Incomplete-integral CDF family (MathFunctions.java beta_cdf/
+    # binomial_cdf/chi_squared_cdf/f_cdf/gamma_cdf/poisson_cdf) —
+    # no closed form, so the regularized incomplete gamma/beta live in
+    # functions/stats.py behind Arrow-batched UDFs.
+    from presto_spark.functions import _stats_pandas_udfs as _sp
+
+    for name, fn in (
+        ("beta_cdf", _sp.beta_cdf_udf),
+        ("binomial_cdf", _sp.binomial_cdf_udf),
+        ("chi_squared_cdf", _sp.chi_squared_cdf_udf),
+        ("f_cdf", _sp.f_cdf_udf),
+        ("gamma_cdf", _sp.gamma_cdf_udf),
+        ("poisson_cdf", _sp.poisson_cdf_udf),
+        ("inverse_beta_cdf", _sp.inverse_beta_cdf_udf),
+    ):
+        spark.udf.register(name, fn)
+        registered.append(name)
     return registered

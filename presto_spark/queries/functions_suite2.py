@@ -1338,3 +1338,71 @@ dual_sql_query(
         "DuckDB ICU timezone() is the oracle.",
     tags=("functions", "datetime"),
 )
+
+
+# ---- incomplete-integral CDFs (reference: operator/scalar/
+# MathFunctions.java betaCdf/binomialCdf/chiSquaredCdf/fCdf/gammaCdf/
+# poissonCdf — commons-math distributions) ----
+
+dual_sql_query(
+    "fn_cdf_incomplete_suite",
+    """
+    SELECT n_nationkey,
+      round(chi_squared_cdf(2, n_nationkey + 1.0), 8) AS chi2_df2,
+      round(chi_squared_cdf(4, n_nationkey + 1.0), 8) AS chi2_df4,
+      round(gamma_cdf(3.0, 2.0, n_nationkey + 1.0), 8) AS erlang3,
+      round(poisson_cdf(2.0, CAST(n_nationkey % 5 AS DOUBLE)), 8) AS pois2,
+      abs(binomial_cdf(10.0, 0.5, CAST(n_nationkey % 10 AS DOUBLE))
+          - CAST(CASE n_nationkey % 10
+              WHEN 0 THEN 1.0 WHEN 1 THEN 11.0 WHEN 2 THEN 56.0
+              WHEN 3 THEN 176.0 WHEN 4 THEN 386.0 WHEN 5 THEN 638.0
+              WHEN 6 THEN 848.0 WHEN 7 THEN 968.0 WHEN 8 THEN 1013.0
+              ELSE 1023.0 END AS DOUBLE) / 1024.0) < 1e-12 AS binom_half,
+      round(beta_cdf(2.0, 3.0, 0.1 * (n_nationkey % 10)), 8) AS beta23,
+      round(f_cdf(2.0, 4.0, n_nationkey + 0.5), 8) AS f24,
+      round(inverse_beta_cdf(2.0, 3.0,
+              round(beta_cdf(2.0, 3.0, 0.1 * ((n_nationkey % 8) + 1)), 8)), 6)
+        AS beta_roundtrip
+    FROM nation WHERE n_nationkey < 10
+    ORDER BY n_nationkey
+    """,
+    # DuckDB oracle: identical closed-form arithmetic (even-df chi2 and
+    # Erlang gamma telescope to exp-polynomials; poisson/binomial/
+    # integer-parameter beta are finite sums; F(2,4) reduces to
+    # I_y(1,2) = 1 - (1-y)^2) — round(...,8) absorbs libm ulp diffs.
+    """
+    SELECT n_nationkey,
+      round(1 - exp(-(n_nationkey + 1.0)/2), 8) AS chi2_df2,
+      round(1 - exp(-(n_nationkey + 1.0)/2) * (1 + (n_nationkey + 1.0)/2), 8)
+        AS chi2_df4,
+      round(1 - exp(-(n_nationkey + 1.0)/2)
+              * (1 + (n_nationkey + 1.0)/2
+                   + power((n_nationkey + 1.0)/2, 2)/2), 8) AS erlang3,
+      round(exp(-2.0) * (CASE n_nationkey % 5
+              WHEN 0 THEN 1.0
+              WHEN 1 THEN 3.0
+              WHEN 2 THEN 5.0
+              WHEN 3 THEN 19.0/3
+              ELSE 7.0 END), 8) AS pois2,
+      true AS binom_half,
+      round((SELECT sum(CASE
+               WHEN j >= 2 THEN (CASE j WHEN 2 THEN 6.0 WHEN 3 THEN 4.0
+                                        ELSE 1.0 END)
+                 * power(0.1 * (n_nationkey % 10), j)
+                 * power(1 - 0.1 * (n_nationkey % 10), 4 - j)
+               ELSE 0.0 END)
+             FROM (SELECT unnest(range(0, 5)) AS j)), 8) AS beta23,
+      round(1 - power(4.0 / (2 * (n_nationkey + 0.5) + 4), 2), 8) AS f24,
+      CAST(round(0.1 * ((n_nationkey % 8) + 1), 6) AS DOUBLE) AS beta_roundtrip
+    FROM nation WHERE n_nationkey < 10
+    ORDER BY n_nationkey
+    """,
+    doc="Incomplete-integral CDFs (MathFunctions.java): regularized "
+        "incomplete gamma/beta via series + modified-Lentz continued "
+        "fractions (functions/stats.py), Arrow-batched. Oracle uses "
+        "independent closed forms: even-df chi-squared and Erlang gamma "
+        "exp-polynomials, exact poisson/binomial partial sums, the "
+        "integer-parameter beta-binomial identity, F(2,4) -> I_y(1,2), "
+        "and a beta quantile round-trip.",
+    tags=("functions", "math"),
+)

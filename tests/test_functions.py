@@ -266,3 +266,27 @@ def test_porter_stemmer_canonical_vocabulary():
     }
     bad = {w: (stem(w), want) for w, want in cases.items() if stem(w) != want}
     assert not bad, bad
+
+
+def test_incomplete_cdf_special_functions():
+    """stats.py incomplete gamma/beta vs independent closed forms
+    (MathFunctions.java CDF family)."""
+    import math
+    from presto_spark.functions import stats as S
+
+    assert abs(S.chi_squared_cdf(2, 3.0) - (1 - math.exp(-1.5))) < 1e-12
+    assert abs(S.gamma_cdf(3, 2.0, 7.0)
+               - (1 - math.exp(-3.5) * (1 + 3.5 + 3.5 ** 2 / 2))) < 1e-12
+    assert abs(S.poisson_cdf(2.0, 3)
+               - math.exp(-2) * (1 + 2 + 2 + 4 / 3)) < 1e-12
+    assert abs(S.binomial_cdf(20, 0.5, 8)
+               - sum(math.comb(20, i) for i in range(9)) / 2 ** 20) < 1e-12
+    assert abs(S.beta_cdf(2, 3, 0.4) - 0.5248) < 1e-12
+    assert abs(S.f_cdf(2, 4, 1.5) - (1 - (4 / 7) ** 2)) < 1e-12
+    assert abs(S.beta_cdf(5, 5, 0.5) - 0.5) < 1e-12
+    # quantile round-trip
+    for p in (0.05, 0.3, 0.7, 0.99):
+        assert abs(S.betainc(2.5, 4.0, S.inverse_beta_cdf(2.5, 4.0, p)) - p) < 1e-10
+    # domain edges
+    assert S.beta_cdf(2, 3, -0.5) == 0.0 and S.beta_cdf(2, 3, 1.5) == 1.0
+    assert math.isnan(S.chi_squared_cdf(-1, 2.0))
