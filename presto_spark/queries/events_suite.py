@@ -370,3 +370,71 @@ def event_stream_stateful_stats(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "event_stream_interval_join",
+    oracle="""
+    SELECT v.user_id AS user_id,
+           count(*) AS n_pairs,
+           CAST(sum(CAST(c.value AS DECIMAL(12,2))) AS DOUBLE) AS click_value
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+      AND v.user_id < 40
+    GROUP BY v.user_id
+    ORDER BY v.user_id
+    """,
+    doc="Stream-stream interval join (streaming/joins.py interval_join — "
+        "Spark-native extension, Presto has none, SURVEY §2.10): view "
+        "and click events drained as TWO file streams, watermarked both "
+        "sides, joined on user within [view_ts, view_ts + 30min]; "
+        "grouped pair counts must equal the batch self-join — the "
+        "DuckDB oracle. State is evictable because the interval bounds "
+        "what can still match.",
+    tags=("events", "streaming"),
+)
+def event_stream_interval_join(spark, sf_dir):
+    import os
+    import tempfile
+
+    prepare(spark, sf_dir)
+    from presto_spark.streaming import joins, windows
+
+    d = tempfile.mkdtemp(prefix="presto_spark_sj_")
+    os.symlink(os.path.join(sf_dir, "events.parquet"),
+               os.path.join(d, "events.parquet"))
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+    views = (
+        windows.stream_events(spark, d, raw_schema, watermark=None)
+        .where((F.col("event_type") == "view") & (F.col("user_id") < 40))
+        .select("user_id", F.col("ts").alias("l_ts"))
+    )
+    clicks = (
+        windows.stream_events(spark, d, raw_schema, watermark=None)
+        .where((F.col("event_type") == "click") & (F.col("user_id") < 40))
+        .select("user_id", F.col("ts").alias("r_ts"),
+                F.col("value").alias("click_v"))
+    )
+    joined = joins.interval_join(
+        views, clicks, "user_id", "l_ts", "r_ts", interval="30 minutes"
+    )
+    qname = "sj_" + os.path.basename(d).split("_")[-1]
+    q = (
+        joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return (
+        spark.table(qname)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("click_v").cast("decimal(12,2)"))
+            .cast("double").alias("click_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -48,7 +48,7 @@ def session(
 
 
 def stream_events(
-    spark, source_dir: str, schema, watermark: str = "10 minutes",
+    spark, source_dir: str, schema, watermark: str | None = "10 minutes",
     ts_col: str = "ts",
 ):
     """File-source stream with a watermark — the streaming entry point.
@@ -68,6 +68,10 @@ def stream_events(
             ts_col,
             F.timestamp_micros(F.floor(F.col(ts_col) / F.lit(1000)).cast("long")),
         )
+    # watermark=None: caller applies its own (e.g. joins.interval_join
+    # watermarks each side's renamed ts — Spark forbids redefinition).
+    if watermark is None:
+        return stream
     return stream.withWatermark(ts_col, watermark)
 
 

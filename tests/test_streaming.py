@@ -127,3 +127,44 @@ def test_stateful_running_stats_matches_batch(spark, events_schema, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_interval_join_stream_matches_batch(spark):
+    """Stream-stream interval join drained with AvailableNow equals the
+    batch run of the same interval_join expression (streaming/joins.py)."""
+    import os
+    import tempfile
+
+    from presto_spark.streaming import joins, windows
+
+    sf_dir = SF_DIR
+    d = tempfile.mkdtemp(prefix="ps_sj_test_")
+    os.symlink(os.path.join(sf_dir, "events.parquet"),
+               os.path.join(d, "events.parquet"))
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+    def sides(src):
+        v = src.where(F.col("event_type") == "view").select(
+            "user_id", F.col("ts").alias("l_ts"))
+        c = src.where(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("r_ts"))
+        return v, c
+
+    sv, sc = sides(windows.stream_events(spark, d, raw_schema, watermark=None))
+    stream_out = joins.interval_join(sv, sc, "user_id", "l_ts", "r_ts",
+                                     interval="15 minutes")
+    qname = "sj_eq_" + os.path.basename(d).split("_")[-1]
+    q = (stream_out.writeStream.format("memory").queryName(qname)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    q.stop()
+    got = sorted(map(tuple, spark.table(qname).collect()))
+
+    batch = spark.read.parquet(os.path.join(d, "events.parquet"))
+    if dict(batch.dtypes)["ts"] == "bigint":
+        batch = batch.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    bv, bc = sides(batch)
+    want = sorted(map(tuple, joins.interval_join(
+        bv, bc, "user_id", "l_ts", "r_ts", interval="15 minutes").collect()))
+    assert got == want and len(want) > 0
