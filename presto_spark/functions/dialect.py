@@ -259,6 +259,23 @@ _MACROS: dict[str, tuple[int, object]] = {
         2, lambda a: (f"CASE WHEN size(({a[0]})) < ({a[1]}) THEN array(({a[0]})) "
                       f"ELSE transform(sequence(1, size(({a[0]})) - ({a[1]}) + 1), "
                       f"_ps_i -> slice(({a[0]}), _ps_i, ({a[1]}))) END")),
+    # typeof → Presto type-name spelling (TypeOfFunction.java): Spark's
+    # typeof speaks Spark names; map int→integer, string→varchar,
+    # struct→row, <>→(), etc.  Word-boundary regexes keep bigint/
+    # varbinary intact; generic over the argument type by construction.
+    "typeof": (
+        1, lambda a: (
+            "translate("
+            "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+            "regexp_replace(regexp_replace("
+            f"typeof(({a[0]})), "
+            r"'\\bint\\b', 'integer'), "
+            r"'\\bstring\\b', 'varchar'), "
+            r"'\\bstruct\\b', 'row'), "
+            r"'\\btimestamp_ntz\\b', 'timestamp'), "
+            r"'\\bfloat\\b', 'real'), "
+            r"'\\bbinary\\b', 'varbinary'), "
+            "'<>', '()')")),
 }
 
 _macro_call_re = re.compile(

@@ -248,3 +248,44 @@ _presto_sql(
         "cosine_similarity overload (MathFunctions.java).",
     tags=("dialect", "functions"),
 )
+
+
+_presto_sql(
+    "presto_dialect_session_misc",
+    # --- Presto dialect: typeof + session functions (TypeOfFunction.java,
+    #     SessionFunctions.java) ---
+    """
+    SELECT n_nationkey,
+           typeof(CAST(1 AS INTEGER)) AS t_int,
+           typeof(CAST(1 AS BIGINT)) AS t_bigint,
+           typeof('x') AS t_varchar,
+           typeof(CAST(1.5 AS DECIMAL(3,2))) AS t_decimal,
+           typeof(CAST(NULL AS DOUBLE)) AS t_double,
+           typeof(array(CAST(1 AS INTEGER), CAST(2 AS INTEGER))) AS t_array,
+           length(current_user()) > 0 AS has_user,
+           uuid() RLIKE
+             '^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$'
+             AS uuid_shape
+    FROM nation WHERE n_nationkey < 3
+    ORDER BY n_nationkey
+    """,
+    # --- DuckDB oracle: Presto type-name spellings as goldens ---
+    """
+    SELECT n_nationkey,
+           'integer' AS t_int,
+           'bigint' AS t_bigint,
+           'varchar' AS t_varchar,
+           'decimal(3,2)' AS t_decimal,
+           'double' AS t_double,
+           'array(integer)' AS t_array,
+           true AS has_user,
+           true AS uuid_shape
+    FROM nation WHERE n_nationkey < 3
+    ORDER BY n_nationkey
+    """,
+    doc="typeof with Presto type-name spelling (TypeOfFunction.java — "
+        "dialect macro maps Spark names: int→integer, string→varchar, "
+        "<>→()), current_user (SessionFunctions.java, envelope: "
+        "non-empty) and uuid() shape (UuidType.java canonical form).",
+    tags=("dialect",),
+)
