@@ -16,11 +16,12 @@ Arrow batch — the acceptable slow tier, never the default.
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, LongType, StringType
 
 from presto_spark.functions import jsonpath
 
 
-@pandas_udf("string")
+@pandas_udf(StringType())
 def json_extract_py(j: pd.Series, p: pd.Series) -> pd.Series:
     return pd.Series(
         [jsonpath.extract_json(doc, path) for doc, path in zip(j, p)],
@@ -28,7 +29,7 @@ def json_extract_py(j: pd.Series, p: pd.Series) -> pd.Series:
     )
 
 
-@pandas_udf("string")
+@pandas_udf(StringType())
 def json_extract_scalar_py(j: pd.Series, p: pd.Series) -> pd.Series:
     return pd.Series(
         [jsonpath.extract_scalar(doc, path) for doc, path in zip(j, p)],
@@ -36,7 +37,7 @@ def json_extract_scalar_py(j: pd.Series, p: pd.Series) -> pd.Series:
     )
 
 
-@pandas_udf("long")
+@pandas_udf(LongType())
 def json_size_py(j: pd.Series, p: pd.Series) -> pd.Series:
     return pd.Series(
         [jsonpath.json_size(doc, path) for doc, path in zip(j, p)],

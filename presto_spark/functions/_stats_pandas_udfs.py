@@ -69,3 +69,38 @@ def poisson_cdf_udf(lam: pd.Series, k: pd.Series) -> pd.Series:
 @pandas_udf(DoubleType())
 def inverse_beta_cdf_udf(a: pd.Series, b: pd.Series, p: pd.Series) -> pd.Series:
     return _map3(stats.inverse_beta_cdf, a, b, p)
+
+
+@pandas_udf(DoubleType())
+def t_cdf_udf(df: pd.Series, t: pd.Series) -> pd.Series:
+    return _map2(stats.t_cdf, df, t)
+
+
+@pandas_udf(DoubleType())
+def inverse_t_cdf_udf(df: pd.Series, p: pd.Series) -> pd.Series:
+    return _map2(stats.inverse_t_cdf, df, p)
+
+
+@pandas_udf(DoubleType())
+def inverse_chi_squared_cdf_udf(df: pd.Series, p: pd.Series) -> pd.Series:
+    return _map2(stats.inverse_chi_squared_cdf, df, p)
+
+
+@pandas_udf(DoubleType())
+def inverse_gamma_cdf_udf(sh: pd.Series, sc: pd.Series, p: pd.Series) -> pd.Series:
+    return _map3(stats.inverse_gamma_cdf, sh, sc, p)
+
+
+@pandas_udf(DoubleType())
+def inverse_f_cdf_udf(d1: pd.Series, d2: pd.Series, p: pd.Series) -> pd.Series:
+    return _map3(stats.inverse_f_cdf, d1, d2, p)
+
+
+@pandas_udf(DoubleType())
+def inverse_poisson_cdf_udf(lam: pd.Series, p: pd.Series) -> pd.Series:
+    return _map2(lambda a, b: float(stats.inverse_poisson_cdf(a, b)), lam, p)
+
+
+@pandas_udf(DoubleType())
+def inverse_binomial_cdf_udf(n: pd.Series, pr: pd.Series, p: pd.Series) -> pd.Series:
+    return _map3(lambda a, b, c: float(stats.inverse_binomial_cdf(a, b, c)), n, pr, p)

@@ -34,6 +34,9 @@ _SIMPLE_MAP = {
     # scalar polymorphics (SQL UDFs can't be generic over element type)
     "cardinality": "size",                       # operator/scalar/ArrayCardinalityFunction.java
     "from_unixtime": "timestamp_seconds",        # DateTimeFunctions.java fromUnixTime → TIMESTAMP
+    "regexp_split": "split",                     # JoniRegexpFunctions.java regexpSplit
+    "zip": "arrays_zip",                         # ZipFunction.java (row fields become struct fields)
+    "ngrams": "array_ngrams",                    # NgramsFunction.java — macro-expands below
 }
 
 _simple_renames_re = re.compile(
@@ -259,6 +262,26 @@ _MACROS: dict[str, tuple[int, object]] = {
         2, lambda a: (f"CASE WHEN size(({a[0]})) < ({a[1]}) THEN array(({a[0]})) "
                       f"ELSE transform(sequence(1, size(({a[0]})) - ({a[1]}) + 1), "
                       f"_ps_i -> slice(({a[0]}), _ps_i, ({a[1]}))) END")),
+    # Lambda-predicate array functions (ArrayAllMatchFunction.java /
+    # AnyMatch/NoneMatch, ArrayFindFirstFunction.java): the lambda rules
+    # out a SQL UDF, and Spark's forall/exists are the exact analogs —
+    # the user's lambda text passes through verbatim.
+    "all_match": (2, lambda a: f"forall(({a[0]}), {a[1]})"),
+    "any_match": (2, lambda a: f"exists(({a[0]}), {a[1]})"),
+    "none_match": (2, lambda a: f"(NOT exists(({a[0]}), {a[1]}))"),
+    "find_first": (2, lambda a: f"element_at(filter(({a[0]}), {a[1]}), 1)"),
+    # map_subset(m, keys) (MapSubsetFunction.java)
+    "map_subset": (
+        2, lambda a: (f"map_filter(({a[0]}), (_ps_k, _ps_v) -> "
+                      f"array_contains(({a[1]}), _ps_k))")),
+    # Presto two-array map constructor MAP(ARRAY[..], ARRAY[..])
+    # (MapConstructor.java) — 2-arg only; Spark's variadic map literal
+    # keeps other arities.
+    "map": (2, lambda a: f"map_from_arrays(({a[0]}), ({a[1]}))"),
+    # date(x) → DATE cast (DateTimeFunctions.java date)
+    "date": (1, lambda a: f"CAST(({a[0]}) AS DATE)"),
+    # 1-arg normalize defaults to NFC (StringFunctions.java normalize)
+    "normalize": (1, lambda a: f"normalize(({a[0]}), 'NFC')"),
     # typeof → Presto type-name spelling (TypeOfFunction.java): Spark's
     # typeof speaks Spark names; map int→integer, string→varchar,
     # struct→row, <>→(), etc.  Word-boundary regexes keep bigint/

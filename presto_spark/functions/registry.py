@@ -167,6 +167,38 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
         "a ARRAY<DOUBLE>", "DOUBLE",
         "aggregate(filter(a, x -> x IS NOT NULL), 0D, (acc, v) -> acc + v)",
         "ArraySumFunction.java"),
+    "array_normalize": (
+        "a ARRAY<DOUBLE>, p DOUBLE", "ARRAY<DOUBLE>",
+        """CASE WHEN aggregate(a, 0D, (acc, v) -> acc + power(abs(v), p)) = 0D
+                THEN a
+           ELSE transform(a, x -> x / power(
+                  aggregate(a, 0D, (acc, v) -> acc + power(abs(v), p)),
+                  1.0D / p)) END""",
+        "ArrayNormalizeFunction.java (p-norm; zero vector passes through)"),
+    "dot_product": (
+        "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", "DOUBLE",
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)",
+        "MathFunctions.java dotProduct"),
+    "l2_squared": (
+        "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", "DOUBLE",
+        """aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)),
+                     0D, (acc, v) -> acc + v)""",
+        "MathFunctions.java l2Squared (squared Euclidean distance)"),
+    "parse_presto_data_size": (
+        "s STRING", "DECIMAL(38,0)",
+        """CAST(floor(CAST(regexp_extract(s, '^\\\\s*([0-9]*\\\\.?[0-9]+)([A-Za-z]+)\\\\s*$', 1)
+                     AS DOUBLE)
+                * CASE regexp_extract(s, '^\\\\s*([0-9]*\\\\.?[0-9]+)([A-Za-z]+)\\\\s*$', 2)
+                    WHEN 'B' THEN 1.0D
+                    WHEN 'kB' THEN 1024.0D
+                    WHEN 'MB' THEN 1048576.0D
+                    WHEN 'GB' THEN 1073741824.0D
+                    WHEN 'TB' THEN 1099511627776.0D
+                    WHEN 'PB' THEN 1125899906842624.0D
+                    WHEN 'EB' THEN 1152921504606846976.0D
+                  END) AS DECIMAL(38,0))""",
+        "DataSizeFunctions.java parsePrestoDataSize (truncates toward "
+        "zero: '2.3MB' → 2411724, matching the reference doc example)"),
     "array_cum_sum": (
         "a ARRAY<DOUBLE>", "ARRAY<DOUBLE>",
         """aggregate(a, array(0D),
@@ -322,6 +354,36 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
         "s STRING, n INT", "STRING",
         "reverse(substring(reverse(s), 1, n))",
         "StringSqlFunctions.java trail (last N characters)"),
+    "strrpos": (
+        "s STRING, sub STRING", "BIGINT",
+        """CASE WHEN instr(s, sub) = 0 THEN 0
+                ELSE length(s) - length(sub)
+                     - instr(reverse(s), reverse(sub)) + 2 END""",
+        "StringFunctions.java stringReversePosition (1-based, 0 if absent)"),
+    "longest_common_prefix": (
+        "s1 STRING, s2 STRING", "STRING",
+        """CASE WHEN least(length(s1), length(s2)) = 0 THEN ''
+           ELSE substring(s1, 1,
+                  aggregate(sequence(1, least(length(s1), length(s2))), 0,
+                            (acc, i) -> IF(acc = i - 1
+                                           AND substring(s1, i, 1)
+                                               = substring(s2, i, 1),
+                                           i, acc))) END""",
+        "StringFunctions.java longestCommonPrefix"),
+    "split_to_multimap": (
+        "s STRING, ed STRING, kd STRING", "MAP<STRING, ARRAY<STRING>>",
+        """map_from_entries(transform(
+               array_distinct(transform(
+                   split(s, concat('\\\\Q', ed, '\\\\E')),
+                   p -> split_part(p, kd, 1))),
+               k -> struct(
+                   k,
+                   transform(
+                       filter(split(s, concat('\\\\Q', ed, '\\\\E')),
+                              p -> split_part(p, kd, 1) = k),
+                       p -> split_part(p, kd, 2)))))""",
+        "SplitToMultimapFunction.java — values grouped per unique key in "
+        "encounter order"),
     "split_part_reverse": (
         "s STRING, d STRING, idx BIGINT", "STRING",
         """element_at(split(s, concat('\\\\Q', d, '\\\\E')), CAST(idx AS INT))""",
@@ -373,6 +435,13 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
     "from_iso8601_date": (
         "s STRING", "DATE", "to_date(s, 'yyyy-MM-dd')",
         "DateTimeFunctions.java fromISO8601Date"),
+    "from_iso8601_timestamp": (
+        "s STRING", "TIMESTAMP_NTZ", "CAST(to_timestamp(s) AS TIMESTAMP_NTZ)",
+        "DateTimeFunctions.java fromISO8601Timestamp — offset-suffixed "
+        "inputs normalize to the engine's UTC instant"),
+    "millisecond": (
+        "t TIMESTAMP_NTZ", "INT", "CAST(date_format(t, 'SSS') AS INT)",
+        "DateTimeFunctions.java millisecondFromTimestamp"),
     "parse_duration": (
         "s STRING", "DOUBLE",
         """CAST(regexp_extract(s, '^\\\\s*([0-9]*\\\\.?[0-9]+)\\\\s*([a-z]+)\\\\s*$', 1)
@@ -418,6 +487,19 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
         "z STRUCT<utc: TIMESTAMP_NTZ, tz: STRING>", "DOUBLE",
         "to_unixtime(z.utc)",
         "DateTimeFunctions.java toUnixTime over TSWTZ (zone-independent)"),
+    # CAST-through-double truncates toward zero, so -5:30 gives
+    # timezone_hour -5 / timezone_minute -30 (Presto semantics); Spark %
+    # keeps the dividend's sign.
+    "timezone_hour": (
+        "z STRUCT<utc: TIMESTAMP_NTZ, tz: STRING>", "INT",
+        """CAST((to_unixtime(tz_wall(z)) - to_unixtime(z.utc)) / 3600.0
+                AS INT)""",
+        "DateTimeFunctions.java timeZoneHourFromTimestampWithTimeZone"),
+    "timezone_minute": (
+        "z STRUCT<utc: TIMESTAMP_NTZ, tz: STRING>", "INT",
+        """CAST((CAST(to_unixtime(tz_wall(z)) - to_unixtime(z.utc) AS INT)
+                 % 3600) / 60 AS INT)""",
+        "DateTimeFunctions.java timeZoneMinuteFromTimestampWithTimeZone"),
     "tz_to_iso8601": (
         "z STRUCT<utc: TIMESTAMP_NTZ, tz: STRING>", "STRING",
         """concat(
@@ -632,7 +714,9 @@ def register_functions(spark: SparkSession) -> list[str]:
     from presto_spark.functions import _text_pandas_udfs as _tp
 
     spark.udf.register("word_stem", _tp.word_stem_udf)
-    registered.append("word_stem")
+    spark.udf.register("jarowinkler_similarity", _tp.jarowinkler_udf)
+    spark.udf.register("normalize", _tp.normalize_udf)
+    registered += ["word_stem", "jarowinkler_similarity", "normalize"]
     # Incomplete-integral CDF family (MathFunctions.java beta_cdf/
     # binomial_cdf/chi_squared_cdf/f_cdf/gamma_cdf/poisson_cdf) —
     # no closed form, so the regularized incomplete gamma/beta live in
@@ -647,6 +731,13 @@ def register_functions(spark: SparkSession) -> list[str]:
         ("gamma_cdf", _sp.gamma_cdf_udf),
         ("poisson_cdf", _sp.poisson_cdf_udf),
         ("inverse_beta_cdf", _sp.inverse_beta_cdf_udf),
+        ("t_cdf", _sp.t_cdf_udf),
+        ("inverse_t_cdf", _sp.inverse_t_cdf_udf),
+        ("inverse_chi_squared_cdf", _sp.inverse_chi_squared_cdf_udf),
+        ("inverse_gamma_cdf", _sp.inverse_gamma_cdf_udf),
+        ("inverse_f_cdf", _sp.inverse_f_cdf_udf),
+        ("inverse_poisson_cdf", _sp.inverse_poisson_cdf_udf),
+        ("inverse_binomial_cdf", _sp.inverse_binomial_cdf_udf),
     ):
         spark.udf.register(name, fn)
         registered.append(name)

@@ -182,3 +182,100 @@ def inverse_beta_cdf(a: float, b: float, p: float) -> float:
         if hi - lo < 1e-16:
             break
     return 0.5 * (lo + hi)
+
+
+def t_cdf(df: float, t: float) -> float:
+    """Student's t CDF via the incomplete beta identity
+    (MathFunctions.java tCdf): P(T<=t) = 1 - I_x(df/2, 1/2)/2 for t>0,
+    x = df/(df+t²); symmetric for t<0."""
+    if df <= 0 or math.isnan(t):
+        return float("nan")
+    if t == 0:
+        return 0.5
+    x = df / (df + t * t)
+    tail = 0.5 * betainc(df / 2.0, 0.5, x)
+    return 1.0 - tail if t > 0 else tail
+
+
+def _invert_continuous(cdf, p: float, lo: float, hi: float) -> float:
+    """Bisection quantile for a monotone CDF on [lo, hi) with geometric
+    upper-bound growth."""
+    if not (0.0 <= p <= 1.0):
+        return float("nan")
+    if p == 0.0:
+        return lo
+    while cdf(hi) < p and hi < 1e300:
+        hi *= 2.0
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if cdf(mid) < p:
+            lo = mid
+        else:
+            hi = mid
+        if hi - lo <= 1e-12 * max(1.0, abs(hi)):
+            break
+    return 0.5 * (lo + hi)
+
+
+def inverse_chi_squared_cdf(df: float, p: float) -> float:
+    if df <= 0:
+        return float("nan")
+    return _invert_continuous(lambda x: chi_squared_cdf(df, x), p, 0.0, df + 10.0)
+
+
+def inverse_gamma_cdf(shape: float, scale: float, p: float) -> float:
+    if shape <= 0 or scale <= 0:
+        return float("nan")
+    return _invert_continuous(
+        lambda x: gamma_cdf(shape, scale, x), p, 0.0, shape * scale + 10.0
+    )
+
+
+def inverse_f_cdf(d1: float, d2: float, p: float) -> float:
+    if d1 <= 0 or d2 <= 0:
+        return float("nan")
+    return _invert_continuous(lambda x: f_cdf(d1, d2, x), p, 0.0, 10.0)
+
+
+def inverse_t_cdf(df: float, p: float) -> float:
+    if df <= 0 or not (0.0 < p < 1.0):
+        return float("nan")
+    if p == 0.5:
+        return 0.0
+    if p < 0.5:
+        return -inverse_t_cdf(df, 1.0 - p)
+    hi = 10.0
+    while t_cdf(df, hi) < p and hi < 1e300:
+        hi *= 2.0
+    lo = 0.0
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if t_cdf(df, mid) < p:
+            lo = mid
+        else:
+            hi = mid
+        if hi - lo <= 1e-12 * max(1.0, hi):
+            break
+    return 0.5 * (lo + hi)
+
+
+def inverse_poisson_cdf(lam: float, p: float) -> int:
+    """Smallest k with poisson_cdf(lam, k) >= p (discrete quantile)."""
+    if lam <= 0 or not (0.0 <= p < 1.0):
+        return -1  # Presto raises; NULL-signal handled by the UDF layer
+    k = 0
+    while poisson_cdf(lam, k) < p and k < 10_000_000:
+        k += max(1, int(0.1 * max(lam, 1)))
+    while k > 0 and poisson_cdf(lam, k - 1) >= p:
+        k -= 1
+    return k
+
+
+def inverse_binomial_cdf(n: float, prob: float, p: float) -> int:
+    if n < 0 or not (0.0 <= prob <= 1.0) or not (0.0 <= p < 1.0):
+        return -1
+    k = 0
+    n = int(n)
+    while k < n and binomial_cdf(n, prob, k) < p:
+        k += 1
+    return k

@@ -289,3 +289,93 @@ _presto_sql(
         "non-empty) and uuid() shape (UuidType.java canonical form).",
     tags=("dialect",),
 )
+
+
+_presto_sql(
+    "presto_dialect_scalar_breadth",
+    # --- Presto dialect: lambda-predicate arrays, map constructor,
+    #     string similarity, data sizes, t/inverse CDFs ---
+    """
+    SELECT n_nationkey,
+           all_match(array(2, 4, 6), x -> x % 2 = 0) AS am,
+           any_match(array(1, 2), x -> x > 1) AS anym,
+           none_match(array(1, 2), x -> x > 5) AS nm,
+           find_first(array(3, 8, 5), x -> x > 4) AS ff,
+           element_at(map_subset(map('a', 1, 'b', 2, 'c', 3),
+                                 array('a', 'c')), 'c') AS subset_c,
+           cardinality(map_subset(map('a', 1, 'b', 2, 'c', 3),
+                                  array('a', 'c'))) AS subset_n,
+           element_at(map(array('x', 'y'), array(1, 2)), 'y') AS map2_y,
+           cardinality(zip(array(1, 2), array('a', 'b'))) AS zip_len,
+           ngrams(array('a', 'b', 'c'), 2) AS bigrams,
+           strrpos('ababab', 'ab') AS rpos,
+           strrpos('abc', 'z') AS rpos_miss,
+           longest_common_prefix('prestodb', 'prestissimo') AS lcp,
+           element_at(split_to_multimap('a=1,b=2,a=3', ',', '='), 'a')
+             AS multi_a,
+           length(normalize('e\u0301')) AS nfc_len,
+           normalize('Ａｂｃ', 'NFKC') AS nfkc,
+           round(jarowinkler_similarity('MARTHA', 'MARHTA'), 6) AS jw1,
+           round(jarowinkler_similarity('DWAYNE', 'DUANE'), 6) AS jw2,
+           dot_product(array(1.0, 2.0), array(3.0, 4.0)) AS dotp,
+           l2_squared(array(1.0, 2.0), array(3.0, 4.0)) AS l2sq,
+           array_normalize(array(3.0, 4.0), 2.0) AS anorm,
+           CAST(parse_presto_data_size('2.3MB') AS BIGINT) AS dsize,
+           date('2020-05-05') AS d,
+           millisecond(TIMESTAMP '2001-08-22 03:04:05.321') AS ms,
+           CAST(from_iso8601_timestamp('2020-01-01T10:00:00+05:30')
+                AS STRING) AS iso_ts,
+           round(t_cdf(1.0, 1.0), 8) AS tc,
+           round(inverse_t_cdf(1.0, 0.75), 6) AS itc,
+           round(chi_squared_cdf(3.0, inverse_chi_squared_cdf(3.0, 0.8)), 6)
+             AS chi2_rt,
+           CAST(inverse_poisson_cdf(4.0, 0.9) AS INT) AS ipois,
+           CAST(inverse_binomial_cdf(20.0, 0.5, 0.6) AS INT) AS ibinom
+    FROM nation WHERE n_nationkey < 3
+    ORDER BY n_nationkey
+    """,
+    # --- DuckDB oracle: hand goldens (canonical Jaro-Winkler pairs,
+    #     Presto doc example for parse_presto_data_size, t(1) = Cauchy) ---
+    """
+    SELECT n_nationkey,
+           true AS am, true AS anym, true AS nm,
+           8 AS ff,
+           3 AS subset_c, 2 AS subset_n,
+           2 AS map2_y,
+           2 AS zip_len,
+           [['a','b'], ['b','c']] AS bigrams,
+           CAST(5 AS BIGINT) AS rpos, CAST(0 AS BIGINT) AS rpos_miss,
+           'prest' AS lcp,
+           ['1', '3'] AS multi_a,
+           1 AS nfc_len,
+           'Abc' AS nfkc,
+           CAST(round(jaro_winkler_similarity('MARTHA', 'MARHTA'), 6)
+                AS DOUBLE) AS jw1,
+           CAST(round(jaro_winkler_similarity('DWAYNE', 'DUANE'), 6)
+                AS DOUBLE) AS jw2,
+           CAST(11.0 AS DOUBLE) AS dotp,
+           CAST(8.0 AS DOUBLE) AS l2sq,
+           CAST([0.6, 0.8] AS DOUBLE[]) AS anorm,
+           CAST(2411724 AS BIGINT) AS dsize,
+           DATE '2020-05-05' AS d,
+           321 AS ms,
+           '2020-01-01 04:30:00' AS iso_ts,
+           CAST(0.75 AS DOUBLE) AS tc,
+           CAST(1.0 AS DOUBLE) AS itc,
+           CAST(0.8 AS DOUBLE) AS chi2_rt,
+           7 AS ipois,
+           11 AS ibinom
+    FROM nation WHERE n_nationkey < 3
+    ORDER BY n_nationkey
+    """,
+    doc="Scalar-function breadth batch: lambda-predicate array functions "
+        "(all/any/none_match, find_first — dialect macros over forall/"
+        "exists), map_subset and the two-array MAP constructor, zip/"
+        "ngrams/regexp_split renames, strrpos/longest_common_prefix/"
+        "split_to_multimap/normalize (NFC default + NFKC) string shims, "
+        "jarowinkler_similarity (DuckDB builtin as oracle), dot_product/"
+        "l2_squared/array_normalize vector math, parse_presto_data_size "
+        "(doc example golden), date()/millisecond/from_iso8601_timestamp, "
+        "and the t/inverse CDF tier with closed-form/published goldens.",
+    tags=("dialect", "functions"),
+)
