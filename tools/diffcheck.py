@@ -10,8 +10,11 @@ Usage:  python tools/diffcheck.py [sf_dir] [name_substring...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
