@@ -543,11 +543,12 @@ def llm_ann_lsh_recall(spark, sf_dir):
     "llm_multimodal_features",
     oracle="""
     SELECT doc_id,
-           [length(text)::DOUBLE,
-            ord(substr(text, 1, 1))::DOUBLE,
-            ord(substr(text, -1, 1))::DOUBLE,
+           array_to_string([length(text)::BIGINT,
+            ord(substr(text, 1, 1))::BIGINT,
+            ord(substr(text, -1, 1))::BIGINT,
             (list_reduce(list_prepend(0::BIGINT, """ + D_CODES.replace("{s}", "text") + """),
-                         (acc, x) -> acc + x) % 1000000007)::DOUBLE] AS features
+                         (acc, x) -> acc + x) % 1000000007)::BIGINT], ',')
+             AS features
     FROM documents WHERE doc_id < 50
     ORDER BY doc_id
     """,
@@ -562,7 +563,15 @@ def llm_multimodal_features(spark, sf_dir):
     prepare(spark, sf_dir)
     docs = spark.table("documents").where(F.col("doc_id") < 50)
     with_payload = multimodal.attach_payload(docs)
-    return multimodal.extract_features(with_payload).orderBy("doc_id")
+    feats = multimodal.extract_features(with_payload)
+    # Features are integer-valued doubles; serialize scalar so the
+    # driver's canonicalizer (pandas sort) never sees a raw list cell.
+    return feats.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: x.cast("bigint"))
+        ).alias("features"),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

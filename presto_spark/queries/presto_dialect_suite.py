@@ -210,10 +210,11 @@ _presto_sql(
            TRY(n_nationkey * 9223372036854775807) AS mul_overflow,
            TRY(CAST('abc' AS INTEGER)) AS bad_cast,
            TRY(n_nationkey + 1) AS ok_add,
-           remove_nulls(array(1.5, NULL, 2.5)) AS rn_double,
-           array_top_n(array(1.5, 3.5, 2.5), 2) AS topn_double,
-           trim_array(array('a', 'b', 'c'), 1) AS trim_str,
-           array_split_into_chunks(array(1.5, 2.5, 3.5), 2) AS chunks_double,
+           to_json(remove_nulls(array(1.5, NULL, 2.5))) AS rn_double,
+           to_json(array_top_n(array(1.5, 3.5, 2.5), 2)) AS topn_double,
+           to_json(trim_array(array('a', 'b', 'c'), 1)) AS trim_str,
+           to_json(array_split_into_chunks(array(1.5, 2.5, 3.5), 2))
+             AS chunks_double,
            round(cosine_similarity_map(map('a', 1.0, 'b', 2.0),
                                        map('a', 2.0, 'c', 1.0)), 6) AS cos_map
     FROM nation WHERE n_nationkey < 3
@@ -230,10 +231,10 @@ _presto_sql(
                 ELSE NULL END AS mul_overflow,
            CAST(NULL AS INTEGER) AS bad_cast,
            n_nationkey + 1 AS ok_add,
-           [1.5, 2.5] AS rn_double,
-           [3.5, 2.5] AS topn_double,
-           ['a', 'b'] AS trim_str,
-           [[1.5, 2.5], [3.5]] AS chunks_double,
+           '[1.5,2.5]' AS rn_double,
+           '[3.5,2.5]' AS topn_double,
+           '["a","b"]' AS trim_str,
+           '[[1.5,2.5],[3.5]]' AS chunks_double,
            CAST(0.4 AS DOUBLE) AS cos_map
     FROM nation WHERE n_nationkey < 3
     ORDER BY n_nationkey
@@ -307,11 +308,11 @@ _presto_sql(
                                   array('a', 'c'))) AS subset_n,
            element_at(map(array('x', 'y'), array(1, 2)), 'y') AS map2_y,
            cardinality(zip(array(1, 2), array('a', 'b'))) AS zip_len,
-           ngrams(array('a', 'b', 'c'), 2) AS bigrams,
+           to_json(ngrams(array('a', 'b', 'c'), 2)) AS bigrams,
            strrpos('ababab', 'ab') AS rpos,
            strrpos('abc', 'z') AS rpos_miss,
            longest_common_prefix('prestodb', 'prestissimo') AS lcp,
-           element_at(split_to_multimap('a=1,b=2,a=3', ',', '='), 'a')
+           to_json(element_at(split_to_multimap('a=1,b=2,a=3', ',', '='), 'a'))
              AS multi_a,
            length(normalize('e\u0301')) AS nfc_len,
            normalize('Ａｂｃ', 'NFKC') AS nfkc,
@@ -319,7 +320,7 @@ _presto_sql(
            round(jarowinkler_similarity('DWAYNE', 'DUANE'), 6) AS jw2,
            dot_product(array(1.0, 2.0), array(3.0, 4.0)) AS dotp,
            l2_squared(array(1.0, 2.0), array(3.0, 4.0)) AS l2sq,
-           array_normalize(array(3.0, 4.0), 2.0) AS anorm,
+           to_json(array_normalize(array(3.0, 4.0), 2.0)) AS anorm,
            CAST(parse_presto_data_size('2.3MB') AS BIGINT) AS dsize,
            date('2020-05-05') AS d,
            millisecond(TIMESTAMP '2001-08-22 03:04:05.321') AS ms,
@@ -343,10 +344,10 @@ _presto_sql(
            3 AS subset_c, 2 AS subset_n,
            2 AS map2_y,
            2 AS zip_len,
-           [['a','b'], ['b','c']] AS bigrams,
+           '[["a","b"],["b","c"]]' AS bigrams,
            CAST(5 AS BIGINT) AS rpos, CAST(0 AS BIGINT) AS rpos_miss,
            'prest' AS lcp,
-           ['1', '3'] AS multi_a,
+           '["1","3"]' AS multi_a,
            1 AS nfc_len,
            'Abc' AS nfkc,
            CAST(round(jaro_winkler_similarity('MARTHA', 'MARHTA'), 6)
@@ -355,7 +356,7 @@ _presto_sql(
                 AS DOUBLE) AS jw2,
            CAST(11.0 AS DOUBLE) AS dotp,
            CAST(8.0 AS DOUBLE) AS l2sq,
-           CAST([0.6, 0.8] AS DOUBLE[]) AS anorm,
+           '[0.6,0.8]' AS anorm,
            CAST(2411724 AS BIGINT) AS dsize,
            DATE '2020-05-05' AS d,
            321 AS ms,

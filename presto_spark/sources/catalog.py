@@ -38,20 +38,31 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # TIMESTAMP(NANOS) column surfaces as BIGINT nanos (see
-        # session.py nanosAsLong); convert to TIMESTAMP_NTZ at µs
-        # precision — same truncation DuckDB applies, so the oracle and
-        # the engine observe identical timestamps.  Keep the raw nanos
-        # as ts_ns: window orderings use it for exact cross-engine
-        # ordering (DuckDB keeps ns precision; epoch_ns(ts) matches).
-        df = (
-            df.withColumn("ts_ns", F.col("ts"))
-            .withColumn(
-                "ts",
-                F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-                .cast("timestamp_ntz"),
+        # The generator has shipped ts as either TIMESTAMP(NANOS)
+        # (surfacing as BIGINT nanos via session.py nanosAsLong) or
+        # plain timestamp[us]; normalize both to TIMESTAMP_NTZ µs plus
+        # a raw-nanos BIGINT ts_ns.  Window orderings use ts_ns for
+        # exact cross-engine ordering (DuckDB: epoch_ns(ts) matches).
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            df = (
+                df.withColumn("ts_ns", F.col("ts"))
+                .withColumn(
+                    "ts",
+                    F.timestamp_micros(
+                        F.floor(F.col("ts") / F.lit(1000)).cast("long")
+                    ).cast("timestamp_ntz"),
+                )
             )
-        )
+        else:
+            df = df.withColumn(
+                "ts", F.col("ts").cast("timestamp_ntz")
+            ).withColumn(
+                "ts_ns",
+                (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast(
+                    "long"
+                ),
+            )
     return df
 
 

@@ -63,11 +63,16 @@ def stream_events(
     µs timestamp before the watermark, mirroring sources/catalog.py.
     """
     stream = spark.readStream.schema(schema).parquet(source_dir)
-    if dict(stream.dtypes)[ts_col] == "bigint":
+    ts_type = dict(stream.dtypes)[ts_col]
+    if ts_type == "bigint":
         stream = stream.withColumn(
             ts_col,
             F.timestamp_micros(F.floor(F.col(ts_col) / F.lit(1000)).cast("long")),
         )
+    elif ts_type == "timestamp_ntz":
+        # Watermarks require TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE);
+        # session tz is UTC so the cast is value-preserving.
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     # watermark=None: caller applies its own (e.g. joins.interval_join
     # watermarks each side's renamed ts — Spark forbids redefinition).
     if watermark is None:

@@ -34,3 +34,18 @@ def test_query_matches_oracle(spark, duck, name):
         assert sdf.count() >= 0
     else:
         assert_same(sdf, duck, q.oracle)
+
+
+def test_no_collection_columns_in_any_registry_output(spark):
+    """Registry-wide rule: final projections serialize ARRAY/MAP columns
+    (to_json / concat_ws) so the driver's pandas-sort canonicalizer never
+    sees an unhashable list cell.  Schema-only — no execution."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    offenders = []
+    for name, q in REGISTRY.items():
+        schema = q.spark(spark, SF_DIR).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType)):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, offenders
