@@ -30,12 +30,21 @@ def main() -> None:
 
     names = [n for n, q in REGISTRY.items() if "bench" in q.tags]
 
+    def _isolate() -> None:
+        """Per-query isolation (VERDICT r2 #3): drop cached plans and any
+        persisted/checkpoint blocks a query left behind, so query N
+        cannot poison query N+1's timing."""
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+
     # Prewarm pass: run every query once unmeasured (reference protocol:
     # tpch.yaml prewarm runs before measured runs) — warms codegen,
     # file listings, and broadcast builds so timings measure the query,
     # not first-touch overhead.
     for name in names:
         REGISTRY[name].spark(spark, sf_dir).collect()
+        _isolate()
 
     timings: dict[str, float] = {}
     for name in names:
@@ -43,6 +52,7 @@ def main() -> None:
         df = REGISTRY[name].spark(spark, sf_dir)
         df.collect()
         timings[name] = round(time.time() - t0, 3)
+        _isolate()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

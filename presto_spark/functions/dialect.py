@@ -119,8 +119,12 @@ _literal_re = re.compile(r"^'((?:[^']|'')*)'$")
 
 def _split_call(sql: str, open_paren: int):
     """Scan from the '(' at ``open_paren``; return (args, close_index) with
-    args split at top-level commas, or None if unbalanced."""
+    args split at top-level commas, or None if unbalanced.
+
+    Tracks '['/']' alongside parens: commas inside ARRAY[...] literals
+    and subscripts (arr[i]) are not argument separators."""
     depth = 0
+    bdepth = 0
     in_str = False
     args: list[str] = []
     start = open_paren + 1
@@ -143,7 +147,11 @@ def _split_call(sql: str, open_paren: int):
             if depth == 0:
                 args.append(sql[start:i])
                 return args, i
-        elif c == "," and depth == 1:
+        elif c == "[":
+            bdepth += 1
+        elif c == "]":
+            bdepth -= 1
+        elif c == "," and depth == 1 and bdepth == 0:
             args.append(sql[start:i])
             start = i + 1
         i += 1

@@ -208,15 +208,23 @@ def near_dedup_pairs(
     The shingle table feeds three consumers (signature aggregation and
     both sides of the verification join) — persisted so shingling runs
     once (explicit CTE materialization; Catalyst would otherwise inline
-    and recompute it per consumer).
+    and recompute it per consumer).  The verified pairs are eagerly
+    materialized (localCheckpoint) so the shingle cache can be RELEASED
+    before returning — a long-lived session must not accumulate
+    persisted shingle tables across invocations (they are corpus-sized;
+    the pairs are not).
     """
-    sh = with_shingles(df, id_col, text_col).persist()
+    from pyspark.storagelevel import StorageLevel
+
+    sh = with_shingles(df, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cands = lsh_candidate_pairs_from_signatures(
         minhash_from_shingles(sh, id_col), id_col
     )
     a = sh.alias("sa")
     b = sh.alias("sb")
-    return (
+    pairs = (
         cands.join(a, cands.id_a == F.col(f"sa.{id_col}"))
         .join(b, cands.id_b == F.col(f"sb.{id_col}"))
         .select(
@@ -224,7 +232,10 @@ def near_dedup_pairs(
             jaccard(F.col("sa.shingles"), F.col("sb.shingles")).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+        .localCheckpoint(eager=True)
     )
+    sh.unpersist()
+    return pairs
 
 
 def dedup_clusters(
@@ -241,7 +252,17 @@ def dedup_clusters(
     GraphFrames does the same plan.
 
     ``pairs``: (id_a, id_b) undirected edges.
+
+    Block lifecycle (VERDICT r2 "What's wrong" #2): each round's
+    localCheckpoint pins RDD blocks that DataFrame.unpersist cannot
+    release; we track the ids (operators/cte.py checkpoint_tracked) and
+    free round N's blocks as soon as round N+1 is materialized.  Only
+    the final labels checkpoint survives the call, and the ContextCleaner
+    reclaims it once the caller drops the result.
     """
+    from presto_spark.operators.cte import checkpoint_tracked, release_checkpoints
+
+    spark = pairs.sparkSession
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -250,12 +271,11 @@ def dedup_clusters(
     )
     # localCheckpoint each round: truncates the lineage so round N's
     # plan doesn't replan rounds 1..N-1 (the classic iterative-DataFrame
-    # trap); also materializes, so `changed` reuses the same result.
-    labels = (
+    # trap); also materializes, so the changed-count scan reuses it.
+    labels, label_ids = checkpoint_tracked(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint()
     )
     for _ in range(max_iters):
         # smallest neighbor label per node
@@ -264,7 +284,10 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nb_min"))
         )
-        updated = (
+        # Fold the convergence flag into the same pass: `chg` marks rows
+        # whose label shrank, so the changed-count is a scan over the
+        # fresh checkpoint instead of an extra labels⋈updated join.
+        updated, new_ids = checkpoint_tracked(
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
                 "doc_id",
@@ -272,16 +295,15 @@ def dedup_clusters(
                     F.col("cluster_id"),
                     F.coalesce(F.col("nb_min"), F.col("cluster_id")),
                 ).alias("cluster_id"),
+                (
+                    F.coalesce(F.col("nb_min"), F.col("cluster_id"))
+                    < F.col("cluster_id")
+                ).alias("chg"),
             )
-            .localCheckpoint()
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .where(F.col("u.cluster_id") != F.col("l.cluster_id"))
-            .count()
-        )
-        labels = updated
+        changed = updated.where(F.col("chg")).count()
+        release_checkpoints(spark, label_ids)
+        labels, label_ids = updated.drop("chg"), new_ids
         if changed == 0:
             break
     edges.unpersist()

@@ -38,3 +38,29 @@ def materialized(df: DataFrame):
         yield df
     finally:
         df.unpersist()
+
+
+def checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, list[int]]:
+    """Eager localCheckpoint that reports which RDD block-sets it pinned.
+
+    ``DataFrame.unpersist()`` cannot release local-checkpoint blocks (it
+    only drops CacheManager plan entries), so iterative operators that
+    checkpoint per round leak executor memory for the session lifetime
+    unless the superseded RDDs are unpersisted explicitly.  We diff the
+    SparkContext's persistent-RDD registry around the checkpoint and
+    hand the new ids back; release them with :func:`release_checkpoints`
+    once the next round's checkpoint supersedes this one.
+    """
+    jsc = df.sparkSession.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keys())
+    out = df.localCheckpoint(eager=True)
+    new_ids = [i for i in jsc.getPersistentRDDs().keys() if i not in before]
+    return out, new_ids
+
+
+def release_checkpoints(spark, rdd_ids: list[int]) -> None:
+    """Unpersist local-checkpoint blocks recorded by checkpoint_tracked."""
+    live = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in rdd_ids:
+        if i in live:
+            live[i].unpersist()
