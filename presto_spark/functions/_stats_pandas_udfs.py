@@ -15,10 +15,11 @@ from presto_spark.functions import stats
 
 
 def _map3(fn, a: pd.Series, b: pd.Series, c: pd.Series) -> pd.Series:
-    # float() coercion: SQL DECIMAL literals arrive as decimal.Decimal
+    # pd.isna, not `is None`: NULL DOUBLEs arrive in a float64 Series as
+    # NaN.  float() coercion: SQL DECIMAL literals arrive as Decimal.
     return pd.Series(
         [
-            None if x is None or y is None or z is None
+            None if pd.isna(x) or pd.isna(y) or pd.isna(z)
             else fn(float(x), float(y), float(z))
             for x, y, z in zip(a, b, c)
         ],
@@ -29,11 +30,19 @@ def _map3(fn, a: pd.Series, b: pd.Series, c: pd.Series) -> pd.Series:
 def _map2(fn, a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(
         [
-            None if x is None or y is None else fn(float(x), float(y))
+            None if pd.isna(x) or pd.isna(y) else fn(float(x), float(y))
             for x, y in zip(a, b)
         ],
         dtype="float64",
     )
+
+
+def _null_on_sentinel(v):
+    """The discrete inverse CDFs return -1 where Presto raises (stats.py
+    inverse_poisson/binomial); surface that as NULL — the TRY()-wrapped
+    behavior users reach for.  Only applied to those two UDFs: -1 is a
+    legal quantile for the continuous inverses (e.g. inverse_t_cdf)."""
+    return None if v == -1 else float(v)
 
 
 @pandas_udf(DoubleType())
@@ -98,9 +107,14 @@ def inverse_f_cdf_udf(d1: pd.Series, d2: pd.Series, p: pd.Series) -> pd.Series:
 
 @pandas_udf(DoubleType())
 def inverse_poisson_cdf_udf(lam: pd.Series, p: pd.Series) -> pd.Series:
-    return _map2(lambda a, b: float(stats.inverse_poisson_cdf(a, b)), lam, p)
+    return _map2(
+        lambda a, b: _null_on_sentinel(stats.inverse_poisson_cdf(a, b)), lam, p
+    )
 
 
 @pandas_udf(DoubleType())
 def inverse_binomial_cdf_udf(n: pd.Series, pr: pd.Series, p: pd.Series) -> pd.Series:
-    return _map3(lambda a, b, c: float(stats.inverse_binomial_cdf(a, b, c)), n, pr, p)
+    return _map3(
+        lambda a, b, c: _null_on_sentinel(stats.inverse_binomial_cdf(a, b, c)),
+        n, pr, p,
+    )

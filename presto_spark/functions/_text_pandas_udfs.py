@@ -48,6 +48,10 @@ def _jaro_winkler(s1, s2):
                 t += 1
             k += 1
     jaro = (matches / l1 + matches / l2 + (matches - t / 2) / matches) / 3
+    # Prefix boost only above the 0.7 Jaro threshold
+    # (JaroWinklerFunction / commons-text JARO_WINKLER_THRESHOLD).
+    if jaro <= 0.7:
+        return jaro
     prefix = 0
     for a, b in zip(s1[:4], s2[:4]):
         if a != b:

@@ -43,16 +43,39 @@ _simple_renames_re = re.compile(
     r"\b(" + "|".join(_SIMPLE_MAP) + r")\s*\(", re.IGNORECASE
 )
 
+# Matches one SQL string literal (with '' escapes) — used to keep every
+# regex rewrite pass out of literal text.
+_sql_string_re = re.compile(r"'(?:[^']|'')*'")
+
+
+def _sub_outside_strings(pat: re.Pattern, repl, sql: str) -> str:
+    """pat.sub(repl, ...) applied only to the code between string
+    literals — 'a[1]' or 'date_add' inside quotes must never rewrite."""
+    out = []
+    pos = 0
+    for m in _sql_string_re.finditer(sql):
+        out.append(pat.sub(repl, sql[pos:m.start()]))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(pat.sub(repl, sql[pos:]))
+    return "".join(out)
+
+# Presto array subscripts are 1-based and arr[1] is the FIRST
+# element (ArraySubscriptOperator.java); Spark's [] is 0-based — a
+# silent off-by-one for any Presto query. Rewrite integer-literal
+# subscripts on simple (possibly dotted) identifiers to element_at,
+# which is 1-based in Spark, matching Presto. Map access uses
+# string/expression keys and is left alone (same semantics in both).
+# (ARRAY[1] is a literal constructor, not a subscript — skip it.)
+# Applied via _sub_outside_strings: 'a[1]' inside a literal stays put.
+_SUBSCRIPT_RULE: tuple[re.Pattern[str], object] = (
+    re.compile(r"\b(\w+(?:\.\w+)*)\[(\d+)\]"),
+    lambda m: m.group(0) if m.group(1).lower() == "array"
+    else f"element_at({m.group(1)}, {m.group(2)})",
+)
+
 # Pattern rules with argument reshuffles, applied in order.
 _PATTERN_RULES: list[tuple[re.Pattern[str], object]] = [
-    # Presto array subscripts are 1-based and arr[1] is the FIRST
-    # element (ArraySubscriptOperator.java); Spark's [] is 0-based — a
-    # silent off-by-one for any Presto query. Rewrite integer-literal
-    # subscripts on simple (possibly dotted) identifiers to element_at,
-    # which is 1-based in Spark, matching Presto. Map access uses
-    # string/expression keys and is left alone (same semantics in both).
-    (re.compile(r"\b(\w+(?:\.\w+)*)\[(\d+)\]"),
-     lambda m: f"element_at({m.group(1)}, {m.group(2)})"),
     # date_add('unit', n, ts) → timestampadd(UNIT, n, ts)
     # (DateTimeFunctions.java dateAdd; fires only when the 1st arg is a
     #  string literal, so Spark's 2-arg date_add(date, n) is untouched.)
@@ -313,6 +336,106 @@ _macro_call_re = re.compile(
     r"\b(" + "|".join(_MACROS) + r")\s*\(", re.IGNORECASE
 )
 
+# Presto ARRAY[...] literal constructor (SqlBase.g4 primaryExpression
+# ARRAY '[' ... ']') — Spark only parses array(...).  Stack-based scan:
+# '[' opened by the ARRAY keyword closes as ')', every other '[' (a
+# subscript) closes as ']'; string literals pass through untouched.
+_array_lit_re = re.compile(r"\bARRAY\s*\[", re.IGNORECASE)
+
+
+def _rewrite_array_literals(sql: str) -> str:
+    if _array_lit_re.search(sql) is None:
+        return sql
+    out: list[str] = []
+    stack: list[bool] = []  # True = bracket opened by ARRAY keyword
+    in_str = False
+    i = 0
+    while i < len(sql):
+        c = sql[i]
+        if in_str:
+            out.append(c)
+            if c == "'":
+                if i + 1 < len(sql) and sql[i + 1] == "'":
+                    out.append("'")
+                    i += 2
+                    continue
+                in_str = False
+        elif c == "'":
+            out.append(c)
+            in_str = True
+        elif (m := _array_lit_re.match(sql, i)) is not None:
+            out.append("array(")
+            stack.append(True)
+            i = m.end()
+            continue
+        elif c == "[":
+            out.append(c)
+            stack.append(False)
+        elif c == "]":
+            out.append(")" if stack and stack.pop() else "]")
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+# Presto generic-type spellings in type position — CAST(x AS MAP(K, V)) /
+# ARRAY(T) / ROW(a T, b U) (SqlBase.g4 type rules) — are not calls; Spark
+# spells them MAP<K, V> / ARRAY<T> / STRUCT<a: T, b: U>.  Rewriting them
+# FIRST also keeps the 2-arg map() constructor macro from corrupting a
+# cast target (it would otherwise emit map_from_arrays(VARCHAR, BIGINT)).
+_type_pos_re = re.compile(r"\bAS\s+(ARRAY|MAP|ROW)\s*\(", re.IGNORECASE)
+_SCALAR_TYPE_MAP = {"varchar": "STRING", "json": "STRING", "real": "FLOAT"}
+_scalar_type_re = re.compile(r"\b(varchar|json|real)\b(?!\s*\()", re.IGNORECASE)
+
+
+def _type_to_spark(t: str) -> str:
+    """Presto type text → Spark type text (recursive on ARRAY/MAP/ROW)."""
+    t = t.strip()
+    m = re.match(r"(?is)^(ARRAY|MAP|ROW)\s*\((.*)\)$", t)
+    if m is None:
+        return _scalar_type_re.sub(
+            lambda s: _SCALAR_TYPE_MAP[s.group(1).lower()], t
+        )
+    kind, inner = m.group(1).upper(), m.group(2)
+    parts = []
+    parsed = _split_call("(" + inner + ")", 0)
+    if parsed is not None:
+        parts = parsed[0]
+    if kind == "ARRAY":
+        return f"ARRAY<{_type_to_spark(parts[0] if parts else inner)}>"
+    if kind == "MAP":
+        if len(parts) != 2:
+            return t
+        return f"MAP<{_type_to_spark(parts[0])}, {_type_to_spark(parts[1])}>"
+    fields = []
+    for p in parts:
+        p = p.strip()
+        fm = re.match(r"(?s)^(\w+)\s+(.+)$", p)
+        if fm is None:
+            return t
+        fields.append(f"{fm.group(1)}: {_type_to_spark(fm.group(2))}")
+    return f"STRUCT<{', '.join(fields)}>"
+
+
+def _rewrite_type_positions(sql: str) -> str:
+    out, pos = [], 0
+    while True:
+        m = _type_pos_re.search(sql, pos)
+        if m is None:
+            out.append(sql[pos:])
+            break
+        parsed = _split_call(sql, m.end() - 1)
+        if parsed is None:
+            out.append(sql[pos:m.end()])
+            pos = m.end()
+            continue
+        _, close = parsed
+        out.append(sql[pos:m.start()])
+        out.append("AS " + _type_to_spark(sql[m.start() + 2:close + 1].strip()))
+        pos = close + 1
+    return "".join(out)
+
 # General TRY(expr) (reference: TryFunction.java).  TRY(CAST(..)) is
 # already rewritten to TRY_CAST by the pattern rule above; here the
 # remaining cases: a top-level binary arithmetic op lowers to Spark's
@@ -327,7 +450,8 @@ _try_call_re = re.compile(r"\bTRY\s*\(", re.IGNORECASE)
 
 def _split_top_binary(expr: str):
     """(lhs, op, rhs) at the lowest-precedence, rightmost top-level binary
-    operator, or None."""
+    operator, or None.  '[' counts as nesting: ops inside a subscript or
+    ARRAY[...] literal are not top-level."""
     depth = 0
     in_str = False
     add_idx = mul_idx = None
@@ -339,9 +463,9 @@ def _split_top_binary(expr: str):
             continue
         if c == "'":
             in_str = True
-        elif c == "(":
+        elif c in "([":
             depth += 1
-        elif c == ")":
+        elif c in ")]":
             depth -= 1
         elif depth == 0 and c in "+-*/%":
             is_unary = c in "+-" and (prev == "" or prev in "(,+-*/%<>=")
@@ -415,11 +539,15 @@ def _expand_macros_and_try(sql: str) -> str:
 
 def translate(sql: str) -> str:
     """Rewrite Presto spellings to Spark spellings.  Idempotent."""
-    out = _rewrite_datetime_formats(sql)
+    out = _rewrite_array_literals(sql)
+    out = _rewrite_type_positions(out)
+    out = _rewrite_datetime_formats(out)
     out = _rewrite_jsonpath_calls(out)
-    out = _simple_renames_re.sub(
-        lambda m: _SIMPLE_MAP[m.group(1).lower()] + "(", out
+    out = _sub_outside_strings(
+        _simple_renames_re,
+        lambda m: _SIMPLE_MAP[m.group(1).lower()] + "(", out,
     )
+    out = _sub_outside_strings(_SUBSCRIPT_RULE[0], _SUBSCRIPT_RULE[1], out)
     for pat, repl in _PATTERN_RULES:
         out = pat.sub(repl, out)  # type: ignore[arg-type]
     return _expand_macros_and_try(out)

@@ -61,7 +61,11 @@ def _compact(vs: np.ndarray, ws: np.ndarray, k: int):
 
 
 def _build(values: np.ndarray, k: int):
-    vs = np.sort(values.astype(np.float64))
+    # NULL inputs arrive as NaN in the float batch; qdigest_agg ignores
+    # NULLs (QuantileDigestFunctions input function), and a NaN entry
+    # would sort last and corrupt the upper quantiles.
+    vals = values.astype(np.float64)
+    vs = np.sort(vals[~np.isnan(vals)])
     ws = np.ones(len(vs), dtype=np.float64)
     return _compact(vs, ws, k)
 

@@ -43,6 +43,48 @@ def test_dialect_try_cast():
     assert translate("TRY(CAST(x AS INTEGER))") == "(TRY_CAST(x AS INTEGER))"
 
 
+def test_dialect_type_positions():
+    # Presto generic-type spellings in CAST targets (SqlBase.g4 type
+    # rules) must become Spark angle-bracket types — and must NOT be
+    # eaten by the 2-arg map() constructor macro (ADVICE r2).
+    assert translate("CAST(x AS MAP(VARCHAR, BIGINT))") == \
+        "CAST(x AS MAP<STRING, BIGINT>)"
+    assert translate("CAST(x AS ARRAY(ROW(a VARCHAR, b DOUBLE)))") == \
+        "CAST(x AS ARRAY<STRUCT<a: STRING, b: DOUBLE>>)"
+    # expression-position map() still rewrites
+    assert translate("map(ARRAY['a'], ARRAY[1])") == \
+        "map_from_arrays((array('a')), (array(1)))"
+
+
+def test_dialect_array_literals():
+    # Presto ARRAY[...] constructor (SqlBase.g4 primaryExpression) →
+    # array(...); subscripts keep their brackets, strings untouched.
+    assert translate("ARRAY[1, 2, 3]") == "array(1, 2, 3)"
+    assert translate("ARRAY[ARRAY[1], ARRAY[2]]") == \
+        "array(array(1), array(2))"
+    assert translate("ARRAY['a[1]', ']']") == "array('a[1]', ']')"
+    assert translate("m['k']") == "m['k']"
+
+
+def test_dialect_brackets_in_try_and_macros():
+    # '['/']' must count as nesting in the call/operator splitters
+    # (ADVICE r2): subscript arithmetic stays inside the subscript, and
+    # commas inside ARRAY[...] literals are not argument separators.
+    assert translate("TRY(arr[idx-1])") == "(arr[idx-1])"
+    assert translate("TRY(a[1] + b[2])") == \
+        "try_add(element_at(a, 1), element_at(b, 2))"
+    assert translate("remove_nulls(ARRAY[1, 2, NULL])") == \
+        "filter((array(1, 2, NULL)), _ps_x -> _ps_x IS NOT NULL)"
+
+
+def test_dialect_type_positions_run(spark):
+    # end-to-end through the engine: the cast target parses and executes
+    row = spark.sql(translate(
+        "SELECT CAST(map(ARRAY['a'], ARRAY[1]) AS MAP(VARCHAR, BIGINT)) AS m"
+    )).collect()[0]
+    assert row.m == {"a": 1}
+
+
 def test_strpos_semantics(spark):
     # Presto strpos: 1-based, 0 when absent (StringFunctions.java)
     assert one(spark, "strpos('hello', 'l')") == 3
