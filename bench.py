@@ -5,8 +5,11 @@ Prints ONE JSON line:
 
 Protocol mirrors the reference's benchto setup (reference:
 presto-benchto-benchmarks/src/main/resources/benchmarks/presto/tpch.yaml —
-prewarm runs then measured runs): one prewarm pass amortizes JVM/session
-startup and parquet footer reads, then each query is timed once.
+per-query prewarm runs immediately before that query's measured runs):
+for each query, prewarm -> isolate -> measure -> isolate.  Interleaving
+keeps the prewarm benefit (codegen'd classes, JIT, file listings) hot for
+the measured run while the isolation step still guarantees query N cannot
+poison query N+1 via leftover cached plans or persisted blocks.
 """
 
 from __future__ import annotations
@@ -38,16 +41,17 @@ def main() -> None:
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist()
 
-    # Prewarm pass: run every query once unmeasured (reference protocol:
-    # tpch.yaml prewarm runs before measured runs) — warms codegen,
-    # file listings, and broadcast builds so timings measure the query,
-    # not first-touch overhead.
-    for name in names:
-        REGISTRY[name].spark(spark, sf_dir).collect()
-        _isolate()
+    # Session warmup: one cheap action so the first measured query does
+    # not absorb executor/Arrow/first-job startup cost.
+    spark.range(1).collect()
 
     timings: dict[str, float] = {}
     for name in names:
+        # Prewarm THIS query (codegen, JIT, parquet footers, broadcast
+        # builds), isolate, then measure it immediately — per-query
+        # prewarm per the reference protocol (tpch.yaml:3-6).
+        REGISTRY[name].spark(spark, sf_dir).collect()
+        _isolate()
         t0 = time.time()
         df = REGISTRY[name].spark(spark, sf_dir)
         df.collect()

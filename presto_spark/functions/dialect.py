@@ -60,6 +60,19 @@ def _sub_outside_strings(pat: re.Pattern, repl, sql: str) -> str:
     out.append(pat.sub(repl, sql[pos:]))
     return "".join(out)
 
+
+def _string_spans(sql: str) -> list[tuple[int, int]]:
+    """[start, end) spans of every string literal — the call-scanner
+    passes below skip matches that start inside one, so a literal like
+    '... AS MAP(a, b)' is never rewritten.  (The scanners only read from
+    their input and append to an output list, so spans computed once on
+    the input stay valid for the whole pass.)"""
+    return [(m.start(), m.end()) for m in _sql_string_re.finditer(sql)]
+
+
+def _in_string(spans: list[tuple[int, int]], i: int) -> bool:
+    return any(s <= i < e for s, e in spans)
+
 # Presto array subscripts are 1-based and arr[1] is the FIRST
 # element (ArraySubscriptOperator.java); Spark's [] is 0-based — a
 # silent off-by-one for any Presto query. Rewrite integer-literal
@@ -184,11 +197,16 @@ def _split_call(sql: str, open_paren: int):
 def _rewrite_datetime_formats(sql: str) -> str:
     out = []
     pos = 0
+    spans = _string_spans(sql)
     while True:
         m = _dt_call_re.search(sql, pos)
         if m is None:
             out.append(sql[pos:])
             break
+        if _in_string(spans, m.start()):
+            out.append(sql[pos:m.end()])
+            pos = m.end()
+            continue
         parsed = _split_call(sql, m.end() - 1)
         if parsed is None:
             out.append(sql[pos:m.end()])
@@ -244,11 +262,16 @@ _EXTENDED_PATH = re.compile(
 def _rewrite_jsonpath_calls(sql: str) -> str:
     out = []
     pos = 0
+    spans = _string_spans(sql)
     while True:
         m = _json_call_re.search(sql, pos)
         if m is None:
             out.append(sql[pos:])
             break
+        if _in_string(spans, m.start()):
+            out.append(sql[pos:m.end()])
+            pos = m.end()
+            continue
         parsed = _split_call(sql, m.end() - 1)
         if parsed is None:
             out.append(sql[pos:m.end()])
@@ -379,6 +402,49 @@ def _rewrite_array_literals(sql: str) -> str:
     return "".join(out)
 
 
+# Integer subscripts whose base is a parenthesized expression — e.g.
+# ARRAY[10,20][1], which _rewrite_array_literals turns into
+# array(10, 20)[1] — would silently hit Spark's 0-based [] (a silent
+# off-by-one vs Presto's 1-based ArraySubscriptOperator.java).  Rewrite
+# call-result/paren bases to element_at by scanning back to the matching
+# '(' plus any callee name.  Runs after _rewrite_array_literals.
+_paren_subscript_re = re.compile(r"\)\s*\[(\d+)\]")
+
+
+def _rewrite_paren_subscripts(sql: str) -> str:
+    while True:
+        spans = _string_spans(sql)
+        m = None
+        for cand in _paren_subscript_re.finditer(sql):
+            if not _in_string(spans, cand.start()):
+                m = cand
+                break
+        if m is None:
+            return sql
+        # Find the '(' matching the ')' at m.start(), skipping literals.
+        depth = 0
+        j = m.start()
+        while j >= 0:
+            if _in_string(spans, j):
+                j -= 1
+                continue
+            if sql[j] == ")":
+                depth += 1
+            elif sql[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        if j < 0:  # unbalanced — leave untouched
+            return sql
+        k = j - 1
+        while k >= 0 and (sql[k].isalnum() or sql[k] in "_."):
+            k -= 1
+        base = sql[k + 1:m.start() + 1]
+        sql = (sql[:k + 1] + f"element_at({base}, {m.group(1)})"
+               + sql[m.end():])
+
+
 # Presto generic-type spellings in type position — CAST(x AS MAP(K, V)) /
 # ARRAY(T) / ROW(a T, b U) (SqlBase.g4 type rules) — are not calls; Spark
 # spells them MAP<K, V> / ARRAY<T> / STRUCT<a: T, b: U>.  Rewriting them
@@ -420,11 +486,16 @@ def _type_to_spark(t: str) -> str:
 
 def _rewrite_type_positions(sql: str) -> str:
     out, pos = [], 0
+    spans = _string_spans(sql)
     while True:
         m = _type_pos_re.search(sql, pos)
         if m is None:
             out.append(sql[pos:])
             break
+        if _in_string(spans, m.start()):
+            out.append(sql[pos:m.end()])
+            pos = m.end()
+            continue
         parsed = _split_call(sql, m.end() - 1)
         if parsed is None:
             out.append(sql[pos:m.end()])
@@ -491,11 +562,16 @@ def _expand_macros_and_try(sql: str) -> str:
         # macro calls
         out = []
         pos = 0
+        spans = _string_spans(sql)
         while True:
             m = _macro_call_re.search(sql, pos)
             if m is None:
                 out.append(sql[pos:])
                 break
+            if _in_string(spans, m.start()):
+                out.append(sql[pos:m.end()])
+                pos = m.end()
+                continue
             parsed = _split_call(sql, m.end() - 1)
             nargs, build = _MACROS[m.group(1).lower()]
             if parsed is None or len(parsed[0]) != nargs:
@@ -511,11 +587,16 @@ def _expand_macros_and_try(sql: str) -> str:
         # general TRY(expr)
         out = []
         pos = 0
+        spans = _string_spans(sql)
         while True:
             m = _try_call_re.search(sql, pos)
             if m is None:
                 out.append(sql[pos:])
                 break
+            if _in_string(spans, m.start()):
+                out.append(sql[pos:m.end()])
+                pos = m.end()
+                continue
             parsed = _split_call(sql, m.end() - 1)
             if parsed is None or len(parsed[0]) != 1:
                 out.append(sql[pos:m.end()])
@@ -548,6 +629,7 @@ def translate(sql: str) -> str:
         lambda m: _SIMPLE_MAP[m.group(1).lower()] + "(", out,
     )
     out = _sub_outside_strings(_SUBSCRIPT_RULE[0], _SUBSCRIPT_RULE[1], out)
+    out = _rewrite_paren_subscripts(out)
     for pat, repl in _PATTERN_RULES:
         out = pat.sub(repl, out)  # type: ignore[arg-type]
     return _expand_macros_and_try(out)
