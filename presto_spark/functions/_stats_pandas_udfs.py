@@ -41,7 +41,14 @@ def _null_on_sentinel(v):
     """The discrete inverse CDFs return -1 where Presto raises (stats.py
     inverse_poisson/binomial); surface that as NULL — the TRY()-wrapped
     behavior users reach for.  Only applied to those two UDFs: -1 is a
-    legal quantile for the continuous inverses (e.g. inverse_t_cdf)."""
+    legal quantile for the continuous inverses (e.g. inverse_t_cdf).
+
+    DELIBERATE RELAXATION vs the reference: Presto throws
+    INVALID_FUNCTION_ARGUMENT for invalid lambda/p OUTSIDE TRY()
+    (MathFunctions.java inversePoissonCdf checkCondition); this engine
+    returns NULL in both contexts — consistent with its non-ANSI
+    null-on-error posture (div-by-zero, bad subscripts) and pinned in
+    tests/test_semantics.py."""
     return None if v == -1 else float(v)
 
 

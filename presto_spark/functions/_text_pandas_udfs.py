@@ -4,6 +4,8 @@ Module WITHOUT ``from __future__ import annotations`` (pandas_udf needs
 live type hints — same convention as llm/_pandas_udfs.py).
 """
 
+import math
+
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType, LongType, StringType
@@ -57,7 +59,11 @@ def _jaro_winkler(s1, s2):
         if a != b:
             break
         prefix += 1
-    return jaro + prefix * 0.1 * (1 - jaro)
+    jw = jaro + prefix * 0.1 * (1 - jaro)
+    # Presto rounds the final similarity to 2 decimals
+    # (StringFunctions.java: Math.round(jaroWinkler * 100.0d) / 100.0d);
+    # floor(x*100 + 0.5) matches Java Math.round, not Python banker's.
+    return math.floor(jw * 100.0 + 0.5) / 100.0
 
 
 @pandas_udf(DoubleType())

@@ -111,11 +111,22 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
         "known deltas on exotic pattern letters)"),
     # ---- JSON (reference: operator/scalar/JsonFunctions.java:64) ----
     # Presto returns NULL when the path lands on an object/array; only true
-    # scalars (string/number/bool) come back as text.
+    # scalars (string/number/bool) come back as text.  get_json_object
+    # strips quotes from string matches, so a leading '['/'{' alone cannot
+    # distinguish "matched an object" from "matched a string that starts
+    # with a brace" — probe parse-validity too (json_array_length /
+    # json_object_keys return NULL on non-JSON text), so '{"a":"{x"}' at
+    # $.a correctly yields '{x'.  Residual deviation (pinned in
+    # tests/test_semantics.py): a string value whose text IS valid JSON
+    # (e.g. "{}") still NULLs — unresolvable after quote-stripping.
     "json_extract_scalar": (
         "j STRING, p STRING", "STRING",
         """CASE WHEN get_json_object(j, p) LIKE '[%'
-                  OR get_json_object(j, p) LIKE '{%' THEN NULL
+                  AND json_array_length(get_json_object(j, p)) IS NOT NULL
+                THEN NULL
+                WHEN get_json_object(j, p) LIKE '{%'
+                  AND json_object_keys(get_json_object(j, p)) IS NOT NULL
+                THEN NULL
                 ELSE get_json_object(j, p) END""",
         "JsonFunctions.java jsonExtractScalar — NULL on non-scalar match"),
     "json_extract": (

