@@ -21,10 +21,14 @@ from pyspark.sql.types import DoubleType, LongType, StringType
 from presto_spark.functions import jsonpath
 
 
+# Paths may be per-row columns (the dialect routes non-literal path
+# arguments here) — a NULL path yields NULL, like a NULL document.
+
 @pandas_udf(StringType())
 def json_extract_py(j: pd.Series, p: pd.Series) -> pd.Series:
     return pd.Series(
-        [jsonpath.extract_json(doc, path) for doc, path in zip(j, p)],
+        [None if path is None else jsonpath.extract_json(doc, path)
+         for doc, path in zip(j, p)],
         dtype="object",
     )
 
@@ -32,7 +36,8 @@ def json_extract_py(j: pd.Series, p: pd.Series) -> pd.Series:
 @pandas_udf(StringType())
 def json_extract_scalar_py(j: pd.Series, p: pd.Series) -> pd.Series:
     return pd.Series(
-        [jsonpath.extract_scalar(doc, path) for doc, path in zip(j, p)],
+        [None if path is None else jsonpath.extract_scalar(doc, path)
+         for doc, path in zip(j, p)],
         dtype="object",
     )
 
@@ -40,6 +45,7 @@ def json_extract_scalar_py(j: pd.Series, p: pd.Series) -> pd.Series:
 @pandas_udf(LongType())
 def json_size_py(j: pd.Series, p: pd.Series) -> pd.Series:
     return pd.Series(
-        [jsonpath.json_size(doc, path) for doc, path in zip(j, p)],
+        [None if path is None else jsonpath.json_size(doc, path)
+         for doc, path in zip(j, p)],
         dtype="object",
     )

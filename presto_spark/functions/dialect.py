@@ -215,7 +215,16 @@ def _rewrite_datetime_formats(sql: str) -> str:
         args, close = parsed
         lit = _literal_re.match(args[-1].strip()) if len(args) == 2 else None
         if lit is None:
-            out.append(sql[pos:close + 1])
+            if len(args) == 2:
+                # Column-valued pattern: Presto evaluates patterns per row
+                # (DateTimeFunctions.java) — route to the Arrow-batched
+                # Python renderer instead of silently falling through to
+                # java.time semantics.
+                out.append(sql[pos:m.start()])
+                out.append(f"{m.group(1).lower()}_py({args[0].strip()}, "
+                           f"{args[1].strip()})")
+            else:
+                out.append(sql[pos:close + 1])
             pos = close + 1
             continue
         target, xlate = _DT_FORMAT_FNS[m.group(1).lower()]
@@ -279,6 +288,15 @@ def _rewrite_jsonpath_calls(sql: str) -> str:
             continue
         args, close = parsed
         lit = _literal_re.match(args[-1].strip()) if len(args) == 2 else None
+        if lit is None and len(args) == 2:
+            # Column-valued path: Spark's get_json_object requires a
+            # foldable path, so this would fail loudly JVM-side — the
+            # Python JSONPath evaluator handles per-row paths.
+            out.append(sql[pos:m.start()])
+            out.append(f"{m.group(1).lower()}_py({args[0].strip()}, "
+                       f"{args[1].strip()})")
+            pos = close + 1
+            continue
         if lit is None or not _EXTENDED_PATH.search(lit.group(1)):
             out.append(sql[pos:close + 1])
             pos = close + 1
@@ -451,6 +469,9 @@ def _rewrite_paren_subscripts(sql: str) -> str:
 # FIRST also keeps the 2-arg map() constructor macro from corrupting a
 # cast target (it would otherwise emit map_from_arrays(VARCHAR, BIGINT)).
 _type_pos_re = re.compile(r"\bAS\s+(ARRAY|MAP|ROW)\s*\(", re.IGNORECASE)
+# Bare VARCHAR in cast position (Presto's unbounded VARCHAR,
+# AbstractVarcharType.java) — Spark's parser wants VARCHAR(n) or STRING.
+_bare_varchar_re = re.compile(r"\bAS\s+VARCHAR\b(?!\s*\()", re.IGNORECASE)
 _SCALAR_TYPE_MAP = {"varchar": "STRING", "json": "STRING", "real": "FLOAT"}
 _scalar_type_re = re.compile(r"\b(varchar|json|real)\b(?!\s*\()", re.IGNORECASE)
 
@@ -506,6 +527,166 @@ def _rewrite_type_positions(sql: str) -> str:
         out.append("AS " + _type_to_spark(sql[m.start() + 2:close + 1].strip()))
         pos = close + 1
     return "".join(out)
+
+# --- ANSI fetch/offset + typed literals + ROW constructor ----------------
+# FETCH FIRST n ROWS ONLY (SqlBase.g4 limit clause; Presto also allows
+# OFFSET m [ROWS] before it) — Spark only parses LIMIT/OFFSET, with
+# LIMIT first.  Typed literals TYPE 'text' (SqlBase.g4 primaryExpression
+# typeConstructor) — Spark only has DATE/TIMESTAMP/INTERVAL natively;
+# DECIMAL infers (precision, scale) from the literal text like Presto's
+# parser (DecimalLiteral handling in AstBuilder), the rest lower to
+# CAST.  ROW(a, b) (RowType.java anonymous-field constructor) → struct()
+# — safe as a plain rename because _rewrite_type_positions has already
+# consumed every `AS ROW(...)` type spelling by the time this runs.
+_offset_fetch_re = re.compile(
+    r"\bOFFSET\s+(\d+)(?:\s+ROWS?)?\s+FETCH\s+(?:FIRST|NEXT)\s+"
+    r"(\d+)\s+ROWS?\s+ONLY", re.IGNORECASE)
+_fetch_first_re = re.compile(
+    r"\bFETCH\s+(?:FIRST|NEXT)\s+(?:(\d+)\s+)?ROWS?\s+ONLY", re.IGNORECASE)
+_offset_rows_re = re.compile(r"\bOFFSET\s+(\d+)\s+ROWS?\b", re.IGNORECASE)
+_typed_literal_re = re.compile(
+    r"\b(DECIMAL|DOUBLE|REAL|BIGINT|INTEGER|SMALLINT|TINYINT|BOOLEAN"
+    r"|VARCHAR|CHAR|JSON)\s+('(?:[^']|'')*')", re.IGNORECASE)
+_row_ctor_re = re.compile(r"\bROW\s*\(", re.IGNORECASE)
+
+
+def _sub_skipping_strings(pat: re.Pattern, repl, sql: str) -> str:
+    """Like _sub_outside_strings, but for patterns whose MATCH itself
+    contains a string literal (e.g. DECIMAL '1.5') — the match must
+    merely START outside any literal."""
+    spans = _string_spans(sql)
+    out, pos = [], 0
+    for m in pat.finditer(sql):
+        if m.start() < pos or _in_string(spans, m.start()):
+            continue
+        out.append(sql[pos:m.start()])
+        out.append(repl(m) if callable(repl) else repl)
+        pos = m.end()
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def _typed_literal_repl(m: re.Match) -> str:
+    t = m.group(1).upper()
+    lit = m.group(2)
+    if t in ("VARCHAR", "JSON"):
+        return lit  # both are STRING in this engine's model
+    if t == "CHAR":
+        return f"CAST({lit} AS STRING)"
+    if t == "REAL":
+        return f"CAST({lit} AS FLOAT)"
+    if t == "DECIMAL":
+        body = lit[1:-1].replace("''", "'").strip().lstrip("+-")
+        if "." in body:
+            ip, fp = body.split(".", 1)
+            p, s = max(len(ip) + len(fp), 1), len(fp)
+        else:
+            p, s = max(len(body), 1), 0
+        return f"CAST({lit} AS DECIMAL({min(p, 38)}, {min(s, 38)}))"
+    return f"CAST({lit} AS {t})"
+
+
+def _rewrite_limit_grammar(sql: str) -> str:
+    sql = _sub_outside_strings(
+        _offset_fetch_re,
+        lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", sql)
+    sql = _sub_outside_strings(
+        _fetch_first_re, lambda m: f"LIMIT {m.group(1) or 1}", sql)
+    return _sub_outside_strings(
+        _offset_rows_re, lambda m: f"OFFSET {m.group(1)}", sql)
+
+
+# --- FROM-clause grammar: UNNEST / TABLESAMPLE --------------------------
+# Presto relations Spark's parser rejects (SqlBase.g4:357-377):
+#   [CROSS JOIN | ,] UNNEST(e[, e2]) [WITH ORDINALITY] AS t(c1[, c2[, c3]])
+#   TABLESAMPLE BERNOULLI(pct) / SYSTEM(pct)
+# UNNEST lowers to a LATERAL subquery (plain subquery when UNNEST is the
+# only FROM item, since there is nothing to correlate with):
+#   * arrays — element_at over an index spine, because Presto's
+#     multi-array UNNEST zips to the LONGEST input padding with NULLs
+#     (UnnestOperator.java) and element_at is NULL out-of-bounds here;
+#     ordinality is the spine itself (1-based, matching Presto).
+#   * 1 arg + 2 output cols — treated as MAP unnest → explode/posexplode
+#     (key, value[, pos+1]).  (An ARRAY(ROW(..)) argument also has this
+#     shape; resolving it needs type info a text rewrite lacks —
+#     documented limitation.)
+# TABLESAMPLE BERNOULLI(x) → TABLESAMPLE (x PERCENT) (row-Bernoulli in
+# both engines); SYSTEM(x) lowers to the same row sample — Presto's
+# SYSTEM is splits-based (SampleNode.java) so any engine's SYSTEM is
+# implementation-defined; the row-level approximation is documented.
+_unnest_re = re.compile(r"\bUNNEST\s*\(", re.IGNORECASE)
+_unnest_tail_re = re.compile(
+    r"\s*(WITH\s+ORDINALITY\s+)?AS\s+(\w+)\s*\(([^()]*)\)", re.IGNORECASE
+)
+_unnest_prefix_re = re.compile(r"(?is)(CROSS\s+JOIN\s*|,\s*|\bFROM\s*)$")
+_tablesample_re = re.compile(
+    r"\bTABLESAMPLE\s+(?:BERNOULLI|SYSTEM)\s*\(\s*(\d+(?:\.\d+)?)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _unnest_inner_select(args: list[str], cols: list[str], ordinal: bool) -> str | None:
+    """SELECT text producing the unnested columns, or None if the shape
+    is out of scope."""
+    data_cols = cols[:-1] if ordinal else cols
+    if len(args) == 1 and len(data_cols) == 2:
+        # MAP unnest
+        if ordinal:
+            return (f"SELECT key AS {data_cols[0]}, value AS {data_cols[1]}, "
+                    f"pos + 1 AS {cols[-1]} FROM (SELECT posexplode({args[0]}))")
+        return (f"SELECT key AS {data_cols[0]}, value AS {data_cols[1]} "
+                f"FROM (SELECT explode({args[0]}))")
+    if len(args) != len(data_cols):
+        return None
+    sz = f"size({args[0]})" if len(args) == 1 else (
+        "greatest(" + ", ".join(f"size({a})" for a in args) + ")")
+    sel = [f"element_at({a}, _ps_i) AS {c}" for a, c in zip(args, data_cols)]
+    if ordinal:
+        sel.append(f"_ps_i AS {cols[-1]}")
+    # slice(seq(1, max(sz,1)), 1, max(sz,0)): empty/NULL arrays yield an
+    # empty spine (sequence(1, 0) alone would count DOWN in Spark).
+    return (f"SELECT {', '.join(sel)} FROM (SELECT "
+            f"explode(slice(sequence(1, greatest({sz}, 1)), 1, "
+            f"greatest({sz}, 0))) AS _ps_i)")
+
+
+def _rewrite_unnest(sql: str) -> str:
+    out, pos = [], 0
+    spans = _string_spans(sql)
+    while True:
+        m = _unnest_re.search(sql, pos)
+        if m is None:
+            out.append(sql[pos:])
+            break
+        parsed = None if _in_string(spans, m.start()) else _split_call(sql, m.end() - 1)
+        tail = parsed and _unnest_tail_re.match(sql, parsed[1] + 1)
+        if not tail:
+            out.append(sql[pos:m.end()])
+            pos = m.end()
+            continue
+        args = [a.strip() for a in parsed[0]]
+        cols = [c.strip() for c in tail.group(3).split(",")]
+        inner = _unnest_inner_select(args, cols, tail.group(1) is not None)
+        if inner is None:
+            out.append(sql[pos:m.end()])
+            pos = m.end()
+            continue
+        prefix = sql[pos:m.start()]
+        pm = _unnest_prefix_re.search(prefix)
+        if pm is None:
+            out.append(sql[pos:m.end()])
+            pos = m.end()
+            continue
+        kind = pm.group(1).strip().upper()
+        if kind == "FROM":
+            out.append(prefix[:pm.start(1)] + "FROM ")
+            out.append(f"({inner}) {tail.group(2)}")
+        else:
+            out.append(prefix[:pm.start(1)] + ", LATERAL ")
+            out.append(f"({inner}) {tail.group(2)}")
+        pos = tail.end()
+    return "".join(out)
+
 
 # General TRY(expr) (reference: TryFunction.java).  TRY(CAST(..)) is
 # already rewritten to TRY_CAST by the pattern rule above; here the
@@ -622,6 +803,14 @@ def translate(sql: str) -> str:
     """Rewrite Presto spellings to Spark spellings.  Idempotent."""
     out = _rewrite_array_literals(sql)
     out = _rewrite_type_positions(out)
+    out = _sub_outside_strings(_bare_varchar_re, "AS STRING", out)
+    out = _sub_skipping_strings(_typed_literal_re, _typed_literal_repl, out)
+    out = _sub_outside_strings(_row_ctor_re, "struct(", out)
+    out = _rewrite_limit_grammar(out)
+    out = _rewrite_unnest(out)
+    out = _sub_outside_strings(
+        _tablesample_re, lambda m: f"TABLESAMPLE ({m.group(1)} PERCENT)", out
+    )
     out = _rewrite_datetime_formats(out)
     out = _rewrite_jsonpath_calls(out)
     out = _sub_outside_strings(

@@ -719,6 +719,19 @@ def register_functions(spark: SparkSession) -> list[str]:
     ):
         spark.udf.register(name, fn)
         registered.append(name)
+    # Per-row datetime patterns (DateTimeFunctions.java evaluates the
+    # pattern per row; Spark's date_format wants a constant).  The dialect
+    # layer routes column-valued patterns to these Arrow-batched renderers.
+    from presto_spark.functions import _datetime_pandas_udfs as _dtp
+
+    for name, fn in (
+        ("date_format_py", _dtp.date_format_py),
+        ("format_datetime_py", _dtp.format_datetime_py),
+        ("date_parse_py", _dtp.date_parse_py),
+        ("parse_datetime_py", _dtp.parse_datetime_py),
+    ):
+        spark.udf.register(name, fn)
+        registered.append(name)
     # word_stem: full Porter parity (WordStemFunction.java → Lucene
     # PorterStemmer).  Arrow-batched; the JVM S-stemmer stays available
     # as word_stem_simple for hot paths that accept the approximation.

@@ -116,7 +116,19 @@ _presto_sql(
              AS mysql_parsed,
            format_datetime(o_orderdate, 'YYYY/MM/dd') AS joda_era_year,
            format_datetime(o_orderdate, 'yyyy-MM-dd HH:mm') AS joda_plain,
-           parse_datetime('2001-3-4', 'yyyy-M-d') AS joda_parsed
+           parse_datetime('2001-3-4', 'yyyy-M-d') AS joda_parsed,
+           date_format(o_orderdate,
+                       CASE WHEN o_orderkey % 2 = 0
+                            THEN '%Y-%m-%d' ELSE '%d/%m/%Y' END)
+             AS per_row_mysql,
+           format_datetime(o_orderdate,
+                           CASE WHEN o_orderkey % 2 = 0
+                                THEN 'yyyy-MM' ELSE 'dd.MM.yyyy' END)
+             AS per_row_joda,
+           date_parse('1995-07-15 10:30:00',
+                      CASE WHEN o_orderkey >= 0
+                           THEN '%Y-%m-%d %H:%i:%s' ELSE '%Y' END)
+             AS per_row_parsed
     FROM orders WHERE o_orderkey <= 40
     ORDER BY o_orderkey
     """,
@@ -133,7 +145,14 @@ _presto_sql(
              AS mysql_parsed,
            strftime(o_orderdate, '%Y/%m/%d') AS joda_era_year,
            strftime(o_orderdate, '%Y-%m-%d %H:%M') AS joda_plain,
-           TIMESTAMP '2001-03-04 00:00:00' AS joda_parsed
+           TIMESTAMP '2001-03-04 00:00:00' AS joda_parsed,
+           CASE WHEN o_orderkey % 2 = 0
+                THEN strftime(o_orderdate, '%Y-%m-%d')
+                ELSE strftime(o_orderdate, '%d/%m/%Y') END AS per_row_mysql,
+           CASE WHEN o_orderkey % 2 = 0
+                THEN strftime(o_orderdate, '%Y-%m')
+                ELSE strftime(o_orderdate, '%d.%m.%Y') END AS per_row_joda,
+           TIMESTAMP '1995-07-15 10:30:00' AS per_row_parsed
     FROM orders WHERE o_orderkey <= 40
     ORDER BY o_orderkey
     """,
@@ -168,7 +187,10 @@ _presto_sql(
            json_size('{_JDOC}', '$.store.*') AS store_size,
            json_extract_scalar('{_JDOC}', '$..author') AS scalar_on_multi,
            json_extract('{_JDOC}', '$..zzz') AS empty_descent,
-           json_extract('{_JDOC}', '$.missing') AS missing_field
+           json_extract('{_JDOC}', '$.missing') AS missing_field,
+           json_extract_scalar('{_JDOC}',
+               CASE WHEN n_nationkey = 0 THEN '$.n'
+                    ELSE '$[''reg date'']' END) AS per_row_path
     FROM nation WHERE n_nationkey < 3
     ORDER BY n_nationkey
     """,
@@ -186,7 +208,9 @@ _presto_sql(
            2 AS store_size,
            CAST(NULL AS VARCHAR) AS scalar_on_multi,
            '[]' AS empty_descent,
-           CAST(NULL AS VARCHAR) AS missing_field
+           CAST(NULL AS VARCHAR) AS missing_field,
+           CASE WHEN n_nationkey = 0 THEN '7'
+                ELSE '2020-01-02' END AS per_row_path
     FROM nation WHERE n_nationkey < 3
     ORDER BY n_nationkey
     """,
@@ -380,4 +404,87 @@ _presto_sql(
         "(doc example golden), date()/millisecond/from_iso8601_timestamp, "
         "and the t/inverse CDF tier with closed-form/published goldens.",
     tags=("dialect", "functions"),
+)
+
+
+_presto_sql(
+    "presto_dialect_unnest_ordinality",
+    # --- Presto dialect: FROM-clause UNNEST grammar (SqlBase.g4:357-377)
+    #     through translate()'s LATERAL lowering — correlated array unnest
+    #     with 1-based ordinality, plus a standalone multi-array zip that
+    #     pads the shorter input with NULLs (UnnestOperator.java). ---
+    """
+    SELECT n_name, t.part, t.pos
+    FROM nation CROSS JOIN UNNEST(split(n_name, '_'))
+         WITH ORDINALITY AS t(part, pos)
+    WHERE n_nationkey < 5
+    UNION ALL
+    SELECT 'zip', CAST(z.y AS VARCHAR), z.x
+    FROM UNNEST(ARRAY[1, 2, 3], ARRAY['a', 'b']) AS z(x, y)
+    ORDER BY n_name, pos, part NULLS LAST
+    """,
+    # --- DuckDB oracle: lateral unnest + generate_subscripts ---
+    """
+    SELECT n_name, u.part, u.pos
+    FROM nation, LATERAL (
+      SELECT unnest(string_split(n_name, '_')) AS part,
+             generate_subscripts(string_split(n_name, '_'), 1) AS pos) u
+    WHERE n_nationkey < 5
+    UNION ALL
+    SELECT 'zip', CAST(y AS VARCHAR), x
+    FROM (VALUES (1, 'a'), (2, 'b'), (3, NULL)) AS z(x, y)
+    ORDER BY n_name, pos, part NULLS LAST
+    """,
+    doc="Raw Presto UNNEST grammar: CROSS JOIN UNNEST(arr) WITH "
+        "ORDINALITY (correlated, 1-based) and standalone 2-array zip "
+        "UNNEST with NULL padding, lowered to LATERAL element_at over an "
+        "index spine by functions/dialect.py _rewrite_unnest.",
+    tags=("dialect",),
+)
+
+
+_presto_sql(
+    "presto_dialect_tablesample",
+    # --- Presto dialect: TABLESAMPLE BERNOULLI (SqlBase.g4:357-361) ---
+    """
+    SELECT CASE WHEN CAST(c AS DOUBLE) / CAST(t AS DOUBLE)
+                     BETWEEN 0.35 AND 0.65 THEN true ELSE false END
+             AS sample_ok
+    FROM (SELECT (SELECT count(*) FROM lineitem TABLESAMPLE BERNOULLI(50)) AS c,
+                 (SELECT count(*) FROM lineitem) AS t) x
+    """,
+    # Sampling is nondeterministic — the contract is the envelope (same
+    # protocol as the approx_distinct envelope queries).
+    "SELECT true AS sample_ok",
+    doc="Raw Presto TABLESAMPLE BERNOULLI(50) through translate() -> "
+        "Spark TABLESAMPLE (50 PERCENT) (ImplementBernoulliSampleAsFilter"
+        ".java semantics: independent per-row coin flips); asserted as a "
+        "many-sigma fraction envelope, not an exact count.",
+    tags=("dialect",),
+)
+
+
+_presto_sql(
+    "presto_dialect_grouping_sets",
+    # --- Presto dialect: bare-column GROUPING SETS spelling + grouping()
+    #     (SqlBase.g4:309-311; GroupIdOperator.java) — parses identically
+    #     in Spark; translate() must pass it through untouched. ---
+    """
+    SELECT n_regionkey, count(*) AS n_nations,
+           grouping(n_regionkey) AS g
+    FROM nation
+    GROUP BY GROUPING SETS (n_regionkey, ())
+    ORDER BY g, n_regionkey NULLS LAST
+    """,
+    """
+    SELECT n_regionkey, count(*) AS n_nations,
+           grouping(n_regionkey) AS g
+    FROM nation
+    GROUP BY GROUPING SETS (n_regionkey, ())
+    ORDER BY g, n_regionkey NULLS LAST
+    """,
+    doc="Presto GROUPING SETS raw-SQL spelling (bare column + empty set) "
+        "with the grouping() marker — same text runs on Spark and DuckDB; "
+        "pins that translate() leaves the clause intact.",
+    tags=("dialect",),
 )

@@ -283,3 +283,132 @@ sql_query(
         "return-heavy customers, top-50.",
     tags=("tpcds",),
 )
+
+# q5 shape: multi-channel UNION ALL rolled up with margins.
+sql_query(
+    "tpcds_channel_union_rollup",
+    """
+    WITH ch AS (
+      SELECT 'orders' AS channel, o_orderpriority AS grp,
+             CAST(o_totalprice AS DECIMAL(14,2)) AS amt
+      FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT 'returns' AS channel, l_returnflag AS grp,
+             CAST(l_extendedprice AS DECIMAL(14,2)) AS amt
+      FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT channel, grp,
+           CAST(sum(amt) AS DOUBLE) AS total,
+           CAST(count(*) AS BIGINT) AS n,
+           grouping(channel) + grouping(grp) AS lvl
+    FROM ch
+    GROUP BY ROLLUP(channel, grp)
+    ORDER BY lvl, channel NULLS LAST, grp NULLS LAST
+    """,
+    doc="TPC-DS q5 shape: two 'channels' unioned (sales vs returns) "
+        "then ROLLUP over (channel, group) with per-level margins — "
+        "UNION ALL interleaving (LocalExecutionPlanner.java visitUnion) "
+        "feeding GroupIdOperator.java expansion.",
+    tags=("tpcds",),
+)
+
+# q14 shape: cross-channel item intersection feeding an aggregate.
+sql_query(
+    "tpcds_cross_channel_intersect",
+    """
+    WITH seg_a AS (
+      SELECT DISTINCT l_partkey AS pk
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+    ),
+    seg_b AS (
+      SELECT DISTINCT l_partkey AS pk
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '5-LOW'
+    ),
+    both_ch AS (SELECT pk FROM seg_a INTERSECT SELECT pk FROM seg_b)
+    SELECT CAST(count(*) AS BIGINT) AS n_cross_parts,
+           CAST(round(avg(p_retailprice), 2) AS DOUBLE) AS avg_price,
+           CAST(round(max(p_retailprice), 2) AS DOUBLE) AS max_price
+    FROM part
+    WHERE p_partkey IN (SELECT pk FROM both_ch)
+    """,
+    doc="TPC-DS q14 shape: the cross-channel item set (INTERSECT of "
+        "per-channel DISTINCT part sets — ImplementIntersectAndExcept"
+        "AsUnion.java lowering) gating a dimension aggregate via IN "
+        "(semi join).",
+    tags=("tpcds",),
+)
+
+# q86 shape: ROLLUP + rank WITHIN PARENT (window partitioned by the
+# grouping level AND the parent key).
+sql_query(
+    "tpcds_rank_within_parent",
+    """
+    WITH m AS (
+      SELECT r_name, n_name,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal,
+             grouping(n_name) AS g
+      FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+    )
+    SELECT r_name, n_name, bal, g,
+           rank() OVER (PARTITION BY g, CASE WHEN g = 0 THEN r_name END
+                        ORDER BY bal DESC) AS rank_within_parent
+    FROM m
+    ORDER BY g DESC, r_name NULLS LAST, rank_within_parent, n_name NULLS LAST
+    """,
+    doc="TPC-DS q86 shape: rank_within_parent — rollup margins ranked "
+        "inside their parent grouping (window PARTITION BY grouping "
+        "level + parent key), the canonical windows-over-rollup "
+        "interplay (GroupIdOperator.java + WindowOperator.java).",
+    tags=("tpcds",),
+)
+
+# q12 shape: revenue share via ratio-to-report window over an agg.
+sql_query(
+    "tpcds_revenue_share_window",
+    """
+    WITH t AS (
+      SELECT l_returnflag,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(round(rev, 2) AS DOUBLE) AS rev,
+           CAST(round(rev / CAST(sum(CAST(rev AS DECIMAL(18,2))) OVER ()
+                              AS DOUBLE), 6) AS DOUBLE) AS share
+    FROM t
+    ORDER BY l_returnflag
+    """,
+    doc="TPC-DS q12 shape: ratio-to-report — per-flag revenue divided "
+        "by an unpartitioned window total (exact DECIMAL window sum so "
+        "the share is order-insensitive across engines).",
+    tags=("tpcds",),
+)
+
+# q67-adjacent: CUBE margins + dense_rank per grouping-level cell.
+sql_query(
+    "tpcds_dense_rank_over_cube",
+    """
+    WITH m AS (
+      SELECT l_returnflag AS rf, l_linestatus AS sm,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty,
+             grouping(l_returnflag) AS grf, grouping(l_linestatus) AS gsm
+      FROM lineitem
+      GROUP BY CUBE(l_returnflag, l_linestatus)
+    )
+    SELECT rf, sm, qty, grf, gsm,
+           dense_rank() OVER (PARTITION BY grf, gsm ORDER BY qty DESC) AS dr
+    FROM m
+    ORDER BY grf, gsm, dr, rf NULLS LAST, sm NULLS LAST
+    """,
+    doc="TPC-DS q67-adjacent: CUBE over (returnflag, linestatus) — all "
+        "four grouping levels in one pass — then dense_rank within each "
+        "level cell; exercises duplicate-total ranking determinism on "
+        "rollup margins.",
+    tags=("tpcds",),
+)

