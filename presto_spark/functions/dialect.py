@@ -596,6 +596,79 @@ def _rewrite_limit_grammar(sql: str) -> str:
         _offset_rows_re, lambda m: f"OFFSET {m.group(1)}", sql)
 
 
+# expr AT TIME ZONE 'zone' (SqlBase.g4 AT_TIMEZONE valueExpression) —
+# Spark has no AT TIME ZONE operator; lower onto the at_timezone shim
+# (registry.py: convert_timezone from the engine's UTC wall-clock,
+# DateTimeFunctions.java atTimeZone).  The left operand is captured as
+# a call/paren group, a (typed) literal, or a dotted identifier.
+_at_tz_re = re.compile(r"\bAT\s+TIME\s+ZONE\b", re.IGNORECASE)
+
+
+def _rewrite_at_time_zone(sql: str) -> str:
+    while True:
+        spans = _string_spans(sql)
+        m = next((c for c in _at_tz_re.finditer(sql)
+                  if not _in_string(spans, c.start())), None)
+        if m is None:
+            return sql
+        i = m.start() - 1
+        while i >= 0 and sql[i].isspace():
+            i -= 1
+        end_l = i + 1
+        if i >= 0 and sql[i] == ")":
+            depth = 0
+            while i >= 0:
+                if _in_string(spans, i):
+                    i -= 1
+                    continue
+                if sql[i] == ")":
+                    depth += 1
+                elif sql[i] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                i -= 1
+            i -= 1
+            while i >= 0 and (sql[i].isalnum() or sql[i] in "_."):
+                i -= 1
+        elif i >= 0 and sql[i] == "'":
+            sp = next((s for s in spans if s[0] <= i < s[1]), None)
+            if sp is None:
+                return sql
+            i = sp[0] - 1
+            while i >= 0 and sql[i].isspace():
+                i -= 1
+            while i >= 0 and (sql[i].isalnum() or sql[i] == "_"):
+                i -= 1
+        else:
+            while i >= 0 and (sql[i].isalnum() or sql[i] in "_."):
+                i -= 1
+        start_l = i + 1
+        left = sql[start_l:end_l].strip()
+        j = m.end()
+        while j < len(sql) and sql[j].isspace():
+            j += 1
+        if j < len(sql) and sql[j] == "'":
+            k = j + 1
+            while k < len(sql):
+                if sql[k] == "'":
+                    if k + 1 < len(sql) and sql[k + 1] == "'":
+                        k += 2
+                        continue
+                    break
+                k += 1
+            end_r = k + 1
+        else:
+            k = j
+            while k < len(sql) and (sql[k].isalnum() or sql[k] in "_."):
+                k += 1
+            end_r = k
+        if not left or end_r == j:
+            return sql
+        sql = (sql[:start_l] + f"at_timezone({left}, {sql[j:end_r]})"
+               + sql[end_r:])
+
+
 # --- FROM-clause grammar: UNNEST / TABLESAMPLE --------------------------
 # Presto relations Spark's parser rejects (SqlBase.g4:357-377):
 #   [CROSS JOIN | ,] UNNEST(e[, e2]) [WITH ORDINALITY] AS t(c1[, c2[, c3]])
@@ -807,6 +880,7 @@ def translate(sql: str) -> str:
     out = _sub_skipping_strings(_typed_literal_re, _typed_literal_repl, out)
     out = _sub_outside_strings(_row_ctor_re, "struct(", out)
     out = _rewrite_limit_grammar(out)
+    out = _rewrite_at_time_zone(out)
     out = _rewrite_unnest(out)
     out = _sub_outside_strings(
         _tablesample_re, lambda m: f"TABLESAMPLE ({m.group(1)} PERCENT)", out

@@ -380,3 +380,18 @@ def test_dialect_typed_literals_row_fetch():
     # literals carrying the spellings stay untouched
     s = "SELECT 'DECIMAL ''1.5''' AS a, 'FETCH FIRST 1 ROWS ONLY' AS b"
     assert translate(s) == s
+
+
+def test_dialect_at_time_zone():
+    """expr AT TIME ZONE 'z' (SqlBase.g4 AT_TIMEZONE) lowers onto the
+    at_timezone shim; operand may be a typed literal, call, or column."""
+    from presto_spark.functions.dialect import translate
+    assert translate("SELECT ts AT TIME ZONE 'UTC' FROM t") == \
+        "SELECT at_timezone(ts, 'UTC') FROM t"
+    assert translate(
+        "SELECT TIMESTAMP '2020-01-01 12:00:00' AT TIME ZONE 'America/New_York'"
+    ) == "SELECT at_timezone(TIMESTAMP '2020-01-01 12:00:00', 'America/New_York')"
+    assert translate("SELECT date_trunc('hour', ts) AT TIME ZONE zc FROM t") \
+        == "SELECT at_timezone(date_trunc('hour', ts), zc) FROM t"
+    s = "SELECT 'AT TIME ZONE' AS lit"
+    assert translate(s) == s
