@@ -342,6 +342,14 @@ _MACROS: dict[str, tuple[int, object]] = {
     "any_match": (2, lambda a: f"exists(({a[0]}), {a[1]})"),
     "none_match": (2, lambda a: f"(NOT exists(({a[0]}), {a[1]}))"),
     "find_first": (2, lambda a: f"element_at(filter(({a[0]}), {a[1]}), 1)"),
+    # contains(arr, x) is ARRAY MEMBERSHIP in Presto (ArrayContains.java)
+    # — Spark's builtin `contains` is string-only, so the Presto spelling
+    # rewrites to array_contains.  (Presto expresses string containment
+    # as strpos(...) > 0, which translates cleanly already.)
+    "contains": (2, lambda a: f"array_contains(({a[0]}), ({a[1]}))"),
+    # repeat(x, n) builds an ARRAY of n copies in Presto
+    # (RepeatFunction.java) — Spark's repeat is string repetition.
+    "repeat": (2, lambda a: f"array_repeat(({a[0]}), ({a[1]}))"),
     # map_subset(m, keys) (MapSubsetFunction.java)
     "map_subset": (
         2, lambda a: (f"map_filter(({a[0]}), (_ps_k, _ps_v) -> "

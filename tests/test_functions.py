@@ -395,3 +395,16 @@ def test_dialect_at_time_zone():
         == "SELECT at_timezone(date_trunc('hour', ts), zc) FROM t"
     s = "SELECT 'AT TIME ZONE' AS lit"
     assert translate(s) == s
+
+
+def test_dialect_contains_repeat_are_array_semantics():
+    """Presto `contains`/`repeat` are ARRAY functions (ArrayContains /
+    RepeatFunction) whose names collide with string builtins in Spark —
+    the dialect path resolves them to Presto semantics."""
+    from presto_spark.functions.dialect import translate
+    assert translate("SELECT contains(arr, 3)") == \
+        "SELECT array_contains((arr), (3))"
+    assert translate("SELECT repeat(x, 4)") == \
+        "SELECT array_repeat((x), (4))"
+    s = "SELECT 'contains(a, b)' AS lit"
+    assert translate(s) == s
