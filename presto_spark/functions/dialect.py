@@ -25,16 +25,19 @@ from presto_spark.functions.datetime_formats import (
     mysql_to_java,
 )
 
-# Pure renames, call-compatible 1:1.
+# Pure renames, call-compatible 1:1.  (approx_distinct is NOT here — it
+# carries Presto's default standard error and is handled by
+# _rewrite_approx_distinct below.)
 _SIMPLE_MAP = {
     # aggregates (reference: presto-main-base/.../operator/aggregation/)
-    "approx_distinct": "approx_count_distinct",  # ApproximateCountDistinctAggregation.java:41
     "arbitrary": "any_value",                    # ArbitraryAggregationFunction.java
     "approx_percentile": "percentile_approx",    # ApproximateLongPercentileAggregations.java
     # scalar polymorphics (SQL UDFs can't be generic over element type)
     "cardinality": "size",                       # operator/scalar/ArrayCardinalityFunction.java
     "from_unixtime": "timestamp_seconds",        # DateTimeFunctions.java fromUnixTime → TIMESTAMP
-    "regexp_split": "split",                     # JoniRegexpFunctions.java regexpSplit
+    # NOTE: regexp_split is a macro (split with a -1 limit marker), not a
+    # plain rename — see _MACROS; the marker tells the literal-delimiter
+    # quoting pass the pattern is a real regex.
     "zip": "arrays_zip",                         # ZipFunction.java (row fields become struct fields)
     "ngrams": "array_ngrams",                    # NgramsFunction.java — macro-expands below
 }
@@ -342,6 +345,10 @@ _MACROS: dict[str, tuple[int, object]] = {
     "any_match": (2, lambda a: f"exists(({a[0]}), {a[1]})"),
     "none_match": (2, lambda a: f"(NOT exists(({a[0]}), {a[1]}))"),
     "find_first": (2, lambda a: f"element_at(filter(({a[0]}), {a[1]}), 1)"),
+    # regexp_split(s, re) (JoniRegexpFunctions.java) → Spark split, with
+    # an explicit -1 limit (same semantics as 2-arg) marking the pattern
+    # as a REGEX so _build_split never literal-quotes it.
+    "regexp_split": (2, lambda a: f"split(({a[0]}), ({a[1]}), -1)"),
     # contains(arr, x) is ARRAY MEMBERSHIP in Presto (ArrayContains.java)
     # — Spark's builtin `contains` is string-only, so the Presto spelling
     # rewrites to array_contains.  (Presto expresses string containment
@@ -602,6 +609,85 @@ def _rewrite_limit_grammar(sql: str) -> str:
         _fetch_first_re, lambda m: f"LIMIT {m.group(1) or 1}", sql)
     return _sub_outside_strings(
         _offset_rows_re, lambda m: f"OFFSET {m.group(1)}", sql)
+
+
+def _rewrite_calls(sql: str, call_re: re.Pattern, build) -> str:
+    """Generic top-level-call rewriter: for each call matching
+    ``call_re`` outside string literals, ``build(name, args)`` returns
+    replacement text or None to leave the call as written (its nested
+    calls are then still scanned)."""
+    out, pos = [], 0
+    spans = _string_spans(sql)
+    while True:
+        m = call_re.search(sql, pos)
+        if m is None:
+            out.append(sql[pos:])
+            break
+        if _in_string(spans, m.start()):
+            out.append(sql[pos:m.end()])
+            pos = m.end()
+            continue
+        parsed = _split_call(sql, m.end() - 1)
+        if parsed is None:
+            out.append(sql[pos:m.end()])
+            pos = m.end()
+            continue
+        args, close = parsed
+        repl = build(m.group(1).lower(), [a.strip() for a in args])
+        if repl is None:
+            out.append(sql[pos:m.end()])
+            pos = m.end()
+            continue
+        out.append(sql[pos:m.start()])
+        out.append(repl)
+        pos = close + 1
+    return "".join(out)
+
+
+# approx_distinct → approx_count_distinct carrying Presto's DEFAULT
+# standard error (ApproximateCountDistinctAggregation.java
+# DEFAULT_STANDARD_ERROR = 2.3%); Spark's default rsd is 5%, so a bare
+# rename would silently halve estimate quality.  An explicit 2nd arg
+# (max standard error) maps 1:1 onto Spark's rsd.
+_approx_distinct_re = re.compile(r"\b(approx_distinct)\s*\(", re.IGNORECASE)
+
+
+def _build_approx_distinct(_name: str, args: list[str]) -> str | None:
+    if len(args) == 1:
+        return f"approx_count_distinct({args[0]}, 0.023)"
+    if len(args) == 2:
+        return f"approx_count_distinct({args[0]}, {args[1]})"
+    return None
+
+
+# Presto split(s, delim[, limit]) treats the delimiter as a LITERAL
+# (StringFunctions.java split uses Slice indexOf); Spark's split takes a
+# Java regex — split(s, '.') silently splits on every character.
+# Literal delimiters containing metacharacters are wrapped in java
+# regex \Q...\E quoting.  Delimiters already containing a backslash are
+# left alone (assumed pre-escaped regex — also what makes the rewrite
+# idempotent, since \Q itself introduces one; regexp_split's pattern
+# arrives here only after its rename and is skipped the same way when
+# it carries escapes, while an unescaped regex-less pattern quotes
+# harmlessly).
+_split_call_name_re = re.compile(r"\b(split)\s*\(", re.IGNORECASE)
+_REGEX_SPECIAL = set(".[]{}()*+?^$|")
+
+
+def _build_split(_name: str, args: list[str]) -> str | None:
+    if len(args) not in (2, 3):
+        return None
+    if len(args) == 3 and args[2] == "-1":
+        return None  # regexp_split marker — the pattern is a real regex
+    lit = _literal_re.match(args[1])
+    if lit is None:
+        return None
+    raw = lit.group(1).replace("''", "'")
+    if "\\" in raw or not any(c in _REGEX_SPECIAL for c in raw):
+        return None
+    sql_body = ("\\Q" + raw + "\\E").replace("\\", "\\\\").replace("'", "''")
+    rest = ", " + args[2] if len(args) == 3 else ""
+    return f"split({args[0]}, '{sql_body}'{rest})"
 
 
 # expr AT TIME ZONE 'zone' (SqlBase.g4 AT_TIMEZONE valueExpression) —
@@ -890,6 +976,10 @@ def translate(sql: str) -> str:
     out = _rewrite_limit_grammar(out)
     out = _rewrite_at_time_zone(out)
     out = _rewrite_unnest(out)
+    out = _rewrite_calls(out, _approx_distinct_re, _build_approx_distinct)
+    # Literal split delimiters quote BEFORE the regexp_split→split
+    # rename below, so a renamed regexp_split's pattern is never quoted.
+    out = _rewrite_calls(out, _split_call_name_re, _build_split)
     out = _sub_outside_strings(
         _tablesample_re, lambda m: f"TABLESAMPLE ({m.group(1)} PERCENT)", out
     )

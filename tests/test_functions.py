@@ -26,10 +26,31 @@ def one(spark, expr):
 
 
 def test_dialect_translate_renames():
+    # approx_distinct carries Presto's default 2.3% standard error
+    # (ApproximateCountDistinctAggregation.java DEFAULT_STANDARD_ERROR);
+    # an explicit error maps onto Spark's rsd 1:1.
     assert translate("SELECT approx_distinct(x) FROM t") == \
-        "SELECT approx_count_distinct(x) FROM t"
+        "SELECT approx_count_distinct(x, 0.023) FROM t"
+    assert translate("SELECT approx_distinct(x, 0.01) FROM t") == \
+        "SELECT approx_count_distinct(x, 0.01) FROM t"
     assert translate("SELECT cardinality(arr), ARBITRARY(y) FROM t") == \
         "SELECT size(arr), any_value(y) FROM t"
+
+
+def test_dialect_split_literal_delimiter():
+    """Presto split delimiters are LITERALS (StringFunctions.java);
+    Spark's split takes a regex — metachar delimiters get \\Q...\\E
+    quoting, regexp_split keeps regex semantics via its -1 marker."""
+    assert translate("SELECT split(s, '.')") == \
+        r"SELECT split(s, '\\Q.\\E')"
+    assert translate("SELECT split(s, '||', 2)") == \
+        r"SELECT split(s, '\\Q||\\E', 2)"
+    assert translate("SELECT split(s, '_')") == "SELECT split(s, '_')"
+    assert translate("SELECT regexp_split(s, '[0-9]')") == \
+        "SELECT split((s), ('[0-9]'), -1)"
+    for s in ("SELECT split(s, '.')", "SELECT regexp_split(s, '[0-9]')"):
+        t = translate(s)
+        assert translate(t) == t
 
 
 def test_dialect_translate_date_functions():
