@@ -252,3 +252,54 @@ def sketch_quantile_mergeable_rollup(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "sketch_noisy_gaussian_envelope",
+    oracle="SELECT true AS count_ok, true AS sum_ok, true AS avg_ok, "
+           "true AS clip_ok",
+    doc="Noisy gaussian aggregates (noisyaggregation/"
+        "NoisyCountAggregationUtils.java computeNoisyCount, "
+        "NoisySumGaussianClippingAggregation.java): per-returnflag noisy "
+        "count/sum/avg with noise_scale sigma must land within 8 sigma "
+        "of the exact values (P(miss) ~ 1e-15), counts clamp at zero, "
+        "and clipping bounds the sum by clip*count. Noise is inherently "
+        "random so the contract is the envelope, not the value — same "
+        "protocol as the HLL envelope queries.",
+    tags=("sketch", "agg", "noisy"),
+)
+def sketch_noisy_gaussian_envelope(spark, sf_dir):
+    prepare(spark, sf_dir)
+    from presto_spark.operators import noisy
+
+    li = spark.table("lineitem")
+    scale = 100.0
+    nc = noisy.noisy_count_gaussian(
+        li, "l_orderkey", scale, group_by=("l_returnflag",))
+    ns = noisy.noisy_sum_gaussian(
+        li, "l_quantity", scale, group_by=("l_returnflag",))
+    na = noisy.noisy_avg_gaussian(
+        li, "l_quantity", 0.5, group_by=("l_returnflag",))
+    # clipping to [0, 1] bounds the sum by the row count
+    nclip = noisy.noisy_sum_gaussian(
+        li, "l_quantity", scale, lower=0.0, upper=1.0,
+        group_by=("l_returnflag",), alias="noisy_clip")
+    exact = li.groupBy("l_returnflag").agg(
+        F.count("l_orderkey").alias("c"),
+        F.sum(F.col("l_quantity").cast("double")).alias("s"),
+        F.avg(F.col("l_quantity").cast("double")).alias("a"),
+    )
+    j = (exact.join(nc, "l_returnflag").join(ns, "l_returnflag")
+         .join(na, "l_returnflag").join(nclip, "l_returnflag"))
+    return j.agg(
+        F.bool_and(
+            (F.abs(F.col("noisy_count") - F.col("c")) <= 8 * scale)
+            & (F.col("noisy_count") >= 0)).alias("count_ok"),
+        F.bool_and(
+            F.abs(F.col("noisy_sum") - F.col("s")) <= 8 * scale
+        ).alias("sum_ok"),
+        F.bool_and(F.abs(F.col("noisy_avg") - F.col("a")) <= 8 * 0.5)
+        .alias("avg_ok"),
+        F.bool_and(
+            F.col("noisy_clip") <= F.col("c") + 8 * scale).alias("clip_ok"),
+    )

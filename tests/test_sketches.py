@@ -116,3 +116,39 @@ def test_qsketch_spark_two_level_rollup(spark):
     for r in rows:
         # v is uniform-ish on [0, 100k) within each group
         assert 40_000 < r.est[0] < 60_000, (r.g, r.est)
+
+
+# ---- noisy gaussian aggregates (noisyaggregation/ package) ----
+
+def test_noisy_zero_scale_is_exact(spark):
+    """noise_scale=0 degenerates to the exact aggregate — pins the
+    noise-free arithmetic (NoisyCountAggregationUtils.computeNoisyCount
+    with noise=0)."""
+    from presto_spark.operators import noisy
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0)], "k string, v double")
+    rows = {r.k: r.noisy_count for r in noisy.noisy_count_gaussian(
+        df, "v", 0.0, group_by=("k",)).collect()}
+    assert rows == {"a": 2, "b": 1}
+    rows = {r.k: r.noisy_sum for r in noisy.noisy_sum_gaussian(
+        df, "v", 0.0, group_by=("k",)).collect()}
+    assert rows == {"a": 3.0, "b": 10.0}
+    # clipping applies per-row BEFORE the sum (Clipping variants)
+    rows = {r.k: r.noisy_sum for r in noisy.noisy_sum_gaussian(
+        df, "v", 0.0, lower=0.0, upper=1.5, group_by=("k",)).collect()}
+    assert rows == {"a": 2.5, "b": 1.5}
+    (row,) = noisy.noisy_avg_gaussian(df, "v", 0.0).collect()
+    assert abs(row.noisy_avg - 13.0 / 3) < 1e-12
+
+
+def test_noisy_count_never_negative(spark):
+    """Clamp-at-zero (computeNoisyCount Math.max(noisy, 0)): with huge
+    noise on a tiny count, every draw must still come back >= 0."""
+    from presto_spark.operators import noisy
+
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    for seed in range(8):
+        (row,) = noisy.noisy_count_gaussian(
+            df, "v", 1e6, group_by=("k",), seed=seed).collect()
+        assert row.noisy_count >= 0
