@@ -438,3 +438,45 @@ def event_stream_interval_join(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "event_asof_join_enrichment",
+    # DuckDB has a native ASOF JOIN — the ideal independent oracle for
+    # the union-marker implementation (operators/asof.py).
+    oracle="""
+    WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+         errs AS (SELECT user_id, ts, value FROM events
+                  WHERE event_type = 'error')
+    SELECT c.event_id, c.user_id,
+           CAST(c.value AS DOUBLE) AS click_value,
+           CAST(e.value AS DOUBLE) AS last_error_value
+    FROM clicks c
+    ASOF LEFT JOIN errs e
+      ON c.user_id = e.user_id AND c.ts >= e.ts
+    ORDER BY c.event_id
+    """,
+    doc="As-of join (operators/asof.py — union-marker + keyed window, "
+        "one shuffle, no range-join blowup): every click event enriched "
+        "with the most recent prior error value for the same user; "
+        "oracle is DuckDB's native ASOF LEFT JOIN. Left rows with no "
+        "prior error keep NULL.",
+    tags=("events", "asof"),
+)
+def event_asof_join_enrichment(spark, sf_dir):
+    prepare(spark, sf_dir)
+    from presto_spark.operators.asof import asof_join
+
+    ev = spark.table("events")
+    clicks = ev.where(F.col("event_type") == "click")
+    errs = (ev.where(F.col("event_type") == "error")
+            .select("user_id", "ts",
+                    F.col("value").alias("last_error_value")))
+    joined = asof_join(
+        clicks, errs, time_col="ts", by=("user_id",),
+        value_cols=("last_error_value",))
+    return joined.select(
+        "event_id", "user_id",
+        F.col("value").cast("double").alias("click_value"),
+        F.col("last_error_value").cast("double").alias("last_error_value"),
+    ).orderBy("event_id")

@@ -175,3 +175,60 @@ def test_entropy(spark):
     )
     (row,) = df.groupBy("g").agg(A.entropy(F.col("c")).alias("h")).collect()
     assert abs(row.h - 2.0) < 1e-9
+
+
+# ---- as-of join (operators/asof.py — custom operator, union-marker) ----
+
+def _asof_fixtures(spark):
+    from datetime import datetime as dt
+
+    left = spark.createDataFrame(
+        [(1, "u", dt(2024, 1, 1, 10, 0)), (2, "u", dt(2024, 1, 1, 12, 0)),
+         (3, "u", dt(2024, 1, 1, 9, 0)), (4, "v", dt(2024, 1, 1, 11, 0))],
+        "id int, k string, ts timestamp_ntz")
+    right = spark.createDataFrame(
+        [("u", dt(2024, 1, 1, 9, 30), 1.0), ("u", dt(2024, 1, 1, 10, 0), 2.0),
+         ("u", dt(2024, 1, 1, 11, 30), 3.0)],
+        "k string, ts timestamp_ntz, state double")
+    return left, right
+
+
+def test_asof_backward_inclusive_ties(spark):
+    from presto_spark.operators.asof import asof_join
+
+    left, right = _asof_fixtures(spark)
+    out = {r.id: r.state for r in asof_join(
+        left, right, "ts", ("k",), ("state",)).collect()}
+    # id=1 at 10:00 ties the 10:00 right row → inclusive match (2.0);
+    # id=3 precedes all right rows → NULL; key v has no right rows.
+    assert out == {1: 2.0, 2: 3.0, 3: None, 4: None}
+
+
+def test_asof_forward_and_tolerance(spark):
+    from presto_spark.operators.asof import asof_join
+
+    left, right = _asof_fixtures(spark)
+    out = {r.id: r.state for r in asof_join(
+        left, right, "ts", ("k",), ("state",), direction="forward").collect()}
+    # forward: earliest right at-or-after each left row
+    assert out == {1: 2.0, 2: None, 3: 1.0, 4: None}
+    out = {r.id: r.state for r in asof_join(
+        left, right, "ts", ("k",), ("state",),
+        tolerance_seconds=35 * 60).collect()}
+    # id=2 last error was 11:30 (30 min gap → in tolerance);
+    # widen check: id=1 exact tie (0 gap) stays.
+    assert out == {1: 2.0, 2: 3.0, 3: None, 4: None}
+    out = {r.id: r.state for r in asof_join(
+        left, right, "ts", ("k",), ("state",),
+        tolerance_seconds=10 * 60).collect()}
+    assert out == {1: 2.0, 2: None, 3: None, 4: None}
+
+
+def test_asof_rejects_colliding_value_cols(spark):
+    import pytest as _pytest
+    from presto_spark.operators.asof import asof_join
+
+    left, right = _asof_fixtures(spark)
+    with _pytest.raises(ValueError):
+        asof_join(left, right.withColumnRenamed("state", "id"),
+                  "ts", ("k",), ("id",))
