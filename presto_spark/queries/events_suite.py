@@ -480,3 +480,50 @@ def event_asof_join_enrichment(spark, sf_dir):
         F.col("value").cast("double").alias("click_value"),
         F.col("last_error_value").cast("double").alias("last_error_value"),
     ).orderBy("event_id")
+
+
+@register(
+    "event_range_join_attribution",
+    # Oracle: the naive BETWEEN join — DuckDB plans it as an IEJoin,
+    # exactly the quadratic shape the binned operator avoids.
+    oracle="""
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click'),
+         wnd AS (SELECT event_id AS err_id, user_id, ts AS err_ts,
+                        ts + INTERVAL 30 MINUTE AS err_end
+                 FROM events WHERE event_type = 'error')
+    SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_attributed,
+           CAST(count(DISTINCT c.event_id) AS BIGINT) AS n_clicks,
+           CAST(count(DISTINCT w.err_id) AS BIGINT) AS n_errors
+    FROM clicks c JOIN wnd w
+      ON c.user_id = w.user_id AND c.ts BETWEEN w.err_ts AND w.err_end
+    GROUP BY c.user_id
+    ORDER BY c.user_id
+    """,
+    doc="Binned range join (operators/range_join.py): clicks attributed "
+        "to every error window [err_ts, err_ts+30min] of the same user. "
+        "Intervals explode to overlapped hour bins, points land in one "
+        "bin, equi-join on (user, bin) + exact BETWEEN filter — a hash "
+        "shuffle instead of the nested-loop plan a raw range predicate "
+        "gets. Oracle is the naive BETWEEN join in DuckDB.",
+    tags=("events", "rangejoin"),
+)
+def event_range_join_attribution(spark, sf_dir):
+    prepare(spark, sf_dir)
+    from presto_spark.operators.range_join import range_join
+
+    ev = spark.table("events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    wnd = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id",
+        F.col("ts").alias("err_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("err_end"))
+    joined = range_join(
+        clicks, wnd, point_ts="ts", start_col="err_ts", end_col="err_end",
+        by=("user_id",), bin_width_seconds=3600.0)
+    return (joined.groupBy("user_id")
+            .agg(F.count("*").alias("n_attributed"),
+                 F.countDistinct("event_id").alias("n_clicks"),
+                 F.countDistinct("err_id").alias("n_errors"))
+            .orderBy("user_id"))

@@ -232,3 +232,55 @@ def test_asof_rejects_colliding_value_cols(spark):
     with _pytest.raises(ValueError):
         asof_join(left, right.withColumnRenamed("state", "id"),
                   "ts", ("k",), ("id",))
+
+
+# ---- binned range join (operators/range_join.py) ----
+
+def _range_fixtures(spark):
+    from datetime import datetime as dt
+
+    pts = spark.createDataFrame(
+        [(1, "u", dt(2024, 1, 1, 10, 15)), (2, "u", dt(2024, 1, 1, 13, 0)),
+         (3, "v", dt(2024, 1, 1, 10, 15)), (4, "u", dt(2024, 1, 1, 9, 0))],
+        "id int, k string, ts timestamp_ntz")
+    ivs = spark.createDataFrame(
+        [(100, "u", dt(2024, 1, 1, 10, 0), dt(2024, 1, 1, 12, 0)),
+         (200, "u", dt(2024, 1, 1, 10, 15), dt(2024, 1, 1, 10, 15)),
+         (300, "v", dt(2024, 1, 1, 23, 0), dt(2024, 1, 2, 1, 0))],
+        "iid int, k string, s timestamp_ntz, e timestamp_ntz")
+    return pts, ivs
+
+
+def test_range_join_matches_naive_and_is_width_independent(spark):
+    from presto_spark.operators.range_join import range_join
+
+    pts, ivs = _range_fixtures(spark)
+    expect = {(1, 100), (1, 200)}  # inclusive bounds: point==interval edges
+    for width in (60.0, 1800.0, 3600.0, 7 * 24 * 3600.0):
+        got = {(r.id, r.iid) for r in range_join(
+            pts, ivs, "ts", "s", "e", by=("k",),
+            bin_width_seconds=width).collect()}
+        assert got == expect, f"width={width}"
+
+
+def test_range_join_left_keeps_unmatched_points(spark):
+    from presto_spark.operators.range_join import range_join
+
+    pts, ivs = _range_fixtures(spark)
+    rows = range_join(pts, ivs, "ts", "s", "e", by=("k",),
+                      how="left").collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append(r.iid)
+    assert sorted(by_id[1]) == [100, 200]
+    assert by_id[2] == [None] and by_id[3] == [None] and by_id[4] == [None]
+
+
+def test_range_join_rejects_column_clash(spark):
+    import pytest as _pytest
+    from presto_spark.operators.range_join import range_join
+
+    pts, ivs = _range_fixtures(spark)
+    with _pytest.raises(ValueError):
+        range_join(pts, ivs.withColumnRenamed("iid", "id"),
+                   "ts", "s", "e", by=("k",))
