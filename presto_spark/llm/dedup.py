@@ -216,6 +216,8 @@ def near_dedup_pairs(
     """
     from pyspark.storagelevel import StorageLevel
 
+    from presto_spark.operators.cte import checkpoint_tracked
+
     sh = with_shingles(df, id_col, text_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -224,7 +226,7 @@ def near_dedup_pairs(
     )
     a = sh.alias("sa")
     b = sh.alias("sb")
-    pairs = (
+    pairs, ids = checkpoint_tracked(
         cands.join(a, cands.id_a == F.col(f"sa.{id_col}"))
         .join(b, cands.id_b == F.col(f"sb.{id_col}"))
         .select(
@@ -232,9 +234,12 @@ def near_dedup_pairs(
             jaccard(F.col("sa.shingles"), F.col("sb.shingles")).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
-        .localCheckpoint(eager=True)
     )
     sh.unpersist()
+    # Callers that fully consume the pairs (e.g. cluster assignment,
+    # which re-checkpoints its own labels) can release these blocks
+    # eagerly instead of waiting for GC + ContextCleaner:
+    pairs.checkpoint_rdd_ids = ids
     return pairs
 
 
