@@ -31,7 +31,8 @@ from presto_spark.functions.datetime_formats import (
 _SIMPLE_MAP = {
     # aggregates (reference: presto-main-base/.../operator/aggregation/)
     "arbitrary": "any_value",                    # ArbitraryAggregationFunction.java
-    "approx_percentile": "percentile_approx",    # ApproximateLongPercentileAggregations.java
+    # NOTE: approx_percentile is arity-dispatched below — Presto's 3-arg
+    # form is WEIGHTED (x, w, percentage), not (x, percentage, accuracy).
     # scalar polymorphics (SQL UDFs can't be generic over element type)
     "cardinality": "size",                       # operator/scalar/ArrayCardinalityFunction.java
     "from_unixtime": "timestamp_seconds",        # DateTimeFunctions.java fromUnixTime → TIMESTAMP
@@ -660,6 +661,24 @@ def _build_approx_distinct(_name: str, args: list[str]) -> str | None:
     return None
 
 
+# approx_percentile arity dispatch (ApproximateLongPercentileAggregations
+# .java + weighted variants): 2-arg → Spark percentile_approx; 3/4-arg
+# are the WEIGHTED forms approx_percentile(x, w, percentage[, accuracy])
+# — Spark's percentile_approx 3rd arg means accuracy, so a bare rename
+# silently treats the weight as accuracy.  Spark's exact
+# percentile(x, percentage, frequency) takes per-row integer weights;
+# exact satisfies any approx contract (accuracy arg dropped).
+_approx_pct_re = re.compile(r"\b(approx_percentile)\s*\(", re.IGNORECASE)
+
+
+def _build_approx_percentile(_name: str, args: list[str]) -> str | None:
+    if len(args) == 2:
+        return f"percentile_approx({args[0]}, {args[1]})"
+    if len(args) in (3, 4):
+        return f"percentile({args[0]}, {args[2]}, {args[1]})"
+    return None
+
+
 # Presto split(s, delim[, limit]) treats the delimiter as a LITERAL
 # (StringFunctions.java split uses Slice indexOf); Spark's split takes a
 # Java regex — split(s, '.') silently splits on every character.
@@ -977,6 +996,7 @@ def translate(sql: str) -> str:
     out = _rewrite_at_time_zone(out)
     out = _rewrite_unnest(out)
     out = _rewrite_calls(out, _approx_distinct_re, _build_approx_distinct)
+    out = _rewrite_calls(out, _approx_pct_re, _build_approx_percentile)
     # Literal split delimiters quote BEFORE the regexp_split→split
     # rename below, so a renamed regexp_split's pattern is never quoted.
     out = _rewrite_calls(out, _split_call_name_re, _build_split)

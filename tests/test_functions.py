@@ -429,3 +429,22 @@ def test_dialect_contains_repeat_are_array_semantics():
         "SELECT array_repeat((x), (4))"
     s = "SELECT 'contains(a, b)' AS lit"
     assert translate(s) == s
+
+
+def test_dialect_approx_percentile_weighted_arity(spark):
+    """Presto 3-arg approx_percentile(x, w, pct) is WEIGHTED
+    (ApproximateLongPercentileAggregations.java) — a bare rename onto
+    percentile_approx would read the weight as the accuracy argument.
+    The weighted forms lower to Spark's exact percentile(x, pct, w)."""
+    from presto_spark.functions.dialect import translate
+    assert translate("SELECT approx_percentile(x, 0.5) FROM t") == \
+        "SELECT percentile_approx(x, 0.5) FROM t"
+    assert translate("SELECT approx_percentile(x, w, 0.5) FROM t") == \
+        "SELECT percentile(x, 0.5, w) FROM t"
+    assert translate("SELECT approx_percentile(x, w, 0.5, 0.01) FROM t") == \
+        "SELECT percentile(x, 0.5, w) FROM t"
+    # end-to-end: weight 3 on value 10 shifts the median to 10
+    (row,) = spark.sql(translate(
+        "SELECT approx_percentile(v, w, 0.5) AS p FROM "
+        "(VALUES (1, 1), (10, 3), (2, 1)) AS t(v, w)")).collect()
+    assert row.p == 10.0
