@@ -661,6 +661,33 @@ def _build_approx_distinct(_name: str, args: list[str]) -> str | None:
     return None
 
 
+# array_max_by/array_min_by(arr, x -> key(x)) (ArraySqlFunctions.java)
+# — the element maximizing/minimizing the lambda key.  Spark has no
+# direct analog; expand to a fold: textual lambda substitution renames
+# the user's parameter to the accumulator/element names, so the key
+# expression evaluates on both sides of the comparison.
+_array_minmax_by_re = re.compile(
+    r"\b(array_max_by|array_min_by)\s*\(", re.IGNORECASE)
+_lambda_re = re.compile(r"(?s)^\s*(\w+)\s*->\s*(.+?)\s*$")
+
+
+def _build_array_minmax_by(name: str, args: list[str]) -> str | None:
+    if len(args) != 2:
+        return None
+    lam = _lambda_re.match(args[1])
+    if lam is None:
+        return None
+    op = ">" if name == "array_max_by" else "<"
+    param, body = lam.group(1), lam.group(2)
+    sub = re.compile(rf"\b{re.escape(param)}\b")
+    body_x = sub.sub("_ps_x", body)
+    body_acc = sub.sub("_ps_acc", body)
+    arr = f"({args[0]})"
+    return (f"aggregate({arr}, element_at({arr}, 1), "
+            f"(_ps_acc, _ps_x) -> CASE WHEN ({body_x}) {op} ({body_acc}) "
+            f"THEN _ps_x ELSE _ps_acc END)")
+
+
 # approx_percentile arity dispatch (ApproximateLongPercentileAggregations
 # .java + weighted variants): 2-arg → Spark percentile_approx; 3/4-arg
 # are the WEIGHTED forms approx_percentile(x, w, percentage[, accuracy])
@@ -997,6 +1024,7 @@ def translate(sql: str) -> str:
     out = _rewrite_unnest(out)
     out = _rewrite_calls(out, _approx_distinct_re, _build_approx_distinct)
     out = _rewrite_calls(out, _approx_pct_re, _build_approx_percentile)
+    out = _rewrite_calls(out, _array_minmax_by_re, _build_array_minmax_by)
     # Literal split delimiters quote BEFORE the regexp_split→split
     # rename below, so a renamed regexp_split's pattern is never quoted.
     out = _rewrite_calls(out, _split_call_name_re, _build_split)

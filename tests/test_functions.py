@@ -448,3 +448,20 @@ def test_dialect_approx_percentile_weighted_arity(spark):
         "SELECT approx_percentile(v, w, 0.5) AS p FROM "
         "(VALUES (1, 1), (10, 3), (2, 1)) AS t(v, w)")).collect()
     assert row.p == 10.0
+
+
+def test_dialect_array_minmax_by(spark):
+    """array_max_by/array_min_by(arr, x -> key) (ArraySqlFunctions.java)
+    expand to an aggregate() fold with textual lambda substitution."""
+    from presto_spark.functions.dialect import translate
+    t = translate("SELECT array_max_by(a, x -> length(x))")
+    assert t.startswith("SELECT aggregate((a), element_at((a), 1),")
+    (row,) = spark.sql(translate(
+        "SELECT array_max_by(ARRAY['ab', 'abcd', 'c'], x -> length(x)) AS mx,"
+        "       array_min_by(ARRAY['ab', 'abcd', 'c'], x -> length(x)) AS mn"
+    )).collect()
+    assert row.mx == "abcd" and row.mn == "c"
+    # param name must not capture inside string literals or other idents
+    (row,) = spark.sql(translate(
+        "SELECT array_max_by(ARRAY[1, 5, 3], v -> v) AS mx")).collect()
+    assert row.mx == 5
