@@ -527,3 +527,54 @@ def event_range_join_attribution(spark, sf_dir):
                  F.countDistinct("event_id").alias("n_clicks"),
                  F.countDistinct("err_id").alias("n_errors"))
             .orderBy("user_id"))
+
+
+@register(
+    "event_stream_dedup",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows_after_dedup,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique
+    FROM events WHERE user_id < 25
+    """,
+    doc="Streaming exact dedup (dropDuplicatesWithinWatermark): the "
+        "source directory stages the SAME events file twice, so every "
+        "row arrives as a duplicate; watermark-scoped dedup state "
+        "collapses them back to the batch-distinct row set. This is the "
+        "streaming tier of the exact-dedup story (llm/dedup.py) — state "
+        "is bounded by the watermark horizon instead of the corpus, the "
+        "property that makes it run forever at ingest scale.",
+    tags=("events", "streaming", "dedup"),
+)
+def event_stream_dedup(spark, sf_dir):
+    import os
+    import tempfile
+
+    prepare(spark, sf_dir)
+    from pyspark.sql.types import LongType
+
+    d = tempfile.mkdtemp(prefix="presto_spark_dedup_stream_")
+    src = os.path.join(sf_dir, "events.parquet")
+    os.symlink(src, os.path.join(d, "events_a.parquet"))
+    os.symlink(src, os.path.join(d, "events_b.parquet"))
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema).parquet(d)
+              .where(F.col("user_id") < 25))
+    # events.ts arrives as BIGINT nanos (legacy.parquet.nanosAsLong) or
+    # native timestamp depending on writer — same robustness as
+    # sources/catalog.py.
+    if isinstance(schema["ts"].dataType, LongType):
+        ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    else:
+        ts = F.col("ts").cast("timestamp")
+    deduped = (stream.withColumn("ts_event", ts)
+               .withWatermark("ts_event", "90 days")
+               .dropDuplicatesWithinWatermark(["event_id"]))
+    qname = "stream_dedup_" + os.path.basename(d).split("_")[-1]
+    q = (deduped.writeStream.format("memory").queryName(qname)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    q.stop()
+    return spark.table(qname).agg(
+        F.count("*").alias("n_rows_after_dedup"),
+        F.countDistinct("event_id").alias("n_unique"),
+    )
