@@ -356,3 +356,41 @@ def exact_dedup(
             F.count("*").alias("n_copies"),
         )
     )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) for
+    every unordered pair with cosine similarity >= threshold.
+
+    This is the EXACT tier — a self-join producing all id_a < id_b
+    pairs, one broadcast side, cosine as a pure codegen fold
+    (similarity.cosine).  Quadratic in the corpus: correct for
+    verification sets and per-bucket refinement.  The 100 TB path runs
+    the same predicate inside sign-LSH buckets first
+    (similarity.ann_topk_lsh's banding — candidates shrink 2^n_planes-
+    fold) and treats this function as the in-bucket verifier, exactly
+    how near_dedup_pairs uses LSH banding + exact Jaccard.
+    """
+    from presto_spark.llm import similarity
+
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_e"),
+    )
+    a = v.select(F.col("_id").alias("id_a"), F.col("_e").alias("_ea"))
+    b = v.select(F.col("_id").alias("id_b"), F.col("_e").alias("_eb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(
+                similarity.cosine(F.col("_ea"), F.col("_eb")), 6
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -807,3 +807,34 @@ def llm_embedding_normalize(spark, sf_dir):
         F.round(similarity.norm(F.col("u")), 6).alias("unit_norm"),
         F.round(F.element_at("u", 1) , 6).alias("first_component"),
     ).orderBy("vec_id")
+
+
+@register(
+    "llm_embedding_near_dup",
+    oracle="""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> x::DOUBLE) AS e
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e) /
+                 (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.e, b.e) /
+                (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+    doc="Embedding-cosine near-dup pairs (llm/dedup.py "
+        "embedding_near_dup_pairs — exact broadcast self-join tier; the "
+        "scale path runs the same predicate inside sign-LSH buckets): "
+        "all pairs with cosine >= 0.4, bit-matched against DuckDB "
+        "list_dot_product.",
+    tags=("llm", "dedup"),
+)
+def llm_embedding_near_dup(spark, sf_dir):
+    prepare(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return dedup.embedding_near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4
+    ).orderBy("id_a", "id_b")
