@@ -198,6 +198,57 @@ def _split_call(sql: str, open_paren: int):
     return None
 
 
+# MySQL %v (ISO week 01-53) / %x (ISO week-year) are Presto-supported
+# (DateTimeFunctions.java rejects only %D/%U/%u/%V/%w/%X) but java.time
+# week letters are banned in Spark — lower a pattern containing them to
+# concat(date_format chunks, week expressions).  weekofyear() is ISO in
+# Spark; year_of_week is the registry shim (registry.py).
+_WEEK_SPECS = {
+    "v": "lpad(cast(weekofyear({ts}) AS STRING), 2, '0')",
+    "x": "cast(year_of_week({ts}) AS STRING)",
+}
+
+
+def _mysql_concat_form(ts: str, pattern: str) -> str | None:
+    """concat(...) expression for a %-pattern containing %v/%x, or None
+    if the pattern has no week fields / another field is unsupported."""
+    if "%v" not in pattern and "%x" not in pattern:
+        return None
+    parts: list[str] = []
+    buf = ""
+    i = 0
+    while i < len(pattern):
+        if (pattern[i] == "%" and i + 1 < len(pattern)
+                and pattern[i + 1] in _WEEK_SPECS):
+            if buf:
+                parts.append(buf)
+                buf = ""
+            parts.append(_WEEK_SPECS[pattern[i + 1]].format(ts=ts))
+            i += 2
+        else:
+            buf += pattern[i:i + 2] if pattern[i] == "%" else pattern[i]
+            i += 2 if pattern[i] == "%" else 1
+    if buf:
+        parts.append(buf)
+    exprs = []
+    for p in parts:
+        if p.startswith(("lpad(", "cast(")):
+            exprs.append(p)
+        elif "%" not in p:
+            exprs.append("'" + p.replace("'", "''") + "'")
+        else:
+            try:
+                java = mysql_to_java(p)
+            except UnsupportedPatternError:
+                return None
+            exprs.append(
+                f"date_format({ts}, "
+                f"'{java.replace(chr(39), chr(39) * 2)}')")
+    if len(exprs) == 1:
+        return exprs[0]
+    return "concat(" + ", ".join(exprs) + ")"
+
+
 def _rewrite_datetime_formats(sql: str) -> str:
     out = []
     pos = 0
@@ -233,6 +284,13 @@ def _rewrite_datetime_formats(sql: str) -> str:
             continue
         target, xlate = _DT_FORMAT_FNS[m.group(1).lower()]
         raw = lit.group(1).replace("''", "'")
+        if m.group(1).lower() == "date_format":
+            cf = _mysql_concat_form(args[0].strip(), raw)
+            if cf is not None:
+                out.append(sql[pos:m.start()])
+                out.append(cf)
+                pos = close + 1
+                continue
         if xlate is mysql_to_java and "%" not in raw:
             # No %-specifiers: either already java.time (idempotent
             # re-translate) or a degenerate all-literal pattern — leave it.

@@ -128,7 +128,8 @@ _presto_sql(
            date_parse('1995-07-15 10:30:00',
                       CASE WHEN o_orderkey >= 0
                            THEN '%Y-%m-%d %H:%i:%s' ELSE '%Y' END)
-             AS per_row_parsed
+             AS per_row_parsed,
+           date_format(o_orderdate, '%x-W%v') AS iso_week
     FROM orders WHERE o_orderkey <= 40
     ORDER BY o_orderkey
     """,
@@ -152,7 +153,8 @@ _presto_sql(
            CASE WHEN o_orderkey % 2 = 0
                 THEN strftime(o_orderdate, '%Y-%m')
                 ELSE strftime(o_orderdate, '%d.%m.%Y') END AS per_row_joda,
-           TIMESTAMP '1995-07-15 10:30:00' AS per_row_parsed
+           TIMESTAMP '1995-07-15 10:30:00' AS per_row_parsed,
+           strftime(o_orderdate, '%G-W%V') AS iso_week
     FROM orders WHERE o_orderkey <= 40
     ORDER BY o_orderkey
     """,

@@ -465,3 +465,20 @@ def test_dialect_array_minmax_by(spark):
     (row,) = spark.sql(translate(
         "SELECT array_max_by(ARRAY[1, 5, 3], v -> v) AS mx")).collect()
     assert row.mx == 5
+
+
+def test_dialect_mysql_iso_week_concat_lowering(spark):
+    """MySQL %v/%x (ISO week / week-year) are Presto-supported but have
+    no Spark pattern letters — date_format lowers to a concat of
+    date_format chunks + weekofyear/year_of_week expressions."""
+    from presto_spark.functions.dialect import translate
+    t = translate("SELECT date_format(ts, '%x-W%v') FROM t")
+    assert "year_of_week(ts)" in t and "weekofyear(ts)" in t
+    (row,) = spark.sql(translate(
+        "SELECT date_format(TIMESTAMP '2020-12-31 00:00:00', '%x-W%v') AS v"
+    )).collect()
+    assert row.v == "2020-W53"  # Dec 31 2020 falls in ISO week 53 of 2020
+    (row,) = spark.sql(translate(
+        "SELECT date_format(TIMESTAMP '2024-12-30 00:00:00', '%x-W%v') AS v"
+    )).collect()
+    assert row.v == "2025-W01"  # Dec 30 2024 is Monday of ISO 2025-W01
