@@ -249,6 +249,87 @@ def _mysql_concat_form(ts: str, pattern: str) -> str | None:
     return "concat(" + ", ".join(exprs) + ")"
 
 
+def _joda_concat_form(ts: str, pattern: str) -> str | None:
+    """concat(...) for a Joda pattern containing week-based w/x letter
+    runs (weekOfWeekyear / weekyear — Presto-supported, Spark-banned);
+    None when absent or another field is unsupported."""
+    runs = re.findall(r"w+|x+", _strip_joda_quotes(pattern))
+    if not runs:
+        return None
+    parts: list[str] = []
+    buf = ""
+    i = 0
+    n = len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "'":  # quoted literal — copy whole section into buf
+            j = i + 1
+            while j < n and pattern[j] != "'":
+                j += 1
+            buf += pattern[i:j + 1]
+            i = j + 1
+            continue
+        if c in ("w", "x"):
+            j = i
+            while j < n and pattern[j] == c:
+                j += 1
+            if buf:
+                parts.append(("J", buf))
+                buf = ""
+            width = j - i
+            expr = ("weekofyear({ts})" if c == "w"
+                    else "year_of_week({ts})").format(ts=ts)
+            parts.append(("E", f"lpad(cast({expr} AS STRING), {max(width, 1)}, '0')"
+                          if width > 1 else f"cast({expr} AS STRING)"))
+            i = j
+            continue
+        buf += c
+        i += 1
+    if buf:
+        parts.append(("J", buf))
+    exprs = []
+    for kind, p in parts:
+        if kind == "E":
+            exprs.append(p)
+        elif not any(ch.isalpha() for ch in _strip_joda_quotes(p)):
+            # literal-only chunk: unquote Joda quoting to plain text
+            exprs.append("'" + _joda_unquote(p).replace("'", "''") + "'")
+        else:
+            try:
+                java = joda_to_java(p)
+            except UnsupportedPatternError:
+                return None
+            exprs.append(f"date_format({ts}, "
+                         f"'{java.replace(chr(39), chr(39) * 2)}')")
+    return exprs[0] if len(exprs) == 1 else "concat(" + ", ".join(exprs) + ")"
+
+
+def _strip_joda_quotes(p: str) -> str:
+    return re.sub(r"'[^']*'", "", p)
+
+
+def _joda_unquote(p: str) -> str:
+    """Joda-quoted literal text → plain text ('W' → W, '' → ')."""
+    out = []
+    i = 0
+    n = len(p)
+    while i < n:
+        if p[i] == "'":
+            if i + 1 < n and p[i + 1] == "'":
+                out.append("'")
+                i += 2
+                continue
+            j = i + 1
+            while j < n and p[j] != "'":
+                out.append(p[j])
+                j += 1
+            i = j + 1
+        else:
+            out.append(p[i])
+            i += 1
+    return "".join(out)
+
+
 def _rewrite_datetime_formats(sql: str) -> str:
     out = []
     pos = 0
@@ -286,6 +367,13 @@ def _rewrite_datetime_formats(sql: str) -> str:
         raw = lit.group(1).replace("''", "'")
         if m.group(1).lower() == "date_format":
             cf = _mysql_concat_form(args[0].strip(), raw)
+            if cf is not None:
+                out.append(sql[pos:m.start()])
+                out.append(cf)
+                pos = close + 1
+                continue
+        if m.group(1).lower() == "format_datetime":
+            cf = _joda_concat_form(args[0].strip(), raw)
             if cf is not None:
                 out.append(sql[pos:m.start()])
                 out.append(cf)

@@ -482,3 +482,18 @@ def test_dialect_mysql_iso_week_concat_lowering(spark):
         "SELECT date_format(TIMESTAMP '2024-12-30 00:00:00', '%x-W%v') AS v"
     )).collect()
     assert row.v == "2025-W01"  # Dec 30 2024 is Monday of ISO 2025-W01
+
+
+def test_dialect_joda_week_concat_lowering(spark):
+    """Joda ww/xxxx (weekOfWeekyear / weekyear) lower to the same
+    concat form as the MySQL ISO-week fields, including quoted literal
+    text inside the pattern."""
+    from presto_spark.functions.dialect import translate
+    (row,) = spark.sql(translate(
+        "SELECT format_datetime(TIMESTAMP '2020-12-31 00:00:00', "
+        "'xxxx-''W''ww') AS v")).collect()
+    assert row.v == "2020-W53"
+    (row,) = spark.sql(translate(
+        "SELECT format_datetime(TIMESTAMP '2024-12-30 00:00:00', "
+        "'xxxx/ww') AS v")).collect()
+    assert row.v == "2025/01"
