@@ -166,3 +166,28 @@ def test_multimap_agg_matches_table_spelling(spark):
         ).collect()
     }
     assert a == b and len(a) >= 3
+
+
+def test_asof_join_plan_no_nested_loop(spark):
+    """The union-marker as-of join must plan as shuffle+window, never a
+    range-predicate BroadcastNestedLoop/Cartesian (operators/asof.py)."""
+    from presto_spark.queries import REGISTRY
+
+    df = REGISTRY["event_asof_join_enrichment"].spark(
+        spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_plan_no_nested_loop(spark):
+    """The binned range join must plan as explode + equi hash join —
+    the raw BETWEEN predicate would produce BroadcastNestedLoop
+    (operators/range_join.py)."""
+    from presto_spark.queries import REGISTRY
+
+    df = REGISTRY["event_range_join_attribution"].spark(
+        spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
