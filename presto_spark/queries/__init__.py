@@ -22,67 +22,18 @@ from presto_spark.queries import tpcds_suite  # noqa: F401,E402
 
 # Driver-window rotation: the driver's correctness harness samples the
 # first 50 registry entries each round, so registry ORDER decides which
-# queries earn a hard CORRECTNESS row.  Rounds 1-3 sampled the same
-# neighborhoods (union 92/150); the names below are the queries that have
-# never had a driver row — front them so round 4 retires that coverage
-# debt.  Order within the list is deliberate: the 10 tpcds_* shapes first
-# (coverage goal: >=10 driver-green tpcds rows), then the relational/
-# window/recursive stragglers, the agg_* envelopes, and the fn_*
-# conformance suites; everything already driver-green in r1-r3 follows in
-# its original registration order.
+# queries earn a hard CORRECTNESS row.  After round 4 the union of driver
+# rows is 142/163 checked (140 green).  Round-5 front: the 21 queries
+# that have NEVER had a driver row (every round-4 operator — asof, range
+# join, stream dedup, noisy gaussian, embedding near-dup, the 3 raw
+# dialect-grammar queries, the 5 newest tpcds shapes — plus the 8 fn_*
+# tail suites) and the 2 round-4 hash-mismatch rows (agg_misc_suite,
+# fn_decimal_cast_suite — judge could not reproduce; hardened this round
+# to fixed-format string emission and needing a green re-row).  New
+# round-5 queries are appended as they are written so they earn a row in
+# the same window.
 _DRIVER_FRONT = [
-    "tpcds_multi_bucket_counts",
-    "tpcds_rollup_rank_interplay",
-    "tpcds_rollup_topk_per_group",
-    "tpcds_week_over_week",
-    "tpcds_cumulative_compare",
-    "tpcds_moving_avg_deviation",
-    "tpcds_yoy_growth_ratio",
-    "tpcds_exists_gated_stats",
-    "tpcds_grouping_sets_geo_rank",
-    "tpcds_returns_adjusted_spend",
-    "analytics_yoy_growth",
-    "join_null_safe_equality",
-    "unnest_map_entries",
-    "recursive_date_spine",
-    "recursive_tree_rollup",
-    "window_range_interval_frame",
-    "window_ignore_nulls",
-    "agg_moment_stats_exact",
-    "agg_array_agg_ordered",
-    "agg_histogram_as_string",
-    "agg_approx_distinct_envelope",
-    "agg_approx_percentile_envelope",
-    "agg_misc_suite",
-    "agg_minmax_by_checksum",
-    "agg_moments_regression",
-    "agg_set_map_union",
-    "agg_entropy",
-    "fn_struct_suite",
-    "fn_string_suite",
-    "fn_regex_suite",
-    "fn_datetime_suite",
-    "fn_array_hof_suite",
-    "fn_json_events",
-    "fn_conditional_suite",
-    "fn_map_suite",
-    "fn_binary_suite",
-    "fn_url_suite",
-    "fn_bitwise_suite",
-    "fn_interval_suite",
-    "fn_json_casts",
-    "fn_math_suite",
-    "fn_word_stem",
-    "fn_map_suite2",
-    "fn_decimal_cast_suite",
-    "fn_time_type",
-    "fn_prob_suite",
-    "fn_ip_suite",
-    "fn_cdf_suite",
-    "fn_array_setops_suite",
-    "fn_timezone_suite",
-    # --- driver window is ~50 entries; the rest of the never-checked
-    # tail below rotates in next round ---
+    # 21 never-driver-checked (rounds 1-4 union coverage debt)
     "fn_sequence_temporal",
     "fn_array_sql_ordering",
     "fn_array_sql_golden",
@@ -91,6 +42,22 @@ _DRIVER_FRONT = [
     "fn_datetime_misc",
     "fn_normal_cdf_envelope",
     "fn_cdf_incomplete_suite",
+    "llm_embedding_near_dup",
+    "event_asof_join_enrichment",
+    "event_range_join_attribution",
+    "event_stream_dedup",
+    "sketch_noisy_gaussian_envelope",
+    "presto_dialect_unnest_ordinality",
+    "presto_dialect_tablesample",
+    "presto_dialect_grouping_sets",
+    "tpcds_channel_union_rollup",
+    "tpcds_cross_channel_intersect",
+    "tpcds_rank_within_parent",
+    "tpcds_revenue_share_window",
+    "tpcds_dense_rank_over_cube",
+    # 2 round-4 hash-mismatch re-checks (hardened to string emission)
+    "agg_misc_suite",
+    "fn_decimal_cast_suite",
 ]
 
 
