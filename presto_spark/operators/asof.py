@@ -12,9 +12,13 @@ range self-join:
   1. union the probe (left) and reference (right) rows with a side
      marker, right rows first within a timestamp tie (backward join is
      inclusive: right.ts == left.ts matches);
-  2. one window per key ordered by (ts, side), carrying the last
-     non-null right payload forward (``last(..., ignorenulls=True)``);
-  3. keep only left rows.
+  2. one window per key ordered by (ts, side), carrying the last right
+     row forward as a SINGLE struct (``last(struct(ts, values...),
+     ignorenulls=True)``) — one struct per matched row, so every value
+     column comes from the same right row and a legitimately-NULL value
+     field of the matched row stays NULL (pandas.merge_asof contract)
+     instead of being skipped for an older row's value;
+  3. keep only left rows and unpack the struct.
 
 Cost at scale: ONE hash shuffle on the key columns + a per-partition
 sort — the same price as a regular sort-merge join, with no risk of
@@ -32,6 +36,7 @@ from pyspark.sql import functions as F
 
 _SIDE = "_asof_is_left"
 _RTS = "_asof_right_ts"
+_PAY = "_asof_payload"
 
 
 def asof_join(
@@ -73,10 +78,20 @@ def asof_join(
              .orderBy(F.col(time_col).desc(), F.col(_SIDE).asc())
              .rowsBetween(Window.unboundedPreceding, 0))
 
-    fill = {c: F.last(F.when(F.col(_SIDE) == 0, F.col(c)),
-                      ignorenulls=True).over(w)
-            for c in (*value_cols, _RTS)}
-    u = u.withColumns(fill)
+    # One struct per right row: last(..., ignorenulls) skips left rows
+    # (NULL struct) but carries a matched right row whole, NULL fields
+    # included.  Per-column carries would skip a NULL payload field and
+    # substitute a stale older value — wrong (merge_asof returns the
+    # matched row's NULL) and could mix columns from different rows.
+    payload = F.when(
+        F.col(_SIDE) == 0,
+        F.struct(F.col(_RTS).alias(_RTS),
+                 *[F.col(c).alias(c) for c in value_cols]),
+    )
+    u = u.withColumn(_PAY, F.last(payload, ignorenulls=True).over(w))
+    u = u.withColumns(
+        {c: F.col(f"{_PAY}.{c}") for c in (*value_cols, _RTS)}
+    ).drop(_PAY)
 
     if tolerance_seconds is not None:
         # TIMESTAMP_NTZ has no direct numeric cast — go through the

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _BIN = "_rj_bin"
+_PID = "_rj_point_id"
 
 
 def _us(col) -> "F.Column":
@@ -51,24 +52,29 @@ def range_join(
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner/left: {how}")
     w = int(bin_width_seconds * 1e6)
+    # For how='left' each point row gets a surrogate id BEFORE binning:
+    # the unmatched side is then an anti-join on the id alone — null-safe
+    # (a column-wise anti-join loses point rows containing NULLs, which
+    # never compare equal) and multiplicity-preserving (duplicate point
+    # rows stay distinct ids), shuffling one long instead of the full
+    # row width.
+    src = points if how == "inner" else points.withColumn(
+        _PID, F.monotonically_increasing_id())
     iv = intervals.withColumn(
         _BIN,
         F.explode(F.sequence(
             F.floor(_us(start_col) / w), F.floor(_us(end_col) / w))),
     )
-    pt = points.withColumn(_BIN, F.floor(_us(point_ts) / w))
+    pt = src.withColumn(_BIN, F.floor(_us(point_ts) / w))
     cond = [pt[c] == iv[c] for c in by] + [pt[_BIN] == iv[_BIN]]
     contained = (_us(point_ts) >= _us(start_col)) & (
         _us(point_ts) <= _us(end_col))
-    if how == "inner":
-        out = pt.join(iv, cond, "inner").where(contained)
-        return out.drop(iv[_BIN]).drop(pt[_BIN]).drop(
-            *[iv[c] for c in by])
-    # left: keep unmatched points with NULL interval columns
     matched = pt.join(iv, cond, "inner").where(contained)
     matched = matched.drop(iv[_BIN]).drop(pt[_BIN]).drop(
         *[iv[c] for c in by])
-    missing = points.join(
-        matched.select(*points.columns).distinct(),
-        on=list(points.columns), how="left_anti")
-    return matched.unionByName(missing, allowMissingColumns=True)
+    if how == "inner":
+        return matched
+    # left: keep unmatched points with NULL interval columns
+    missing = src.join(matched.select(_PID), on=_PID, how="left_anti")
+    out = matched.unionByName(missing, allowMissingColumns=True)
+    return out.drop(_PID)

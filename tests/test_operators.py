@@ -224,6 +224,26 @@ def test_asof_forward_and_tolerance(spark):
     assert out == {1: 2.0, 2: None, 3: None, 4: None}
 
 
+def test_asof_null_payload_carries_matched_row(spark):
+    from datetime import datetime as dt
+
+    from presto_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", dt(2024, 1, 1, 12, 0))],
+        "id int, k string, ts timestamp_ntz")
+    right = spark.createDataFrame(
+        [("u", dt(2024, 1, 1, 9, 30), 1.0, "old"),
+         ("u", dt(2024, 1, 1, 11, 0), None, "new")],
+        "k string, ts timestamp_ntz, state double, tag string")
+    row = asof_join(left, right, "ts", ("k",), ("state", "tag")).collect()[0]
+    # The matched right row (11:00) has a legitimately-NULL state:
+    # merge_asof semantics return that NULL — NOT the older row's 1.0 —
+    # and tag proves all value columns come from the same (11:00) row.
+    assert row.tag == "new"
+    assert row.state is None
+
+
 def test_asof_rejects_colliding_value_cols(spark):
     import pytest as _pytest
     from presto_spark.operators.asof import asof_join
@@ -274,6 +294,35 @@ def test_range_join_left_keeps_unmatched_points(spark):
         by_id.setdefault(r.id, []).append(r.iid)
     assert sorted(by_id[1]) == [100, 200]
     assert by_id[2] == [None] and by_id[3] == [None] and by_id[4] == [None]
+
+
+def test_range_join_left_duplicates_and_null_columns(spark):
+    from datetime import datetime as dt
+
+    from presto_spark.operators.range_join import range_join
+
+    # Duplicate point rows must keep their multiplicity on BOTH sides of
+    # the left join, and rows with NULL columns must neither be dropped
+    # (anti-join on all columns is null-unsafe) nor double-emitted.
+    pts = spark.createDataFrame(
+        [(1, "u", dt(2024, 1, 1, 10, 15)),
+         (1, "u", dt(2024, 1, 1, 10, 15)),      # duplicate, matched
+         (2, "u", dt(2024, 1, 1, 13, 0)),
+         (2, "u", dt(2024, 1, 1, 13, 0)),       # duplicate, unmatched
+         (None, "u", dt(2024, 1, 1, 10, 15)),   # NULL column, matched
+         (None, "u", dt(2024, 1, 1, 13, 0))],   # NULL column, unmatched
+        "id int, k string, ts timestamp_ntz")
+    ivs = spark.createDataFrame(
+        [(100, "u", dt(2024, 1, 1, 10, 0), dt(2024, 1, 1, 12, 0))],
+        "iid int, k string, s timestamp_ntz, e timestamp_ntz")
+    rows = range_join(pts, ivs, "ts", "s", "e", by=("k",),
+                      how="left").collect()
+    matched = sorted((r.id for r in rows if r.iid is not None),
+                     key=lambda x: (x is None, x))
+    unmatched = sorted((r.id for r in rows if r.iid is None),
+                       key=lambda x: (x is None, x))
+    assert matched == [1, 1, None]
+    assert unmatched == [2, 2, None]
 
 
 def test_range_join_rejects_column_clash(spark):
