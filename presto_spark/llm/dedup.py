@@ -363,18 +363,27 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    method: str = "lsh",
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) for
-    every unordered pair with cosine similarity >= threshold.
+    unordered pairs with cosine similarity >= threshold.
 
-    This is the EXACT tier — a self-join producing all id_a < id_b
-    pairs, one broadcast side, cosine as a pure codegen fold
-    (similarity.cosine).  Quadratic in the corpus: correct for
-    verification sets and per-bucket refinement.  The 100 TB path runs
-    the same predicate inside sign-LSH buckets first
-    (similarity.ann_topk_lsh's banding — candidates shrink 2^n_planes-
-    fold) and treats this function as the in-bucket verifier, exactly
-    how near_dedup_pairs uses LSH banding + exact Jaccard.
+    method='lsh' (DEFAULT — the 100 TB path): multi-table sign-LSH
+    bucketing (similarity.lsh_bucket, the OR-construction: L disjoint
+    plane families) generates candidates via an EQUI-join on
+    (table, bucket) — a plain hash shuffle, no broadcast of the corpus,
+    no nested-loop — then the exact cosine predicate verifies survivors
+    and duplicates (a pair co-bucketed in several tables) collapse
+    post-filter, so only above-threshold pairs ever shuffle twice.
+    Approximate: recall is 1-(1-p^n_planes)^n_tables per pair (p =
+    1 - angle/pi), pinned by the registry recall-envelope query.
+
+    method='exact': the all-pairs broadcast self-join verification tier
+    — quadratic compare volume and a corpus-sized broadcast; correct for
+    verification sets only, never the default at scale.
     """
     from presto_spark.llm import similarity
 
@@ -382,10 +391,36 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_e"),
     )
-    a = v.select(F.col("_id").alias("id_a"), F.col("_e").alias("_ea"))
-    b = v.select(F.col("_id").alias("id_b"), F.col("_e").alias("_eb"))
-    return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    if method == "exact":
+        a = v.select(F.col("_id").alias("id_a"), F.col("_e").alias("_ea"))
+        b = v.select(F.col("_id").alias("id_b"), F.col("_e").alias("_eb"))
+        return (
+            a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b",
+                F.round(
+                    similarity.cosine(F.col("_ea"), F.col("_eb")), 6
+                ).alias("cosine"),
+            )
+            .where(F.col("cosine") >= threshold)
+        )
+    if method != "lsh":
+        raise ValueError(f"method must be lsh/exact: {method}")
+    # One scan computes all L bucket ids; posexplode fans each vector
+    # out to its L (table, bucket) cells map-side.
+    buckets = F.array(*[
+        similarity.lsh_bucket(F.col("_e"), n_planes, dim,
+                              plane_offset=t * n_planes)
+        for t in range(n_tables)
+    ])
+    e = v.select("_id", "_e", F.posexplode(buckets).alias("_t", "_b"))
+    a = e.select("_t", "_b", F.col("_id").alias("id_a"),
+                 F.col("_e").alias("_ea"))
+    b = e.select("_t", "_b", F.col("_id").alias("id_b"),
+                 F.col("_e").alias("_eb"))
+    scored = (
+        a.join(b, ["_t", "_b"])
+        .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b",
             F.round(
@@ -394,3 +429,6 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+    # Cosine is recomputed per co-bucketed table (map-side CPU), so the
+    # dedup shuffle carries only the above-threshold survivor pairs.
+    return scored.dropDuplicates(["id_a", "id_b"])

@@ -176,15 +176,20 @@ def _plane_component(plane: int, dim: int) -> int:
     return ((plane * 2_654_435_761 + dim * 40_503 + 12_345) % MOD)
 
 
-def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
+def lsh_bucket(vec: Column, n_planes: int, dim: int,
+               plane_offset: int = 0) -> Column:
     """Bucket id = sign pattern of `n_planes` fixed hyperplanes.
 
     Each plane's components are ±1 derived from the deterministic mix —
     equivalent to random-hyperplane LSH with a frozen seed.  Expression
     is fully JVM-side: n_planes × dim multiply-adds per row.
+
+    ``plane_offset`` selects a disjoint plane family, so L independent
+    hash tables (the OR-construction boosting recall) are
+    ``lsh_bucket(v, n, dim, plane_offset=t * n) for t in range(L)``.
     """
     bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
+    for p in range(plane_offset, plane_offset + n_planes):
         signs = [1 if _plane_component(p, d) % 2 == 0 else -1 for d in range(dim)]
         proj = F.aggregate(
             F.zip_with(
@@ -195,7 +200,9 @@ def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        bucket = bucket + F.when(proj > 0, F.lit(2 ** p)).otherwise(F.lit(0)).cast("long")
+        bucket = bucket + F.when(
+            proj > 0, F.lit(2 ** (p - plane_offset))
+        ).otherwise(F.lit(0)).cast("long")
     return bucket
 
 

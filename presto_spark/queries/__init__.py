@@ -58,6 +58,8 @@ _DRIVER_FRONT = [
     # 2 round-4 hash-mismatch re-checks (hardened to string emission)
     "agg_misc_suite",
     "fn_decimal_cast_suite",
+    # new round-5 queries (never driver-checked by construction)
+    "llm_embedding_near_dup_lsh",
 ]
 
 

@@ -826,9 +826,10 @@ def llm_embedding_normalize(spark, sf_dir):
     ORDER BY id_a, id_b
     """,
     doc="Embedding-cosine near-dup pairs (llm/dedup.py "
-        "embedding_near_dup_pairs — exact broadcast self-join tier; the "
-        "scale path runs the same predicate inside sign-LSH buckets): "
-        "all pairs with cosine >= 0.4, bit-matched against DuckDB "
+        "embedding_near_dup_pairs method='exact' — the all-pairs "
+        "verification tier; the default method='lsh' scale path is "
+        "pinned by llm_embedding_near_dup_lsh's recall envelope): all "
+        "pairs with cosine >= 0.4, bit-matched against DuckDB "
         "list_dot_product.",
     tags=("llm", "dedup"),
 )
@@ -836,5 +837,41 @@ def llm_embedding_near_dup(spark, sf_dir):
     prepare(spark, sf_dir)
     emb = spark.table("embeddings")
     return dedup.embedding_near_dup_pairs(
-        emb, id_col="vec_id", vec_col="embedding", threshold=0.4
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4,
+        method="exact",
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "llm_embedding_near_dup_lsh",
+    oracle="SELECT true AS recall_ok, true AS no_false_positives",
+    doc="Sign-LSH bucketed embedding near-dup (llm/dedup.py "
+        "embedding_near_dup_pairs method='lsh', the DEFAULT/scale "
+        "path): multi-table OR-construction candidates via (table, "
+        "bucket) equi-join, exact cosine verify in-bucket. Validated "
+        "in-query against the exact tier: every emitted pair must be a "
+        "true above-threshold pair (precision 1.0 — the verifier is "
+        "exact), and recall must clear the floor for 8x4-plane LSH at "
+        "the 0.4 threshold. Envelope, not pair set, is the contract "
+        "(pattern of llm_ann_lsh_recall).",
+    tags=("llm", "dedup"),
+)
+def llm_embedding_near_dup_lsh(spark, sf_dir):
+    prepare(spark, sf_dir)
+    emb = spark.table("embeddings")
+    exact = dedup.embedding_near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4,
+        method="exact",
+    ).select("id_a", "id_b")
+    approx = dedup.embedding_near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4,
+        method="lsh",
+    ).select("id_a", "id_b")
+    n_exact = exact.count()
+    n_approx = approx.count()
+    n_hit = exact.join(approx, ["id_a", "id_b"]).count()
+    recall = n_hit / n_exact if n_exact else 1.0
+    return spark.createDataFrame(
+        [(recall >= 0.35, n_hit == n_approx)],
+        "recall_ok boolean, no_false_positives boolean",
+    )

@@ -168,6 +168,51 @@ def test_multimap_agg_matches_table_spelling(spark):
     assert a == b and len(a) >= 3
 
 
+def test_embedding_near_dup_lsh_plan_no_corpus_broadcast(spark):
+    """The default (LSH) embedding near-dup path must plan as an
+    equi-join on (table, bucket) cells.  With broadcast suppressed the
+    plan contains no BroadcastExchange and no NestedLoop/Cartesian —
+    i.e. the corpus-sized broadcast of the exact tier does NOT survive
+    into the scale path (llm/dedup.py embedding_near_dup_pairs)."""
+    from presto_spark.llm import dedup
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        out = dedup.embedding_near_dup_pairs(df, threshold=0.4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(key, prev)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "BroadcastExchange" not in plan
+
+
+def test_embedding_near_dup_lsh_subset_of_exact(spark):
+    """Every LSH-path pair is a true above-threshold pair (the verifier
+    is exact), and bucket ids stay within [0, 2^n_planes) for every
+    plane_offset table (the offset shifts the plane family, not the bit
+    positions)."""
+    from pyspark.sql import functions as F
+
+    from presto_spark.llm import dedup, similarity
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r.id_a, r.id_b) for r in dedup.embedding_near_dup_pairs(
+        df, threshold=0.4, method="exact").collect()}
+    approx = {(r.id_a, r.id_b) for r in dedup.embedding_near_dup_pairs(
+        df, threshold=0.4, method="lsh").collect()}
+    assert approx and approx <= exact
+    v = df.select(F.transform("embedding", lambda x: x.cast("double")).alias("e"))
+    for off in (0, 4, 28):
+        lo, hi = v.select(
+            F.min(similarity.lsh_bucket(F.col("e"), 4, 64, plane_offset=off)),
+            F.max(similarity.lsh_bucket(F.col("e"), 4, 64, plane_offset=off)),
+        ).first()
+        assert 0 <= lo <= hi <= 15, off
+
+
 def test_asof_join_plan_no_nested_loop(spark):
     """The union-marker as-of join must plan as shuffle+window, never a
     range-predicate BroadcastNestedLoop/Cartesian (operators/asof.py)."""
