@@ -12,9 +12,13 @@ column-valued patterns get MySQL/Joda semantics rather than silently
 falling through to Spark's java.time interpretation.
 
 Rendering is direct field emission (no strftime) so the output matches
-the java.time path exactly for the supported subset; unsupported fields
-(week-based — the same set mysql_to_java/joda_to_java reject) yield NULL,
-the engine's pinned null-on-error posture.
+the java.time path exactly for the supported subset, including the ISO
+week fields the literal concat-lowering supports (%v/%x via
+_mysql_concat_form, Joda w/x via _joda_concat_form — rendered here with
+isocalendar(), the same ISO-8601 week numbering).  Fields Presto itself
+rejects (MySQL %V/%X/%U/%u/%w/%D — DateTimeFunctions.java:1045 area —
+and unmapped Joda letters) yield NULL, the engine's pinned
+null-on-error posture.
 """
 
 import datetime
@@ -101,7 +105,11 @@ def render_mysql(dt: datetime.datetime, pattern: str) -> str:
             out.append(f"{dt.year:04d}")
         elif spec == "y":
             out.append(f"{dt.year % 100:02d}")
-        elif spec in "vxVXUuwD":
+        elif spec == "v":
+            out.append(f"{dt.isocalendar()[1]:02d}")
+        elif spec == "x":
+            out.append(f"{dt.isocalendar()[0]:04d}")
+        elif spec in "VXUuwD":
             raise _Unsupported(spec)
         else:
             out.append(spec)  # MySQL renders unknown %x as the bare char
@@ -165,6 +173,10 @@ def render_joda(dt: datetime.datetime, pattern: str) -> str:
                        else _WD_ABBR[dt.weekday()])
         elif c == "D":
             out.append(str(dt.timetuple().tm_yday).zfill(run))
+        elif c == "w":
+            out.append(str(dt.isocalendar()[1]).zfill(run))
+        elif c == "x":
+            out.append(str(dt.isocalendar()[0]).zfill(run))
         else:
             raise _Unsupported(c)
     return "".join(out)

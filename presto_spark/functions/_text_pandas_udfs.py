@@ -52,8 +52,10 @@ def _jaro_winkler(s1, s2):
     jaro = (matches / l1 + matches / l2 + (matches - t / 2) / matches) / 3
     # Prefix boost only above the 0.7 Jaro threshold
     # (JaroWinklerFunction / commons-text JARO_WINKLER_THRESHOLD).
+    # The reference rounds UNCONDITIONALLY (StringFunctions.java:838),
+    # so the low-similarity branch rounds too.
     if jaro <= 0.7:
-        return jaro
+        return math.floor(jaro * 100.0 + 0.5) / 100.0
     prefix = 0
     for a, b in zip(s1[:4], s2[:4]):
         if a != b:

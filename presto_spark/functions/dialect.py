@@ -214,25 +214,30 @@ def _mysql_concat_form(ts: str, pattern: str) -> str | None:
     if the pattern has no week fields / another field is unsupported."""
     if "%v" not in pattern and "%x" not in pattern:
         return None
-    parts: list[str] = []
+    # Chunks are tagged STRUCTURALLY — ("E", generated-expression) vs
+    # ("P", pattern-text) — the same way _joda_concat_form tags its
+    # parts.  Sniffing generated chunks by text prefix would misread a
+    # literal pattern that itself starts with "lpad("/"cast(" as raw
+    # SQL (broken/injectable output).
+    parts: list[tuple[str, str]] = []
     buf = ""
     i = 0
     while i < len(pattern):
         if (pattern[i] == "%" and i + 1 < len(pattern)
                 and pattern[i + 1] in _WEEK_SPECS):
             if buf:
-                parts.append(buf)
+                parts.append(("P", buf))
                 buf = ""
-            parts.append(_WEEK_SPECS[pattern[i + 1]].format(ts=ts))
+            parts.append(("E", _WEEK_SPECS[pattern[i + 1]].format(ts=ts)))
             i += 2
         else:
             buf += pattern[i:i + 2] if pattern[i] == "%" else pattern[i]
             i += 2 if pattern[i] == "%" else 1
     if buf:
-        parts.append(buf)
+        parts.append(("P", buf))
     exprs = []
-    for p in parts:
-        if p.startswith(("lpad(", "cast(")):
+    for kind, p in parts:
+        if kind == "E":
             exprs.append(p)
         elif "%" not in p:
             exprs.append("'" + p.replace("'", "''") + "'")

@@ -227,6 +227,46 @@ def test_dialect_datetime_rewrite_idempotent():
     assert translate(t1) == t1
 
 
+def test_per_row_week_fields_match_literal_path():
+    """%v/%x and Joda ww/xxxx must render in the per-row Python tier
+    exactly as the literal concat-lowering does (ISO-8601 week
+    numbering) — a column-valued pattern must not NULL where the same
+    literal pattern succeeds."""
+    import datetime
+
+    from presto_spark.functions._datetime_pandas_udfs import (
+        render_joda, render_mysql)
+
+    d = datetime.datetime(2021, 1, 1, 12, 0, 0)  # ISO week 53 of 2020
+    assert render_mysql(d, "%x-%v") == "2020-53"
+    assert render_joda(d, "xxxx-'W'ww") == "2020-W53"
+    d2 = datetime.datetime(2026, 1, 1)  # ISO week 1 of 2026
+    assert render_mysql(d2, "%v/%x") == "01/2026"
+    assert render_joda(d2, "w") == "1"
+
+
+def test_jarowinkler_rounds_low_similarity_branch():
+    """Presto rounds jaro_winkler to 2 decimals unconditionally
+    (StringFunctions.java:838) — including results at or below the 0.7
+    prefix-boost threshold."""
+    from presto_spark.functions._text_pandas_udfs import _jaro_winkler
+
+    v = _jaro_winkler("abc", "xbz")  # jaro = 0.5555... <= 0.7
+    assert v == 0.56
+
+
+def test_mysql_concat_form_literal_prefix_not_sniffed():
+    """A pattern chunk whose literal text starts with 'cast('/'lpad('
+    must be emitted as a QUOTED literal, not raw SQL — chunks are tagged
+    structurally, not sniffed by prefix."""
+    from presto_spark.functions.dialect import _mysql_concat_form
+
+    e = _mysql_concat_form("ts", "cast(%v")
+    assert e.startswith("concat('cast(', ")
+    e2 = _mysql_concat_form("ts", "lpad(%x")
+    assert e2.startswith("concat('lpad(', ")
+
+
 # ---- extended JSONPath tier (JsonPath.java buildJayway fallback) ----
 
 def test_jsonpath_evaluator():
