@@ -19,6 +19,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
+from presto_spark import prepared as _prep
 from presto_spark.functions.dialect import translate
 from presto_spark.functions.registry import register_functions
 from presto_spark.session_properties import set_session_property
@@ -42,6 +43,7 @@ class Engine:
         self.spark = spark
         register_functions(spark)
         self.tables: dict[str, DataFrame] = {}
+        self.prepared = _prep.PreparedStatements()
         if sf_dir is not None:
             self.tables = register_tables(spark, sf_dir, tables)
 
@@ -54,15 +56,70 @@ class Engine:
         ``SET SESSION <prop> = <value>`` statements are routed through
         the session-property façade (session_properties.py — reference:
         SystemSessionProperties.java), mirroring Presto's session
-        tuning surface; other statements go to Spark SQL.
+        tuning surface.  PREPARE / EXECUTE [USING ...] / DEALLOCATE
+        PREPARE / DESCRIBE INPUT|OUTPUT go through the per-engine
+        statement registry (prepared.py — the protocol every Presto
+        client driver speaks, SqlBase.g4:168-172).  Other statements go
+        to Spark SQL.
         """
         m = _SET_SESSION_RE.match(query)
         if m:
             set_session_property(self.spark, m.group(1).lower(), m.group(2))
             return self.spark.createDataFrame([(True,)], "set_session boolean")
+        routed = self._statement(query, dialect)
+        if routed is not None:
+            return routed
         if dialect == "presto":
             query = translate(query)
         return self.spark.sql(query)
+
+    def _statement(self, query: str, dialect: str) -> DataFrame | None:
+        """Route prepared-statement protocol statements; None = not one."""
+        q = query.strip().rstrip(";")
+        m = _prep.PREPARE_RE.match(q)
+        if m:
+            self.prepared.prepare(m.group(1), m.group(2))
+            return self.spark.createDataFrame([(True,)], "prepare boolean")
+        m = _prep.DEALLOCATE_RE.match(q)
+        if m:
+            self.prepared.deallocate(m.group(1))
+            return self.spark.createDataFrame([(True,)], "deallocate boolean")
+        m = _prep.DESCRIBE_INPUT_RE.match(q)
+        if m:
+            rows = self.prepared.describe_input_rows(m.group(1))
+            return self.spark.createDataFrame(
+                rows or [], "Position int, Type string")
+        m = _prep.DESCRIBE_OUTPUT_RE.match(q)
+        if m:
+            # Plan (never run) the statement with NULL-bound parameters
+            # to resolve the output schema — Spark's sql() is lazy, so
+            # .schema costs analysis only.  Output shape mirrors
+            # DescribeOutput's rewrite columns; catalog/schema/table
+            # provenance and per-column alias tracking need the
+            # reference's Analysis object — pinned blank/true here.
+            stmt = self.prepared.get(m.group(1))
+            n = len(_prep.param_positions(stmt))
+            text = _prep.substitute(stmt, ["NULL"] * n)
+            if dialect == "presto":
+                text = translate(text)
+            schema = self.spark.sql(text).schema
+            rows = [
+                (f.name, "", "", "", _prep.presto_type_name(f.dataType), 0, True)
+                for f in schema.fields
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "`Column Name` string, Catalog string, Schema string, "
+                "`Table` string, Type string, `Type Size` int, "
+                "Aliased boolean",
+            )
+        m = _prep.EXECUTE_RE.match(q)
+        if m:
+            text = self.prepared.execute_text(m.group(1), m.group(2))
+            if dialect == "presto":
+                text = translate(text)
+            return self.spark.sql(text)
+        return None
 
     def table(self, name: str) -> DataFrame:
         """DataFrame handle for a registered table (entry point B)."""

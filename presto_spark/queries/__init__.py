@@ -60,6 +60,7 @@ _DRIVER_FRONT = [
     "fn_decimal_cast_suite",
     # new round-5 queries (never driver-checked by construction)
     "llm_embedding_near_dup_lsh",
+    "presto_dialect_prepared_execute",
 ]
 
 

@@ -490,3 +490,43 @@ _presto_sql(
         "pins that translate() leaves the clause intact.",
     tags=("dialect",),
 )
+
+
+@register(
+    "presto_dialect_prepared_execute",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    WHERE o_totalprice < 150000.00
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="PREPARE / EXECUTE ... USING round-trip through the Engine's "
+        "statement registry (prepared.py; SqlBase.g4:168-172, "
+        "PrepareTask.java, QueryPreparer.java parameter substitution): "
+        "typed DECIMAL and TIMESTAMP bindings substitute the positional "
+        "? parameters, then the normal dialect translate path runs the "
+        "bound statement.",
+    tags=("dialect",),
+)
+def presto_dialect_prepared_execute(spark, sf_dir):
+    from presto_spark.engine import Engine
+
+    prepare(spark, sf_dir)
+    eng = Engine(spark)
+    eng.sql(
+        "PREPARE q_reg_prio FROM "
+        "SELECT o_orderpriority, count(*) AS n, "
+        "       CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)"
+        "         AS revenue "
+        "FROM orders "
+        "WHERE o_totalprice < ? AND o_orderdate >= ? "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+    return eng.sql(
+        "EXECUTE q_reg_prio USING DECIMAL '150000.00', "
+        "TIMESTAMP '1995-01-01 00:00:00'"
+    )

@@ -73,6 +73,75 @@ def test_array_subscript_is_one_based_in_presto_dialect(eng):
     assert row.last_elem == 30
 
 
+# ---- prepared statements (SqlBase.g4:168-172; PrepareTask.java,
+# QueryPreparer.java parameter substitution) ----
+
+def test_prepare_execute_roundtrip_typed_params(eng):
+    eng.sql(
+        "PREPARE q_prio FROM "
+        "SELECT o_orderpriority, count(*) AS n FROM orders "
+        "WHERE o_totalprice < ? AND o_orderdate >= ? "
+        "  AND o_orderstatus <> ? "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+    rows = eng.sql(
+        "EXECUTE q_prio USING DECIMAL '150000.00', "
+        "TIMESTAMP '1995-01-01 00:00:00', 'X'"
+    ).collect()
+    assert rows and all(r.n > 0 for r in rows)
+    # re-EXECUTE with different bindings reuses the statement
+    rows2 = eng.sql(
+        "EXECUTE q_prio USING DECIMAL '50000.00', "
+        "TIMESTAMP '1997-01-01 00:00:00', 'X'"
+    ).collect()
+    assert sum(r.n for r in rows2) < sum(r.n for r in rows)
+
+
+def test_prepare_param_in_string_literal_is_text(eng):
+    eng.sql("PREPARE q_lit FROM SELECT 'a?b' AS s, ? AS x")
+    rows = eng.sql("EXECUTE q_lit USING 7").collect()
+    assert rows[0].s == "a?b" and rows[0].x == 7
+
+
+def test_execute_wrong_arity_raises(eng):
+    eng.sql("PREPARE q_two FROM SELECT ? + ? AS s")
+    with pytest.raises(ValueError, match="expects 2 parameters"):
+        eng.sql("EXECUTE q_two USING 1")
+
+
+def test_describe_input_positions(eng):
+    eng.sql(
+        "PREPARE q_di FROM SELECT * FROM nation "
+        "WHERE n_regionkey = ? AND n_name < ?"
+    )
+    rows = eng.sql("DESCRIBE INPUT q_di").collect()
+    assert [(r.Position, r.Type) for r in rows] == [
+        (0, "unknown"), (1, "unknown")]
+
+
+def test_describe_output_schema(eng):
+    eng.sql(
+        "PREPARE q_do FROM SELECT o_orderkey, o_totalprice, "
+        "o_orderdate, o_orderpriority FROM orders WHERE o_orderkey = ?"
+    )
+    rows = eng.sql("DESCRIBE OUTPUT q_do").collect()
+    got = {r["Column Name"]: r.Type for r in rows}
+    assert got["o_orderkey"] == "bigint"
+    assert got["o_totalprice"] == "double"
+    assert got["o_orderpriority"] == "varchar"
+    # o_orderdate is TIMESTAMP_NTZ in the driver parquet → Presto
+    # spelling "timestamp"
+    assert got["o_orderdate"] == "timestamp"
+
+
+def test_deallocate_removes_statement(eng):
+    eng.sql("PREPARE q_gone FROM SELECT 1 AS one")
+    assert eng.sql("EXECUTE q_gone").collect()[0].one == 1
+    eng.sql("DEALLOCATE PREPARE q_gone")
+    with pytest.raises(KeyError, match="not found"):
+        eng.sql("EXECUTE q_gone")
+
+
 def test_subscript_rewrite_spark_dialect_untouched(eng):
     """dialect='spark' keeps Spark's native 0-based subscript."""
     row = eng.sql(
