@@ -20,6 +20,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from presto_spark import prepared as _prep
+from presto_spark import show as _show
 from presto_spark.functions.dialect import translate
 from presto_spark.functions.registry import register_functions
 from presto_spark.session_properties import set_session_property
@@ -66,6 +67,11 @@ class Engine:
         if m:
             set_session_property(self.spark, m.group(1).lower(), m.group(2))
             return self.spark.createDataFrame([(True,)], "set_session boolean")
+        shown = _show.route(
+            self.spark, query,
+            translate_fn=translate if dialect == "presto" else None)
+        if shown is not None:
+            return shown
         routed = self._statement(query, dialect)
         if routed is not None:
             return routed

@@ -73,6 +73,78 @@ def test_array_subscript_is_one_based_in_presto_dialect(eng):
     assert row.last_elem == 30
 
 
+# ---- SHOW metadata statements (SqlBase.g4:150-159;
+# ShowQueriesRewrite.java, ShowStatsRewrite.java) ----
+
+def test_show_functions_presto_shape(eng):
+    df = eng.sql("SHOW FUNCTIONS")
+    assert df.columns == ["Function", "Return Type", "Argument Types",
+                          "Function Type", "Deterministic", "Description"]
+    by_name = {r.Function: r for r in df.collect()}
+    # registry shim with full Presto-spelled signature
+    assert by_name["strpos"]["Return Type"] == "integer"
+    assert by_name["strpos"]["Argument Types"] == "varchar, varchar"
+    assert by_name["cosine_similarity"]["Argument Types"] == \
+        "array(double), array(double)"
+    # dialect-rewritten spelling and pandas shim both listed
+    assert "approx_distinct" in by_name and "word_stem" in by_name
+    # Spark builtins round out the surface
+    assert "sum" in by_name and "transform" in by_name
+
+
+def test_show_functions_like_filter(eng):
+    names = [r.Function for r in
+             eng.sql("SHOW FUNCTIONS LIKE 'approx%'").collect()]
+    assert "approx_distinct" in names
+    assert all(n.startswith("approx") for n in names)
+
+
+def test_show_catalogs_schemas_tables(eng):
+    cats = [r.Catalog for r in eng.sql("SHOW CATALOGS").collect()]
+    assert "spark_catalog" in cats
+    schemas = [r.Schema for r in eng.sql("SHOW SCHEMAS").collect()]
+    assert "default" in schemas
+    tabs = [r["Table"] for r in eng.sql("SHOW TABLES").collect()]
+    assert "lineitem" in tabs and "orders" in tabs
+
+
+def test_show_columns_presto_shape(eng):
+    df = eng.sql("SHOW COLUMNS FROM orders")
+    assert df.columns == ["Column", "Type", "Extra", "Comment"]
+    types = {r.Column: r.Type for r in df.collect()}
+    assert types["o_orderkey"] == "bigint"
+    assert types["o_orderpriority"] == "varchar"
+    assert types["o_totalprice"] == "double"
+
+
+def test_show_session_lists_properties(eng):
+    df = eng.sql("SHOW SESSION")
+    assert df.columns == ["Name", "Value", "Default", "Type", "Description"]
+    names = [r.Name for r in df.collect()]
+    assert "hash_partition_count" in names
+    assert "join_distribution_type" in names
+
+
+def test_show_stats_table_and_query(eng):
+    df = eng.sql("SHOW STATS FOR nation")
+    assert df.columns == [
+        "column_name", "data_size", "distinct_values_count",
+        "nulls_fraction", "row_count", "low_value", "high_value"]
+    rows = {r.column_name: r for r in df.collect()}
+    assert rows[None].row_count == 25.0  # summary row
+    assert rows["n_nationkey"].low_value == "0"
+    assert rows["n_nationkey"].high_value == "24"
+    assert rows["n_nationkey"].nulls_fraction == 0.0
+    assert rows["n_name"].data_size is not None  # varchar: data size
+    assert rows["n_name"].low_value is None
+    # query form computes over the subquery result
+    q = eng.sql("SHOW STATS FOR (SELECT n_regionkey FROM nation "
+                "WHERE n_regionkey < 2)")
+    qr = {r.column_name: r for r in q.collect()}
+    assert qr[None].row_count == 10.0
+    assert qr["n_regionkey"].high_value == "1"
+
+
 # ---- prepared statements (SqlBase.g4:168-172; PrepareTask.java,
 # QueryPreparer.java parameter substitution) ----
 
