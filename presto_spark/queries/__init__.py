@@ -61,6 +61,11 @@ _DRIVER_FRONT = [
     # new round-5 queries (never driver-checked by construction)
     "llm_embedding_near_dup_lsh",
     "presto_dialect_prepared_execute",
+    "tpcds_q31_channel_growth",
+    "tpcds_q57_outlier_months",
+    "tpcds_q75_yoy_decline",
+    "tpcds_market_share_delta",
+    "tpcds_q34_frequent_buyers",
 ]
 
 

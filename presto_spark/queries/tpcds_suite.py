@@ -412,3 +412,188 @@ sql_query(
         "rollup margins.",
     tags=("tpcds",),
 )
+
+# q31 shape: two-channel quarter-over-quarter growth ratio comparison
+# per geography.
+sql_query(
+    "tpcds_q31_channel_growth",
+    """
+    WITH rev AS (
+      SELECT n.n_name,
+             year(o.o_orderdate) AS y, quarter(o.o_orderdate) AS q,
+             o.o_orderstatus AS chan,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS r
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE o.o_orderstatus IN ('F', 'O')
+        AND o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY n.n_name, year(o.o_orderdate), quarter(o.o_orderdate),
+               o.o_orderstatus
+    ),
+    g AS (
+      SELECT n_name, y, q, chan,
+             r / lag(r) OVER (PARTITION BY n_name, chan
+                              ORDER BY y, q) AS growth
+      FROM rev
+    )
+    SELECT f.n_name, f.y, f.q,
+           round(f.growth, 6) AS f_growth,
+           round(o.growth, 6) AS o_growth,
+           f.growth > o.growth AS f_faster
+    FROM g f
+    JOIN g o ON f.n_name = o.n_name AND f.y = o.y AND f.q = o.q
+    WHERE f.chan = 'F' AND o.chan = 'O'
+      AND f.growth IS NOT NULL AND o.growth IS NOT NULL
+    ORDER BY f.n_name, f.y, f.q
+    """,
+    doc="TPC-DS q31 shape (county web-vs-store quarter-over-quarter "
+        "growth comparison): per-geography per-channel QoQ growth via "
+        "lag() windows over an exact-decimal revenue agg, then a "
+        "channel self-join compares the ratios. One shuffle per agg "
+        "key + windows on the same (name, chan) partitioning.",
+    tags=("tpcds",),
+)
+
+# q57 shape: monthly deviation from the yearly average with lag/lead
+# neighbor emission.
+sql_query(
+    "tpcds_q57_outlier_months",
+    """
+    WITH m AS (
+      SELECT p.p_brand, year(l.l_shipdate) AS y, month(l.l_shipdate) AS mo,
+             CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               AS qty
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        AND p.p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+      GROUP BY p.p_brand, year(l.l_shipdate), month(l.l_shipdate)
+    ),
+    d AS (
+      SELECT p_brand, y, mo, qty,
+             avg(qty) OVER (PARTITION BY p_brand, y) AS yr_avg,
+             lag(qty) OVER (PARTITION BY p_brand ORDER BY y, mo)
+               AS prev_qty,
+             lead(qty) OVER (PARTITION BY p_brand ORDER BY y, mo)
+               AS next_qty
+      FROM m
+    )
+    SELECT p_brand, y, mo, qty,
+           round(yr_avg, 6) AS yr_avg,
+           prev_qty, next_qty,
+           round(abs(qty - yr_avg) / yr_avg, 6) AS deviation
+    FROM d
+    WHERE yr_avg > 0 AND abs(qty - yr_avg) / yr_avg > 0.1
+    ORDER BY p_brand, y, mo
+    """,
+    doc="TPC-DS q57 shape (call-center monthly outliers vs yearly "
+        "average, with the neighboring months' values emitted via "
+        "lag/lead): one agg shuffle on (brand, y, mo), three windows "
+        "sharing the (brand) sort — Spark plans one window exchange.",
+    tags=("tpcds",),
+)
+
+# q75 shape: year-over-year decline per brand across channels.
+sql_query(
+    "tpcds_q75_yoy_decline",
+    """
+    WITH sales AS (
+      SELECT CASE WHEN l.l_linenumber <= 3 THEN 'store' ELSE 'web' END
+               AS chan,
+             p.p_brand, year(l.l_shipdate) AS y,
+             CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               AS qty,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l.l_discount AS DECIMAL(4,2)))
+                  AS DOUBLE) AS amt
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_brand LIKE 'Brand#1%'
+        AND l.l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY CASE WHEN l.l_linenumber <= 3 THEN 'store' ELSE 'web' END,
+               p.p_brand, year(l.l_shipdate)
+    )
+    SELECT cur.chan, cur.p_brand, cur.y AS sale_year,
+           prev.qty AS prev_qty, cur.qty AS cur_qty,
+           round(cur.qty - prev.qty, 2) AS qty_diff,
+           round(cur.amt - prev.amt, 2) AS amt_diff
+    FROM sales cur
+    JOIN sales prev ON cur.chan = prev.chan
+                   AND cur.p_brand = prev.p_brand
+                   AND cur.y = prev.y + 1
+    WHERE cur.qty < prev.qty
+    ORDER BY cur.chan, cur.p_brand, cur.y
+    """,
+    doc="TPC-DS q75 shape (prior-year comparison of quantity and "
+        "amount per brand across sales channels, declining rows only): "
+        "channelized agg then an equi self-join on (chan, brand, "
+        "y = y+1) — broadcastable agg output, no window needed.",
+    tags=("tpcds",),
+)
+
+# q54/q31-flavored windowed market share with year-over-year delta.
+sql_query(
+    "tpcds_market_share_delta",
+    """
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             year(o.o_orderdate) AS y,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS r
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY r.r_name, n.n_name, year(o.o_orderdate)
+    ),
+    sh AS (
+      SELECT region, nation, y,
+             r / sum(r) OVER (PARTITION BY region, y) AS share
+      FROM rev
+    )
+    SELECT region, nation, y,
+           round(share, 6) AS share,
+           round(share - lag(share) OVER (PARTITION BY region, nation
+                                          ORDER BY y), 6) AS share_delta
+    FROM sh
+    ORDER BY region, nation, y
+    """,
+    doc="Windowed market share (TPC-DS q54/q31 flavor): nation revenue "
+        "share within (region, year) via a ratio-to-report window over "
+        "the agg, plus the year-over-year share delta via lag — two "
+        "windows on different partitionings over a dim-joined fact agg "
+        "(all three dim joins broadcast).",
+    tags=("tpcds",),
+)
+
+# q34/q73 shape: order-count band, joined back for buyer detail.
+sql_query(
+    "tpcds_q34_frequent_buyers",
+    """
+    WITH counts AS (
+      SELECT o_custkey, count(*) AS n_orders
+      FROM orders
+      GROUP BY o_custkey
+      HAVING count(*) BETWEEN 8 AND 15
+    )
+    SELECT c.c_mktsegment,
+           count(*) AS n_buyers,
+           CAST(sum(cnt.n_orders) AS BIGINT) AS total_orders,
+           round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2)))
+                      AS DOUBLE) / count(*), 4) AS avg_acctbal
+    FROM counts cnt JOIN customer c ON cnt.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    doc="TPC-DS q34/q73 shape (households with order counts inside a "
+        "band, joined back to the dimension for detail): group-by-"
+        "having on the fact, then a join back to customer — the "
+        "count-band output is tiny, so AQE broadcasts it against the "
+        "dimension; avg computed as exact-decimal sum / count.",
+    tags=("tpcds",),
+)
