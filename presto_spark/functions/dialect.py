@@ -1163,9 +1163,157 @@ def _expand_macros_and_try(sql: str) -> str:
     return sql
 
 
+# --- GROUPS window frames (presto-spi/.../spi/plan/WindowNode.java:
+# 323-330 lists GROUPS as a first-class frame type; Spark supports only
+# ROWS/RANGE).  A GROUPS frame counts PEER GROUPS — rows tying on the
+# ORDER BY key — and dense_rank() numbers peer groups 1..n
+# consecutively, so RANGE over the dense_rank with the same offsets IS
+# the GROUPS frame (operators/relational.py groups_frame is the
+# DataFrame-level twin).  The text rewrite (a) swaps each GROUPS frame
+# to a RANGE frame ordered by an injected __gdr_<k> column and (b)
+# wraps the top-level FROM in a subquery that computes each distinct
+# (partition, order) dense_rank once.  Scope: GROUPS frames in the
+# select list of a single top-level SELECT without a top-level GROUP
+# BY / set operation (a frame over an aggregated relation needs the
+# rank computed post-agg — use the operator form there); unsupported
+# shapes are left untouched so the engine fails loudly instead of
+# silently mis-framing.
+
+_groups_kw_re = re.compile(r"\bGROUPS\b", re.IGNORECASE)
+_over_open_re = re.compile(r"\bOVER\s*\(", re.IGNORECASE)
+_groups_clause_re = re.compile(
+    r"(?is)^\s*(?:PARTITION\s+BY\s+(?P<part>.+?)\s+)?"
+    r"ORDER\s+BY\s+(?P<ord>.+?)\s+GROUPS\s+(?P<frame>.+?)\s*$"
+)
+_groups_frame_re = re.compile(
+    r"(?is)^\s*(?:BETWEEN\s+"
+    r"(?P<b1>UNBOUNDED\s+PRECEDING|CURRENT\s+ROW|\d+\s+(?:PRECEDING|FOLLOWING))"
+    r"\s+AND\s+"
+    r"(?P<b2>UNBOUNDED\s+FOLLOWING|CURRENT\s+ROW|\d+\s+(?:PRECEDING|FOLLOWING))"
+    r"|(?P<single>UNBOUNDED\s+PRECEDING|CURRENT\s+ROW|\d+\s+PRECEDING))\s*$"
+)
+
+
+def _matching_paren(sql: str, open_i: int, spans) -> int | None:
+    depth = 0
+    i = open_i
+    n = len(sql)
+    while i < n:
+        if _in_string(spans, i):
+            i += 1
+            continue
+        c = sql[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return None
+
+
+def _depth0_keyword_spans(sql: str, word_pattern: str):
+    """(start, end) of each match of ``word_pattern`` at paren depth 0,
+    outside string literals."""
+    spans = _string_spans(sql)
+    depth = 0
+    depths = []
+    for i, c in enumerate(sql):
+        depths.append(depth)
+        if _in_string(spans, i):
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+    rx = re.compile(word_pattern, re.IGNORECASE)
+    return [
+        (m.start(), m.end())
+        for m in rx.finditer(sql)
+        if not _in_string(spans, m.start()) and depths[m.start()] == 0
+    ]
+
+
+def _rewrite_groups_frames(sql: str) -> str:
+    if not _groups_kw_re.search(sql):
+        return sql
+    spans = _string_spans(sql)
+    sigs: dict[tuple[str, str], tuple[str, str, str]] = {}
+    repls: list[tuple[int, int, str]] = []
+    pos = 0
+    while True:
+        m = _over_open_re.search(sql, pos)
+        if m is None:
+            break
+        if _in_string(spans, m.start()):
+            pos = m.end()
+            continue
+        open_i = m.end() - 1
+        close_i = _matching_paren(sql, open_i, spans)
+        if close_i is None:
+            pos = m.end()
+            continue
+        content = sql[open_i + 1:close_i]
+        pos = close_i
+        gm = _groups_clause_re.match(content)
+        if gm is None:
+            continue
+        fm = _groups_frame_re.match(gm.group("frame"))
+        if fm is None:
+            continue
+        part = (gm.group("part") or "").strip()
+        ordx = gm.group("ord").strip()
+        key = (re.sub(r"\s+", " ", part.lower()),
+               re.sub(r"\s+", " ", ordx.lower()))
+        if key not in sigs:
+            sigs[key] = (part, ordx, f"__gdr_{len(sigs)}")
+        col = sigs[key][2]
+        frame = ("RANGE " + fm.group("single") if fm.group("single")
+                 else f"RANGE BETWEEN {fm.group('b1')} AND {fm.group('b2')}")
+        prefix = f"PARTITION BY {part} " if part else ""
+        repls.append(
+            (m.start(), close_i + 1,
+             f"OVER ({prefix}ORDER BY {col} {frame})")
+        )
+    if not repls:
+        return sql
+    out = sql
+    for start, end, text in reversed(repls):
+        out = out[:start] + text + out[end:]
+    # Wrap the single top-level SELECT's FROM with the dense_rank source.
+    selects = _depth0_keyword_spans(out, r"\bSELECT\b")
+    if len(selects) != 1:
+        return sql
+    froms = [s for s in _depth0_keyword_spans(out, r"\bFROM\b")
+             if s[0] > selects[0][1]]
+    if not froms:
+        return sql
+    if _depth0_keyword_spans(out, r"\bGROUP\s+BY\b|\bHAVING\b"):
+        return sql
+    from_s, from_e = froms[0]
+    tails = [s for s in
+             _depth0_keyword_spans(out, r"\bORDER\s+BY\b|\bLIMIT\b")
+             if s[0] > from_e]
+    tail_at = tails[0][0] if tails else len(out)
+    body = out[from_e:tail_at].strip()
+    dr_cols = ", ".join(
+        f"dense_rank() OVER ("
+        + (f"PARTITION BY {part} " if part else "")
+        + f"ORDER BY {ordx}) AS {col}"
+        for part, ordx, col in sigs.values()
+    )
+    return (
+        out[:from_s]
+        + f"FROM (SELECT *, {dr_cols} FROM {body}) __groups_src "
+        + out[tail_at:]
+    )
+
+
 def translate(sql: str) -> str:
     """Rewrite Presto spellings to Spark spellings.  Idempotent."""
-    out = _rewrite_array_literals(sql)
+    out = _rewrite_groups_frames(sql)
+    out = _rewrite_array_literals(out)
     out = _rewrite_type_positions(out)
     out = _sub_outside_strings(_bare_varchar_re, "AS STRING", out)
     out = _sub_skipping_strings(_typed_literal_re, _typed_literal_repl, out)

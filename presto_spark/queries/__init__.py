@@ -66,6 +66,7 @@ _DRIVER_FRONT = [
     "tpcds_q75_yoy_decline",
     "tpcds_market_share_delta",
     "tpcds_q34_frequent_buyers",
+    "presto_dialect_groups_frames",
 ]
 
 

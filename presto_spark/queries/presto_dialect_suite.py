@@ -530,3 +530,85 @@ def presto_dialect_prepared_execute(spark, sf_dir):
         "EXECUTE q_reg_prio USING DECIMAL '150000.00', "
         "TIMESTAMP '1995-01-01 00:00:00'"
     )
+
+
+_GROUPS_FRAMES_SQL = """
+    WITH m AS (
+      SELECT l_suppkey, month(l_shipdate) AS mo,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+      FROM lineitem
+      WHERE l_suppkey <= 5
+        AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY l_suppkey, month(l_shipdate)
+    )
+    SELECT l_suppkey, mo,
+      round(sum(qty) OVER (PARTITION BY l_suppkey ORDER BY mo
+                           GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2)
+        AS w_1_1,
+      round(sum(qty) OVER (PARTITION BY l_suppkey ORDER BY mo
+                           GROUPS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+        AS w_2_0,
+      round(sum(qty) OVER (ORDER BY mo
+                           GROUPS BETWEEN CURRENT ROW
+                                      AND UNBOUNDED FOLLOWING), 2)
+        AS w_tail,
+      round(avg(qty) OVER (PARTITION BY l_suppkey ORDER BY mo
+                           GROUPS 1 PRECEDING), 2) AS w_single
+    FROM m
+    ORDER BY l_suppkey, mo
+"""
+
+_presto_sql(
+    "presto_dialect_groups_frames",
+    _GROUPS_FRAMES_SQL,
+    # DuckDB's build lacks GROUPS mode, so the oracle spells the
+    # dense_rank + RANGE-over-rank lowering explicitly (independent
+    # execution of the same frame algebra; the GROUPS-vs-ROWS peer
+    # semantics themselves are pinned by
+    # tests/test_relational.py::test_groups_frame_translate_matches_operator
+    # against hand-computed tied-key expectations).
+    """
+    WITH m AS (
+      SELECT l_suppkey, month(l_shipdate) AS mo,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+      FROM lineitem
+      WHERE l_suppkey <= 5
+        AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY l_suppkey, month(l_shipdate)
+    ),
+    g AS (
+      SELECT *,
+             dense_rank() OVER (PARTITION BY l_suppkey ORDER BY mo)
+               AS dr_part,
+             dense_rank() OVER (ORDER BY mo) AS dr_all
+      FROM m
+    )
+    SELECT l_suppkey, mo,
+      round(sum(qty) OVER (PARTITION BY l_suppkey ORDER BY dr_part
+                           RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2)
+        AS w_1_1,
+      round(sum(qty) OVER (PARTITION BY l_suppkey ORDER BY dr_part
+                           RANGE BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+        AS w_2_0,
+      round(sum(qty) OVER (ORDER BY dr_all
+                           RANGE BETWEEN CURRENT ROW
+                                     AND UNBOUNDED FOLLOWING), 2)
+        AS w_tail,
+      round(avg(qty) OVER (PARTITION BY l_suppkey ORDER BY dr_part
+                           RANGE 1 PRECEDING), 2) AS w_single
+    FROM g
+    ORDER BY l_suppkey, mo
+    """,
+    doc="GROUPS window frames (WindowNode.java:323-330; Spark has only "
+        "ROWS/RANGE) through translate()'s general emulation: each "
+        "GROUPS frame becomes RANGE over an injected dense_rank peer-"
+        "group number, computed once per (partition, order) signature "
+        "in a wrapped subquery. Four frame-offset combinations — "
+        "bounded both sides, bounded-preceding, current-to-unbounded, "
+        "single-bound shorthand — including an unpartitioned window "
+        "whose order key TIES across suppliers (peer-group semantics, "
+        "where GROUPS differs from ROWS).",
+    tags=("dialect",),
+)

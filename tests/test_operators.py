@@ -149,6 +149,39 @@ def test_groups_frame_ties_counted_as_one_group(spark):
     assert got[(1, 10)] == 30 and got[(1, 20)] == 30
 
 
+def test_groups_frame_translate_matches_operator(spark):
+    """The dialect-layer GROUPS rewrite (dialect.py
+    _rewrite_groups_frames) must produce the same peer-group frames as
+    the operator form, pinned against hand-computed expectations on a
+    tied-key fixture (where GROUPS differs from ROWS)."""
+    from presto_spark.functions.dialect import translate
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 1, 2.0), ("a", 2, 4.0), ("a", 5, 8.0),
+         ("b", 1, 10.0)],
+        "k string, o int, v double",
+    )
+    df.createOrReplaceTempView("groups_fixture")
+    sql = (
+        "SELECT k, o, v, sum(v) OVER (PARTITION BY k ORDER BY o "
+        "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s "
+        "FROM groups_fixture ORDER BY k, o, v"
+    )
+    got = [(r.k, r.o, r.v, r.s)
+           for r in spark.sql(translate(sql)).collect()]
+    # o=1 peers share the frame (3.0 for BOTH tied rows — ROWS would
+    # give 1.0/3.0); o=2 adds the whole previous tie-group; o=5 is
+    # group-adjacent to o=2 regardless of the value gap.
+    assert got == [("a", 1, 1.0, 3.0), ("a", 1, 2.0, 3.0),
+                   ("a", 2, 4.0, 7.0), ("a", 5, 8.0, 12.0),
+                   ("b", 1, 10.0, 10.0)]
+    op = R.groups_frame(
+        df, ["k"], "o", n_preceding=1, n_following=0,
+        aggs={"s": F.sum("v")},
+    ).orderBy("k", "o", "v").collect()
+    assert [(r.k, r.o, r.v, r.s) for r in op] == got
+
+
 def test_set_agg(spark):
     df = spark.createDataFrame(
         [(1, "b"), (1, "a"), (1, "b"), (2, "c")], "g int, v string"
