@@ -67,6 +67,8 @@ _DRIVER_FRONT = [
     "tpcds_market_share_delta",
     "tpcds_q34_frequent_buyers",
     "presto_dialect_groups_frames",
+    "sketch_setdigest_exact_ops",
+    "sketch_setdigest_minhash_envelope",
 ]
 
 

@@ -303,3 +303,244 @@ def sketch_noisy_gaussian_envelope(spark, sf_dir):
         F.bool_and(
             F.col("noisy_clip") <= F.col("c") + 8 * scale).alias("clip_ok"),
     )
+
+
+_SETDIGEST_EXACT_ORACLE = """
+WITH h AS (
+  SELECT DISTINCT o_orderpriority AS g,
+         md5(CAST(o_custkey % 400 AS VARCHAR)) AS h
+  FROM orders
+),
+n AS (SELECT g, count(*) AS nd FROM h GROUP BY g),
+pairs AS (SELECT a.g AS pa, b.g AS pb FROM n a JOIN n b ON a.g < b.g),
+inter AS (
+  SELECT x.g AS pa, y.g AS pb, count(*) AS ic
+  FROM h x JOIN h y ON x.h = y.h AND x.g < y.g
+  GROUP BY x.g, y.g
+),
+u AS (
+  SELECT p.pa, p.pb, h.h
+  FROM pairs p JOIN h ON h.g IN (p.pa, p.pb)
+  GROUP BY p.pa, p.pb, h.h
+),
+ranked AS (
+  SELECT pa, pb, h,
+         row_number() OVER (PARTITION BY pa, pb ORDER BY h) AS rk
+  FROM u
+),
+j AS (
+  SELECT r.pa, r.pb,
+         CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM h x
+                                    WHERE x.g = r.pa AND x.h = r.h)
+                        AND EXISTS (SELECT 1 FROM h y
+                                    WHERE y.g = r.pb AND y.h = r.h)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS jacc_num
+  FROM ranked r
+  JOIN n na ON na.g = r.pa
+  JOIN n nb ON nb.g = r.pb
+  WHERE r.rk <= least(na.nd, nb.nd)
+  GROUP BY r.pa, r.pb
+)
+SELECT p.pa AS pa, p.pb AS pb,
+       CAST(na.nd AS BIGINT) AS card_a,
+       CAST(nb.nd AS BIGINT) AS card_b,
+       CAST(i.ic AS BIGINT) AS inter_exact,
+       j.jacc_num,
+       CAST(least(na.nd, nb.nd) AS BIGINT) AS jacc_den,
+       true AS merge_ok
+FROM pairs p
+JOIN n na ON na.g = p.pa
+JOIN n nb ON nb.g = p.pb
+JOIN inter i ON i.pa = p.pa AND i.pb = p.pb
+JOIN j ON j.pa = p.pa AND j.pb = p.pb
+ORDER BY pa, pb
+"""
+
+
+@register(
+    "sketch_setdigest_exact_ops",
+    oracle=_SETDIGEST_EXACT_ORACLE,
+    doc="make_set_digest / cardinality / intersection_cardinality / "
+        "jaccard_index in the exact regime (SetDigest.java:142-163: a "
+        "digest below max_hashes retained hashes IS the set). Digests "
+        "per o_orderpriority over o_custkey%400; every pairwise "
+        "cardinality, exact intersection, and the bottom-k jaccard "
+        "estimator (SetDigest.java:166-184) replayed bit-for-bit by "
+        "DuckDB over the same md5 hash ordering; jaccard emitted as an "
+        "integer num/den pair so no float formatting touches the hash. "
+        "merge_ok asserts merge_set_digest over (priority, orderstatus) "
+        "partials reproduces the directly-built digest exactly "
+        "(SetDigest.java:209-221 mergeWith).",
+    tags=("sketch", "agg", "setdigest"),
+)
+def sketch_setdigest_exact_ops(spark, sf_dir):
+    prepare(spark, sf_dir)
+    from presto_spark.operators import setdigest
+
+    vals = spark.table("orders").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        (F.col("o_custkey") % 400).cast("string").alias("v"),
+    )
+    dig = setdigest.make_set_digest(
+        vals, ["o_orderpriority"], "v", max_hashes=4096)
+    # merge path: partials per (priority, status) rolled up to priority
+    partials = setdigest.make_set_digest(
+        vals, ["o_orderpriority", "o_orderstatus"], "v", max_hashes=4096)
+    merged = setdigest.merge_set_digests(
+        partials, ["o_orderpriority"], "digest")
+    a = dig.select(
+        F.col("o_orderpriority").alias("pa"), F.col("digest").alias("da"))
+    b = dig.select(
+        F.col("o_orderpriority").alias("pb"), F.col("digest").alias("db"))
+    pairs = a.join(F.broadcast(b), F.col("pa") < F.col("pb"))
+    da, db = F.col("da"), F.col("db")
+    k = F.least(F.size(da["hashes"]), F.size(db["hashes"]))
+    bottom_k = F.slice(
+        F.array_sort(F.array_union(da["hashes"], db["hashes"])), F.lit(1), k)
+    jacc_num = F.size(F.filter(
+        bottom_k,
+        lambda h: F.array_contains(da["hashes"], h)
+        & F.array_contains(db["hashes"], h)))
+    merge_ok_df = (
+        dig.alias("d")
+        .join(merged.alias("m"), "o_orderpriority")
+        .select(
+            ((F.col("d.digest.hashes") == F.col("m.digest.hashes"))
+             & (F.col("d.digest.counts") == F.col("m.digest.counts"))
+             & (F.col("d.digest.exact") == F.col("m.digest.exact"))
+             ).alias("ok"))
+        .agg(F.bool_and("ok").alias("merge_ok"))
+    )
+    return (
+        pairs.select(
+            "pa", "pb",
+            setdigest.cardinality(da).alias("card_a"),
+            setdigest.cardinality(db).alias("card_b"),
+            setdigest.intersection_cardinality(da, db).alias("inter_exact"),
+            jacc_num.cast("long").alias("jacc_num"),
+            k.cast("long").alias("jacc_den"),
+        )
+        .crossJoin(F.broadcast(merge_ok_df))
+        .orderBy("pa", "pb")
+    )
+
+
+_SETDIGEST_MINHASH_ORACLE = """
+WITH h AS (
+  SELECT DISTINCT o_orderpriority AS g,
+         md5(CAST(o_custkey % 400 AS VARCHAR)) AS h
+  FROM orders
+),
+ranked_h AS (
+  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+  FROM h
+),
+kept AS (SELECT g, h FROM ranked_h WHERE rk <= 128),
+ksz AS (SELECT g, count(*) AS sz FROM kept GROUP BY g),
+pairs AS (SELECT a.g AS pa, b.g AS pb FROM ksz a JOIN ksz b ON a.g < b.g),
+u AS (
+  SELECT p.pa, p.pb, kept.h
+  FROM pairs p JOIN kept ON kept.g IN (p.pa, p.pb)
+  GROUP BY p.pa, p.pb, kept.h
+),
+ranked_u AS (
+  SELECT pa, pb, h,
+         row_number() OVER (PARTITION BY pa, pb ORDER BY h) AS rk
+  FROM u
+),
+j AS (
+  SELECT r.pa, r.pb,
+         CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM kept x
+                                    WHERE x.g = r.pa AND x.h = r.h)
+                        AND EXISTS (SELECT 1 FROM kept y
+                                    WHERE y.g = r.pb AND y.h = r.h)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS jacc_num
+  FROM ranked_u r
+  JOIN ksz sa ON sa.g = r.pa
+  JOIN ksz sb ON sb.g = r.pb
+  WHERE r.rk <= least(sa.sz, sb.sz)
+  GROUP BY r.pa, r.pb
+)
+SELECT p.pa AS pa, p.pb AS pb, j.jacc_num AS jacc_num,
+       CAST(least(sa.sz, sb.sz) AS BIGINT) AS jacc_den,
+       true AS card_ok, true AS inter_ok
+FROM pairs p
+JOIN ksz sa ON sa.g = p.pa
+JOIN ksz sb ON sb.g = p.pb
+JOIN j ON j.pa = p.pa AND j.pb = p.pb
+ORDER BY pa, pb
+"""
+
+
+@register(
+    "sketch_setdigest_minhash_envelope",
+    oracle=_SETDIGEST_MINHASH_ORACLE,
+    doc="SetDigest in the truncated (approximate) regime: max_hashes=128 "
+        "< distinct values, so cardinality falls back to the HLL "
+        "(SetDigest.java:150-156) and intersection_cardinality to "
+        "round(jaccard * |A∪B|_hll) clamped by min(|A|,|B|) "
+        "(SetDigestFunctions.java:47-67). The bottom-k jaccard estimator "
+        "stays deterministic given the hash order, so DuckDB replays "
+        "jacc_num/jacc_den exactly over the same bottom-128 md5 sets; "
+        "the HLL-backed outputs are envelope-checked (5% cardinality, "
+        "25% intersection) against exact values computed engine-side.",
+    tags=("sketch", "agg", "setdigest"),
+)
+def sketch_setdigest_minhash_envelope(spark, sf_dir):
+    prepare(spark, sf_dir)
+    from presto_spark.operators import setdigest
+
+    vals = spark.table("orders").select(
+        "o_orderpriority",
+        (F.col("o_custkey") % 400).cast("string").alias("v"),
+    )
+    dig = setdigest.make_set_digest(
+        vals, ["o_orderpriority"], "v", max_hashes=128)
+    exact_sets = vals.distinct()
+    exact_n = exact_sets.groupBy("o_orderpriority").agg(
+        F.count("*").alias("nd"))
+    exact_inter = (
+        exact_sets.alias("x")
+        .join(exact_sets.alias("y"),
+              (F.col("x.v") == F.col("y.v"))
+              & (F.col("x.o_orderpriority") < F.col("y.o_orderpriority")))
+        .groupBy(F.col("x.o_orderpriority").alias("pa"),
+                 F.col("y.o_orderpriority").alias("pb"))
+        .agg(F.count("*").alias("true_inter"))
+    )
+    a = dig.select(
+        F.col("o_orderpriority").alias("pa"), F.col("digest").alias("da"))
+    b = dig.select(
+        F.col("o_orderpriority").alias("pb"), F.col("digest").alias("db"))
+    da, db = F.col("da"), F.col("db")
+    k = F.least(F.size(da["hashes"]), F.size(db["hashes"]))
+    bottom_k = F.slice(
+        F.array_sort(F.array_union(da["hashes"], db["hashes"])), F.lit(1), k)
+    jacc_num = F.size(F.filter(
+        bottom_k,
+        lambda h: F.array_contains(da["hashes"], h)
+        & F.array_contains(db["hashes"], h)))
+    pairs = (
+        a.join(F.broadcast(b), F.col("pa") < F.col("pb"))
+        .join(exact_inter, ["pa", "pb"])
+        .join(exact_n.select(F.col("o_orderpriority").alias("pa"),
+                             F.col("nd").alias("nd_a")), "pa")
+        .join(exact_n.select(F.col("o_orderpriority").alias("pb"),
+                             F.col("nd").alias("nd_b")), "pb")
+    )
+    return (
+        pairs.select(
+            "pa", "pb",
+            jacc_num.cast("long").alias("jacc_num"),
+            k.cast("long").alias("jacc_den"),
+            ((F.abs(setdigest.cardinality(da) - F.col("nd_a"))
+              <= 0.05 * F.col("nd_a"))
+             & (F.abs(setdigest.cardinality(db) - F.col("nd_b"))
+                <= 0.05 * F.col("nd_b"))).alias("card_ok"),
+            (F.abs(setdigest.intersection_cardinality(da, db)
+                   - F.col("true_inter"))
+             <= 0.25 * F.col("true_inter")).alias("inter_ok"),
+        )
+        .orderBy("pa", "pb")
+    )

@@ -152,3 +152,115 @@ def test_noisy_count_never_negative(spark):
         (row,) = noisy.noisy_count_gaussian(
             df, "v", 1e6, group_by=("k",), seed=seed).collect()
         assert row.noisy_count >= 0
+
+
+# ---- SetDigest (operators/setdigest.py) ----
+
+
+def _digest_for(spark, rows, max_hashes=8192):
+    from presto_spark.operators import setdigest as SD
+
+    df = spark.createDataFrame(rows, "g string, v string")
+    return SD.make_set_digest(df, ["g"], "v", max_hashes=max_hashes)
+
+
+def test_setdigest_exact_regime(spark):
+    """Below max_hashes the digest IS the set: exact cardinality,
+    exact intersection (SetDigest.java:142-163)."""
+    from presto_spark.operators import setdigest as SD
+    from pyspark.sql import functions as F
+
+    rows = [("a", str(i)) for i in range(40)] + [
+        ("b", str(i)) for i in range(20, 70)
+    ]
+    dig = _digest_for(spark, rows)
+    a = dig.filter(F.col("g") == "a").select(F.col("digest").alias("da"))
+    b = dig.filter(F.col("g") == "b").select(F.col("digest").alias("db"))
+    row = (
+        a.crossJoin(b)
+        .select(
+            SD.cardinality(F.col("da")).alias("ca"),
+            SD.cardinality(F.col("db")).alias("cb"),
+            SD.intersection_cardinality(F.col("da"), F.col("db")).alias("ic"),
+        )
+        .collect()[0]
+    )
+    assert (row.ca, row.cb, row.ic) == (40, 50, 20)
+
+
+def test_setdigest_truncation_and_exactness_rule(spark):
+    """Strictly-fewer-than-max retained hashes == exact
+    (SetDigest.java:142-148); at or past max the minhash truncates to
+    the k smallest and exactness flips off."""
+    from pyspark.sql import functions as F
+
+    rows = [("a", str(i)) for i in range(64)]
+    exact = _digest_for(spark, rows, max_hashes=65).collect()[0].digest
+    assert exact.exact and len(exact.hashes) == 64
+    trunc = _digest_for(spark, rows, max_hashes=64).collect()[0].digest
+    assert not trunc.exact and len(trunc.hashes) == 64
+    assert trunc.hashes == sorted(exact.hashes)[:64]
+    smaller = _digest_for(spark, rows, max_hashes=16).collect()[0].digest
+    assert not smaller.exact
+    assert smaller.hashes == sorted(exact.hashes)[:16]
+
+
+def test_setdigest_hash_counts_multiplicity(spark):
+    """hash_counts carries saturating multiplicities
+    (SetDigestFunctions.java:81, SetDigest.java:198-207)."""
+    from presto_spark.operators import setdigest as SD
+    from pyspark.sql import functions as F
+
+    rows = [("a", "x")] * 3 + [("a", "y")] * 2 + [("a", "z")]
+    dig = _digest_for(spark, rows)
+    counts = (
+        dig.select(SD.hash_counts(F.col("digest")).alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert sorted(counts.values()) == [1, 2, 3]
+
+
+def test_setdigest_merge_equals_direct(spark):
+    """merge_set_digest over partials == digest built directly
+    (SetDigest.java:209-221): same hashes, summed counts."""
+    from presto_spark.operators import setdigest as SD
+    from pyspark.sql import functions as F
+
+    rows = [("a", "p1", str(i)) for i in range(30)] + [
+        ("a", "p2", str(i)) for i in range(15, 45)
+    ]
+    df = spark.createDataFrame(rows, "g string, part string, v string")
+    direct = SD.make_set_digest(df, ["g"], "v").collect()[0].digest
+    partials = SD.make_set_digest(df, ["g", "part"], "v")
+    merged = (
+        SD.merge_set_digests(partials, ["g"]).collect()[0].digest
+    )
+    assert merged.hashes == direct.hashes
+    assert merged.counts == direct.counts
+    assert merged.exact == direct.exact
+
+
+def test_setdigest_jaccard_identical_and_disjoint(spark):
+    from presto_spark.operators import setdigest as SD
+    from pyspark.sql import functions as F
+
+    rows = [("a", str(i)) for i in range(25)] + [
+        ("b", str(i)) for i in range(25)
+    ] + [("c", str(i)) for i in range(100, 125)]
+    dig = _digest_for(spark, rows)
+    d = {r.g: r.digest for r in dig.collect()}
+    df = spark.createDataFrame(
+        [(d["a"], d["b"], d["c"])],
+        dig.select(
+            F.col("digest").alias("da"),
+            F.col("digest").alias("db"),
+            F.col("digest").alias("dc"),
+        ).schema,
+    )
+    row = df.select(
+        SD.jaccard_index(F.col("da"), F.col("db")).alias("same"),
+        SD.jaccard_index(F.col("da"), F.col("dc")).alias("disjoint"),
+    ).collect()[0]
+    assert row.same == 1.0
+    assert row.disjoint == 0.0
