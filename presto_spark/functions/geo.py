@@ -1,0 +1,414 @@
+"""Geospatial subset: planar ST_* functions + great_circle_distance.
+
+Reference surface (presto-main-base/.../geospatial/GeoFunctions.java and
+presto-geospatial-toolkit/.../SphericalGeographyUtils.java).  The
+reference backs these with Esri geometry objects; the Spark-first
+design is a plain STRUCT column so every function below is a JVM-side
+Column expression over arrays (whole-stage codegen, no UDFs)::
+
+    geometry := struct<kind:  string,   -- POINT|MULTIPOINT|LINESTRING|POLYGON
+                       rings: array<array<struct<x:double, y:double>>>>
+
+POINT has one ring of one vertex; LINESTRING one ring; POLYGON ring 0
+is the shell and rings 1..n are holes (WKT rings repeat their first
+vertex last, and the parser keeps that closure).
+
+Implemented (the planar measurement/predicate core + the spherical
+distance): ST_Point, ST_GeometryFromText, ST_AsText, ST_X, ST_Y,
+ST_XMin/XMax/YMin/YMax, ST_NumPoints, ST_Area, ST_Length, ST_Centroid,
+ST_Distance (point↔point, point↔linestring), ST_Contains/ST_Within
+(polygon ∋ point, even-odd rule so holes are honored), ST_Envelope
+(as xmin/ymin/xmax/ymax struct), great_circle_distance
+(SphericalGeographyUtils.java:82-107, EARTH_RADIUS_KM = 6371.01).
+
+Documented deviations: geometry is the struct above, not a serialized
+Esri payload; ST_AsText prints coordinates with Spark's double
+formatting; the full overlay algebra (ST_Union/Intersection/Buffer …)
+and curve/multi-polygon types remain out of scope (COVERAGE.md §2.8).
+
+Scale: everything here is per-row expression work — no shuffle, no
+Python.  The companion grid-binned join lives in
+operators/spatial_join.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.01  # SphericalGeographyUtils.java:36
+
+
+# ---- constructors / accessors -------------------------------------------
+
+def st_point(x: Column, y: Column) -> Column:
+    """ST_Point(x, y) (GeoFunctions.java:167)."""
+    pt = F.struct(x.cast("double").alias("x"), y.cast("double").alias("y"))
+    return F.struct(
+        F.lit("POINT").alias("kind"), F.array(F.array(pt)).alias("rings")
+    )
+
+
+def st_geometry_from_text(wkt: Column) -> Column:
+    """ST_GeometryFromText (GeoFunctions.java:244) for
+    POINT/MULTIPOINT/LINESTRING/POLYGON WKT."""
+    t = F.trim(wkt)
+    kind = F.upper(F.regexp_extract(t, r"^\s*([A-Za-z]+)", 1))
+    body = F.regexp_extract(t, r"^\s*[A-Za-z]+\s*\((.*)\)\s*$", 1)
+    rings_raw = F.split(body, r"\)\s*,\s*\(")
+
+    def parse_ring(s: Column) -> Column:
+        pts = F.split(F.trim(F.regexp_replace(s, r"[()]", "")), r"\s*,\s*")
+        return F.transform(
+            pts,
+            lambda p: F.struct(
+                F.split(F.trim(p), r"\s+")[0].cast("double").alias("x"),
+                F.split(F.trim(p), r"\s+")[1].cast("double").alias("y"),
+            ),
+        )
+
+    # MULTIPOINT accepts both "((1 2), (3 4))" and "(1 2, 3 4)" WKT —
+    # normalize to one vertex per ring.
+    multipoint = F.transform(
+        F.flatten(F.transform(rings_raw, parse_ring)), lambda p: F.array(p)
+    )
+    rings = F.when(kind == "MULTIPOINT", multipoint).otherwise(
+        F.transform(rings_raw, parse_ring)
+    )
+    return F.when(
+        body != "", F.struct(kind.alias("kind"), rings.alias("rings"))
+    )
+
+
+def st_as_text(geom: Column) -> Column:
+    """ST_AsText (GeoFunctions.java:260) — canonical WKT; coordinates
+    use Spark's shortest-round-trip double formatting (deviation)."""
+    fmt_pt = lambda p: F.concat_ws(" ", p["x"].cast("string"), p["y"].cast("string"))  # noqa: E731
+    ring_txt = lambda r: F.concat(F.lit("("), F.concat_ws(", ", F.transform(r, fmt_pt)), F.lit(")"))  # noqa: E731
+    rings = geom["rings"]
+    return F.when(
+        geom["kind"] == "POINT",
+        F.concat(F.lit("POINT ("), fmt_pt(rings[0][0]), F.lit(")")),
+    ).otherwise(
+        F.concat(
+            geom["kind"],
+            F.lit(" ("),
+            F.when(
+                geom["kind"] == "MULTIPOINT",
+                F.concat_ws(
+                    ", ", F.transform(rings, lambda r: fmt_pt(r[0]))
+                ),
+            ).when(
+                geom["kind"] == "LINESTRING",
+                F.concat_ws(", ", F.transform(rings[0], fmt_pt)),
+            ).otherwise(
+                F.concat_ws(", ", F.transform(rings, ring_txt))
+            ),
+            F.lit(")"),
+        )
+    )
+
+
+def st_x(geom: Column) -> Column:
+    """ST_X(point) (GeoFunctions.java:839)."""
+    return F.when(geom["kind"] == "POINT", geom["rings"][0][0]["x"])
+
+
+def st_y(geom: Column) -> Column:
+    """ST_Y(point) (GeoFunctions.java:853)."""
+    return F.when(geom["kind"] == "POINT", geom["rings"][0][0]["y"])
+
+
+def _all_points(geom: Column) -> Column:
+    return F.flatten(geom["rings"])
+
+
+def st_num_points(geom: Column) -> Column:
+    """ST_NumPoints (GeoFunctions.java:731): vertex count; polygons do
+    not double-count the closing vertex of each ring."""
+    closing = F.when(
+        geom["kind"] == "POLYGON", F.size(geom["rings"])
+    ).otherwise(F.lit(0))
+    return (F.size(_all_points(geom)) - closing).cast("long")
+
+
+def st_xmin(geom: Column) -> Column:
+    return F.array_min(F.transform(_all_points(geom), lambda p: p["x"]))
+
+
+def st_xmax(geom: Column) -> Column:
+    return F.array_max(F.transform(_all_points(geom), lambda p: p["x"]))
+
+
+def st_ymin(geom: Column) -> Column:
+    return F.array_min(F.transform(_all_points(geom), lambda p: p["y"]))
+
+
+def st_ymax(geom: Column) -> Column:
+    return F.array_max(F.transform(_all_points(geom), lambda p: p["y"]))
+
+
+def st_envelope(geom: Column) -> Column:
+    """Bounding box as struct<xmin,ymin,xmax,ymax> (ST_Envelope,
+    GeoFunctions.java:874 — the reference returns a rectangle polygon;
+    the struct form is the join-friendly spelling)."""
+    return F.struct(
+        st_xmin(geom).alias("xmin"),
+        st_ymin(geom).alias("ymin"),
+        st_xmax(geom).alias("xmax"),
+        st_ymax(geom).alias("ymax"),
+    )
+
+
+# ---- measures ------------------------------------------------------------
+
+def _edges(ring: Column):
+    """(from, to) vertex arrays for a ring's consecutive edges."""
+    n = F.size(ring)
+    return F.slice(ring, 1, n - 1), F.slice(ring, 2, n - 1)
+
+
+def _ring_signed_area2(ring: Column) -> Column:
+    """Twice the shoelace signed area of one closed ring."""
+    a, b = _edges(ring)
+    cross = F.zip_with(
+        a, b, lambda p, q: p["x"] * q["y"] - q["x"] * p["y"]
+    )
+    return F.aggregate(cross, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def st_area(geom: Column) -> Column:
+    """ST_Area (GeoFunctions.java:236): |shell| − Σ|holes| regardless
+    of ring orientation."""
+    areas = F.transform(geom["rings"], lambda r: F.abs(_ring_signed_area2(r)) / 2.0)
+    shell = areas[0]
+    holes = F.aggregate(
+        F.slice(areas, 2, F.size(areas) - 1), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return F.when(geom["kind"] == "POLYGON", shell - holes).otherwise(F.lit(0.0))
+
+
+def _ring_length(ring: Column) -> Column:
+    a, b = _edges(ring)
+    seg = F.zip_with(
+        a,
+        b,
+        lambda p, q: F.sqrt(
+            (q["x"] - p["x"]) * (q["x"] - p["x"])
+            + (q["y"] - p["y"]) * (q["y"] - p["y"])
+        ),
+    )
+    return F.aggregate(seg, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def st_length(geom: Column) -> Column:
+    """ST_Length (GeoFunctions.java:433): linestring length / polygon
+    perimeter (all rings)."""
+    total = F.aggregate(
+        F.transform(geom["rings"], _ring_length),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.when(geom["kind"].isin("LINESTRING", "POLYGON"), total).otherwise(
+        F.lit(0.0)
+    )
+
+
+def st_centroid(geom: Column) -> Column:
+    """ST_Centroid (GeoFunctions.java:306) as a POINT geometry.
+
+    POINT → itself; MULTIPOINT → vertex mean; LINESTRING →
+    length-weighted segment-midpoint mean; POLYGON → shoelace centroid
+    with holes subtracted (ring orientation normalized: shell positive,
+    holes negative).
+    """
+    pts = _all_points(geom)
+    n = F.size(pts)
+    mean_x = F.aggregate(pts, F.lit(0.0), lambda a, p: a + p["x"]) / n
+    mean_y = F.aggregate(pts, F.lit(0.0), lambda a, p: a + p["y"]) / n
+
+    ring0 = geom["rings"][0]
+    e_a, e_b = _edges(ring0)
+    seg_len = F.zip_with(
+        e_a,
+        e_b,
+        lambda p, q: F.sqrt(
+            (q["x"] - p["x"]) * (q["x"] - p["x"])
+            + (q["y"] - p["y"]) * (q["y"] - p["y"])
+        ),
+    )
+    seg_mid_x = F.zip_with(e_a, e_b, lambda p, q: (p["x"] + q["x"]) / 2.0)
+    seg_mid_y = F.zip_with(e_a, e_b, lambda p, q: (p["y"] + q["y"]) / 2.0)
+    total_len = F.aggregate(seg_len, F.lit(0.0), lambda a, v: a + v)
+    line_x = (
+        F.aggregate(
+            F.zip_with(seg_len, seg_mid_x, lambda w, m: w * m),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        / total_len
+    )
+    line_y = (
+        F.aggregate(
+            F.zip_with(seg_len, seg_mid_y, lambda w, m: w * m),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        / total_len
+    )
+
+    # Polygon: per-ring signed moments; normalize shell to +, holes to −.
+    def ring_moment(ring: Column, which: str) -> Column:
+        a, b = _edges(ring)
+        cross = F.zip_with(
+            a, b, lambda p, q: p["x"] * q["y"] - q["x"] * p["y"]
+        )
+        coord = F.zip_with(
+            a,
+            b,
+            (lambda p, q: p["x"] + q["x"])
+            if which == "x"
+            else (lambda p, q: p["y"] + q["y"]),
+        )
+        return F.aggregate(
+            F.zip_with(cross, coord, lambda c, s: c * s),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    # Per ring k: |A_k| (orientation-free area) and |A_k|·C_k
+    # (moment/(3·A2) is the ring centroid, so signum(A2)·moment/6 is
+    # the orientation-free area-weighted centroid).  Shell adds,
+    # holes subtract.
+    rings = geom["rings"]
+    idx = F.sequence(F.lit(0), F.size(rings) - 1)
+
+    def ring_terms(which: str):
+        def term(i: Column) -> Column:
+            a2 = _ring_signed_area2(rings[i])
+            s_k = F.when(i == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+            if which == "area":
+                return s_k * F.abs(a2) / 2.0
+            return s_k * F.signum(a2) * ring_moment(rings[i], which) / 6.0
+
+        return F.transform(idx, term)
+
+    s = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, v: a + v)  # noqa: E731
+    poly_area = s(ring_terms("area"))
+    poly_x = s(ring_terms("x")) / poly_area
+    poly_y = s(ring_terms("y")) / poly_area
+
+    cx = (
+        F.when(geom["kind"] == "POINT", st_x(geom))
+        .when(geom["kind"] == "MULTIPOINT", mean_x)
+        .when(geom["kind"] == "LINESTRING", line_x)
+        .otherwise(poly_x)
+    )
+    cy = (
+        F.when(geom["kind"] == "POINT", st_y(geom))
+        .when(geom["kind"] == "MULTIPOINT", mean_y)
+        .when(geom["kind"] == "LINESTRING", line_y)
+        .otherwise(poly_y)
+    )
+    return st_point(cx, cy)
+
+
+# ---- predicates / distances ---------------------------------------------
+
+def st_contains_point(poly: Column, x: Column, y: Column) -> Column:
+    """ST_Contains(polygon, point) (GeoFunctions.java:1045) by the
+    even-odd ray cast over every ring's edges — counting crossings
+    across shell and holes at once gives hole-aware containment.
+    Boundary behavior follows the half-open crossing rule (callers
+    wanting reference-exact ON-boundary semantics should test
+    ST_Distance == 0 as the reference's Esri backend does)."""
+
+    def ring_crossings(ring: Column) -> Column:
+        a, b = _edges(ring)
+        hits = F.zip_with(
+            a,
+            b,
+            lambda p, q: F.when(
+                ((p["y"] > y) != (q["y"] > y))
+                & (
+                    x
+                    < (q["x"] - p["x"]) * (y - p["y"]) / (q["y"] - p["y"])
+                    + p["x"]
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        return F.aggregate(hits, F.lit(0), lambda acc, v: acc + v)
+
+    total = F.aggregate(
+        F.transform(poly["rings"], ring_crossings),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (poly["kind"] == "POLYGON") & (total % 2 == 1)
+
+
+def st_contains(poly: Column, geom: Column) -> Column:
+    """ST_Contains(polygon, point-geometry); ST_Within is the flipped
+    spelling (GeoFunctions.java:1147)."""
+    return st_contains_point(poly, st_x(geom), st_y(geom))
+
+
+def st_distance(a: Column, b: Column) -> Column:
+    """ST_Distance (GeoFunctions.java:940) for point↔point and
+    point↔linestring (closest-approach over segments)."""
+    ax, ay = a["rings"][0][0]["x"], a["rings"][0][0]["y"]
+
+    def point_seg(p: Column, q: Column, px: Column, py: Column) -> Column:
+        dx, dy = q["x"] - p["x"], q["y"] - p["y"]
+        len2 = dx * dx + dy * dy
+        t_raw = ((px - p["x"]) * dx + (py - p["y"]) * dy) / len2
+        t = F.when(len2 == 0.0, F.lit(0.0)).otherwise(
+            F.greatest(F.lit(0.0), F.least(F.lit(1.0), t_raw))
+        )
+        cx, cy = p["x"] + t * dx, p["y"] + t * dy
+        return F.sqrt((px - cx) * (px - cx) + (py - cy) * (py - cy))
+
+    def min_dist_to(geom: Column, px: Column, py: Column) -> Column:
+        ring = geom["rings"][0]
+        one_pt = F.sqrt(
+            (px - ring[0]["x"]) * (px - ring[0]["x"])
+            + (py - ring[0]["y"]) * (py - ring[0]["y"])
+        )
+        e_a, e_b = _edges(ring)
+        seg_min = F.array_min(
+            F.zip_with(e_a, e_b, lambda p, q: point_seg(p, q, px, py))
+        )
+        return F.when(geom["kind"] == "POINT", one_pt).otherwise(seg_min)
+
+    return F.when(a["kind"] == "POINT", min_dist_to(b, ax, ay)).otherwise(
+        min_dist_to(a, b["rings"][0][0]["x"], b["rings"][0][0]["y"])
+    )
+
+
+def great_circle_distance(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """great_circle_distance(lat1, lon1, lat2, lon2) → km
+    (SphericalGeographyUtils.java:82-107, Vincenty form on a sphere of
+    radius 6371.01 km).  NULL outside [-90,90]/[-180,180] rather than
+    the reference's exception (expression-level spelling of the same
+    guard, checkLatitude/checkLongitude :47-59)."""
+    valid = (
+        (F.abs(lat1) <= 90)
+        & (F.abs(lat2) <= 90)
+        & (F.abs(lon1) <= 180)
+        & (F.abs(lon2) <= 180)
+    )
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    sin1, cos1 = F.sin(rlat1), F.cos(rlat1)
+    sin2, cos2 = F.sin(rlat2), F.cos(rlat2)
+    dlon = F.radians(lon1) - F.radians(lon2)
+    cos_dlon = F.cos(dlon)
+    t1 = cos2 * F.sin(dlon)
+    t2 = cos1 * sin2 - sin1 * cos2 * cos_dlon
+    t3 = sin1 * sin2 + cos1 * cos2 * cos_dlon
+    return F.when(
+        valid,
+        F.atan2(F.sqrt(t1 * t1 + t2 * t2), t3) * F.lit(EARTH_RADIUS_KM),
+    )

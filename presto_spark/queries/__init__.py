@@ -19,6 +19,7 @@ from presto_spark.queries import relational  # noqa: F401,E402
 from presto_spark.queries import functions_suite  # noqa: F401,E402
 from presto_spark.queries import functions_suite2  # noqa: F401,E402
 from presto_spark.queries import tpcds_suite  # noqa: F401,E402
+from presto_spark.queries import geo_suite  # noqa: F401,E402
 
 # Driver-window rotation: the driver's correctness harness samples the
 # first 50 registry entries each round, so registry ORDER decides which
@@ -67,6 +68,9 @@ _DRIVER_FRONT = [
     "tpcds_market_share_delta",
     "tpcds_q34_frequent_buyers",
     "presto_dialect_groups_frames",
+    "geo_great_circle_routes",
+    "geo_point_in_polygon_zones",
+    "geo_measures_wkt_golden",
     "sketch_setdigest_exact_ops",
     "sketch_setdigest_minhash_envelope",
 ]

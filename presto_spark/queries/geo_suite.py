@@ -1,0 +1,213 @@
+"""Geospatial queries: planar ST_* + great_circle_distance + spatial join.
+
+Reference: presto-main-base/.../geospatial/GeoFunctions.java (planar
+predicates/measures), SphericalGeographyUtils.java:82-107
+(great_circle_distance), SpatialJoinOperator.java (the join).  TPC-H
+carries no coordinates, so points derive deterministically from
+customer keys; zone polygons are inline WKT.  Oracles: DuckDB replays
+the spherical formula verbatim, and zone containment via the
+rectangle/half-plane decomposition of each test polygon — an
+independent derivation of the same geometry, not a reimplementation of
+the ray cast.
+"""
+
+from pyspark.sql import functions as F
+
+from presto_spark.functions import geo
+from presto_spark.operators import spatial_join
+from presto_spark.queries.base import prepare, register
+
+
+_GCD_ORACLE = """
+WITH pts AS (
+  SELECT c_custkey,
+         ((c_custkey % 160) - 80) + 0.25 AS lat1,
+         ((c_custkey % 340) - 170) + 0.25 AS lon1,
+         (c_nationkey * 6.0) - 72 AS lat2,
+         (c_nationkey * 13.0) - 150 AS lon2
+  FROM customer WHERE c_custkey <= 40
+)
+SELECT c_custkey,
+       printf('%.3f', atan2(
+         sqrt(
+           pow(cos(radians(lat2)) * sin(radians(lon1) - radians(lon2)), 2)
+           + pow(cos(radians(lat1)) * sin(radians(lat2))
+                 - sin(radians(lat1)) * cos(radians(lat2))
+                   * cos(radians(lon1) - radians(lon2)), 2)),
+         sin(radians(lat1)) * sin(radians(lat2))
+         + cos(radians(lat1)) * cos(radians(lat2))
+           * cos(radians(lon1) - radians(lon2))
+       ) * 6371.01) AS dist_km
+FROM pts
+ORDER BY c_custkey
+"""
+
+
+@register(
+    "geo_great_circle_routes",
+    oracle=_GCD_ORACLE,
+    doc="great_circle_distance(lat1, lon1, lat2, lon2) "
+        "(SphericalGeographyUtils.java:82-107, R=6371.01 km): "
+        "customer-to-nation synthetic routes; DuckDB replays the exact "
+        "Vincenty-on-a-sphere formula. Distances emitted at 3 decimals "
+        "(row-level only — no cross-engine float summation).",
+    tags=("geo", "functions"),
+)
+def geo_great_circle_routes(spark, sf_dir):
+    prepare(spark, sf_dir)
+    cust = spark.table("customer").filter(F.col("c_custkey") <= 40)
+    lat1 = ((F.col("c_custkey") % 160) - 80) + 0.25
+    lon1 = ((F.col("c_custkey") % 340) - 170) + 0.25
+    lat2 = (F.col("c_nationkey") * 6.0) - 72
+    lon2 = (F.col("c_nationkey") * 13.0) - 150
+    return cust.select(
+        "c_custkey",
+        F.format_string(
+            "%.3f", geo.great_circle_distance(lat1, lon1, lat2, lon2)
+        ).alias("dist_km"),
+    ).orderBy("c_custkey")
+
+
+_ZONES = [
+    # L-shape: rect (0..40)x(0..30) ∪ rect (0..20)x(30..60)
+    ("west_l",
+     "POLYGON ((0 0, 40 0, 40 30, 20 30, 20 60, 0 60, 0 0))"),
+    # box with a hole
+    ("east_box",
+     "POLYGON ((50 10, 90 10, 90 70, 50 70, 50 10), "
+     "(60 20, 70 20, 70 30, 60 30, 60 20))"),
+    # triangle, apex (50, 88)
+    ("north_tri",
+     "POLYGON ((10 60, 90 60, 50 88, 10 60))"),
+]
+
+_ZONES_ORACLE = """
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey % 97) + 0.5 AS x,
+         (c_custkey % 89) + 0.5 AS y
+  FROM customer
+),
+zoned AS (
+  SELECT 'west_l' AS zone, c_custkey FROM pts
+  WHERE (x > 0 AND x < 40 AND y > 0 AND y < 30)
+     OR (x > 0 AND x < 20 AND y >= 30 AND y < 60)
+  UNION ALL
+  SELECT 'east_box', c_custkey FROM pts
+  WHERE x > 50 AND x < 90 AND y > 10 AND y < 70
+    AND NOT (x > 60 AND x < 70 AND y > 20 AND y < 30)
+  UNION ALL
+  SELECT 'north_tri', c_custkey FROM pts
+  WHERE y > 60 AND y < 60 + 0.7 * (x - 10) AND y < 60 + 0.7 * (90 - x)
+),
+areas AS (
+  SELECT zone, CAST(area AS DOUBLE) AS area
+  FROM (VALUES ('west_l', 1800.0), ('east_box', 2300.0),
+               ('north_tri', 1120.0)) AS t(zone, area)
+)
+SELECT z.zone AS zone,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(z.c_custkey) AS BIGINT) AS custkey_sum,
+       a.area AS area
+FROM zoned z JOIN areas a ON a.zone = z.zone
+GROUP BY z.zone, a.area
+ORDER BY zone
+"""
+
+
+@register(
+    "geo_point_in_polygon_zones",
+    oracle=_ZONES_ORACLE,
+    doc="Spatial join: points-in-polygons (SpatialJoinOperator.java via "
+        "the grid-binned operators/spatial_join.py — polygon bboxes "
+        "exploded to grid cells, points to exactly one cell, equi-join "
+        "then even-odd ST_Contains verify; no cartesian). Zones are an "
+        "L-shape, a box with a hole, and a triangle; the oracle derives "
+        "membership independently from each polygon's rectangle/"
+        "half-plane decomposition. Point coords sit on half-integers so "
+        "no point touches a zone boundary. ST_Area per zone rides along "
+        "(integer-coordinate shoelace is FP-exact).",
+    tags=("geo", "join"),
+)
+def geo_point_in_polygon_zones(spark, sf_dir):
+    prepare(spark, sf_dir)
+    pts = spark.table("customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") % 97) + 0.5).alias("x"),
+        ((F.col("c_custkey") % 89) + 0.5).alias("y"),
+    )
+    zones = spark.createDataFrame(_ZONES, "zone string, wkt string").select(
+        "zone", geo.st_geometry_from_text(F.col("wkt")).alias("geom")
+    )
+    joined = spatial_join.spatial_join_points_in_polygons(
+        pts, zones, "x", "y", "geom", cell_size=16.0
+    )
+    return (
+        joined.groupBy("zone")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum("c_custkey").alias("custkey_sum"),
+            F.first(geo.st_area(F.col("geom"))).alias("area"),
+        )
+        .orderBy("zone")
+    )
+
+
+_MEASURES_ORACLE = """
+SELECT name, kind, area, length, cx, cy, n_points,
+       CAST(xmin_raw AS DOUBLE) AS xmin, CAST(ymax_raw AS DOUBLE) AS ymax
+FROM (VALUES
+  ('ell',     'POLYGON',    '6.000000', '14.000000', '1.500000', '1.000000',
+   CAST(6 AS BIGINT), 0.0, 3.0),
+  ('line',    'LINESTRING', '0.000000', '11.000000', '2.318182', '4.727273',
+   CAST(3 AS BIGINT), 0.0, 10.0),
+  ('mp',      'MULTIPOINT', '0.000000', '0.000000',  '2.000000', '3.000000',
+   CAST(2 AS BIGINT), 1.0, 4.0),
+  ('pt',      'POINT',      '0.000000', '0.000000',  '2.500000', '7.500000',
+   CAST(1 AS BIGINT), 2.5, 7.5),
+  ('sq_hole', 'POLYGON',    '96.000000', '48.000000', '5.083333', '5.083333',
+   CAST(8 AS BIGINT), 0.0, 10.0),
+  ('tri',     'POLYGON',    '18.000000', '20.485281', '2.000000', '2.000000',
+   CAST(3 AS BIGINT), 0.0, 6.0)
+) AS t(name, kind, area, length, cx, cy, n_points, xmin_raw, ymax_raw)
+ORDER BY name
+"""
+
+
+@register(
+    "geo_measures_wkt_golden",
+    oracle=_MEASURES_ORACLE,
+    doc="ST_GeometryFromText → ST_Area/ST_Length/ST_Centroid/"
+        "ST_NumPoints/ST_XMin/ST_YMax over a WKT value table "
+        "(GeoFunctions.java:236,433,306,731,517,504). Hand-derived "
+        "goldens: shoelace areas with hole subtraction, perimeter/"
+        "segment lengths, hole-aware and length-weighted centroids. "
+        "Measures emitted at 6 decimals via %.6f.",
+    tags=("geo", "functions"),
+)
+def geo_measures_wkt_golden(spark, sf_dir):
+    prepare(spark, sf_dir)
+    wkts = [
+        ("sq_hole",
+         "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+         "(2 2, 4 2, 4 4, 2 4, 2 2))"),
+        ("tri", "POLYGON ((0 0, 6 0, 0 6, 0 0))"),
+        ("ell", "POLYGON ((0 0, 4 0, 4 1, 1 1, 1 3, 0 3, 0 0))"),
+        ("line", "LINESTRING (0 0, 3 4, 3 10)"),
+        ("pt", "POINT (2.5 7.5)"),
+        ("mp", "MULTIPOINT ((1 2), (3 4))"),
+    ]
+    df = spark.createDataFrame(wkts, "name string, wkt string")
+    g = geo.st_geometry_from_text(F.col("wkt"))
+    c = geo.st_centroid(g)
+    return df.select(
+        "name",
+        g["kind"].alias("kind"),
+        F.format_string("%.6f", geo.st_area(g)).alias("area"),
+        F.format_string("%.6f", geo.st_length(g)).alias("length"),
+        F.format_string("%.6f", geo.st_x(c)).alias("cx"),
+        F.format_string("%.6f", geo.st_y(c)).alias("cy"),
+        geo.st_num_points(g).alias("n_points"),
+        geo.st_xmin(g).alias("xmin"),
+        geo.st_ymax(g).alias("ymax"),
+    ).orderBy("name")

@@ -1,0 +1,209 @@
+"""Unit tests for the geospatial subset (functions/geo.py,
+operators/spatial_join.py).
+
+Mirrors the reference's TestGeoFunctions/TestSphericalGeoFunctions
+strategy: golden values for measures, predicate truth tables for
+containment, and (our addition) a brute-force equivalence check plus a
+plan pin for the grid-binned spatial join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from presto_spark.functions import geo
+from presto_spark.operators import spatial_join
+
+_HOLE_POLY = (
+    "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))"
+)
+
+
+def _one(spark, col, **lits):
+    df = spark.range(1)
+    return df.select(col.alias("v")).collect()[0].v
+
+
+def test_great_circle_reference_example(spark):
+    """The reference's documented example: New York JFK-ish to LA —
+    TestSphericalGeoFunctions great_circle_distance(36.12, -86.67,
+    33.94, -118.40) = 2886.448973436703 km."""
+    d = _one(
+        spark,
+        geo.great_circle_distance(
+            F.lit(36.12), F.lit(-86.67), F.lit(33.94), F.lit(-118.40)
+        ),
+    )
+    assert abs(d - 2886.448973436703) < 1e-6
+    # symmetric + zero at identity + NULL outside the valid domain
+    d2 = _one(
+        spark,
+        geo.great_circle_distance(
+            F.lit(33.94), F.lit(-118.40), F.lit(36.12), F.lit(-86.67)
+        ),
+    )
+    assert abs(d - d2) < 1e-9
+    assert _one(
+        spark,
+        geo.great_circle_distance(F.lit(1.0), F.lit(2.0), F.lit(1.0), F.lit(2.0)),
+    ) == 0.0
+    assert (
+        _one(
+            spark,
+            geo.great_circle_distance(
+                F.lit(91.0), F.lit(0.0), F.lit(0.0), F.lit(0.0)
+            ),
+        )
+        is None
+    )
+
+
+def test_contains_hole_and_concave(spark):
+    poly = geo.st_geometry_from_text(F.lit(_HOLE_POLY))
+    ell = geo.st_geometry_from_text(
+        F.lit("POLYGON ((0 0, 4 0, 4 1, 1 1, 1 3, 0 3, 0 0))")
+    )
+    cases = [
+        # (x, y, in_hole_poly, in_ell)
+        (5.0, 5.0, True, False),
+        (3.0, 3.0, False, False),   # inside the hole
+        (2.5, 0.5, True, True),
+        (2.5, 2.5, False, False),   # hole / concave notch
+        (0.5, 2.5, True, True),
+        (-1.0, 5.0, False, False),
+        (10.5, 5.0, False, False),
+    ]
+    df = spark.createDataFrame(
+        [(x, y, a, b) for x, y, a, b in cases],
+        "x double, y double, want_hole boolean, want_ell boolean",
+    )
+    rows = df.select(
+        "want_hole",
+        "want_ell",
+        geo.st_contains_point(poly, F.col("x"), F.col("y")).alias("got_hole"),
+        geo.st_contains_point(ell, F.col("x"), F.col("y")).alias("got_ell"),
+    ).collect()
+    for r in rows:
+        assert r.got_hole == r.want_hole
+        assert r.got_ell == r.want_ell
+
+
+def test_distance_point_linestring(spark):
+    pt = geo.st_point(F.lit(0.0), F.lit(5.0))
+    line = geo.st_geometry_from_text(F.lit("LINESTRING (3 0, 3 10)"))
+    assert _one(spark, geo.st_distance(pt, line)) == 3.0
+    assert _one(spark, geo.st_distance(line, pt)) == 3.0
+    # beyond the segment end: distance to the endpoint, not the
+    # infinite line
+    far = geo.st_point(F.lit(0.0), F.lit(14.0))
+    assert abs(_one(spark, geo.st_distance(far, line)) - 5.0) < 1e-12
+
+
+def test_wkt_roundtrip_and_accessors(spark):
+    g = geo.st_geometry_from_text(F.lit(_HOLE_POLY))
+    txt = _one(spark, geo.st_as_text(g))
+    assert txt == (
+        "POLYGON ((0.0 0.0, 10.0 0.0, 10.0 10.0, 0.0 10.0, 0.0 0.0), "
+        "(2.0 2.0, 4.0 2.0, 4.0 4.0, 2.0 4.0, 2.0 2.0))"
+    )
+    p = geo.st_point(F.lit(2.5), F.lit(-7.5))
+    assert _one(spark, geo.st_x(p)) == 2.5
+    assert _one(spark, geo.st_y(p)) == -7.5
+    # non-point accessors are NULL (the reference raises; NULL is the
+    # expression-level spelling used across this repo's shims)
+    assert _one(spark, geo.st_x(g)) is None
+    assert _one(spark, geo.st_geometry_from_text(F.lit("nonsense"))) is None
+
+
+def test_spatial_join_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(7)
+    pts = spark.createDataFrame(
+        [(i, rng.uniform(-5, 105), rng.uniform(-5, 105)) for i in range(400)],
+        "pid bigint, x double, y double",
+    )
+    zones = spark.createDataFrame(
+        [
+            ("a", "POLYGON ((0 0, 40 0, 40 30, 20 30, 20 60, 0 60, 0 0))"),
+            ("b", _HOLE_POLY),
+            ("c", "POLYGON ((10 60, 90 60, 50 88, 10 60))"),
+            ("d", "POLYGON ((30 30, 80 30, 80 80, 30 80, 30 30))"),
+        ],
+        "zone string, wkt string",
+    ).select("zone", geo.st_geometry_from_text(F.col("wkt")).alias("geom"))
+    got = {
+        (r.pid, r.zone)
+        for r in spatial_join.spatial_join_points_in_polygons(
+            pts, zones, "x", "y", "geom", cell_size=13.0
+        )
+        .select("pid", "zone")
+        .collect()
+    }
+    brute = {
+        (r.pid, r.zone)
+        for r in pts.crossJoin(zones)
+        .filter(geo.st_contains_point(F.col("geom"), F.col("x"), F.col("y")))
+        .select("pid", "zone")
+        .collect()
+    }
+    assert got == brute and len(brute) > 100
+
+
+def test_spatial_join_left_keeps_multiplicity(spark):
+    pts = spark.createDataFrame(
+        [(1, 5.0, 5.0), (1, 5.0, 5.0), (2, 99.0, 99.0), (2, 99.0, 99.0)],
+        "pid bigint, x double, y double",
+    )
+    zones = spark.createDataFrame(
+        [("z", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")],
+        "zone string, wkt string",
+    ).select("zone", geo.st_geometry_from_text(F.col("wkt")).alias("geom"))
+    out = spatial_join.spatial_join_points_in_polygons(
+        pts, zones, "x", "y", "geom", cell_size=8.0, how="left"
+    )
+    rows = [(r.pid, r.zone) for r in out.select("pid", "zone").collect()]
+    assert sorted(rows) == [(1, "z"), (1, "z"), (2, None), (2, None)]
+
+
+def test_spatial_join_plan_no_cartesian(spark):
+    """The grid join must plan as an equi-join on the cell key even
+    with broadcast suppressed — never BroadcastNestedLoop/Cartesian
+    (the KdbTree-partitioned discipline of SpatialJoinOperator.java)."""
+    pts = spark.createDataFrame(
+        [(1, 5.0, 5.0)], "pid bigint, x double, y double"
+    )
+    zones = spark.createDataFrame(
+        [("z", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")],
+        "zone string, wkt string",
+    ).select("zone", geo.st_geometry_from_text(F.col("wkt")).alias("geom"))
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        out = spatial_join.spatial_join_points_in_polygons(
+            pts, zones, "x", "y", "geom", cell_size=8.0,
+            broadcast_polygons=False,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(key, prev)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_centroid_weighted_forms(spark):
+    line = geo.st_geometry_from_text(F.lit("LINESTRING (0 0, 3 4, 3 10)"))
+    c = geo.st_centroid(line)
+    assert abs(_one(spark, geo.st_x(c)) - 25.5 / 11) < 1e-12
+    assert abs(_one(spark, geo.st_y(c)) - 52.0 / 11) < 1e-12
+    hole = geo.st_geometry_from_text(F.lit(_HOLE_POLY))
+    hc = geo.st_centroid(hole)
+    # (5·100 − 3·4) / 96 — the hole pulls the centroid away from (5, 5)
+    assert abs(_one(spark, geo.st_x(hc)) - 488.0 / 96) < 1e-12
+    assert abs(_one(spark, geo.st_y(hc)) - 488.0 / 96) < 1e-12
+    # clockwise shell: same centroid regardless of orientation
+    cw = geo.st_geometry_from_text(
+        F.lit("POLYGON ((0 0, 0 6, 6 0, 0 0))")
+    )
+    assert abs(_one(spark, geo.st_x(geo.st_centroid(cw))) - 2.0) < 1e-12
+    assert _one(spark, geo.st_area(cw)) == 18.0
