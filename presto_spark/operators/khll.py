@@ -1,0 +1,209 @@
+"""KHyperLogLog: Presto's privacy/joinability sketch.
+
+Reference (presto-main-base/.../type/khyperloglog/KHyperLogLog.java,
+KHyperLogLogFunctions.java, docs khyperloglog.rst): a KHLL over
+(value, uii) keeps the ``maxSize`` (default 4096, KHyperLogLog.java:58)
+*smallest* hashes of the value column, and for each retained hash an
+HLL of the user-ids (uii) seen with that value.  It answers two
+privacy questions at sketch cost:
+
+* ``uniqueness_distribution(khll [, histogramSize])``
+  (KHyperLogLog.java:312-327): over the retained value-hashes, the
+  fraction whose uii-cardinality falls in bucket b = min(card,
+  histogramSize), for b in 1..histogramSize (all buckets present,
+  zero-filled).
+* ``reidentification_potential(khll, threshold)``
+  (KHyperLogLog.java:297-305): the fraction of retained value-hashes
+  with uii-cardinality ≤ threshold — how much of the column's value
+  space identifies at most ``threshold`` users.
+* ``cardinality(khll)`` (KHyperLogLog.java:259-272): exact minhash
+  size while |minhash| < maxSize; past that, the bottom-k density
+  estimator of Beyer et al. ("On Synopses for Distinct-Value
+  Estimation Under Multiset Operations"): (k−1) / density of the
+  retained hash range.
+* ``merge_khll`` (KHyperLogLog.java:274-295): per-hash HLL union,
+  re-trimmed to the k smallest.
+
+Spark-first design (same conventions as operators/setdigest.py)::
+
+    khll := struct<hashes: array<string>,   -- bottom-k md5(value), asc
+                   uhlls:  array<binary>,   -- aligned HLL-of-uii sketches
+                   n_distinct: bigint, exact: boolean, max_hashes: int>
+
+Build = one (group, value-hash) shuffle carrying partial HLL-of-uii
+states (map-side combine), a bounded window rank for bottom-k, and a
+sketch-sized collect — raw uii values never leave the first partial
+aggregation, which is what makes column-joinability audits over 100 TB
+feasible.  md5-for-Murmur3 is the same pinned payload deviation as
+setdigest.py; the numeric form for the density estimator is the first
+15 hex digits (60 bits), whose ordering equals the string ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_MAX_HASHES = 4096  # KHyperLogLog.java:58 DEFAULT_MAX_SIZE
+DEFAULT_HISTOGRAM_SIZE = 256  # KHyperLogLog.java:59
+_HASH_BITS = 60  # 15 hex digits — numeric order == string order
+
+
+def _portable_hash(col: Column) -> Column:
+    return F.md5(col.cast("string").cast("binary"))
+
+
+def khyperloglog_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    uii_col: str,
+    max_hashes: int = DEFAULT_MAX_HASHES,
+    lg_k: int = 12,
+) -> DataFrame:
+    """khyperloglog_agg(value, uii) per group → ``group_cols + [khll]``
+    (KHyperLogLogAggregationFunction.java)."""
+    src = df.filter(F.col(value_col).isNotNull())
+    per_hash = (
+        src.select(
+            *group_cols,
+            _portable_hash(F.col(value_col)).alias("__h"),
+            F.col(uii_col).alias("__u"),
+        )
+        .groupBy(*group_cols, "__h")
+        .agg(F.hll_sketch_agg("__u", F.lit(lg_k)).alias("__uhll"))
+    )
+    w_rank = Window.partitionBy(*group_cols).orderBy("__h")
+    w_all = Window.partitionBy(*group_cols)
+    kept = (
+        per_hash.withColumn("__rk", F.row_number().over(w_rank))
+        .withColumn("__nd", F.count("*").over(w_all))
+        .filter(F.col("__rk") <= max_hashes)
+    )
+    return (
+        kept.groupBy(*group_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("__h").alias("h"), F.col("__uhll").alias("u"))
+                )
+            ).alias("__e"),
+            F.first("__nd").alias("__nd"),
+        )
+        .select(
+            *group_cols,
+            F.struct(
+                F.transform("__e", lambda e: e["h"]).alias("hashes"),
+                F.transform("__e", lambda e: e["u"]).alias("uhlls"),
+                F.col("__nd").alias("n_distinct"),
+                (F.col("__nd") < F.lit(max_hashes)).alias("exact"),
+                F.lit(max_hashes).alias("max_hashes"),
+            ).alias("khll"),
+        )
+    )
+
+
+def merge_khll(
+    df: DataFrame, group_cols: list[str], khll_col: str = "khll"
+) -> DataFrame:
+    """merge_khll rollup (MergeKHyperLogLogAggregationFunction.java):
+    explode retained (hash, uii-HLL) entries, union HLLs per hash,
+    re-trim to the smallest k.  Shuffle carries sketch entries only."""
+    d = F.col(khll_col)
+    exploded = df.select(
+        *group_cols,
+        d["max_hashes"].alias("__mh"),
+        F.explode(
+            F.arrays_zip(d["hashes"].alias("h"), d["uhlls"].alias("u"))
+        ).alias("__e"),
+    ).select(
+        *group_cols, "__mh", F.col("__e.h").alias("__h"), F.col("__e.u").alias("__u")
+    )
+    merged = exploded.groupBy(*group_cols, "__h").agg(
+        F.hll_union_agg("__u").alias("__uhll"),
+        # merge keeps the smallest K so resolution is not lost
+        # (KHyperLogLog.java:189-198)
+        F.min("__mh").alias("__mh"),
+    )
+    w_rank = Window.partitionBy(*group_cols).orderBy("__h")
+    w_all = Window.partitionBy(*group_cols)
+    kept = (
+        merged.withColumn("__rk", F.row_number().over(w_rank))
+        .withColumn("__nd", F.count("*").over(w_all))
+        .filter(F.col("__rk") <= F.col("__mh"))
+    )
+    return (
+        kept.groupBy(*group_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("__h").alias("h"), F.col("__uhll").alias("u"))
+                )
+            ).alias("__e"),
+            F.first("__nd").alias("__nd"),
+            F.first("__mh").alias("__mh"),
+        )
+        .select(
+            *group_cols,
+            F.struct(
+                F.transform("__e", lambda e: e["h"]).alias("hashes"),
+                F.transform("__e", lambda e: e["u"]).alias("uhlls"),
+                F.col("__nd").alias("n_distinct"),
+                (F.col("__nd") < F.col("__mh")).alias("exact"),
+                F.col("__mh").alias("max_hashes"),
+            ).alias("khll"),
+        )
+    )
+
+
+def cardinality(khll: Column) -> Column:
+    """cardinality(khll) (KHyperLogLog.java:259-272): exact below
+    max_hashes; else the Beyer et al. bottom-k density estimator over
+    the 60-bit numeric form of the retained hash range."""
+    k = F.size(khll["hashes"])
+    last_num = F.conv(F.substring(F.element_at(khll["hashes"], -1), 1, 15), 16, 10).cast(
+        "double"
+    )
+    density_est = (k.cast("double") - 1.0) / (last_num / float(2 ** _HASH_BITS))
+    return F.when(khll["exact"], k.cast("long")).otherwise(
+        F.round(density_est).cast("long")
+    )
+
+
+def uniqueness_distribution(
+    khll: Column, histogram_size: int = DEFAULT_HISTOGRAM_SIZE
+) -> Column:
+    """uniqueness_distribution(khll, histogramSize) → MAP<BIGINT,DOUBLE>
+    (KHyperLogLog.java:312-327): bucket = min(uii-cardinality,
+    histogramSize); every bucket 1..histogramSize present, zero-filled;
+    values are fractions of retained hashes."""
+    n = F.size(khll["uhlls"]).cast("double")
+    cards = F.transform(
+        khll["uhlls"],
+        lambda u: F.least(
+            F.round(F.hll_sketch_estimate(u)).cast("long"),
+            F.lit(histogram_size).cast("long"),
+        ),
+    )
+    buckets = F.sequence(F.lit(1).cast("long"), F.lit(histogram_size).cast("long"))
+    return F.map_from_arrays(
+        buckets,
+        F.transform(
+            buckets,
+            lambda b: F.size(F.filter(cards, lambda c: c == b)).cast("double") / n,
+        ),
+    )
+
+
+def reidentification_potential(khll: Column, threshold: int) -> Column:
+    """reidentification_potential(khll, threshold)
+    (KHyperLogLog.java:297-305)."""
+    n = F.size(khll["uhlls"]).cast("double")
+    risky = F.size(
+        F.filter(
+            khll["uhlls"],
+            lambda u: F.round(F.hll_sketch_estimate(u)).cast("long")
+            <= F.lit(threshold).cast("long"),
+        )
+    )
+    return risky.cast("double") / n

@@ -73,6 +73,7 @@ _DRIVER_FRONT = [
     "geo_measures_wkt_golden",
     "sketch_setdigest_exact_ops",
     "sketch_setdigest_minhash_envelope",
+    "sketch_khll_privacy_audit",
 ]
 
 

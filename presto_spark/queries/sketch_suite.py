@@ -544,3 +544,75 @@ def sketch_setdigest_minhash_envelope(spark, sf_dir):
         )
         .orderBy("pa", "pb")
     )
+
+
+_KHLL_ORACLE = """
+WITH per_val AS (
+  SELECT o_orderpriority AS g, o_orderdate AS v,
+         count(DISTINCT o_custkey) AS u
+  FROM orders GROUP BY 1, 2
+),
+n AS (SELECT g, count(*) AS nd FROM per_val GROUP BY g),
+grid AS (
+  SELECT n.g, n.nd, b.bucket
+  FROM n CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6]) AS bucket) b
+),
+counts AS (
+  SELECT g, least(u, 6) AS bucket, count(*) AS c
+  FROM per_val GROUP BY 1, 2
+),
+reident AS (
+  SELECT g,
+         CAST(sum(CASE WHEN u <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS rp
+  FROM per_val GROUP BY g
+)
+SELECT grid.g AS g,
+       CAST(grid.bucket AS BIGINT) AS bucket,
+       printf('%.6f', CAST(coalesce(counts.c, 0) AS DOUBLE) / grid.nd)
+         AS frac,
+       CAST(grid.nd AS BIGINT) AS khll_card,
+       printf('%.6f', reident.rp) AS reident_p2
+FROM grid
+LEFT JOIN counts ON counts.g = grid.g AND counts.bucket = grid.bucket
+JOIN reident ON reident.g = grid.g
+ORDER BY g, bucket
+"""
+
+
+@register(
+    "sketch_khll_privacy_audit",
+    oracle=_KHLL_ORACLE,
+    doc="KHyperLogLog privacy audit (type/khyperloglog/KHyperLogLog"
+        ".java, khyperloglog.rst): khyperloglog_agg(o_orderdate, "
+        "o_custkey) per priority, then uniqueness_distribution "
+        "(histogramSize=6, zero-filled buckets, KHyperLogLog.java:"
+        "312-327), reidentification_potential(threshold=2, :297-305) "
+        "and cardinality (exact regime — distinct dates < max_hashes). "
+        "Per-value uii cardinalities sit in the DataSketches "
+        "coupon-exact range, so DuckDB's exact per-date distinct-"
+        "customer counts reproduce every fraction bit-for-bit.",
+    tags=("sketch", "agg", "khll"),
+)
+def sketch_khll_privacy_audit(spark, sf_dir):
+    prepare(spark, sf_dir)
+    from presto_spark.operators import khll as K
+
+    dig = K.khyperloglog_agg(
+        spark.table("orders"), ["o_orderpriority"], "o_orderdate",
+        "o_custkey")
+    d = F.col("khll")
+    per_group = dig.select(
+        F.col("o_orderpriority").alias("g"),
+        F.explode(K.uniqueness_distribution(d, histogram_size=6)).alias(
+            "bucket", "frac_raw"),
+        K.cardinality(d).alias("khll_card"),
+        K.reidentification_potential(d, 2).alias("rp"),
+    )
+    return per_group.select(
+        "g",
+        "bucket",
+        F.format_string("%.6f", F.col("frac_raw")).alias("frac"),
+        "khll_card",
+        F.format_string("%.6f", F.col("rp")).alias("reident_p2"),
+    ).orderBy("g", "bucket")

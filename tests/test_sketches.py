@@ -264,3 +264,87 @@ def test_setdigest_jaccard_identical_and_disjoint(spark):
     ).collect()[0]
     assert row.same == 1.0
     assert row.disjoint == 0.0
+
+
+# ---- KHyperLogLog (operators/khll.py) ----
+
+
+def test_khll_uniqueness_and_reidentification(spark):
+    """Exact-regime KHLL: per-value uii cardinalities are coupon-exact,
+    so the distribution and reidentification potential are exact
+    (KHyperLogLog.java:297-327)."""
+    from presto_spark.operators import khll as K
+    from pyspark.sql import functions as F
+
+    # value v1 seen with 1 user, v2 with 2, v3 with 3, v4 with 1
+    rows = []
+    for v, nu in (("v1", 1), ("v2", 2), ("v3", 3), ("v4", 1)):
+        rows += [("g", v, f"{v}_u{i}") for i in range(nu)]
+    df = spark.createDataFrame(rows, "g string, v string, u string")
+    dig = K.khyperloglog_agg(df, ["g"], "v", "u")
+    d = F.col("khll")
+    row = dig.select(
+        K.cardinality(d).alias("card"),
+        K.uniqueness_distribution(d, histogram_size=3).alias("dist"),
+        K.reidentification_potential(d, 1).alias("rp1"),
+        K.reidentification_potential(d, 2).alias("rp2"),
+    ).collect()[0]
+    assert row.card == 4
+    assert row.dist == {1: 0.5, 2: 0.25, 3: 0.25}
+    assert row.rp1 == 0.5
+    assert row.rp2 == 0.75
+
+
+def test_khll_histogram_clamps_and_zero_fills(spark):
+    from presto_spark.operators import khll as K
+    from pyspark.sql import functions as F
+
+    rows = [("g", "v", f"u{i}") for i in range(9)]  # one value, 9 users
+    df = spark.createDataFrame(rows, "g string, v string, u string")
+    dig = K.khyperloglog_agg(df, ["g"], "v", "u")
+    dist = dig.select(
+        K.uniqueness_distribution(F.col("khll"), histogram_size=4).alias("d")
+    ).collect()[0].d
+    # 9 users clamp into the top bucket; buckets 1..3 present as zeros
+    assert dist == {1: 0.0, 2: 0.0, 3: 0.0, 4: 1.0}
+
+
+def test_khll_merge_equals_direct(spark):
+    from presto_spark.operators import khll as K
+    from pyspark.sql import functions as F
+
+    rows = [("g", "p1", f"v{i % 5}", f"u{i}") for i in range(20)] + [
+        ("g", "p2", f"v{i % 7}", f"u{i + 100}") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "g string, part string, v string, u string")
+    direct = K.khyperloglog_agg(df, ["g"], "v", "u")
+    partials = K.khyperloglog_agg(df, ["g", "part"], "v", "u")
+    merged = K.merge_khll(partials, ["g"])
+    a = direct.select(
+        K.cardinality(F.col("khll")).alias("c"),
+        K.uniqueness_distribution(F.col("khll"), 8).alias("d"),
+    ).collect()[0]
+    b = merged.select(
+        K.cardinality(F.col("khll")).alias("c"),
+        K.uniqueness_distribution(F.col("khll"), 8).alias("d"),
+    ).collect()[0]
+    assert a.c == b.c == 7
+    assert a.d == b.d
+
+
+def test_khll_truncation_density_estimator(spark):
+    """Past max_hashes the cardinality falls back to the bottom-k
+    density estimator (KHyperLogLog.java:259-272) — envelope check."""
+    from presto_spark.operators import khll as K
+    from pyspark.sql import functions as F
+
+    rows = [("g", f"value_{i}", "u") for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, v string, u string")
+    dig = K.khyperloglog_agg(df, ["g"], "v", "u", max_hashes=256)
+    row = dig.select(
+        F.col("khll.exact").alias("exact"),
+        F.size("khll.hashes").alias("k"),
+        K.cardinality(F.col("khll")).alias("card"),
+    ).collect()[0]
+    assert not row.exact and row.k == 256
+    assert abs(row.card - 5000) <= 0.25 * 5000
