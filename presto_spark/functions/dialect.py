@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import re
 
+from presto_spark.functions import teradata as _teradata
 from presto_spark.functions.datetime_formats import (
     UnsupportedPatternError,
     joda_to_java,
@@ -397,8 +398,13 @@ def _rewrite_datetime_formats(sql: str) -> str:
             pos = close + 1
             continue
         out.append(sql[pos:m.start()])
+        # The /*dt*/ marker (stripped by Spark's lexer) keeps the
+        # emitted java-pattern call out of the Teradata to_date/
+        # to_timestamp macros, whose format grammar overlaps java.time
+        # spellings ('mm' means month in Teradata, minute in java.time).
         out.append(
-            f"{target}({args[0].strip()}, '{java.replace(chr(39), chr(39) * 2)}')"
+            f"{target}/*dt*/({args[0].strip()}, "
+            f"'{java.replace(chr(39), chr(39) * 2)}')"
         )
         pos = close + 1
     return "".join(out)
@@ -519,6 +525,27 @@ _MACROS: dict[str, tuple[int, object]] = {
     "map": (2, lambda a: f"map_from_arrays(({a[0]}), ({a[1]}))"),
     # date(x) → DATE cast (DateTimeFunctions.java date)
     "date": (1, lambda a: f"CAST(({a[0]}) AS DATE)"),
+    # Teradata plugin datetime functions (presto-teradata-functions/
+    # TeradataDateFunctions.java:85-130): the literal Teradata format
+    # compiles to a Spark/Java pattern at translate time — zero-padded
+    # fields for the format direction, 1-2-digit fields for parsing
+    # (DateFormatParser.java Mode).  Spark's own to_char(numeric) /
+    # to_date(x) spellings are not Presto SQL, so 2-arg interception
+    # is unambiguous on the dialect path.
+    # The Spark target keeps the same name for to_date/to_timestamp, and
+    # the expansion loop rescans its own output — the /*td*/ comment
+    # (stripped by Spark's lexer) breaks the `name(`-pattern so the
+    # converted call can't re-enter the macro (a second conversion would
+    # corrupt e.g. minute 'mi'→'mm', which re-reads as Teradata month).
+    "to_char": (2, lambda a: (
+        f"date_format(({a[0]}), "
+        f"{_teradata.literal_format_to_java(a[1], 'format')})")),
+    "to_date": (2, lambda a: (
+        f"to_date/*td*/(({a[0]}), "
+        f"{_teradata.literal_format_to_java(a[1], 'parse')})")),
+    "to_timestamp": (2, lambda a: (
+        f"to_timestamp/*td*/(({a[0]}), "
+        f"{_teradata.literal_format_to_java(a[1], 'parse')})")),
     # 1-arg normalize defaults to NFC (StringFunctions.java normalize)
     "normalize": (1, lambda a: f"normalize(({a[0]}), 'NFC')"),
     # typeof → Presto type-name spelling (TypeOfFunction.java): Spark's

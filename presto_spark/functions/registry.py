@@ -46,6 +46,15 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
                     "StringFunctions.java startsWith"),
     "ends_with": ("s STRING, p STRING", "BOOLEAN", "endswith(s, p)",
                   "StringFunctions.java endsWith"),
+    # ---- Teradata plugin strings (presto-teradata-functions/
+    #      TeradataStringFunctions.java) ----
+    "index": (
+        "s STRING, sub STRING", "BIGINT", "CAST(instr(s, sub) AS BIGINT)",
+        "TeradataStringFunctions.java:40 index (1-based, 0 if absent)"),
+    "char2hexint": (
+        "s STRING", "STRING", "hex(encode(s, 'UTF-16BE'))",
+        "TeradataStringFunctions.java:109 char2hexint (uppercase "
+        "UTF-16BE hex)"),
     # ---- math (reference: operator/scalar/MathFunctions.java:80) ----
     "truncate": (
         "x DOUBLE", "DOUBLE", "sign(x) * floor(abs(x))",

@@ -74,6 +74,7 @@ _DRIVER_FRONT = [
     "sketch_setdigest_exact_ops",
     "sketch_setdigest_minhash_envelope",
     "sketch_khll_privacy_audit",
+    "presto_dialect_teradata_fns",
 ]
 
 

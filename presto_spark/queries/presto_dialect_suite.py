@@ -612,3 +612,46 @@ _presto_sql(
         "where GROUPS differs from ROWS).",
     tags=("dialect",),
 )
+
+
+_presto_sql(
+    "presto_dialect_teradata_fns",
+    # --- Presto dialect (teradata plugin spellings) ---
+    """
+    SELECT o_orderkey,
+           to_char(CAST(o_orderdate AS TIMESTAMP),
+                   'yyyy/mm/dd hh24:mi:ss') AS td_char,
+           CAST(to_date(to_char(CAST(o_orderdate AS TIMESTAMP),
+                                'yyyy/mm/dd'),
+                        'yyyy/mm/dd') AS VARCHAR) AS td_roundtrip,
+           CAST(to_timestamp(to_char(CAST(o_orderdate AS TIMESTAMP),
+                                     'dd.mm.yyyy hh24:mi'),
+                             'dd.mm.yyyy hh24:mi') AS VARCHAR) AS td_ts,
+           index(o_orderpriority, 'E') AS td_idx,
+           char2hexint(o_orderpriority) AS td_hex
+    FROM orders WHERE o_orderkey <= 80 ORDER BY o_orderkey
+    """,
+    # --- DuckDB oracle ---
+    """
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate AS TIMESTAMP),
+                    '%Y/%m/%d %H:%M:%S') AS td_char,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS td_roundtrip,
+           CAST(CAST(o_orderdate AS TIMESTAMP) AS VARCHAR) AS td_ts,
+           CAST(strpos(o_orderpriority, 'E') AS BIGINT) AS td_idx,
+           upper(list_aggregate(list_transform(
+             regexp_split_to_array(o_orderpriority, ''),
+             c -> lpad(to_hex(unicode(c)), 4, '0')),
+             'string_agg', '')) AS td_hex
+    FROM orders WHERE o_orderkey <= 80 ORDER BY o_orderkey
+    """,
+    doc="Teradata plugin functions through translate() "
+        "(presto-teradata-functions/: TeradataDateFunctions.java "
+        "to_char/to_date/to_timestamp with the DateFormatParser.java "
+        "element grammar, TeradataStringFunctions.java index/"
+        "char2hexint). Formats compile to Java patterns at translate "
+        "time (zero-padded format fields, 1-2-digit parse fields); "
+        "parse round-trips prove both directions. DuckDB independently "
+        "renders via strftime/C formats and per-codepoint UTF-16BE hex.",
+    tags=("dialect", "functions", "teradata"),
+)

@@ -219,8 +219,8 @@ def test_dialect_datetime_rewrite_idempotent():
     s = "SELECT date_format(ts, '%Y-%m') , date_parse(s, '%Y'), " \
         "format_datetime(ts, 'YYYY'), date_format(ts, fmt_col) FROM t"
     t1 = translate(s)
-    assert "date_format(ts, 'yyyy-MM')" in t1
-    assert "to_timestamp(s, 'yyyy')" in t1
+    assert "date_format/*dt*/(ts, 'yyyy-MM')" in t1
+    assert "to_timestamp/*dt*/(s, 'yyyy')" in t1
     # non-literal pattern → per-row Python renderer (MySQL semantics;
     # DateTimeFunctions.java evaluates patterns per row)
     assert "date_format_py(ts, fmt_col)" in t1
@@ -537,3 +537,47 @@ def test_dialect_joda_week_concat_lowering(spark):
         "SELECT format_datetime(TIMESTAMP '2024-12-30 00:00:00', "
         "'xxxx/ww') AS v")).collect()
     assert row.v == "2025/01"
+
+
+def test_teradata_format_conversion():
+    """DateFormatParser.java element grammar → Java patterns: padded
+    fields for the format direction, 1-2-digit fields for parsing;
+    unrecognized letter runs raise (DateFormatParser.java:100-104)."""
+    import pytest
+
+    from presto_spark.functions.teradata import teradata_format_to_java
+
+    assert teradata_format_to_java("yyyy/mm/dd hh24:mi:ss", "format") == \
+        "yyyy'/'MM'/'dd' 'HH':'mm':'ss"
+    assert teradata_format_to_java("yyyy/mm/dd hh24:mi:ss", "parse") == \
+        "yyyy'/'M'/'d' 'H':'m':'s"
+    assert teradata_format_to_java("YYYY-MM-DD", "format") == \
+        "yyyy'-'MM'-'dd"  # case-insensitive tokens
+    with pytest.raises(ValueError):
+        teradata_format_to_java("yyyy-mon-dd", "format")
+
+
+def test_teradata_functions_end_to_end(spark):
+    """TeradataDateFunctions.java:85-130 semantics via the Engine:
+    zero-padded to_char, 1-digit-tolerant parsing, yy pivot at 2000,
+    index/char2hexint (TeradataStringFunctions.java:40,109)."""
+    import datetime
+
+    from presto_spark.engine import Engine
+
+    eng = Engine(spark)
+    row = eng.sql(
+        "SELECT to_char(TIMESTAMP '1988-04-08 02:03:04', "
+        "               'yyyy/mm/dd hh24:mi:ss') AS a, "
+        "       to_timestamp('1988/4/8 2:3:4', "
+        "                    'yyyy/mm/dd hh24:mi:ss') AS b, "
+        "       to_date('88/4/8', 'yy/mm/dd') AS c, "
+        "       index('chocolate', 'late') AS d, "
+        "       index('chocolate', 'zz') AS e, "
+        "       char2hexint('abc') AS f"
+    ).collect()[0]
+    assert row.a == "1988/04/08 02:03:04"
+    assert row.b == datetime.datetime(1988, 4, 8, 2, 3, 4)
+    assert row.c == datetime.date(2088, 4, 8)  # yy pivots at 2000
+    assert (row.d, row.e) == (6, 0)
+    assert row.f == "006100620063"
