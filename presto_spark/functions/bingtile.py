@@ -1,0 +1,192 @@
+"""Bing tile functions (Web-Mercator quadtree addressing).
+
+Reference: presto-main-base/.../geospatial/BingTileUtils.java +
+BingTile.java + BingTileFunctions.java.  A Bing tile is the quadtree
+cell of the Web-Mercator projection at a zoom level (1..23); Presto
+uses it as the standard spatial bucketing device (tile-aggregate, tile
+join, tile → polygon).
+
+All functions are JVM-side Column expressions over a plain
+``struct<x:int, y:int, z:int>`` tile value:
+
+* ``bing_tile(x, y, zoom)`` / ``bing_tile(quadKey)``
+  (BingTileFunctions.java toBingTile) — constructor / quadkey parse.
+* ``bing_tile_at(lat, lon, zoom)`` (BingTileUtils.java:150-198):
+  pixelX = ((lon+180)/360)·mapSize, pixelY from the Mercator
+  log-formula, both clipped to [0, mapSize−1], tile = pixel / 256;
+  mapSize = 256·2^zoom.  Latitude valid in ±85.05112878
+  (BingTileUtils.java:48), zoom ≤ 23 (BingTile.java:32); out-of-range
+  → NULL (expression-level spelling of checkCondition).
+* ``bing_tile_quadkey(tile)`` (BingTile.java:143-158): base-4 digit
+  per zoom bit, x contributes bit 0, y bit 1.
+* ``bing_tile_coordinates(tile)`` / ``bing_tile_zoom_level(tile)``.
+* ``bing_tile_polygon(tile)`` (BingTileUtils.java:99-132
+  tileToEnvelope): the tile's lat/lon rectangle as a POLYGON geometry
+  (functions/geo.py representation) — west edge from tileX, north edge
+  from tileY via the inverse Mercator formula.
+* ``bing_tiles_around(lat, lon, zoom)`` (BingTileFunctions.java
+  bingTilesAround): the ≤3×3 neighborhood clipped at the map edge.
+
+Scale: map-side expression work only.  Tile-bucketed aggregation/joins
+shuffle on (x, y, z) ints — the same grid-join discipline as
+operators/spatial_join.py with Mercator cells instead of uniform ones.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MAX_ZOOM = 23  # BingTile.java:32
+MIN_LATITUDE = -85.05112878  # BingTileUtils.java:48-49
+MAX_LATITUDE = 85.05112878
+
+
+def bing_tile(x: Column, y: Column, zoom: Column) -> Column:
+    """bing_tile(x, y, zoom) constructor."""
+    return F.struct(
+        x.cast("int").alias("x"), y.cast("int").alias("y"), zoom.cast("int").alias("z")
+    )
+
+
+def bing_tile_from_quadkey(quadkey: Column) -> Column:
+    """bing_tile(quadKey) (BingTile.java:96-120 fromQuadKey): digit i
+    (base 4, '0'..'3') carries bit (z−i) of x (low bit) and y (high
+    bit).  Invalid digits or length > 23 → NULL."""
+    z = F.length(quadkey)
+    digits = F.transform(
+        F.sequence(F.lit(1), z),
+        lambda i: F.ascii(F.substring(quadkey, i, 1)) - 48,
+    )
+    valid = (z > 0) & (z <= MAX_ZOOM) & F.forall(
+        digits, lambda d: (d >= 0) & (d <= 3)
+    )
+    idx = F.sequence(F.lit(1), z)
+    x = F.aggregate(
+        idx,
+        F.lit(0),
+        lambda acc, i: acc
+        + (F.element_at(digits, i) % 2)
+        * F.pow(F.lit(2.0), (z - i).cast("double")).cast("int"),
+    )
+    y = F.aggregate(
+        idx,
+        F.lit(0),
+        lambda acc, i: acc
+        + F.floor(F.element_at(digits, i) / 2).cast("int")
+        * F.pow(F.lit(2.0), (z - i).cast("double")).cast("int"),
+    )
+    return F.when(valid, bing_tile(x, y, z))
+
+
+def _axis_to_tile(axis: Column, zoom: Column) -> Column:
+    """axisToCoordinates (BingTileUtils.java:192-196): pixel =
+    clip(axis·mapSize, 0, mapSize−1), tile = pixel / 256."""
+    map_size = 256.0 * F.pow(F.lit(2.0), zoom.cast("double"))
+    px = F.least(F.greatest(axis * map_size, F.lit(0.0)), map_size - 1.0)
+    return F.floor(px / 256.0).cast("int")
+
+
+def bing_tile_at(lat: Column, lon: Column, zoom: Column) -> Column:
+    """bing_tile_at(latitude, longitude, zoom)
+    (BingTileUtils.java:150-198)."""
+    valid = (
+        (lat >= MIN_LATITUDE)
+        & (lat <= MAX_LATITUDE)
+        & (lon >= -180)
+        & (lon <= 180)
+        & (zoom > 0)
+        & (zoom <= MAX_ZOOM)
+    )
+    x_axis = (lon + 180.0) / 360.0
+    sin_lat = F.sin(lat * math.pi / 180.0)
+    y_axis = 0.5 - F.log((1.0 + sin_lat) / (1.0 - sin_lat)) / (4.0 * math.pi)
+    return F.when(
+        valid,
+        bing_tile(_axis_to_tile(x_axis, zoom), _axis_to_tile(y_axis, zoom), zoom),
+    )
+
+
+def bing_tile_quadkey(tile: Column) -> Column:
+    """bing_tile_quadkey(tile) (BingTile.java:143-158)."""
+    x, y, z = tile["x"], tile["y"], tile["z"]
+    digits = F.transform(
+        F.sequence(z, F.lit(1), F.lit(-1)),
+        lambda i: F.chr(
+            (F.lit(48)
+             + (F.floor(x / F.pow(F.lit(2.0), (i - 1).cast("double"))).cast("int") % 2)
+             + 2 * (F.floor(y / F.pow(F.lit(2.0), (i - 1).cast("double"))).cast("int") % 2)
+             ).cast("bigint")
+        ),
+    )
+    return F.array_join(digits, "")
+
+
+def bing_tile_coordinates(tile: Column) -> Column:
+    """bing_tile_coordinates(tile) → row(x, y)
+    (BingTileFunctions.java bingTileCoordinates)."""
+    return F.struct(tile["x"].alias("x"), tile["y"].alias("y"))
+
+
+def bing_tile_zoom_level(tile: Column) -> Column:
+    return tile["z"]
+
+
+def _tile_x_to_longitude(x: Column, zoom: Column) -> Column:
+    """West edge longitude (BingTileUtils.java:99-104)."""
+    map_tile = F.pow(F.lit(2.0), zoom.cast("double"))
+    clipped = F.least(F.greatest(x.cast("double"), F.lit(0.0)), map_tile)
+    return 360.0 * (clipped / map_tile - 0.5)
+
+
+def _tile_y_to_latitude(y: Column, zoom: Column) -> Column:
+    """North edge latitude (BingTileUtils.java:109-114)."""
+    map_tile = F.pow(F.lit(2.0), zoom.cast("double"))
+    clipped = F.least(F.greatest(y.cast("double"), F.lit(0.0)), map_tile)
+    yy = 0.5 - clipped / map_tile
+    return 90.0 - 360.0 * F.atan(F.exp(-yy * 2.0 * math.pi)) / math.pi
+
+
+def bing_tile_polygon(tile: Column) -> Column:
+    """bing_tile_polygon(tile) (BingTileUtils.java:124-132
+    tileToEnvelope) as a POLYGON geometry (functions/geo.py struct)."""
+    x, y, z = tile["x"], tile["y"], tile["z"]
+    min_x = _tile_x_to_longitude(x, z)
+    max_x = _tile_x_to_longitude(x + 1, z)
+    max_y = _tile_y_to_latitude(y, z)
+    min_y = _tile_y_to_latitude(y + 1, z)
+    pt = lambda px, py: F.struct(px.alias("x"), py.alias("y"))  # noqa: E731
+    ring = F.array(
+        pt(min_x, min_y), pt(max_x, min_y), pt(max_x, max_y),
+        pt(min_x, max_y), pt(min_x, min_y),
+    )
+    return F.struct(F.lit("POLYGON").alias("kind"), F.array(ring).alias("rings"))
+
+
+def bing_tiles_around(lat: Column, lon: Column, zoom: Column) -> Column:
+    """bing_tiles_around(lat, lon, zoom) (BingTileFunctions.java
+    bingTilesAround): the center tile's ≤3×3 neighborhood, clipped to
+    the [0, 2^zoom) tile grid."""
+    center = bing_tile_at(lat, lon, zoom)
+    max_tile = F.pow(F.lit(2.0), zoom.cast("double")).cast("int") - 1
+    offsets = F.sequence(F.lit(-1), F.lit(1))
+    cx, cy = center["x"], center["y"]
+    pairs = F.flatten(
+        F.transform(
+            offsets,
+            lambda dx: F.transform(
+                offsets,
+                lambda dy: F.struct((cx + dx).alias("x"), (cy + dy).alias("y")),
+            ),
+        )
+    )
+    kept = F.filter(
+        pairs,
+        lambda p: (p["x"] >= 0)
+        & (p["x"] <= max_tile)
+        & (p["y"] >= 0)
+        & (p["y"] <= max_tile),
+    )
+    return F.transform(kept, lambda p: bing_tile(p["x"], p["y"], zoom))

@@ -75,6 +75,7 @@ _DRIVER_FRONT = [
     "sketch_setdigest_minhash_envelope",
     "sketch_khll_privacy_audit",
     "presto_dialect_teradata_fns",
+    "geo_bing_tile_rollup",
 ]
 
 

@@ -211,3 +211,72 @@ def geo_measures_wkt_golden(spark, sf_dir):
         geo.st_xmin(g).alias("xmin"),
         geo.st_ymax(g).alias("ymax"),
     ).orderBy("name")
+
+
+_BING_ORACLE = """
+WITH pts AS (
+  SELECT c_custkey,
+         ((c_custkey % 170) - 85) + 0.3 AS lat,
+         ((c_custkey % 360) - 180) + 0.3 AS lon
+  FROM customer
+),
+tiled AS (
+  SELECT c_custkey,
+         CAST(floor(least(greatest(((lon + 180) / 360) * 16384.0, 0),
+                          16383.0) / 256) AS INTEGER) AS tx,
+         CAST(floor(least(greatest(
+             (0.5 - ln((1 + sin(lat * pi() / 180))
+                       / (1 - sin(lat * pi() / 180))) / (4 * pi()))
+             * 16384.0, 0), 16383.0) / 256) AS INTEGER) AS ty
+  FROM pts
+)
+SELECT tx, ty,
+       list_aggregate(list_transform([1, 2, 3, 4, 5, 6], i ->
+         chr(48 + (CAST(floor(tx / pow(2, 6 - i)) AS INTEGER) % 2)
+                + 2 * (CAST(floor(ty / pow(2, 6 - i)) AS INTEGER) % 2))),
+         'string_agg', '') AS quadkey,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(c_custkey) AS BIGINT) AS custkey_sum
+FROM tiled
+GROUP BY tx, ty
+ORDER BY tx, ty
+"""
+
+
+@register(
+    "geo_bing_tile_rollup",
+    oracle=_BING_ORACLE,
+    doc="Bing-tile spatial aggregation (BingTileUtils.java:150-198 "
+        "latitudeLongitudeToTile + BingTile.java:143-158 toQuadKey): "
+        "customer-derived WGS84 points bucketed at zoom 6, rolled up "
+        "per tile with quadkeys. DuckDB replays the Web-Mercator pixel "
+        "formula and base-4 quadkey digits independently. Coordinates "
+        "use +0.3-degree offsets whose pixel positions are provably "
+        "never integers, so no point sits on a tile boundary. The "
+        "shuffle key is the (x, y) tile pair — the Mercator analog of "
+        "the operators/spatial_join.py grid discipline.",
+    tags=("geo", "agg"),
+)
+def geo_bing_tile_rollup(spark, sf_dir):
+    prepare(spark, sf_dir)
+    from presto_spark.functions import bingtile as B
+
+    pts = spark.table("customer").select(
+        "c_custkey",
+        (((F.col("c_custkey") % 170) - 85) + 0.3).alias("lat"),
+        (((F.col("c_custkey") % 360) - 180) + 0.3).alias("lon"),
+    )
+    tile = B.bing_tile_at(F.col("lat"), F.col("lon"), F.lit(6))
+    return (
+        pts.select("c_custkey", tile.alias("t"))
+        .groupBy(
+            F.col("t.x").alias("tx"), F.col("t.y").alias("ty")
+        )
+        .agg(
+            F.first(B.bing_tile_quadkey(F.col("t"))).alias("quadkey"),
+            F.count("*").alias("n_points"),
+            F.sum("c_custkey").alias("custkey_sum"),
+        )
+        .select("tx", "ty", "quadkey", "n_points", "custkey_sum")
+        .orderBy("tx", "ty")
+    )

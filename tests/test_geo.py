@@ -207,3 +207,65 @@ def test_centroid_weighted_forms(spark):
     )
     assert abs(_one(spark, geo.st_x(geo.st_centroid(cw))) - 2.0) < 1e-12
     assert _one(spark, geo.st_area(cw)) == 18.0
+
+
+def test_bing_tile_known_values(spark):
+    """MSDN worked example (BingTileUtils.java references
+    bb259689.aspx): Seattle (47.6097, -122.3331) at zoom 10 is tile
+    (164, 357), quadkey 0212300302; Presto docs quadkey
+    '0230102122203031' decodes to (10507, 25322, 16)."""
+    from presto_spark.functions import bingtile as B
+
+    row = spark.range(1).select(
+        B.bing_tile_at(F.lit(47.6097), F.lit(-122.3331), F.lit(10)).alias("t"),
+        B.bing_tile_quadkey(
+            B.bing_tile_at(F.lit(47.6097), F.lit(-122.3331), F.lit(10))
+        ).alias("qk"),
+        B.bing_tile_from_quadkey(F.lit("0230102122203031")).alias("d"),
+        B.bing_tile_at(F.lit(86.0), F.lit(0.0), F.lit(10)).alias("bad_lat"),
+        B.bing_tile_at(F.lit(0.0), F.lit(0.0), F.lit(24)).alias("bad_zoom"),
+        B.bing_tile_from_quadkey(F.lit("0412")).alias("bad_qk"),
+    ).collect()[0]
+    assert (row.t.x, row.t.y, row.t.z) == (164, 357, 10)
+    assert row.qk == "0212300302"
+    assert (row.d.x, row.d.y, row.d.z) == (10507, 25322, 16)
+    assert row.bad_lat is None and row.bad_zoom is None
+    assert row.bad_qk is None
+
+
+def test_bing_tile_quadkey_roundtrip_and_polygon(spark):
+    from presto_spark.functions import bingtile as B
+
+    df = spark.createDataFrame(
+        [(47.6097, -122.3331, 10), (-33.87, 151.21, 12), (0.01, 0.01, 1),
+         (84.9, 179.9, 15), (-84.9, -179.9, 4)],
+        "lat double, lon double, z int",
+    )
+    t = B.bing_tile_at(F.col("lat"), F.col("lon"), F.col("z"))
+    rows = df.select(
+        t.alias("t"),
+        B.bing_tile_from_quadkey(B.bing_tile_quadkey(t)).alias("rt"),
+        B.bing_tile_polygon(t).alias("poly"),
+        "lat", "lon",
+    ).collect()
+    for r in rows:
+        assert (r.t.x, r.t.y, r.t.z) == (r.rt.x, r.rt.y, r.rt.z)
+        ring = r.poly.rings[0]
+        xs = [p.x for p in ring]
+        ys = [p.y for p in ring]
+        # the source point falls inside (or on) its tile's envelope
+        assert min(xs) <= r.lon <= max(xs)
+        assert min(ys) <= r.lat <= max(ys)
+
+
+def test_bing_tiles_around_clipping(spark):
+    from presto_spark.functions import bingtile as B
+
+    row = spark.range(1).select(
+        F.size(B.bing_tiles_around(F.lit(47.6), F.lit(-122.3), F.lit(10))).alias("mid"),
+        F.size(B.bing_tiles_around(F.lit(84.9), F.lit(-179.99), F.lit(3))).alias("corner"),
+        F.size(B.bing_tiles_around(F.lit(0.01), F.lit(0.01), F.lit(1))).alias("tiny"),
+    ).collect()[0]
+    assert row.mid == 9
+    assert row.corner == 4  # NW corner: 2x2 survive clipping
+    assert row.tiny == 4    # zoom 1 grid is 2x2 total
