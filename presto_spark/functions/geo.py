@@ -412,3 +412,202 @@ def great_circle_distance(
         valid,
         F.atan2(F.sqrt(t1 * t1 + t2 * t2), t3) * F.lit(EARTH_RADIUS_KM),
     )
+
+
+# ---- linear referencing (GeoFunctions.java:444-489) ----------------------
+
+def _seg_lengths(ring: Column):
+    a, b = _edges(ring)
+    return F.zip_with(
+        a,
+        b,
+        lambda p, q: F.sqrt(
+            (q["x"] - p["x"]) * (q["x"] - p["x"])
+            + (q["y"] - p["y"]) * (q["y"] - p["y"])
+        ),
+    )
+
+
+_SEG_ENTRY_T = (
+    "array<struct<p:struct<x:double,y:double>,"
+    "q:struct<x:double,y:double>,len:double,before:double>>"
+)
+
+
+def _indexed_segments(ring: Column) -> Column:
+    """struct<total, entries> where entries carry each segment's
+    endpoints, length, and running start offset — ONE linear pass
+    (struct-accumulator aggregate) instead of a per-segment prefix
+    re-sum, so the expression tree stays O(1) per use."""
+    a, b = _edges(ring)
+    segs = F.zip_with(a, b, lambda p, q: F.struct(p.alias("p"), q.alias("q")))
+    init = F.struct(
+        F.lit(0.0).alias("total"),
+        F.array().cast(_SEG_ENTRY_T).alias("entries"),
+    )
+
+    def step(acc: Column, s: Column) -> Column:
+        dx = s["q"]["x"] - s["p"]["x"]
+        dy = s["q"]["y"] - s["p"]["y"]
+        ln = F.sqrt(dx * dx + dy * dy)
+        entry = F.struct(
+            s["p"].alias("p"),
+            s["q"].alias("q"),
+            ln.alias("len"),
+            acc["total"].alias("before"),
+        )
+        return F.struct(
+            (acc["total"] + ln).alias("total"),
+            F.concat(acc["entries"], F.array(entry)).alias("entries"),
+        )
+
+    return F.aggregate(segs, init, step)
+
+
+def line_locate_point(line: Column, point: Column) -> Column:
+    """line_locate_point(linestring, point) (GeoFunctions.java:444-467):
+    the fraction of the line's total length at the line's closest
+    point to the argument (JTS LengthIndexedLine.indexOf / length).
+    First minimal-distance segment wins on ties, as in JTS."""
+    ix = _indexed_segments(line["rings"][0])
+    px = point["rings"][0][0]["x"]
+    py = point["rings"][0][0]["y"]
+
+    def seg_entry(e: Column) -> Column:
+        dx = e["q"]["x"] - e["p"]["x"]
+        dy = e["q"]["y"] - e["p"]["y"]
+        len2 = dx * dx + dy * dy
+        t_raw = ((px - e["p"]["x"]) * dx + (py - e["p"]["y"]) * dy) / len2
+        t = F.when(len2 == 0.0, F.lit(0.0)).otherwise(
+            F.greatest(F.lit(0.0), F.least(F.lit(1.0), t_raw))
+        )
+        cx = e["p"]["x"] + t * dx
+        cy = e["p"]["y"] + t * dy
+        dist = F.sqrt((px - cx) * (px - cx) + (py - cy) * (py - cy))
+        return F.struct(
+            dist.alias("d"), (e["before"] + t * e["len"]).alias("pos")
+        )
+
+    best = F.array_min(F.transform(ix["entries"], seg_entry))
+    return F.when(
+        (line["kind"] == "LINESTRING")
+        & (point["kind"] == "POINT")
+        & (ix["total"] > 0),
+        best["pos"] / ix["total"],
+    )
+
+
+def line_interpolate_point(line: Column, fraction: Column) -> Column:
+    """line_interpolate_point(linestring, fraction)
+    (GeoFunctions.java:469-489): the POINT at fraction·length along
+    the line; NULL outside [0, 1] (expression-level spelling of the
+    reference's INVALID_FUNCTION_ARGUMENT)."""
+    ix = _indexed_segments(line["rings"][0])
+    target = fraction * ix["total"]
+    # last segment whose start offset is <= target (ties at vertex
+    # boundaries resolve to the later segment's start point — same
+    # coordinates either way)
+    seg_i = F.greatest(
+        F.size(F.filter(ix["entries"], lambda e: e["before"] <= target)),
+        F.lit(1),
+    )
+    e = F.element_at(ix["entries"], seg_i)
+    t_raw = (target - e["before"]) / e["len"]
+    t = F.when(e["len"] == 0.0, F.lit(0.0)).otherwise(
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0), t_raw))
+    )
+    return F.when(
+        (line["kind"] == "LINESTRING")
+        & (fraction >= 0.0)
+        & (fraction <= 1.0),
+        st_point(
+            e["p"]["x"] + t * (e["q"]["x"] - e["p"]["x"]),
+            e["p"]["y"] + t * (e["q"]["y"] - e["p"]["y"]),
+        ),
+    )
+
+
+# ---- ST_Intersects (GeoFunctions.java:1090) ------------------------------
+
+def _cross(ox, oy, ax, ay, bx, by):
+    return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+
+def _segments_intersect(p1: Column, p2: Column, q1: Column, q2: Column) -> Column:
+    """Segment intersection incl. endpoints and collinear overlap."""
+    d1 = _cross(q1["x"], q1["y"], q2["x"], q2["y"], p1["x"], p1["y"])
+    d2 = _cross(q1["x"], q1["y"], q2["x"], q2["y"], p2["x"], p2["y"])
+    d3 = _cross(p1["x"], p1["y"], p2["x"], p2["y"], q1["x"], q1["y"])
+    d4 = _cross(p1["x"], p1["y"], p2["x"], p2["y"], q2["x"], q2["y"])
+    proper = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) & (
+        ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
+    )
+
+    def on_seg(d, a, b, c):
+        return (d == 0) & (
+            F.least(a["x"], b["x"]) <= c["x"]
+        ) & (c["x"] <= F.greatest(a["x"], b["x"])) & (
+            F.least(a["y"], b["y"]) <= c["y"]
+        ) & (c["y"] <= F.greatest(a["y"], b["y"]))
+
+    return (
+        proper
+        | on_seg(d1, q1, q2, p1)
+        | on_seg(d2, q1, q2, p2)
+        | on_seg(d3, p1, p2, q1)
+        | on_seg(d4, p1, p2, q2)
+    )
+
+
+def st_intersects(a: Column, b: Column) -> Column:
+    """ST_Intersects (GeoFunctions.java:1090) for point/linestring/
+    polygon pairs: any boundary-edge crossing, or one geometry's first
+    vertex interior to the other polygon (covers full containment).
+    Points use containment / exact vertex equality."""
+
+    def edges_of(g: Column) -> Column:
+        rings = g["rings"]
+        return F.flatten(
+            F.transform(
+                rings,
+                # a single-vertex ring (POINT/MULTIPOINT) contributes a
+                # degenerate p==q edge so point-on-segment cases reduce
+                # to the collinear on-segment test below
+                lambda r: F.when(
+                    F.size(r) == 1,
+                    F.array(F.struct(r[0].alias("p"), r[0].alias("q"))),
+                ).otherwise(
+                    F.zip_with(
+                        F.slice(r, 1, F.size(r) - 1),
+                        F.slice(r, 2, F.size(r) - 1),
+                        lambda p, q: F.struct(p.alias("p"), q.alias("q")),
+                    )
+                ),
+            )
+        )
+
+    first_pt = lambda g: g["rings"][0][0]  # noqa: E731
+    a_pt, b_pt = first_pt(a), first_pt(b)
+
+    edge_hit = F.exists(
+        edges_of(a),
+        lambda ea: F.exists(
+            edges_of(b),
+            lambda eb: _segments_intersect(ea["p"], ea["q"], eb["p"], eb["q"]),
+        ),
+    )
+    a_in_b = (b["kind"] == "POLYGON") & st_contains_point(
+        b, a_pt["x"], a_pt["y"]
+    )
+    b_in_a = (a["kind"] == "POLYGON") & st_contains_point(
+        a, b_pt["x"], b_pt["y"]
+    )
+    pt_eq = (
+        (a["kind"] == "POINT")
+        & (b["kind"] == "POINT")
+        & (a_pt["x"] == b_pt["x"])
+        & (a_pt["y"] == b_pt["y"])
+    )
+    # a point has a degenerate self-edge (p == q), so edge_hit also
+    # covers point-on-line and point-on-boundary cases
+    return edge_hit | a_in_b | b_in_a | pt_eq

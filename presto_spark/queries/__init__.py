@@ -76,6 +76,7 @@ _DRIVER_FRONT = [
     "sketch_khll_privacy_audit",
     "presto_dialect_teradata_fns",
     "geo_bing_tile_rollup",
+    "geo_line_referencing_golden",
 ]
 
 

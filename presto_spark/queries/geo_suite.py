@@ -280,3 +280,76 @@ def geo_bing_tile_rollup(spark, sf_dir):
         .select("tx", "ty", "quadkey", "n_points", "custkey_sum")
         .orderBy("tx", "ty")
     )
+
+
+_LINEREF_ORACLE = """
+SELECT case_id, locate, ix, iy, inter
+FROM (VALUES
+  ('c1', '0.250000', '10.000000', '5.000000', true),
+  ('c2', '0.750000', '2.000000',  '0.000000', false),
+  ('c3', '0.500000', '0.000000',  '0.000000', true),
+  ('c4', '1.000000', '3.000000',  '4.000000', true),
+  ('c5', '0.000000', '4.000000',  '3.000000', true),
+  ('c6', '0.200000', '2.500000',  '0.000000', false)
+) AS t(case_id, locate, ix, iy, inter)
+ORDER BY case_id
+"""
+
+_LINEREF_CASES = [
+    # (id, line, point, fraction, intersects_a, intersects_b)
+    ("c1", "LINESTRING (0 0, 10 0, 10 10)", "POINT (5 1)", 0.75,
+     "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+     "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"),
+    ("c2", "LINESTRING (0 0, 10 0, 10 10)", "POINT (10 5)", 0.1,
+     "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+     "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"),
+    ("c3", "LINESTRING (0 0, 10 0, 10 10)", "POINT (12 -1)", 0.0,
+     "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", "POINT (5 5)"),
+    ("c4", "LINESTRING (0 0, 3 4)", "POINT (3 4)", 1.0,
+     "LINESTRING (0 0, 5 5)", "LINESTRING (0 5, 5 0)"),
+    ("c5", "LINESTRING (0 0, 8 6)", "POINT (0 0)", 0.5,
+     "POINT (5 0)", "LINESTRING (0 0, 10 0)"),
+    ("c6", "LINESTRING (0 0, 10 0)", "POINT (2 2)", 0.25,
+     "LINESTRING (0 0, 5 5)", "LINESTRING (6 6, 9 9)"),
+]
+
+
+@register(
+    "geo_line_referencing_golden",
+    oracle=_LINEREF_ORACLE,
+    doc="Linear referencing + intersection predicate "
+        "(GeoFunctions.java:444-489 line_locate_point/"
+        "line_interpolate_point — JTS LengthIndexedLine semantics, "
+        "first minimal-distance segment wins ties; :1090 ST_Intersects "
+        "incl. containment, collinear overlap, point-on-line, and "
+        "corner-touch cases). Hand-derived goldens at 6 decimals.",
+    tags=("geo", "functions"),
+)
+def geo_line_referencing_golden(spark, sf_dir):
+    prepare(spark, sf_dir)
+    df = spark.createDataFrame(
+        _LINEREF_CASES,
+        "case_id string, line string, pt string, frac double, "
+        "ia string, ib string",
+    )
+    g = geo.st_geometry_from_text
+    # The repartition is an optimizer barrier: without it
+    # CollapseProject re-inlines the WKT-parse tree into every
+    # downstream HOF reference and analysis/codegen time explodes
+    # (~8x on this 6-row suite).  One tiny exchange buys plan-size
+    # linearity — the same hygiene a 100 TB pipeline would need.
+    parsed = df.select(
+        "case_id", "frac",
+        g(F.col("line")).alias("gl"), g(F.col("pt")).alias("gp"),
+        g(F.col("ia")).alias("ga"), g(F.col("ib")).alias("gb"),
+    ).repartition(2)
+    interp = geo.line_interpolate_point(F.col("gl"), F.col("frac"))
+    return parsed.select(
+        "case_id",
+        F.format_string(
+            "%.6f", geo.line_locate_point(F.col("gl"), F.col("gp"))
+        ).alias("locate"),
+        F.format_string("%.6f", geo.st_x(interp)).alias("ix"),
+        F.format_string("%.6f", geo.st_y(interp)).alias("iy"),
+        geo.st_intersects(F.col("ga"), F.col("gb")).alias("inter"),
+    ).orderBy("case_id")

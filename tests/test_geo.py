@@ -269,3 +269,31 @@ def test_bing_tiles_around_clipping(spark):
     assert row.mid == 9
     assert row.corner == 4  # NW corner: 2x2 survive clipping
     assert row.tiny == 4    # zoom 1 grid is 2x2 total
+
+
+def test_line_referencing_jts_semantics(spark):
+    """LengthIndexedLine semantics (GeoFunctions.java:444-489): clamped
+    projection, first-minimal-segment tie handling, and the
+    interpolate/locate round trip."""
+    g = lambda s: geo.st_geometry_from_text(F.lit(s))  # noqa: E731
+    line = g("LINESTRING (0 0, 10 0, 10 10)")
+    row = spark.range(1).select(
+        geo.line_locate_point(line, g("POINT (5 1)")).alias("mid"),
+        geo.line_locate_point(line, g("POINT (12 -1)")).alias("tie"),
+        geo.line_locate_point(line, g("POINT (-3 0)")).alias("clamp0"),
+        geo.st_x(geo.line_interpolate_point(line, F.lit(0.75))).alias("ix"),
+        geo.st_y(geo.line_interpolate_point(line, F.lit(0.75))).alias("iy"),
+        geo.line_interpolate_point(line, F.lit(-0.1)).alias("bad"),
+        geo.line_locate_point(
+            line,
+            geo.line_interpolate_point(line, F.lit(0.35)),
+        ).alias("roundtrip"),
+    ).collect()[0]
+    assert row.mid == 0.25
+    # (12,-1) is equidistant to both segments' corner — the first
+    # segment's index wins, as in JTS indexOf
+    assert row.tie == 0.5
+    assert row.clamp0 == 0.0
+    assert (row.ix, row.iy) == (10.0, 5.0)
+    assert row.bad is None
+    assert abs(row.roundtrip - 0.35) < 1e-12
