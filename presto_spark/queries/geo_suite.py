@@ -255,7 +255,7 @@ ORDER BY tx, ty
         "never integers, so no point sits on a tile boundary. The "
         "shuffle key is the (x, y) tile pair — the Mercator analog of "
         "the operators/spatial_join.py grid discipline.",
-    tags=("geo", "agg"),
+    tags=("geo", "agg", "bench"),
 )
 def geo_bing_tile_rollup(spark, sf_dir):
     prepare(spark, sf_dir)

@@ -592,7 +592,7 @@ ORDER BY g, bucket
         "Per-value uii cardinalities sit in the DataSketches "
         "coupon-exact range, so DuckDB's exact per-date distinct-"
         "customer counts reproduce every fraction bit-for-bit.",
-    tags=("sketch", "agg", "khll"),
+    tags=("sketch", "agg", "khll", "bench"),
 )
 def sketch_khll_privacy_audit(spark, sf_dir):
     prepare(spark, sf_dir)
