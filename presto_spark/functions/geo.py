@@ -611,3 +611,111 @@ def st_intersects(a: Column, b: Column) -> Column:
     # a point has a degenerate self-edge (p == q), so edge_hit also
     # covers point-on-line and point-on-boundary cases
     return edge_hit | a_in_b | b_in_a | pt_eq
+
+
+# ---- simple accessors (GeoFunctions.java:356-800) ------------------------
+
+def st_geometry_type(geom: Column) -> Column:
+    """ST_GeometryType (GeoFunctions.java:1161): Presto's standard
+    names (GeometryType.java:23-29)."""
+    return (
+        F.when(geom["kind"] == "POINT", F.lit("ST_Point"))
+        .when(geom["kind"] == "MULTIPOINT", F.lit("ST_MultiPoint"))
+        .when(geom["kind"] == "LINESTRING", F.lit("ST_LineString"))
+        .when(geom["kind"] == "POLYGON", F.lit("ST_Polygon"))
+    )
+
+
+def st_is_closed(geom: Column) -> Column:
+    """ST_IsClosed (GeoFunctions.java:356): first vertex == last
+    vertex (linestrings; polygons are closed by construction)."""
+    ring = geom["rings"][0]
+    closed = (ring[0]["x"] == F.element_at(ring, -1)["x"]) & (
+        ring[0]["y"] == F.element_at(ring, -1)["y"]
+    )
+    return F.when(
+        geom["kind"].isin("LINESTRING", "POLYGON"), closed
+    )
+
+
+def st_is_ring(geom: Column) -> Column:
+    """ST_IsRing (GeoFunctions.java:740): closed + simple linestring
+    (simplicity here: no repeated interior vertices — the reference
+    delegates full self-intersection testing to Esri; documented
+    approximation)."""
+    ring = geom["rings"][0]
+    n = F.size(ring)
+    interior = F.slice(ring, 1, n - 1)
+    distinct_interior = F.size(F.array_distinct(
+        F.transform(interior, lambda p: F.concat_ws(",", p["x"], p["y"]))
+    )) == F.size(interior)
+    return F.when(
+        geom["kind"] == "LINESTRING", st_is_closed(geom) & distinct_interior
+    )
+
+
+def st_start_point(geom: Column) -> Column:
+    """ST_StartPoint (GeoFunctions.java:752)."""
+    ring = geom["rings"][0]
+    return F.when(
+        geom["kind"] == "LINESTRING", st_point(ring[0]["x"], ring[0]["y"])
+    )
+
+
+def st_end_point(geom: Column) -> Column:
+    """ST_EndPoint (GeoFunctions.java:786)."""
+    ring = geom["rings"][0]
+    last = F.element_at(ring, -1)
+    return F.when(
+        geom["kind"] == "LINESTRING", st_point(last["x"], last["y"])
+    )
+
+
+def st_point_n(geom: Column, n: Column) -> Column:
+    """ST_PointN (GeoFunctions.java:675): 1-based vertex of a
+    linestring; NULL out of range."""
+    ring = geom["rings"][0]
+    ok = (geom["kind"] == "LINESTRING") & (n >= 1) & (n <= F.size(ring))
+    p = F.element_at(ring, F.when(ok, n).otherwise(F.lit(1)))
+    return F.when(ok, st_point(p["x"], p["y"]))
+
+
+def st_num_interior_ring(geom: Column) -> Column:
+    """ST_NumInteriorRing (GeoFunctions.java:543)."""
+    return F.when(
+        geom["kind"] == "POLYGON",
+        (F.size(geom["rings"]) - 1).cast("long"),
+    )
+
+
+def st_exterior_ring(geom: Column) -> Column:
+    """ST_ExteriorRing (GeoFunctions.java:975): the shell as a
+    LINESTRING."""
+    return F.when(
+        geom["kind"] == "POLYGON",
+        F.struct(
+            F.lit("LINESTRING").alias("kind"),
+            F.array(geom["rings"][0]).alias("rings"),
+        ),
+    )
+
+
+def st_is_empty(geom: Column) -> Column:
+    """ST_IsEmpty (GeoFunctions.java:375)."""
+    return F.size(F.flatten(geom["rings"])) == 0
+
+
+def st_coord_dim(geom: Column) -> Column:
+    """ST_CoordDim (GeoFunctions.java:339): always 2 here (no Z/M)."""
+    return F.when(geom["kind"].isNotNull(), F.lit(2).cast("int"))
+
+
+def st_dimension(geom: Column) -> Column:
+    """ST_Dimension (GeoFunctions.java:347): 0 points, 1 lines,
+    2 polygons."""
+    return (
+        F.when(geom["kind"].isin("POINT", "MULTIPOINT"), F.lit(0))
+        .when(geom["kind"] == "LINESTRING", F.lit(1))
+        .when(geom["kind"] == "POLYGON", F.lit(2))
+        .cast("int")
+    )

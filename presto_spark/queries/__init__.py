@@ -77,6 +77,7 @@ _DRIVER_FRONT = [
     "presto_dialect_teradata_fns",
     "geo_bing_tile_rollup",
     "geo_line_referencing_golden",
+    "geo_accessors_wkt_golden",
 ]
 
 

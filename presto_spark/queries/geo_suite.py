@@ -353,3 +353,63 @@ def geo_line_referencing_golden(spark, sf_dir):
         F.format_string("%.6f", geo.st_y(interp)).alias("iy"),
         geo.st_intersects(F.col("ga"), F.col("gb")).alias("inter"),
     ).orderBy("case_id")
+
+
+_ACCESSORS_ORACLE = """
+SELECT name, gtype,
+       CAST(closed AS BOOLEAN) AS closed,
+       CAST(ring AS BOOLEAN) AS ring,
+       CAST(sp AS VARCHAR) AS sp,
+       CAST(ep AS VARCHAR) AS ep,
+       CAST(p2 AS VARCHAR) AS p2,
+       CAST(nir AS BIGINT) AS nir,
+       CAST(dim AS INTEGER) AS dim
+FROM (VALUES
+  ('line',     'ST_LineString', false, false,
+   'POINT (0.0 0.0)', 'POINT (3.0 10.0)', 'POINT (3.0 4.0)', NULL, 1),
+  ('mp',       'ST_MultiPoint', NULL, NULL, NULL, NULL, NULL, NULL, 0),
+  ('pt',       'ST_Point',      NULL, NULL, NULL, NULL, NULL, NULL, 0),
+  ('ringline', 'ST_LineString', true, true,
+   'POINT (0.0 0.0)', 'POINT (0.0 0.0)', 'POINT (4.0 0.0)', NULL, 1),
+  ('sq_hole',  'ST_Polygon',    true, NULL, NULL, NULL, NULL, 1, 2),
+  ('tri',      'ST_Polygon',    true, NULL, NULL, NULL, NULL, 0, 2)
+) AS t(name, gtype, closed, ring, sp, ep, p2, nir, dim)
+ORDER BY name
+"""
+
+
+@register(
+    "geo_accessors_wkt_golden",
+    oracle=_ACCESSORS_ORACLE,
+    doc="Geometry accessors (GeoFunctions.java: ST_GeometryType:1161 "
+        "with GeometryType.java standard names, ST_IsClosed:356, "
+        "ST_IsRing:740, ST_StartPoint:752, ST_EndPoint:786, "
+        "ST_PointN:675, ST_NumInteriorRing:543, ST_Dimension:347). "
+        "Hand-derived goldens incl. type-gated NULLs.",
+    tags=("geo", "functions"),
+)
+def geo_accessors_wkt_golden(spark, sf_dir):
+    prepare(spark, sf_dir)
+    wkts = [
+        ("sq_hole",
+         "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+         "(2 2, 4 2, 4 4, 2 4, 2 2))"),
+        ("tri", "POLYGON ((0 0, 6 0, 0 6, 0 0))"),
+        ("line", "LINESTRING (0 0, 3 4, 3 10)"),
+        ("ringline", "LINESTRING (0 0, 4 0, 4 4, 0 0)"),
+        ("pt", "POINT (2.5 7.5)"),
+        ("mp", "MULTIPOINT ((1 2), (3 4))"),
+    ]
+    df = spark.createDataFrame(wkts, "name string, wkt string")
+    g = geo.st_geometry_from_text(F.col("wkt"))
+    return df.select(
+        "name",
+        geo.st_geometry_type(g).alias("gtype"),
+        geo.st_is_closed(g).alias("closed"),
+        geo.st_is_ring(g).alias("ring"),
+        geo.st_as_text(geo.st_start_point(g)).alias("sp"),
+        geo.st_as_text(geo.st_end_point(g)).alias("ep"),
+        geo.st_as_text(geo.st_point_n(g, F.lit(2))).alias("p2"),
+        geo.st_num_interior_ring(g).alias("nir"),
+        geo.st_dimension(g).alias("dim"),
+    ).orderBy("name")
