@@ -55,6 +55,22 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
         "s STRING", "STRING", "hex(encode(s, 'UTF-16BE'))",
         "TeradataStringFunctions.java:109 char2hexint (uppercase "
         "UTF-16BE hex)"),
+    # ---- geospatial scalar (presto-geospatial-toolkit/
+    #      SphericalGeographyUtils.java:82-107; R = 6371.01 km) ----
+    "great_circle_distance": (
+        "lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE", "DOUBLE",
+        """CASE WHEN abs(lat1) <= 90 AND abs(lat2) <= 90
+                 AND abs(lon1) <= 180 AND abs(lon2) <= 180 THEN
+             atan2(sqrt(pow(cos(radians(lat2))
+                            * sin(radians(lon1) - radians(lon2)), 2)
+                        + pow(cos(radians(lat1)) * sin(radians(lat2))
+                              - sin(radians(lat1)) * cos(radians(lat2))
+                                * cos(radians(lon1) - radians(lon2)), 2)),
+                   sin(radians(lat1)) * sin(radians(lat2))
+                   + cos(radians(lat1)) * cos(radians(lat2))
+                     * cos(radians(lon1) - radians(lon2))) * 6371.01
+           END""",
+        "SphericalGeographyUtils.java:82-107 greatCircleDistance (km)"),
     # ---- math (reference: operator/scalar/MathFunctions.java:80) ----
     "truncate": (
         "x DOUBLE", "DOUBLE", "sign(x) * floor(abs(x))",

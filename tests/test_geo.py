@@ -297,3 +297,16 @@ def test_line_referencing_jts_semantics(spark):
     assert (row.ix, row.iy) == (10.0, 5.0)
     assert row.bad is None
     assert abs(row.roundtrip - 0.35) < 1e-12
+
+
+def test_great_circle_distance_sql_surface(spark):
+    """great_circle_distance is callable from Presto SQL through the
+    Engine (SQL-UDF shim, SphericalGeographyUtils.java:82-107)."""
+    from presto_spark.engine import Engine
+
+    row = Engine(spark).sql(
+        "SELECT great_circle_distance(36.12, -86.67, 33.94, -118.40) AS d,"
+        "       great_circle_distance(95.0, 0.0, 0.0, 0.0) AS bad"
+    ).collect()[0]
+    assert abs(row.d - 2886.448973436703) < 1e-6
+    assert row.bad is None
