@@ -719,3 +719,98 @@ def st_dimension(geom: Column) -> Column:
         .when(geom["kind"] == "POLYGON", F.lit(2))
         .cast("int")
     )
+
+
+# ---- GeoJSON (GeoFunctions.java:1225-1241) -------------------------------
+
+_GEOJSON_TYPES = {
+    "POINT": "Point",
+    "MULTIPOINT": "MultiPoint",
+    "LINESTRING": "LineString",
+    "POLYGON": "Polygon",
+}
+
+
+def geometry_as_geojson(geom: Column) -> Column:
+    """geometry_as_geojson (GeoFunctions.java:1234): RFC 7946 Geometry
+    object.  Numbers use Spark's double formatting (deviation from the
+    Esri writer's integer shortening)."""
+    coord = lambda p: F.concat(  # noqa: E731
+        F.lit("["), p["x"].cast("string"), F.lit(","),
+        p["y"].cast("string"), F.lit("]"),
+    )
+    ring_arr = lambda r: F.concat(  # noqa: E731
+        F.lit("["), F.concat_ws(",", F.transform(r, coord)), F.lit("]")
+    )
+    rings = geom["rings"]
+    coords = (
+        F.when(geom["kind"] == "POINT", coord(rings[0][0]))
+        .when(
+            geom["kind"] == "MULTIPOINT",
+            F.concat(
+                F.lit("["),
+                F.concat_ws(",", F.transform(rings, lambda r: coord(r[0]))),
+                F.lit("]"),
+            ),
+        )
+        .when(geom["kind"] == "LINESTRING", ring_arr(rings[0]))
+        .when(
+            geom["kind"] == "POLYGON",
+            F.concat(
+                F.lit("["),
+                F.concat_ws(",", F.transform(rings, ring_arr)),
+                F.lit("]"),
+            ),
+        )
+    )
+    gtype = geom["kind"]
+    for k, v in _GEOJSON_TYPES.items():
+        gtype = F.when(geom["kind"] == k, F.lit(v)).otherwise(gtype)
+    return F.when(
+        coords.isNotNull(),
+        F.concat(
+            F.lit('{"type":"'), gtype, F.lit('","coordinates":'),
+            coords, F.lit("}"),
+        ),
+    )
+
+
+def geometry_from_geojson(json: Column) -> Column:
+    """geometry_from_geojson (GeoFunctions.java:1225) for
+    Point/MultiPoint/LineString/Polygon Geometry objects."""
+    gtype = F.upper(F.get_json_object(json, "$.type"))
+    raw = F.get_json_object(json, "$.coordinates")
+    pt = F.from_json(raw, "array<double>")
+    arr2 = F.from_json(raw, "array<array<double>>")
+    arr3 = F.from_json(raw, "array<array<array<double>>>")
+    mk_pt = lambda a: F.struct(  # noqa: E731
+        a[0].alias("x"), a[1].alias("y")
+    )
+    point_rings = F.array(F.array(mk_pt(pt)))
+    multi_rings = F.transform(arr2, lambda a: F.array(mk_pt(a)))
+    line_rings = F.array(F.transform(arr2, mk_pt))
+    poly_rings = F.transform(arr3, lambda r: F.transform(r, mk_pt))
+    return (
+        F.when(
+            gtype == "POINT",
+            F.struct(F.lit("POINT").alias("kind"), point_rings.alias("rings")),
+        )
+        .when(
+            gtype == "MULTIPOINT",
+            F.struct(
+                F.lit("MULTIPOINT").alias("kind"), multi_rings.alias("rings")
+            ),
+        )
+        .when(
+            gtype == "LINESTRING",
+            F.struct(
+                F.lit("LINESTRING").alias("kind"), line_rings.alias("rings")
+            ),
+        )
+        .when(
+            gtype == "POLYGON",
+            F.struct(
+                F.lit("POLYGON").alias("kind"), poly_rings.alias("rings")
+            ),
+        )
+    )

@@ -78,6 +78,7 @@ _DRIVER_FRONT = [
     "geo_bing_tile_rollup",
     "geo_line_referencing_golden",
     "geo_accessors_wkt_golden",
+    "geo_geojson_roundtrip",
 ]
 
 

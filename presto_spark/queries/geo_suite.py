@@ -413,3 +413,45 @@ def geo_accessors_wkt_golden(spark, sf_dir):
         geo.st_num_interior_ring(g).alias("nir"),
         geo.st_dimension(g).alias("dim"),
     ).orderBy("name")
+
+
+_GEOJSON_ORACLE = """
+SELECT name, geojson, CAST(roundtrip_ok AS BOOLEAN) AS roundtrip_ok
+FROM (VALUES
+  ('line', '{"type":"LineString","coordinates":[[0.0,0.0],[3.0,4.0],[3.0,10.0]]}', true),
+  ('mp',   '{"type":"MultiPoint","coordinates":[[1.0,2.0],[3.0,4.0]]}', true),
+  ('pt',   '{"type":"Point","coordinates":[2.5,7.5]}', true),
+  ('sq_hole', '{"type":"Polygon","coordinates":[[[0.0,0.0],[10.0,0.0],[10.0,10.0],[0.0,10.0],[0.0,0.0]],[[2.0,2.0],[4.0,2.0],[4.0,4.0],[2.0,4.0],[2.0,2.0]]]}', true)
+) AS t(name, geojson, roundtrip_ok)
+ORDER BY name
+"""
+
+
+@register(
+    "geo_geojson_roundtrip",
+    oracle=_GEOJSON_ORACLE,
+    doc="geometry_as_geojson / geometry_from_geojson "
+        "(GeoFunctions.java:1225-1241): RFC 7946 rendering with "
+        "hand-written goldens, plus a WKT-level parse round-trip "
+        "equality check.",
+    tags=("geo", "functions"),
+)
+def geo_geojson_roundtrip(spark, sf_dir):
+    prepare(spark, sf_dir)
+    wkts = [
+        ("sq_hole",
+         "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+         "(2 2, 4 2, 4 4, 2 4, 2 2))"),
+        ("line", "LINESTRING (0 0, 3 4, 3 10)"),
+        ("pt", "POINT (2.5 7.5)"),
+        ("mp", "MULTIPOINT ((1 2), (3 4))"),
+    ]
+    df = spark.createDataFrame(wkts, "name string, wkt string")
+    g = geo.st_geometry_from_text(F.col("wkt"))
+    j = geo.geometry_as_geojson(g)
+    return df.select(
+        "name",
+        j.alias("geojson"),
+        (geo.st_as_text(geo.geometry_from_geojson(j))
+         == geo.st_as_text(g)).alias("roundtrip_ok"),
+    ).orderBy("name")
