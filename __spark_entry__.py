@@ -23,11 +23,21 @@ from presto_spark.queries import REGISTRY  # noqa: E402
 
 
 def _configure(spark: SparkSession, sf_dir: str | None = None) -> SparkSession:
-    """Apply engine session settings to a driver-provided session."""
+    """Apply engine session settings to a driver-provided session.
+
+    Mirrors every runtime-settable *semantic* conf that the engine's own
+    ``presto_spark.session.get_spark`` pins at build time, so a driver
+    session executes under the same cast/overflow/NULL semantics the
+    engine was validated under.  Spark 4 defaults ANSI mode ON, which
+    turns element_at/cast overflows into throws — Presto semantics (and
+    this engine) are non-ANSI (session.py rationale block).
+    """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     if sf_dir is not None:
         from presto_spark.session import tune_for_input
 

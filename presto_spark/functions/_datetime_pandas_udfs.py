@@ -26,7 +26,7 @@ from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType, TimestampNTZType
+from pyspark.sql.types import DateType, StringType, TimestampNTZType
 
 _WD_ABBR = ["Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"]
 _WD_FULL = ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday",
@@ -300,3 +300,118 @@ def date_parse_py(s: pd.Series, pat: pd.Series) -> pd.Series:
 @pandas_udf(TimestampNTZType())
 def parse_datetime_py(s: pd.Series, pat: pd.Series) -> pd.Series:
     return _parse_series(_joda_to_strptime, s, pat)
+
+
+# ---- Teradata format grammar, per-row (TeradataDateFunctions.java
+# compiles the format per value at runtime — nothing requires it
+# constant; dateformat/DateFormatParser.java token set).  Literal
+# formats stay JVM-side via teradata.literal_format_to_java; the
+# dialect layer routes column-valued formats here (ADVICE r5: the
+# macros used to raise inside translate()).
+
+import re as _re
+
+_TD_TOKEN_RE = _re.compile(
+    r"yyyy|yy|hh24|hh|mm|mi|dd|ss|[A-Za-z]+|[^A-Za-z]+", _re.IGNORECASE
+)
+
+
+def render_teradata(dt: datetime.datetime, pattern: str) -> str:
+    out = []
+    for m in _TD_TOKEN_RE.finditer(pattern):
+        t = m.group(0).lower()
+        if t == "yyyy":
+            out.append(f"{dt.year:04d}")
+        elif t == "yy":
+            out.append(f"{dt.year % 100:02d}")
+        elif t == "hh24":
+            out.append(f"{dt.hour:02d}")
+        elif t == "hh":  # HOUR_OF_AMPM 0-11 (KK in the literal path)
+            out.append(f"{dt.hour % 12:02d}")
+        elif t == "mm":
+            out.append(f"{dt.month:02d}")
+        elif t == "mi":
+            out.append(f"{dt.minute:02d}")
+        elif t == "dd":
+            out.append(f"{dt.day:02d}")
+        elif t == "ss":
+            out.append(f"{dt.second:02d}")
+        elif _re.search(r"[A-Za-z]", t):
+            raise _Unsupported(t)
+        else:
+            out.append(m.group(0))
+    return "".join(out)
+
+
+def parse_teradata(value: str, pattern: str) -> datetime.datetime:
+    """1-2-digit-tolerant parse (DateFormatParser.java PARSER mode);
+    'hh' accepts 0-11 and defaults to AM."""
+    fields: list[str] = []
+    rx = []
+    for m in _TD_TOKEN_RE.finditer(pattern):
+        t = m.group(0).lower()
+        if t == "yyyy":
+            rx.append(r"(\d{1,4})")
+            fields.append("yyyy")
+        elif t in ("yy", "hh24", "hh", "mm", "mi", "dd", "ss"):
+            rx.append(r"(\d{1,2})")
+            fields.append(t)
+        elif _re.search(r"[A-Za-z]", t):
+            raise _Unsupported(t)
+        else:
+            rx.append(_re.escape(m.group(0)))
+    m = _re.fullmatch("".join(rx), value.strip())
+    if m is None:
+        raise ValueError(value)
+    parts = {"year": 1970, "month": 1, "day": 1,
+             "hour": 0, "minute": 0, "second": 0}
+    for f, g in zip(fields, m.groups()):
+        v = int(g)
+        if f == "yyyy":
+            parts["year"] = v
+        elif f == "yy":
+            parts["year"] = 2000 + v  # appendValueReduced(YEAR, 2, 2, 2000)
+        elif f == "hh24":
+            parts["hour"] = v
+        elif f == "hh":
+            if v > 11:
+                raise ValueError(value)
+            parts["hour"] = v  # AM default
+        elif f == "mm":
+            parts["month"] = v
+        elif f == "mi":
+            parts["minute"] = v
+        elif f == "dd":
+            parts["day"] = v
+        elif f == "ss":
+            parts["second"] = v
+    return datetime.datetime(**parts)
+
+
+def _td_parse_series(s: pd.Series, pat: pd.Series) -> pd.Series:
+    def one(v, p):
+        if v is None or p is None or pd.isna(v) or pd.isna(p):
+            return None
+        try:
+            return parse_teradata(v, p)
+        except (_Unsupported, ValueError):
+            return None
+    return pd.Series([one(v, p) for v, p in zip(s, pat)], dtype="object")
+
+
+@pandas_udf(StringType())
+def to_char_td_py(ts: pd.Series, pat: pd.Series) -> pd.Series:
+    return _fmt_series(render_teradata, ts, pat)
+
+
+@pandas_udf(TimestampNTZType())
+def to_timestamp_td_py(s: pd.Series, pat: pd.Series) -> pd.Series:
+    return _td_parse_series(s, pat)
+
+
+@pandas_udf(DateType())
+def to_date_td_py(s: pd.Series, pat: pd.Series) -> pd.Series:
+    out = _td_parse_series(s, pat)
+    return pd.Series(
+        [None if v is None else v.date() for v in out], dtype="object"
+    )

@@ -537,15 +537,25 @@ _MACROS: dict[str, tuple[int, object]] = {
     # (stripped by Spark's lexer) breaks the `name(`-pattern so the
     # converted call can't re-enter the macro (a second conversion would
     # corrupt e.g. minute 'mi'→'mm', which re-reads as Teradata month).
+    # Column-valued formats route to the Arrow-batched per-row
+    # renderers (to_*_td_py) — the reference compiles the format per
+    # value at runtime, so a non-literal format is legal Presto SQL
+    # (ADVICE r5: these macros used to raise inside translate()).
     "to_char": (2, lambda a: (
         f"date_format(({a[0]}), "
-        f"{_teradata.literal_format_to_java(a[1], 'format')})")),
+        f"{_teradata.literal_format_to_java(a[1], 'format')})"
+        if _teradata.is_literal_format(a[1])
+        else f"to_char_td_py(({a[0]}), ({a[1]}))")),
     "to_date": (2, lambda a: (
         f"to_date/*td*/(({a[0]}), "
-        f"{_teradata.literal_format_to_java(a[1], 'parse')})")),
+        f"{_teradata.literal_format_to_java(a[1], 'parse')})"
+        if _teradata.is_literal_format(a[1])
+        else f"to_date_td_py(({a[0]}), ({a[1]}))")),
     "to_timestamp": (2, lambda a: (
         f"to_timestamp/*td*/(({a[0]}), "
-        f"{_teradata.literal_format_to_java(a[1], 'parse')})")),
+        f"{_teradata.literal_format_to_java(a[1], 'parse')})"
+        if _teradata.is_literal_format(a[1])
+        else f"to_timestamp_td_py(({a[0]}), ({a[1]}))")),
     # 1-arg normalize defaults to NFC (StringFunctions.java normalize)
     "normalize": (1, lambda a: f"normalize(({a[0]}), 'NFC')"),
     # typeof → Presto type-name spelling (TypeOfFunction.java): Spark's
@@ -993,10 +1003,13 @@ def _rewrite_at_time_zone(sql: str) -> str:
 #   TABLESAMPLE BERNOULLI(pct) / SYSTEM(pct)
 # UNNEST lowers to a LATERAL subquery (plain subquery when UNNEST is the
 # only FROM item, since there is nothing to correlate with):
-#   * arrays — element_at over an index spine, because Presto's
+#   * arrays — try_element_at over an index spine, because Presto's
 #     multi-array UNNEST zips to the LONGEST input padding with NULLs
-#     (UnnestOperator.java) and element_at is NULL out-of-bounds here;
-#     ordinality is the spine itself (1-based, matching Presto).
+#     (UnnestOperator.java); try_element_at is NULL out-of-bounds under
+#     BOTH ANSI and non-ANSI sessions (plain element_at throws under
+#     Spark 4's ANSI-on default, so the lowering must not depend on a
+#     session conf); ordinality is the spine itself (1-based, matching
+#     Presto).
 #   * 1 arg + 2 output cols — treated as MAP unnest → explode/posexplode
 #     (key, value[, pos+1]).  (An ARRAY(ROW(..)) argument also has this
 #     shape; resolving it needs type info a text rewrite lacks —
@@ -1031,7 +1044,7 @@ def _unnest_inner_select(args: list[str], cols: list[str], ordinal: bool) -> str
         return None
     sz = f"size({args[0]})" if len(args) == 1 else (
         "greatest(" + ", ".join(f"size({a})" for a in args) + ")")
-    sel = [f"element_at({a}, _ps_i) AS {c}" for a, c in zip(args, data_cols)]
+    sel = [f"try_element_at({a}, _ps_i) AS {c}" for a, c in zip(args, data_cols)]
     if ordinal:
         sel.append(f"_ps_i AS {cols[-1]}")
     # slice(seq(1, max(sz,1)), 1, max(sz,0)): empty/NULL arrays yield an

@@ -354,35 +354,57 @@ def st_contains(poly: Column, geom: Column) -> Column:
     return st_contains_point(poly, st_x(geom), st_y(geom))
 
 
+def _point_seg_dist(px: Column, py: Column, p: Column, q: Column) -> Column:
+    """Distance from (px, py) to segment p→q (degenerate p==q ok)."""
+    dx, dy = q["x"] - p["x"], q["y"] - p["y"]
+    len2 = dx * dx + dy * dy
+    t_raw = ((px - p["x"]) * dx + (py - p["y"]) * dy) / len2
+    t = F.when(len2 == 0.0, F.lit(0.0)).otherwise(
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0), t_raw))
+    )
+    cx, cy = p["x"] + t * dx, p["y"] + t * dy
+    return F.sqrt((px - cx) * (px - cx) + (py - cy) * (py - cy))
+
+
+_SUPPORTED_KINDS = ("POINT", "MULTIPOINT", "LINESTRING", "POLYGON")
+
+
 def st_distance(a: Column, b: Column) -> Column:
-    """ST_Distance (GeoFunctions.java:940) for point↔point and
-    point↔linestring (closest-approach over segments)."""
-    ax, ay = a["rings"][0][0]["x"], a["rings"][0][0]["y"]
+    """ST_Distance (GeoFunctions.java:940), general: minimum distance
+    over all boundary segment pairs of any POINT/MULTIPOINT/LINESTRING/
+    POLYGON combination, and 0 when the geometries intersect —
+    including polygon containment, where the boundary-pair minimum
+    alone would report the (wrong) positive distance to the shell
+    (ADVICE r5: the old point-only fallback silently returned a
+    first-vertex distance for unsupported pairs).  NULL for kinds
+    outside the model.  Non-intersecting distance reduces to a
+    vertex-to-segment minimum (the closest approach of two disjoint
+    segment sets is always realized at a vertex), so no segment-segment
+    special case is needed."""
+    ea, eb = _all_edges(a), _all_edges(b)
 
-    def point_seg(p: Column, q: Column, px: Column, py: Column) -> Column:
-        dx, dy = q["x"] - p["x"], q["y"] - p["y"]
-        len2 = dx * dx + dy * dy
-        t_raw = ((px - p["x"]) * dx + (py - p["y"]) * dy) / len2
-        t = F.when(len2 == 0.0, F.lit(0.0)).otherwise(
-            F.greatest(F.lit(0.0), F.least(F.lit(1.0), t_raw))
+    def seg_seg(s: Column, t: Column) -> Column:
+        return F.least(
+            _point_seg_dist(s["p"]["x"], s["p"]["y"], t["p"], t["q"]),
+            _point_seg_dist(s["q"]["x"], s["q"]["y"], t["p"], t["q"]),
+            _point_seg_dist(t["p"]["x"], t["p"]["y"], s["p"], s["q"]),
+            _point_seg_dist(t["q"]["x"], t["q"]["y"], s["p"], s["q"]),
         )
-        cx, cy = p["x"] + t * dx, p["y"] + t * dy
-        return F.sqrt((px - cx) * (px - cx) + (py - cy) * (py - cy))
 
-    def min_dist_to(geom: Column, px: Column, py: Column) -> Column:
-        ring = geom["rings"][0]
-        one_pt = F.sqrt(
-            (px - ring[0]["x"]) * (px - ring[0]["x"])
-            + (py - ring[0]["y"]) * (py - ring[0]["y"])
+    boundary = F.array_min(
+        F.transform(
+            ea,
+            lambda s_edge: F.array_min(
+                F.transform(eb, lambda t_edge: seg_seg(s_edge, t_edge))
+            ),
         )
-        e_a, e_b = _edges(ring)
-        seg_min = F.array_min(
-            F.zip_with(e_a, e_b, lambda p, q: point_seg(p, q, px, py))
-        )
-        return F.when(geom["kind"] == "POINT", one_pt).otherwise(seg_min)
-
-    return F.when(a["kind"] == "POINT", min_dist_to(b, ax, ay)).otherwise(
-        min_dist_to(a, b["rings"][0][0]["x"], b["rings"][0][0]["y"])
+    )
+    supported = a["kind"].isin(*_SUPPORTED_KINDS) & b["kind"].isin(
+        *_SUPPORTED_KINDS
+    )
+    return F.when(
+        supported,
+        F.when(st_intersects(a, b), F.lit(0.0)).otherwise(boundary),
     )
 
 
@@ -529,6 +551,27 @@ def line_interpolate_point(line: Column, fraction: Column) -> Column:
 
 # ---- ST_Intersects (GeoFunctions.java:1090) ------------------------------
 
+def _all_edges(g: Column) -> Column:
+    """Flat array of struct(p, q) boundary edges over ALL rings; a
+    single-vertex ring (POINT/MULTIPOINT) contributes a degenerate
+    p==q edge so point cases reduce to the segment tests."""
+    return F.flatten(
+        F.transform(
+            g["rings"],
+            lambda r: F.when(
+                F.size(r) == 1,
+                F.array(F.struct(r[0].alias("p"), r[0].alias("q"))),
+            ).otherwise(
+                F.zip_with(
+                    F.slice(r, 1, F.size(r) - 1),
+                    F.slice(r, 2, F.size(r) - 1),
+                    lambda p, q: F.struct(p.alias("p"), q.alias("q")),
+                )
+            ),
+        )
+    )
+
+
 def _cross(ox, oy, ax, ay, bx, by):
     return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
 
@@ -564,28 +607,7 @@ def st_intersects(a: Column, b: Column) -> Column:
     polygon pairs: any boundary-edge crossing, or one geometry's first
     vertex interior to the other polygon (covers full containment).
     Points use containment / exact vertex equality."""
-
-    def edges_of(g: Column) -> Column:
-        rings = g["rings"]
-        return F.flatten(
-            F.transform(
-                rings,
-                # a single-vertex ring (POINT/MULTIPOINT) contributes a
-                # degenerate p==q edge so point-on-segment cases reduce
-                # to the collinear on-segment test below
-                lambda r: F.when(
-                    F.size(r) == 1,
-                    F.array(F.struct(r[0].alias("p"), r[0].alias("q"))),
-                ).otherwise(
-                    F.zip_with(
-                        F.slice(r, 1, F.size(r) - 1),
-                        F.slice(r, 2, F.size(r) - 1),
-                        lambda p, q: F.struct(p.alias("p"), q.alias("q")),
-                    )
-                ),
-            )
-        )
-
+    edges_of = _all_edges
     first_pt = lambda g: g["rings"][0][0]  # noqa: E731
     a_pt, b_pt = first_pt(a), first_pt(b)
 
@@ -596,11 +618,17 @@ def st_intersects(a: Column, b: Column) -> Column:
             lambda eb: _segments_intersect(ea["p"], ea["q"], eb["p"], eb["q"]),
         ),
     )
-    a_in_b = (b["kind"] == "POLYGON") & st_contains_point(
-        b, a_pt["x"], a_pt["y"]
+    # ANY vertex inside, not just the first: for connected geometries
+    # the two are equivalent when boundaries don't cross, but a
+    # MULTIPOINT is disconnected — its first point can be outside while
+    # another is inside (distance correctness depends on this since r6).
+    a_in_b = (b["kind"] == "POLYGON") & F.exists(
+        F.flatten(a["rings"]),
+        lambda v: st_contains_point(b, v["x"], v["y"]),
     )
-    b_in_a = (a["kind"] == "POLYGON") & st_contains_point(
-        a, b_pt["x"], b_pt["y"]
+    b_in_a = (a["kind"] == "POLYGON") & F.exists(
+        F.flatten(b["rings"]),
+        lambda v: st_contains_point(a, v["x"], v["y"]),
     )
     pt_eq = (
         (a["kind"] == "POINT")

@@ -754,6 +754,11 @@ def register_functions(spark: SparkSession) -> list[str]:
         ("format_datetime_py", _dtp.format_datetime_py),
         ("date_parse_py", _dtp.date_parse_py),
         ("parse_datetime_py", _dtp.parse_datetime_py),
+        # Teradata to_char/to_date/to_timestamp with column-valued
+        # formats (TeradataDateFunctions compiles per value at runtime)
+        ("to_char_td_py", _dtp.to_char_td_py),
+        ("to_date_td_py", _dtp.to_date_td_py),
+        ("to_timestamp_td_py", _dtp.to_timestamp_td_py),
     ):
         spark.udf.register(name, fn)
         registered.append(name)

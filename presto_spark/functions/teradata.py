@@ -22,9 +22,10 @@ The string functions register as SQL UDFs (registry.py); the date
 functions lower in the dialect layer by converting a *literal* format
 to the equivalent Spark/Java datetime pattern at translate time —
 single-letter fields for the 1-2-digit parse direction, two-letter for
-the zero-padded format direction.  Documented deviation: Spark has no
-0-11 hour-of-AM/PM formatter field, so ``to_char`` with ``HH`` prints
-midnight/noon as 12, where the reference prints 00.
+the zero-padded format direction.  ``HH`` maps to Spark's ``KK``/``K``
+(hour-of-AM/PM 0-11), matching the reference's HOUR_OF_AMPM: midnight
+and noon print as 00, and '0'..'11' parse (ADVICE r5 fixed the earlier
+clock-hour 'hh' mapping, which printed 12 and rejected 0).
 """
 
 from __future__ import annotations
@@ -36,7 +37,7 @@ _TOKENS: list[tuple[str, str, str]] = [
     ("yyyy", "yyyy", "yyyy"),
     ("yy", "yy", "yy"),       # appendValueReduced(YEAR, 2, 2, 2000) both
     ("hh24", "HH", "H"),
-    ("hh", "hh", "h"),        # hour-of-AM/PM; parse defaults to AM
+    ("hh", "KK", "K"),        # HOUR_OF_AMPM 0-11; parse defaults to AM
     ("mm", "MM", "M"),
     ("mi", "mm", "m"),
     ("dd", "dd", "d"),
@@ -74,6 +75,10 @@ def teradata_format_to_java(fmt: str, mode: str) -> str:
 
 
 _LITERAL_RE = re.compile(r"^\s*'((?:[^']|'')*)'\s*$")
+
+
+def is_literal_format(arg_text: str) -> bool:
+    return _LITERAL_RE.match(arg_text) is not None
 
 
 def literal_format_to_java(arg_text: str, mode: str) -> str:

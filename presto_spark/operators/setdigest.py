@@ -142,15 +142,24 @@ def merge_set_digests(
         F.col("__e.h").alias("__h"),
         F.col("__e.c").alias("__c"),
     )
+    # F.min: merging digests with different max_hashes must re-truncate
+    # to the SMALLEST k — reference SetDigest.mergeWith keeps the
+    # receiver's maxHashes; taking max would keep more hashes than the
+    # truncated input actually retained and mislabel the result exact
+    # (ADVICE r5).
     counted = exploded.groupBy(*group_cols, "__h").agg(
         F.least(F.sum("__c"), F.lit(_COUNT_SAT)).cast("int").alias("__c"),
-        F.max("__mh").alias("__mh"),
+        F.min("__mh").alias("__mh"),
     )
     w_rank = Window.partitionBy(*group_cols).orderBy("__h")
     w_all = Window.partitionBy(*group_cols)
     kept = (
         counted.withColumn("__rk", F.row_number().over(w_rank))
         .withColumn("__nd", F.count("*").over(w_all))
+        # group-level min, not the per-hash value: a hash retained only
+        # by the larger-max input must still be truncated at the
+        # smallest input's k (ADVICE r5).
+        .withColumn("__mh", F.min("__mh").over(w_all))
         .filter(F.col("__rk") <= F.col("__mh"))
     )
     minhash = kept.groupBy(*group_cols).agg(
@@ -160,14 +169,19 @@ def merge_set_digests(
         F.first("__nd").alias("__nd"),
         F.first("__mh").alias("__mh"),
     )
-    hll = df.groupBy(*group_cols).agg(F.hll_union_agg(d["hll"]).alias("__hll"))
+    hll = df.groupBy(*group_cols).agg(
+        F.hll_union_agg(d["hll"]).alias("__hll"),
+        # bool min = AND: a merge containing any inexact (truncated)
+        # input cannot be exact, whatever the union's retained size.
+        F.min(d["exact"]).alias("__allex"),
+    )
     return minhash.join(hll, group_cols).select(
         *group_cols,
         F.struct(
             F.transform("__e", lambda e: e["h"]).alias("hashes"),
             F.transform("__e", lambda e: e["c"]).alias("counts"),
             F.col("__nd").alias("n_distinct"),
-            (F.col("__nd") < F.col("__mh")).alias("exact"),
+            (F.col("__allex") & (F.col("__nd") < F.col("__mh"))).alias("exact"),
             F.col("__hll").alias("hll"),
             F.col("__mh").alias("max_hashes"),
         ).alias("digest"),

@@ -615,15 +615,15 @@ sql_query(
     )
     SELECT
       o_orderkey,
-      CAST(d + CAST(0.05 AS DECIMAL(4,2)) AS DECIMAL(15,2)) AS add_scale,
-      CAST(d * CAST(1.1 AS DECIMAL(3,1)) AS DECIMAL(18,3)) AS mul_scale,
+      CAST(CAST(d + CAST(0.05 AS DECIMAL(4,2)) AS DECIMAL(15,2)) AS STRING) AS add_scale,
+      CAST(CAST(d * CAST(1.1 AS DECIMAL(3,1)) AS DECIMAL(18,3)) AS STRING) AS mul_scale,
       CAST(CAST(d / 7 AS DECIMAL(20,6)) AS STRING) AS div_scale,
       CAST(d AS BIGINT) AS to_bigint,  -- engine truncates (see doc)
-      CAST(CAST(d AS DOUBLE) AS DECIMAL(14,2)) AS double_roundtrip,
+      CAST(CAST(CAST(d AS DOUBLE) AS DECIMAL(14,2)) AS STRING) AS double_roundtrip,
       CAST(CAST(o_orderkey AS STRING) AS BIGINT) AS string_roundtrip,
       CAST(CAST('123.45' AS DECIMAL(10,2)) AS STRING) AS dec_to_str,
-      CAST('2020-06-15' AS DATE) AS str_to_date,
-      CAST(CAST('2020-06-15 12:30:00' AS TIMESTAMP) AS DATE) AS ts_to_date,
+      CAST(CAST('2020-06-15' AS DATE) AS STRING) AS str_to_date,
+      CAST(CAST(CAST('2020-06-15 12:30:00' AS TIMESTAMP) AS DATE) AS STRING) AS ts_to_date,
       year(CAST('2020-06-15' AS DATE)) AS date_year,
       CAST(true AS INT) AS bool_to_int,
       CAST(1 AS BOOLEAN) AS int_to_bool
@@ -639,15 +639,15 @@ sql_query(
     )
     SELECT
       o_orderkey,
-      CAST(d + CAST(0.05 AS DECIMAL(4,2)) AS DECIMAL(15,2)) AS add_scale,
-      CAST(d * CAST(1.1 AS DECIMAL(3,1)) AS DECIMAL(18,3)) AS mul_scale,
+      CAST(CAST(d + CAST(0.05 AS DECIMAL(4,2)) AS DECIMAL(15,2)) AS VARCHAR) AS add_scale,
+      CAST(CAST(d * CAST(1.1 AS DECIMAL(3,1)) AS DECIMAL(18,3)) AS VARCHAR) AS mul_scale,
       CAST(CAST(d / 7 AS DECIMAL(20,6)) AS VARCHAR) AS div_scale,
       CAST(trunc(d) AS BIGINT) AS to_bigint,
-      CAST(CAST(d AS DOUBLE) AS DECIMAL(14,2)) AS double_roundtrip,
+      CAST(CAST(CAST(d AS DOUBLE) AS DECIMAL(14,2)) AS VARCHAR) AS double_roundtrip,
       CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS string_roundtrip,
       CAST(CAST('123.45' AS DECIMAL(10,2)) AS VARCHAR) AS dec_to_str,
-      CAST('2020-06-15' AS DATE) AS str_to_date,
-      CAST(CAST('2020-06-15 12:30:00' AS TIMESTAMP) AS DATE) AS ts_to_date,
+      CAST(CAST('2020-06-15' AS DATE) AS VARCHAR) AS str_to_date,
+      CAST(CAST(CAST('2020-06-15 12:30:00' AS TIMESTAMP) AS DATE) AS VARCHAR) AS ts_to_date,
       year(CAST('2020-06-15' AS DATE)) AS date_year,
       CAST(true AS INT) AS bool_to_int,
       CAST(1 AS BOOLEAN) AS int_to_bool
@@ -663,7 +663,11 @@ sql_query(
         "half-up; the oracle truncates explicitly. div_scale is emitted "
         "as the DECIMAL(20,6) string so no engine/driver decimal-"
         "rendering choice can perturb the value hash (r4 driver hash "
-        "flake hardening).",
+        "flake hardening); r6 extends the same string emission to "
+        "add_scale/mul_scale/double_roundtrip (DuckDB->pandas gives "
+        "float64 where Spark gives decimal.Decimal objects) and "
+        "str_to_date/ts_to_date (datetime.date vs pandas Timestamp) "
+        "— the r5 driver hash-flake root cause.",
     tags=("functions", "types"),
 )
 

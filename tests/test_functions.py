@@ -404,7 +404,7 @@ def test_dialect_from_clause_grammar():
     (SqlBase.g4:309-311,357-377; VERDICT r3 missing #1)."""
     from presto_spark.functions.dialect import translate
     t = translate("SELECT v FROM t CROSS JOIN UNNEST(arr) AS u(v)")
-    assert ", LATERAL (SELECT element_at(arr, _ps_i) AS v" in t
+    assert ", LATERAL (SELECT try_element_at(arr, _ps_i) AS v" in t
     t = translate(
         "SELECT v, o FROM t CROSS JOIN UNNEST(arr) WITH ORDINALITY AS u(v, o)")
     assert "_ps_i AS o" in t
@@ -581,3 +581,24 @@ def test_teradata_functions_end_to_end(spark):
     assert row.c == datetime.date(2088, 4, 8)  # yy pivots at 2000
     assert (row.d, row.e) == (6, 0)
     assert row.f == "006100620063"
+    # 'hh' is HOUR_OF_AMPM (0-11, reference TeradataDateFunctions):
+    # midnight prints 00 (not clock-hour 12), and '0' parses (ADVICE r5).
+    row2 = eng.sql(
+        "SELECT to_char(TIMESTAMP '1988-04-08 00:03:04', 'hh:mi') AS g, "
+        "       to_timestamp('1988/4/8 0:3', 'yyyy/mm/dd hh:mi') AS h"
+    ).collect()[0]
+    assert row2.g == "00:03"
+    assert row2.h == datetime.datetime(1988, 4, 8, 0, 3, 0)
+    # Column-valued format: per-row path (TeradataDateFunctions compiles
+    # the format per value — a non-literal format is legal Presto SQL).
+    row3 = eng.sql(
+        "SELECT to_char(TIMESTAMP '1988-04-08 14:03:04', f) AS a, "
+        "       CAST(to_date(v, f2) AS STRING) AS b, "
+        "       to_timestamp(v3, f3) AS c "
+        "FROM (SELECT 'yyyy/mm/dd hh24:mi' AS f, '88-12-31' AS v, "
+        "             'yy-mm-dd' AS f2, '1988/4/8 2:3' AS v3, "
+        "             'yyyy/mm/dd hh:mi' AS f3)"
+    ).collect()[0]
+    assert row3.a == "1988/04/08 14:03"
+    assert row3.b == "2088-12-31"
+    assert row3.c == datetime.datetime(1988, 4, 8, 2, 3, 0)

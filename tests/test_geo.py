@@ -310,3 +310,38 @@ def test_great_circle_distance_sql_surface(spark):
     ).collect()[0]
     assert abs(row.d - 2886.448973436703) < 1e-6
     assert row.bad is None
+
+
+def test_distance_general_pairs(spark):
+    """General ST_Distance (GeoFunctions.java:940): linestring↔
+    linestring, polygon operands, containment → 0, and NULL for kinds
+    outside the model (ADVICE r5: the old point-only fallback returned
+    a plausible-but-wrong first-vertex distance)."""
+    g = lambda w: geo.st_geometry_from_text(F.lit(w))  # noqa: E731
+
+    # parallel vertical segments 4 apart
+    l1, l2 = g("LINESTRING (0 0, 0 10)"), g("LINESTRING (4 0, 4 10)")
+    assert _one(spark, geo.st_distance(l1, l2)) == 4.0
+    # crossing linestrings → 0
+    x1, x2 = g("LINESTRING (0 0, 10 10)"), g("LINESTRING (0 10, 10 0)")
+    assert _one(spark, geo.st_distance(x1, x2)) == 0.0
+    # disjoint polygons: closest shells 0 apart on x → gap of 3
+    p1 = g("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+    p2 = g("POLYGON ((5 0, 7 0, 7 2, 5 2, 5 0))")
+    assert _one(spark, geo.st_distance(p1, p2)) == 3.0
+    # point inside polygon → 0 (boundary minimum alone would be 1.0)
+    inside = geo.st_point(F.lit(1.0), F.lit(1.0))
+    assert _one(spark, geo.st_distance(inside, p1)) == 0.0
+    assert _one(spark, geo.st_distance(p1, inside)) == 0.0
+    # polygon fully inside another polygon → 0
+    big = g("POLYGON ((-10 -10, 20 -10, 20 20, -10 20, -10 -10))")
+    assert _one(spark, geo.st_distance(p1, big)) == 0.0
+    # polygon↔linestring closest approach: vertical line x=4 vs square
+    # ending at x=2 → 2
+    assert _one(spark, geo.st_distance(p1, g("LINESTRING (4 0, 4 10)"))) == 2.0
+    # multipoint with first point far but second inside the polygon → 0
+    mp = g("MULTIPOINT ((100 100), (1 1))")
+    assert _one(spark, geo.st_distance(mp, p1)) == 0.0
+    # multipoint fully outside: min over points
+    mp2 = g("MULTIPOINT ((100 100), (3 1))")
+    assert _one(spark, geo.st_distance(mp2, p1)) == 1.0

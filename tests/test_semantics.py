@@ -193,3 +193,25 @@ def test_decimal_to_bigint_truncates(spark):
     documented (fn_decimal_cast_suite oracle truncates explicitly)."""
     assert _one(spark, "CAST(CAST(2.9 AS DECIMAL(3,1)) AS BIGINT)") == 2
     assert _one(spark, "CAST(CAST(-2.9 AS DECIMAL(3,1)) AS BIGINT)") == -2
+
+
+def test_unnest_zip_lowering_is_ansi_proof(spark):
+    """The multi-array UNNEST zip lowering must NULL-pad the shorter
+    input regardless of spark.sql.ansi.enabled (Spark 4 defaults it ON;
+    the driver session ran ANSI-on in round 5 and plain element_at threw
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT — VERDICT r5 What's-wrong #1).
+    The lowering now emits try_element_at, which is NULL out-of-bounds
+    under both modes."""
+    from presto_spark.functions.dialect import translate
+
+    q = translate(
+        "SELECT z.x, z.y FROM UNNEST(ARRAY[1, 2, 3], ARRAY['a', 'b']) "
+        "AS z(x, y) ORDER BY x"
+    )
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        rows = [(r.x, r.y) for r in spark.sql(q).collect()]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert rows == [(1, "a"), (2, "b"), (3, None)]

@@ -348,3 +348,37 @@ def test_khll_truncation_density_estimator(spark):
     ).collect()[0]
     assert not row.exact and row.k == 256
     assert abs(row.card - 5000) <= 0.25 * 5000
+
+
+def test_setdigest_merge_mixed_max_hashes_stays_inexact(spark):
+    """Merging a truncated (inexact) digest with a larger-max digest
+    must re-truncate to the SMALLEST max_hashes and stay inexact —
+    reference SetDigest.mergeWith keeps the receiver's maxHashes.
+    Regression pin for the r5 ADVICE finding: F.max + recomputed
+    exactness marked such merges exact and returned the retained-hash
+    count (a severe undercount) instead of the HLL estimate."""
+    from presto_spark.operators import setdigest as SD
+    from pyspark.sql import functions as F
+
+    rows_small = [("a", str(i)) for i in range(64)]        # truncated @16
+    rows_big = [("a", str(i)) for i in range(64, 96)]      # exact @8192
+    trunc = _digest_for(spark, rows_small, max_hashes=16)
+    exact = _digest_for(spark, rows_big, max_hashes=8192)
+    merged = (
+        SD.merge_set_digests(trunc.unionByName(exact), ["g"])
+        .collect()[0]
+        .digest
+    )
+    assert merged.max_hashes == 16
+    assert not merged.exact
+    assert len(merged.hashes) <= 16
+    # cardinality must take the HLL branch: the true union has 96
+    # distinct values; the retained-hash count (<=16) would be the
+    # undercount the fix prevents.
+    card = (
+        SD.merge_set_digests(trunc.unionByName(exact), ["g"])
+        .select(SD.cardinality(F.col("digest")).alias("c"))
+        .collect()[0]
+        .c
+    )
+    assert card > 16
