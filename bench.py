@@ -50,12 +50,17 @@ def main() -> None:
         # Prewarm THIS query (codegen, JIT, parquet footers, broadcast
         # builds), isolate, then measure it immediately — per-query
         # prewarm per the reference protocol (tpch.yaml:3-6).
+        # Median of 3 measured runs (VERDICT r5 #7): single-shot
+        # timings showed ±40% scheduler jitter round-over-round; the
+        # median makes BENCH_rN.json comparable across rounds.
         REGISTRY[name].spark(spark, sf_dir).collect()
-        _isolate()
-        t0 = time.time()
-        df = REGISTRY[name].spark(spark, sf_dir)
-        df.collect()
-        timings[name] = round(time.time() - t0, 3)
+        runs: list[float] = []
+        for _ in range(3):
+            _isolate()
+            t0 = time.time()
+            REGISTRY[name].spark(spark, sf_dir).collect()
+            runs.append(time.time() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
         _isolate()
 
     total = round(sum(timings.values()), 3)

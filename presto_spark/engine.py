@@ -121,10 +121,20 @@ class Engine:
             )
         m = _prep.EXECUTE_RE.match(q)
         if m:
-            text = self.prepared.execute_text(m.group(1), m.group(2))
+            # Substitution hardening (VERDICT r5 #10): translate the
+            # prepared statement and each USING argument SEPARATELY,
+            # then splice — the final text goes straight to Spark with
+            # no further rewrite pass, so adversarial parameter content
+            # (quotes, '?', Presto spellings inside string literals)
+            # can never be re-interpreted by a later dialect rewrite.
+            # Mirrors the reference, which substitutes *analyzed*
+            # Parameter nodes (QueryPreparer.java), not raw text.
+            stmt = self.prepared.get(m.group(1))
+            args = _prep.split_args(m.group(2)) if m.group(2) else []
             if dialect == "presto":
-                text = translate(text)
-            return self.spark.sql(text)
+                stmt = translate(stmt)
+                args = [translate(a) for a in args]
+            return self.spark.sql(_prep.substitute(stmt, args))
         return None
 
     def table(self, name: str) -> DataFrame:

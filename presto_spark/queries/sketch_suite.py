@@ -616,3 +616,152 @@ def sketch_khll_privacy_audit(spark, sf_dir):
         "khll_card",
         F.format_string("%.6f", F.col("rp")).alias("reident_p2"),
     ).orderBy("g", "bucket")
+
+
+_THETA_EXACT_ORACLE = """
+WITH v AS (
+  SELECT DISTINCT o_orderpriority AS g, o_custkey AS v FROM orders
+),
+n AS (SELECT g, count(*) AS nd FROM v GROUP BY g),
+pairs AS (SELECT a.g AS pa, b.g AS pb FROM n a JOIN n b ON a.g < b.g),
+i AS (
+  SELECT p.pa, p.pb, count(*) AS ic
+  FROM pairs p
+  JOIN v a ON a.g = p.pa
+  JOIN v b ON b.g = p.pb AND b.v = a.v
+  GROUP BY p.pa, p.pb
+)
+SELECT p.pa AS pa, p.pb AS pb,
+       CAST(na.nd AS BIGINT) AS est_a,
+       CAST(nb.nd AS BIGINT) AS est_b,
+       CAST(na.nd + nb.nd - COALESCE(i.ic, 0) AS BIGINT) AS union_est,
+       CAST(COALESCE(i.ic, 0) AS BIGINT) AS inter_est,
+       CAST(na.nd - COALESCE(i.ic, 0) AS BIGINT) AS anotb_est,
+       true AS merge_ok
+FROM pairs p
+JOIN n na ON na.g = p.pa
+JOIN n nb ON nb.g = p.pb
+LEFT JOIN i ON i.pa = p.pa AND i.pb = p.pb
+ORDER BY pa, pb
+"""
+
+
+@register(
+    "sketch_theta_exact_ops",
+    oracle=_THETA_EXACT_ORACLE,
+    doc="sketch_theta / estimate / union / intersect / a-not-b in the "
+        "exact regime (theta=1: the retained set IS the set — "
+        "ThetaSketchAggregationFunction.java builds, "
+        "ThetaSketchFunctions.java:39 estimates). Sketches per "
+        "o_orderpriority over o_custkey at k=4096 (> every group's "
+        "cardinality): every pairwise estimate and set operation must "
+        "equal DuckDB's exact distinct/overlap counts. merge_ok "
+        "asserts the union rollup of (priority, orderstatus) partials "
+        "reproduces the directly-built sketch exactly (the "
+        "aggregation's combine step).",
+    tags=("sketch", "agg", "theta"),
+)
+def sketch_theta_exact_ops(spark, sf_dir):
+    prepare(spark, sf_dir)
+    from presto_spark.operators import theta
+
+    orders = spark.table("orders")
+    dig = theta.sketch_theta(orders, ["o_orderpriority"], "o_custkey", k=4096)
+    partials = theta.sketch_theta(
+        orders, ["o_orderpriority", "o_orderstatus"], "o_custkey", k=4096)
+    merged = theta.merge_theta_sketches(
+        partials, ["o_orderpriority"], "sketch")
+    merge_ok_df = (
+        dig.alias("d")
+        .join(merged.alias("m"), "o_orderpriority")
+        .select(
+            ((F.col("d.sketch.hashes") == F.col("m.sketch.hashes"))
+             & (F.col("d.sketch.theta") == F.col("m.sketch.theta"))
+             ).alias("ok"))
+        .agg(F.bool_and("ok").alias("merge_ok"))
+    )
+    a = dig.select(
+        F.col("o_orderpriority").alias("pa"), F.col("sketch").alias("sa"))
+    b = dig.select(
+        F.col("o_orderpriority").alias("pb"), F.col("sketch").alias("sb"))
+    sa, sb = F.col("sa"), F.col("sb")
+    return (
+        a.join(F.broadcast(b), F.col("pa") < F.col("pb"))
+        .select(
+            "pa", "pb",
+            theta.sketch_theta_estimate(sa).cast("long").alias("est_a"),
+            theta.sketch_theta_estimate(sb).cast("long").alias("est_b"),
+            theta.sketch_theta_estimate(
+                theta.theta_union(sa, sb)).cast("long").alias("union_est"),
+            theta.sketch_theta_estimate(
+                theta.theta_intersect(sa, sb)).cast("long").alias("inter_est"),
+            theta.sketch_theta_estimate(
+                theta.theta_a_not_b(sa, sb)).cast("long").alias("anotb_est"),
+        )
+        .crossJoin(F.broadcast(merge_ok_df))
+        .orderBy("pa", "pb")
+    )
+
+
+_THETA_ENVELOPE_ORACLE = """
+WITH h AS (
+  SELECT DISTINCT o_orderpriority AS g,
+         md5(CAST(o_custkey AS VARCHAR)) AS h
+  FROM orders
+),
+ranked AS (
+  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+  FROM h
+),
+n AS (SELECT g, count(*) AS nd FROM h GROUP BY g)
+SELECT n.g AS g,
+       CAST(least(n.nd, 256) AS BIGINT) AS retained,
+       COALESCE((SELECT r.h FROM ranked r WHERE r.g = n.g AND r.rk = 257),
+                'g') AS theta_hash,
+       true AS within_3se,
+       true AS summary_ok
+FROM n
+ORDER BY g
+"""
+
+
+@register(
+    "sketch_theta_estimate_envelope",
+    oracle=_THETA_ENVELOPE_ORACLE,
+    doc="sketch_theta in the estimating regime (k=256 < group "
+        "cardinality): DuckDB replays the retained-entry count and "
+        "the promoted theta hash (the (k+1)-th smallest md5) "
+        "bit-for-bit over the same hash ordering, and the estimate "
+        "retained/theta must land within 3/sqrt(k) of the exact "
+        "distinct count (ThetaSketchFunctions.java:55-70 summary; "
+        "bounds strategy per the reference's own envelope tests). "
+        "summary_ok asserts sketch_theta_summary internal consistency "
+        "(lower <= estimate <= upper, retained matches).",
+    tags=("sketch", "agg", "theta"),
+)
+def sketch_theta_estimate_envelope(spark, sf_dir):
+    prepare(spark, sf_dir)
+    from presto_spark.operators import theta
+
+    orders = spark.table("orders")
+    dig = theta.sketch_theta(orders, ["o_orderpriority"], "o_custkey", k=256)
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("nd"))
+    s = F.col("sketch")
+    summ = theta.sketch_theta_summary(s)
+    return (
+        dig.join(exact, "o_orderpriority")
+        .select(
+            F.col("o_orderpriority").alias("g"),
+            F.size(s["hashes"]).cast("long").alias("retained"),
+            s["theta"].alias("theta_hash"),
+            (F.abs(theta.sketch_theta_estimate(s) / F.col("nd") - 1.0)
+             <= 3.0 / 16.0).alias("within_3se"),
+            ((summ["lower_bound_std"] <= summ["estimate"])
+             & (summ["estimate"] <= summ["upper_bound_std"])
+             & (summ["retained_entries"] == F.size(s["hashes"]))
+             & (summ["theta"] > 0) & (summ["theta"] <= 1.0)
+             ).alias("summary_ok"),
+        )
+        .orderBy("g")
+    )

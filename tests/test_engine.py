@@ -175,6 +175,27 @@ def test_prepare_param_in_string_literal_is_text(eng):
     assert rows[0].s == "a?b" and rows[0].x == 7
 
 
+def test_execute_adversarial_param_text(eng):
+    """Hardened substitution (VERDICT r5 #10): statement and arguments
+    are dialect-translated SEPARATELY and then spliced, with no rewrite
+    pass over the combined text — quotes, '?', and comment markers
+    inside a parameter can never be re-interpreted downstream."""
+    eng.sql("PREPARE q_adv FROM SELECT ? AS a, ? AS b")
+    rows = eng.sql(
+        "EXECUTE q_adv USING 'it''s a ? mark', 'x -- not a comment'"
+    ).collect()
+    assert rows[0].a == "it's a ? mark"
+    assert rows[0].b == "x -- not a comment"
+
+
+def test_execute_param_presto_expression_translated(eng):
+    """A Presto-dialect expression argument is translated as a fragment
+    before splicing (cardinality → size)."""
+    eng.sql("PREPARE q_expr FROM SELECT ? AS n")
+    rows = eng.sql("EXECUTE q_expr USING cardinality(ARRAY[1,2,3])").collect()
+    assert rows[0].n == 3
+
+
 def test_execute_wrong_arity_raises(eng):
     eng.sql("PREPARE q_two FROM SELECT ? + ? AS s")
     with pytest.raises(ValueError, match="expects 2 parameters"):

@@ -382,3 +382,81 @@ def test_setdigest_merge_mixed_max_hashes_stays_inexact(spark):
         .c
     )
     assert card > 16
+
+
+# ---- theta sketches (operators/theta.py;
+# ThetaSketchAggregationFunction.java, ThetaSketchFunctions.java) ----
+
+def test_theta_exact_regime_and_set_ops(spark):
+    """Below k the sketch is exact (theta=1): estimate and all set
+    operations equal exact set algebra."""
+    from presto_spark.operators import theta as T
+
+    a = spark.range(0, 300).withColumn("g", F.lit("a"))
+    b = spark.range(200, 500).withColumn("g", F.lit("b"))
+    dig = T.sketch_theta(a.union(b), ["g"], "id", k=1024)
+    row = (
+        dig.filter(F.col("g") == "a").select(F.col("sketch").alias("sa"))
+        .crossJoin(
+            dig.filter(F.col("g") == "b").select(F.col("sketch").alias("sb")))
+        .select(
+            T.sketch_theta_estimate(F.col("sa")).alias("ea"),
+            T.sketch_theta_estimate(
+                T.theta_union(F.col("sa"), F.col("sb"))).alias("u"),
+            T.sketch_theta_estimate(
+                T.theta_intersect(F.col("sa"), F.col("sb"))).alias("i"),
+            T.sketch_theta_estimate(
+                T.theta_a_not_b(F.col("sa"), F.col("sb"))).alias("d"),
+        )
+        .collect()[0]
+    )
+    assert (row.ea, row.u, row.i, row.d) == (300.0, 500.0, 100.0, 200.0)
+
+
+def test_theta_estimate_envelope_and_merge(spark):
+    """Overflowed sketch: theta < 1, retained == k, estimate within
+    3/sqrt(k) of truth; union rollup of partials == direct sketch."""
+    from presto_spark.operators import theta as T
+
+    n, k = 20000, 256
+    df = spark.range(n).withColumn("g", F.lit("x")).withColumn(
+        "p", (F.col("id") % 4).cast("int"))
+    direct = T.sketch_theta(df, ["g"], "id", k=k)
+    merged = T.merge_theta_sketches(
+        T.sketch_theta(df, ["g", "p"], "id", k=k), ["g"])
+    drow = direct.select(
+        T.sketch_theta_summary(F.col("sketch")).alias("s")).collect()[0].s
+    assert drow.retained_entries == k
+    assert 0 < drow.theta < 1
+    assert abs(drow.estimate / n - 1) <= 3 / (k ** 0.5)
+    assert drow.lower_bound_std <= drow.estimate <= drow.upper_bound_std
+    pair = direct.select("g", F.col("sketch").alias("a")).join(
+        merged.select("g", F.col("sketch").alias("b")), "g").collect()[0]
+    assert pair.a.hashes == pair.b.hashes and pair.a.theta == pair.b.theta
+
+
+def test_theta_union_overflow_promotes_theta_ansi_proof(spark):
+    """Scalar union past k re-truncates and promotes theta to the
+    (k+1)-th hash; expression must hold under ANSI mode too
+    (session-proof rule, VERDICT r5 #2)."""
+    from presto_spark.operators import theta as T
+
+    a = spark.range(0, 64).withColumn("g", F.lit("a"))
+    b = spark.range(64, 128).withColumn("g", F.lit("b"))
+    dig = T.sketch_theta(a.union(b), ["g"], "id", k=64)
+    pair = (
+        dig.filter(F.col("g") == "a").select(F.col("sketch").alias("sa"))
+        .crossJoin(
+            dig.filter(F.col("g") == "b").select(F.col("sketch").alias("sb")))
+    )
+    old = spark.conf.get("spark.sql.ansi.enabled", "false")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        row = pair.select(
+            T.theta_union(F.col("sa"), F.col("sb")).alias("u")).collect()[0].u
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+    assert len(row.hashes) == 64 and row.theta != "g"
+    assert all(h < row.theta for h in row.hashes)
+    est = 64 / (int(row.theta[:13], 16) / 16.0 ** 13)
+    assert abs(est / 128 - 1) <= 3 / 8.0
