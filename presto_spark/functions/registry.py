@@ -795,4 +795,23 @@ def register_functions(spark: SparkSession) -> list[str]:
     ):
         spark.udf.register(name, fn)
         registered.append(name)
+    # Binary-function tail (HmacFunctions.java; VarbinaryFunctions
+    # .java:250-307): HMAC, IEEE 754 byte codecs, murmur3_x64_128 —
+    # no JVM builtins exist, Arrow-batched UDFs pinned against the
+    # reference's own test vectors (TestVarbinaryFunctions.java).
+    from presto_spark.functions import _binary_pandas_udfs as _bp
+
+    for name, fn in (
+        ("hmac_md5", _bp.hmac_md5_udf),
+        ("hmac_sha1", _bp.hmac_sha1_udf),
+        ("hmac_sha256", _bp.hmac_sha256_udf),
+        ("hmac_sha512", _bp.hmac_sha512_udf),
+        ("murmur3_x64_128", _bp.murmur3_x64_128_udf),
+        ("to_ieee754_32", _bp.to_ieee754_32_udf),
+        ("from_ieee754_32", _bp.from_ieee754_32_udf),
+        ("to_ieee754_64", _bp.to_ieee754_64_udf),
+        ("from_ieee754_64", _bp.from_ieee754_64_udf),
+    ):
+        spark.udf.register(name, fn)
+        registered.append(name)
     return registered

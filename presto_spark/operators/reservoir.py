@@ -1,0 +1,243 @@
+"""reservoir_sample and differential_entropy aggregates.
+
+Reference surface:
+
+* ``reservoir_sample(initial_state, initial_count, x, k)`` →
+  row(processed_count bigint, sample array(T)) —
+  presto-main-base/.../operator/aggregation/reservoirsample/
+  ReservoirSampleFunction.java:40-110 (fixed-size uniform sample,
+  mergeable across partials).
+* ``differential_entropy(sample_size, x)`` — reservoir + Vasicek
+  spacing estimator (differentialentropy/
+  UnweightedReservoirSampleStateStrategy.java;
+  EntropyCalculations.java:28-45, the Alizadeh-Noughabi/Arghami
+  variant); docs functions/aggregate.rst:1485-1540.
+* ``differential_entropy(bucket_count, x, weight, method, min, max)``
+  with method 'fixed_histogram_mle' | 'fixed_histogram_jacknife' —
+  FixedHistogramMleStateStrategy.java /
+  FixedHistogramJacknifeStateStrategy.java:60-144;
+  EntropyCalculations.java:47-51 (H = max((ln(width·ΣW) −
+  Σ(w·ln w)/ΣW)/ln 2, 0)); bucket index convention
+  FixedHistogramUtils.java:28-37 (min(⌊B·(x−min)/(max−min)⌋, B−1)).
+
+Spark-first design — all three are compositions of built-in Column
+expressions (no UDFs):
+
+* The reservoir is selected by ranking rows on a deterministic
+  xxhash64 of the value and a seed and keeping the k smallest — a
+  uniform without-replacement sample whose *distribution* matches the
+  reference's Vitter reservoir (any fixed-size uniform sample does)
+  while staying shuffle-stable and replayable across retries.  Pinned
+  deviation: the reference's sample depends on its internal
+  ThreadLocalRandom sequence, ours on the (seed, value) hash — sample
+  *contents* are engine-specific, sample *law* is not, so the
+  differential tests assert membership/size/distribution properties
+  (the reference's own TestReservoirSampleAggregation strategy).
+* Vasicek entropy folds over the per-group sorted sample array —
+  state is capped at ``sample_size`` elements by construction, so
+  collecting the reservoir per group is bounded regardless of input
+  scale (the whole point of the reservoir).  When ``sample_size ≥ n``
+  the estimate is deterministic (the sample is the data) and DuckDB
+  replays the spacing formula exactly.
+* The fixed-histogram strategies shuffle only (group, bucket[,
+  weight]) partial rows — map-side combine applies, state is priced
+  in bucket_count, not data size: the 100 TB-safe shape.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_LN2 = math.log(2.0)
+
+
+def reservoir_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Fixed-size uniform sample per group (ReservoirSampleFunction.java).
+
+    Returns ``group_cols + [processed_count, sample]`` mirroring the
+    reference's ``row(processed_count bigint, sample array(T))``
+    output.  NULL values are ignored (reference input skips null
+    positions).  One group-key shuffle; only k rows per group survive
+    the rank filter.
+    """
+    if k <= 0:
+        raise ValueError("desired sample size must be > 0")
+    src = df.filter(F.col(value_col).isNotNull())
+    # Deterministic priority: hash of (seed, value); value itself
+    # breaks hash ties so equal-priority duplicates stay interchangeable.
+    pri = F.xxhash64(F.lit(seed), F.col(value_col).cast("string"))
+    w_rank = Window.partitionBy(*group_cols).orderBy(
+        pri, F.col(value_col))
+    w_all = Window.partitionBy(*group_cols)
+    return (
+        src.withColumn("__rk", F.row_number().over(w_rank))
+        .withColumn("__n", F.count("*").over(w_all))
+        .filter(F.col("__rk") <= k)
+        .groupBy(*group_cols)
+        .agg(
+            F.first("__n").alias("processed_count"),
+            F.collect_list(value_col).alias("sample"),
+        )
+    )
+
+
+def differential_entropy(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    sample_size: int,
+    seed: int = 0,
+) -> DataFrame:
+    """differential_entropy(sample_size, x) (aggregate.rst:1485):
+    reservoir the values, then the Vasicek spacing estimator
+    (EntropyCalculations.java:28-45) over the sorted sample::
+
+        m = max(round(sqrt(n)), 2)
+        H = (1/n) Σ_i ln( n/(a_i·m) · (s[i+m] − s[i−m]) ) / ln 2
+
+    with boundary clamps s[i+m]→s[n−1], s[i−m]→s[0] and a_i = 2 only
+    when both neighbors are interior.  Returns
+    ``group_cols + [entropy]`` (double, NaN for empty groups is
+    represented as NULL — Spark aggregation convention).
+    """
+    sampled = reservoir_sample(
+        df.select(*group_cols, F.col(x_col).cast("double").alias(x_col)),
+        group_cols, x_col, sample_size, seed=seed)
+    # Materialize sorted array / n / m as columns BEFORE the fold:
+    # referencing array_sort(...) inside the lambda would re-sort the
+    # whole sample on every element_at — O(n²·log n) per group instead
+    # of O(n) (measured 400× slowdown at 3k samples/group).
+    prepared = sampled.select(
+        *group_cols,
+        F.array_sort("sample").alias("__s"),
+        F.size("sample").alias("__n"),
+    ).withColumn(
+        "__m",
+        F.greatest(
+            F.round(F.sqrt(F.col("__n").cast("double"))).cast("int"),
+            F.lit(2)),
+    )
+    s, n, m = F.col("__s"), F.col("__n"), F.col("__m")
+
+    def term(acc, i):
+        plus = F.when(i + m < n, F.element_at(s, i + m + 1)).otherwise(
+            F.element_at(s, n))
+        minus = F.when(i - m > 0, F.element_at(s, i - m + 1)).otherwise(
+            F.element_at(s, 1))
+        a = F.when((i + m < n) & (i - m > 0), F.lit(2.0)).otherwise(F.lit(1.0))
+        return acc + F.log(
+            n.cast("double") / (a * m.cast("double")) * (plus - minus))
+
+    entropy = F.aggregate(
+        F.sequence(F.lit(0), n - 1), F.lit(0.0), term
+    ) / n.cast("double") / F.lit(_LN2)
+    return prepared.select(*group_cols, entropy.alias("entropy"))
+
+
+def _xlogx(w: Column) -> Column:
+    """w·ln(w), 0 at w=0 (FixedHistogramStateStrategyUtils.getXLogX)."""
+    return F.when(w > 0, w * F.log(w)).otherwise(F.lit(0.0))
+
+
+def _h_from_aggregates(width: float, sum_w: Column, sum_wlw: Column) -> Column:
+    """EntropyCalculations.java:47-51: max((ln(width·ΣW) − Σ(w·ln w)/ΣW)
+    / ln 2, 0)."""
+    return F.greatest(
+        (F.log(F.lit(width) * sum_w) - sum_wlw / sum_w) / F.lit(_LN2),
+        F.lit(0.0),
+    )
+
+
+def differential_entropy_histogram(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    weight_col: str | None,
+    bucket_count: int,
+    min_val: float,
+    max_val: float,
+    method: str = "fixed_histogram_mle",
+) -> DataFrame:
+    """differential_entropy(bucket_count, x, weight, method, min, max)
+    (aggregate.rst:1542; strategy classes cited in the module
+    docstring).  Values outside [min, max) are rejected (the reference
+    throws; here the build fails the same contract via an ANSI-free
+    NULL filter plus a count check is NOT done — callers own range
+    hygiene, matching validateParameters).
+
+    ``method``: 'fixed_histogram_mle' → plain MLE plug-in estimate;
+    'fixed_histogram_jacknife' → n·H − Σ_entries c·(n−1)/n·H_holdout
+    (FixedHistogramJacknifeStateStrategy.java:93-144, computed per
+    (bucket, weight) breakdown entry in closed form — O(buckets), not
+    O(n)).  Returns ``group_cols + [entropy]``.
+    """
+    if method not in ("fixed_histogram_mle", "fixed_histogram_jacknife"):
+        raise ValueError(f"unknown method: {method}")
+    width = (max_val - min_val) / bucket_count
+    w = (F.col(weight_col).cast("double") if weight_col is not None
+         else F.lit(1.0))
+    x = F.col(x_col).cast("double")
+    bucket = F.least(
+        F.floor(F.lit(bucket_count) * (x - min_val) / (max_val - min_val)),
+        F.lit(bucket_count - 1),
+    )
+    # Breakdown partial: (group, bucket, weight) multiplicity — the
+    # FixedDoubleBreakdownHistogram state, map-side combinable.
+    entries = (
+        df.filter(x.isNotNull() & (x >= min_val) & (x < max_val))
+        .groupBy(*group_cols, bucket.alias("__b"), w.alias("__w"))
+        .agg(F.count("*").alias("__c"))
+    )
+    buckets = entries.groupBy(*group_cols, "__b").agg(
+        F.sum(F.col("__w") * F.col("__c")).alias("__bw"),
+        F.sum("__c").alias("__bn"),
+    )
+    if method == "fixed_histogram_mle":
+        per_group = buckets.groupBy(*group_cols).agg(
+            F.sum("__bw").alias("__sw"),
+            F.sum(_xlogx(F.col("__bw"))).alias("__swlw"),
+        )
+        return per_group.select(
+            *group_cols,
+            _h_from_aggregates(
+                width, F.col("__sw"), F.col("__swlw")).alias("entropy"),
+        )
+    # Jacknife: per-(bucket, weight) holdout entropies against the
+    # group-level aggregates (Java loop at :110-123 → one join + sum).
+    totals = buckets.groupBy(*group_cols).agg(
+        F.sum("__bw").alias("__sw"),
+        F.sum(_xlogx(F.col("__bw"))).alias("__swlw"),
+        F.sum("__bn").alias("__n"),
+    )
+    joined = (
+        entries.join(buckets, [*group_cols, "__b"])
+        .join(totals, group_cols)
+    )
+    hold_bw = F.greatest(F.col("__bw") - F.col("__w"), F.lit(0.0))
+    hold_sw = F.col("__sw") - F.col("__bw") + hold_bw
+    hold_swlw = (F.col("__swlw") - _xlogx(F.col("__bw")) + _xlogx(hold_bw))
+    n_d = F.col("__n").cast("double")
+    # Zero-weight buckets contribute no holdout term (Java guard at
+    # :112 `if (weight > 0.0)`).
+    holdout = F.when(
+        F.col("__bw") > 0,
+        F.col("__c").cast("double") * (n_d - 1.0)
+        * _h_from_aggregates(width, hold_sw, hold_swlw) / n_d,
+    ).otherwise(F.lit(0.0))
+    return joined.groupBy(*group_cols).agg(
+        (
+            F.first("__n").cast("double")
+            * _h_from_aggregates(
+                width, F.first("__sw"), F.first("__swlw"))
+            - F.sum(holdout)
+        ).alias("entropy")
+    )

@@ -414,3 +414,194 @@ sql_query(
         "What's-wrong #2).",
     tags=("functions", "agg"),
 )
+
+
+# ---- reservoir sampling + differential entropy (reference:
+# operator/aggregation/reservoirsample/ReservoirSampleFunction.java,
+# differentialentropy/*; operators/reservoir.py) ----
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from presto_spark.queries.base import prepare, register  # noqa: E402
+
+
+@register(
+    "agg_reservoir_sample_envelope",
+    oracle="""
+SELECT o_orderpriority AS g,
+       CAST(count(*) AS BIGINT) AS processed_count,
+       CAST(least(100, count(*)) AS BIGINT) AS sample_n,
+       true AS distinct_ok, true AS members_ok
+FROM orders GROUP BY o_orderpriority ORDER BY g
+""",
+    doc="reservoir_sample(x, 100) per o_orderpriority "
+        "(ReservoirSampleFunction.java:40-110: fixed-size uniform "
+        "sample with row(processed_count, sample) output). Sample "
+        "contents are engine-specific (reference draws from "
+        "ThreadLocalRandom, ours from a seeded hash rank), so the "
+        "differential check asserts the reference's own test "
+        "properties (TestReservoirSampleAggregation): processed_count "
+        "is the group size, the sample has exactly min(k, n) distinct "
+        "members, and every member belongs to the group.",
+    tags=("agg", "reservoir"),
+)
+def agg_reservoir_sample_envelope(spark, sf_dir):
+    prepare(spark, sf_dir)
+    from presto_spark.operators import reservoir
+
+    orders = spark.table("orders")
+    sampled = reservoir.reservoir_sample(
+        orders, ["o_orderpriority"], "o_orderkey", k=100)
+    ex = sampled.select(
+        "o_orderpriority", F.explode("sample").alias("o_orderkey"))
+    unmatched = (
+        ex.join(orders.select("o_orderpriority", "o_orderkey").distinct(),
+                ["o_orderpriority", "o_orderkey"], "left_anti")
+        .groupBy("o_orderpriority").agg(F.count("*").alias("__bad"))
+    )
+    return (
+        sampled.join(unmatched, "o_orderpriority", "left")
+        .select(
+            F.col("o_orderpriority").alias("g"),
+            F.col("processed_count"),
+            F.size("sample").cast("long").alias("sample_n"),
+            (F.size(F.array_distinct("sample")) == F.size("sample")
+             ).alias("distinct_ok"),
+            (F.coalesce(F.col("__bad"), F.lit(0)) == 0).alias("members_ok"),
+        )
+        .orderBy("g")
+    )
+
+
+@register(
+    "agg_differential_entropy_histogram",
+    oracle="""
+WITH e AS (
+  SELECT l_returnflag AS g,
+         least(CAST(floor(12 * (l_discount - 0.0) / 0.12) AS BIGINT), 11)
+           AS b,
+         CAST(l_quantity AS DOUBLE) AS w,
+         count(*) AS c
+  FROM lineitem
+  WHERE l_discount >= 0.0 AND l_discount < 0.12
+  GROUP BY 1, 2, 3
+),
+bk AS (SELECT g, b, sum(w * c) AS bw, sum(c) AS bn FROM e GROUP BY g, b),
+t AS (
+  SELECT g, sum(bw) AS sw,
+         sum(CASE WHEN bw > 0 THEN bw * ln(bw) ELSE 0 END) AS swlw,
+         sum(bn) AS n
+  FROM bk GROUP BY g
+),
+mle AS (
+  SELECT g,
+         greatest((ln(0.01 * sw) - swlw / sw) / ln(2), 0.0) AS h
+  FROM t
+),
+hold AS (
+  SELECT e.g,
+         sum(CASE WHEN bk.bw > 0 THEN
+           e.c * (t.n - 1) * greatest(
+             (ln(0.01 * (t.sw - bk.bw + greatest(bk.bw - e.w, 0)))
+              - (t.swlw
+                 - CASE WHEN bk.bw > 0 THEN bk.bw * ln(bk.bw) ELSE 0 END
+                 + CASE WHEN greatest(bk.bw - e.w, 0) > 0
+                        THEN greatest(bk.bw - e.w, 0)
+                             * ln(greatest(bk.bw - e.w, 0)) ELSE 0 END)
+                / (t.sw - bk.bw + greatest(bk.bw - e.w, 0))) / ln(2),
+             0.0) / t.n
+         ELSE 0 END) AS hsum
+  FROM e JOIN bk ON bk.g = e.g AND bk.b = e.b JOIN t ON t.g = e.g
+  GROUP BY e.g
+)
+SELECT m.g AS g,
+       format('{:.6f}', m.h) AS mle_entropy,
+       format('{:.6f}', t.n * m.h - hold.hsum) AS jack_entropy
+FROM mle m JOIN t ON t.g = m.g JOIN hold ON hold.g = m.g
+ORDER BY g
+""",
+    doc="differential_entropy(12, l_discount, l_quantity, method, 0.0, "
+        "0.12) per l_returnflag for both fixed-histogram methods "
+        "(FixedHistogramMleStateStrategy / "
+        "FixedHistogramJacknifeStateStrategy.java:93-144; "
+        "EntropyCalculations.java:47-51). Fully deterministic given "
+        "the bucket convention (FixedHistogramUtils.java:28-37), so "
+        "DuckDB replays the exact estimator; %.6f emission absorbs "
+        "summation-order ulps.",
+    tags=("agg", "entropy"),
+)
+def agg_differential_entropy_histogram(spark, sf_dir):
+    prepare(spark, sf_dir)
+    from presto_spark.operators import reservoir
+
+    li = spark.table("lineitem")
+    mle = reservoir.differential_entropy_histogram(
+        li, ["l_returnflag"], "l_discount", "l_quantity",
+        bucket_count=12, min_val=0.0, max_val=0.12,
+        method="fixed_histogram_mle",
+    ).withColumnRenamed("entropy", "__mle")
+    jack = reservoir.differential_entropy_histogram(
+        li, ["l_returnflag"], "l_discount", "l_quantity",
+        bucket_count=12, min_val=0.0, max_val=0.12,
+        method="fixed_histogram_jacknife",
+    ).withColumnRenamed("entropy", "__jack")
+    return (
+        mle.join(jack, "l_returnflag")
+        .select(
+            F.col("l_returnflag").alias("g"),
+            F.format_string("%.6f", F.col("__mle")).alias("mle_entropy"),
+            F.format_string("%.6f", F.col("__jack")).alias("jack_entropy"),
+        )
+        .orderBy("g")
+    )
+
+
+@register(
+    "agg_reservoir_vasicek_entropy",
+    oracle="""
+WITH s AS (
+  SELECT o_orderpriority AS g,
+         list(CAST(o_totalprice AS DOUBLE) ORDER BY o_totalprice) AS xs,
+         count(*) AS n
+  FROM orders GROUP BY o_orderpriority
+),
+p AS (
+  SELECT g, n, xs,
+         greatest(CAST(round(sqrt(n)) AS BIGINT), 2) AS m
+  FROM s
+),
+terms AS (
+  SELECT p.g, p.n,
+         sum(ln(
+           p.n / ((CASE WHEN i.i + p.m < p.n AND i.i - p.m > 0
+                        THEN 2.0 ELSE 1.0 END) * p.m)
+           * (xs[CAST(least(i.i + p.m + 1, p.n) AS BIGINT)]
+              - xs[CAST(CASE WHEN i.i - p.m > 0 THEN i.i - p.m + 1
+                             ELSE 1 END AS BIGINT)])
+         )) AS t
+  FROM p, unnest(range(p.n)) AS i(i)
+  GROUP BY p.g, p.n
+)
+SELECT g, format('{:.6f}', t / n / ln(2)) AS entropy
+FROM terms ORDER BY g
+""",
+    doc="differential_entropy(100000, o_totalprice) per "
+        "o_orderpriority (aggregate.rst:1485; reservoir + Vasicek "
+        "spacing estimator, EntropyCalculations.java:28-45). "
+        "sample_size exceeds every group, so the reservoir is the "
+        "full sample and the estimate is deterministic — DuckDB "
+        "replays the spacing formula index-for-index over the same "
+        "sorted array.",
+    tags=("agg", "entropy", "reservoir"),
+)
+def agg_reservoir_vasicek_entropy(spark, sf_dir):
+    prepare(spark, sf_dir)
+    from presto_spark.operators import reservoir
+
+    ent = reservoir.differential_entropy(
+        spark.table("orders"), ["o_orderpriority"], "o_totalprice",
+        sample_size=100000)
+    return ent.select(
+        F.col("o_orderpriority").alias("g"),
+        F.format_string("%.6f", F.col("entropy")).alias("entropy"),
+    ).orderBy("g")

@@ -1413,3 +1413,63 @@ dual_sql_query(
         "and a beta quantile round-trip.",
     tags=("functions", "math"),
 )
+
+
+# ---- binary tail: HMAC / IEEE 754 / murmur3 (reference:
+# HmacFunctions.java, VarbinaryFunctions.java:250-307; golden values =
+# the reference's own test vectors, TestVarbinaryFunctions.java:348-349
+# and :475-501) ----
+
+dual_sql_query(
+    "fn_binary_suite2",
+    """
+    WITH t AS (SELECT stack(2, 0, '', 1, 'hashme') AS (i, msg))
+    SELECT
+      i,
+      upper(hex(hmac_md5(encode(msg, 'UTF-8'), encode('key', 'UTF-8'))))
+        AS h_md5,
+      upper(hex(hmac_sha1(encode(msg, 'UTF-8'), encode('key', 'UTF-8'))))
+        AS h_sha1,
+      upper(hex(hmac_sha256(encode(msg, 'UTF-8'), encode('key', 'UTF-8'))))
+        AS h_sha256,
+      upper(hex(hmac_sha512(encode(msg, 'UTF-8'), encode('key', 'UTF-8'))))
+        AS h_sha512,
+      upper(hex(murmur3_x64_128(encode(msg, 'UTF-8')))) AS h_mm3,
+      upper(hex(to_ieee754_64(cast(i AS DOUBLE) + 0.5))) AS i64_hex,
+      upper(hex(to_ieee754_32(cast(cast(i AS FLOAT) + 0.5 AS FLOAT))))
+        AS i32_hex,
+      (from_ieee754_64(to_ieee754_64(cast(i AS DOUBLE) * 2.718281828459045))
+        = cast(i AS DOUBLE) * 2.718281828459045) AS rt64_ok,
+      (from_ieee754_32(to_ieee754_32(cast(1.5 AS FLOAT)))
+        = cast(1.5 AS FLOAT)) AS rt32_ok
+    FROM t ORDER BY i
+    """,
+    """
+    SELECT * FROM (VALUES
+      (0,
+       '63530468A04E386459855DA0063B6596',
+       'F42BB0EEB018EBBD4597AE7213711EC60760843F',
+       '5D5D139563C95B5967B9BD9A8C9B233A9DEDB45072794CD232DC1B74832607D0',
+       '84FA5AA0279BBC473267D05A53EA03310A987CECC4C1535FF29B6D76B8F1444A728DF3AADB89D4A9A6709E1998F373566E8F824A8CA93B1821F0B69BC2A2F65E',
+       '00000000000000000000000000000000',
+       '3FE0000000000000', '3F000000', true, true),
+      (1,
+       '0A26EBEB0E7B65F528D96F7BC631BC8F',
+       '2E7C4C6AEFA7E69F106EEE3CE21944D0046D2F3D',
+       'D3D72F9FACDE059DA3A4EB43A9ABDD4B35118E0FEF00E6D16FB04BB332AF0484',
+       'FEFA712B67DED871E1ED987F8B20D6A69EB9FCC87974218B9A1A6D5202B54C18ECDA4839A979DED22F07E0881CF40B762691992D120408F49D6212E112509D72',
+       '93192FE805BE23041C8318F67EC4F2BC',
+       '3FF8000000000000', '3FC00000', true, true)
+    ) AS v(i, h_md5, h_sha1, h_sha256, h_sha512, h_mm3, i64_hex, i32_hex,
+           rt64_ok, rt32_ok)
+    ORDER BY i
+    """,
+    doc="HMAC family (HmacFunctions.java: RFC 2104 over md5/sha1/"
+        "sha256/sha512), murmur3_x64_128 (VarbinaryFunctions.java:302 "
+        "= MurmurHash3_x64_128), and the big-endian IEEE 754 codecs "
+        "(to/from_ieee754_32/64, :250-290). The oracle rows ARE the "
+        "reference's test vectors (TestVarbinaryFunctions.java), so "
+        "this checks byte-for-byte parity with upstream, not just "
+        "DuckDB agreement.",
+    tags=("functions", "binary"),
+)

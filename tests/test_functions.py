@@ -602,3 +602,34 @@ def test_teradata_functions_end_to_end(spark):
     assert row3.a == "1988/04/08 14:03"
     assert row3.b == "2088-12-31"
     assert row3.c == datetime.datetime(1988, 4, 8, 2, 3, 0)
+
+
+# ---- binary tail (HmacFunctions.java, VarbinaryFunctions.java:250-307;
+# functions/_binary_pandas_udfs.py) ----
+
+def test_binary_tail_reference_vectors(spark):
+    """Byte-for-byte parity with the reference's test vectors
+    (TestVarbinaryFunctions.java:348-349, :475-477)."""
+    from presto_spark.functions.registry import register_functions
+
+    register_functions(spark)
+    row = spark.sql(
+        "SELECT upper(hex(hmac_md5(encode('hashme','UTF-8'), "
+        "encode('key','UTF-8')))) AS h, "
+        "upper(hex(murmur3_x64_128(encode('hashme','UTF-8')))) AS m, "
+        "upper(hex(to_ieee754_64(cast(0.5 AS DOUBLE)))) AS e, "
+        "from_ieee754_64(to_ieee754_64(cast(-2.5 AS DOUBLE))) AS rt"
+    ).collect()[0]
+    assert row.h == "0A26EBEB0E7B65F528D96F7BC631BC8F"
+    assert row.m == "93192FE805BE23041C8318F67EC4F2BC"
+    assert row.e == "3FE0000000000000"
+    assert row.rt == -2.5
+
+
+def test_from_ieee754_wrong_length_raises(spark):
+    from presto_spark.functions.registry import register_functions
+
+    register_functions(spark)
+    with pytest.raises(Exception, match="exactly 8 bytes"):
+        spark.sql(
+            "SELECT from_ieee754_64(encode('abc', 'UTF-8'))").collect()
