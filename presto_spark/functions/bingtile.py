@@ -190,3 +190,34 @@ def bing_tiles_around(lat: Column, lon: Column, zoom: Column) -> Column:
         & (p["y"] <= max_tile),
     )
     return F.transform(kept, lambda p: bing_tile(p["x"], p["y"], zoom))
+
+
+def geometry_to_bing_tiles(geom: Column, zoom: Column) -> Column:
+    """geometry_to_bing_tiles(geometry, zoom) →
+    array<struct<x,y,z>> (BingTileFunctions.java geometryToBingTiles).
+
+    Pinned deviation: returns the tile cover of the geometry's
+    ENVELOPE (the reference refines the envelope cover by per-tile
+    geometry intersection; without the overlay algebra the envelope
+    cover — a superset, exact for points and rectangles — is the
+    honest tier).  Pure Column expressions: two corner tiles plus a
+    sequence cross-product, map-side only.
+    """
+    from presto_spark.functions import geo as _g
+
+    nw = bing_tile_at(_g.st_ymax(geom), _g.st_xmin(geom), zoom)
+    se = bing_tile_at(_g.st_ymin(geom), _g.st_xmax(geom), zoom)
+    # North (ymax) → smaller tile y: nw.y .. se.y ascends.
+    return F.flatten(
+        F.transform(
+            F.sequence(nw["x"], se["x"]),
+            lambda tx: F.transform(
+                F.sequence(nw["y"], se["y"]),
+                lambda ty: F.struct(
+                    tx.cast("int").alias("x"),
+                    ty.cast("int").alias("y"),
+                    nw["z"].alias("z"),
+                ),
+            ),
+        )
+    )

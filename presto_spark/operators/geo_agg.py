@@ -1,0 +1,181 @@
+"""Geospatial aggregates: convex_hull_agg + envelope union rollup.
+
+Reference surface:
+
+* ``convex_hull_agg(geometry)`` — presto-geospatial-toolkit /
+  presto-main geospatial aggregates (docs
+  presto-docs/src/main/sphinx/functions/geospatial.rst "Aggregations"
+  section); the reference delegates to Esri's convex-hull.
+* ``geometry_union_agg(geometry)`` — same section.  True overlay
+  union needs polygon clipping (pinned out of scope with the rest of
+  the overlay algebra, functions/geo.py:26-28); the engine ships the
+  ENVELOPE union instead (``envelope_union_agg`` — the bounding box
+  of the group, the standard pre-filter the reference itself uses for
+  its spatial partitioning), documented as a deviation.
+* ``ST_ConvexHull(geometry)`` scalar — covered through
+  ``st_convex_hull_df``: hull of each row's own vertex set via the
+  same aggregate keyed by a unique row id (AssignUniqueId pattern).
+
+Geometry representation: functions/geo.py struct
+``struct<kind, rings: array<array<struct<x,y>>>>``.
+
+Design: Andrew's monotone chain needs an ordered scan with
+back-tracking pops — not expressible as a Column fold — so the hull
+runs in the documented pandas-UDAF tier (same exception as
+operators/qsketch.py) with the TWO-LEVEL shape that makes it
+100 TB-safe: per (group, input-partition) partial hulls first (each
+partition's point cloud collapses to ≤ its hull vertices, map-side),
+then a final hull per group over partial-hull vertices only.
+hull(S₁ ∪ S₂) = hull(hull(S₁) ∪ hull(S₂)), so the composition is
+exact; the final state is priced in hull-vertex count, not points.
+``envelope_union_agg`` is plain min/max Column aggregation.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _chain(points: list[tuple[float, float]]) -> list[tuple[float, float]]:
+    """Andrew monotone chain; returns hull vertices in CCW order
+    (no closing repeat).  Degenerate inputs (1 point, collinear set)
+    return the reduced vertex list."""
+    pts = sorted(set(points))
+    if len(pts) <= 2:
+        return pts
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: list[tuple[float, float]] = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list[tuple[float, float]] = []
+    for p in reversed(pts):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    hull = lower[:-1] + upper[:-1]
+    # A fully collinear set collapses to its 2 extremes — that IS the
+    # degenerate hull (LINESTRING), not the original point list.
+    return hull
+
+
+def _hull_stage(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """applyInPandas hull over (key_cols) groups of __x/__y rows;
+    output one row per group with ordered hull vertex arrays."""
+    gtypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    gsig = ", ".join(f"{c} {gtypes[c]}" for c in key_cols)
+    schema = f"{gsig}, __xs array<double>, __ys array<double>"
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        hull = _chain(list(zip(pdf["__x"], pdf["__y"])))
+        out = {c: [pdf[c].iloc[0]] for c in key_cols}
+        out["__xs"] = [[p[0] for p in hull]]
+        out["__ys"] = [[p[1] for p in hull]]
+        return pd.DataFrame(out)
+
+    return df.groupBy(*key_cols).applyInPandas(run, schema)
+
+
+def _assemble(xs: Column, ys: Column) -> Column:
+    """Ordered hull vertex arrays → geometry struct (POINT /
+    LINESTRING / closed POLYGON ring by vertex count)."""
+    pts = F.zip_with(
+        xs, ys, lambda x, y: F.struct(x.alias("x"), y.alias("y")))
+    n = F.size(pts)
+    closed = F.concat(pts, F.slice(pts, 1, 1))
+    return F.when(
+        n == 1,
+        F.struct(F.lit("POINT").alias("kind"),
+                 F.array(pts).alias("rings")),
+    ).when(
+        n == 2,
+        F.struct(F.lit("LINESTRING").alias("kind"),
+                 F.array(pts).alias("rings")),
+    ).otherwise(
+        F.struct(F.lit("POLYGON").alias("kind"),
+                 F.array(closed).alias("rings")),
+    )
+
+
+def convex_hull_agg(
+    df: DataFrame, group_cols: list[str], geom_col: str = "geom"
+) -> DataFrame:
+    """convex_hull_agg(geometry) per group (geospatial.rst
+    aggregations).  Returns ``group_cols + [hull]`` where hull is a
+    geometry struct.  Two-level: partial hull per (group, input
+    partition), final hull per group over partial vertices only."""
+    pts = df.select(
+        *group_cols,
+        F.explode(F.flatten(F.col(geom_col)["rings"])).alias("__p"),
+        F.spark_partition_id().alias("__pid"),
+    ).select(
+        *group_cols, "__pid",
+        F.col("__p.x").alias("__x"), F.col("__p.y").alias("__y"),
+    )
+    partials = _hull_stage(pts, [*group_cols, "__pid"])
+    merged_pts = partials.select(
+        *group_cols,
+        F.explode(F.zip_with(
+            "__xs", "__ys",
+            lambda x, y: F.struct(x.alias("x"), y.alias("y")))).alias("__p"),
+    ).select(
+        *group_cols,
+        F.col("__p.x").alias("__x"), F.col("__p.y").alias("__y"),
+    )
+    final = _hull_stage(merged_pts, list(group_cols))
+    return final.select(
+        *group_cols,
+        _assemble(F.col("__xs"), F.col("__ys")).alias("hull"),
+    )
+
+
+def st_convex_hull_df(
+    df: DataFrame, geom_col: str, out_col: str = "hull"
+) -> DataFrame:
+    """ST_ConvexHull as a DataFrame transform: each row's geometry is
+    replaced by the hull of its own vertices (convex_hull_agg keyed by
+    a per-row unique id — the AssignUniqueId pattern)."""
+    keyed = df.withColumn("__row_id", F.monotonically_increasing_id())
+    hulls = convex_hull_agg(
+        keyed.select("__row_id", geom_col), ["__row_id"], geom_col
+    ).withColumnRenamed("hull", out_col)
+    return keyed.join(hulls, "__row_id").drop("__row_id")
+
+
+def envelope_union_agg(
+    df: DataFrame, group_cols: list[str], geom_col: str = "geom"
+) -> DataFrame:
+    """Envelope union per group: the bounding box of every input
+    geometry's vertices as a POLYGON struct — the shippable analog of
+    geometry_union_agg (true overlay union pinned out of scope; module
+    docstring).  Pure min/max Column aggregation: one group-key
+    shuffle with map-side partials, no Python."""
+    pts = df.select(
+        *group_cols,
+        F.explode(F.flatten(F.col(geom_col)["rings"])).alias("__p"),
+    )
+    agg = pts.groupBy(*group_cols).agg(
+        F.min("__p.x").alias("__x0"), F.max("__p.x").alias("__x1"),
+        F.min("__p.y").alias("__y0"), F.max("__p.y").alias("__y1"),
+    )
+
+    def pt(x, y):
+        return F.struct(F.col(x).alias("x"), F.col(y).alias("y"))
+
+    ring = F.array(
+        pt("__x0", "__y0"), pt("__x1", "__y0"), pt("__x1", "__y1"),
+        pt("__x0", "__y1"), pt("__x0", "__y0"),
+    )
+    return agg.select(
+        *group_cols,
+        F.struct(
+            F.lit("POLYGON").alias("kind"),
+            F.array(ring).alias("rings"),
+        ).alias("envelope"),
+    )

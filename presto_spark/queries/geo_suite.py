@@ -455,3 +455,113 @@ def geo_geojson_roundtrip(spark, sf_dir):
         (geo.st_as_text(geo.geometry_from_geojson(j))
          == geo.st_as_text(g)).alias("roundtrip_ok"),
     ).orderBy("name")
+
+
+_HULLS_ORACLE = """
+WITH pts AS (
+  SELECT CAST(c_nationkey % 4 AS BIGINT) AS g,
+         (c_custkey % 101) / 10.0 AS x,
+         (c_custkey % 89) / 8.0 AS y
+  FROM customer
+  UNION ALL
+  SELECT * FROM (VALUES
+    (CAST(-1 AS BIGINT), 0.0, 0.0), (-1, 4.0, 0.0), (-1, 4.0, 4.0),
+    (-1, 0.0, 4.0), (-1, 2.0, 2.0), (-1, 1.0, 3.0), (-1, 3.0, 1.0)
+  ) AS v(g, x, y)
+),
+e AS (
+  SELECT g, max(x) - min(x) AS env_w, max(y) - min(y) AS env_h
+  FROM pts GROUP BY g
+)
+SELECT g,
+       'POLYGON' AS hull_kind,
+       CASE WHEN g = -1 THEN CAST(5 AS BIGINT) END AS ring_n,
+       CASE WHEN g = -1 THEN '16.0000' END AS area_q,
+       true AS contains_all,
+       true AS hull_in_env,
+       env_w, env_h
+FROM e ORDER BY g
+"""
+
+
+@register(
+    "geo_aggregate_hulls",
+    oracle=_HULLS_ORACLE,
+    doc="convex_hull_agg + envelope_union_agg (geospatial.rst "
+        "aggregations; operators/geo_agg.py two-level monotone chain). "
+        "A golden 7-point group whose hull is the known 4x4 square "
+        "(ring_n/area checked exactly) plus customer-derived lattice "
+        "groups checked by property: every input point lies inside "
+        "the hull (edge cross-product test), the hull stays inside "
+        "the envelope union, and DuckDB replays the envelope "
+        "dimensions exactly.",
+    tags=("geo", "agg"),
+)
+def geo_aggregate_hulls(spark, sf_dir):
+    prepare(spark, sf_dir)
+    from presto_spark.operators import geo_agg
+
+    cust = spark.table("customer")
+    pts = cust.select(
+        (F.col("c_nationkey") % 4).cast("long").alias("g"),
+        ((F.col("c_custkey") % 101) / 10.0).alias("x"),
+        ((F.col("c_custkey") % 89) / 8.0).alias("y"),
+    ).unionByName(spark.createDataFrame(
+        [(-1, 0.0, 0.0), (-1, 4.0, 0.0), (-1, 4.0, 4.0), (-1, 0.0, 4.0),
+         (-1, 2.0, 2.0), (-1, 1.0, 3.0), (-1, 3.0, 1.0)],
+        "g long, x double, y double",
+    ))
+    gdf = pts.select("g", "x", "y",
+                     geo.st_point(F.col("x"), F.col("y")).alias("geom"))
+    hulls = geo_agg.convex_hull_agg(gdf, ["g"], "geom")
+    envs = geo_agg.envelope_union_agg(gdf, ["g"], "geom")
+
+    ring = F.col("hull")["rings"][0]
+    edges = F.zip_with(
+        F.slice(ring, 1, F.size(ring) - 1),
+        F.slice(ring, 2, F.size(ring) - 1),
+        lambda p, q: F.struct(p.alias("p"), q.alias("q")),
+    )
+    # CCW hull: x inside iff cross(q-p, x-p) >= -eps for every edge.
+    point_checked = (
+        gdf.join(F.broadcast(hulls), "g")
+        .select(
+            "g",
+            F.aggregate(
+                edges, F.lit(True),
+                lambda acc, e: acc & (
+                    (e["q"]["x"] - e["p"]["x"]) * (F.col("y") - e["p"]["y"])
+                    - (e["q"]["y"] - e["p"]["y"]) * (F.col("x") - e["p"]["x"])
+                    >= F.lit(-1e-9)
+                ),
+            ).alias("__in"),
+        )
+        .groupBy("g").agg(F.bool_and("__in").alias("contains_all"))
+    )
+    env_ring = F.col("envelope")["rings"][0]
+    hull_in_env = F.aggregate(
+        F.flatten(F.col("hull")["rings"]), F.lit(True),
+        lambda acc, p: acc
+        & (p["x"] >= F.element_at(env_ring, 1)["x"] - 1e-9)
+        & (p["x"] <= F.element_at(env_ring, 2)["x"] + 1e-9)
+        & (p["y"] >= F.element_at(env_ring, 1)["y"] - 1e-9)
+        & (p["y"] <= F.element_at(env_ring, 3)["y"] + 1e-9),
+    )
+    return (
+        hulls.join(envs, "g").join(point_checked, "g")
+        .select(
+            "g",
+            F.col("hull")["kind"].alias("hull_kind"),
+            F.when(F.col("g") == -1, F.size(ring).cast("long")).alias("ring_n"),
+            F.when(F.col("g") == -1,
+                   F.format_string("%.4f", geo.st_area(F.col("hull")))
+                   ).alias("area_q"),
+            F.col("contains_all"),
+            hull_in_env.alias("hull_in_env"),
+            (F.element_at(env_ring, 2)["x"]
+             - F.element_at(env_ring, 1)["x"]).alias("env_w"),
+            (F.element_at(env_ring, 3)["y"]
+             - F.element_at(env_ring, 2)["y"]).alias("env_h"),
+        )
+        .orderBy("g")
+    )

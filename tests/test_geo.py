@@ -345,3 +345,86 @@ def test_distance_general_pairs(spark):
     # multipoint fully outside: min over points
     mp2 = g("MULTIPOINT ((100 100), (3 1))")
     assert _one(spark, geo.st_distance(mp2, p1)) == 1.0
+
+
+# ---- aggregates (operators/geo_agg.py; geospatial.rst aggregations) ----
+
+def test_convex_hull_agg_square_with_interior_points(spark):
+    from presto_spark.functions import geo
+    from presto_spark.operators import geo_agg
+
+    pts = [(1, 0.0, 0.0), (1, 4.0, 0.0), (1, 4.0, 4.0), (1, 0.0, 4.0),
+           (1, 2.0, 2.0), (1, 1.0, 3.0), (1, 3.0, 1.0), (1, 0.0, 0.0)]
+    df = spark.createDataFrame(pts, "g int, x double, y double").select(
+        "g", geo.st_point(F.col("x"), F.col("y")).alias("geom"))
+    row = geo_agg.convex_hull_agg(df, ["g"], "geom").collect()[0]
+    assert row.hull.kind == "POLYGON"
+    ring = row.hull.rings[0]
+    assert len(ring) == 5 and ring[0] == ring[-1]
+    assert {(p.x, p.y) for p in ring} == {
+        (0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)}
+
+
+def test_convex_hull_agg_degenerate_kinds(spark):
+    from presto_spark.functions import geo
+    from presto_spark.operators import geo_agg
+
+    df = spark.createDataFrame(
+        [(1, 2.0, 3.0), (1, 2.0, 3.0),
+         (2, 0.0, 0.0), (2, 1.0, 1.0), (2, 2.0, 2.0)],
+        "g int, x double, y double",
+    ).select("g", geo.st_point(F.col("x"), F.col("y")).alias("geom"))
+    rows = {r.g: r.hull for r in
+            geo_agg.convex_hull_agg(df, ["g"], "geom").collect()}
+    assert rows[1].kind == "POINT"
+    # collinear points collapse to the 2 extremes
+    assert rows[2].kind == "LINESTRING"
+    assert [(p.x, p.y) for p in rows[2].rings[0]] == [(0.0, 0.0), (2.0, 2.0)]
+
+
+def test_envelope_union_agg_bbox(spark):
+    from presto_spark.functions import geo
+    from presto_spark.operators import geo_agg
+
+    df = spark.createDataFrame(
+        [(1, -2.0, 1.0), (1, 5.0, -3.0), (1, 0.0, 7.0)],
+        "g int, x double, y double",
+    ).select("g", geo.st_point(F.col("x"), F.col("y")).alias("geom"))
+    env = geo_agg.envelope_union_agg(df, ["g"], "geom").collect()[0].envelope
+    assert env.kind == "POLYGON"
+    xs = [p.x for p in env.rings[0]]
+    ys = [p.y for p in env.rings[0]]
+    assert (min(xs), max(xs), min(ys), max(ys)) == (-2.0, 5.0, -3.0, 7.0)
+
+
+def test_st_convex_hull_df_per_row(spark):
+    from presto_spark.functions import geo
+    from presto_spark.operators import geo_agg
+
+    df = spark.createDataFrame(
+        [("POLYGON ((0 0, 2 0, 2 2, 0 2, 1 1, 0 0))",)], "wkt string"
+    ).select(geo.st_geometry_from_text(F.col("wkt")).alias("geom"))
+    out = geo_agg.st_convex_hull_df(df, "geom").collect()[0]
+    assert {(p.x, p.y) for p in out.hull.rings[0]} == {
+        (0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)}
+
+
+def test_geometry_to_bing_tiles_envelope_cover(spark):
+    from presto_spark.functions import bingtile, geo
+
+    df = spark.createDataFrame(
+        [("POLYGON ((10 10, 30 10, 30 30, 10 30, 10 10))",)], "wkt string"
+    ).select(geo.st_geometry_from_text(F.col("wkt")).alias("geom"))
+    row = df.select(
+        bingtile.geometry_to_bing_tiles(F.col("geom"), F.lit(4)).alias("ts"),
+        bingtile.bing_tile_at(F.lit(10.0), F.lit(10.0), F.lit(4)).alias("sw"),
+        bingtile.bing_tile_at(F.lit(30.0), F.lit(30.0), F.lit(4)).alias("ne"),
+    ).collect()[0]
+    coords = {(t.x, t.y, t.z) for t in row.ts}
+    # cover must be the full corner-to-corner rectangle of tiles
+    assert (row.sw.x, row.sw.y, row.sw.z) in coords
+    assert (row.ne.x, row.ne.y, row.ne.z) in coords
+    xs = {t.x for t in row.ts}
+    ys = {t.y for t in row.ts}
+    assert len(coords) == len(xs) * len(ys)
+    assert all(t.z == 4 for t in row.ts)
