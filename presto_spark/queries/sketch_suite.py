@@ -765,3 +765,81 @@ def sketch_theta_estimate_envelope(spark, sf_dir):
         )
         .orderBy("g")
     )
+
+
+_KLL_EXACT_ORACLE = """
+WITH src AS (
+  SELECT o_orderpriority AS g,
+         CAST(o_custkey % 400 AS DOUBLE) AS v
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+s AS (
+  SELECT g, list(v ORDER BY v) AS xs, count(*) AS n FROM src GROUP BY g
+)
+SELECT g,
+       xs[greatest(1, CAST(ceil(0.25 * n) AS BIGINT))] AS q25,
+       xs[greatest(1, CAST(ceil(0.50 * n) AS BIGINT))] AS q50,
+       xs[greatest(1, CAST(ceil(0.75 * n) AS BIGINT))] AS q75,
+       xs[least(n, CAST(floor(0.50 * n) AS BIGINT) + 1)] AS q50_excl,
+       (SELECT count(*) FROM src x WHERE x.g = s.g AND x.v <= 200.0)
+         / CAST(n AS DOUBLE) AS rank_200_incl,
+       (SELECT count(*) FROM src x WHERE x.g = s.g AND x.v < 200.0)
+         / CAST(n AS DOUBLE) AS rank_200_excl,
+       true AS merge_ok
+FROM s ORDER BY g
+"""
+
+
+@register(
+    "sketch_kll_exact_ops",
+    oracle=_KLL_EXACT_ORACLE,
+    doc="sketch_kll_with_k / sketch_kll_quantile / sketch_kll_rank in "
+        "the exact regime (group size <= k: the coreset IS the sorted "
+        "sample, sketch.rst:38-75; operators/kll.py). DuckDB replays "
+        "both inclusivity variants of quantile and rank as order "
+        "statistics. merge_ok asserts the (priority, status) partial "
+        "rollup reproduces the direct sketch's median exactly.",
+    tags=("sketch", "agg", "kll"),
+)
+def sketch_kll_exact_ops(spark, sf_dir):
+    prepare(spark, sf_dir)
+    from presto_spark.operators import kll
+
+    src = (
+        spark.table("orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            F.col("o_orderpriority").alias("g"),
+            F.col("o_orderstatus").alias("st"),
+            (F.col("o_custkey") % 400).cast("double").alias("v"),
+        )
+    )
+    direct = kll.sketch_kll_with_k(src, ["g"], "v", k=8192)
+    merged = kll.merge_kll(
+        kll.sketch_kll_with_k(src, ["g", "st"], "v", k=8192).drop("st"),
+        ["g"], k=8192)
+    vs, ws = F.col("vs"), F.col("ws")
+    merge_ok_df = (
+        direct.select(
+            "g", kll.sketch_kll_quantile(vs, ws, 0.5).alias("__d"))
+        .join(
+            merged.select(
+                "g", kll.sketch_kll_quantile(vs, ws, 0.5).alias("__m")),
+            "g")
+        .agg(F.bool_and(F.col("__d") == F.col("__m")).alias("merge_ok"))
+    )
+    return (
+        direct.select(
+            "g",
+            kll.sketch_kll_quantile(vs, ws, 0.25).alias("q25"),
+            kll.sketch_kll_quantile(vs, ws, 0.50).alias("q50"),
+            kll.sketch_kll_quantile(vs, ws, 0.75).alias("q75"),
+            kll.sketch_kll_quantile(vs, ws, 0.50, inclusive=False)
+            .alias("q50_excl"),
+            kll.sketch_kll_rank(vs, ws, 200.0).alias("rank_200_incl"),
+            kll.sketch_kll_rank(vs, ws, 200.0, inclusive=False)
+            .alias("rank_200_excl"),
+        )
+        .crossJoin(F.broadcast(merge_ok_df))
+        .orderBy("g")
+    )

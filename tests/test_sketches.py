@@ -7,6 +7,7 @@ approximate values, exact checks for deterministic compositions.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from presto_spark.operators import sketches as S
@@ -460,3 +461,51 @@ def test_theta_union_overflow_promotes_theta_ansi_proof(spark):
     assert all(h < row.theta for h in row.hashes)
     est = 64 / (int(row.theta[:13], 16) / 16.0 ** 13)
     assert abs(est / 128 - 1) <= 3 / 8.0
+
+
+# ---- KLL surface (operators/kll.py; sketch.rst:38-75) ----
+
+def test_kll_quantile_rank_exact_regime(spark):
+    from presto_spark.operators import kll
+
+    df = spark.range(1, 101).select(
+        F.lit("g").alias("g"), F.col("id").cast("double").alias("v"))
+    sk = kll.sketch_kll_with_k(df, ["g"], "v", k=256)
+    row = sk.select(
+        kll.sketch_kll_quantile(F.col("vs"), F.col("ws"), 0.5).alias("m"),
+        kll.sketch_kll_quantile(
+            F.col("vs"), F.col("ws"), 0.5, inclusive=False).alias("me"),
+        kll.sketch_kll_rank(F.col("vs"), F.col("ws"), 30.0).alias("r"),
+        kll.sketch_kll_rank(
+            F.col("vs"), F.col("ws"), 30.0, inclusive=False).alias("re"),
+    ).collect()[0]
+    # 100 unit weights: inclusive median = 50th value, exclusive = 51st
+    assert (row.m, row.me) == (50.0, 51.0)
+    assert (row.r, row.re) == (0.30, 0.29)
+
+
+def test_kll_estimating_regime_rank_error_bound(spark):
+    from presto_spark.operators import kll
+
+    n, k = 50000, 200
+    df = spark.range(n).select(
+        F.lit("g").alias("g"), F.col("id").cast("double").alias("v"))
+    sk = kll.sketch_kll_with_k(df, ["g"], "v", k=k)
+    row = sk.select(
+        F.size("vs").alias("entries"),
+        kll.sketch_kll_quantile(F.col("vs"), F.col("ws"), 0.5).alias("m"),
+        kll.sketch_kll_rank(
+            F.col("vs"), F.col("ws"), float(n) * 0.25).alias("r"),
+    ).collect()[0]
+    assert row.entries <= k
+    assert abs(row.m / (n * 0.5) - 1) < 0.15
+    assert abs(row.r - 0.25) < 0.05
+
+
+def test_kll_with_k_bounds(spark):
+    from presto_spark.operators import kll
+
+    df = spark.range(5).select(
+        F.lit("g").alias("g"), F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError, match=r"\[8, 65535\]"):
+        kll.sketch_kll_with_k(df, ["g"], "v", k=4)
