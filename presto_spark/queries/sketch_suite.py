@@ -620,7 +620,7 @@ def sketch_khll_privacy_audit(spark, sf_dir):
 
 _THETA_EXACT_ORACLE = """
 WITH v AS (
-  SELECT DISTINCT o_orderpriority AS g, o_custkey AS v FROM orders
+  SELECT DISTINCT o_orderpriority AS g, o_custkey % 2000 AS v FROM orders
 ),
 n AS (SELECT g, count(*) AS nd FROM v GROUP BY g),
 pairs AS (SELECT a.g AS pa, b.g AS pb FROM n a JOIN n b ON a.g < b.g),
@@ -653,8 +653,9 @@ ORDER BY pa, pb
         "exact regime (theta=1: the retained set IS the set — "
         "ThetaSketchAggregationFunction.java builds, "
         "ThetaSketchFunctions.java:39 estimates). Sketches per "
-        "o_orderpriority over o_custkey at k=4096 (> every group's "
-        "cardinality): every pairwise estimate and set operation must "
+        "o_orderpriority over o_custkey%2000 at k=4096 (the bounded "
+        "domain keeps every group exact at every SF): every pairwise "
+        "estimate and set operation must "
         "equal DuckDB's exact distinct/overlap counts. merge_ok "
         "asserts the union rollup of (priority, orderstatus) partials "
         "reproduces the directly-built sketch exactly (the "
@@ -665,10 +666,11 @@ def sketch_theta_exact_ops(spark, sf_dir):
     prepare(spark, sf_dir)
     from presto_spark.operators import theta
 
-    orders = spark.table("orders")
-    dig = theta.sketch_theta(orders, ["o_orderpriority"], "o_custkey", k=4096)
+    orders = spark.table("orders").withColumn(
+        "__v", F.col("o_custkey") % 2000)
+    dig = theta.sketch_theta(orders, ["o_orderpriority"], "__v", k=4096)
     partials = theta.sketch_theta(
-        orders, ["o_orderpriority", "o_orderstatus"], "o_custkey", k=4096)
+        orders, ["o_orderpriority", "o_orderstatus"], "__v", k=4096)
     merged = theta.merge_theta_sketches(
         partials, ["o_orderpriority"], "sketch")
     merge_ok_df = (
