@@ -503,6 +503,12 @@ _MACROS: dict[str, tuple[int, object]] = {
     "any_match": (2, lambda a: f"exists(({a[0]}), {a[1]})"),
     "none_match": (2, lambda a: f"(NOT exists(({a[0]}), {a[1]}))"),
     "find_first": (2, lambda a: f"element_at(filter(({a[0]}), {a[1]}), 1)"),
+    # find_first_index (ArrayFindFirstIndexFunction area): 1-based index
+    # of the first match; Presto returns NULL when nothing matches —
+    # array_position's 0-if-absent maps through nullif.
+    "find_first_index": (
+        2, lambda a: (f"nullif(array_position(transform(({a[0]}), {a[1]}), "
+                      f"true), 0)")),
     # regexp_split(s, re) (JoniRegexpFunctions.java) → Spark split, with
     # an explicit -1 limit (same semantics as 2-arg) marking the pattern
     # as a REGEX so _build_split never literal-quotes it.

@@ -274,6 +274,23 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
         "a ARRAY<BIGINT>", "ARRAY<BIGINT>",
         "filter(a, x -> x IS NOT NULL)",
         "ArraySqlFunctions.java removeNulls"),
+    "multimap_from_entries": (
+        "entries ARRAY<STRUCT<k: STRING, v: BIGINT>>",
+        "MAP<STRING, ARRAY<BIGINT>>",
+        """map_from_arrays(
+             array_distinct(transform(entries, e -> e.k)),
+             transform(array_distinct(transform(entries, e -> e.k)),
+                       kk -> transform(filter(entries, e -> e.k <=> kk),
+                                       e -> e.v)))""",
+        "MultimapFromEntriesFunction.java (first-seen key order; "
+        "O(k²) over one row's entry array)"),
+    "key_sampling_percent": (
+        "input STRING", "DOUBLE",
+        "pmod(xxhash64(CAST(input AS BINARY)), 100) / 100.0",
+        "presto-sql-helpers SimpleSamplingPercent.java (hash-keyed "
+        "sampling bucket in [0,1); hash is engine-specific — Spark "
+        "xxhash64 vs the reference's ieee754-reinterpreted xxhash — "
+        "pinned payload deviation, uniform-bucket semantics match)"),
     "array_sort_desc": (
         "a ARRAY<BIGINT>", "ARRAY<BIGINT>",
         """concat(reverse(array_sort(filter(a, x -> x IS NOT NULL))),

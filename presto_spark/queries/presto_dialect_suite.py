@@ -655,3 +655,68 @@ _presto_sql(
         "renders via strftime/C formats and per-codepoint UTF-16BE hex.",
     tags=("dialect", "functions", "teradata"),
 )
+
+
+_presto_sql(
+    "presto_dialect_sql_invoked_suite3",
+    # --- Presto dialect ---
+    """
+    WITH t AS (
+      SELECT n_nationkey,
+             ARRAY[(lower(n_name), n_nationkey + 0),
+                   (upper(n_name), n_nationkey + 1),
+                   (lower(n_name), n_nationkey + 2)] AS entries,
+             ARRAY[n_regionkey, n_nationkey, n_regionkey + 10] AS arr
+      FROM nation
+    )
+    SELECT n_nationkey,
+           array_join(array_sort(transform(
+               map_entries(multimap_from_entries(entries)),
+               e -> concat(e.key, '=', array_join(transform(e.value,
+                           x -> cast(x AS VARCHAR)), '+')))), ',') AS mm_str,
+           find_first_index(arr, x -> x > n_nationkey) AS ffi,
+           find_first_index(arr, x -> x > 1000) AS ffi_none,
+           key_sampling_percent(cast(n_nationkey AS VARCHAR)) >= 0.0
+             AND key_sampling_percent(cast(n_nationkey AS VARCHAR)) < 1.0
+             AS ksp_ok
+    FROM t
+    ORDER BY n_nationkey
+    """,
+    # --- DuckDB oracle (independent derivation: first-seen key
+    # grouping replayed with list_sort over distinct keys in entry
+    # order; find_first_index as the min matching position) ---
+    """
+    WITH t AS (
+      SELECT n_nationkey,
+             [struct_pack(k := lower(n_name), v := n_nationkey + 0),
+              struct_pack(k := upper(n_name), v := n_nationkey + 1),
+              struct_pack(k := lower(n_name), v := n_nationkey + 2)] AS entries,
+             [n_regionkey, n_nationkey, n_regionkey + 10] AS arr
+      FROM nation
+    ),
+    ks AS (
+      SELECT n_nationkey,
+             list_distinct(list_transform(entries, e -> e.k)) AS dk
+      FROM t
+    )
+    SELECT t.n_nationkey,
+           array_to_string(list_sort(list_transform(ks.dk,
+             kk -> concat(kk, '=', array_to_string(
+               list_transform(list_filter(t.entries, e -> e.k = kk),
+                              e -> CAST(e.v AS VARCHAR)), '+')))), ',')
+             AS mm_str,
+           (SELECT min(i) FROM unnest(generate_series(1, len(t.arr))) s(i)
+            WHERE t.arr[i] > t.n_nationkey) AS ffi,
+           CAST(NULL AS BIGINT) AS ffi_none,
+           true AS ksp_ok
+    FROM t JOIN ks ON ks.n_nationkey = t.n_nationkey
+    ORDER BY t.n_nationkey
+    """,
+    doc="SQL-invoked plugin tail: multimap_from_entries "
+        "(MultimapFromEntriesFunction.java; entry strings sorted — "
+        "map order is unasserted), "
+        "find_first_index (NULL when no match), key_sampling_percent "
+        "(SimpleSamplingPercent.java, hash-bucket range property) — "
+        "Presto ROW literals and lambdas through translate().",
+    tags=("functions", "dialect"),
+)

@@ -845,3 +845,86 @@ def sketch_kll_exact_ops(spark, sf_dir):
         .crossJoin(F.broadcast(merge_ok_df))
         .orderBy("g")
     )
+
+
+_TDIGEST_EXACT_ORACLE = """
+WITH src AS (
+  SELECT o_orderpriority AS g,
+         CAST(o_custkey % 400 AS DOUBLE) AS v
+  FROM orders WHERE o_orderkey % 97 = 0
+),
+r AS (
+  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS i,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM src
+),
+t AS (
+  SELECT g, max(n) AS n,
+         sum(v * greatest(0.0, least(CAST(i AS DOUBLE), 0.75 * n)
+                          - greatest(CAST(i - 1 AS DOUBLE), 0.25 * n)))
+           / sum(greatest(0.0, least(CAST(i AS DOUBLE), 0.75 * n)
+                          - greatest(CAST(i - 1 AS DOUBLE), 0.25 * n)))
+           AS tm
+  FROM r GROUP BY g
+),
+s AS (
+  SELECT g, list(v ORDER BY v) AS xs, count(*) AS n FROM src GROUP BY g
+)
+SELECT s.g AS g,
+       xs[greatest(1, CAST(ceil(0.50 * s.n) AS BIGINT))] AS q50,
+       xs[greatest(1, CAST(ceil(0.90 * s.n) AS BIGINT))] AS q90,
+       xs[greatest(1, CAST(ceil(0.25 * s.n) AS BIGINT))] AS q25_arr,
+       CASE WHEN 200.0 BETWEEN xs[1] AND xs[CAST(s.n AS BIGINT)] THEN
+         (SELECT count(*) FROM src x WHERE x.g = s.g AND x.v <= 200.0)
+           / CAST(s.n AS DOUBLE) END AS rank_200,
+       format('{:.6f}', t.tm) AS trimmed_mid,
+       true AS scale_ok
+FROM s JOIN t ON t.g = s.g
+ORDER BY g
+"""
+
+
+@register(
+    "sketch_tdigest_exact_ops",
+    oracle=_TDIGEST_EXACT_ORACLE,
+    doc="tdigest_agg / value_at_quantile / values_at_quantiles / "
+        "quantile_at_value / trimmed_mean / scale_tdigest in the exact "
+        "regime (TDigestFunctions.java:55-152; operators/tdigest.py "
+        "over the qsketch coreset). DuckDB replays the order "
+        "statistics, the rank, and the weight-overlap trimmed mean "
+        "exactly; scale_ok asserts quantiles are invariant under "
+        "scale_tdigest(2.0).",
+    tags=("sketch", "agg", "tdigest"),
+)
+def sketch_tdigest_exact_ops(spark, sf_dir):
+    prepare(spark, sf_dir)
+    from presto_spark.operators import tdigest
+
+    src = (
+        spark.table("orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            F.col("o_orderpriority").alias("g"),
+            (F.col("o_custkey") % 400).cast("double").alias("v"),
+        )
+    )
+    sk = tdigest.tdigest_agg(src, ["g"], "v", compression=2048)
+    vs, ws = F.col("vs"), F.col("ws")
+    scaled_ws = tdigest.scale_tdigest(ws, 2.0)
+    return sk.select(
+        "g",
+        tdigest.value_at_quantile(vs, ws, 0.50).alias("q50"),
+        tdigest.value_at_quantile(vs, ws, 0.90).alias("q90"),
+        tdigest.values_at_quantiles(
+            vs, ws, F.array(F.lit(0.25)))[0].alias("q25_arr"),
+        tdigest.quantile_at_value(vs, ws, 200.0).alias("rank_200"),
+        F.format_string(
+            "%.6f", tdigest.trimmed_mean(vs, ws, 0.25, 0.75)
+        ).alias("trimmed_mid"),
+        (
+            (tdigest.value_at_quantile(vs, scaled_ws, 0.50)
+             == tdigest.value_at_quantile(vs, ws, 0.50))
+            & (tdigest.value_at_quantile(vs, scaled_ws, 0.90)
+               == tdigest.value_at_quantile(vs, ws, 0.90))
+        ).alias("scale_ok"),
+    ).orderBy("g")

@@ -509,3 +509,45 @@ def test_kll_with_k_bounds(spark):
         F.lit("g").alias("g"), F.col("id").cast("double").alias("v"))
     with pytest.raises(ValueError, match=r"\[8, 65535\]"):
         kll.sketch_kll_with_k(df, ["g"], "v", k=4)
+
+
+# ---- T-Digest surface (operators/tdigest.py;
+# TDigestFunctions.java:55-152) ----
+
+def test_tdigest_scalars_exact_regime(spark):
+    from presto_spark.operators import tdigest as TD
+
+    df = spark.range(1, 101).select(
+        F.lit("g").alias("g"), F.col("id").cast("double").alias("v"))
+    sk = TD.tdigest_agg(df, ["g"], "v", compression=100)
+    vs, ws = F.col("vs"), F.col("ws")
+    row = sk.select(
+        TD.value_at_quantile(vs, ws, 0.5).alias("q50"),
+        TD.values_at_quantiles(
+            vs, ws, F.array(F.lit(0.1), F.lit(0.9))).alias("qs"),
+        TD.quantile_at_value(vs, ws, 25.0).alias("r25"),
+        TD.quantile_at_value(vs, ws, 1000.0).alias("r_oob"),
+        TD.trimmed_mean(vs, ws, 0.25, 0.75).alias("tm"),
+        TD.trimmed_mean(vs, ws, 0.0, 1.0).alias("tm_all"),
+        TD.value_at_quantile(vs, TD.scale_tdigest(ws, 3.0), 0.5)
+        .alias("q50_scaled"),
+    ).collect()[0]
+    assert row.q50 == 50.0
+    assert row.qs == [10.0, 90.0]
+    assert row.r25 == 0.25
+    assert row.r_oob is None  # outside [min, max] -> NULL (reference)
+    # mean of 26..75 = 50.5
+    assert row.tm == pytest.approx(50.5, rel=1e-12)
+    assert row.tm_all == pytest.approx(50.5, rel=1e-12)
+    assert row.q50_scaled == row.q50  # quantiles scale-invariant
+
+
+def test_tdigest_scale_negative_is_null(spark):
+    from presto_spark.operators import tdigest as TD
+
+    df = spark.range(1, 11).select(
+        F.lit("g").alias("g"), F.col("id").cast("double").alias("v"))
+    sk = TD.tdigest_agg(df, ["g"], "v")
+    row = sk.select(
+        TD.scale_tdigest(F.col("ws"), -1.0).alias("s")).collect()[0]
+    assert row.s is None
