@@ -44,20 +44,28 @@ DEFAULT_K = 200  # DataSketches KLL default k (sketch.rst sketch_kll)
 
 
 def sketch_kll(
-    df: DataFrame, group_cols: list[str], value_col: str
+    df: DataFrame, group_cols: list[str], value_col: str,
+    n_shards: int = 32,
 ) -> DataFrame:
-    """sketch_kll(x) aggregate (sketch.rst:45) — default k."""
-    return quantile_sketch_agg(df, group_cols, value_col, k=DEFAULT_K)
+    """sketch_kll(x) aggregate (sketch.rst:45) — default k.
+
+    ``n_shards`` caps the per-pandas-batch row count at
+    |group|/n_shards (qsketch two-level shape); lower it for
+    small-group workloads where shard overhead dominates."""
+    return quantile_sketch_agg(df, group_cols, value_col, k=DEFAULT_K,
+                               n_shards=n_shards)
 
 
 def sketch_kll_with_k(
-    df: DataFrame, group_cols: list[str], value_col: str, k: int
+    df: DataFrame, group_cols: list[str], value_col: str, k: int,
+    n_shards: int = 32,
 ) -> DataFrame:
     """sketch_kll_with_k(x, k) aggregate (sketch.rst:50); k in
     [8, 65535] per the reference contract."""
     if not 8 <= k <= 65535:
         raise ValueError("k must be in [8, 65535]")
-    return quantile_sketch_agg(df, group_cols, value_col, k=k)
+    return quantile_sketch_agg(df, group_cols, value_col, k=k,
+                               n_shards=n_shards)
 
 
 def merge_kll(df: DataFrame, group_cols: list[str],

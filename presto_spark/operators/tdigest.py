@@ -56,11 +56,12 @@ def tdigest_agg(
     group_cols: list[str],
     value_col: str,
     compression: int = DEFAULT_COMPRESSION,
+    n_shards: int = 32,
 ) -> DataFrame:
     """tdigest_agg(x[, w, compression]) (TDigestAggregationFunction
     .java).  Coreset size k = 4·compression ≈ centroid budget."""
     return quantile_sketch_agg(df, group_cols, value_col,
-                               k=4 * compression)
+                               k=4 * compression, n_shards=n_shards)
 
 
 def merge_tdigest(

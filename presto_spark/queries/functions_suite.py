@@ -528,7 +528,7 @@ ORDER BY g
         "the bucket convention (FixedHistogramUtils.java:28-37), so "
         "DuckDB replays the exact estimator; %.6f emission absorbs "
         "summation-order ulps.",
-    tags=("agg", "entropy"),
+    tags=("agg", "entropy", "bench"),
 )
 def agg_differential_entropy_histogram(spark, sf_dir):
     prepare(spark, sf_dir)

@@ -495,7 +495,7 @@ FROM e ORDER BY g
         "the hull (edge cross-product test), the hull stays inside "
         "the envelope union, and DuckDB replays the envelope "
         "dimensions exactly.",
-    tags=("geo", "agg"),
+    tags=("geo", "agg", "bench"),
 )
 def geo_aggregate_hulls(spark, sf_dir):
     prepare(spark, sf_dir)

@@ -739,7 +739,7 @@ ORDER BY g
         "bounds strategy per the reference's own envelope tests). "
         "summary_ok asserts sketch_theta_summary internal consistency "
         "(lower <= estimate <= upper, retained matches).",
-    tags=("sketch", "agg", "theta"),
+    tags=("sketch", "agg", "theta", "bench"),
 )
 def sketch_theta_estimate_envelope(spark, sf_dir):
     prepare(spark, sf_dir)
@@ -773,7 +773,7 @@ _KLL_EXACT_ORACLE = """
 WITH src AS (
   SELECT o_orderpriority AS g,
          CAST(o_custkey % 400 AS DOUBLE) AS v
-  FROM orders WHERE o_orderkey % 7 = 0
+  FROM orders WHERE o_orderkey % 37 = 0
 ),
 s AS (
   SELECT g, list(v ORDER BY v) AS xs, count(*) AS n FROM src GROUP BY g
@@ -809,16 +809,17 @@ def sketch_kll_exact_ops(spark, sf_dir):
 
     src = (
         spark.table("orders")
-        .filter(F.col("o_orderkey") % 7 == 0)
+        .filter(F.col("o_orderkey") % 37 == 0)
         .select(
             F.col("o_orderpriority").alias("g"),
             F.col("o_orderstatus").alias("st"),
             (F.col("o_custkey") % 400).cast("double").alias("v"),
         )
     )
-    direct = kll.sketch_kll_with_k(src, ["g"], "v", k=8192)
+    direct = kll.sketch_kll_with_k(src, ["g"], "v", k=8192, n_shards=4)
     merged = kll.merge_kll(
-        kll.sketch_kll_with_k(src, ["g", "st"], "v", k=8192).drop("st"),
+        kll.sketch_kll_with_k(src, ["g", "st"], "v", k=8192,
+                              n_shards=4).drop("st"),
         ["g"], k=8192)
     vs, ws = F.col("vs"), F.col("ws")
     merge_ok_df = (
@@ -908,7 +909,7 @@ def sketch_tdigest_exact_ops(spark, sf_dir):
             (F.col("o_custkey") % 400).cast("double").alias("v"),
         )
     )
-    sk = tdigest.tdigest_agg(src, ["g"], "v", compression=2048)
+    sk = tdigest.tdigest_agg(src, ["g"], "v", compression=2048, n_shards=4)
     vs, ws = F.col("vs"), F.col("ws")
     scaled_ws = tdigest.scale_tdigest(ws, 2.0)
     return sk.select(
