@@ -842,3 +842,111 @@ def geometry_from_geojson(json: Column) -> Column:
             ),
         )
     )
+
+
+# ---- envelope expansion / nearest points (GeoFunctions.java:906,954) -----
+
+def expand_envelope(geom: Column, distance: Column | float) -> Column:
+    """expand_envelope(geometry, d) (GeoFunctions.java:906): the
+    bounding box grown by ``d`` on every side, as a POLYGON.  Negative
+    distances yield NULL (expression-level spelling of the reference's
+    checkCondition)."""
+    d = distance if isinstance(distance, Column) else F.lit(float(distance))
+    x0, x1 = st_xmin(geom) - d, st_xmax(geom) + d
+    y0, y1 = st_ymin(geom) - d, st_ymax(geom) + d
+
+    def pt(x, y):
+        return F.struct(x.alias("x"), y.alias("y"))
+
+    ring = F.array(pt(x0, y0), pt(x1, y0), pt(x1, y1), pt(x0, y1),
+                   pt(x0, y0))
+    return F.when(
+        d >= 0,
+        F.struct(F.lit("POLYGON").alias("kind"),
+                 F.array(ring).alias("rings")),
+    )
+
+
+def _point_seg_nearest(px: Column, py: Column, p: Column, q: Column) -> Column:
+    """struct(d, x, y): the closest point on segment p→q to (px, py)
+    and its distance (degenerate p==q ok) — the projection-clamp core
+    of _point_seg_dist, keeping the foot point."""
+    dx, dy = q["x"] - p["x"], q["y"] - p["y"]
+    len2 = dx * dx + dy * dy
+    t_raw = ((px - p["x"]) * dx + (py - p["y"]) * dy) / len2
+    t = F.when(len2 == 0.0, F.lit(0.0)).otherwise(
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0), t_raw))
+    )
+    cx, cy = p["x"] + t * dx, p["y"] + t * dy
+    return F.struct(
+        F.sqrt((px - cx) * (px - cx) + (py - cy) * (py - cy)).alias("d"),
+        cx.alias("x"), cy.alias("y"),
+    )
+
+
+def geometry_nearest_points(a: Column, b: Column) -> Column:
+    """geometry_nearest_points(a, b) (GeoFunctions.java:954) →
+    struct<a: geometry, b: geometry> of POINTs realizing ST_Distance.
+
+    The closest approach of two disjoint segment sets is always at a
+    vertex of one set (same property st_distance relies on), so the
+    candidates are every vertex of A projected onto every segment of B
+    and vice versa; array_min over (d, ax, ay, bx, by) structs picks
+    the minimum with a deterministic coordinate tie-break.  Pinned
+    deviation: NULL for intersecting inputs (the reference returns a
+    coincident interior pair; without the overlay algebra the engine
+    cannot construct interior intersection points) and for kinds
+    outside the model — callers keep the invariant that the returned
+    pair's distance equals ST_Distance."""
+    ea, eb = _all_edges(a), _all_edges(b)
+    va = F.flatten(a["rings"])
+    vb = F.flatten(b["rings"])
+
+    def cand_a_to_b(p):
+        # a-side point fixed at vertex p; b-side is the foot on each edge
+        return F.transform(eb, lambda e: _near_pair(
+            p["x"], p["y"],
+            _point_seg_nearest(p["x"], p["y"], e["p"], e["q"])))
+
+    def cand_b_to_a(p):
+        return F.transform(ea, lambda e: _swap_pair(_near_pair(
+            p["x"], p["y"],
+            _point_seg_nearest(p["x"], p["y"], e["p"], e["q"]))))
+
+    cands = F.concat(
+        F.flatten(F.transform(va, cand_a_to_b)),
+        F.flatten(F.transform(vb, cand_b_to_a)),
+    )
+    best = F.array_min(cands)
+    supported = a["kind"].isin(*_SUPPORTED_KINDS) & b["kind"].isin(
+        *_SUPPORTED_KINDS)
+    mk = lambda x, y: F.struct(  # noqa: E731
+        F.lit("POINT").alias("kind"),
+        F.array(F.array(F.struct(x.alias("x"), y.alias("y")))).alias("rings"),
+    )
+    return F.when(
+        supported & ~st_intersects(a, b),
+        F.struct(
+            mk(best["ax"], best["ay"]).alias("a"),
+            mk(best["bx"], best["by"]).alias("b"),
+        ),
+    )
+
+
+def _near_pair(px: Column, py: Column, foot: Column) -> Column:
+    """(d, ax, ay, bx, by) candidate: a-side = the fixed vertex,
+    b-side = the projected foot point."""
+    return F.struct(
+        foot["d"].alias("d"),
+        px.alias("ax"), py.alias("ay"),
+        foot["x"].alias("bx"), foot["y"].alias("by"),
+    )
+
+
+def _swap_pair(c: Column) -> Column:
+    """Swap candidate sides (for B-vertex-onto-A-segment candidates)."""
+    return F.struct(
+        c["d"].alias("d"),
+        c["bx"].alias("ax"), c["by"].alias("ay"),
+        c["ax"].alias("bx"), c["ay"].alias("by"),
+    )

@@ -565,3 +565,82 @@ def geo_aggregate_hulls(spark, sf_dir):
         )
         .orderBy("g")
     )
+
+
+_NEAREST_ORACLE = """
+SELECT i, CAST(nearest_d AS DOUBLE) AS nearest_d, pa, pb,
+       CAST(expanded_area AS DOUBLE) AS expanded_area
+FROM (VALUES
+  (1, 2.0,  '0.0 0.0',  '2.0 0.0', 4.0),
+  (2, 2.0,  '1.0 0.0',  '3.0 0.0', 9.0),
+  (3, NULL, NULL,       NULL,      16.0),
+  (4, 5.0,  '0.0 0.0',  '3.0 4.0', 144.0)
+) AS v(i, nearest_d, pa, pb, expanded_area)
+ORDER BY i
+"""
+
+
+@register(
+    "geo_nearest_expand_golden",
+    oracle=_NEAREST_ORACLE,
+    doc="geometry_nearest_points + expand_envelope "
+        "(GeoFunctions.java:954,:906): hand-derived goldens — "
+        "point-to-segment foot, face-to-face polygons with the "
+        "deterministic coordinate tie-break, NULL for intersecting "
+        "inputs (pinned deviation, geo.py docstring), and a "
+        "vertex-to-vertex pair; expand_envelope checked via the "
+        "(w+2d)(h+2d) area identity.",
+    tags=("geo", "functions"),
+)
+def geo_nearest_expand_golden(spark, sf_dir):
+    prepare(spark, sf_dir)
+    cases = spark.createDataFrame(
+        [
+            (1, "POINT (0 0)", "LINESTRING (2 -1, 2 1)"),
+            (2, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+                "POLYGON ((3 0, 4 0, 4 1, 3 1, 3 0))"),
+            (3, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+                "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"),  # intersecting
+            (4, "MULTIPOINT ((0 0), (10 10))", "POINT (3 4)"),
+        ],
+        "i int, wa string, wb string",
+    )
+    # Exchange barrier between parse and the nearest-points algebra:
+    # every downstream reference to a parsed geometry would otherwise
+    # inline the whole WKT-parse expression tree (CollapseProject),
+    # and the candidate cross-products reference the geometry dozens
+    # of times — the *analysis-time* tree goes combinatorial (measured
+    # ~60 s of pure planning on 4 rows).  Behind the repartition the
+    # geometries are plain attributes.
+    parsed = cases.select(
+        "i",
+        geo.st_geometry_from_text(F.col("wa")).alias("ga"),
+        geo.st_geometry_from_text(F.col("wb")).alias("gb"),
+    ).repartition(2)
+    ga, gb = F.col("ga"), F.col("gb")
+    pt_txt = lambda g: F.when(  # noqa: E731
+        g.isNotNull(),
+        F.concat_ws(" ",
+                    F.format_string("%.1f", g["rings"][0][0]["x"]),
+                    F.format_string("%.1f", g["rings"][0][0]["y"])))
+    # Second barrier: np_pair / st_distance each appear once; the
+    # final projection works over plain attributes.
+    mid = parsed.select(
+        "i",
+        geo.geometry_nearest_points(ga, gb).alias("np"),
+        F.round(geo.st_distance(ga, gb), 9).alias("nearest_d_raw"),
+        geo.st_area(geo.expand_envelope(ga, 1.0)).alias("expanded_area"),
+    ).repartition(2)
+    np_col = F.col("np")
+    return mid.select(
+        "i",
+        "nearest_d_raw",
+        pt_txt(np_col["a"]).alias("pa"),
+        pt_txt(np_col["b"]).alias("pb"),
+        "expanded_area",
+    ).select(
+        "i",
+        F.when(F.col("pa").isNotNull(), F.col("nearest_d_raw"))
+        .alias("nearest_d"),
+        "pa", "pb", "expanded_area",
+    ).orderBy("i")

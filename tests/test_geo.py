@@ -428,3 +428,41 @@ def test_geometry_to_bing_tiles_envelope_cover(spark):
     ys = {t.y for t in row.ts}
     assert len(coords) == len(xs) * len(ys)
     assert all(t.z == 4 for t in row.ts)
+
+
+def test_expand_envelope_and_nearest_points(spark):
+    from presto_spark.functions import geo
+
+    df = spark.createDataFrame(
+        [("POINT (0 0)", "LINESTRING (2 -1, 2 1)")], "wa string, wb string"
+    ).select(
+        geo.st_geometry_from_text(F.col("wa")).alias("ga"),
+        geo.st_geometry_from_text(F.col("wb")).alias("gb"),
+    )
+    row = df.select(
+        geo.geometry_nearest_points(F.col("ga"), F.col("gb")).alias("np"),
+        geo.expand_envelope(F.col("ga"), 2.0).alias("env"),
+        geo.expand_envelope(F.col("ga"), -1.0).alias("env_neg"),
+    ).collect()[0]
+    assert (row.np.a.rings[0][0].x, row.np.a.rings[0][0].y) == (0.0, 0.0)
+    assert (row.np.b.rings[0][0].x, row.np.b.rings[0][0].y) == (2.0, 0.0)
+    xs = [p.x for p in row.env.rings[0]]
+    ys = [p.y for p in row.env.rings[0]]
+    assert (min(xs), max(xs), min(ys), max(ys)) == (-2.0, 2.0, -2.0, 2.0)
+    assert row.env_neg is None  # negative distance -> NULL (reference throw)
+
+
+def test_nearest_points_intersecting_is_null(spark):
+    from presto_spark.functions import geo
+
+    df = spark.createDataFrame(
+        [("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+          "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")], "wa string, wb string"
+    ).select(
+        geo.st_geometry_from_text(F.col("wa")).alias("ga"),
+        geo.st_geometry_from_text(F.col("wb")).alias("gb"),
+    )
+    row = df.select(
+        geo.geometry_nearest_points(
+            F.col("ga"), F.col("gb")).alias("np")).collect()[0]
+    assert row.np is None
