@@ -500,6 +500,16 @@ _MACROS: dict[str, tuple[int, object]] = {
     # out a SQL UDF, and Spark's forall/exists are the exact analogs —
     # the user's lambda text passes through verbatim.
     "all_match": (2, lambda a: f"forall(({a[0]}), {a[1]})"),
+    # Map-side lambda predicates (presto-sql-helpers MapSqlFunctions:
+    # any/all/no keys/values match) — lowered onto the key/value arrays.
+    "any_keys_match": (2, lambda a: f"exists(map_keys(({a[0]})), {a[1]})"),
+    "any_values_match": (
+        2, lambda a: f"exists(map_values(({a[0]})), {a[1]})"),
+    "all_keys_match": (2, lambda a: f"forall(map_keys(({a[0]})), {a[1]})"),
+    "no_keys_match": (
+        2, lambda a: f"(NOT exists(map_keys(({a[0]})), {a[1]}))"),
+    "no_values_match": (
+        2, lambda a: f"(NOT exists(map_values(({a[0]})), {a[1]}))"),
     "any_match": (2, lambda a: f"exists(({a[0]}), {a[1]})"),
     "none_match": (2, lambda a: f"(NOT exists(({a[0]}), {a[1]}))"),
     "find_first": (2, lambda a: f"element_at(filter(({a[0]}), {a[1]}), 1)"),

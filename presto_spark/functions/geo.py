@@ -950,3 +950,103 @@ def _swap_pair(c: Column) -> Column:
         c["bx"].alias("ax"), c["by"].alias("ay"),
         c["ax"].alias("bx"), c["ay"].alias("by"),
     )
+
+
+# ---- point-tier overlay algebra (GeoFunctions.java stBuffer/stUnion/
+# stIntersection/stDifference) --------------------------------------------
+
+_BUFFER_SEGS = 32
+
+
+def _covers_point(g: Column, x: Column, y: Column) -> Column:
+    """Does geometry ``g`` cover the point (x, y)?  POLYGON via the
+    even-odd rule; POINT/MULTIPOINT via vertex equality; LINESTRING via
+    zero distance to any segment."""
+    on_vertex = F.exists(
+        F.flatten(g["rings"]), lambda p: (p["x"] == x) & (p["y"] == y))
+    on_edge = F.exists(
+        _all_edges(g), lambda e: _point_seg_dist(x, y, e["p"], e["q"]) == 0.0)
+    return F.when(g["kind"] == "POLYGON", st_contains_point(g, x, y)) \
+        .when(g["kind"] == "LINESTRING", on_edge) \
+        .otherwise(on_vertex)
+
+
+def st_buffer(geom: Column, distance: Column | float) -> Column:
+    """ST_Buffer (GeoFunctions.java stBuffer) — POINT tier: a regular
+    32-gon disc of radius d (the polygonal circle approximation every
+    planar engine uses, vertex count pinned at 32).  d = 0 returns the
+    input; d < 0 or non-POINT kinds return NULL (general offsetting
+    needs the overlay algebra — pinned out of scope with it)."""
+    d = distance if isinstance(distance, Column) else F.lit(float(distance))
+    cx, cy = st_x(geom), st_y(geom)
+    import math as _m
+    ring = F.transform(
+        F.sequence(F.lit(0), F.lit(_BUFFER_SEGS)),
+        lambda i: F.struct(
+            (cx + d * F.cos(i.cast("double")
+                            * (2.0 * _m.pi / _BUFFER_SEGS))).alias("x"),
+            (cy + d * F.sin(i.cast("double")
+                            * (2.0 * _m.pi / _BUFFER_SEGS))).alias("y"),
+        ),
+    )
+    return F.when(d == 0, geom).when(
+        (geom["kind"] == "POINT") & (d > 0),
+        F.struct(F.lit("POLYGON").alias("kind"),
+                 F.array(ring).alias("rings")),
+    )
+
+
+def _points_geometry(pts: Column) -> Column:
+    """Distinct vertex array → POINT / MULTIPOINT geometry (NULL when
+    empty — the struct model has no empty-geometry value, pinned)."""
+    dedup = F.array_distinct(pts)
+    return F.when(
+        F.size(dedup) == 1,
+        F.struct(F.lit("POINT").alias("kind"),
+                 F.array(dedup).alias("rings")),
+    ).when(
+        F.size(dedup) > 1,
+        F.struct(
+            F.lit("MULTIPOINT").alias("kind"),
+            F.transform(dedup, lambda p: F.array(p)).alias("rings"),
+        ),
+    )
+
+
+def st_union(a: Column, b: Column) -> Column:
+    """ST_Union (GeoFunctions.java stUnion) — point tier: the distinct
+    vertex union of two POINT/MULTIPOINT inputs.  Other kind
+    combinations return NULL (polygon/line union is the overlay
+    algebra, pinned out of scope; envelope_union_agg and
+    convex_hull_agg in operators/geo_agg.py are the aggregate-shaped
+    alternatives)."""
+    pointish = a["kind"].isin("POINT", "MULTIPOINT") & b["kind"].isin(
+        "POINT", "MULTIPOINT")
+    return F.when(
+        pointish,
+        _points_geometry(
+            F.concat(F.flatten(a["rings"]), F.flatten(b["rings"]))),
+    )
+
+
+def st_intersection(a: Column, b: Column) -> Column:
+    """ST_Intersection (GeoFunctions.java stIntersection) — point
+    tier: the vertices of a POINT/MULTIPOINT ``a`` covered by ``b``
+    (any supported kind).  NULL for an empty result or non-point ``a``
+    (pinned with the overlay algebra)."""
+    pointish = a["kind"].isin("POINT", "MULTIPOINT") & b["kind"].isin(
+        *_SUPPORTED_KINDS)
+    kept = F.filter(
+        F.flatten(a["rings"]), lambda p: _covers_point(b, p["x"], p["y"]))
+    return F.when(pointish, _points_geometry(kept))
+
+
+def st_difference(a: Column, b: Column) -> Column:
+    """ST_Difference (GeoFunctions.java stDifference) — point tier:
+    the vertices of a POINT/MULTIPOINT ``a`` NOT covered by ``b``."""
+    pointish = a["kind"].isin("POINT", "MULTIPOINT") & b["kind"].isin(
+        *_SUPPORTED_KINDS)
+    kept = F.filter(
+        F.flatten(a["rings"]),
+        lambda p: ~_covers_point(b, p["x"], p["y"]))
+    return F.when(pointish, _points_geometry(kept))

@@ -644,3 +644,51 @@ def geo_nearest_expand_golden(spark, sf_dir):
         .alias("nearest_d"),
         "pa", "pb", "expanded_area",
     ).orderBy("i")
+
+
+@register(
+    "geo_overlay_point_tier_golden",
+    oracle="""
+SELECT 1 AS i,
+       '2.0 2.0' AS inter_pt,
+       CAST(2 AS BIGINT) AS diff_n,
+       CAST(4 AS BIGINT) AS union_n,
+       format('{:.4f}', 16.0 * 4.0 * sin(pi() / 16.0)) AS buf_area,
+       true AS buf_contains_center
+""",
+    doc="Point-tier overlay algebra (GeoFunctions.java stUnion/"
+        "stIntersection/stDifference/stBuffer; geo.py pinned tiers): "
+        "MULTIPOINT x POLYGON intersection/difference, MULTIPOINT "
+        "union dedup, and the radius-2 32-gon disc whose area DuckDB "
+        "replays from the closed form (N/2)r^2 sin(2pi/N).",
+    tags=("geo", "functions"),
+)
+def geo_overlay_point_tier_golden(spark, sf_dir):
+    prepare(spark, sf_dir)
+    src = spark.createDataFrame(
+        [("MULTIPOINT ((0 0), (5 5), (2 2))",
+          "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))",
+          "MULTIPOINT ((0 0), (9 9))")],
+        "wa string, wb string, wc string",
+    ).select(
+        geo.st_geometry_from_text(F.col("wa")).alias("ga"),
+        geo.st_geometry_from_text(F.col("wb")).alias("gb"),
+        geo.st_geometry_from_text(F.col("wc")).alias("gc"),
+    ).repartition(1)
+    ga, gb, gc = F.col("ga"), F.col("gb"), F.col("gc")
+    disc = geo.st_buffer(geo.st_point(F.lit(0.0), F.lit(0.0)), 2.0)
+    inter = geo.st_intersection(ga, gb)
+    return src.select(
+        F.lit(1).alias("i"),
+        F.concat_ws(
+            " ",
+            F.format_string("%.1f", inter["rings"][0][0]["x"]),
+            F.format_string("%.1f", inter["rings"][0][0]["y"]),
+        ).alias("inter_pt"),
+        F.size(geo.st_difference(ga, gb)["rings"]).cast("long")
+        .alias("diff_n"),
+        F.size(geo.st_union(ga, gc)["rings"]).cast("long").alias("union_n"),
+        F.format_string("%.4f", geo.st_area(disc)).alias("buf_area"),
+        geo.st_contains(disc, geo.st_point(F.lit(0.1), F.lit(0.1)))
+        .alias("buf_contains_center"),
+    )

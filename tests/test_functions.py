@@ -633,3 +633,23 @@ def test_from_ieee754_wrong_length_raises(spark):
     with pytest.raises(Exception, match="exactly 8 bytes"):
         spark.sql(
             "SELECT from_ieee754_64(encode('abc', 'UTF-8'))").collect()
+
+
+def test_map_lambda_predicates_through_engine(spark):
+    """any/all/no keys/values match (presto-sql-helpers
+    MapSqlFunctions) lower onto map_keys/map_values + exists/forall."""
+    from presto_spark.engine import Engine
+
+    eng = Engine(spark)
+    row = eng.sql(
+        "SELECT any_keys_match(map(ARRAY['ab', 'cde'], ARRAY[1, 2]), "
+        "  k -> length(k) > 2) AS akm, "
+        "all_keys_match(map(ARRAY['ab', 'cde'], ARRAY[1, 2]), "
+        "  k -> length(k) > 1) AS alkm, "
+        "no_keys_match(map(ARRAY['ab', 'cde'], ARRAY[1, 2]), "
+        "  k -> k = 'zz') AS nkm, "
+        "any_values_match(map(ARRAY['a'], ARRAY[7]), x -> x = 7) AS avm, "
+        "no_values_match(map(ARRAY['a'], ARRAY[7]), x -> x > 10) AS nvm"
+    ).collect()[0]
+    assert (row.akm, row.alkm, row.nkm, row.avm, row.nvm) == (
+        True, True, True, True, True)

@@ -466,3 +466,38 @@ def test_nearest_points_intersecting_is_null(spark):
         geo.geometry_nearest_points(
             F.col("ga"), F.col("gb")).alias("np")).collect()[0]
     assert row.np is None
+
+
+def test_point_tier_overlay_functions(spark):
+    from presto_spark.functions import geo
+
+    df = spark.createDataFrame(
+        [("MULTIPOINT ((0 0), (5 5), (2 2))",
+          "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))",
+          "MULTIPOINT ((0 0), (9 9))")],
+        "wa string, wb string, wc string",
+    ).select(
+        geo.st_geometry_from_text(F.col("wa")).alias("ga"),
+        geo.st_geometry_from_text(F.col("wb")).alias("gb"),
+        geo.st_geometry_from_text(F.col("wc")).alias("gc"),
+    )
+    row = df.select(
+        geo.st_intersection(F.col("ga"), F.col("gb")).alias("inter"),
+        geo.st_difference(F.col("ga"), F.col("gb")).alias("diff"),
+        geo.st_union(F.col("ga"), F.col("gc")).alias("uni"),
+        geo.st_union(F.col("gb"), F.col("ga")).alias("uni_poly"),
+        geo.st_area(geo.st_buffer(
+            geo.st_point(F.lit(0.0), F.lit(0.0)), 2.0)).alias("disc_area"),
+        geo.st_buffer(F.col("gb"), 1.0).alias("buf_poly"),
+    ).collect()[0]
+    # (2,2) is inside the polygon; (0,0) and (5,5) are not
+    assert row.inter.kind == "POINT"
+    assert (row.inter.rings[0][0].x, row.inter.rings[0][0].y) == (2.0, 2.0)
+    assert row.diff.kind == "MULTIPOINT" and len(row.diff.rings) == 2
+    # union dedups (0,0): 3 + 2 - 1 = 4 distinct points
+    assert row.uni.kind == "MULTIPOINT" and len(row.uni.rings) == 4
+    assert row.uni_poly is None  # polygon union -> NULL (pinned tier)
+    assert row.buf_poly is None  # polygon buffer -> NULL (pinned tier)
+    # 32-gon area ~ pi*r^2 within the chord-sagitta deficit (<1%)
+    import math
+    assert abs(row.disc_area - math.pi * 4.0) / (math.pi * 4.0) < 0.01
