@@ -30,9 +30,10 @@ from presto_spark.queries import geo_suite  # noqa: F401,E402
 # emission for the two hash flakes) and needing green re-rows; the 8
 # queries written in round 6 (theta sketches ×2, reservoir sample,
 # differential entropy ×2, the binary tail, geometry aggregates, KLL);
-# and the 35 stalest rows — all last checked in round 1 — so re-check
+# and the 33 stalest rows — all last checked in round 1 — so re-check
 # debt stops accumulating at the old end of the registry (r5 verdict
-# #9).  The 7 remaining r1-stale rows (subquery_correlated_scalar,
+# #9).  The 9 remaining r1-stale rows (sort_nulls_ordering,
+# subquery_scalar_uncorrelated, subquery_correlated_scalar,
 # subquery_in_uncorrelated, values_inline_table,
 # analytics_market_basket, sample_bernoulli_envelope,
 # lateral_top_orders_per_nation, window_groups_frame_emulation) lead
@@ -42,7 +43,7 @@ _DRIVER_FRONT = [
     "presto_dialect_unnest_ordinality",
     "agg_misc_suite",
     "fn_decimal_cast_suite",
-    # 12 new round-6 queries (never driver-checked by construction)
+    # 14 new round-6 queries (never driver-checked by construction)
     "sketch_theta_exact_ops",
     "sketch_theta_estimate_envelope",
     "sketch_kll_exact_ops",
@@ -55,7 +56,9 @@ _DRIVER_FRONT = [
     "presto_dialect_sql_invoked_suite3",
     "geo_nearest_expand_golden",
     "geo_overlay_point_tier_golden",
-    # 35 stalest rows (last driver row: round 1)
+    "tpcds_q23_frequent_items_best_customers",
+    "tpcds_q78_channel_ratio",
+    # 33 stalest rows (last driver row: round 1)
     "q02_minimum_cost_supplier",
     "q10_returned_items",
     "q11_important_stock",
@@ -89,8 +92,6 @@ _DRIVER_FRONT = [
     "unnest_multi_array_zip",
     "sort_limit_offset",
     "distinct_limit",
-    "sort_nulls_ordering",
-    "subquery_scalar_uncorrelated",
 ]
 
 

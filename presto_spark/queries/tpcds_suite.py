@@ -597,3 +597,77 @@ sql_query(
         "dimension; avg computed as exact-decimal sum / count.",
     tags=("tpcds",),
 )
+
+# q23 shape: two reused CTEs (frequent items x best customers) feeding
+# a final restricted-sales aggregate.
+sql_query(
+    "tpcds_q23_frequent_items_best_customers",
+    """
+    WITH frequent_parts AS (
+      SELECT l_partkey
+      FROM lineitem
+      GROUP BY l_partkey
+      HAVING count(*) >= 4
+    ),
+    spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS total_spend
+      FROM orders GROUP BY o_custkey
+    ),
+    best_customers AS (
+      SELECT o_custkey FROM spend
+      WHERE total_spend > (SELECT avg(total_spend) FROM spend)
+    )
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_lines,
+      CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+      CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE)
+        AS restricted_revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_partkey IN (SELECT l_partkey FROM frequent_parts)
+      AND o.o_custkey IN (SELECT o_custkey FROM best_customers)
+    """,
+    doc="TPC-DS q23 shape: frequent-item and best-customer CTEs (one "
+        "with a scalar-subquery threshold over its own sibling CTE) "
+        "restricting a fact-table aggregate — the multi-CTE semi-join "
+        "reuse pattern (reference tpcds/q23.sql; CTE materialization "
+        "SURVEY §2.9).",
+    tags=("tpcds",),
+)
+
+# q78 shape: per-key channel split with a NULLIF-guarded ratio and a
+# ratio-ordered top slice.
+sql_query(
+    "tpcds_q78_channel_ratio",
+    """
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(sum(CASE WHEN l_returnflag = 'R'
+                           THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+               AS returned_rev,
+             CAST(sum(CASE WHEN l_returnflag <> 'R'
+                           THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+               AS kept_rev,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem
+      GROUP BY l_partkey
+      HAVING count(*) >= 8
+    )
+    SELECT l_partkey, n, returned_rev, kept_rev,
+           round(returned_rev / nullif(kept_rev, 0.0), 6) AS return_ratio
+    FROM per_part
+    WHERE kept_rev > 0
+    ORDER BY return_ratio DESC, l_partkey
+    LIMIT 25
+    """,
+    doc="TPC-DS q78 shape: one scan split into channel aggregates per "
+        "key, NULLIF-guarded cross-channel ratio, ratio-ordered top "
+        "slice (reference tpcds/q78.sql) — map-side conditional "
+        "partials, single shuffle, TopN sort.",
+    tags=("tpcds",),
+)
