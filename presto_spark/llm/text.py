@@ -207,3 +207,108 @@ def normalize_nfc(df: DataFrame, text_col: str = "text",
     from presto_spark.llm._pandas_udfs import nfc_normalize_udf
 
     return df.withColumn(out_col, nfc_normalize_udf(F.col(text_col)))
+
+
+# ---- repetition filters (training-data quality; the duplicate-text
+# heuristics popularized by the Gopher/MassiveText data-prep recipe:
+# Rae et al. 2021, "Scaling Language Models", appendix A1.1) ----------------
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition signals: duplicate-line fraction,
+    duplicate-word fraction, and top-bigram coverage.
+
+    * ``dup_line_frac`` — 1 − distinct(lines)/lines (newline-split,
+      trimmed, empties dropped).
+    * ``dup_word_frac`` — 1 − distinct(words)/words.
+    * ``top_bigram_frac`` — occurrences of the most frequent word
+      bigram over total bigrams.
+
+    The line/word fractions are pure Column expressions.  The bigram
+    mode is the one signal that needs grouping, and doing it per-row
+    would be O(words²); instead bigrams explode to (doc, bigram) rows
+    and aggregate — map-side combinable, shuffle keyed on the doc id:
+    the shape that survives a 100 TB corpus (same discipline as
+    vocabulary()).  Filter downstream with the caller's thresholds
+    (the recipe uses dup_line ≤ 0.30, top_bigram ≤ 0.18).
+    """
+    words = tokens(F.col(text_col))
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), F.trim),
+        lambda s: s != "",
+    )
+    frac = lambda arr: F.when(  # noqa: E731
+        F.size(arr) > 0,
+        1.0 - F.size(F.array_distinct(arr)).cast("double")
+        / F.size(arr).cast("double"),
+    ).otherwise(F.lit(0.0))
+    base = df.select(
+        id_col,
+        frac(lines).alias("dup_line_frac"),
+        frac(words).alias("dup_word_frac"),
+        F.greatest(F.size(words) - 1, F.lit(0)).alias("__nbi"),
+    )
+    bigrams = df.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+                F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("__bg"),
+    )
+    top = (
+        bigrams.groupBy(id_col, "__bg").agg(F.count("*").alias("__c"))
+        .groupBy(id_col).agg(F.max("__c").alias("__top"))
+    )
+    return (
+        base.join(top, id_col, "left")
+        .select(
+            id_col, "dup_line_frac", "dup_word_frac",
+            F.when(
+                F.col("__nbi") > 0,
+                F.coalesce(F.col("__top"), F.lit(0)).cast("double")
+                / F.col("__nbi").cast("double"),
+            ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )
+
+
+# ---- PII redaction (training-data hygiene) --------------------------------
+
+_PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    # order matters: emails before bare domains, SSN before phone so the
+    # dashed 9-digit shape is not half-eaten by the phone rule.
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    (r"(?:\b(?:\+?\d{1,2}[ .-])?\d{3}|\(\d{3}\))[ .-]?\d{3}[ .-]?\d{4}\b",
+     "[PHONE]"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Chained regexp_replace over the standard PII shapes (emails,
+    SSNs, NANP phone numbers, IPv4 literals) — pure codegen expression
+    work, zero shuffle; patterns are the widely-published corpus-
+    scrubbing defaults, each replaced with a typed placeholder token so
+    downstream tokenization stays stable."""
+    out = col
+    for pat, tag in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def pii_stats(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII hit counts by category + the redacted text —
+    the audit-then-scrub pair a corpus pipeline runs before training."""
+    cols = [F.col(id_col)]
+    for pat, tag in _PII_PATTERNS:
+        name = tag.strip("[]").lower() + "_hits"
+        cols.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+                   ).cast("long").alias(name))
+    cols.append(redact_pii(F.col(text_col)).alias("redacted"))
+    return df.select(*cols)

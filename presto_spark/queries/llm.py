@@ -875,3 +875,145 @@ def llm_embedding_near_dup_lsh(spark, sf_dir):
         [(recall >= 0.35, n_hit == n_approx)],
         "recall_ok boolean, no_false_positives boolean",
     )
+
+
+_REPETITION_ORACLE = """
+WITH src AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+),
+w AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\\s+') AS words,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    s -> trim(s)), s -> s <> '') AS lines
+  FROM src
+),
+base AS (
+  SELECT doc_id,
+         CASE WHEN len(lines) > 0
+              THEN 1.0 - len(list_distinct(lines))::DOUBLE / len(lines)
+              ELSE 0.0 END AS dup_line_frac,
+         CASE WHEN len(words) > 0
+              THEN 1.0 - len(list_distinct(words))::DOUBLE / len(words)
+              ELSE 0.0 END AS dup_word_frac,
+         greatest(len(words) - 1, 0) AS nbi,
+         words
+  FROM w
+),
+bg AS (
+  SELECT b.doc_id,
+         b.words[i.i] || ' ' || b.words[i.i + 1] AS g
+  FROM base b, unnest(range(1, b.nbi + 1)) AS i(i)
+),
+top AS (
+  SELECT doc_id, max(c) AS topc FROM (
+    SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id,
+       format('{:.6f}', b.dup_line_frac) AS dup_line_frac,
+       format('{:.6f}', b.dup_word_frac) AS dup_word_frac,
+       format('{:.6f}', CASE WHEN b.nbi > 0
+              THEN coalesce(top.topc, 0)::DOUBLE / b.nbi
+              ELSE 0.0 END) AS top_bigram_frac
+FROM base b LEFT JOIN top ON top.doc_id = b.doc_id
+ORDER BY b.doc_id
+"""
+
+
+@register(
+    "llm_repetition_filters",
+    oracle=_REPETITION_ORACLE,
+    doc="Gopher-recipe repetition signals per document (Rae et al. "
+        "2021 A1.1): duplicate-line fraction, duplicate-word fraction, "
+        "top-bigram coverage. Line/word fractions are pure codegen "
+        "expressions; the bigram mode explodes to (doc, bigram) rows "
+        "and aggregates (map-side combine, doc-key shuffle) rather "
+        "than an O(words²) per-row scan — DuckDB replays all three "
+        "exactly.",
+    tags=("llm", "text"),
+)
+def llm_repetition_filters(spark, sf_dir):
+    prepare(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("doc_id") < 100)
+    stats = text.repetition_stats(docs, "text", "doc_id")
+    return stats.select(
+        "doc_id",
+        F.format_string("%.6f", "dup_line_frac").alias("dup_line_frac"),
+        F.format_string("%.6f", "dup_word_frac").alias("dup_word_frac"),
+        F.format_string("%.6f", "top_bigram_frac").alias("top_bigram_frac"),
+    ).orderBy("doc_id")
+
+
+_PII_SYNTH = (
+    "substr({t}, 1, 40) || ' reach me at user' || CAST({i} AS VARCHAR)"
+    " || '@example.com or (555) 867-' || CAST(1000 + {i} % 9000 AS VARCHAR)"
+    " || CASE WHEN {i} % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END"
+    " || CASE WHEN {i} % 4 = 0 THEN ' from 10.0.' || CAST({i} % 256 AS"
+    " VARCHAR) || '.1' ELSE '' END"
+)
+
+_PII_ORACLE = f"""
+WITH synth AS (
+  SELECT doc_id,
+         {_PII_SYNTH.format(t="text", i="doc_id")} AS s
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id,
+       len(regexp_extract_all(s,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))::BIGINT
+         AS email_hits,
+       len(regexp_extract_all(s, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b'))::BIGINT
+         AS ssn_hits,
+       len(regexp_extract_all(s,
+           '(?:\\b(?:\\+?\\d{{1,2}}[ .-])?\\d{{3}}|\\(\\d{{3}}\\))[ .-]?\\d{{3}}[ .-]?\\d{{4}}\\b'))::BIGINT
+         AS phone_hits,
+       len(regexp_extract_all(s, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b'))::BIGINT
+         AS ip_hits,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(s,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+           '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '[SSN]', 'g'),
+           '(?:\\b(?:\\+?\\d{{1,2}}[ .-])?\\d{{3}}|\\(\\d{{3}}\\))[ .-]?\\d{{3}}[ .-]?\\d{{4}}\\b',
+           '[PHONE]', 'g'),
+           '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '[IP]', 'g'))
+         AS redacted_md5
+FROM synth ORDER BY doc_id
+"""
+
+
+@register(
+    "llm_pii_redaction",
+    oracle=_PII_ORACLE,
+    doc="PII audit + scrub (corpus-hygiene pass): deterministic "
+        "synthetic PII (email/phone/SSN/IPv4) appended to document "
+        "prefixes in BOTH engines; per-category hit counts and the md5 "
+        "of the redacted text must match byte-for-byte, proving the "
+        "chained regexp_replace semantics line up across engines. "
+        "Pure codegen expressions, zero shuffle.",
+    tags=("llm", "text"),
+)
+def llm_pii_redaction(spark, sf_dir):
+    prepare(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("doc_id") < 50)
+    i = F.col("doc_id")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" reach me at user"), i.cast("string"),
+            F.lit("@example.com or (555) 867-"),
+            (F.lit(1000) + i % 9000).cast("string"),
+            F.when(i % 3 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+            F.when(i % 4 == 0,
+                   F.concat(F.lit(" from 10.0."), (i % 256).cast("string"),
+                            F.lit(".1"))).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return (
+        text.pii_stats(synth, "text", "doc_id")
+        .select(
+            "doc_id", "email_hits", "ssn_hits", "phone_hits", "ip_hits",
+            F.md5(F.col("redacted").cast("binary")).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )

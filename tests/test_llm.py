@@ -77,3 +77,44 @@ def test_dedup_clusters_transitive(spark):
     out = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(pairs).collect()}
     assert out[1] == out[2] == out[3] == 1
     assert out[10] == out[11] == 10
+
+
+# ---- repetition filters + PII redaction (llm/text.py round-6) ----
+
+def test_repetition_stats_known_document(spark):
+    from presto_spark.llm import text as T
+
+    doc = "a b a b a b\nline one\nline one\nunique line"
+    df = spark.createDataFrame([(1, doc)], "doc_id int, text string")
+    row = T.repetition_stats(df, "text", "doc_id").collect()[0]
+    # words: a b a b a b line one line one unique line -> 12 words,
+    # 5 distinct -> dup_word = 1 - 5/12
+    assert row.dup_word_frac == pytest.approx(1 - 5 / 12, rel=1e-12)
+    # 4 lines, 3 distinct
+    assert row.dup_line_frac == pytest.approx(0.25, rel=1e-12)
+    # bigrams: 11 total; 'a b' appears 3x ('b a' 2x, 'line one' 2x...)
+    assert row.top_bigram_frac == pytest.approx(3 / 11, rel=1e-12)
+
+
+def test_repetition_stats_degenerate_docs(spark):
+    from presto_spark.llm import text as T
+
+    df = spark.createDataFrame(
+        [(1, "single"), (2, "x x x x")], "doc_id int, text string")
+    rows = {r.doc_id: r for r in
+            T.repetition_stats(df, "text", "doc_id").collect()}
+    assert rows[1].top_bigram_frac == 0.0  # no bigrams
+    assert rows[2].dup_word_frac == pytest.approx(0.75)
+    assert rows[2].top_bigram_frac == 1.0  # 'x x' covers all bigrams
+
+
+def test_redact_pii_all_categories(spark):
+    from pyspark.sql import functions as F
+    from presto_spark.llm import text as T
+
+    s = ("mail bob.smith+x@corp.example.org call (415) 555-2671 or "
+         "415-555-2671 ssn 123-45-6789 host 192.168.0.1 done")
+    df = spark.createDataFrame([(s,)], "text string")
+    out = df.select(T.redact_pii(F.col("text")).alias("r")).collect()[0].r
+    assert out == ("mail [EMAIL] call [PHONE] or [PHONE] ssn [SSN] "
+                   "host [IP] done")
