@@ -291,6 +291,17 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
         "sampling bucket in [0,1); hash is engine-specific — Spark "
         "xxhash64 vs the reference's ieee754-reinterpreted xxhash — "
         "pinned payload deviation, uniform-bucket semantics match)"),
+    # secure_rand/secure_random (MathFunctions.java secureRandom): the
+    # reference draws from SecureRandom; Spark's rand() is the engine
+    # PRNG — cryptographic-source parity is a pinned deviation, the
+    # [lower, upper) contract holds.
+    "secure_rand": ("", "DOUBLE", "rand()",
+                    "MathFunctions.java secureRand"),
+    "secure_random": (
+        "lower DOUBLE, upper DOUBLE", "DOUBLE",
+        "CASE WHEN lower < upper THEN lower + rand() * (upper - lower) END",
+        "MathFunctions.java secureRandom(lower, upper) — NULL when "
+        "lower >= upper (expression-level checkCondition)"),
     "array_sort_desc": (
         "a ARRAY<BIGINT>", "ARRAY<BIGINT>",
         """concat(reverse(array_sort(filter(a, x -> x IS NOT NULL))),

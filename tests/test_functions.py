@@ -653,3 +653,16 @@ def test_map_lambda_predicates_through_engine(spark):
     ).collect()[0]
     assert (row.akm, row.alkm, row.nkm, row.avm, row.nvm) == (
         True, True, True, True, True)
+
+
+def test_secure_random_range(spark):
+    from presto_spark.engine import Engine
+
+    eng = Engine(spark)
+    rows = eng.sql(
+        "SELECT secure_rand() AS r, secure_random(5.0, 9.0) AS rr, "
+        "secure_random(9.0, 5.0) AS bad"
+    ).collect()[0]
+    assert 0.0 <= rows.r < 1.0
+    assert 5.0 <= rows.rr < 9.0
+    assert rows.bad is None
