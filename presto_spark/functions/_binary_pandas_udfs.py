@@ -23,7 +23,7 @@ import struct
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BinaryType, DoubleType, FloatType
+from pyspark.sql.types import BinaryType, DoubleType, FloatType, StringType
 
 _M64 = (1 << 64) - 1
 
@@ -165,3 +165,192 @@ def from_ieee754_32_udf(b: pd.Series) -> pd.Series:
         return struct.unpack(">f", v)[0]
 
     return pd.Series([dec(v) for v in b], dtype="float32")
+
+
+# ---- base32 + SpookyHash V2 (VarbinaryFunctions.java:146-163 base32,
+# :385-388 spooky; SpookyHash is Bob Jenkins' public-domain V2
+# algorithm, short path pinned against the reference's test vectors) ----
+
+import base64 as _b64
+
+_SC = 0xDEADBEEFDEADBEEF
+_ROT_MIX = (11, 32, 43, 31, 17, 28, 39, 57, 55, 54, 22, 46)
+_ROT_END = (44, 15, 34, 21, 38, 33, 10, 13, 38, 53, 42, 54)
+
+
+def _rot64(x, k):
+    return ((x << k) | (x >> (64 - k))) & _M64
+
+
+def _short_mix(h):
+    rots = (50, 52, 30, 41, 54, 48, 38, 37, 62, 34, 5, 36)
+    idx = ((2, 3, 0), (3, 0, 1), (0, 1, 2), (1, 2, 3)) * 3
+    for k, (i, j, x) in zip(rots, idx):
+        h[i] = _rot64(h[i], k)
+        h[i] = (h[i] + h[j]) & _M64
+        h[x] ^= h[i]
+    return h
+
+
+def _short_end(h):
+    seq = ((3, 2, 15), (0, 3, 52), (1, 0, 26), (2, 1, 51), (3, 2, 28),
+           (0, 3, 9), (1, 0, 47), (2, 1, 54), (3, 2, 32), (0, 3, 25),
+           (1, 0, 63))
+    for i, j, k in seq:
+        h[i] ^= h[j]
+        h[j] = _rot64(h[j], k)
+        h[i] = (h[i] + h[j]) & _M64
+    return h
+
+
+def _u64le(b, o):
+    return int.from_bytes(b[o:o + 8], "little")
+
+
+def _spooky_short(msg, seed1=0, seed2=0):
+    length = len(msg)
+    remainder = length % 32
+    h = [seed1, seed2, _SC, _SC]
+    p = 0
+    if length > 15:
+        while length - p >= 32:
+            h[2] = (h[2] + _u64le(msg, p)) & _M64
+            h[3] = (h[3] + _u64le(msg, p + 8)) & _M64
+            h = _short_mix(h)
+            h[0] = (h[0] + _u64le(msg, p + 16)) & _M64
+            h[1] = (h[1] + _u64le(msg, p + 24)) & _M64
+            p += 32
+        if remainder >= 16:
+            h[2] = (h[2] + _u64le(msg, p)) & _M64
+            h[3] = (h[3] + _u64le(msg, p + 8)) & _M64
+            h = _short_mix(h)
+            p += 16
+            remainder -= 16
+    h[3] = (h[3] + (length << 56)) & _M64
+    t = msg[p:]
+    r = remainder
+    if r == 0:
+        h[2] = (h[2] + _SC) & _M64
+        h[3] = (h[3] + _SC) & _M64
+    elif r >= 9:
+        # the C switch falls 15→…→12 / 11→…→9→8
+        d_add = 0
+        if r >= 15:
+            d_add += t[14] << 48
+        if r >= 14:
+            d_add += t[13] << 40
+        if r >= 13:
+            d_add += t[12] << 32
+        if r >= 12:
+            d_add += int.from_bytes(t[8:12], "little")
+        else:
+            if r >= 11:
+                d_add += t[10] << 16
+            if r >= 10:
+                d_add += t[9] << 8
+            d_add += t[8]
+        h[3] = (h[3] + d_add) & _M64
+        h[2] = (h[2] + _u64le(t, 0)) & _M64
+    elif r == 8:
+        h[2] = (h[2] + _u64le(t, 0)) & _M64
+    else:
+        c_add = 0
+        if r >= 7:
+            c_add += t[6] << 48
+        if r >= 6:
+            c_add += t[5] << 40
+        if r >= 5:
+            c_add += t[4] << 32
+        if r >= 4:
+            c_add += int.from_bytes(t[0:4], "little")
+        else:
+            if r >= 3:
+                c_add += t[2] << 16
+            if r >= 2:
+                c_add += t[1] << 8
+            c_add += t[0]
+        h[2] = (h[2] + c_add) & _M64
+    h = _short_end(h)
+    return h[0], h[1]
+
+
+def _mix(block, s):
+    for i in range(12):
+        s[i] = (s[i] + _u64le(block, i * 8)) & _M64
+        s[(i + 2) % 12] ^= s[(i + 10) % 12]
+        s[(i + 11) % 12] ^= s[i]
+        s[i] = _rot64(s[i], _ROT_MIX[i])
+        s[(i + 11) % 12] = (s[(i + 11) % 12] + s[(i + 1) % 12]) & _M64
+    return s
+
+
+def _end_partial(h):
+    for i in range(12):
+        h[(i + 11) % 12] = (h[(i + 11) % 12] + h[(i + 1) % 12]) & _M64
+        h[(i + 2) % 12] ^= h[(i + 11) % 12]
+        h[(i + 1) % 12] = _rot64(h[(i + 1) % 12], _ROT_END[i])
+    return h
+
+
+def spooky_hash_v2_128(msg: bytes, seed1: int = 0, seed2: int = 0):
+    """SpookyHash V2 (public-domain Jenkins algorithm; the reference
+    wraps airlift's port).  Short path (< 192 bytes) is pinned against
+    TestVarbinaryFunctions.java:385-388; the long path follows the
+    published 12-lane schedule."""
+    if len(msg) < 192:
+        return _spooky_short(msg, seed1, seed2)
+    h = [(seed1, seed2, _SC)[i % 3] for i in range(12)]
+    p = 0
+    while len(msg) - p >= 96:
+        h = _mix(msg[p:p + 96], h)
+        p += 96
+    remainder = len(msg) - p
+    buf = bytearray(96)
+    buf[:remainder] = msg[p:]
+    buf[95] = remainder
+    for i in range(12):
+        h[i] = (h[i] + _u64le(buf, i * 8)) & _M64
+    for _ in range(3):
+        h = _end_partial(h)
+    return h[0], h[1]
+
+
+@pandas_udf(BinaryType())
+def spooky_hash_v2_32_udf(data: pd.Series) -> pd.Series:
+    def run(b):
+        if b is None:
+            return None
+        h1, _ = spooky_hash_v2_128(bytes(b))
+        return (h1 & 0xFFFFFFFF).to_bytes(4, "big")
+
+    return pd.Series([run(b) for b in data], dtype=object)
+
+
+@pandas_udf(BinaryType())
+def spooky_hash_v2_64_udf(data: pd.Series) -> pd.Series:
+    def run(b):
+        if b is None:
+            return None
+        h1, _ = spooky_hash_v2_128(bytes(b))
+        return h1.to_bytes(8, "big")
+
+    return pd.Series([run(b) for b in data], dtype=object)
+
+
+@pandas_udf(StringType())
+def to_base32_udf(b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if v is None else _b64.b32encode(bytes(v)).decode("ascii")
+         for v in b],
+        dtype=object,
+    )
+
+
+@pandas_udf(BinaryType())
+def from_base32_udf(s: pd.Series) -> pd.Series:
+    def dec(v):
+        if v is None:
+            return None
+        return _b64.b32decode(str(v))
+
+    return pd.Series([dec(v) for v in s], dtype=object)

@@ -302,6 +302,80 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
         "CASE WHEN lower < upper THEN lower + rand() * (upper - lower) END",
         "MathFunctions.java secureRandom(lower, upper) — NULL when "
         "lower >= upper (expression-level checkCondition)"),
+    # ---- binary codecs tail (VarbinaryFunctions.java) ----
+    "to_base64url": (
+        "b BINARY", "STRING", "translate(base64(b), '+/', '-_')",
+        "VarbinaryFunctions.java toBase64Url (RFC 4648 §5, padded — "
+        "same alphabet swap over the standard encoder)"),
+    "from_base64url": (
+        "s STRING", "BINARY", "unbase64(translate(s, '-_', '+/'))",
+        "VarbinaryFunctions.java fromBase64Url"),
+    "to_big_endian_32": (
+        "x INT", "BINARY",
+        "unhex(lpad(hex(CAST(x AS BIGINT) & 4294967295), 8, '0'))",
+        "VarbinaryFunctions.java toBigEndian32 (two's-complement "
+        "big-endian 4 bytes)"),
+    "from_big_endian_32": (
+        "b BINARY", "INT",
+        """CASE WHEN length(b) = 4 THEN
+             CAST(CAST(conv(hex(b), 16, 10) AS BIGINT)
+                  - (CASE WHEN CAST(conv(hex(b), 16, 10) AS BIGINT)
+                          >= 2147483648 THEN 4294967296 ELSE 0 END) AS INT)
+           END""",
+        "VarbinaryFunctions.java fromBigEndian32 — NULL on wrong "
+        "length (expression-level checkCondition)"),
+    "from_big_endian_64": (
+        "b BINARY", "BIGINT",
+        # conv(hex, 16, 10) parses the 16 hex digits as the SIGNED
+        # 64-bit pattern when the high bit is set (conv wraps at 2^64).
+        "CASE WHEN length(b) = 8 THEN CAST(conv(hex(b), 16, -10) AS BIGINT)"
+        " END",
+        "VarbinaryFunctions.java fromBigEndian64"),
+    # ---- math/json/interval tail ----
+    "inverse_cauchy_cdf": (
+        "median DOUBLE, scale DOUBLE, p DOUBLE", "DOUBLE",
+        """CASE WHEN scale > 0 AND p >= 0 AND p <= 1
+                THEN median + scale * tan(pi() * (p - 0.5)) END""",
+        "MathFunctions.java inverseCauchyCdf"),
+    "to_milliseconds": (
+        "iv INTERVAL DAY TO SECOND", "BIGINT",
+        """CAST((extract(DAY FROM iv) * 86400
+                 + extract(HOUR FROM iv) * 3600
+                 + extract(MINUTE FROM iv) * 60) * 1000
+                + round(extract(SECOND FROM iv) * 1000) AS BIGINT)""",
+        "DateTimeFunctions.java toMilliseconds (interval day-second → "
+        "ms; field extraction keeps sub-second precision — Spark has "
+        "no interval/interval division)"),
+    "is_json_scalar": (
+        "j STRING", "BOOLEAN",
+        r"""j IS NOT NULL AND j rlike
+           '^\\s*("([^"\\\\]|\\\\.)*"|-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?|true|false|null)\\s*$'""",
+        "JsonFunctions.java isJsonScalar (scalar-grammar check; "
+        "arbitrary-nesting validity is the json_parse tier)"),
+    "json_array_get": (
+        "j STRING, i BIGINT", "STRING",
+        """get_json_object(j, concat('$[',
+             CASE WHEN i >= 0 THEN i
+                  ELSE json_array_length(j) + i END, ']'))""",
+        "JsonFunctions.java jsonArrayGet (negative index from the "
+        "end; scalars come back unquoted — get_json_object convention, "
+        "pinned deviation from the reference's json-typed return)"),
+    "json_array_contains": (
+        "j STRING, v STRING", "BOOLEAN",
+        """exists(from_json(j, 'array<string>'), x -> x = v)""",
+        "JsonFunctions.java jsonArrayContains (monomorphic SQL-UDF "
+        "shim: values compared through their string forms)"),
+    "is_private_ip": (
+        "ip STRING", "BOOLEAN",
+        """CASE
+             WHEN ip IS NULL THEN NULL
+             WHEN ip rlike '^(10\\\\.|127\\\\.|192\\\\.168\\\\.|169\\\\.254\\\\.)' THEN true
+             WHEN ip rlike '^172\\\\.(1[6-9]|2[0-9]|3[01])\\\\.' THEN true
+             WHEN ip rlike '^(fc|fd|fe8)' OR ip = '::1' THEN true
+             ELSE false
+           END""",
+        "IpAddressFunctions.java isPrivateIp (RFC1918 + loopback + "
+        "link-local + ULA/fe80 prefixes on the string form)"),
     "array_sort_desc": (
         "a ARRAY<BIGINT>", "ARRAY<BIGINT>",
         """concat(reverse(array_sort(filter(a, x -> x IS NOT NULL))),
@@ -839,6 +913,10 @@ def register_functions(spark: SparkSession) -> list[str]:
         ("from_ieee754_32", _bp.from_ieee754_32_udf),
         ("to_ieee754_64", _bp.to_ieee754_64_udf),
         ("from_ieee754_64", _bp.from_ieee754_64_udf),
+        ("to_base32", _bp.to_base32_udf),
+        ("from_base32", _bp.from_base32_udf),
+        ("spooky_hash_v2_32", _bp.spooky_hash_v2_32_udf),
+        ("spooky_hash_v2_64", _bp.spooky_hash_v2_64_udf),
     ):
         spark.udf.register(name, fn)
         registered.append(name)

@@ -217,6 +217,37 @@ def map_union(col: Column) -> Column:
     return F.map_from_entries(F.flatten(F.collect_list(F.map_entries(col))))
 
 
+def map_union_sum(col: Column, value_type: str = "long") -> Column:
+    """map_union_sum(m) → union of the group's maps with values SUMMED
+    per key (MapUnionSumAggregation.java) — the deterministic sibling
+    of map_union.  Entry-level flatten, then a per-key fold over the
+    distinct keys of the combined entry list: O(k²) over one group's
+    key space, state priced in distinct keys.  ``value_type`` picks
+    the accumulator type (the reference dispatches on the map's value
+    type; Column helpers are monomorphic per call)."""
+    entries = F.flatten(F.collect_list(F.map_entries(col)))
+    keys = F.array_distinct(F.transform(entries, lambda e: e["key"]))
+    return F.map_from_arrays(
+        keys,
+        F.transform(
+            keys,
+            lambda k: F.aggregate(
+                F.filter(entries, lambda e: e["key"] == k),
+                F.lit(0).cast(value_type),
+                lambda acc, e: acc + e["value"],
+            ),
+        ),
+    )
+
+
+def set_union(col: Column) -> Column:
+    """set_union(array) → distinct union of the group's arrays
+    (SetUnionFunction.java), sorted for deterministic output (Presto's
+    order is arbitrary; the sort is the engine-wide oracle-stability
+    convention)."""
+    return F.array_sort(F.array_distinct(F.flatten(F.collect_list(col))))
+
+
 def entropy(count_col: Column) -> Column:
     """entropy(c) → Shannon entropy in bits of the count distribution
     (EntropyAggregation.java): log2(S) - sum(c*log2(c))/S, zero counts

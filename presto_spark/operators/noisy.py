@@ -60,6 +60,25 @@ def noisy_count_gaussian(
     return agg.select(*group_by, noisy.alias(alias))
 
 
+def noisy_count_if_gaussian(
+    df: DataFrame,
+    predicate: Column,
+    noise_scale: float,
+    group_by: tuple[str, ...] = (),
+    seed: int | None = None,
+    alias: str = "noisy_count_if",
+) -> DataFrame:
+    """count_if(predicate) + N(0, noise_scale), clamped at 0 and
+    rounded (NoisyCountIfGaussianAggregation.java — same clamp/round
+    pipeline as noisy_count)."""
+    agg = df.groupBy(*group_by).agg(
+        F.count_if(predicate).alias("_true"))
+    noisy = F.round(
+        F.greatest(F.lit(0.0), F.col("_true") + _noise(noise_scale, seed))
+    ).cast("long")
+    return agg.select(*group_by, noisy.alias(alias))
+
+
 def noisy_sum_gaussian(
     df: DataFrame,
     col: str,

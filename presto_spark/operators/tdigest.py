@@ -136,3 +136,36 @@ def trimmed_mean(vs: Column, ws: Column, lo, hi) -> Column:
         entries, acc0, step,
         lambda acc: F.when(acc["den"] > 0, acc["num"] / acc["den"]),
     )
+
+
+def quantiles_at_values(vs: Column, ws: Column, values: Column) -> Column:
+    """quantiles_at_values(tdigest, vs) (TDigestFunctions.java sibling
+    of values_at_quantiles; QuantileDigestFunctions.java:100-110): one
+    rank fold per probed value, NULL outside the observed range."""
+    return F.transform(values, lambda v: quantile_at_value(vs, ws, v))
+
+
+def scale_qdigest(ws: Column, factor) -> Column:
+    """scale_qdigest(qdigest, factor) (QuantileDigestFunctions.java
+    scaleQDigest) — same weight-multiply as scale_tdigest (one sketch
+    model serves both names here)."""
+    return scale_tdigest(ws, factor)
+
+
+def destructure_tdigest(vs: Column, ws: Column) -> Column:
+    """destructure_tdigest (TDigestFunctions.java destructureTDigest) →
+    row(centroid_means, centroid_weights, min, max, sum, count).
+    Compression is a build-time parameter in this model (not stored in
+    the sketch value) — callers track it, pinned field omission."""
+    total = F.aggregate(ws, F.lit(0.0), lambda a, w: a + w)
+    wsum = F.aggregate(
+        F.zip_with(vs, ws, lambda v, w: v * w),
+        F.lit(0.0), lambda a, x: a + x)
+    return F.struct(
+        vs.alias("centroid_means"),
+        ws.alias("centroid_weights"),
+        F.element_at(vs, 1).alias("min"),
+        F.element_at(vs, -1).alias("max"),
+        wsum.alias("sum"),
+        total.alias("count"),
+    )

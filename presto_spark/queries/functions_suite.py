@@ -605,3 +605,71 @@ def agg_reservoir_vasicek_entropy(spark, sf_dir):
         F.col("o_orderpriority").alias("g"),
         F.format_string("%.6f", F.col("entropy")).alias("entropy"),
     ).orderBy("g")
+
+
+@register(
+    "agg_union_tail_suite",
+    oracle="""
+WITH t AS (
+  SELECT n_regionkey AS g, n_name, n_nationkey,
+         n_nationkey % 5 AS a1, n_regionkey + 10 AS a2
+  FROM nation
+),
+mus AS (
+  SELECT g,
+         array_to_string(list_sort(list_transform(
+           list(n_name || '=' || CAST(n_nationkey AS VARCHAR)), x -> x)),
+           ',') AS mus_str
+  FROM t GROUP BY g
+),
+su AS (
+  SELECT g, array_to_string(list_sort(list_distinct(
+           flatten(list([a1, a2])))), ',') AS su_str
+  FROM t GROUP BY g
+),
+nc AS (
+  SELECT g, CAST(count(*) FILTER (WHERE n_nationkey % 2 = 0) AS BIGINT)
+           AS n_even
+  FROM t GROUP BY g
+)
+SELECT mus.g AS g, mus.mus_str, su.su_str, nc.n_even
+FROM mus JOIN su ON su.g = mus.g JOIN nc ON nc.g = mus.g
+ORDER BY g
+""",
+    doc="Aggregate tail: map_union_sum (MapUnionSumAggregation.java — "
+        "nation-name keys are unique per group, so the summed union "
+        "equals the plain union and DuckDB replays it as sorted "
+        "entry strings), set_union (SetUnionFunction.java: distinct "
+        "sorted flatten), and noisy_count_if_gaussian at noise 0 "
+        "(NoisyCountIfGaussianAggregation degenerate-exact pin).",
+    tags=("agg", "functions"),
+)
+def agg_union_tail_suite(spark, sf_dir):
+    prepare(spark, sf_dir)
+    from presto_spark.operators import aggregates as A
+    from presto_spark.operators import noisy
+
+    t = spark.table("nation").select(
+        F.col("n_regionkey").alias("g"), "n_name", "n_nationkey",
+        F.create_map(F.col("n_name"), F.col("n_nationkey")).alias("m"),
+        F.array((F.col("n_nationkey") % 5),
+                (F.col("n_regionkey") + 10)).alias("arr"),
+    )
+    unions = t.groupBy("g").agg(
+        A.map_union_sum(F.col("m")).alias("mus"),
+        A.set_union(F.col("arr")).alias("su"),
+    ).select(
+        "g",
+        F.array_join(
+            F.array_sort(F.transform(
+                F.map_entries("mus"),
+                lambda e: F.concat_ws("=", e["key"],
+                                      e["value"].cast("string")))),
+            ",").alias("mus_str"),
+        F.array_join(F.transform(F.col("su"), lambda x: x.cast("string")),
+                     ",").alias("su_str"),
+    )
+    nc = noisy.noisy_count_if_gaussian(
+        t, F.col("n_nationkey") % 2 == 0, 0.0, group_by=("g",),
+        alias="n_even")
+    return unions.join(nc, "g").orderBy("g")

@@ -1435,6 +1435,10 @@ dual_sql_query(
       upper(hex(hmac_sha512(encode(msg, 'UTF-8'), encode('key', 'UTF-8'))))
         AS h_sha512,
       upper(hex(murmur3_x64_128(encode(msg, 'UTF-8')))) AS h_mm3,
+      upper(hex(spooky_hash_v2_64(encode(msg, 'UTF-8')))) AS h_sp64,
+      upper(hex(spooky_hash_v2_32(encode(msg, 'UTF-8')))) AS h_sp32,
+      to_base32(encode(msg, 'UTF-8')) AS b32,
+      decode(from_base32(to_base32(encode(msg, 'UTF-8'))), 'UTF-8') AS b32_rt,
       upper(hex(to_ieee754_64(cast(i AS DOUBLE) + 0.5))) AS i64_hex,
       upper(hex(to_ieee754_32(cast(cast(i AS FLOAT) + 0.5 AS FLOAT))))
         AS i32_hex,
@@ -1452,6 +1456,7 @@ dual_sql_query(
        '5D5D139563C95B5967B9BD9A8C9B233A9DEDB45072794CD232DC1B74832607D0',
        '84FA5AA0279BBC473267D05A53EA03310A987CECC4C1535FF29B6D76B8F1444A728DF3AADB89D4A9A6709E1998F373566E8F824A8CA93B1821F0B69BC2A2F65E',
        '00000000000000000000000000000000',
+       '232706FC6BF50919', '6BF50919', '', '',
        '3FE0000000000000', '3F000000', true, true),
       (1,
        '0A26EBEB0E7B65F528D96F7BC631BC8F',
@@ -1459,17 +1464,78 @@ dual_sql_query(
        'D3D72F9FACDE059DA3A4EB43A9ABDD4B35118E0FEF00E6D16FB04BB332AF0484',
        'FEFA712B67DED871E1ED987F8B20D6A69EB9FCC87974218B9A1A6D5202B54C18ECDA4839A979DED22F07E0881CF40B762691992D120408F49D6212E112509D72',
        '93192FE805BE23041C8318F67EC4F2BC',
+       'EC588E792BA05291', '2BA05291', 'NBQXG2DNMU======', 'hashme',
        '3FF8000000000000', '3FC00000', true, true)
-    ) AS v(i, h_md5, h_sha1, h_sha256, h_sha512, h_mm3, i64_hex, i32_hex,
-           rt64_ok, rt32_ok)
+    ) AS v(i, h_md5, h_sha1, h_sha256, h_sha512, h_mm3, h_sp64, h_sp32,
+           b32, b32_rt, i64_hex, i32_hex, rt64_ok, rt32_ok)
     ORDER BY i
     """,
     doc="HMAC family (HmacFunctions.java: RFC 2104 over md5/sha1/"
         "sha256/sha512), murmur3_x64_128 (VarbinaryFunctions.java:302 "
-        "= MurmurHash3_x64_128), and the big-endian IEEE 754 codecs "
+        "= MurmurHash3_x64_128), SpookyHash V2 32/64 "
+        "(VarbinaryFunctions.java:385-388 vectors), base32 round-trip "
+        "(:146-163), and the big-endian IEEE 754 codecs "
         "(to/from_ieee754_32/64, :250-290). The oracle rows ARE the "
         "reference's test vectors (TestVarbinaryFunctions.java), so "
         "this checks byte-for-byte parity with upstream, not just "
         "DuckDB agreement.",
     tags=("functions", "binary"),
+)
+
+
+# ---- scalar-function tail: codecs / json / interval / ip / cauchy
+# (VarbinaryFunctions.java base64url + big-endian, JsonFunctions.java,
+# DateTimeFunctions.java toMilliseconds, MathFunctions.java
+# inverseCauchyCdf, IpAddressFunctions isPrivateIp,
+# SimpleSamplingPercent) ----
+
+dual_sql_query(
+    "fn_misc_scalar_tail",
+    """
+    SELECT
+      decode(from_base64url(to_base64url(encode('hi?>~', 'UTF-8'))),
+             'UTF-8') AS b64url_rt,
+      to_base64url(encode('hi?>~', 'UTF-8')) AS b64url,
+      upper(hex(to_big_endian_32(-2))) AS be32_hex,
+      from_big_endian_32(to_big_endian_32(-123456)) AS be32_rt,
+      from_big_endian_64(to_big_endian_64(-98765432109)) AS be64_rt,
+      round(inverse_cauchy_cdf(2.0, 3.0, 0.75), 9) AS icc,
+      to_milliseconds(INTERVAL '1 02:03:04.25' DAY TO SECOND) AS iv_ms,
+      is_json_scalar('  42 ') AS js_num,
+      is_json_scalar('"ab"') AS js_str,
+      is_json_scalar('[1]') AS js_arr,
+      json_array_get('[10, 20, 30]', 1) AS jag_pos,
+      json_array_get('[10, 20, 30]', -1) AS jag_neg,
+      json_array_contains('[1, 2, 3]', '2') AS jac_hit,
+      json_array_contains('[1, 2, 3]', '9') AS jac_miss,
+      is_private_ip('192.168.1.5') AS ip_rfc1918,
+      is_private_ip('172.20.0.1') AS ip_172,
+      is_private_ip('172.32.0.1') AS ip_pub_172,
+      is_private_ip('8.8.8.8') AS ip_pub,
+      key_sampling_percent('hello') >= 0.0
+        AND key_sampling_percent('hello') < 1.0 AS ksp_ok
+    """,
+    """
+    SELECT
+      'hi?>~' AS b64url_rt,
+      'aGk_Pn4=' AS b64url,
+      'FFFFFFFE' AS be32_hex,
+      -123456 AS be32_rt,
+      CAST(-98765432109 AS BIGINT) AS be64_rt,
+      round(2.0 + 3.0 * tan(pi() * 0.25), 9) AS icc,
+      CAST(93784250 AS BIGINT) AS iv_ms,
+      true AS js_num, true AS js_str, false AS js_arr,
+      '20' AS jag_pos, '30' AS jag_neg,
+      true AS jac_hit, false AS jac_miss,
+      true AS ip_rfc1918, true AS ip_172,
+      false AS ip_pub_172, false AS ip_pub,
+      true AS ksp_ok
+    """,
+    doc="Scalar tail battery: base64url round-trip, big-endian 32/64 "
+        "two's-complement codecs, inverse_cauchy_cdf (DuckDB replays "
+        "the closed form), interval→milliseconds, is_json_scalar / "
+        "json_array_get (negative index) / json_array_contains, "
+        "is_private_ip (RFC1918 boundaries incl. the 172.16/12 edge), "
+        "and the key_sampling_percent range contract.",
+    tags=("functions", "binary", "json"),
 )

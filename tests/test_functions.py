@@ -666,3 +666,21 @@ def test_secure_random_range(spark):
     assert 0.0 <= rows.r < 1.0
     assert 5.0 <= rows.rr < 9.0
     assert rows.bad is None
+
+
+def test_spooky_and_base32_vectors(spark):
+    """SpookyHash V2 + base32 against the reference's own vectors
+    (TestVarbinaryFunctions.java:146-163, :385-388)."""
+    from presto_spark.engine import Engine
+
+    eng = Engine(spark)
+    row = eng.sql(
+        "SELECT upper(hex(spooky_hash_v2_64(encode('hello', 'UTF-8')))) AS s64, "
+        "upper(hex(spooky_hash_v2_32(encode('', 'UTF-8')))) AS s32, "
+        "to_base32(encode('hello world', 'UTF-8')) AS b32, "
+        "decode(from_base32('MFRGG==='), 'UTF-8') AS b32d"
+    ).collect()[0]
+    assert row.s64 == "3768826AD382E6CA"
+    assert row.s32 == "6BF50919"
+    assert row.b32 == "NBSWY3DPEB3W64TMMQ======"
+    assert row.b32d == "abc"

@@ -366,3 +366,53 @@ def test_range_join_rejects_column_clash(spark):
     with _pytest.raises(ValueError):
         range_join(pts, ivs.withColumnRenamed("iid", "id"),
                    "ts", "s", "e", by=("k",))
+
+
+# ---- map_union_sum / set_union (MapUnionSumAggregation.java,
+# SetUnionFunction.java) ----
+
+def test_map_union_sum_and_set_union(spark):
+    from presto_spark.operators import aggregates as A
+
+    df = spark.createDataFrame(
+        [(1, {"a": 1, "b": 2}, [1, 2]),
+         (1, {"b": 3, "c": 4}, [2, 3]),
+         (2, {"x": 5}, [9])],
+        "g int, m map<string,bigint>, arr array<bigint>",
+    )
+    rows = {r.g: r for r in df.groupBy("g").agg(
+        A.map_union_sum(F.col("m")).alias("mus"),
+        A.set_union(F.col("arr")).alias("su"),
+    ).collect()}
+    assert dict(rows[1].mus) == {"a": 1, "b": 5, "c": 4}
+    assert rows[1].su == [1, 2, 3]
+    assert dict(rows[2].mus) == {"x": 5} and rows[2].su == [9]
+
+
+def test_noisy_count_if_zero_scale_exact(spark):
+    from presto_spark.operators import noisy
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 15), ("a", 25), ("b", 3)], "k string, v int")
+    rows = {r.k: r.noisy_count_if for r in noisy.noisy_count_if_gaussian(
+        df, F.col("v") > 10, 0.0, group_by=("k",)).collect()}
+    assert rows == {"a": 2, "b": 0}
+
+
+def test_tdigest_destructure_and_quantiles_at_values(spark):
+    from presto_spark.operators import tdigest as TD
+
+    df = spark.range(1, 11).select(
+        F.lit("g").alias("g"), F.col("id").cast("double").alias("v"))
+    sk = TD.tdigest_agg(df, ["g"], "v")
+    row = sk.select(
+        TD.destructure_tdigest(F.col("vs"), F.col("ws")).alias("d"),
+        TD.quantiles_at_values(
+            F.col("vs"), F.col("ws"),
+            F.array(F.lit(3.0), F.lit(100.0))).alias("qs"),
+        TD.scale_qdigest(F.col("ws"), 2.0).alias("sw"),
+    ).collect()[0]
+    assert row.d.min == 1.0 and row.d.max == 10.0
+    assert row.d["count"] == 10.0 and row.d["sum"] == 55.0
+    assert row.qs[0] == 0.3 and row.qs[1] is None
+    assert row.sw == [2.0] * 10
