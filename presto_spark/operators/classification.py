@@ -1,0 +1,121 @@
+"""Classification-metric aggregates: precision / recall / miss-rate /
+fall-out / thresholds curves.
+
+Reference: presto-main-base/.../operator/aggregation/
+PrecisionRecallAggregation.java (shared two-histogram state + the
+bucket-results iterator at :180-230) and the five concrete aggregates
+ClassificationPrecisionAggregation.java / ...Recall... / ...MissRate...
+/ ...FallOut... / ...Thresholds...; docs functions/aggregate.rst:
+1330-1470.
+
+Semantics (mirrored exactly): predictions x ∈ [0, 1] land in a
+``buckets``-bucket fixed histogram, split into a true-outcome and a
+false-outcome weight histogram.  For each bucket j ascending, with
+threshold t_j = j/buckets and running (strictly-below-j) weights:
+
+    remaining_true  = total_true − running_true     (x > t_j ∧ y)
+    remaining_false = total_false − running_false   (x > t_j ∧ ¬y)
+    precision_j = remaining_true / (remaining_true + remaining_false)
+    recall_j    = remaining_true / total_true
+    miss_rate_j = running_true / total_true
+    fall_out_j  = remaining_false / total_false
+    threshold_j = t_j
+
+and buckets are emitted only while remaining_true > 0 (the iterator's
+hasNext rule) — the curves stop once every true outcome is below the
+threshold.
+
+Spark-first design: one (group, bucket) weight aggregation (map-side
+combinable), a generated full bucket spine so empty buckets still
+emit, a single window pass for the running sums, and an ordered
+collect into the output arrays.  Shuffles are keyed on the group (and
+group×bucket) only; state is priced in ``buckets``, never rows — at
+100 TB the curve computation costs one extra pass over an
+already-aggregated histogram.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def classification_metrics(
+    df: DataFrame,
+    group_cols: list[str],
+    outcome_col: str,
+    pred_col: str,
+    buckets: int,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """All five curves in one pass.  Returns ``group_cols +
+    [thresholds, precision, recall, miss_rate, fall_out]`` (aligned
+    arrays of double).  Rows with NULL or out-of-[0,1] predictions are
+    rejected the way the reference's checkCondition is spelled
+    expression-level: filtered out (callers own range hygiene)."""
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    w = (F.col(weight_col).cast("double") if weight_col is not None
+         else F.lit(1.0))
+    x = F.col(pred_col).cast("double")
+    y = F.col(outcome_col).cast("boolean")
+    bucket = F.least(
+        F.floor(x * buckets), F.lit(buckets - 1)).cast("int")
+    per_bucket = (
+        df.filter(x.isNotNull() & (x >= 0.0) & (x <= 1.0) & y.isNotNull())
+        .groupBy(*group_cols, bucket.alias("__b"))
+        .agg(
+            F.sum(F.when(y, w).otherwise(F.lit(0.0))).alias("__tw"),
+            F.sum(F.when(~y, w).otherwise(F.lit(0.0))).alias("__fw"),
+        )
+    )
+    spine = (
+        per_bucket.select(*group_cols).distinct()
+        .select(*group_cols,
+                F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+                .alias("__b"))
+    )
+    filled = spine.join(per_bucket, [*group_cols, "__b"], "left").select(
+        *group_cols, "__b",
+        F.coalesce(F.col("__tw"), F.lit(0.0)).alias("__tw"),
+        F.coalesce(F.col("__fw"), F.lit(0.0)).alias("__fw"),
+    )
+    w_run = (
+        Window.partitionBy(*group_cols).orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    run_t = F.coalesce(F.sum("__tw").over(w_run), F.lit(0.0))
+    run_f = F.coalesce(F.sum("__fw").over(w_run), F.lit(0.0))
+    tot_t = F.sum("__tw").over(w_all)
+    tot_f = F.sum("__fw").over(w_all)
+    rem_t = tot_t - run_t
+    rem_f = tot_f - run_f
+    rows = filled.select(
+        *group_cols, "__b",
+        (F.col("__b").cast("double") / buckets).alias("__thr"),
+        F.when(rem_t + rem_f > 0, rem_t / (rem_t + rem_f))
+        .otherwise(F.lit(0.0)).alias("__prec"),
+        F.when(tot_t > 0, rem_t / tot_t).alias("__rec"),
+        F.when(tot_t > 0, run_t / tot_t).alias("__miss"),
+        # no-negatives groups: the reference's double division yields
+        # NaN; the engine-wide expression convention is NULL.
+        F.when(tot_f > 0, rem_f / tot_f).alias("__fall"),
+        (rem_t > 0).alias("__emit"),
+    ).filter(F.col("__emit"))
+
+    def arr(col):
+        return F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__b").alias("b"),
+                                        F.col(col).alias("v")))),
+            lambda e: e["v"],
+        )
+
+    return rows.groupBy(*group_cols).agg(
+        arr("__thr").alias("thresholds"),
+        arr("__prec").alias("precision"),
+        arr("__rec").alias("recall"),
+        arr("__miss").alias("miss_rate"),
+        arr("__fall").alias("fall_out"),
+    )

@@ -673,3 +673,91 @@ def agg_union_tail_suite(spark, sf_dir):
         t, F.col("n_nationkey") % 2 == 0, 0.0, group_by=("g",),
         alias="n_even")
     return unions.join(nc, "g").orderBy("g")
+
+
+@register(
+    "agg_classification_curves",
+    oracle="""
+WITH src AS (
+  SELECT o_orderpriority AS g,
+         o_orderstatus = 'F' AS y,
+         (o_custkey % 97) / 97.0 AS x
+  FROM orders
+),
+pb AS (
+  SELECT g, least(CAST(floor(x * 10) AS BIGINT), 9) AS b,
+         sum(CASE WHEN y THEN 1.0 ELSE 0.0 END) AS tw,
+         sum(CASE WHEN y THEN 0.0 ELSE 1.0 END) AS fw
+  FROM src GROUP BY 1, 2
+),
+spine AS (
+  SELECT DISTINCT g, i.i AS b FROM pb, unnest(range(10)) AS i(i)
+),
+filled AS (
+  SELECT s.g, s.b, coalesce(pb.tw, 0.0) AS tw, coalesce(pb.fw, 0.0) AS fw
+  FROM spine s LEFT JOIN pb ON pb.g = s.g AND pb.b = s.b
+),
+curves AS (
+  SELECT g, b,
+         b / 10.0 AS thr,
+         sum(tw) OVER (PARTITION BY g) AS tot_t,
+         sum(fw) OVER (PARTITION BY g) AS tot_f,
+         coalesce(sum(tw) OVER (PARTITION BY g ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS run_t,
+         coalesce(sum(fw) OVER (PARTITION BY g ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS run_f
+  FROM filled
+)
+SELECT g,
+       array_to_string(list_transform(
+         list(format('{:.6f}', thr) ORDER BY b), z -> z), ',') AS thr_s,
+       array_to_string(list_transform(
+         list(format('{:.6f}', (tot_t - run_t)
+                / ((tot_t - run_t) + (tot_f - run_f))) ORDER BY b),
+         z -> z), ',') AS prec_s,
+       array_to_string(list_transform(
+         list(format('{:.6f}', (tot_t - run_t) / tot_t) ORDER BY b),
+         z -> z), ',') AS rec_s,
+       array_to_string(list_transform(
+         list(format('{:.6f}', run_t / tot_t) ORDER BY b), z -> z), ',')
+         AS miss_s,
+       array_to_string(list_transform(
+         list(format('{:.6f}', (tot_f - run_f) / tot_f) ORDER BY b),
+         z -> z), ',') AS fall_s
+FROM curves
+WHERE tot_t - run_t > 0
+GROUP BY g ORDER BY g
+""",
+    doc="classification_precision/recall/miss_rate/fall_out/thresholds "
+        "curves (PrecisionRecallAggregation.java two-histogram state + "
+        "bucket iterator; the five Classification*Aggregation outputs) "
+        "at 10 buckets over a deterministic pseudo-score — DuckDB "
+        "replays every bucket of every curve exactly, including the "
+        "emit-while-true-weight-remains stop rule.",
+    tags=("agg", "classification"),
+)
+def agg_classification_curves(spark, sf_dir):
+    prepare(spark, sf_dir)
+    from presto_spark.operators import classification
+
+    src = spark.table("orders").select(
+        F.col("o_orderpriority").alias("g"),
+        (F.col("o_orderstatus") == "F").alias("y"),
+        ((F.col("o_custkey") % 97) / 97.0).alias("x"),
+    )
+    m = classification.classification_metrics(
+        src, ["g"], "y", "x", buckets=10)
+
+    def fmt(col):
+        return F.array_join(
+            F.transform(F.col(col), lambda v: F.format_string("%.6f", v)),
+            ",")
+
+    return m.select(
+        "g",
+        fmt("thresholds").alias("thr_s"),
+        fmt("precision").alias("prec_s"),
+        fmt("recall").alias("rec_s"),
+        fmt("miss_rate").alias("miss_s"),
+        fmt("fall_out").alias("fall_s"),
+    ).orderBy("g")

@@ -416,3 +416,41 @@ def test_tdigest_destructure_and_quantiles_at_values(spark):
     assert row.d["count"] == 10.0 and row.d["sum"] == 55.0
     assert row.qs[0] == 0.3 and row.qs[1] is None
     assert row.sw == [2.0] * 10
+
+
+def test_classification_curves_tiny_exact(spark):
+    """Hand-computed 4-bucket curves incl. the stop rule
+    (PrecisionRecallAggregation.java iterator semantics)."""
+    from presto_spark.operators import classification as C
+
+    # preds: true outcomes at 0.9, 0.6; false at 0.3, 0.6
+    df = spark.createDataFrame(
+        [(True, 0.9), (True, 0.6), (False, 0.3), (False, 0.6)],
+        "y boolean, x double",
+    ).withColumn("g", F.lit(1))
+    row = C.classification_metrics(df, ["g"], "y", "x", buckets=4
+                                   ).collect()[0]
+    # buckets: 0.3->b1, 0.6->b2 (x2), 0.9->b3; true hist: b2=1, b3=1;
+    # false hist: b1=1, b2=1.  Emit while remaining true > 0: b0..b3.
+    assert row.thresholds == [0.0, 0.25, 0.5, 0.75]
+    assert row.recall == [1.0, 1.0, 1.0, 0.5]
+    assert row.miss_rate == [0.0, 0.0, 0.0, 0.5]
+    assert row.precision == [0.5, 0.5, 2 / 3, 1.0]
+    assert row.fall_out == [1.0, 1.0, 0.5, 0.0]
+
+
+def test_classification_weighted_and_validation(spark):
+    from presto_spark.operators import classification as C
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(True, 0.8, 2.0), (False, 0.2, 4.0)], "y boolean, x double, w double"
+    ).withColumn("g", F.lit(1))
+    row = C.classification_metrics(
+        df, ["g"], "y", "x", buckets=2, weight_col="w").collect()[0]
+    # b0: false w=4; b1: true w=2.  j=0: rem_t=2, rem_f=4 -> prec 1/3;
+    # j=1: rem_t=2, rem_f=0 -> prec 1.
+    assert row.precision == [2 / 6, 1.0]
+    assert row.fall_out == [1.0, 0.0]
+    with _pytest.raises(ValueError, match=">= 2"):
+        C.classification_metrics(df, ["g"], "y", "x", buckets=1)
