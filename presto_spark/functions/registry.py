@@ -18,6 +18,46 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
+
+def _ip2long(ip: str) -> str:
+    """Inline dotted-quad→uint32 arithmetic (no UDF call — SQL-UDF
+    bodies cannot be inlined inside HOF lambdas)."""
+    return (f"(((CAST(element_at(split({ip}, '\\\\.'), 1) AS BIGINT) * 256 "
+            f"+ CAST(element_at(split({ip}, '\\\\.'), 2) AS BIGINT)) * 256 "
+            f"+ CAST(element_at(split({ip}, '\\\\.'), 3) AS BIGINT)) * 256 "
+            f"+ CAST(element_at(split({ip}, '\\\\.'), 4) AS BIGINT))")
+
+
+def _long2ip(l: str) -> str:
+    """Inline uint32→dotted-quad arithmetic (same lambda-scope reason)."""
+    return (f"concat(CAST((({l}) div 16777216) % 256 AS STRING), '.', "
+            f"CAST((({l}) div 65536) % 256 AS STRING), '.', "
+            f"CAST((({l}) div 256) % 256 AS STRING), '.', "
+            f"CAST(({l}) % 256 AS STRING))")
+
+
+def _cidr_cover(lo: str, hi: str) -> str:
+    """Greedy range→CIDR cover as a 64-step fold (≤62 blocks can ever
+    be emitted for a /32-granular IPv4 range), fully inlined so it can
+    sit inside another HOF lambda."""
+    blk = ("least(CASE WHEN acc.cur = 0 THEN 4294967296 "
+           "ELSE acc.cur & -acc.cur END, "
+           f"CAST(pow(2, floor(log2(({hi}) - acc.cur + 1))) AS BIGINT))")
+    return f"""aggregate(
+             sequence(1, 64),
+             named_struct('cur', ({lo}),
+                          'out', CAST(array() AS ARRAY<STRING>)),
+             (acc, i) -> CASE WHEN acc.cur > ({hi}) THEN acc ELSE
+               named_struct(
+                 'cur', acc.cur + {blk},
+                 'out', concat(acc.out, array(concat(
+                   {_long2ip("acc.cur")}, '/',
+                   CAST(32 - CAST(round(log2({blk})) AS INT)
+                        AS STRING)))))
+               END,
+             acc -> acc.out)"""
+
+
 # name -> (arg signature, return type, body expression, reference citation)
 _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
     # ---- string (reference: operator/scalar/StringFunctions.java:62) ----
@@ -808,6 +848,59 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
                + CAST(pow(2, 32 - CAST(element_at(split(pfx, '/'), 2) AS INT))
                       AS BIGINT) - 1""",
         "IpPrefixFunctions.java isSubnetOf(prefix, address)"),
+    "ip_subnet_range": (
+        "pfx STRING", "ARRAY<STRING>",
+        "array(ip_subnet_min(pfx), ip_subnet_max(pfx))",
+        "IpPrefixFunctions.java ipSubnetRange — [network, broadcast]"),
+    "ip_prefix_subnets": (
+        "pfx STRING, newbits INT", "ARRAY<STRING>",
+        f"""CASE WHEN newbits < CAST(element_at(split(pfx, '/'), 2) AS INT)
+                  OR newbits > 32 THEN array()
+           ELSE transform(
+             sequence(0, CAST(pow(2, newbits
+                      - CAST(element_at(split(pfx, '/'), 2) AS INT))
+                      AS INT) - 1),
+             i -> concat(
+               {_long2ip(_ip2long("element_at(split(pfx, '/'), 1)")
+                         + " + CAST(i AS BIGINT)"
+                         + " * CAST(pow(2, 32 - newbits) AS BIGINT)")},
+               '/', CAST(newbits AS STRING)))
+           END""",
+        "IpPrefixFunctions.java ipPrefixSubnets — subdivide into "
+        "2^(new−old) prefixes; empty array when newbits is shorter "
+        "than the input prefix (reference contract)"),
+    # Greedy range→CIDR cover: at each step take the largest aligned
+    # block that fits; a /32-granular IPv4 range needs at most 62
+    # blocks, so the unbounded while-loop unrolls as a 64-step fold.
+    "cidr_cover_shim": (
+        "lo BIGINT, hi BIGINT", "ARRAY<STRING>",
+        _cidr_cover("lo", "hi"),
+        "IpPrefixFunctions.java rangeToCidr analog"),
+    "ip_prefix_collapse": (
+        "pfxs ARRAY<STRING>", "ARRAY<STRING>",
+        f"""flatten(transform(
+             aggregate(
+               array_sort(transform(pfxs, p -> named_struct(
+                 'lo', {_ip2long("element_at(split(p, '/'), 1)")},
+                 'hi', {_ip2long("element_at(split(p, '/'), 1)")}
+                       + CAST(pow(2, 32
+                           - CAST(element_at(split(p, '/'), 2) AS INT))
+                           AS BIGINT) - 1))),
+               CAST(array() AS ARRAY<STRUCT<lo: BIGINT, hi: BIGINT>>),
+               (acc, r) -> CASE
+                 WHEN size(acc) = 0
+                      OR r.lo > element_at(acc, -1).hi + 1
+                 THEN concat(acc, array(r))
+                 WHEN r.hi <= element_at(acc, -1).hi THEN acc
+                 ELSE concat(slice(acc, 1, size(acc) - 1),
+                             array(named_struct(
+                               'lo', element_at(acc, -1).lo,
+                               'hi', r.hi)))
+                 END),
+             r -> {_cidr_cover('r.lo', 'r.hi')}))""",
+        "IpPrefixFunctions.java ipPrefixCollapse — sort by start, "
+        "merge adjacent/overlapping ranges, re-emit the minimal CIDR "
+        "cover per merged range"),
 }
 
 

@@ -1539,3 +1539,44 @@ dual_sql_query(
         "and the key_sampling_percent range contract.",
     tags=("functions", "binary", "json"),
 )
+
+
+# ---- IP prefix tail (IpPrefixFunctions.java ipSubnetRange /
+# ipPrefixSubnets / ipPrefixCollapse; IPv4 string model) ----
+
+dual_sql_query(
+    "fn_ip_prefix_suite2",
+    """
+    SELECT
+      array_join(ip_subnet_range('192.168.1.0/24'), ',') AS rng,
+      array_join(ip_prefix_subnets('192.168.0.0/22', 24), ',') AS subs,
+      size(ip_prefix_subnets('192.168.0.0/24', 22)) AS subs_invalid_n,
+      array_join(ip_prefix_collapse(
+        array('192.168.0.0/24', '192.168.1.0/24')), ',') AS merge_adj,
+      array_join(ip_prefix_collapse(
+        array('10.0.0.0/8', '10.1.0.0/16')), ',') AS merge_contained,
+      array_join(ip_prefix_collapse(
+        array('192.168.0.0/24', '192.168.2.0/24')), ',') AS keep_gap,
+      array_join(ip_prefix_collapse(
+        array('192.168.0.0/24', '192.168.1.0/25')), ',') AS uneven_cover,
+      array_join(ip_prefix_collapse(array('0.0.0.0/0')), ',') AS whole_v4
+    """,
+    """
+    SELECT
+      '192.168.1.0,192.168.1.255' AS rng,
+      '192.168.0.0/24,192.168.1.0/24,192.168.2.0/24,192.168.3.0/24'
+        AS subs,
+      0 AS subs_invalid_n,
+      '192.168.0.0/23' AS merge_adj,
+      '10.0.0.0/8' AS merge_contained,
+      '192.168.0.0/24,192.168.2.0/24' AS keep_gap,
+      '192.168.0.0/24,192.168.1.0/25' AS uneven_cover,
+      '0.0.0.0/0' AS whole_v4
+    """,
+    doc="ip_subnet_range / ip_prefix_subnets / ip_prefix_collapse "
+        "(IpPrefixFunctions.java): subdivision, adjacent-/24 merge to "
+        "/23, containment swallow, gap preservation, the uneven "
+        "/24+/25 minimal cover, and the 0.0.0.0/0 whole-space edge "
+        "(the greedy range->CIDR fold's cur=0 lowest-set-bit guard).",
+    tags=("functions", "ip"),
+)

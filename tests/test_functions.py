@@ -684,3 +684,17 @@ def test_spooky_and_base32_vectors(spark):
     assert row.s32 == "6BF50919"
     assert row.b32 == "NBSWY3DPEB3W64TMMQ======"
     assert row.b32d == "abc"
+
+
+def test_ip_prefix_collapse_edge_cases(spark):
+    from presto_spark.engine import Engine
+
+    eng = Engine(spark)
+    row = eng.sql(
+        "SELECT ip_prefix_collapse(array('1.2.3.4/32', '1.2.3.5/32')) AS a, "
+        "ip_prefix_collapse(array('255.255.255.255/32')) AS b, "
+        "ip_prefix_collapse(array('0.0.0.0/1', '128.0.0.0/1')) AS c"
+    ).collect()[0]
+    assert row.a == ["1.2.3.4/31"]
+    assert row.b == ["255.255.255.255/32"]
+    assert row.c == ["0.0.0.0/0"]
