@@ -221,3 +221,39 @@ def geometry_to_bing_tiles(geom: Column, zoom: Column) -> Column:
             ),
         )
     )
+
+
+def bing_tile_parent(tile: Column, new_zoom: Column | int | None = None) -> Column:
+    """bing_tile_parent(tile[, newZoom]) (BingTileFunctions.java
+    parent): the ancestor tile at newZoom (default z−1) — each zoom
+    step halves the coordinates.  NULL when newZoom is negative or
+    deeper than the tile's own zoom (expression-level checkCondition)."""
+    nz = (F.lit(int(new_zoom)) if isinstance(new_zoom, int)
+          else new_zoom if new_zoom is not None else tile["z"] - 1)
+    shift = F.pow(F.lit(2.0), (tile["z"] - nz).cast("double")).cast("bigint")
+    return F.when(
+        (nz >= 0) & (nz <= tile["z"]),
+        bing_tile((tile["x"] / shift).cast("int"),
+                  (tile["y"] / shift).cast("int"), nz),
+    )
+
+
+def bing_tile_children(tile: Column, new_zoom: Column | int | None = None) -> Column:
+    """bing_tile_children(tile[, newZoom]) → array of descendant tiles
+    at newZoom (default z+1) (BingTileFunctions.java children).  NULL
+    when newZoom is above the tile's zoom or beyond MAX_ZOOM."""
+    nz = (F.lit(int(new_zoom)) if isinstance(new_zoom, int)
+          else new_zoom if new_zoom is not None else tile["z"] + 1)
+    span = F.pow(F.lit(2.0), (nz - tile["z"]).cast("double")).cast("bigint")
+    base_x = tile["x"].cast("bigint") * span
+    base_y = tile["y"].cast("bigint") * span
+    return F.when(
+        (nz >= tile["z"]) & (nz <= MAX_ZOOM),
+        F.flatten(F.transform(
+            F.sequence(F.lit(0), span - 1),
+            lambda dx: F.transform(
+                F.sequence(F.lit(0), span - 1),
+                lambda dy: bing_tile(base_x + dx, base_y + dy, nz),
+            ),
+        )),
+    )

@@ -1050,3 +1050,15 @@ def st_difference(a: Column, b: Column) -> Column:
         F.flatten(a["rings"]),
         lambda p: ~_covers_point(b, p["x"], p["y"]))
     return F.when(pointish, _points_geometry(kept))
+
+
+def geometry_union(geoms: Column) -> Column:
+    """geometry_union(array<geometry>) (GeoFunctions.java stUnion
+    array overload) — point tier: distinct vertex union when every
+    element is POINT/MULTIPOINT; NULL otherwise (same pinned scope as
+    st_union)."""
+    all_pointish = F.forall(
+        geoms, lambda g: g["kind"].isin("POINT", "MULTIPOINT"))
+    verts = F.flatten(F.transform(geoms, lambda g: F.flatten(g["rings"])))
+    return F.when((F.size(geoms) > 0) & all_pointish,
+                  _points_geometry(verts))

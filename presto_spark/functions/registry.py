@@ -220,6 +220,8 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
                          "UrlFunctions.java urlExtractPath"),
     "url_extract_query": ("u STRING", "STRING", "parse_url(u, 'QUERY')",
                           "UrlFunctions.java urlExtractQuery"),
+    "url_extract_fragment": ("u STRING", "STRING", "parse_url(u, 'REF')",
+                             "UrlFunctions.java urlExtractFragment"),
     "url_extract_protocol": ("u STRING", "STRING", "parse_url(u, 'PROTOCOL')",
                              "UrlFunctions.java urlExtractProtocol"),
     "url_extract_port": (
@@ -869,6 +871,43 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
         "IpPrefixFunctions.java ipPrefixSubnets — subdivide into "
         "2^(new−old) prefixes; empty array when newbits is shorter "
         "than the input prefix (reference contract)"),
+    # ---- bitwise shifts (BitwiseFunctions.java; docs bitwise.rst).
+    # Engine ints are BIGINT (monomorphic-shim convention) — the
+    # generic shifts use the bottom 6 bits of the shift exactly like
+    # Java/Spark; the 3-arg legacy forms emulate the bits-wide
+    # register with pow-of-2 modular arithmetic. ----
+    "bitwise_left_shift": (
+        "x BIGINT, s BIGINT", "BIGINT", "shiftleft(x, CAST(s AS INT))",
+        "BitwiseFunctions.java bitwiseLeftShift (bottom shift bits)"),
+    "bitwise_right_shift": (
+        "x BIGINT, s BIGINT", "BIGINT",
+        "shiftrightunsigned(x, CAST(s AS INT))",
+        "BitwiseFunctions.java bitwiseRightShift (logical/zero-fill)"),
+    "bitwise_right_shift_arithmetic": (
+        "x BIGINT, s BIGINT", "BIGINT", "shiftright(x, CAST(s AS INT))",
+        "BitwiseFunctions.java bitwiseRightShiftArithmetic"),
+    "bitwise_arithmetic_shift_right": (
+        "x BIGINT, s BIGINT", "BIGINT",
+        "CASE WHEN s < 0 THEN NULL ELSE shiftright(x, CAST(s AS INT)) END",
+        "BitwiseFunctions.java bitwiseArithmeticShiftRight (negative "
+        "shift → NULL, expression-level checkCondition)"),
+    "bitwise_shift_left": (
+        "x BIGINT, s BIGINT, bits BIGINT", "BIGINT",
+        """CASE WHEN bits < 2 OR bits > 64 OR s < 0 THEN NULL
+                WHEN s >= bits THEN 0
+                WHEN bits = 64 THEN shiftleft(x, CAST(s AS INT))
+                ELSE pmod(shiftleft(x, CAST(s AS INT)),
+                          CAST(pow(2, bits) AS BIGINT)) END""",
+        "BitwiseFunctions.java bitwiseShiftLeft (bits-wide register)"),
+    "bitwise_logical_shift_right": (
+        "x BIGINT, s BIGINT, bits BIGINT", "BIGINT",
+        """CASE WHEN bits < 2 OR bits > 64 OR s < 0 THEN NULL
+                WHEN s >= bits THEN 0
+                WHEN bits = 64 THEN shiftrightunsigned(x, CAST(s AS INT))
+                ELSE shiftrightunsigned(
+                       pmod(x, CAST(pow(2, bits) AS BIGINT)),
+                       CAST(s AS INT)) END""",
+        "BitwiseFunctions.java bitwiseLogicalShiftRight"),
     # Greedy range→CIDR cover: at each step take the largest aligned
     # block that fits; a /32-granular IPv4 range needs at most 62
     # blocks, so the unbounded while-loop unrolls as a 64-step fold.

@@ -169,3 +169,18 @@ def destructure_tdigest(vs: Column, ws: Column) -> Column:
         wsum.alias("sum"),
         total.alias("count"),
     )
+
+
+def construct_tdigest(means: Column, weights: Column) -> Column:
+    """construct_tdigest (TDigestFunctions.java constructTDigest) →
+    the (vs, ws) sketch pair as a struct, value-sorted (the stored
+    invariant).  min/max/sum/count args of the reference signature
+    are derivable from the arrays here, so the engine takes just the
+    centroids — compression is a rollup-time parameter (pinned, same
+    as destructure)."""
+    entries = F.array_sort(F.zip_with(
+        means, weights, lambda v, w: F.struct(v.alias("v"), w.alias("w"))))
+    return F.struct(
+        F.transform(entries, lambda e: e["v"]).alias("vs"),
+        F.transform(entries, lambda e: e["w"]).alias("ws"),
+    )

@@ -30,9 +30,10 @@ from presto_spark.queries import geo_suite  # noqa: F401,E402
 # emission for the two hash flakes) and needing green re-rows; the 8
 # queries written in round 6 (theta sketches ×2, reservoir sample,
 # differential entropy ×2, the binary tail, geometry aggregates, KLL);
-# and the 27 stalest rows — all last checked in round 1 — so re-check
+# and the 26 stalest rows — all last checked in round 1 — so re-check
 # debt stops accumulating at the old end of the registry (r5 verdict
-# #9).  The 15 remaining r1-stale rows (setop_union_intersect_except,
+# #9).  The 16 remaining r1-stale rows (agg_distinct_and_filter,
+# setop_union_intersect_except,
 # setop_intersect_except_all,
 # unnest_with_ordinality,
 # unnest_multi_array_zip, sort_limit_offset,
@@ -47,7 +48,7 @@ _DRIVER_FRONT = [
     "presto_dialect_unnest_ordinality",
     "agg_misc_suite",
     "fn_decimal_cast_suite",
-    # 20 new round-6 queries (never driver-checked by construction)
+    # 21 new round-6 queries (never driver-checked by construction)
     "sketch_theta_exact_ops",
     "sketch_theta_estimate_envelope",
     "sketch_kll_exact_ops",
@@ -68,7 +69,8 @@ _DRIVER_FRONT = [
     "agg_union_tail_suite",
     "agg_classification_curves",
     "fn_ip_prefix_suite2",
-    # 27 stalest rows (last driver row: round 1)
+    "fn_bitwise_shift_suite",
+    # 26 stalest rows (last driver row: round 1)
     "q02_minimum_cost_supplier",
     "q10_returned_items",
     "q11_important_stock",
@@ -95,7 +97,6 @@ _DRIVER_FRONT = [
     "window_top_n_per_group",
     "agg_rollup",
     "agg_grouping_sets",
-    "agg_distinct_and_filter",
 ]
 
 

@@ -1580,3 +1580,37 @@ dual_sql_query(
         "(the greedy range->CIDR fold's cur=0 lowest-set-bit guard).",
     tags=("functions", "ip"),
 )
+
+
+dual_sql_query(
+    "fn_bitwise_shift_suite",
+    """
+    SELECT
+      bitwise_left_shift(7, 2) AS ls, bitwise_left_shift(-7, 2) AS ls_neg,
+      bitwise_right_shift(7, 2) AS rs,
+      bitwise_right_shift(-8, 2) AS rs_neg,
+      bitwise_right_shift_arithmetic(-8, 2) AS rsa,
+      bitwise_arithmetic_shift_right(-8, 2) AS asr,
+      bitwise_shift_left(7, 2, 4) AS sl4,
+      bitwise_shift_left(7, 2, 64) AS sl64,
+      bitwise_logical_shift_right(7, 2, 4) AS lsr4,
+      bitwise_logical_shift_right(-8, 2, 5) AS lsr5
+    """,
+    """
+    SELECT
+      CAST(28 AS BIGINT) AS ls, CAST(-28 AS BIGINT) AS ls_neg,
+      CAST(1 AS BIGINT) AS rs,
+      CAST(4611686018427387902 AS BIGINT) AS rs_neg,
+      CAST(-2 AS BIGINT) AS rsa,
+      CAST(-2 AS BIGINT) AS asr,
+      CAST(12 AS BIGINT) AS sl4,
+      CAST(28 AS BIGINT) AS sl64,
+      CAST(1 AS BIGINT) AS lsr4,
+      CAST(6 AS BIGINT) AS lsr5
+    """,
+    doc="Bitwise shift battery (BitwiseFunctions.java; every worked "
+        "example from bitwise.rst at the BIGINT tier): generic "
+        "left/logical-right/arithmetic-right shifts plus the 3-arg "
+        "bits-wide register forms.",
+    tags=("functions", "bitwise"),
+)

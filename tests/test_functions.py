@@ -698,3 +698,24 @@ def test_ip_prefix_collapse_edge_cases(spark):
     assert row.a == ["1.2.3.4/31"]
     assert row.b == ["255.255.255.255/32"]
     assert row.c == ["0.0.0.0/0"]
+
+
+def test_bitwise_shift_doc_examples(spark):
+    """The exact worked examples from bitwise.rst."""
+    from presto_spark.engine import Engine
+
+    eng = Engine(spark)
+    r = eng.sql(
+        "SELECT bitwise_left_shift(7, 2) AS a, "
+        "bitwise_right_shift(7, 2) AS b, "
+        "bitwise_right_shift_arithmetic(-8, 2) AS c, "
+        "bitwise_arithmetic_shift_right(-8, 2) AS d, "
+        "bitwise_shift_left(7, 2, 4) AS e, "
+        "bitwise_shift_left(7, 2, 64) AS f, "
+        "bitwise_logical_shift_right(7, 2, 4) AS g, "
+        "bitwise_logical_shift_right(-8, 2, 5) AS h, "
+        "bitwise_arithmetic_shift_right(8, -1) AS neg"
+    ).collect()[0]
+    assert (r.a, r.b, r.c, r.d) == (28, 1, -2, -2)
+    assert (r.e, r.f, r.g, r.h) == (12, 28, 1, 6)
+    assert r.neg is None

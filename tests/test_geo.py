@@ -501,3 +501,28 @@ def test_point_tier_overlay_functions(spark):
     # 32-gon area ~ pi*r^2 within the chord-sagitta deficit (<1%)
     import math
     assert abs(row.disc_area - math.pi * 4.0) / (math.pi * 4.0) < 0.01
+
+
+def test_geometry_union_array_and_bing_tile_lineage(spark):
+    from presto_spark.functions import bingtile, geo
+
+    df = spark.createDataFrame(
+        [("MULTIPOINT ((0 0), (1 1))", "POINT (1 1)", "POINT (2 2)")],
+        "wa string, wb string, wc string")
+    row = df.select(
+        geo.geometry_union(F.array(
+            geo.st_geometry_from_text(F.col("wa")),
+            geo.st_geometry_from_text(F.col("wb")),
+            geo.st_geometry_from_text(F.col("wc")))).alias("u"),
+        bingtile.bing_tile_parent(
+            bingtile.bing_tile(F.lit(10), F.lit(21), F.lit(5))).alias("p"),
+        bingtile.bing_tile_parent(
+            bingtile.bing_tile(F.lit(10), F.lit(21), F.lit(5)), 3).alias("p3"),
+        bingtile.bing_tile_children(
+            bingtile.bing_tile(F.lit(2), F.lit(3), F.lit(4))).alias("ch"),
+    ).collect()[0]
+    assert row.u.kind == "MULTIPOINT" and len(row.u.rings) == 3
+    assert (row.p.x, row.p.y, row.p.z) == (5, 10, 4)
+    assert (row.p3.x, row.p3.y, row.p3.z) == (2, 5, 3)
+    assert {(t.x, t.y, t.z) for t in row.ch} == {
+        (4, 6, 5), (4, 7, 5), (5, 6, 5), (5, 7, 5)}

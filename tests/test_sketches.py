@@ -551,3 +551,16 @@ def test_tdigest_scale_negative_is_null(spark):
     row = sk.select(
         TD.scale_tdigest(F.col("ws"), -1.0).alias("s")).collect()[0]
     assert row.s is None
+
+
+def test_tdigest_construct_roundtrip(spark):
+    from presto_spark.operators import tdigest as TD
+
+    df = spark.range(1, 21).select(
+        F.lit("g").alias("g"), F.col("id").cast("double").alias("v"))
+    sk = TD.tdigest_agg(df, ["g"], "v")
+    row = sk.select(
+        TD.construct_tdigest(F.col("vs"), F.col("ws")).alias("c"),
+        F.col("vs"), F.col("ws"),
+    ).collect()[0]
+    assert row.c.vs == row.vs and row.c.ws == row.ws
