@@ -871,6 +871,13 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
         "IpPrefixFunctions.java ipPrefixSubnets — subdivide into "
         "2^(new−old) prefixes; empty array when newbits is shorter "
         "than the input prefix (reference contract)"),
+    # empty_approx_set() (HyperLogLogFunctions.java emptyApproxSet):
+    # a zero-cardinality DataSketches HLL payload, mergeable with any
+    # approx_set partial — spelled as an empty-relation aggregate.
+    "empty_approx_set": (
+        "", "BINARY",
+        "(SELECT hll_sketch_agg(x) FROM (SELECT CAST(NULL AS BIGINT) AS x))",
+        "HyperLogLogFunctions.java emptyApproxSet"),
     # ---- bitwise shifts (BitwiseFunctions.java; docs bitwise.rst).
     # Engine ints are BIGINT (monomorphic-shim convention) — the
     # generic shifts use the bottom 6 bits of the shift exactly like

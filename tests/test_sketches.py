@@ -564,3 +564,18 @@ def test_tdigest_construct_roundtrip(spark):
         F.col("vs"), F.col("ws"),
     ).collect()[0]
     assert row.c.vs == row.vs and row.c.ws == row.ws
+
+
+def test_empty_approx_set_merges_neutrally(spark):
+    """empty_approx_set() (HyperLogLogFunctions.java): estimate 0 and
+    a neutral element under merge."""
+    from presto_spark.engine import Engine
+
+    eng = Engine(spark)
+    row = eng.sql(
+        "SELECT hll_sketch_estimate(empty_approx_set()) AS zero, "
+        "hll_sketch_estimate(hll_union(empty_approx_set(), "
+        "  (SELECT hll_sketch_agg(id) FROM range(100)))) AS merged"
+    ).collect()[0]
+    assert row.zero == 0
+    assert abs(row.merged - 100) <= 5
