@@ -121,20 +121,28 @@ class Engine:
             )
         m = _prep.EXECUTE_RE.match(q)
         if m:
-            # Substitution hardening (VERDICT r5 #10): translate the
-            # prepared statement and each USING argument SEPARATELY,
-            # then splice — the final text goes straight to Spark with
-            # no further rewrite pass, so adversarial parameter content
-            # (quotes, '?', Presto spellings inside string literals)
-            # can never be re-interpreted by a later dialect rewrite.
-            # Mirrors the reference, which substitutes *analyzed*
-            # Parameter nodes (QueryPreparer.java), not raw text.
+            # Substitution hardening (VERDICT r5 #10): the prepared
+            # statement and each USING argument are dialect-translated
+            # SEPARATELY and then spliced — the final text goes
+            # straight to Spark with no further rewrite pass, so
+            # adversarial parameter content (quotes, '?', Presto
+            # spellings inside string literals) can never be
+            # re-interpreted downstream.  The '?' markers are swapped
+            # for unique sentinel identifiers BEFORE translating the
+            # statement: a dialect macro that expands one argument
+            # into several occurrences (trim_array, array_top_n, …)
+            # then duplicates the *sentinel*, and every copy receives
+            # the same translated argument — the analyzed-Parameter
+            # behavior of the reference (QueryPreparer.java).
             stmt = self.prepared.get(m.group(1))
             args = _prep.split_args(m.group(2)) if m.group(2) else []
+            text = _prep.substitute_sentinels(stmt, len(args))
             if dialect == "presto":
-                stmt = translate(stmt)
+                text = translate(text)
                 args = [translate(a) for a in args]
-            return self.spark.sql(_prep.substitute(stmt, args))
+            for i, a in enumerate(args):
+                text = text.replace(_prep.sentinel(i), f"({a})")
+            return self.spark.sql(text)
         return None
 
     def table(self, name: str) -> DataFrame:

@@ -898,13 +898,17 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
         "CASE WHEN s < 0 THEN NULL ELSE shiftright(x, CAST(s AS INT)) END",
         "BitwiseFunctions.java bitwiseArithmeticShiftRight (negative "
         "shift → NULL, expression-level checkCondition)"),
+    # bits-wide mask spelled as shiftleft(1, bits) - 1: two's-complement
+    # wrap makes it exact for bits = 63, where pow(2, bits) would
+    # overflow BIGINT (code-review r6 finding).
     "bitwise_shift_left": (
         "x BIGINT, s BIGINT, bits BIGINT", "BIGINT",
         """CASE WHEN bits < 2 OR bits > 64 OR s < 0 THEN NULL
                 WHEN s >= bits THEN 0
                 WHEN bits = 64 THEN shiftleft(x, CAST(s AS INT))
-                ELSE pmod(shiftleft(x, CAST(s AS INT)),
-                          CAST(pow(2, bits) AS BIGINT)) END""",
+                ELSE shiftleft(x, CAST(s AS INT))
+                     & (shiftleft(CAST(1 AS BIGINT), CAST(bits AS INT)) - 1)
+           END""",
         "BitwiseFunctions.java bitwiseShiftLeft (bits-wide register)"),
     "bitwise_logical_shift_right": (
         "x BIGINT, s BIGINT, bits BIGINT", "BIGINT",
@@ -912,7 +916,8 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
                 WHEN s >= bits THEN 0
                 WHEN bits = 64 THEN shiftrightunsigned(x, CAST(s AS INT))
                 ELSE shiftrightunsigned(
-                       pmod(x, CAST(pow(2, bits) AS BIGINT)),
+                       x & (shiftleft(CAST(1 AS BIGINT), CAST(bits AS INT))
+                            - 1),
                        CAST(s AS INT)) END""",
         "BitwiseFunctions.java bitwiseLogicalShiftRight"),
     # Greedy range→CIDR cover: at each step take the largest aligned

@@ -140,12 +140,22 @@ def st_convex_hull_df(
 ) -> DataFrame:
     """ST_ConvexHull as a DataFrame transform: each row's geometry is
     replaced by the hull of its own vertices (convex_hull_agg keyed by
-    a per-row unique id — the AssignUniqueId pattern)."""
-    keyed = df.withColumn("__row_id", F.monotonically_increasing_id())
+    a per-row unique id — the AssignUniqueId pattern).
+
+    The keyed frame is pinned with localCheckpoint before the
+    self-join: monotonically_increasing_id is assigned per plan
+    evaluation, and the join's two branches would otherwise evaluate
+    the id expression independently — a nondeterministic upstream
+    (sample, AQE repartition, speculative rerun) could hand the same
+    row different ids on each side (code-review r6 finding).  The
+    join is LEFT so vertex-less rows keep a NULL hull instead of
+    silently dropping."""
+    keyed = df.withColumn(
+        "__row_id", F.monotonically_increasing_id()).localCheckpoint()
     hulls = convex_hull_agg(
         keyed.select("__row_id", geom_col), ["__row_id"], geom_col
     ).withColumnRenamed("hull", out_col)
-    return keyed.join(hulls, "__row_id").drop("__row_id")
+    return keyed.join(hulls, "__row_id", "left").drop("__row_id")
 
 
 def envelope_union_agg(

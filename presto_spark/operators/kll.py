@@ -100,9 +100,11 @@ def sketch_kll_quantile(
             F.coalesce(acc["val"], F.when(hit, e["v"])).alias("val"),
         )
 
+    # try_element_at: an EMPTY sketch must fall through to NULL, not
+    # throw under ANSI mode (session-proof rule; code-review r6).
     return F.aggregate(
         _entries(vs, ws), acc0, step,
-        lambda acc: F.coalesce(acc["val"], F.element_at(vs, -1)),
+        lambda acc: F.coalesce(acc["val"], F.try_element_at(vs, F.lit(-1))),
     )
 
 

@@ -24,12 +24,13 @@ Spark-first design — all three are compositions of built-in Column
 expressions (no UDFs):
 
 * The reservoir is selected by ranking rows on a deterministic
-  xxhash64 of the value and a seed and keeping the k smallest — a
+  xxhash64 of (seed, value, per-value duplicate index) and keeping
+  the k smallest — a
   uniform without-replacement sample whose *distribution* matches the
   reference's Vitter reservoir (any fixed-size uniform sample does)
   while staying shuffle-stable and replayable across retries.  Pinned
   deviation: the reference's sample depends on its internal
-  ThreadLocalRandom sequence, ours on the (seed, value) hash — sample
+  ThreadLocalRandom sequence, ours on the seeded hash — sample
   *contents* are engine-specific, sample *law* is not, so the
   differential tests assert membership/size/distribution properties
   (the reference's own TestReservoirSampleAggregation strategy).
@@ -72,13 +73,22 @@ def reservoir_sample(
     if k <= 0:
         raise ValueError("desired sample size must be > 0")
     src = df.filter(F.col(value_col).isNotNull())
-    # Deterministic priority: hash of (seed, value); value itself
-    # breaks hash ties so equal-priority duplicates stay interchangeable.
-    pri = F.xxhash64(F.lit(seed), F.col(value_col).cast("string"))
+    # Deterministic priority: hash of (seed, value, duplicate-index).
+    # The duplicate index matters: hashing the value ALONE gives every
+    # copy of a repeated value the same priority, so a hot value's
+    # copies occupy one contiguous rank block — the sample either
+    # floods with that value or misses it entirely, which is not a
+    # uniform row sample.  With the per-copy index in the hash,
+    # duplicate rows scatter across the rank order and appear in the
+    # sample proportionally (code-review r6 finding).
+    w_dup = Window.partitionBy(*group_cols, value_col).orderBy(F.lit(1))
+    src = src.withColumn("__dup", F.row_number().over(w_dup))
+    pri = F.xxhash64(
+        F.lit(seed), F.col(value_col).cast("string"), F.col("__dup"))
     w_rank = Window.partitionBy(*group_cols).orderBy(
         pri, F.col(value_col))
     w_all = Window.partitionBy(*group_cols)
-    return (
+    sampled = (
         src.withColumn("__rk", F.row_number().over(w_rank))
         .withColumn("__n", F.count("*").over(w_all))
         .filter(F.col("__rk") <= k)
@@ -87,6 +97,18 @@ def reservoir_sample(
             F.first("__n").alias("processed_count"),
             F.collect_list(value_col).alias("sample"),
         )
+    )
+    # A group whose values are all NULL must still emit a
+    # (0, empty) row — the reference aggregate returns a row per
+    # group (code-review r6 finding).
+    groups = df.select(*group_cols).distinct()
+    vtype = df.schema[value_col].dataType.simpleString()
+    return groups.join(sampled, list(group_cols), "left").select(
+        *group_cols,
+        F.coalesce(F.col("processed_count"), F.lit(0).cast("long"))
+        .alias("processed_count"),
+        F.coalesce(F.col("sample"), F.array().cast(f"array<{vtype}>"))
+        .alias("sample"),
     )
 
 
@@ -140,7 +162,10 @@ def differential_entropy(
     entropy = F.aggregate(
         F.sequence(F.lit(0), n - 1), F.lit(0.0), term
     ) / n.cast("double") / F.lit(_LN2)
-    return prepared.select(*group_cols, entropy.alias("entropy"))
+    # n = 0 (all-NULL group): sequence(0, -1) would count DOWN; the
+    # reference returns NaN for an empty sample — emit NULL.
+    return prepared.select(
+        *group_cols, F.when(n > 0, entropy).alias("entropy"))
 
 
 def _xlogx(w: Column) -> Column:

@@ -90,8 +90,8 @@ def quantile_at_value(vs: Column, ws: Column, value) -> Column:
     outside the sketch's observed range (the reference returns NULL
     below min / above max)."""
     value = value if isinstance(value, Column) else F.lit(float(value))
-    in_range = (F.size(vs) > 0) & (value >= F.element_at(vs, 1)) & (
-        value <= F.element_at(vs, -1))
+    in_range = (F.size(vs) > 0) & (value >= F.try_element_at(vs, F.lit(1))) & (
+        value <= F.try_element_at(vs, F.lit(-1)))
     return F.when(in_range, sketch_kll_rank(vs, ws, value, inclusive=True))
 
 
@@ -161,11 +161,13 @@ def destructure_tdigest(vs: Column, ws: Column) -> Column:
     wsum = F.aggregate(
         F.zip_with(vs, ws, lambda v, w: v * w),
         F.lit(0.0), lambda a, x: a + x)
+    # try_element_at: empty sketches yield NULL min/max instead of an
+    # ANSI-mode throw (session-proof rule; code-review r6).
     return F.struct(
         vs.alias("centroid_means"),
         ws.alias("centroid_weights"),
-        F.element_at(vs, 1).alias("min"),
-        F.element_at(vs, -1).alias("max"),
+        F.try_element_at(vs, F.lit(1)).alias("min"),
+        F.try_element_at(vs, F.lit(-1)).alias("max"),
         wsum.alias("sum"),
         total.alias("count"),
     )

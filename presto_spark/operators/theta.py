@@ -108,7 +108,7 @@ def sketch_theta(
     kept = hashed.withColumn("__rk", F.row_number().over(w_rank)).filter(
         F.col("__rk") <= k + 1
     )
-    return kept.groupBy(*group_cols).agg(
+    built = kept.groupBy(*group_cols).agg(
         F.struct(
             F.sort_array(
                 F.collect_list(F.when(F.col("__rk") <= k, F.col("__h")))
@@ -119,6 +119,19 @@ def sketch_theta(
             ).alias("theta"),
             F.lit(k).alias("k"),
         ).alias("sketch")
+    )
+    # A group whose values are all NULL still emits an empty sketch
+    # row (estimate 0) — the reference aggregate returns a row per
+    # group (code-review r6 finding).
+    groups = df.select(*group_cols).distinct()
+    empty = F.struct(
+        F.array().cast("array<string>").alias("hashes"),
+        F.lit(_THETA_ONE).alias("theta"),
+        F.lit(k).alias("k"),
+    )
+    return groups.join(built, list(group_cols), "left").select(
+        *group_cols,
+        F.coalesce(F.col("sketch"), empty).alias("sketch"),
     )
 
 

@@ -118,6 +118,31 @@ def split_args(text: str) -> list[str]:
     return args
 
 
+def sentinel(i: int) -> str:
+    """Identifier-shaped placeholder for the i-th positional parameter:
+    survives every dialect rewrite untouched (it scans as a plain
+    column token) and can be string-replaced after translation, even
+    when a macro expansion duplicated it."""
+    return f"__ps_param_{i}__"
+
+
+def substitute_sentinels(stmt: str, n_args: int) -> str:
+    """Render ``sentinel(k)`` in place of the k-th ``?`` of ``stmt``
+    (literal-aware positions), validating arity."""
+    pos = param_positions(stmt)
+    if len(pos) != n_args:
+        raise ValueError(
+            f"statement expects {len(pos)} parameters, got {n_args}")
+    out = []
+    last = 0
+    for i, p in enumerate(pos):
+        out.append(stmt[last:p])
+        out.append(sentinel(i))
+        last = p + 1
+    out.append(stmt[last:])
+    return "".join(out)
+
+
 def substitute(stmt: str, args: list[str]) -> str:
     """Render ``args[k]`` in place of the k-th ``?`` of ``stmt``.
 
@@ -211,11 +236,6 @@ class PreparedStatements:
         if name.lower() not in self._stmts:
             raise KeyError(f"prepared statement not found: {name}")
         del self._stmts[name.lower()]
-
-    def execute_text(self, name: str, using: str | None) -> str:
-        stmt = self.get(name)
-        args = split_args(using) if using else []
-        return substitute(stmt, args)
 
     def describe_input_rows(self, name: str) -> list[tuple[int, str]]:
         """(position, type) per parameter — 0-based positions

@@ -243,3 +243,13 @@ def test_subscript_rewrite_spark_dialect_untouched(eng):
         dialect="spark",
     ).collect()[0]
     assert row.second_elem == 20
+
+
+def test_execute_macro_duplicated_parameter(eng):
+    """A dialect macro that expands its argument into several
+    occurrences (array_top_n -> slice+sort) must bind ONE user
+    argument to every copy — the sentinel substitution regression
+    pin (code-review r6)."""
+    eng.sql("PREPARE q_dup FROM SELECT array_top_n(?, 2) AS t")
+    rows = eng.sql("EXECUTE q_dup USING ARRAY[3, 9, 1, 7]").collect()
+    assert rows[0].t == [9, 7]

@@ -719,3 +719,17 @@ def test_bitwise_shift_doc_examples(spark):
     assert (r.a, r.b, r.c, r.d) == (28, 1, -2, -2)
     assert (r.e, r.f, r.g, r.h) == (12, 28, 1, 6)
     assert r.neg is None
+
+
+def test_bitwise_shift_bits63_register(spark):
+    """bits=63 must use the two's-complement mask, where pow(2, 63)
+    overflows BIGINT (code-review r6)."""
+    from presto_spark.engine import Engine
+
+    eng = Engine(spark)
+    r = eng.sql(
+        "SELECT bitwise_shift_left(4611686018427387904, 1, 63) AS a, "
+        "bitwise_logical_shift_right(-1, 1, 63) AS b"
+    ).collect()[0]
+    assert r.a == 0
+    assert r.b == 4611686018427387903  # (2^63-1) >> 1

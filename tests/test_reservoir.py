@@ -136,3 +136,24 @@ def test_histogram_rejects_unknown_method(spark):
     with pytest.raises(ValueError, match="unknown method"):
         R.differential_entropy_histogram(
             df, ["g"], "x", None, 4, 0.0, 5.0, method="nope")
+
+
+def test_reservoir_duplicates_sampled_proportionally(spark):
+    """A hot value's copies must scatter through the rank order, not
+    occupy one block (code-review r6): with 900 copies of one value
+    among 1000 rows, a size-50 sample should hold roughly 45 of them
+    — never 0 and never all-or-nothing flip-flops."""
+    rows = [(1, 7)] * 900 + [(1, v) for v in range(100, 200)]
+    df = spark.createDataFrame(rows, "g int, v int")
+    out = R.reservoir_sample(df, ["g"], "v", k=50, seed=3).collect()[0]
+    n_hot = sum(1 for v in out.sample if v == 7)
+    assert 30 <= n_hot <= 50  # ~45 expected; 0 under the old value-hash
+    assert out.processed_count == 1000
+
+
+def test_reservoir_all_null_group_emits_empty_row(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (2, None)], "g int, v int")
+    rows = {r.g: r for r in R.reservoir_sample(df, ["g"], "v", k=3).collect()}
+    assert rows[1].sample == [5]
+    assert rows[2].processed_count == 0 and rows[2].sample == []

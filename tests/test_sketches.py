@@ -579,3 +579,17 @@ def test_empty_approx_set_merges_neutrally(spark):
     ).collect()[0]
     assert row.zero == 0
     assert abs(row.merged - 100) <= 5
+
+
+def test_theta_all_null_group_emits_empty_sketch(spark):
+    from presto_spark.operators import theta as T
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", None)], "g string, v int")
+    rows = {r.g: r.sketch for r in
+            T.sketch_theta(df, ["g"], "v", k=16).collect()}
+    assert len(rows["a"].hashes) == 1
+    assert rows["b"].hashes == [] and rows["b"].theta == "g"
+    est = spark.createDataFrame([(rows["b"],)], "s struct<hashes:array<string>,theta:string,k:int>") \
+        .select(T.sketch_theta_estimate(F.col("s")).alias("e")).collect()[0].e
+    assert est == 0.0
