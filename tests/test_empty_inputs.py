@@ -63,3 +63,33 @@ def test_sketches_on_empty(spark):
     assert S.approx_most_frequent(df, ["g"], "v", 3).count() == 0
     (row,) = df.agg(S.approx_distinct("v").alias("e")).collect()
     assert row.e == 0
+
+
+def test_round6_operators_on_empty(spark):
+    """Theta/KLL/T-Digest sketches, reservoir, entropy, hulls, curves,
+    repetition stats on 0 rows: empty results, never throws."""
+    from presto_spark.llm import text as T
+    from presto_spark.operators import classification as C
+    from presto_spark.operators import geo_agg
+    from presto_spark.operators import kll, reservoir, tdigest, theta
+
+    gv = spark.createDataFrame([], "g int, v double")
+    assert theta.sketch_theta(gv, ["g"], "v", k=64).count() == 0
+    assert theta.merge_theta_sketches(
+        theta.sketch_theta(gv, ["g"], "v", k=64), ["g"]).count() == 0
+    assert kll.sketch_kll_with_k(gv, ["g"], "v", k=64).count() == 0
+    assert tdigest.tdigest_agg(gv, ["g"], "v").count() == 0
+    assert reservoir.reservoir_sample(gv, ["g"], "v", k=5).count() == 0
+    assert reservoir.differential_entropy(
+        gv, ["g"], "v", sample_size=10).count() == 0
+    assert reservoir.differential_entropy_histogram(
+        gv, ["g"], "v", None, 4, 0.0, 1.0).count() == 0
+    yb = spark.createDataFrame([], "g int, y boolean, x double")
+    assert C.classification_metrics(yb, ["g"], "y", "x", 4).count() == 0
+    geoms = spark.createDataFrame(
+        [], "g int, geom struct<kind:string,rings:array<array<struct<x:double,y:double>>>>")
+    assert geo_agg.convex_hull_agg(geoms, ["g"], "geom").count() == 0
+    assert geo_agg.envelope_union_agg(geoms, ["g"], "geom").count() == 0
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert T.repetition_stats(docs, "text", "doc_id").count() == 0
+    assert T.pii_stats(docs, "text", "doc_id").count() == 0
