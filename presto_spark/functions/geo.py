@@ -1062,3 +1062,73 @@ def geometry_union(geoms: Column) -> Column:
     verts = F.flatten(F.transform(geoms, lambda g: F.flatten(g["rings"])))
     return F.when((F.size(geoms) > 0) & all_pointish,
                   _points_geometry(verts))
+
+
+# ---- validity (GeoFunctions.java:415-430 geometry_invalid_reason) --------
+
+def geometry_invalid_reason(geom: Column) -> Column:
+    """geometry_invalid_reason(geometry): NULL when valid, else the
+    first failing check's reason.  The reference surfaces JTS/Esri
+    validator messages; the struct model runs the checks it can
+    express — coordinate validity, ring closure, minimum vertex
+    counts, and shell self-intersection (non-adjacent edge pairs of
+    each ring, O(E²) expression work per row) — with engine-specific
+    message text (pinned, same class of deviation as ST_AsText
+    formatting)."""
+    pts = _all_points(geom)
+    bad_coord = F.exists(
+        pts,
+        lambda p: p["x"].isNull() | p["y"].isNull()
+        | F.isnan(p["x"]) | F.isnan(p["y"]),
+    )
+    rings = geom["rings"]
+    too_few_line = (geom["kind"] == "LINESTRING") & (F.size(rings[0]) < 2)
+    ring_short = (geom["kind"] == "POLYGON") & F.exists(
+        rings, lambda r: F.size(r) < 4)
+    ring_open = (geom["kind"] == "POLYGON") & F.exists(
+        rings,
+        lambda r: (F.try_element_at(r, F.lit(1))["x"]
+                   != F.try_element_at(r, F.lit(-1))["x"])
+        | (F.try_element_at(r, F.lit(1))["y"]
+           != F.try_element_at(r, F.lit(-1))["y"]),
+    )
+
+    def ring_self_intersects(r: Column) -> Column:
+        # edges of one closed ring; non-adjacent pairs must be disjoint
+        # in a simple polygon (adjacent pairs legitimately share a
+        # vertex; the (first, last) pair is wrap-adjacent).
+        edges = F.zip_with(
+            F.slice(r, 1, F.size(r) - 1),
+            F.slice(r, 2, F.size(r) - 1),
+            lambda p, q: F.struct(p.alias("p"), q.alias("q")),
+        )
+        n = F.size(edges)
+        # i+2 > n would make sequence(i+2, n) count DOWN (Spark infers
+        # a negative step) and sneak adjacent pairs back in — guard it.
+        return F.exists(
+            F.sequence(F.lit(1), n),
+            lambda i: F.when(i + 2 > n, F.lit(False)).otherwise(F.exists(
+                F.sequence(i + 2, n),
+                lambda j: F.when(
+                    (i == 1) & (j == n), F.lit(False)
+                ).otherwise(_segments_intersect(
+                    F.try_element_at(edges, i)["p"],
+                    F.try_element_at(edges, i)["q"],
+                    F.try_element_at(edges, j)["p"],
+                    F.try_element_at(edges, j)["q"],
+                )),
+            )),
+        )
+
+    self_int = (geom["kind"] == "POLYGON") & F.exists(
+        rings, ring_self_intersects)
+    return (
+        F.when(geom.isNull(), F.lit(None).cast("string"))
+        .when(~geom["kind"].isin(*_SUPPORTED_KINDS),
+              F.lit("Unsupported geometry kind"))
+        .when(bad_coord, F.lit("Invalid coordinates"))
+        .when(too_few_line, F.lit("Too few points in LineString"))
+        .when(ring_short, F.lit("Too few points in ring"))
+        .when(ring_open, F.lit("Ring is not closed"))
+        .when(self_int, F.lit("Self-intersection"))
+    )

@@ -50,7 +50,7 @@ _DRIVER_FRONT = [
     "presto_dialect_unnest_ordinality",
     "agg_misc_suite",
     "fn_decimal_cast_suite",
-    # 21 new round-6 queries (never driver-checked by construction)
+    # 22 new round-6 queries (never driver-checked by construction)
     "sketch_theta_exact_ops",
     "sketch_theta_estimate_envelope",
     "sketch_kll_exact_ops",
@@ -63,6 +63,7 @@ _DRIVER_FRONT = [
     "presto_dialect_sql_invoked_suite3",
     "geo_nearest_expand_golden",
     "geo_overlay_point_tier_golden",
+    "geo_validity_golden",
     "tpcds_q23_frequent_items_best_customers",
     "tpcds_q78_channel_ratio",
     "llm_repetition_filters",
@@ -72,7 +73,7 @@ _DRIVER_FRONT = [
     "agg_classification_curves",
     "fn_ip_prefix_suite2",
     "fn_bitwise_shift_suite",
-    # 26 stalest rows (last driver row: round 1)
+    # 25 stalest rows (last driver row: round 1)
     "q02_minimum_cost_supplier",
     "q10_returned_items",
     "q11_important_stock",
@@ -98,7 +99,6 @@ _DRIVER_FRONT = [
     "window_aggregate_frames",
     "window_top_n_per_group",
     "agg_rollup",
-    "agg_grouping_sets",
 ]
 
 

@@ -692,3 +692,40 @@ def geo_overlay_point_tier_golden(spark, sf_dir):
         geo.st_contains(disc, geo.st_point(F.lit(0.1), F.lit(0.1)))
         .alias("buf_contains_center"),
     )
+
+
+@register(
+    "geo_validity_golden",
+    oracle="""
+SELECT * FROM (VALUES
+  (0, CAST(NULL AS VARCHAR)),
+  (1, 'Ring is not closed'),
+  (2, 'Too few points in ring'),
+  (3, 'Self-intersection'),
+  (4, CAST(NULL AS VARCHAR)),
+  (5, CAST(NULL AS VARCHAR))
+) AS v(i, reason) ORDER BY i
+""",
+    doc="geometry_invalid_reason (GeoFunctions.java:415-430): the "
+        "validity tiers the struct model can check — ring closure, "
+        "minimum vertex counts, shell self-intersection via "
+        "non-adjacent edge-pair tests (message text engine-specific, "
+        "pinned; check classes mirror the JTS validator).",
+    tags=("geo", "functions"),
+)
+def geo_validity_golden(spark, sf_dir):
+    prepare(spark, sf_dir)
+    cases = [
+        (0, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+        (1, "POLYGON ((0 0, 4 0, 4 4, 0 4))"),
+        (2, "POLYGON ((0 0, 4 0, 0 0))"),
+        (3, "POLYGON ((0 0, 4 4, 4 0, 0 4, 0 0))"),
+        (4, "LINESTRING (1 1, 2 2)"),
+        (5, "MULTIPOINT ((1 1), (2 2))"),
+    ]
+    df = spark.createDataFrame(cases, "i int, wkt string").repartition(1)
+    return df.select(
+        "i",
+        geo.geometry_invalid_reason(
+            geo.st_geometry_from_text(F.col("wkt"))).alias("reason"),
+    ).orderBy("i")

@@ -526,3 +526,24 @@ def test_geometry_union_array_and_bing_tile_lineage(spark):
     assert (row.p3.x, row.p3.y, row.p3.z) == (2, 5, 3)
     assert {(t.x, t.y, t.z) for t in row.ch} == {
         (4, 6, 5), (4, 7, 5), (5, 6, 5), (5, 7, 5)}
+
+
+def test_geometry_invalid_reason_tiers(spark):
+    from presto_spark.functions import geo
+
+    cases = [
+        ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", None),          # valid
+        ("POLYGON ((0 0, 4 0, 4 4, 0 4))", "Ring is not closed"),
+        ("POLYGON ((0 0, 4 0, 0 0))", "Too few points in ring"),
+        ("POLYGON ((0 0, 4 4, 4 0, 0 4, 0 0))", "Self-intersection"),  # bowtie
+        ("LINESTRING (1 1, 2 2)", None),
+        ("POINT (3 3)", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, w) for i, (w, _) in enumerate(cases)], "i int, wkt string")
+    got = {r.i: r.reason for r in df.select(
+        "i", geo.geometry_invalid_reason(
+            geo.st_geometry_from_text(F.col("wkt"))).alias("reason")
+    ).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
