@@ -27,14 +27,16 @@ from presto_spark.queries import geo_suite  # noqa: F401,E402
 # query has at least one driver row (182/182 checked; 179 green).
 # Round-6 front: the 3 round-5 red rows, now fixed (ANSI parity +
 # try_element_at for the unnest ERR; dtype-stable string/BIGINT
-# emission for the two hash flakes) and needing green re-rows; the 21
+# emission for the two hash flakes) and needing green re-rows; the 22
 # queries written in round 6 (theta ×2, KLL, T-Digest, reservoir
 # sample, differential entropy ×2, the binary/scalar/bitwise/IP
 # tails, geometry aggregates + nearest points + point-tier overlay,
 # SQL-invoked plugin tail, classification curves, repetition/PII
-# corpus hygiene, TPC-DS q23/q78); and the 26 stalest rows — all last
+# corpus hygiene, geometry validity, TPC-DS q23/q78); and the 25
+# stalest rows — all last
 # checked in round 1 — so re-check debt stops accumulating at the old
-# end of the registry (r5 verdict #9).  The 16 remaining r1-stale rows (agg_distinct_and_filter,
+# end of the registry (r5 verdict #9).  The 17 remaining r1-stale rows
+# (agg_grouping_sets, agg_distinct_and_filter,
 # setop_union_intersect_except,
 # setop_intersect_except_all,
 # unnest_with_ordinality,
