@@ -27,16 +27,17 @@ from presto_spark.queries import geo_suite  # noqa: F401,E402
 # query has at least one driver row (182/182 checked; 179 green).
 # Round-6 front: the 3 round-5 red rows, now fixed (ANSI parity +
 # try_element_at for the unnest ERR; dtype-stable string/BIGINT
-# emission for the two hash flakes) and needing green re-rows; the 22
+# emission for the two hash flakes) and needing green re-rows; the 24
 # queries written in round 6 (theta ×2, KLL, T-Digest, reservoir
 # sample, differential entropy ×2, the binary/scalar/bitwise/IP
 # tails, geometry aggregates + nearest points + point-tier overlay,
 # SQL-invoked plugin tail, classification curves, repetition/PII
-# corpus hygiene, geometry validity, TPC-DS q23/q78); and the 25
+# corpus hygiene, geometry validity, TPC-DS q1/q23/q33/q78); and the 23
 # stalest rows — all last
 # checked in round 1 — so re-check debt stops accumulating at the old
-# end of the registry (r5 verdict #9).  The 17 remaining r1-stale rows
-# (agg_grouping_sets, agg_distinct_and_filter,
+# end of the registry (r5 verdict #9).  The 19 remaining r1-stale rows
+# (window_top_n_per_group, agg_rollup, agg_grouping_sets,
+# agg_distinct_and_filter,
 # setop_union_intersect_except,
 # setop_intersect_except_all,
 # unnest_with_ordinality,
@@ -52,7 +53,7 @@ _DRIVER_FRONT = [
     "presto_dialect_unnest_ordinality",
     "agg_misc_suite",
     "fn_decimal_cast_suite",
-    # 22 new round-6 queries (never driver-checked by construction)
+    # 24 new round-6 queries (never driver-checked by construction)
     "sketch_theta_exact_ops",
     "sketch_theta_estimate_envelope",
     "sketch_kll_exact_ops",
@@ -68,6 +69,8 @@ _DRIVER_FRONT = [
     "geo_validity_golden",
     "tpcds_q23_frequent_items_best_customers",
     "tpcds_q78_channel_ratio",
+    "tpcds_q1_above_average_returns",
+    "tpcds_q33_multi_channel_union_sum",
     "llm_repetition_filters",
     "llm_pii_redaction",
     "fn_misc_scalar_tail",
@@ -75,7 +78,7 @@ _DRIVER_FRONT = [
     "agg_classification_curves",
     "fn_ip_prefix_suite2",
     "fn_bitwise_shift_suite",
-    # 25 stalest rows (last driver row: round 1)
+    # 23 stalest rows (last driver row: round 1)
     "q02_minimum_cost_supplier",
     "q10_returned_items",
     "q11_important_stock",
@@ -99,8 +102,6 @@ _DRIVER_FRONT = [
     "window_ranking",
     "window_value_functions",
     "window_aggregate_frames",
-    "window_top_n_per_group",
-    "agg_rollup",
 ]
 
 

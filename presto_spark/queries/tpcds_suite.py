@@ -671,3 +671,70 @@ sql_query(
         "partials, single shuffle, TopN sort.",
     tags=("tpcds",),
 )
+
+# q1 shape: per-group above-average gate via a correlated scalar
+# subquery over a derived aggregate CTE.
+sql_query(
+    "tpcds_q1_above_average_returns",
+    """
+    WITH cust_returns AS (
+      SELECT o.o_custkey AS ck, c.c_nationkey AS nk,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS ret_total
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE l.l_returnflag = 'R'
+      GROUP BY o.o_custkey, c.c_nationkey
+    )
+    SELECT ck, nk, round(ret_total, 2) AS ret_total
+    FROM cust_returns r1
+    WHERE ret_total > (SELECT avg(ret_total) * 1.2
+                       FROM cust_returns r2
+                       WHERE r2.nk = r1.nk)
+    ORDER BY nk, ret_total DESC, ck
+    LIMIT 50
+    """,
+    doc="TPC-DS q1 shape (reference tpcds/q1.sql): a returns "
+        "aggregate CTE gated by a CORRELATED scalar subquery over "
+        "itself (per-nation 1.2x-average threshold) — the "
+        "decorrelation-into-aggregate-join pattern, then TopN.",
+    tags=("tpcds",),
+)
+
+# q33/q56 shape: three restricted channel aggregates UNION ALL'd and
+# re-aggregated per key.
+sql_query(
+    "tpcds_q33_multi_channel_union_sum",
+    """
+    WITH by_flag AS (
+      SELECT l_partkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+             AS DOUBLE) AS rev
+      FROM lineitem WHERE l_returnflag = 'A' AND l_partkey % 5 = 0
+      GROUP BY l_partkey
+      UNION ALL
+      SELECT l_partkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+             AS DOUBLE) AS rev
+      FROM lineitem WHERE l_returnflag = 'N' AND l_partkey % 5 = 0
+      GROUP BY l_partkey
+      UNION ALL
+      SELECT l_partkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+             AS DOUBLE) AS rev
+      FROM lineitem WHERE l_returnflag = 'R' AND l_partkey % 5 = 0
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, round(sum(rev), 2) AS total_rev,
+           CAST(count(*) AS BIGINT) AS n_channels
+    FROM by_flag
+    GROUP BY l_partkey
+    HAVING count(*) = 3
+    ORDER BY total_rev DESC, l_partkey
+    LIMIT 30
+    """,
+    doc="TPC-DS q33/q56 shape (reference tpcds/q33.sql): three "
+        "channel-restricted aggregates over the same fact table "
+        "UNION ALL'd and re-aggregated per item, keeping items "
+        "present in every channel — the repeated-scan-union-reagg "
+        "pattern (each branch scans with its own pushed filter).",
+    tags=("tpcds",),
+)
