@@ -257,3 +257,109 @@ def bing_tile_children(tile: Column, new_zoom: Column | int | None = None) -> Co
             ),
         )),
     )
+
+
+def bing_tiles_around_radius(
+    lat: Column, lon: Column, zoom: Column, radius_km: Column | float
+) -> Column:
+    """bing_tiles_around(lat, lon, zoom, radius_km)
+    (BingTileFunctions.java:230-365): the center cross — the
+    horizontal tile run at the center row and the vertical run at the
+    center column, spans from haversine displacements due
+    N/S/E/W (:494-542, R = 6371.01 km) — plus every quadrant tile
+    whose center-facing corner lies within the great-circle radius
+    (the reference's corner-trimming loops, made declarative: the
+    include flag there is monotone toward the center, so membership
+    reduces to the per-tile corner distance test).  Date-line wrap is
+    handled on the x runs via modular tile arithmetic.  NULL for
+    invalid lat/lon/zoom or radius outside [0, 1000]
+    (expression-level checkCondition)."""
+    import math as _m
+
+    from presto_spark.functions.geo import EARTH_RADIUS_KM, great_circle_distance
+
+    r = radius_km if isinstance(radius_km, Column) else F.lit(float(radius_km))
+    rr = r / EARTH_RADIUS_KM
+    phi = lat * _m.pi / 180.0
+    lam = lon * _m.pi / 180.0
+    top_lat = F.least(
+        F.greatest(
+            F.degrees(F.asin(F.sin(phi) * F.cos(rr)
+                             + F.cos(phi) * F.sin(rr))),
+            F.lit(MIN_LATITUDE)),
+        F.lit(MAX_LATITUDE))
+    bottom_lat = F.least(
+        F.greatest(
+            F.degrees(F.asin(F.sin(phi) * F.cos(rr)
+                             - F.cos(phi) * F.sin(rr))),
+            F.lit(MIN_LATITUDE)),
+        F.lit(MAX_LATITUDE))
+    dlon = F.atan2(F.sin(rr) * F.cos(phi),
+                   F.cos(rr) - F.sin(phi) * F.sin(phi))
+    wrap = lambda x: F.when(x > 180.0, x - 360.0).when(  # noqa: E731
+        x < -180.0, x + 360.0).otherwise(x)
+    center = bing_tile_at(lat, lon, zoom)
+    top = bing_tile_at(top_lat, lon, zoom)
+    bottom = bing_tile_at(bottom_lat, lon, zoom)
+    left = bing_tile_at(lat, wrap(F.degrees(lam - dlon)), zoom)
+    right = bing_tile_at(lat, wrap(F.degrees(lam + dlon)), zoom)
+    max_tile = F.pow(F.lit(2.0), zoom.cast("double")).cast("bigint") - 1
+    cx, cy = center["x"].cast("bigint"), center["y"].cast("bigint")
+    # run extents as non-negative counts (modular for the x axis)
+    n_right = F.pmod(right["x"].cast("bigint") - cx, max_tile + 1)
+    n_left = F.pmod(cx - left["x"].cast("bigint"), max_tile + 1)
+    n_up = cy - top["y"].cast("bigint")
+    n_down = bottom["y"].cast("bigint") - cy
+
+    def seq(n):
+        # sequence(1, 0) would count DOWN — guard emptiness explicitly
+        return F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<bigint>"))
+
+    row_run = F.concat(
+        F.array(center),
+        F.transform(seq(n_right),
+                    lambda i: bing_tile(F.pmod(cx + i, max_tile + 1),
+                                        cy, zoom)),
+        F.transform(seq(n_left),
+                    lambda i: bing_tile(F.pmod(cx - i, max_tile + 1),
+                                        cy, zoom)),
+    )
+    col_run = F.concat(
+        F.transform(seq(n_up), lambda j: bing_tile(cx, cy - j, zoom)),
+        F.transform(seq(n_down), lambda j: bing_tile(cx, cy + j, zoom)),
+    )
+
+    def quadrant(nx, ny, x_of, y_of, corner_dx, corner_dy):
+        # tiles (x_of(i), y_of(j)) kept when the center-facing corner
+        # (tile x+corner_dx, tile y+corner_dy in tile units) lies
+        # within the great-circle radius.
+        def keep(t):
+            corner_lat = _tile_y_to_latitude(
+                t["y"].cast("bigint") + corner_dy, zoom)
+            corner_lon = _tile_x_to_longitude(
+                t["x"].cast("bigint") + corner_dx, zoom)
+            return great_circle_distance(
+                lat, lon, corner_lat, corner_lon) <= r
+
+        return F.flatten(F.transform(
+            seq(nx),
+            lambda i: F.filter(
+                F.transform(seq(ny), lambda j: bing_tile(
+                    F.pmod(x_of(i), max_tile + 1), y_of(j), zoom)),
+                keep,
+            ),
+        ))
+
+    # corner offsets: the corner of the tile CLOSEST to the center
+    q_tr = quadrant(n_right, n_up,
+                    lambda i: cx + i, lambda j: cy - j, 0, 1)
+    q_br = quadrant(n_right, n_down,
+                    lambda i: cx + i, lambda j: cy + j, 0, 0)
+    q_tl = quadrant(n_left, n_up,
+                    lambda i: cx - i, lambda j: cy - j, 1, 1)
+    q_bl = quadrant(n_left, n_down,
+                    lambda i: cx - i, lambda j: cy + j, 1, 0)
+    valid = (r >= 0) & (r <= 1000) & center.isNotNull()
+    return F.when(
+        valid, F.concat(row_run, col_run, q_tr, q_br, q_tl, q_bl))

@@ -547,3 +547,31 @@ def test_geometry_invalid_reason_tiers(spark):
     ).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_bing_tiles_around_radius_reference_vectors(spark):
+    """The reference's own testBingTilesAroundWithRadius vectors
+    (TestBingTileFunctions.java:226-241) — plus-shape cover with
+    haversine displacement, quadkey-for-quadkey."""
+    from presto_spark.functions import bingtile as B
+
+    df = spark.range(1)
+    cases = [
+        (1, 1000.0, ["1"]),
+        (15, 0.5, ["123030123010120", "123030123010121",
+                   "123030123010123"]),
+        (19, 0.05, ["1230301230101212120", "1230301230101212121",
+                    "1230301230101212130", "1230301230101212103",
+                    "1230301230101212123", "1230301230101212112",
+                    "1230301230101212102"]),
+    ]
+    for zoom, radius, want in cases:
+        row = df.select(F.transform(
+            B.bing_tiles_around_radius(
+                F.lit(30.12), F.lit(60.0), F.lit(zoom), radius),
+            lambda t: B.bing_tile_quadkey(t)).alias("q")).collect()[0]
+        assert sorted(row.q) == sorted(want), (zoom, row.q)
+    # invalid radius -> NULL (expression-level checkCondition)
+    row = df.select(B.bing_tiles_around_radius(
+        F.lit(30.12), F.lit(60.0), F.lit(1), -1.0).alias("q")).collect()[0]
+    assert row.q is None
