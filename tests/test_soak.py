@@ -42,6 +42,14 @@ _HEAVY = [
     "llm_vocabulary",
     "llm_chunk_documents",
     "event_tumbling_window",
+    # round-6 heavy tiers: theta build (distinct+rank windows +
+    # pairwise set algebra), two-level pandas hull, classification
+    # spine+window, reservoir windows — none may pin blocks or slow
+    # down across reruns.
+    "sketch_theta_exact_ops",
+    "geo_aggregate_hulls",
+    "agg_classification_curves",
+    "agg_reservoir_sample_envelope",
 ]
 
 
