@@ -363,3 +363,57 @@ def bing_tiles_around_radius(
     valid = (r >= 0) & (r <= 1000) & center.isNotNull()
     return F.when(
         valid, F.concat(row_run, col_run, q_tr, q_br, q_tl, q_bl))
+
+
+def geometry_to_dissolved_bing_tiles(geom: Column, max_zoom: Column) -> Column:
+    """geometry_to_dissolved_bing_tiles(geometry, maxZoom)
+    (BingTileFunctions.java geometryToDissolvedBingTiles): the
+    max-zoom cover with every complete 4-sibling group replaced by its
+    parent, repeated up the quadtree.  Same pinned envelope-cover tier
+    as geometry_to_bing_tiles (the reference dissolves the true
+    geometry cover); the dissolve itself is exact: a bounded fold over
+    the ≤23 zoom levels, each level replacing sibling-complete groups
+    via membership tests over that level's tiles (O(n²) array work per
+    level, priced in cover size)."""
+    base = geometry_to_bing_tiles(geom, max_zoom)
+
+    def step(acc, lvl):
+        at_z = F.filter(acc, lambda t: t["z"] == lvl)
+        rest = F.filter(acc, lambda t: t["z"] != lvl)
+        parents = F.array_distinct(F.transform(
+            at_z,
+            lambda t: F.struct(
+                (t["x"].cast("int") / 2).cast("int").alias("x"),
+                (t["y"].cast("int") / 2).cast("int").alias("y"),
+                (lvl - 1).cast("int").alias("z"),
+            ),
+        ))
+
+        def has_child(p, dx, dy):
+            return F.exists(
+                at_z,
+                lambda t: (t["x"] == p["x"] * 2 + dx)
+                & (t["y"] == p["y"] * 2 + dy),
+            )
+
+        complete = F.filter(
+            parents,
+            lambda p: has_child(p, 0, 0) & has_child(p, 1, 0)
+            & has_child(p, 0, 1) & has_child(p, 1, 1),
+        )
+        kept = F.filter(
+            at_z,
+            lambda t: ~F.exists(
+                complete,
+                lambda p: (p["x"] == (t["x"].cast("int") / 2).cast("int"))
+                & (p["y"] == (t["y"].cast("int") / 2).cast("int")),
+            ),
+        )
+        return F.concat(rest, kept, complete)
+
+    # levels max_zoom .. 2: dissolving INTO level lvl-1 each step
+    levels = F.when(
+        max_zoom >= 2,
+        F.sequence(max_zoom.cast("int"), F.lit(2), F.lit(-1)),
+    ).otherwise(F.array().cast("array<int>"))
+    return F.aggregate(levels, base, step)

@@ -575,3 +575,34 @@ def test_bing_tiles_around_radius_reference_vectors(spark):
     row = df.select(B.bing_tiles_around_radius(
         F.lit(30.12), F.lit(60.0), F.lit(1), -1.0).alias("q")).collect()[0]
     assert row.q is None
+
+
+def test_dissolved_bing_tiles_collapses_complete_blocks(spark):
+    from presto_spark.functions import bingtile as B, geo
+
+    # envelope spanning the full northwest quadrant at z3: the 4x4
+    # aligned tile block dissolves 16 -> 4 -> 1 tile at z1.
+    df = spark.createDataFrame(
+        [("POLYGON ((-179 1, -1 1, -1 84, -179 84, -179 1))",)],
+        "wkt string")
+    g = geo.st_geometry_from_text(F.col("wkt"))
+    row = df.select(
+        B.geometry_to_dissolved_bing_tiles(g, F.lit(3)).alias("d"),
+        B.geometry_to_bing_tiles(g, F.lit(3)).alias("raw"),
+    ).collect()[0]
+    assert len(row.raw) == 16
+    assert [(t.x, t.y, t.z) for t in row.d] == [(0, 0, 1)]
+    # a non-alignable cover stays partially dissolved: 2x1 span
+    df2 = spark.createDataFrame(
+        [("POLYGON ((-100 20, -60 20, -60 40, -100 40, -100 20))",)],
+        "wkt string")
+    g2 = geo.st_geometry_from_text(F.col("wkt"))
+    row2 = df2.select(
+        B.geometry_to_dissolved_bing_tiles(g2, F.lit(4)).alias("d"),
+        B.geometry_to_bing_tiles(g2, F.lit(4)).alias("raw"),
+    ).collect()[0]
+    # dissolve never changes coverage: total covered z4-tile area equal
+    def area_z4(tiles):
+        return sum(4 ** (4 - t.z) for t in tiles)
+    assert area_z4(row2.d) == area_z4(row2.raw)
+    assert len(row2.d) <= len(row2.raw)
