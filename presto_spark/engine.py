@@ -136,12 +136,16 @@ class Engine:
             # behavior of the reference (QueryPreparer.java).
             stmt = self.prepared.get(m.group(1))
             args = _prep.split_args(m.group(2)) if m.group(2) else []
+            for a in args:
+                _prep.reject_sentinel_shaped(a, "EXECUTE argument")
             text = _prep.substitute_sentinels(stmt, len(args))
             if dialect == "presto":
                 text = translate(text)
                 args = [translate(a) for a in args]
-            for i, a in enumerate(args):
-                text = text.replace(_prep.sentinel(i), f"({a})")
+            # Single-pass splice: argument text is never rescanned, so
+            # an argument containing quotes or sentinel-shaped text
+            # cannot break out of its expression context (ADVICE r6).
+            text = _prep.splice_sentinels(text, args)
             return self.spark.sql(text)
         return None
 

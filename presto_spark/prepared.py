@@ -121,14 +121,52 @@ def split_args(text: str) -> list[str]:
 def sentinel(i: int) -> str:
     """Identifier-shaped placeholder for the i-th positional parameter:
     survives every dialect rewrite untouched (it scans as a plain
-    column token) and can be string-replaced after translation, even
-    when a macro expansion duplicated it."""
+    column token) and is spliced out after translation in ONE pass
+    (``splice_sentinels``), even when a macro expansion duplicated it."""
     return f"__ps_param_{i}__"
+
+
+SENTINEL_RE = re.compile(r"__ps_param_(\d+)__")
+
+
+def reject_sentinel_shaped(text: str, what: str) -> None:
+    """Fail fast when user-supplied text already contains a
+    sentinel-shaped token: substituting into such a statement (or
+    splicing such an argument) would let pre-existing text be mistaken
+    for a parameter slot.  The token is an engine-internal spelling, so
+    rejecting it loses no legitimate queries (QueryPreparer.java has no
+    analogous hazard because it substitutes AST nodes, not text)."""
+    m = SENTINEL_RE.search(text)
+    if m:
+        raise ValueError(
+            f"{what} contains reserved token {m.group(0)!r}; "
+            "__ps_param_N__ identifiers are reserved by the engine")
+
+
+def splice_sentinels(text: str, args: list[str]) -> str:
+    """Replace every ``__ps_param_k__`` in ``text`` with ``(args[k])``
+    in a SINGLE left-to-right pass — inserted argument text is never
+    rescanned, so an argument containing a later sentinel spelling (or
+    quotes that would re-open a literal) cannot be re-substituted
+    (ADVICE r6: the sequential str.replace loop re-scanned earlier
+    splices)."""
+
+    def repl(m: re.Match) -> str:
+        k = int(m.group(1))
+        if k >= len(args):
+            raise ValueError(
+                f"statement references parameter {k}, "
+                f"got {len(args)} arguments")
+        return f"({args[k]})"
+
+    return SENTINEL_RE.sub(repl, text)
 
 
 def substitute_sentinels(stmt: str, n_args: int) -> str:
     """Render ``sentinel(k)`` in place of the k-th ``?`` of ``stmt``
-    (literal-aware positions), validating arity."""
+    (literal-aware positions), validating arity.  Statements that
+    already contain sentinel-shaped text are rejected up front."""
+    reject_sentinel_shaped(stmt, "prepared statement")
     pos = param_positions(stmt)
     if len(pos) != n_args:
         raise ValueError(

@@ -253,3 +253,33 @@ def test_execute_macro_duplicated_parameter(eng):
     eng.sql("PREPARE q_dup FROM SELECT array_top_n(?, 2) AS t")
     rows = eng.sql("EXECUTE q_dup USING ARRAY[3, 9, 1, 7]").collect()
     assert rows[0].t == [9, 7]
+
+
+def test_execute_sentinel_shaped_argument_rejected(eng):
+    """ADVICE r6 (high): an argument whose VALUE contains a sentinel
+    spelling is rejected up front — the old sequential str.replace
+    loop would have substituted the second argument inside the first
+    argument's string literal.  (The splice itself is also single-pass
+    now, so even without this guard inserted text is never rescanned —
+    see splice_sentinels.)"""
+    eng.sql("PREPARE q_stx FROM SELECT ? AS a, ? AS b")
+    with pytest.raises(ValueError, match="reserved token"):
+        eng.sql("EXECUTE q_stx USING '__ps_param_1__', 'plain'")
+
+
+def test_splice_sentinels_single_pass_unit():
+    """Unit pin for the single-pass property: an argument containing a
+    later sentinel spelling is spliced verbatim, never re-substituted."""
+    from presto_spark import prepared as _prep
+    out = _prep.splice_sentinels(
+        "SELECT __ps_param_0__ AS a, __ps_param_1__ AS b",
+        ["'__ps_param_1__'", "'plain'"])
+    assert out == "SELECT ('__ps_param_1__') AS a, ('plain') AS b"
+
+
+def test_prepare_sentinel_shaped_statement_rejected(eng):
+    """Pre-existing sentinel-shaped text in a prepared statement is
+    rejected up front instead of being clobbered by the splice."""
+    eng.sql("PREPARE q_res FROM SELECT '__ps_param_0__' AS s, ? AS x")
+    with pytest.raises(ValueError, match="reserved token"):
+        eng.sql("EXECUTE q_res USING 1")
