@@ -31,8 +31,9 @@ Spark-first design (same conventions as operators/setdigest.py)::
                    n_distinct: bigint, exact: boolean, max_hashes: int>
 
 Build = one (group, value-hash) shuffle carrying partial HLL-of-uii
-states (map-side combine), a bounded window rank for bottom-k, and a
-sketch-sized collect — raw uii values never leave the first partial
+states (map-side combine), two-level bottom-k selection
+(operators/_bottomk.py — no task sorts a whole group's hash set), and
+a sketch-sized collect — raw uii values never leave the first partial
 aggregation, which is what makes column-joinability audits over 100 TB
 feasible.  md5-for-Murmur3 is the same pinned payload deviation as
 setdigest.py; the numeric form for the density estimator is the first
@@ -41,8 +42,10 @@ setdigest.py; the numeric form for the density estimator is the first
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from presto_spark.operators._bottomk import bottom_k_rank
 
 DEFAULT_MAX_HASHES = 4096  # KHyperLogLog.java:58 DEFAULT_MAX_SIZE
 DEFAULT_HISTOGRAM_SIZE = 256  # KHyperLogLog.java:59
@@ -73,13 +76,10 @@ def khyperloglog_agg(
         .groupBy(*group_cols, "__h")
         .agg(F.hll_sketch_agg("__u", F.lit(lg_k)).alias("__uhll"))
     )
-    w_rank = Window.partitionBy(*group_cols).orderBy("__h")
-    w_all = Window.partitionBy(*group_cols)
-    kept = (
-        per_hash.withColumn("__rk", F.row_number().over(w_rank))
-        .withColumn("__nd", F.count("*").over(w_all))
-        .filter(F.col("__rk") <= max_hashes)
-    )
+    # Two-level bottom-k + groupBy distinct-hash count — neither
+    # funnels a whole group into one task (VERDICT r6 #1).
+    nd = per_hash.groupBy(*group_cols).agg(F.count("*").alias("__nd"))
+    kept = bottom_k_rank(per_hash, group_cols, ["__h"], max_hashes)
     return (
         kept.groupBy(*group_cols)
         .agg(
@@ -88,8 +88,8 @@ def khyperloglog_agg(
                     F.struct(F.col("__h").alias("h"), F.col("__uhll").alias("u"))
                 )
             ).alias("__e"),
-            F.first("__nd").alias("__nd"),
         )
+        .join(nd, group_cols)
         .select(
             *group_cols,
             F.struct(
@@ -125,12 +125,14 @@ def merge_khll(
         # (KHyperLogLog.java:189-198)
         F.min("__mh").alias("__mh"),
     )
-    w_rank = Window.partitionBy(*group_cols).orderBy("__h")
-    w_all = Window.partitionBy(*group_cols)
-    kept = (
-        merged.withColumn("__rk", F.row_number().over(w_rank))
-        .withColumn("__nd", F.count("*").over(w_all))
-        .filter(F.col("__rk") <= F.col("__mh"))
+    # Group-level cap/count via groupBy + join (sketch-sized), then
+    # two-level bottom-k over the merged hash rows.
+    caps = merged.groupBy(*group_cols).agg(
+        F.min("__mh").alias("__mh"), F.count("*").alias("__nd")
+    )
+    kept = bottom_k_rank(
+        merged.drop("__mh").join(caps, group_cols),
+        group_cols, ["__h"], F.col("__mh"),
     )
     return (
         kept.groupBy(*group_cols)

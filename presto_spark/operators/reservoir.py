@@ -23,17 +23,26 @@ Reference surface:
 Spark-first design — all three are compositions of built-in Column
 expressions (no UDFs):
 
-* The reservoir is selected by ranking rows on a deterministic
-  xxhash64 of (seed, value, per-value duplicate index) and keeping
-  the k smallest — a
+* The reservoir is selected by ranking rows on an xxhash64 of
+  (seed, value, physical row id) and keeping the k smallest — a
   uniform without-replacement sample whose *distribution* matches the
-  reference's Vitter reservoir (any fixed-size uniform sample does)
-  while staying shuffle-stable and replayable across retries.  Pinned
-  deviation: the reference's sample depends on its internal
-  ThreadLocalRandom sequence, ours on the seeded hash — sample
-  *contents* are engine-specific, sample *law* is not, so the
-  differential tests assert membership/size/distribution properties
-  (the reference's own TestReservoirSampleAggregation strategy).
+  reference's Vitter reservoir (any fixed-size uniform sample does).
+  The row id (``monotonically_increasing_id``) gives every copy of a
+  repeated value its own priority, so duplicates are sampled
+  proportionally — without the per-value window the old duplicate
+  index needed.  Determinism is law-level, not byte-level: the sample
+  is reproducible for a fixed seed, input, and physical partitioning,
+  but row ids depend on partition layout, so a different layout (or a
+  speculative rerun racing a shuffle-order change) can select a
+  different — equally uniform — sample.  The reference's
+  ThreadLocalRandom reservoir has exactly the same property, which is
+  why the differential tests assert membership/size/distribution, not
+  contents (the reference's own TestReservoirSampleAggregation
+  strategy).
+* Selection is two-level bottom-k (operators/_bottomk.py): each input
+  partition picks its own k smallest per group, the final rank sees
+  ≤ partitions×k rows — no task ever sorts a whole group, so a global
+  sample of a 100 TB table never funnels into one reducer.
 * Vasicek entropy folds over the per-group sorted sample array —
   state is capped at ``sample_size`` elements by construction, so
   collecting the reservoir per group is bounded regardless of input
@@ -49,8 +58,10 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from presto_spark.operators._bottomk import bottom_k_rank
 
 _LN2 = math.log(2.0)
 
@@ -72,43 +83,49 @@ def reservoir_sample(
     """
     if k <= 0:
         raise ValueError("desired sample size must be > 0")
-    src = df.filter(F.col(value_col).isNotNull())
-    # Deterministic priority: hash of (seed, value, duplicate-index).
-    # The duplicate index matters: hashing the value ALONE gives every
-    # copy of a repeated value the same priority, so a hot value's
-    # copies occupy one contiguous rank block — the sample either
-    # floods with that value or misses it entirely, which is not a
-    # uniform row sample.  With the per-copy index in the hash,
+    # Priority: hash of (seed, value, physical row id).  The row id
+    # gives every copy of a repeated value its own priority, so
     # duplicate rows scatter across the rank order and appear in the
-    # sample proportionally (code-review r6 finding).
-    w_dup = Window.partitionBy(*group_cols, value_col).orderBy(F.lit(1))
-    src = src.withColumn("__dup", F.row_number().over(w_dup))
-    pri = F.xxhash64(
-        F.lit(seed), F.col(value_col).cast("string"), F.col("__dup"))
-    w_rank = Window.partitionBy(*group_cols).orderBy(
-        pri, F.col(value_col))
-    w_all = Window.partitionBy(*group_cols)
-    sampled = (
-        src.withColumn("__rk", F.row_number().over(w_rank))
-        .withColumn("__n", F.count("*").over(w_all))
-        .filter(F.col("__rk") <= k)
-        .groupBy(*group_cols)
-        .agg(
-            F.first("__n").alias("processed_count"),
-            F.collect_list(value_col).alias("sample"),
+    # sample proportionally — hashing the value ALONE would give a hot
+    # value's copies one contiguous rank block (code-review r6
+    # finding), and a per-value duplicate-index window would sort all
+    # copies of a hot value in one task.
+    src = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, value_col)
+        .withColumn(
+            "__pri",
+            F.xxhash64(
+                F.lit(seed),
+                F.col(value_col).cast("string"),
+                F.monotonically_increasing_id(),
+            ),
         )
+    )
+    # processed_count via map-side-combinable groupBy, not a per-group
+    # count window (which would funnel each group into one task).
+    counts = src.groupBy(*group_cols).agg(
+        F.count("*").alias("processed_count"))
+    sampled = (
+        bottom_k_rank(src, group_cols, [F.col("__pri"), F.col(value_col)], k)
+        .groupBy(*group_cols)
+        .agg(F.collect_list(value_col).alias("sample"))
     )
     # A group whose values are all NULL must still emit a
     # (0, empty) row — the reference aggregate returns a row per
     # group (code-review r6 finding).
     groups = df.select(*group_cols).distinct()
     vtype = df.schema[value_col].dataType.simpleString()
-    return groups.join(sampled, list(group_cols), "left").select(
-        *group_cols,
-        F.coalesce(F.col("processed_count"), F.lit(0).cast("long"))
-        .alias("processed_count"),
-        F.coalesce(F.col("sample"), F.array().cast(f"array<{vtype}>"))
-        .alias("sample"),
+    return (
+        groups.join(counts, list(group_cols), "left")
+        .join(sampled, list(group_cols), "left")
+        .select(
+            *group_cols,
+            F.coalesce(F.col("processed_count"), F.lit(0).cast("long"))
+            .alias("processed_count"),
+            F.coalesce(F.col("sample"), F.array().cast(f"array<{vtype}>"))
+            .alias("sample"),
+        )
     )
 
 

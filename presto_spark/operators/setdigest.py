@@ -46,9 +46,10 @@ that).  Estimator *semantics* (bottom-k walk, clamps, exactness rule)
 match the reference.
 
 Scale notes: building a digest is (1) a (group, hash) count with
-map-side partial aggregation, (2) a per-group window sort for bottom-k
-selection — state bounded at max_hashes rows per group after the rank
-filter, and (3) a per-group HLL — all shuffle on the group key only.
+map-side partial aggregation, (2) TWO-LEVEL bottom-k selection
+(operators/_bottomk.py: per-partition rank, then a final rank over
+≤ partitions×k survivors — no task sorts a whole group's hash set),
+and (3) a per-group HLL — all shuffle on the group key only.
 jaccard/intersection are O(k²) array expressions per row-pair; k is the
 caller's max_hashes, so pairwise comparisons price in sketch size, not
 set size — the point of the sketch.
@@ -56,8 +57,10 @@ set size — the point of the sketch.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from presto_spark.operators._bottomk import bottom_k_rank
 
 DEFAULT_MAX_HASHES = 8192  # SetDigest.java:54 DEFAULT_MAX_HASHES
 _COUNT_SAT = 32767  # Short.MAX_VALUE saturation (SetDigest.java:201,216)
@@ -78,7 +81,7 @@ def make_set_digest(
     """One SetDigest per group over ``value_col`` (NULLs ignored).
 
     Returns ``group_cols + [digest]``.  Two group-key shuffles (hash
-    counts, HLL) and one bounded window rank — no raw values survive
+    counts, HLL) and a two-level bottom-k rank — no raw values survive
     into the digest, so the output is sketch-sized regardless of input
     scale.
     """
@@ -88,18 +91,21 @@ def make_set_digest(
         .groupBy(*group_cols, "__h")
         .agg(F.least(F.count("*"), F.lit(_COUNT_SAT)).cast("int").alias("__c"))
     )
-    w_rank = Window.partitionBy(*group_cols).orderBy("__h")
-    w_all = Window.partitionBy(*group_cols)
-    kept = (
-        counted.withColumn("__rk", F.row_number().over(w_rank))
-        .withColumn("__nd", F.count("*").over(w_all))
-        .filter(F.col("__rk") <= max_hashes)
-    )
-    minhash = kept.groupBy(*group_cols).agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col("__h").alias("h"), F.col("__c").alias("c")))
-        ).alias("__e"),
-        F.first("__nd").alias("__nd"),
+    # Distinct-hash count via map-side-combinable groupBy, and
+    # two-level bottom-k for the minhash selection — neither funnels a
+    # whole group into one task (VERDICT r6 #1).
+    nd = counted.groupBy(*group_cols).agg(F.count("*").alias("__nd"))
+    kept = bottom_k_rank(counted, group_cols, ["__h"], max_hashes)
+    minhash = (
+        kept.groupBy(*group_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("__h").alias("h"), F.col("__c").alias("c"))
+                )
+            ).alias("__e"),
+        )
+        .join(nd, group_cols)
     )
     hll = src.groupBy(*group_cols).agg(
         F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("__hll")
@@ -151,16 +157,16 @@ def merge_set_digests(
         F.least(F.sum("__c"), F.lit(_COUNT_SAT)).cast("int").alias("__c"),
         F.min("__mh").alias("__mh"),
     )
-    w_rank = Window.partitionBy(*group_cols).orderBy("__h")
-    w_all = Window.partitionBy(*group_cols)
-    kept = (
-        counted.withColumn("__rk", F.row_number().over(w_rank))
-        .withColumn("__nd", F.count("*").over(w_all))
-        # group-level min, not the per-hash value: a hash retained only
-        # by the larger-max input must still be truncated at the
-        # smallest input's k (ADVICE r5).
-        .withColumn("__mh", F.min("__mh").over(w_all))
-        .filter(F.col("__rk") <= F.col("__mh"))
+    # Group-level min of max_hashes, not the per-hash value: a hash
+    # retained only by the larger-max input must still be truncated at
+    # the smallest input's k (ADVICE r5).  Computed by groupBy + join
+    # (sketch-sized), not a per-group window over all hash rows.
+    caps = counted.groupBy(*group_cols).agg(
+        F.min("__mh").alias("__mh"), F.count("*").alias("__nd")
+    )
+    kept = bottom_k_rank(
+        counted.drop("__mh").join(caps, group_cols),
+        group_cols, ["__h"], F.col("__mh"),
     )
     minhash = kept.groupBy(*group_cols).agg(
         F.sort_array(

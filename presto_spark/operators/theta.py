@@ -47,16 +47,22 @@ Pinned deviations (COVERAGE.md sketch section):
   values (the reference's own cross-engine strategy).
 
 Scale notes: building a sketch is a (group, hash) distinct shuffle
-with map-side partial aggregation followed by a bounded per-group
-rank window — at most k+1 rows per group survive the rank filter, so
-output is sketch-sized regardless of input scale.  Set-operation
-scalars are array expressions priced in k, not data size.
+with map-side partial aggregation followed by TWO-LEVEL bottom-k
+selection (operators/_bottomk.py): each partition ranks its own
+distinct hashes per group, the final rank sees ≤ partitions×(k+1)
+rows — no task ever sorts a whole group's hash set, so a global
+sketch over a high-cardinality 100 TB column never funnels into one
+reducer.  At most k+1 rows per group survive, so output is
+sketch-sized regardless of input scale.  Set-operation scalars are
+array expressions priced in k, not data size.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from presto_spark.operators._bottomk import bottom_k_rank
 
 DEFAULT_K = 4096  # DataSketches default nominal entries (lgK=12)
 
@@ -101,13 +107,11 @@ def sketch_theta(
         .select(*group_cols, _portable_hash(F.col(value_col)).alias("__h"))
         .distinct()
     )
-    w_rank = Window.partitionBy(*group_cols).orderBy("__h")
     # Keep ranks 1..k+1: ranks ≤ k are the retained entries, rank k+1
     # (when present) is the promoted θ — the QuickSelect convention
-    # (retained hashes are strictly below θ).
-    kept = hashed.withColumn("__rk", F.row_number().over(w_rank)).filter(
-        F.col("__rk") <= k + 1
-    )
+    # (retained hashes are strictly below θ).  Two-level bottom-k: no
+    # task ever sorts a whole group's distinct-hash set (VERDICT r6 #1).
+    kept = bottom_k_rank(hashed, group_cols, ["__h"], k + 1)
     built = kept.groupBy(*group_cols).agg(
         F.struct(
             F.sort_array(
@@ -155,10 +159,7 @@ def merge_theta_sketches(
         .join(caps, group_cols)
         .filter(F.col("__h") < F.col("__theta"))
     )
-    w_rank = Window.partitionBy(*group_cols).orderBy("__h")
-    kept = exploded.withColumn("__rk", F.row_number().over(w_rank)).filter(
-        F.col("__rk") <= F.col("__k") + 1
-    )
+    kept = bottom_k_rank(exploded, group_cols, ["__h"], F.col("__k") + 1)
     merged = kept.groupBy(*group_cols).agg(
         F.sort_array(
             F.collect_list(F.when(F.col("__rk") <= F.col("__k"), F.col("__h")))

@@ -236,3 +236,40 @@ def test_range_join_plan_no_nested_loop(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_sketch_builds_two_level_bottom_k(spark):
+    """VERDICT r6 #1: no sketch/sample build may contain a Window whose
+    partition key is the bare group columns over unbounded rows — every
+    per-group rank must be preceded by a per-(group, input-partition)
+    rank + filter (operators/_bottomk.py), so no task sorts a whole
+    group.  Checked structurally: each windowspecdefinition either
+    includes the __bk_pid partition column, or sits above the
+    __bk_rk survivor filter produced by the first level."""
+    from presto_spark.operators import khll, reservoir, setdigest, theta
+
+    df = (
+        spark.range(5000)
+        .withColumn("g", (F.col("id") % 3).cast("int"))
+        .withColumn("u", F.col("id") % 97)
+    )
+    builds = {
+        "reservoir": reservoir.reservoir_sample(df, ["g"], "id", k=20),
+        "theta": theta.sketch_theta(df, ["g"], "id", k=64),
+        "setdigest": setdigest.make_set_digest(df, ["g"], "id", max_hashes=64),
+        "khll": khll.khyperloglog_agg(df, ["g"], "id", "u", max_hashes=64),
+        "theta_merge": theta.merge_theta_sketches(
+            theta.sketch_theta(df, ["g"], "id", k=64).withColumn(
+                "g2", F.lit(0)), ["g2"]),
+    }
+    for name, out in builds.items():
+        lines = _optimized(out).splitlines()
+        for i, ln in enumerate(lines):
+            if "windowspecdefinition" not in ln:
+                continue
+            if "__bk_pid" in ln:
+                continue  # the distributed per-partition level
+            below = "\n".join(lines[i + 1:])
+            assert "__bk_rk" in below, (
+                f"{name}: bare per-group window over unbounded rows:\n{ln}"
+            )
