@@ -58,6 +58,49 @@ def _cidr_cover(lo: str, hi: str) -> str:
              acc -> acc.out)"""
 
 
+# The reference's complete reserved list (IpPrefixFunctions.java:64-90
+# privatePrefixes) — IPv4 entries become numeric range checks on the
+# parsed dotted quad (exact), IPv6 entries a regex alternation over the
+# canonical lowercase compressed text form (the engine's string IP
+# model; ADVICE r6 listed the nine IPv4 + six IPv6 ranges the old
+# regex missed).
+_PRIVATE_V4_PREFIXES = [
+    ("0.0.0.0", 8), ("10.0.0.0", 8), ("100.64.0.0", 10), ("127.0.0.0", 8),
+    ("169.254.0.0", 16), ("172.16.0.0", 12), ("192.0.0.0", 24),
+    ("192.0.2.0", 24), ("192.88.99.0", 24), ("192.168.0.0", 16),
+    ("198.18.0.0", 15), ("198.51.100.0", 24), ("203.0.113.0", 24),
+    ("240.0.0.0", 4),
+]
+
+
+def _private_v4_predicate(num: str) -> str:
+    parts = []
+    for ip, n in _PRIVATE_V4_PREFIXES:
+        a, b, c, d = (int(x) for x in ip.split("."))
+        lo = ((a * 256 + b) * 256 + c) * 256 + d
+        hi = lo + (1 << (32 - n)) - 1
+        parts.append(f"({num}) BETWEEN {lo} AND {hi}")
+    return "(" + "\n               OR ".join(parts) + ")"
+
+
+# ::/127, 64:ff9b:1::/48, 100::/64, 2001:2::/48, 2001:db8::/32,
+# 2001::/23 (second group 0x000-0x1ff), 5f00::/16, fe80::/10
+# (fe80-febf), fc00::/7 (fc00-fdff) — anchored alternation over the
+# canonical compressed lowercase spelling.
+_PRIVATE_V6_RE = (
+    "^(::1?$"
+    "|64:ff9b:1:"
+    "|100:(0:0:0:|:)"
+    "|2001:2:"
+    "|2001:db8:"
+    "|2001:([0-9a-f]{1,2}|1[0-9a-f]{2}):"
+    "|2001::"
+    "|5f00:"
+    "|fe[89ab][0-9a-f]:"
+    "|f[cd][0-9a-f]{2}:)"
+)
+
+
 # name -> (arg signature, return type, body expression, reference citation)
 _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
     # ---- string (reference: operator/scalar/StringFunctions.java:62) ----
@@ -409,15 +452,17 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
         "shim: values compared through their string forms)"),
     "is_private_ip": (
         "ip STRING", "BOOLEAN",
-        """CASE
+        f"""CASE
              WHEN ip IS NULL THEN NULL
-             WHEN ip rlike '^(10\\\\.|127\\\\.|192\\\\.168\\\\.|169\\\\.254\\\\.)' THEN true
-             WHEN ip rlike '^172\\\\.(1[6-9]|2[0-9]|3[01])\\\\.' THEN true
-             WHEN ip rlike '^(fc|fd|fe8)' OR ip = '::1' THEN true
-             ELSE false
+             WHEN ip rlike '^[0-9]{{1,3}}(\\\\.[0-9]{{1,3}}){{3}}$'
+             THEN {_private_v4_predicate(_ip2long("ip"))}
+             ELSE lower(ip) rlike '{_PRIVATE_V6_RE}'
            END""",
-        "IpAddressFunctions.java isPrivateIp (RFC1918 + loopback + "
-        "link-local + ULA/fe80 prefixes on the string form)"),
+        "IpPrefixFunctions.java isPrivateIp privatePrefixes:64-90 — "
+        "all 14 IPv4 ranges as exact numeric range checks, the 9 IPv6 "
+        "ranges as an anchored alternation over the canonical "
+        "compressed text form (pinned: the engine's IP model is the "
+        "canonical string, not a parsed IPADDRESS)"),
     "array_sort_desc": (
         "a ARRAY<BIGINT>", "ARRAY<BIGINT>",
         """concat(reverse(array_sort(filter(a, x -> x IS NOT NULL))),
@@ -883,16 +928,28 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
     # generic shifts use the bottom 6 bits of the shift exactly like
     # Java/Spark; the 3-arg legacy forms emulate the bits-wide
     # register with pow-of-2 modular arithmetic. ----
+    # s >= 64 guards: Spark's shift builtins mask the shift mod 64
+    # (Java semantics), but the reference saturates — shift >= 64
+    # returns 0 (sign-extended to 0/-1 for the arithmetic form),
+    # BitwiseFunctions.java:184,247,306 (ADVICE r6).
     "bitwise_left_shift": (
-        "x BIGINT, s BIGINT", "BIGINT", "shiftleft(x, CAST(s AS INT))",
-        "BitwiseFunctions.java bitwiseLeftShift (bottom shift bits)"),
+        "x BIGINT, s BIGINT", "BIGINT",
+        "CASE WHEN s >= 64 THEN CAST(0 AS BIGINT) "
+        "ELSE shiftleft(x, CAST(s AS INT)) END",
+        "BitwiseFunctions.java bitwiseLeftShiftBigint:180-188 "
+        "(shift >= 64 saturates to 0)"),
     "bitwise_right_shift": (
         "x BIGINT, s BIGINT", "BIGINT",
-        "shiftrightunsigned(x, CAST(s AS INT))",
-        "BitwiseFunctions.java bitwiseRightShift (logical/zero-fill)"),
+        "CASE WHEN s >= 64 THEN CAST(0 AS BIGINT) "
+        "ELSE shiftrightunsigned(x, CAST(s AS INT)) END",
+        "BitwiseFunctions.java bitwiseRightShiftBigint:243-251 "
+        "(logical/zero-fill; shift >= 64 saturates to 0)"),
     "bitwise_right_shift_arithmetic": (
-        "x BIGINT, s BIGINT", "BIGINT", "shiftright(x, CAST(s AS INT))",
-        "BitwiseFunctions.java bitwiseRightShiftArithmetic"),
+        "x BIGINT, s BIGINT", "BIGINT",
+        "CASE WHEN s >= 64 THEN CAST(IF(x >= 0, 0, -1) AS BIGINT) "
+        "ELSE shiftright(x, CAST(s AS INT)) END",
+        "BitwiseFunctions.java bitwiseRightShiftArithmeticBigint:"
+        "302-315 (shift >= 64 sign-extends to 0/-1)"),
     "bitwise_arithmetic_shift_right": (
         "x BIGINT, s BIGINT", "BIGINT",
         "CASE WHEN s < 0 THEN NULL ELSE shiftright(x, CAST(s AS INT)) END",

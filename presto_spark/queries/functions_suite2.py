@@ -1559,7 +1559,14 @@ dual_sql_query(
         array('192.168.0.0/24', '192.168.2.0/24')), ',') AS keep_gap,
       array_join(ip_prefix_collapse(
         array('192.168.0.0/24', '192.168.1.0/25')), ',') AS uneven_cover,
-      array_join(ip_prefix_collapse(array('0.0.0.0/0')), ',') AS whole_v4
+      array_join(ip_prefix_collapse(array('0.0.0.0/0')), ',') AS whole_v4,
+      is_private_ip('100.64.0.1') AS priv_cgn,
+      is_private_ip('198.18.0.1') AS priv_bench,
+      is_private_ip('240.0.0.1') AS priv_reserved,
+      is_private_ip('2001:db8::9') AS priv_doc6,
+      is_private_ip('fe9f::1') AS priv_ll6,
+      is_private_ip('172.32.0.1') AS pub_172,
+      is_private_ip('fec0::1') AS pub_v6
     """,
     """
     SELECT
@@ -1571,13 +1578,24 @@ dual_sql_query(
       '10.0.0.0/8' AS merge_contained,
       '192.168.0.0/24,192.168.2.0/24' AS keep_gap,
       '192.168.0.0/24,192.168.1.0/25' AS uneven_cover,
-      '0.0.0.0/0' AS whole_v4
+      '0.0.0.0/0' AS whole_v4,
+      true AS priv_cgn,
+      true AS priv_bench,
+      true AS priv_reserved,
+      true AS priv_doc6,
+      true AS priv_ll6,
+      false AS pub_172,
+      false AS pub_v6
     """,
     doc="ip_subnet_range / ip_prefix_subnets / ip_prefix_collapse "
         "(IpPrefixFunctions.java): subdivision, adjacent-/24 merge to "
         "/23, containment swallow, gap preservation, the uneven "
         "/24+/25 minimal cover, and the 0.0.0.0/0 whole-space edge "
-        "(the greedy range->CIDR fold's cur=0 lowest-set-bit guard).",
+        "(the greedy range->CIDR fold's cur=0 lowest-set-bit guard); "
+        "plus is_private_ip over the full privatePrefixes list "
+        "(IpPrefixFunctions.java:64-90 — CGN, benchmarking, class-E, "
+        "IPv6 documentation and fe9x link-local ranges the old regex "
+        "missed, ADVICE r6).",
     tags=("functions", "ip"),
 )
 
@@ -1594,7 +1612,11 @@ dual_sql_query(
       bitwise_shift_left(7, 2, 4) AS sl4,
       bitwise_shift_left(7, 2, 64) AS sl64,
       bitwise_logical_shift_right(7, 2, 4) AS lsr4,
-      bitwise_logical_shift_right(-8, 2, 5) AS lsr5
+      bitwise_logical_shift_right(-8, 2, 5) AS lsr5,
+      bitwise_left_shift(1, 64) AS ls_sat,
+      bitwise_right_shift(-1, 70) AS rs_sat,
+      bitwise_right_shift_arithmetic(12, 64) AS rsa_sat_pos,
+      bitwise_right_shift_arithmetic(-45, 64) AS rsa_sat_neg
     """,
     """
     SELECT
@@ -1606,11 +1628,17 @@ dual_sql_query(
       CAST(12 AS BIGINT) AS sl4,
       CAST(28 AS BIGINT) AS sl64,
       CAST(1 AS BIGINT) AS lsr4,
-      CAST(6 AS BIGINT) AS lsr5
+      CAST(6 AS BIGINT) AS lsr5,
+      CAST(0 AS BIGINT) AS ls_sat,
+      CAST(0 AS BIGINT) AS rs_sat,
+      CAST(0 AS BIGINT) AS rsa_sat_pos,
+      CAST(-1 AS BIGINT) AS rsa_sat_neg
     """,
     doc="Bitwise shift battery (BitwiseFunctions.java; every worked "
         "example from bitwise.rst at the BIGINT tier): generic "
         "left/logical-right/arithmetic-right shifts plus the 3-arg "
-        "bits-wide register forms.",
+        "bits-wide register forms, incl. the shift>=64 saturation "
+        "(0 / sign-extended) the reference applies but Spark's "
+        "mod-64 builtins do not (ADVICE r6).",
     tags=("functions", "bitwise"),
 )

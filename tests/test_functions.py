@@ -733,3 +733,59 @@ def test_bitwise_shift_bits63_register(spark):
     ).collect()[0]
     assert r.a == 0
     assert r.b == 4611686018427387903  # (2^63-1) >> 1
+
+
+def test_bitwise_shift_64_saturates(spark):
+    """shift >= 64 saturates (0, or sign for the arithmetic form) —
+    Spark's builtins mask the shift mod 64; the reference does not
+    (BitwiseFunctions.java:184,247,306; ADVICE r6)."""
+    from presto_spark.engine import Engine
+
+    eng = Engine(spark)
+    r = eng.sql(
+        "SELECT bitwise_left_shift(1, 64) AS a, "
+        "bitwise_left_shift(1, 70) AS a2, "
+        "bitwise_right_shift(-1, 64) AS b, "
+        "bitwise_right_shift_arithmetic(12, 64) AS c_pos, "
+        "bitwise_right_shift_arithmetic(-45, 64) AS c_neg, "
+        "bitwise_left_shift(3, 63) AS edge"
+    ).collect()[0]
+    assert (r.a, r.a2, r.b) == (0, 0, 0)
+    assert (r.c_pos, r.c_neg) == (0, -1)
+    assert r.edge == -9223372036854775808  # 63 still shifts (1<<63 wraps)
+
+
+def test_is_private_ip_full_reserved_list(spark):
+    """Every range of the reference's privatePrefixes list
+    (IpPrefixFunctions.java:64-90), one member + one near-miss each
+    where boundaries are interesting (ADVICE r6 listed the ranges the
+    old regex missed)."""
+    from presto_spark.engine import Engine
+
+    eng = Engine(spark)
+    private = [
+        "0.255.9.9", "10.1.2.3", "100.64.0.1", "100.127.255.255",
+        "127.0.0.1", "169.254.10.10", "172.16.0.0", "172.31.255.255",
+        "192.0.0.7", "192.0.2.88", "192.88.99.1", "192.168.50.6",
+        "198.18.4.4", "198.19.255.255", "198.51.100.9", "203.0.113.20",
+        "240.0.0.1", "255.255.255.255",
+        "::", "::1", "64:ff9b:1::5", "100::2", "2001:2:0:aa::1",
+        "2001:db8::9", "2001:0:12::f", "2001:1ff::e", "5f00::3",
+        "fe80::1", "fe9f::2", "febf::3", "fc00::4", "fdff::5",
+    ]
+    public = [
+        "1.2.3.4", "8.8.8.8", "100.128.0.0", "172.32.0.1", "172.15.9.9",
+        "192.0.1.1", "192.0.3.0", "192.88.100.0", "192.169.0.0",
+        "198.17.255.255", "198.20.0.0", "198.51.101.0", "203.0.114.0",
+        "239.255.255.255", "2001:200::1", "2001:4860::8888", "5f01::1",
+        "fec0::1", "fe00::1", "fb00::1", "64:ff9b:2::1", "101::1",
+    ]
+    vals = ", ".join(f"('{a}', true)" for a in private)
+    vals += ", " + ", ".join(f"('{a}', false)" for a in public)
+    rows = eng.sql(
+        f"SELECT ip, expected, is_private_ip(ip) AS got "
+        f"FROM (VALUES {vals}) AS t(ip, expected)"
+    ).collect()
+    bad = [(r.ip, r.expected, r.got) for r in rows if r.got != r.expected]
+    assert not bad, bad
+    assert eng.sql("SELECT is_private_ip(NULL) AS n").collect()[0].n is None

