@@ -1132,3 +1132,43 @@ def geometry_invalid_reason(geom: Column) -> Column:
         .when(ring_open, F.lit("Ring is not closed"))
         .when(self_int, F.lit("Self-intersection"))
     )
+
+
+def simplify_geometry(geom: Column, tolerance: Column | float) -> Column:
+    """simplify_geometry(geometry, distanceTolerance)
+    (GeoFunctions.java:764-782): Ramer–Douglas–Peucker simplification.
+    Reference contract mirrored at the expression level — NaN tolerance
+    fails, negative tolerance fails, zero tolerance returns the input
+    unchanged; POINT/MULTIPOINT pass through.  The vertex removal runs
+    in the Arrow tier (functions/_geo_pandas_udfs.py — per-feature map
+    work, never scan-hot; pinned RDP deviation documented there)."""
+    from presto_spark.functions import _geo_pandas_udfs as _gp
+
+    tol = tolerance if isinstance(tolerance, Column) else F.lit(tolerance)
+    tol = tol.cast("double")
+    checked = (
+        F.when(F.isnan(tol),
+               F.raise_error(F.lit("distanceTolerance is NaN")))
+        .when(tol < 0,
+              F.raise_error(F.lit("distanceTolerance is negative")))
+        .otherwise(tol)
+    )
+    return (
+        F.when(geom.isNull() | checked.isNull(), F.lit(None).cast(
+            "struct<kind:string,"
+            "rings:array<array<struct<x:double,y:double>>>>"))
+        .when(checked == 0.0, geom)
+        .otherwise(_gp.simplify_geometry_udf(geom, checked))
+    )
+
+
+def flatten_geometry_collections(geom: Column) -> Column:
+    """flatten_geometry_collections(geometry) → array(geometry)
+    (GeoFunctions.java:1168-1181; geospatial.rst:432): recursively
+    flattens GeometryCollections and returns every other geometry
+    whole.  The struct-geometry model has no GEOMETRYCOLLECTION kind
+    (COVERAGE.md §2.8), so every representable input is a
+    non-collection and the result is the one-element array — the exact
+    reference behavior over the supported type lattice (a MULTIPOINT
+    is an OGC multi-geometry, not a collection, and stays whole)."""
+    return F.when(geom.isNotNull(), F.array(geom))

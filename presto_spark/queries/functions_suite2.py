@@ -1513,7 +1513,11 @@ dual_sql_query(
       is_private_ip('172.32.0.1') AS ip_pub_172,
       is_private_ip('8.8.8.8') AS ip_pub,
       key_sampling_percent('hello') >= 0.0
-        AND key_sampling_percent('hello') < 1.0 AS ksp_ok
+        AND key_sampling_percent('hello') < 1.0 AS ksp_ok,
+      uuid() rlike
+        '^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$'
+        AS uuid_v4,
+      current_timezone() AS tz
     """,
     """
     SELECT
@@ -1529,7 +1533,9 @@ dual_sql_query(
       true AS jac_hit, false AS jac_miss,
       true AS ip_rfc1918, true AS ip_172,
       false AS ip_pub_172, false AS ip_pub,
-      true AS ksp_ok
+      true AS ksp_ok,
+      true AS uuid_v4,
+      'UTC' AS tz
     """,
     doc="Scalar tail battery: base64url round-trip, big-endian 32/64 "
         "two's-complement codecs, inverse_cauchy_cdf (DuckDB replays "

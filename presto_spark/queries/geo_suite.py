@@ -729,3 +729,44 @@ def geo_validity_golden(spark, sf_dir):
         geo.geometry_invalid_reason(
             geo.st_geometry_from_text(F.col("wkt"))).alias("reason"),
     ).orderBy("i")
+
+
+@register(
+    "geo_simplify_flatten_golden",
+    oracle="""
+SELECT * FROM (VALUES
+  (0, 'LINESTRING (0.0 0.0, 2.0 -0.1, 3.0 5.0, 7.0 9.0, 9.0 9.0)', 1),
+  (1, 'POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))', 1),
+  (2, 'POINT (1.0 2.0)', 1),
+  (3, 'LINESTRING (0.0 0.0, 1.0 0.1, 2.0 -0.1, 3.0 5.0)', 1)
+) AS v(i, simplified, flat_n) ORDER BY i
+""",
+    doc="simplify_geometry (GeoFunctions.java:764-782, Ramer-Douglas-"
+        "Peucker; tolerance contract: 0 = identity, points pass "
+        "through, removed vertices all within tolerance) and "
+        "flatten_geometry_collections (GeoFunctions.java:1168-1181 — "
+        "non-collection inputs come back whole as a 1-element array; "
+        "the struct model has no GEOMETRYCOLLECTION kind, pinned).",
+    tags=("geo", "functions"),
+)
+def geo_simplify_flatten_golden(spark, sf_dir):
+    prepare(spark, sf_dir)
+    cases = [
+        # tolerance 1.0 drops the sub-tolerance wiggles, keeps corners
+        (0, "LINESTRING (0 0, 1 0.1, 2 -0.1, 3 5, 4 6, 5 7, 6 8.1, 7 9, 8 9, 9 9)", 1.0),
+        # closed ring: collinear-ish edge midpoints removed, square kept
+        (1, "POLYGON ((0 0, 4 0, 4 0.05, 4 4, 2 4.01, 0 4, 0 0))", 1.0),
+        # points pass through untouched
+        (2, "POINT (1 2)", 5.0),
+        # tolerance 0 is the identity (reference short-circuit)
+        (3, "LINESTRING (0 0, 1 0.1, 2 -0.1, 3 5)", 0.0),
+    ]
+    df = spark.createDataFrame(cases, "i int, wkt string, tol double") \
+        .repartition(1)
+    g = geo.st_geometry_from_text(F.col("wkt"))
+    return df.select(
+        "i",
+        geo.st_as_text(
+            geo.simplify_geometry(g, F.col("tol"))).alias("simplified"),
+        F.size(geo.flatten_geometry_collections(g)).alias("flat_n"),
+    ).orderBy("i")

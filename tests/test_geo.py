@@ -606,3 +606,41 @@ def test_dissolved_bing_tiles_collapses_complete_blocks(spark):
         return sum(4 ** (4 - t.z) for t in tiles)
     assert area_z4(row2.d) == area_z4(row2.raw)
     assert len(row2.d) <= len(row2.raw)
+
+
+def test_simplify_geometry_contract(spark):
+    """simplify_geometry (GeoFunctions.java:764-782): zero tolerance is
+    the identity, NaN/negative tolerance fail, points pass through, and
+    a simplified line keeps its endpoints."""
+    import pytest as _pytest
+    from presto_spark.functions import geo
+
+    df = spark.createDataFrame(
+        [("LINESTRING (0 0, 1 0.01, 2 0, 3 0.02, 4 0)",)], "wkt string"
+    ).select(geo.st_geometry_from_text(F.col("wkt")).alias("g"))
+    simp = df.select(
+        geo.st_as_text(geo.simplify_geometry(F.col("g"), 0.5)).alias("t")
+    ).collect()[0].t
+    assert simp == "LINESTRING (0.0 0.0, 4.0 0.0)"
+    ident = df.select(
+        geo.st_as_text(geo.simplify_geometry(F.col("g"), 0.0)).alias("t")
+    ).collect()[0].t
+    assert ident == "LINESTRING (0.0 0.0, 1.0 0.01, 2.0 0.0, 3.0 0.02, 4.0 0.0)"
+    for bad, msg in ((-1.0, "negative"), (float("nan"), "NaN")):
+        with _pytest.raises(Exception, match=msg):
+            df.select(geo.simplify_geometry(F.col("g"), bad)).collect()
+
+
+def test_flatten_geometry_collections_whole(spark):
+    """Non-collection inputs come back whole as a 1-element array
+    (GeoFunctions.java:1168-1181); NULL stays NULL."""
+    from presto_spark.functions import geo
+
+    df = spark.createDataFrame(
+        [("MULTIPOINT ((1 1), (2 2))",), (None,)], "wkt string"
+    ).select(geo.st_geometry_from_text(F.col("wkt")).alias("g"))
+    rows = df.select(
+        geo.flatten_geometry_collections(F.col("g")).alias("fl")).collect()
+    non_null = [r for r in rows if r.fl is not None]
+    assert len(non_null) == 1 and len(non_null[0].fl) == 1
+    assert non_null[0].fl[0].kind == "MULTIPOINT"
