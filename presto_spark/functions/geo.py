@@ -1015,9 +1015,9 @@ def _points_geometry(pts: Column) -> Column:
 
 def st_union(a: Column, b: Column) -> Column:
     """ST_Union (GeoFunctions.java stUnion) — point tier: the distinct
-    vertex union of two POINT/MULTIPOINT inputs.  Other kind
-    combinations return NULL (polygon/line union is the overlay
-    algebra, pinned out of scope; envelope_union_agg and
+    vertex union of two POINT/MULTIPOINT inputs.  Polygon operands:
+    use ``st_union_polygons`` (the convex overlay tier below); other
+    kind combinations return NULL (envelope_union_agg and
     convex_hull_agg in operators/geo_agg.py are the aggregate-shaped
     alternatives)."""
     pointish = a["kind"].isin("POINT", "MULTIPOINT") & b["kind"].isin(
@@ -1033,7 +1033,7 @@ def st_intersection(a: Column, b: Column) -> Column:
     """ST_Intersection (GeoFunctions.java stIntersection) — point
     tier: the vertices of a POINT/MULTIPOINT ``a`` covered by ``b``
     (any supported kind).  NULL for an empty result or non-point ``a``
-    (pinned with the overlay algebra)."""
+    (polygon×polygon: use ``st_intersection_polygons``)."""
     pointish = a["kind"].isin("POINT", "MULTIPOINT") & b["kind"].isin(
         *_SUPPORTED_KINDS)
     kept = F.filter(
@@ -1172,3 +1172,300 @@ def flatten_geometry_collections(geom: Column) -> Column:
     reference behavior over the supported type lattice (a MULTIPOINT
     is an OGC multi-geometry, not a collection, and stays whole)."""
     return F.when(geom.isNotNull(), F.array(geom))
+
+
+# ---- convex-polygon overlay tier (GeoFunctions.java stIntersection/
+# stUnion/stDifference polygon operands; VERDICT r6 #2) --------------------
+#
+# Sutherland-Hodgman clipping over the struct-geometry model, entirely
+# in Column expressions (HOF lambdas — static expression trees, no
+# UDFs).  Scope (COVERAGE.md geometry section):
+#
+# * intersection: exact for convex x convex (S-H IS the convex clip);
+# * union: exact for convex x convex with nonempty intersection — the
+#   union of two convex sets sharing a point is star-shaped about that
+#   point, so its boundary (vertices of each shell not strictly inside
+#   the other, plus edge-edge crossings) sorts into a single ring by
+#   angle around any interior point of the intersection.  Disjoint
+#   unions are MULTIPOLYGON-valued and the model has no such kind —
+#   NULL, pinned;
+# * difference: A minus B via half-plane decomposition (piece_i = A
+#   clipped outside B-edge i and inside B-edges 1..i-1 — disjoint
+#   convex pieces whose union is exactly A\B).  Emitted when the
+#   decomposition yields ONE nonempty piece (half-plane style clips);
+#   a multi-piece or holed result is NULL, pinned with the same
+#   MULTIPOLYGON note.  Disjoint inputs return A; A inside B returns
+#   NULL (empty).
+#
+# Non-convex or holed polygon operands return NULL (documented with
+# geometry_invalid_reason-style rationale: the struct model's overlay
+# tier is the convex lattice).
+
+_PT_ARR_T = "array<struct<x:double,y:double>>"
+
+
+def _side(p: Column, q: Column, v: Column) -> Column:
+    """Signed area2 of (p, q, v): > 0 when v is left of p→q."""
+    return ((q["x"] - p["x"]) * (v["y"] - p["y"])
+            - (q["y"] - p["y"]) * (v["x"] - p["x"]))
+
+
+def _shell_open(poly: Column) -> Column:
+    """Ring 0 as an open vertex list (WKT closure vertex dropped)."""
+    r = F.element_at(poly["rings"], 1)
+    n = F.size(r)
+    first, last = F.element_at(r, 1), F.element_at(r, -1)
+    closed = (first["x"] == last["x"]) & (first["y"] == last["y"])
+    return F.when(closed & (n > 1), F.slice(r, 1, n - 1)).otherwise(r)
+
+
+def _ccw_open(pts: Column) -> Column:
+    """Open vertex list normalized to counter-clockwise winding."""
+    n = F.size(pts)
+    area2 = F.aggregate(
+        F.sequence(F.lit(1), n), F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(pts, i)["x"] * F.element_at(pts, (i % n) + 1)["y"]
+        - F.element_at(pts, (i % n) + 1)["x"] * F.element_at(pts, i)["y"],
+    )
+    return F.when(area2 < 0, F.reverse(pts)).otherwise(pts)
+
+
+def _is_convex_open(pts: Column) -> Column:
+    """All consecutive edge cross products share a sign (zeros allowed:
+    collinear vertices keep a polygon convex)."""
+    n = F.size(pts)
+    crosses = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: _side(
+            F.element_at(pts, i),
+            F.element_at(pts, (i % n) + 1),
+            F.element_at(pts, ((i % n) + 1 % n) % n + 1),
+        ),
+    )
+    return (n >= 3) & (
+        F.forall(crosses, lambda c: c >= 0)
+        | F.forall(crosses, lambda c: c <= 0)
+    )
+
+
+def _halfplane_clip(acc: Column, p: Column, q: Column) -> Column:
+    """One Sutherland-Hodgman pass of open list ``acc`` against the
+    directed line p→q, keeping the left (inside-for-CCW) side."""
+    ns = F.size(acc)
+
+    def emit(j):
+        cur = F.element_at(acc, j)
+        nxt = F.element_at(acc, (j % ns) + 1)
+        sc = _side(p, q, cur)
+        sn = _side(p, q, nxt)
+        t = sc / (sc - sn)
+        ix = F.struct(
+            (cur["x"] + t * (nxt["x"] - cur["x"])).alias("x"),
+            (cur["y"] + t * (nxt["y"] - cur["y"])).alias("y"),
+        )
+        return (
+            F.when((sc >= 0) & (sn >= 0), F.array(nxt))
+            .when((sc >= 0) & (sn < 0), F.array(ix))
+            .when((sc < 0) & (sn >= 0), F.array(ix, nxt))
+            .otherwise(F.array().cast(_PT_ARR_T))
+        )
+
+    # sequence(1, 0) would count DOWN — empty subjects stay empty.
+    return F.when(ns == 0, acc).otherwise(
+        F.flatten(F.transform(F.sequence(F.lit(1), ns), emit)))
+
+
+def _clip_convex(subject: Column, clip_pts: Column) -> Column:
+    """Sutherland-Hodgman: open CCW ``subject`` clipped by every edge
+    of open CCW ``clip_pts``."""
+    nc = F.size(clip_pts)
+    return F.aggregate(
+        F.sequence(F.lit(1), nc),
+        subject,
+        lambda acc, i: _halfplane_clip(
+            acc,
+            F.element_at(clip_pts, i),
+            F.element_at(clip_pts, (i % nc) + 1),
+        ),
+    )
+
+
+def _poly_from_open(pts: Column) -> Column:
+    """Distinct open vertex list → closed single-ring POLYGON (NULL
+    below 3 distinct vertices — the empty/degenerate convention)."""
+    dedup = F.array_distinct(pts)
+    closed = F.concat(dedup, F.array(F.element_at(dedup, 1)))
+    return F.when(
+        F.size(dedup) >= 3,
+        F.struct(F.lit("POLYGON").alias("kind"),
+                 F.array(closed).alias("rings")),
+    )
+
+
+def _convex_polygon_s(g: Column, shell: Column) -> Column:
+    """Single-ring convex POLYGON guard over a pre-computed shell."""
+    return ((g["kind"] == "POLYGON") & (F.size(g["rings"]) == 1)
+            & _is_convex_open(shell))
+
+
+def _strictly_inside(pts: Column, v: Column) -> Column:
+    """v strictly interior to the convex CCW open list ``pts``."""
+    n = F.size(pts)
+    return F.forall(
+        F.sequence(F.lit(1), n),
+        lambda i: _side(
+            F.element_at(pts, i), F.element_at(pts, (i % n) + 1), v) > 0,
+    )
+
+
+def _edge_crossings(sa: Column, sb: Column) -> Column:
+    """All points where an edge of ``sa`` crosses an edge of ``sb``
+    (parametric segment-segment intersection, both t and u in [0,1])."""
+    na, nb = F.size(sa), F.size(sb)
+    pairs = F.flatten(F.transform(
+        F.sequence(F.lit(1), na),
+        lambda i: F.transform(
+            F.sequence(F.lit(1), nb),
+            lambda j: F.struct(i.alias("i"), j.alias("j"))),
+    ))
+
+    def ipt(e):
+        p1 = F.element_at(sa, e["i"])
+        p2 = F.element_at(sa, (e["i"] % na) + 1)
+        q1 = F.element_at(sb, e["j"])
+        q2 = F.element_at(sb, (e["j"] % nb) + 1)
+        rx, ry = p2["x"] - p1["x"], p2["y"] - p1["y"]
+        sx, sy = q2["x"] - q1["x"], q2["y"] - q1["y"]
+        den = rx * sy - ry * sx
+        wx, wy = q1["x"] - p1["x"], q1["y"] - p1["y"]
+        t = (wx * sy - wy * sx) / den
+        u = (wx * ry - wy * rx) / den
+        ok = (den != 0.0) & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
+        return F.when(
+            ok,
+            F.array(F.struct((p1["x"] + t * rx).alias("x"),
+                             (p1["y"] + t * ry).alias("y"))),
+        ).otherwise(F.array().cast(_PT_ARR_T))
+
+    return F.flatten(F.transform(pairs, ipt))
+
+
+def _angular_ring(cand: Column, k: Column) -> Column:
+    """Distinct candidate points sorted CCW by angle around ``k`` —
+    valid exactly when the target region is star-shaped about k."""
+    dedup = F.array_distinct(cand)
+    keyed = F.array_sort(F.transform(
+        dedup,
+        lambda v: F.struct(
+            F.atan2(v["y"] - k["y"], v["x"] - k["x"]).alias("ang"),
+            v["x"].alias("x"), v["y"].alias("y")),
+    ))
+    return F.transform(
+        keyed, lambda e: F.struct(e["x"].alias("x"), e["y"].alias("y")))
+
+
+def _centroid_of(pts: Column) -> Column:
+    n = F.size(pts).cast("double")
+    return F.struct(
+        (F.aggregate(pts, F.lit(0.0), lambda a, p: a + p["x"]) / n)
+        .alias("x"),
+        (F.aggregate(pts, F.lit(0.0), lambda a, p: a + p["y"]) / n)
+        .alias("y"),
+    )
+
+
+def polygon_shell(geom: Column) -> Column:
+    """The open counter-clockwise shell of a POLYGON — materialize this
+    with ``withColumn`` (plus a ``repartition()`` optimizer barrier)
+    and pass it as ``sa``/``sb`` to the overlay functions below:
+    Catalyst's lambda analysis re-resolves every inlined copy of the
+    shell subtree, and an un-materialized shell costs SECONDS of
+    analysis per overlay call (the projection-collapse trap the module
+    memory documents for WKT parsing)."""
+    return _ccw_open(_shell_open(geom))
+
+
+def st_intersection_polygons(
+    a: Column, b: Column,
+    sa: Column | None = None, sb: Column | None = None,
+) -> Column:
+    """ST_Intersection for convex single-ring polygons (GeoFunctions
+    .java stIntersection) — exact Sutherland-Hodgman clip; NULL for
+    non-convex/holed operands (module note) or an empty result.
+    ``sa``/``sb``: pre-materialized ``polygon_shell`` columns (strongly
+    recommended — see polygon_shell)."""
+    sa = sa if sa is not None else polygon_shell(a)
+    sb = sb if sb is not None else polygon_shell(b)
+    return F.when(
+        _convex_polygon_s(a, sa) & _convex_polygon_s(b, sb),
+        _poly_from_open(_clip_convex(sa, sb)),
+    )
+
+
+def st_union_polygons(
+    a: Column, b: Column,
+    sa: Column | None = None, sb: Column | None = None,
+) -> Column:
+    """ST_Union for overlapping convex single-ring polygons — the
+    star-shaped boundary stitch (module note).  Disjoint inputs (a
+    MULTIPOLYGON union) and non-convex operands return NULL, pinned.
+    ``sa``/``sb``: pre-materialized ``polygon_shell`` columns."""
+    sa = sa if sa is not None else polygon_shell(a)
+    sb = sb if sb is not None else polygon_shell(b)
+    inter = F.array_distinct(_clip_convex(sa, sb))
+    k = _centroid_of(inter)
+    cand = F.concat(
+        F.filter(sa, lambda v: ~_strictly_inside(sb, v)),
+        F.filter(sb, lambda v: ~_strictly_inside(sa, v)),
+        _edge_crossings(sa, sb),
+    )
+    return F.when(
+        _convex_polygon_s(a, sa) & _convex_polygon_s(b, sb)
+        & (F.size(inter) >= 1),
+        _poly_from_open(_angular_ring(cand, k)),
+    )
+
+
+def st_difference_polygons(
+    a: Column, b: Column,
+    sa: Column | None = None, sb: Column | None = None,
+) -> Column:
+    """ST_Difference for convex single-ring polygons via half-plane
+    decomposition (module note): disjoint → a; a inside b → NULL
+    (empty); one surviving piece → that piece; multi-piece/holed
+    results → NULL, pinned.  ``sa``/``sb``: pre-materialized
+    ``polygon_shell`` columns."""
+    sa = sa if sa is not None else polygon_shell(a)
+    sb = sb if sb is not None else polygon_shell(b)
+    nb = F.size(sb)
+    inter = F.array_distinct(_clip_convex(sa, sb))
+
+    # One linear fold over B's edges: piece_j = (what's left of A after
+    # clipping inside edges 1..j-1) clipped OUTSIDE edge j, and the
+    # remainder continues inside edge j — piece_j is exactly the
+    # triangular chain A ∩ out(e_j) ∩ in(e_1..j-1) without re-deriving
+    # each prefix (the naive per-piece refold was quadratic in edges
+    # and dominated analysis time).
+    def step(acc, j):
+        p = F.element_at(sb, j)
+        q = F.element_at(sb, (j % nb) + 1)
+        out_piece = _halfplane_clip(acc["rem"], q, p)  # outside: reversed
+        good = F.size(F.array_distinct(out_piece)) >= 3
+        return F.struct(
+            _halfplane_clip(acc["rem"], p, q).alias("rem"),
+            (acc["np"] + F.when(good, 1).otherwise(0)).alias("np"),
+            F.when(good, out_piece).otherwise(acc["piece"]).alias("piece"),
+        )
+
+    init = F.struct(
+        sa.alias("rem"),
+        F.lit(0).alias("np"),
+        F.array().cast(_PT_ARR_T).alias("piece"),
+    )
+    fin = F.aggregate(F.sequence(F.lit(1), nb), init, step)
+    return F.when(
+        _convex_polygon_s(a, sa) & _convex_polygon_s(b, sb),
+        F.when(F.size(inter) < 3, a)  # disjoint / touching: A unchanged
+        .when(fin["np"] == 1, _poly_from_open(fin["piece"])),
+    )

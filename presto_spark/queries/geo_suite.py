@@ -770,3 +770,88 @@ def geo_simplify_flatten_golden(spark, sf_dir):
             geo.simplify_geometry(g, F.col("tol"))).alias("simplified"),
         F.size(geo.flatten_geometry_collections(g)).alias("flat_n"),
     ).orderBy("i")
+
+
+@register(
+    "geo_overlay_polygon_golden",
+    oracle="""
+SELECT * FROM (VALUES
+  (0, 'POLYGON ((1.0 1.0, 2.0 1.0, 2.0 2.0, 1.0 2.0, 1.0 1.0))', '1.0000',
+      'POLYGON ((0.0 0.0, 2.0 0.0, 2.0 1.0, 3.0 1.0, 3.0 3.0, 1.0 3.0, 1.0 2.0, 0.0 2.0, 0.0 0.0))',
+      '7.0000', 'EMPTY', '0.0000'),
+  (1, 'EMPTY', '0.0000', 'EMPTY', '0.0000',
+      'POLYGON ((0.0 0.0, 1.0 0.0, 1.0 1.0, 0.0 1.0, 0.0 0.0))', '1.0000'),
+  (2, 'POLYGON ((1.0 1.0, 2.0 1.0, 2.0 2.0, 1.0 2.0, 1.0 1.0))', '1.0000',
+      'POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))', '16.0000',
+      'EMPTY', '0.0000'),
+  (3, 'POLYGON ((2.0 0.0, 4.0 0.0, 4.0 4.0, 2.0 4.0, 2.0 0.0))', '8.0000',
+      'POLYGON ((0.0 0.0, 2.0 0.0, 2.0 -1.0, 5.0 -1.0, 5.0 5.0, 2.0 5.0, 2.0 4.0, 0.0 4.0, 0.0 0.0))',
+      '26.0000',
+      'POLYGON ((0.0 0.0, 2.0 0.0, 2.0 4.0, 0.0 4.0, 0.0 0.0))', '8.0000'),
+  (4, 'EMPTY', '0.0000', 'EMPTY', '0.0000', 'EMPTY', '0.0000')
+) AS v(i, inter_wkt, inter_area, union_wkt, union_area, diff_wkt, diff_area)
+ORDER BY i
+""",
+    doc="Convex-polygon overlay tier (GeoFunctions.java stIntersection/"
+        "stUnion/stDifference with polygon operands; VERDICT r6 #2): "
+        "Sutherland-Hodgman intersection (exact for convex x convex), "
+        "star-stitch union (exact when the operands overlap — the union "
+        "of convex sets sharing a point is star-shaped about it), "
+        "half-plane-decomposition difference (emitted when one convex "
+        "piece survives; disjoint returns A, A-inside-B is empty). "
+        "Cases: offset squares (union is the 8-vertex L-ring, area "
+        "4+4-1), disjoint, B-inside-A (holed difference pinned NULL), "
+        "half-clip, and a non-convex operand (pinned NULL). Areas and "
+        "full vertex rings DuckDB-replayed.",
+    tags=("geo", "functions"),
+)
+def geo_overlay_polygon_golden(spark, sf_dir):
+    prepare(spark, sf_dir)
+    cases = [
+        (0, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+            "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"),
+        (1, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+            "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"),
+        (2, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+            "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"),
+        (3, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+            "POLYGON ((2 -1, 5 -1, 5 5, 2 5, 2 -1))"),
+        (4, "POLYGON ((0 0, 4 4, 4 0, 0 4, 0 0))",
+            "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"),
+    ]
+    # Materialize parsed geometries and shells behind repartition
+    # barriers — Catalyst would otherwise inline the WKT-parse and
+    # shell subtrees into every lambda of the overlay expressions
+    # (measured: seconds of analysis per un-materialized reference).
+    df = (
+        spark.createDataFrame(cases, "i int, wa string, wb string")
+        .select(
+            "i",
+            geo.st_geometry_from_text(F.col("wa")).alias("a"),
+            geo.st_geometry_from_text(F.col("wb")).alias("b"))
+        .repartition(2)
+        .withColumn("sa", geo.polygon_shell(F.col("a")))
+        .withColumn("sb", geo.polygon_shell(F.col("b")))
+        .repartition(2)
+    )
+    a, b, sa, sb = F.col("a"), F.col("b"), F.col("sa"), F.col("sb")
+    g = df.select(
+        "i",
+        geo.st_intersection_polygons(a, b, sa, sb).alias("gi"),
+        geo.st_union_polygons(a, b, sa, sb).alias("gu"),
+        geo.st_difference_polygons(a, b, sa, sb).alias("gd"),
+    ).repartition(2)
+
+    def wkt(c):
+        return F.coalesce(geo.st_as_text(F.col(c)), F.lit("EMPTY"))
+
+    def area(c):
+        return F.format_string(
+            "%.4f", F.coalesce(geo.st_area(F.col(c)), F.lit(0.0)))
+
+    return g.select(
+        "i",
+        wkt("gi").alias("inter_wkt"), area("gi").alias("inter_area"),
+        wkt("gu").alias("union_wkt"), area("gu").alias("union_area"),
+        wkt("gd").alias("diff_wkt"), area("gd").alias("diff_area"),
+    ).orderBy("i")

@@ -644,3 +644,64 @@ def test_flatten_geometry_collections_whole(spark):
     non_null = [r for r in rows if r.fl is not None]
     assert len(non_null) == 1 and len(non_null[0].fl) == 1
     assert non_null[0].fl[0].kind == "MULTIPOINT"
+
+
+def _overlay_df(spark, cases):
+    from presto_spark.functions import geo
+
+    df = (
+        spark.createDataFrame(cases, "i int, wa string, wb string")
+        .select(
+            "i",
+            geo.st_geometry_from_text(F.col("wa")).alias("a"),
+            geo.st_geometry_from_text(F.col("wb")).alias("b"))
+        .repartition(2)
+        .withColumn("sa", geo.polygon_shell(F.col("a")))
+        .withColumn("sb", geo.polygon_shell(F.col("b")))
+        .repartition(2)
+    )
+    return df
+
+
+def test_convex_polygon_overlay_trio(spark):
+    """Sutherland-Hodgman intersection, star-stitch union, half-plane
+    difference (GeoFunctions.java stIntersection/stUnion/stDifference,
+    convex tier) — areas satisfy |A∪B| = |A| + |B| − |A∩B| and every
+    documented pinned NULL fires."""
+    from presto_spark.functions import geo
+
+    df = _overlay_df(spark, [
+        (0, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+            "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"),
+        (1, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+            "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"),
+        (2, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+            "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"),
+        (3, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+            "POLYGON ((2 -1, 5 -1, 5 5, 2 5, 2 -1))"),
+        (4, "POLYGON ((0 0, 4 4, 4 0, 0 4, 0 0))",
+            "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"),
+    ])
+    a, b, sa, sb = F.col("a"), F.col("b"), F.col("sa"), F.col("sb")
+    g = df.select(
+        "i",
+        geo.st_intersection_polygons(a, b, sa, sb).alias("gi"),
+        geo.st_union_polygons(a, b, sa, sb).alias("gu"),
+        geo.st_difference_polygons(a, b, sa, sb).alias("gd"),
+    ).repartition(2)
+    rows = {r.i: r for r in g.select(
+        "i",
+        geo.st_area(F.col("gi")).alias("ia"),
+        geo.st_area(F.col("gu")).alias("ua"),
+        geo.st_area(F.col("gd")).alias("da"),
+        F.col("gi").isNull().alias("ni"),
+        F.col("gu").isNull().alias("nu"),
+        F.col("gd").isNull().alias("nd"),
+    ).collect()}
+    assert (rows[0].ia, rows[0].ua) == (1.0, 7.0)  # 4 + 4 - 1
+    assert rows[0].nd  # L-shaped difference: 2 pieces, pinned NULL
+    assert rows[1].ni and rows[1].nu and rows[1].da == 1.0  # disjoint: A
+    assert (rows[2].ia, rows[2].ua) == (1.0, 16.0)  # B inside A
+    assert rows[2].nd  # holed difference pinned NULL
+    assert (rows[3].ia, rows[3].ua, rows[3].da) == (8.0, 26.0, 8.0)
+    assert rows[4].ni and rows[4].nu and rows[4].nd  # non-convex pinned
