@@ -929,3 +929,121 @@ def sketch_tdigest_exact_ops(spark, sf_dir):
                == tdigest.value_at_quantile(vs, ws, 0.90))
         ).alias("scale_ok"),
     ).orderBy("g")
+
+
+_SFM_EXACT_ORACLE = """
+WITH v AS (
+  SELECT DISTINCT o_orderpriority AS g, o_custkey % 400 AS val
+  FROM orders
+), h AS (
+  SELECT g, CAST(concat('0x', substr(md5(CAST(val AS VARCHAR)), 1, 15))
+                 AS BIGINT) AS h60
+  FROM v
+), loc AS (
+  SELECT DISTINCT g,
+    (h60 >> 54) * 8
+      + least(CAST(floor(log2((h60 | 18014398509481984)
+                              & -(h60 | 18014398509481984))) AS BIGINT),
+              7) AS loc
+  FROM h
+), bits AS (
+  SELECT g, array_to_string(list_sort(list(loc)), ',') AS bits_s,
+         count(*) AS n_bits
+  FROM loc GROUP BY g
+)
+SELECT b.g,
+       CAST(b.n_bits AS BIGINT) AS n_bits,
+       b.bits_s,
+       true AS est_ok,
+       true AS merge_or_ok,
+       true AS priv_est_ok,
+       format('{:.8f}', 1.0 / (exp(2.0) + 1.0)) AS p_eps2,
+       format('{:.8f}',
+              (2.0 / (exp(2.0) + 1.0)
+               - 3.0 / ((exp(2.0) + 1.0) * (exp(2.0) + 1.0)))
+              / (1.0 - 2.0 / ((exp(2.0) + 1.0) * (exp(2.0) + 1.0))))
+         AS p_merged
+FROM bits b ORDER BY b.g
+"""
+
+
+@register(
+    "sketch_sfm_exact_ops",
+    oracle=_SFM_EXACT_ORACLE,
+    doc="Noisy SFM sketch family (SfmSketch.java; "
+        "NoisyApproximateSetSfmAggregation / "
+        "NoisyApproximateDistinctCountSfmAggregation / "
+        "SfmSketchMergeAggregation; noisy.rst:100-200). Exact regime "
+        "(epsilon = inf, bits deterministic): DuckDB replays the whole "
+        "ON-bit set from the 60-bit md5 hash (bucket = top 6 bits, "
+        "level = capped trailing zeros — SfmSketch.addHash:119-126) "
+        "per o_orderpriority over o_custkey%400 at buckets=64/"
+        "precision=8. merge_or_ok pins the non-private merge (bitwise "
+        "OR, mergeWith:361-364) of even/odd-orderkey halves against "
+        "the directly-built sketch; est_ok/priv_est_ok envelope the "
+        "Newton pseudolikelihood estimator (cardinality:144-157) at "
+        "epsilon inf and 2; p_eps2/p_merged replay the randomized-"
+        "response probability 1/(e^eps+1) (:228-236) and the Theorem "
+        "4.8 merge formula (:330-333) exactly.",
+    tags=("sketch", "agg", "noisy"),
+)
+def sketch_sfm_exact_ops(spark, sf_dir):
+    prepare(spark, sf_dir)
+    import math
+
+    from presto_spark.operators import sfm
+
+    orders = spark.table("orders").withColumn("__v", F.col("o_custkey") % 400)
+    g = ["o_orderpriority"]
+    non = sfm.noisy_approx_set_sfm(
+        orders, g, "__v", epsilon=math.inf, buckets=64, precision=8)
+    truth = (
+        orders.select("o_orderpriority", "__v").distinct()
+        .groupBy("o_orderpriority").agg(F.count("*").alias("__nd"))
+    )
+    h1 = sfm.noisy_approx_set_sfm(
+        orders.filter(F.col("o_orderkey") % 2 == 0), g, "__v",
+        math.inf, 64, 8)
+    h2 = sfm.noisy_approx_set_sfm(
+        orders.filter(F.col("o_orderkey") % 2 == 1), g, "__v",
+        math.inf, 64, 8)
+    merged = sfm.merge_sfm_nonprivate(h1.unionByName(h2), g).select(
+        "o_orderpriority", F.col("sfm").alias("msfm"))
+    priv = sfm.noisy_approx_set_sfm(
+        orders, g, "__v", epsilon=2.0, buckets=64, precision=8, seed=11
+    ).select("o_orderpriority", F.col("sfm").alias("psfm"))
+    pa = sfm.noisy_approx_set_sfm(
+        orders.filter(F.col("o_orderkey") % 2 == 0), g, "__v",
+        2.0, 64, 8, seed=1).select("o_orderpriority",
+                                   F.col("sfm").alias("a"))
+    pb = sfm.noisy_approx_set_sfm(
+        orders.filter(F.col("o_orderkey") % 2 == 1), g, "__v",
+        2.0, 64, 8, seed=2).select("o_orderpriority",
+                                   F.col("sfm").alias("b"))
+    pmerged = pa.join(pb, "o_orderpriority").select(
+        "o_orderpriority",
+        sfm.sfm_merge_scalar(F.col("a"), F.col("b"), 64, 8, seed=9)
+        .alias("pm"))
+    nd = F.col("__nd").cast("double")
+    return (
+        non.join(truth, "o_orderpriority")
+        .join(merged, "o_orderpriority")
+        .join(priv, "o_orderpriority")
+        .join(pmerged, "o_orderpriority")
+        .select(
+            F.col("o_orderpriority").alias("g"),
+            F.size("sfm.on_bits").cast("bigint").alias("n_bits"),
+            F.array_join(
+                F.transform("sfm.on_bits", lambda b: b.cast("string")),
+                ",").alias("bits_s"),
+            (F.abs(sfm.sfm_cardinality(F.col("sfm")).cast("double") - nd)
+             / nd <= 0.25).alias("est_ok"),
+            (F.col("msfm.on_bits") == F.col("sfm.on_bits"))
+            .alias("merge_or_ok"),
+            (F.abs(sfm.sfm_cardinality(F.col("psfm")).cast("double") - nd)
+             / nd <= 0.5).alias("priv_est_ok"),
+            F.format_string("%.8f", F.col("psfm.p")).alias("p_eps2"),
+            F.format_string("%.8f", F.col("pm.p")).alias("p_merged"),
+        )
+        .orderBy("g")
+    )

@@ -593,3 +593,133 @@ def test_theta_all_null_group_emits_empty_sketch(spark):
     est = spark.createDataFrame([(rows["b"],)], "s struct<hashes:array<string>,theta:string,k:int>") \
         .select(T.sketch_theta_estimate(F.col("s")).alias("e")).collect()[0].e
     assert est == 0.0
+
+
+# ---- SFM sketches (SfmSketch.java; noisy.rst:100-200) ----
+
+def test_sfm_nonprivate_build_and_estimate(spark):
+    """epsilon = inf: deterministic FM bitmap; the Newton estimator
+    (SfmSketch.cardinality:144-157) lands within the SFM envelope."""
+    import math
+    from presto_spark.operators import sfm
+
+    df = spark.range(4000).withColumn("g", F.lit(1)) \
+        .withColumn("v", F.col("id") % 800)
+    row = sfm.noisy_approx_set_sfm(
+        df, ["g"], "v", epsilon=math.inf, buckets=256, precision=16
+    ).select(
+        F.col("sfm.p").alias("p"),
+        F.size("sfm.on_bits").alias("nb"),
+        sfm.sfm_cardinality(F.col("sfm")).alias("est"),
+    ).collect()[0]
+    assert row.p == 0.0 and row.nb > 0
+    assert abs(row.est - 800) / 800 < 0.15
+
+
+def test_sfm_privacy_probability_and_flips(spark):
+    """enablePrivacy flips each bit with p = 1/(e^eps + 1)
+    (SfmSketch.java:228-236): stored p matches, and the number of ON
+    bits moves toward the randomized-response expectation."""
+    from presto_spark.operators import sfm
+
+    df = spark.range(2000).withColumn("g", F.lit(1)) \
+        .withColumn("v", F.col("id") % 500)
+    eps = 1.0
+    p = sfm.randomized_response_probability(eps)
+    row = sfm.noisy_approx_set_sfm(
+        df, ["g"], "v", epsilon=eps, buckets=128, precision=8, seed=3
+    ).select(F.col("sfm.p").alias("p"),
+             F.size("sfm.on_bits").alias("nb")).collect()[0]
+    assert abs(row.p - p) < 1e-12
+    # expected ON count = on0*(1-p) + (1024-on0)*p; on0 unknown but
+    # bounded by bitmap; just check a nontrivial two-sided band
+    assert 0 < row.nb < 128 * 8
+
+
+def test_sfm_nonprivate_merge_is_or(spark):
+    """Non-private merge = bitwise OR (mergeWith:361-364): merging the
+    even/odd halves reproduces the whole-data sketch bit for bit, via
+    BOTH the aggregate and the scalar combine."""
+    import math
+    from presto_spark.operators import sfm
+
+    df = spark.range(3000).withColumn("g", (F.col("id") % 2).cast("int")) \
+        .withColumn("v", F.col("id") % 600)
+    whole = sfm.noisy_approx_set_sfm(df, ["g"], "v", math.inf, 128, 8) \
+        .select("g", F.col("sfm").alias("w"))
+    h1 = sfm.noisy_approx_set_sfm(
+        df.filter("id < 1500"), ["g"], "v", math.inf, 128, 8)
+    h2 = sfm.noisy_approx_set_sfm(
+        df.filter("id >= 1500"), ["g"], "v", math.inf, 128, 8)
+    agg = sfm.merge_sfm_nonprivate(h1.unionByName(h2), ["g"])
+    ok = agg.join(whole, "g").select(
+        (F.col("sfm.on_bits") == F.col("w.on_bits")).alias("ok")).collect()
+    assert all(r.ok for r in ok) and len(ok) == 2
+    pair = h1.select("g", F.col("sfm").alias("a")).join(
+        h2.select("g", F.col("sfm").alias("b")), "g")
+    ok2 = pair.join(whole, "g").select(
+        (sfm.sfm_merge_scalar(F.col("a"), F.col("b"), 128, 8)["on_bits"]
+         == F.col("w.on_bits")).alias("ok")).collect()
+    assert all(r.ok for r in ok2)
+
+
+def test_sfm_private_merge_probability_formula(spark):
+    """Merged randomizedResponseProbability follows Theorem 4.8
+    (mergeRandomizedResponseProbabilities:330-333)."""
+    from presto_spark.operators import sfm
+
+    df = spark.range(1000).withColumn("g", F.lit(1)) \
+        .withColumn("v", F.col("id") % 300)
+    a = sfm.noisy_approx_set_sfm(df, ["g"], "v", 3.0, 128, 8, seed=1) \
+        .select("g", F.col("sfm").alias("a"))
+    b = sfm.noisy_approx_set_sfm(df, ["g"], "v", 5.0, 128, 8, seed=2) \
+        .select("g", F.col("sfm").alias("b"))
+    got = a.join(b, "g").select(
+        sfm.sfm_merge_scalar(F.col("a"), F.col("b"), 128, 8)["p"]
+        .alias("p")).collect()[0].p
+    p1 = sfm.randomized_response_probability(3.0)
+    p2 = sfm.randomized_response_probability(5.0)
+    assert abs(got - sfm.merge_randomized_response_probabilities(p1, p2)) \
+        < 1e-12
+
+
+def test_sfm_merge_nonprivate_rejects_private_inputs(spark):
+    from presto_spark.operators import sfm
+
+    df = spark.range(100).withColumn("g", F.lit(1)) \
+        .withColumn("v", F.col("id"))
+    priv = sfm.noisy_approx_set_sfm(df, ["g"], "v", 2.0, 64, 8)
+    with pytest.raises(Exception, match="non-private"):
+        sfm.merge_sfm_nonprivate(priv, ["g"]).collect()
+
+
+def test_sfm_from_index_and_zeros(spark):
+    """Pre-hashed build (addIndexAndZeros:128-139): locations land at
+    index*precision + min(zeros, precision-1); out-of-range fails."""
+    from presto_spark.operators import sfm
+
+    df = spark.createDataFrame(
+        [(1, 0, 0), (1, 0, 3), (1, 5, 12), (1, 63, 64)],
+        "g int, idx int, zr int")
+    row = sfm.noisy_approx_set_sfm_from_index_and_zeros(
+        df, ["g"], "idx", "zr", epsilon=float("inf"),
+        buckets=64, precision=8,
+    ).select(F.col("sfm.on_bits").alias("ob")).collect()[0]
+    assert row.ob == [0, 3, 5 * 8 + 7, 63 * 8 + 7]
+    bad = spark.createDataFrame([(1, 64, 0)], "g int, idx int, zr int")
+    with pytest.raises(Exception, match="out of range"):
+        sfm.noisy_approx_set_sfm_from_index_and_zeros(
+            bad, ["g"], "idx", "zr", float("inf"), 64, 8).collect()
+
+
+def test_sfm_validation(spark):
+    from presto_spark.operators import sfm
+
+    df = spark.range(10).withColumn("g", F.lit(1)).withColumn("v", F.col("id"))
+    with pytest.raises(ValueError, match="power of 2"):
+        sfm.noisy_approx_set_sfm(df, ["g"], "v", float("inf"), buckets=100)
+    with pytest.raises(ValueError, match="epsilon"):
+        sfm.randomized_response_probability(-1.0)
+    with pytest.raises(ValueError, match="cannot exceed"):
+        sfm.noisy_approx_set_sfm(
+            df, ["g"], "v", float("inf"), buckets=4096, precision=50)
