@@ -15,8 +15,9 @@ partitioning (Spark's seeded randn), but does NOT reproduce Java's
 ``new Random(seed).nextGaussian()`` stream — documented deviation; DP
 guarantees depend only on the noise distribution, which matches.
 
-The SFM-sketch family (NoisyApproximateSetSfmAggregation.java) remains
-out of scope — it is a distinct sketch format, not a noise wrapper.
+The SFM-sketch family (NoisyApproximateSetSfmAggregation.java) lives
+in operators/sfm.py — it is a distinct sketch format, not a noise
+wrapper like the aggregates here.
 """
 
 from __future__ import annotations

@@ -738,3 +738,187 @@ sql_query(
         "pattern (each branch scans with its own pushed filter).",
     tags=("tpcds",),
 )
+
+
+# q5 shape: per-channel sales/returns/profit report rolled up across
+# the geography hierarchy.
+sql_query(
+    "tpcds_q5_channel_rollup_report",
+    """
+    WITH base AS (
+      -- integer cents through the rollup: double re-summation order
+      -- would skew the 2-decimal rounding boundary between engines
+      SELECT o.o_orderstatus AS channel, n.n_name AS id,
+             CAST(sum(CASE WHEN l.l_returnflag <> 'R'
+                           THEN CAST(l.l_extendedprice AS DECIMAL(14,2))
+                           ELSE CAST(0 AS DECIMAL(14,2)) END) * 100
+                  AS BIGINT) AS sales_c,
+             CAST(sum(CASE WHEN l.l_returnflag = 'R'
+                           THEN CAST(l.l_extendedprice AS DECIMAL(14,2))
+                           ELSE CAST(0 AS DECIMAL(14,2)) END) * 100
+                  AS BIGINT) AS returns_c
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+      GROUP BY o.o_orderstatus, n.n_name
+    )
+    SELECT channel, id,
+           round(CAST(sum(sales_c) AS DOUBLE) / 100.0, 2) AS sales,
+           round(CAST(sum(returns_c) AS DOUBLE) / 100.0, 2) AS returns,
+           round(CAST(sum(sales_c) - sum(returns_c) AS DOUBLE) / 100.0, 2)
+             AS profit,
+           grouping(channel) + grouping(id) AS lvl
+    FROM base
+    GROUP BY ROLLUP(channel, id)
+    ORDER BY lvl, channel, id
+    """,
+    doc="TPC-DS q5 shape (store/catalog/web sales-returns-profit "
+        "report rolled up over the channel x id hierarchy): one "
+        "fact-side agg with conditional return splitting, then "
+        "ROLLUP margins with grouping() level — partial aggregation "
+        "feeds the rollup re-agg, no extra fact rescan.",
+    tags=("tpcds",),
+)
+
+
+# q29 shape: sold in period 1, returned in a later window, re-ordered
+# after that — a three-aggregate chain joined on the item/geo pair.
+sql_query(
+    "tpcds_q29_sold_returned_resold",
+    """
+    WITH sold AS (
+      SELECT p.p_brand AS brand, l.l_linestatus AS mode,
+             CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               AS sold_qty
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY p.p_brand, l.l_linestatus
+    ),
+    returned AS (
+      SELECT p.p_brand AS brand, l.l_linestatus AS mode,
+             CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               AS ret_qty
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_returnflag = 'R'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY p.p_brand, l.l_linestatus
+    ),
+    resold AS (
+      SELECT p.p_brand AS brand, l.l_linestatus AS mode,
+             CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               AS resold_qty
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+      GROUP BY p.p_brand, l.l_linestatus
+    )
+    SELECT s.brand, s.mode, s.sold_qty, r.ret_qty, rs.resold_qty
+    FROM sold s
+    JOIN returned r ON s.brand = r.brand AND s.mode = r.mode
+    JOIN resold rs ON s.brand = rs.brand AND s.mode = rs.mode
+    ORDER BY s.brand, s.mode
+    LIMIT 100
+    """,
+    doc="TPC-DS q29 shape (quantity sold in one period, returned in a "
+        "later window, then re-purchased — three period-filtered "
+        "aggregates over the same fact joined on the item/channel "
+        "pair): each CTE pushes its own date filter to the scan; the "
+        "joins are agg-output-sized, not fact-sized.",
+    tags=("tpcds",),
+)
+
+
+# q49 shape: worst return ratios per channel, dual-ranked by quantity
+# ratio and by currency ratio.
+sql_query(
+    "tpcds_q49_worst_return_ratios",
+    """
+    WITH base AS (
+      SELECT l_linestatus AS channel, l_partkey AS item,
+             CAST(sum(CASE WHEN l_returnflag = 'R'
+                           THEN CAST(l_quantity AS DECIMAL(12,2))
+                           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+               / CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               AS return_ratio,
+             CAST(sum(CASE WHEN l_returnflag = 'R'
+                           THEN CAST(l_extendedprice AS DECIMAL(14,2))
+                           ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE)
+               / CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)))
+                      AS DOUBLE) AS currency_ratio
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY l_linestatus, l_partkey
+      HAVING sum(l_quantity) >= 60
+    ),
+    ranked AS (
+      SELECT channel, item,
+             round(return_ratio, 6) AS return_ratio,
+             round(currency_ratio, 6) AS currency_ratio,
+             rank() OVER (PARTITION BY channel
+                          ORDER BY return_ratio DESC, item) AS qty_rank,
+             rank() OVER (PARTITION BY channel
+                          ORDER BY currency_ratio DESC, item) AS amt_rank
+      FROM base
+    )
+    SELECT channel, item, return_ratio, currency_ratio,
+           qty_rank, amt_rank
+    FROM ranked
+    WHERE qty_rank <= 10 OR amt_rank <= 10
+    ORDER BY channel, qty_rank, amt_rank, item
+    """,
+    doc="TPC-DS q49 shape (worst return ratios per channel, ranked "
+        "simultaneously by quantity ratio and by currency ratio): one "
+        "fact agg with a HAVING floor, two rank() windows sharing the "
+        "channel partitioning, rank-disjunction filter. Item breaks "
+        "rank ties so both engines agree on the cut.",
+    tags=("tpcds",),
+)
+
+
+# q63 shape: monthly sales of CASE-bucketed item classes vs the
+# manager's yearly average.
+sql_query(
+    "tpcds_q63_monthly_vs_avg_buckets",
+    """
+    WITH m AS (
+      -- integer cents end to end: a DOUBLE cent value is not
+      -- binary-exact, so window summation order would skew the .005
+      -- rounding boundary between engines
+      SELECT p.p_brand AS mgr,
+             year(l.l_shipdate) AS y, month(l.l_shipdate) AS mo,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))) * 100
+                  AS BIGINT) AS sales_c
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        AND ((p.p_type LIKE 'PROMO%%' AND p.p_size <= 15)
+             OR (p.p_type LIKE 'STANDARD%%' AND p.p_size >= 35))
+      GROUP BY p.p_brand, year(l.l_shipdate), month(l.l_shipdate)
+    ),
+    d AS (
+      SELECT mgr, y, mo, sales_c,
+             CAST(sum(sales_c) OVER (PARTITION BY mgr, y) AS DOUBLE)
+               / count(sales_c) OVER (PARTITION BY mgr, y) AS yr_avg_c
+      FROM m
+    )
+    SELECT mgr, y, mo,
+           round(CAST(sales_c AS DOUBLE) / 100.0, 2) AS sales,
+           round(yr_avg_c / 100.0, 2) AS yr_avg
+    FROM d
+    WHERE yr_avg_c > 0
+      AND abs(CAST(sales_c AS DOUBLE) - yr_avg_c) / yr_avg_c > 0.1
+    ORDER BY mgr, y, mo
+    """,
+    doc="TPC-DS q63 shape (manager monthly sales of CASE-bucketed "
+        "item classes compared to the yearly average): the disjunctive "
+        "type/size bucket predicate stays on the dimension side "
+        "of the join, one (mgr, y, mo) agg shuffle, one partition-wide "
+        "avg() window, deviation filter.",
+    tags=("tpcds",),
+)
