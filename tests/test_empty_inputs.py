@@ -93,3 +93,35 @@ def test_round6_operators_on_empty(spark):
     docs = spark.createDataFrame([], "doc_id long, text string")
     assert T.repetition_stats(docs, "text", "doc_id").count() == 0
     assert T.pii_stats(docs, "text", "doc_id").count() == 0
+
+
+def test_round7_operators_on_empty(spark):
+    """SFM sketches and the convex overlay tier on 0 rows: empty
+    results / NULL geometry, never throws."""
+    import math
+
+    from presto_spark.functions import geo
+    from presto_spark.operators import sfm
+
+    gv = spark.createDataFrame([], "g int, v bigint")
+    assert sfm.noisy_approx_set_sfm(
+        gv, ["g"], "v", math.inf, buckets=64, precision=8).count() == 0
+    assert sfm.merge_sfm_nonprivate(
+        sfm.noisy_approx_set_sfm(gv, ["g"], "v", math.inf, 64, 8),
+        ["g"]).count() == 0
+    # empty geometry operands: overlay and simplify return NULL rows,
+    # not errors
+    geoms = spark.createDataFrame([], "i int, wa string, wb string") \
+        .select(
+            "i",
+            geo.st_geometry_from_text(F.col("wa")).alias("a"),
+            geo.st_geometry_from_text(F.col("wb")).alias("b")) \
+        .withColumn("sa", geo.polygon_shell(F.col("a"))) \
+        .withColumn("sb", geo.polygon_shell(F.col("b")))
+    out = geoms.select(
+        geo.st_intersection_polygons(
+            F.col("a"), F.col("b"), F.col("sa"), F.col("sb")).alias("gi"),
+        geo.simplify_geometry(F.col("a"), 1.0).alias("gs"),
+        geo.flatten_geometry_collections(F.col("a")).alias("gf"),
+    )
+    assert out.count() == 0
