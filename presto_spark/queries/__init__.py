@@ -25,20 +25,21 @@ from presto_spark.queries import geo_suite  # noqa: F401,E402
 # first 50 registry entries each round, so registry ORDER decides which
 # queries earn a hard CORRECTNESS row.  Cumulative state after round 6:
 # every registry query checked at least once, 206/206 green on latest
-# status.  Round-7 front (VERDICT r6 #9): the 7 queries written in
+# status.  Round-7 front (VERDICT r6 #9): the 11 queries written in
 # round 7 (SFM sketch family, convex-polygon overlay golden,
-# simplify/flatten golden, TPC-DS q5/q29/q49/q63); 11 re-rows for
+# simplify/flatten golden, TPC-DS q5/q29/q49/q63/q14/q51/q17/q39);
+# 11 re-rows for
 # queries whose SEMANTICS changed this round (shift saturation +
 # private-IP list + uuid/timezone columns in the function tails,
 # classification fail-on-out-of-range + empty-group spine, and the
 # two-level bottom-k rebuild under reservoir/theta/setdigest/khll) —
 # their recorded greens describe the old texts; the 19 rows last
-# checked in round 1; and 13 of the 42 round-3-checked rows (TPC-H
-# q01-q09 + llm/event/sketch representatives) so the oldest tier keeps
-# draining.  Remaining re-check debt after this window: 29 r3-checked
+# checked in round 1; and 9 of the 42 round-3-checked rows (TPC-H
+# q01-q09) so the oldest tier keeps
+# draining.  Remaining re-check debt after this window: 33 r3-checked
 # rows, 0 older.
 _DRIVER_FRONT = [
-    # 7 new round-7 queries (never driver-checked by construction)
+    # 11 new round-7 queries (never driver-checked by construction)
     "sketch_sfm_exact_ops",
     "geo_overlay_polygon_golden",
     "geo_simplify_flatten_golden",
@@ -46,6 +47,10 @@ _DRIVER_FRONT = [
     "tpcds_q29_sold_returned_resold",
     "tpcds_q49_worst_return_ratios",
     "tpcds_q63_monthly_vs_avg_buckets",
+    "tpcds_q14_cross_channel_intersect_sales",
+    "tpcds_q51_cumulative_channel_compare",
+    "tpcds_q17_quantity_variation_stats",
+    "tpcds_q39_consecutive_month_variance",
     # 11 re-rows: semantics/build changed in round 7
     "fn_bitwise_shift_suite",
     "fn_ip_prefix_suite2",
@@ -78,7 +83,7 @@ _DRIVER_FRONT = [
     "lateral_top_orders_per_nation",
     "window_groups_frame_emulation",
     "analytics_market_basket",
-    # 13 round-3-checked rows (oldest remaining tier)
+    # 9 round-3-checked rows (oldest remaining tier)
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q04_order_priority",
@@ -88,10 +93,6 @@ _DRIVER_FRONT = [
     "q08_market_share",
     "q09_product_type_profit",
     "llm_token_count",
-    "llm_quality_filter",
-    "llm_cosine_topk",
-    "event_tumbling_window",
-    "sketch_hll_mergeable_rollup",
 ]
 
 

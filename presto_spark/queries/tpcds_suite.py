@@ -922,3 +922,186 @@ sql_query(
         "avg() window, deviation filter.",
     tags=("tpcds",),
 )
+
+
+# q14 shape: items present in every channel (chained INTERSECT) +
+# average-sales scalar threshold in HAVING.
+sql_query(
+    "tpcds_q14_cross_channel_intersect_sales",
+    """
+    WITH cross_items AS (
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+      INTERSECT
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+      INTERSECT
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    avg_sales AS (
+      SELECT CAST(avg(CAST(l_extendedprice AS DECIMAL(14,2)) * 100)
+                  AS DOUBLE) AS a_c
+      FROM lineitem
+    )
+    SELECT l.l_returnflag AS channel, p.p_brand,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
+                          ) AS DOUBLE) / 100.0, 2) AS sales
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_partkey IN (SELECT l_partkey FROM cross_items)
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_returnflag, p.p_brand
+    HAVING CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100)
+                AS DOUBLE)
+           > 20 * (SELECT a_c FROM avg_sales)
+    ORDER BY channel, p_brand
+    LIMIT 100
+    """,
+    doc="TPC-DS q14 shape (items sold in ALL channels via chained "
+        "INTERSECT, channel sales of those items gated by an "
+        "average-sales scalar subquery in HAVING): the INTERSECT "
+        "chain plans as two semi-joins over distinct partkeys, the "
+        "IN-subquery is a third; the scalar threshold broadcasts.",
+    tags=("tpcds",),
+)
+
+
+# q51 shape: cumulative per-channel revenue series compared through a
+# FULL OUTER JOIN on the series key.
+sql_query(
+    "tpcds_q51_cumulative_channel_compare",
+    """
+    WITH f AS (
+      SELECT n.n_name, year(o.o_orderdate) * 12 + month(o.o_orderdate)
+               AS d,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100)
+                  AS BIGINT) AS rev_c
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE o.o_orderstatus = 'F'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY n.n_name, year(o.o_orderdate) * 12 + month(o.o_orderdate)
+    ),
+    o AS (
+      SELECT n.n_name, year(o.o_orderdate) * 12 + month(o.o_orderdate)
+               AS d,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100)
+                  AS BIGINT) AS rev_c
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE o.o_orderstatus = 'O'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY n.n_name, year(o.o_orderdate) * 12 + month(o.o_orderdate)
+    ),
+    fc AS (
+      SELECT n_name, d,
+             sum(rev_c) OVER (PARTITION BY n_name ORDER BY d) AS cum_c
+      FROM f
+    ),
+    oc AS (
+      SELECT n_name, d,
+             sum(rev_c) OVER (PARTITION BY n_name ORDER BY d) AS cum_c
+      FROM o
+    )
+    SELECT coalesce(fc.n_name, oc.n_name) AS n_name,
+           coalesce(fc.d, oc.d) AS d,
+           round(CAST(fc.cum_c AS DOUBLE) / 100.0, 2) AS f_cum,
+           round(CAST(oc.cum_c AS DOUBLE) / 100.0, 2) AS o_cum
+    FROM fc
+    FULL OUTER JOIN oc ON fc.n_name = oc.n_name AND fc.d = oc.d
+    WHERE oc.cum_c IS NULL OR fc.cum_c IS NULL OR fc.cum_c > oc.cum_c
+    ORDER BY n_name, d
+    LIMIT 200
+    """,
+    doc="TPC-DS q51 shape (web-vs-store cumulative daily sales per "
+        "item compared through a FULL OUTER JOIN): two channel "
+        "aggregates, running-total windows on the same (key, series) "
+        "partitioning, outer-join null-completion rows kept by the "
+        "disjunctive filter. Revenue stays in integer cents so the "
+        "running sums are exact.",
+    tags=("tpcds",),
+)
+
+
+# q17 shape: quantity mean / stdev / coefficient of variation with a
+# CoV floor, derived from exact integer power sums.
+sql_query(
+    "tpcds_q17_quantity_variation_stats",
+    """
+    WITH s AS (
+      SELECT p.p_brand, l.l_linestatus AS channel,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS s1,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)
+                      * CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS s2
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY p.p_brand, l.l_linestatus
+      HAVING count(*) >= 5
+    )
+    SELECT p_brand, channel, n,
+           round(CAST(s1 AS DOUBLE) / n, 6) AS mean_qty,
+           round(sqrt((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)), 6)
+             AS stdev_qty,
+           round(sqrt((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+                 / (CAST(s1 AS DOUBLE) / n), 6) AS cov
+    FROM s
+    WHERE CAST(s1 AS DOUBLE) / n > 0
+      AND sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+               / (n - 1)) / (CAST(s1 AS DOUBLE) / n) > 0.5
+    ORDER BY p_brand, channel
+    """,
+    doc="TPC-DS q17 shape (store/catalog quantity statistics: count, "
+        "mean, stdev, coefficient of variation with a CoV floor): the "
+        "moments come from exact integer power sums (count/sum/sum-of-"
+        "squares) so both engines derive identical doubles — "
+        "stddev_samp()'s incremental accumulation rounds differently "
+        "at the emission precision.",
+    tags=("tpcds",),
+)
+
+
+# q39 shape: consecutive-period variance pairs — self-join of monthly
+# CoV rows on (key, month+1).
+sql_query(
+    "tpcds_q39_consecutive_month_variance",
+    """
+    WITH m AS (
+      SELECT p.p_brand,
+             year(l.l_shipdate) * 12 + month(l.l_shipdate) AS mo,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS s1,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)
+                      * CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS s2
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY p.p_brand, year(l.l_shipdate) * 12 + month(l.l_shipdate)
+      HAVING count(*) >= 3
+    ),
+    cov AS (
+      SELECT p_brand, mo,
+             round(sqrt((CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+                   / (CAST(s1 AS DOUBLE) / n), 6) AS cv
+      FROM m
+      WHERE s1 > 0
+    )
+    SELECT a.p_brand, a.mo AS mo1, a.cv AS cv1,
+           b.mo AS mo2, b.cv AS cv2
+    FROM cov a
+    JOIN cov b ON a.p_brand = b.p_brand AND b.mo = a.mo + 1
+    WHERE a.cv > 0.5 AND b.cv > 0.5
+    ORDER BY a.p_brand, a.mo
+    """,
+    doc="TPC-DS q39 shape (inventory coefficient-of-variation pairs "
+        "for consecutive months, both above a threshold, via a "
+        "(key, month+1) self-join): monthly moments from exact integer "
+        "power sums, CoV filter on both sides of the join.",
+    tags=("tpcds",),
+)
