@@ -1105,3 +1105,200 @@ sql_query(
         "power sums, CoV filter on both sides of the join.",
     tags=("tpcds",),
 )
+
+
+# q44 shape: best and worst performers by the same metric, joined on
+# rank position.
+sql_query(
+    "tpcds_q44_best_worst_rank_join",
+    """
+    WITH perf AS (
+      SELECT l_partkey AS item,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                      * CAST(1 - l_discount AS DECIMAL(4,2)) * 10000
+                      ) AS BIGINT) AS net_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY l_partkey
+    ),
+    asc_rank AS (
+      SELECT item, rank() OVER (ORDER BY net_c ASC, item) AS rnk
+      FROM perf
+    ),
+    desc_rank AS (
+      SELECT item, rank() OVER (ORDER BY net_c DESC, item) AS rnk
+      FROM perf
+    )
+    SELECT a.rnk,
+           b.item AS best_performing,
+           w.item AS worst_performing
+    FROM (SELECT DISTINCT rnk FROM desc_rank WHERE rnk <= 10) a
+    JOIN desc_rank b ON a.rnk = b.rnk
+    JOIN asc_rank w ON a.rnk = w.rnk
+    ORDER BY a.rnk
+    """,
+    doc="TPC-DS q44 shape (best and worst performing items paired by "
+        "rank position — two opposite-order rank() passes over one "
+        "aggregate, joined on the rank): the global windows run over "
+        "agg-sized input, item breaks ties deterministically, and the "
+        "rank spine join emits exactly the top-10 pairs.",
+    tags=("tpcds",),
+)
+
+
+# q54 shape: per-customer spend bucketized into fixed-width segments,
+# then the segment histogram.
+sql_query(
+    "tpcds_q54_spend_segment_histogram",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)) * 100)
+                  AS BIGINT) AS rev_c
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY o_custkey
+    ),
+    segments AS (
+      SELECT CAST(floor(CAST(rev_c AS DOUBLE) / 100.0 / 50000.0)
+                  AS BIGINT) AS segment
+      FROM spend
+    )
+    SELECT segment,
+           segment * 50000 AS segment_base,
+           CAST(count(*) AS BIGINT) AS num_customers
+    FROM segments
+    GROUP BY segment
+    HAVING count(*) >= 2
+    ORDER BY segment
+    """,
+    doc="TPC-DS q54 shape (revenue per customer bucketized into "
+        "fixed-width spend segments, then the segment histogram with "
+        "a support floor): two aggregation levels — per-customer spend "
+        "with map-side combine, then the bucket count over "
+        "customer-sized input.",
+    tags=("tpcds",),
+)
+
+
+# q58 shape: items whose per-channel sales all sit within a tolerance
+# band of the cross-channel average.
+sql_query(
+    "tpcds_q58_channel_parity_band",
+    """
+    WITH ch AS (
+      SELECT p_brand, l_returnflag AS channel,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * 100)
+                  AS BIGINT) AS rev_c
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY p_brand, l_returnflag
+    ),
+    pivoted AS (
+      SELECT p_brand,
+             CAST(sum(CASE WHEN channel = 'A' THEN rev_c ELSE 0 END)
+                  AS DOUBLE) AS a_rev,
+             CAST(sum(CASE WHEN channel = 'N' THEN rev_c ELSE 0 END)
+                  AS DOUBLE) AS n_rev,
+             CAST(sum(CASE WHEN channel = 'R' THEN rev_c ELSE 0 END)
+                  AS DOUBLE) AS r_rev
+      FROM ch
+      GROUP BY p_brand
+      HAVING count(*) = 3
+    )
+    SELECT p_brand,
+           round(a_rev / 100.0, 2) AS a_rev,
+           round(n_rev / 100.0, 2) AS n_rev,
+           round(r_rev / 100.0, 2) AS r_rev,
+           round((a_rev + n_rev + r_rev) / 3.0 / 100.0, 2) AS avg_rev
+    FROM pivoted
+    WHERE a_rev BETWEEN 0.9 * (a_rev + n_rev + r_rev) / 3.0
+                    AND 1.1 * (a_rev + n_rev + r_rev) / 3.0
+      AND n_rev BETWEEN 0.9 * (a_rev + n_rev + r_rev) / 3.0
+                    AND 1.1 * (a_rev + n_rev + r_rev) / 3.0
+      AND r_rev BETWEEN 0.9 * (a_rev + n_rev + r_rev) / 3.0
+                    AND 1.1 * (a_rev + n_rev + r_rev) / 3.0
+    ORDER BY p_brand
+    """,
+    doc="TPC-DS q58 shape (items whose store/catalog/web sales each "
+        "sit within 10% of the three-channel average): channel pivot "
+        "via conditional sums over one agg, the parity band applied to "
+        "all three columns. Integer-cent sums keep the band edges "
+        "deterministic.",
+    tags=("tpcds",),
+)
+
+
+# q59 shape: day-of-week sales pivot per key, self-joined across years
+# to emit weekday-over-weekday ratios.
+dual_sql_query(
+    "tpcds_q59_weekday_pivot_yoy",
+    """
+    WITH wk AS (
+      SELECT n.n_name, year(o.o_orderdate) AS y,
+             CAST(sum(CASE WHEN dayofweek(o.o_orderdate) = 1
+                           THEN CAST(o.o_totalprice AS DECIMAL(14,2))
+                           ELSE CAST(0 AS DECIMAL(14,2)) END) * 100
+                  AS BIGINT) AS sun_c,
+             CAST(sum(CASE WHEN dayofweek(o.o_orderdate) = 2
+                           THEN CAST(o.o_totalprice AS DECIMAL(14,2))
+                           ELSE CAST(0 AS DECIMAL(14,2)) END) * 100
+                  AS BIGINT) AS mon_c,
+             CAST(sum(CASE WHEN dayofweek(o.o_orderdate) = 6
+                           THEN CAST(o.o_totalprice AS DECIMAL(14,2))
+                           ELSE CAST(0 AS DECIMAL(14,2)) END) * 100
+                  AS BIGINT) AS fri_c
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, year(o.o_orderdate)
+    )
+    SELECT t.n_name, t.y,
+           round(CAST(t.sun_c AS DOUBLE) / p.sun_c, 6) AS sun_ratio,
+           round(CAST(t.mon_c AS DOUBLE) / p.mon_c, 6) AS mon_ratio,
+           round(CAST(t.fri_c AS DOUBLE) / p.fri_c, 6) AS fri_ratio
+    FROM wk t
+    JOIN wk p ON t.n_name = p.n_name AND t.y = p.y + 1
+    WHERE p.sun_c > 0 AND p.mon_c > 0 AND p.fri_c > 0
+    ORDER BY t.n_name, t.y
+    """,
+    """
+    WITH wk AS (
+      SELECT n.n_name, year(o.o_orderdate) AS y,
+             CAST(sum(CASE WHEN dayofweek(o.o_orderdate) = 0
+                           THEN CAST(o.o_totalprice AS DECIMAL(14,2))
+                           ELSE CAST(0 AS DECIMAL(14,2)) END) * 100
+                  AS BIGINT) AS sun_c,
+             CAST(sum(CASE WHEN dayofweek(o.o_orderdate) = 1
+                           THEN CAST(o.o_totalprice AS DECIMAL(14,2))
+                           ELSE CAST(0 AS DECIMAL(14,2)) END) * 100
+                  AS BIGINT) AS mon_c,
+             CAST(sum(CASE WHEN dayofweek(o.o_orderdate) = 5
+                           THEN CAST(o.o_totalprice AS DECIMAL(14,2))
+                           ELSE CAST(0 AS DECIMAL(14,2)) END) * 100
+                  AS BIGINT) AS fri_c
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, year(o.o_orderdate)
+    )
+    SELECT t.n_name, t.y,
+           round(CAST(t.sun_c AS DOUBLE) / p.sun_c, 6) AS sun_ratio,
+           round(CAST(t.mon_c AS DOUBLE) / p.mon_c, 6) AS mon_ratio,
+           round(CAST(t.fri_c AS DOUBLE) / p.fri_c, 6) AS fri_ratio
+    FROM wk t
+    JOIN wk p ON t.n_name = p.n_name AND t.y = p.y + 1
+    WHERE p.sun_c > 0 AND p.mon_c > 0 AND p.fri_c > 0
+    ORDER BY t.n_name, t.y
+    """,
+    doc="TPC-DS q59 shape (weekly sales pivoted into day-of-week "
+        "columns, self-joined on (store, week+52) to emit "
+        "weekday-over-weekday year ratios): the pivot is conditional "
+        "sums in one pass; the self-join runs over agg-sized input "
+        "keyed (name, year+1). Dual texts: Spark dayofweek() is "
+        "1=Sunday, DuckDB's is 0=Sunday.",
+    tags=("tpcds",),
+)
