@@ -855,3 +855,53 @@ def geo_overlay_polygon_golden(spark, sf_dir):
         wkt("gu").alias("union_wkt"), area("gu").alias("union_area"),
         wkt("gd").alias("diff_wkt"), area("gd").alias("diff_area"),
     ).orderBy("i")
+
+
+@register(
+    "geo_union_agg_golden",
+    oracle="""
+SELECT * FROM (VALUES
+  (0, 'POLYGON ((0.0 0.0, 2.0 0.0, 2.0 0.5, 2.5 0.5, 2.5 1.0, 3.0 1.0, 3.0 3.0, 1.0 3.0, 1.0 2.5, 1.0 2.0, 0.0 2.0, 0.0 0.0))',
+      '7.2500'),
+  (1, 'POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))', '16.0000'),
+  (2, 'EMPTY', '0.0000'),
+  (3, 'EMPTY', '0.0000')
+) AS v(g, union_wkt, union_area) ORDER BY g
+""",
+    doc="geometry_union_agg (geospatial.rst Aggregations; VERDICT r6 "
+        "#2): the true union polygon for groups of convex polygons "
+        "sharing a common point, via the n-ary star-stitch over the "
+        "Sutherland-Hodgman common intersection. Cases: 3 stair-"
+        "stepped squares (area = 4+4+3-1-1.5-2.25+1 = 7.25 by "
+        "inclusion-exclusion, full 12-vertex ring replayed), the "
+        "single-polygon identity, a disjoint pair (MULTIPOLYGON "
+        "result — pinned NULL), and a non-convex member (pinned "
+        "NULL).",
+    tags=("geo", "agg"),
+)
+def geo_union_agg_golden(spark, sf_dir):
+    prepare(spark, sf_dir)
+    from presto_spark.operators import geo_agg
+
+    cases = [
+        (0, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+        (0, "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"),
+        (0, "POLYGON ((1 0.5, 2.5 0.5, 2.5 2.5, 1 2.5, 1 0.5))"),
+        (1, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+        (2, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+        (2, "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"),
+        (3, "POLYGON ((0 0, 4 4, 4 0, 0 4, 0 0))"),
+        (3, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+    ]
+    df = spark.createDataFrame(cases, "g int, wkt string").select(
+        "g", geo.st_geometry_from_text(F.col("wkt")).alias("geom")
+    ).repartition(2)
+    out = geo_agg.geometry_union_agg(df, ["g"], "geom")
+    return out.select(
+        "g",
+        F.coalesce(geo.st_as_text(F.col("geometry")), F.lit("EMPTY"))
+        .alias("union_wkt"),
+        F.format_string(
+            "%.4f", F.coalesce(geo.st_area(F.col("geometry")), F.lit(0.0))
+        ).alias("union_area"),
+    ).orderBy("g")

@@ -705,3 +705,30 @@ def test_convex_polygon_overlay_trio(spark):
     assert rows[2].nd  # holed difference pinned NULL
     assert (rows[3].ia, rows[3].ua, rows[3].da) == (8.0, 26.0, 8.0)
     assert rows[4].ni and rows[4].nu and rows[4].nd  # non-convex pinned
+
+
+def test_geometry_union_agg_convex_common_point(spark):
+    """geometry_union_agg convex tier: inclusion-exclusion area for
+    three overlapping squares, single-polygon identity, and the pinned
+    NULLs (disjoint pair, non-convex member)."""
+    from presto_spark.functions import geo
+    from presto_spark.operators import geo_agg
+
+    cases = [
+        (0, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+        (0, "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"),
+        (0, "POLYGON ((1 0.5, 2.5 0.5, 2.5 2.5, 1 2.5, 1 0.5))"),
+        (1, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+        (2, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+        (2, "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"),
+    ]
+    df = spark.createDataFrame(cases, "g int, wkt string").select(
+        "g", geo.st_geometry_from_text(F.col("wkt")).alias("geom")
+    ).repartition(2)
+    rows = {r.g: r for r in geo_agg.geometry_union_agg(
+        df, ["g"], "geom"
+    ).select("g", geo.st_area(F.col("geometry")).alias("a"),
+             F.col("geometry").isNull().alias("nl")).collect()}
+    assert rows[0].a == 7.25  # 4 + 4 + 3 - 1 - 1.5 - 2.25 + 1
+    assert rows[1].a == 16.0
+    assert rows[2].nl
