@@ -312,3 +312,60 @@ def pii_stats(df: DataFrame, text_col: str = "text",
                    ).cast("long").alias(name))
     cols.append(redact_pii(F.col(text_col)).alias("redacted"))
     return df.select(*cols)
+
+
+# ---- C4 line-level hygiene (the public C4 cleaning recipe: Raffel et
+# al. 2020, "Exploring the Limits of Transfer Learning" §2.2 — keep
+# lines that end in terminal punctuation and have enough words, drop
+# pages with lorem ipsum / code braces / too few kept lines) -------------
+
+def c4_line_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """Per-document C4 hygiene signals and the final keep verdict.
+
+    Columns: ``n_lines`` (non-empty, trimmed), ``n_kept_lines`` (ends
+    in ``. ! ? "`` and has ≥ min_words_per_line whitespace words),
+    ``kept_line_frac``, ``has_lorem_ipsum`` (case-insensitive page
+    check), ``has_brace`` (``{`` anywhere — the code-page heuristic),
+    ``has_javascript_line`` (any line mentioning "javascript"), and
+    ``keep_document`` = kept lines ≥ min_kept_lines AND none of the
+    three page-level flags.
+
+    Pure Column expressions priced in line count per row — zero
+    shuffle, the same scan-hot shape as quality_score.
+    """
+    raw_lines = F.split(F.col(text_col), "\n")
+    lines = F.filter(
+        F.transform(raw_lines, F.trim), lambda ln: ln != "")
+
+    def is_kept(ln):
+        terminal = ln.rlike('[.!?"]$')
+        enough = F.size(F.split(ln, r"\s+")) >= min_words_per_line
+        return terminal & enough
+
+    kept = F.filter(lines, is_kept)
+    n_lines = F.size(lines)
+    n_kept = F.size(kept)
+    lower = F.lower(F.col(text_col))
+    has_lorem = lower.contains("lorem ipsum")
+    has_brace = F.col(text_col).contains("{")
+    has_js = F.exists(lines, lambda ln: F.lower(ln).contains("javascript"))
+    return df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        F.when(n_lines > 0, n_kept.cast("double") / n_lines.cast("double"))
+        .otherwise(F.lit(0.0)).alias("kept_line_frac"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_brace"),
+        has_js.alias("has_javascript_line"),
+        (
+            (n_kept >= min_kept_lines)
+            & ~has_lorem & ~has_brace & ~has_js
+        ).alias("keep_document"),
+    )

@@ -1017,3 +1017,98 @@ def llm_pii_redaction(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# Synthetic line structure for the C4 check: the corpus documents are
+# single-line, so the query deterministically splits on a common word
+# and plants the page-level flags on modular doc ids — the same
+# construction strategy as the PII rows above.
+_C4_SYNTH_DUCK = (
+    "concat(replace(text, ' window ', '.' || chr(10)),"
+    " CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END,"
+    " CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'Lorem ipsum dolor.'"
+    "      ELSE '' END,"
+    " CASE WHEN doc_id % 19 = 0 THEN ' {' ELSE '' END,"
+    " CASE WHEN doc_id % 23 = 0 THEN chr(10) ||"
+    "      'please enable javascript to continue here.' ELSE '' END)"
+)
+
+_C4_ORACLE = f"""
+WITH synth AS (
+  SELECT doc_id, {_C4_SYNTH_DUCK} AS t
+  FROM documents WHERE doc_id < 100
+),
+split AS (
+  SELECT doc_id, t,
+         list_filter(list_transform(string_split(t, chr(10)),
+                                    l -> trim(l)),
+                     l -> l <> '') AS lines
+  FROM synth
+),
+sig AS (
+  SELECT doc_id,
+         len(lines) AS n_lines,
+         len(list_filter(lines,
+             l -> regexp_matches(l, '[.!?"]$')
+                  AND len(string_split_regex(l, '\\s+')) >= 5))
+           AS n_kept,
+         contains(lower(t), 'lorem ipsum') AS has_lorem,
+         contains(t, '{{') AS has_brace,
+         len(list_filter(lines, l -> contains(lower(l), 'javascript')))
+           > 0 AS has_js
+  FROM split
+)
+SELECT doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_kept AS BIGINT) AS n_kept_lines,
+       format('{{:.6f}}', CASE WHEN n_lines > 0
+              THEN CAST(n_kept AS DOUBLE) / n_lines ELSE 0.0 END)
+         AS kept_line_frac,
+       has_lorem AS has_lorem_ipsum,
+       has_brace,
+       has_js AS has_javascript_line,
+       (n_kept >= 3 AND NOT has_lorem AND NOT has_brace AND NOT has_js)
+         AS keep_document
+FROM sig ORDER BY doc_id
+"""
+
+
+@register(
+    "llm_c4_line_filters",
+    oracle=_C4_ORACLE,
+    doc="C4 corpus hygiene per document (Raffel et al. 2020 §2.2): "
+        "keep lines ending in terminal punctuation with >= 5 words; "
+        "page-level lorem-ipsum / brace / javascript flags; document "
+        "verdict >= 3 kept lines and no flags. Line structure is "
+        "synthesized deterministically (split on a common word, flags "
+        "planted on modular doc ids) since the corpus documents are "
+        "single-line; DuckDB replays every signal exactly. Pure "
+        "codegen expressions, zero shuffle.",
+    tags=("llm", "text"),
+)
+def llm_c4_line_filters(spark, sf_dir):
+    prepare(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("doc_id") < 100)
+    i = F.col("doc_id")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.col("text"), " window ", ".\n"),
+            F.when(i % 2 == 0, F.lit(".")).otherwise(F.lit("")),
+            F.when(i % 17 == 0, F.lit("\nLorem ipsum dolor."))
+            .otherwise(F.lit("")),
+            F.when(i % 19 == 0, F.lit(" {")).otherwise(F.lit("")),
+            F.when(i % 23 == 0,
+                   F.lit("\nplease enable javascript to continue here."))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    sig = text.c4_line_filters(synth, "text", "doc_id")
+    return sig.select(
+        "doc_id",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("n_kept_lines").cast("bigint").alias("n_kept_lines"),
+        F.format_string("%.6f", "kept_line_frac").alias("kept_line_frac"),
+        "has_lorem_ipsum", "has_brace", "has_javascript_line",
+        "keep_document",
+    ).orderBy("doc_id")

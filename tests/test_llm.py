@@ -118,3 +118,43 @@ def test_redact_pii_all_categories(spark):
     out = df.select(T.redact_pii(F.col("text")).alias("r")).collect()[0].r
     assert out == ("mail [EMAIL] call [PHONE] or [PHONE] ssn [SSN] "
                    "host [IP] done")
+
+
+def test_c4_line_filters_rules(spark):
+    """C4 hygiene rules (Raffel et al. 2020 §2.2): terminal-punctuation
+    + word-count line keep, lorem-ipsum / brace / javascript page
+    flags, and the min-kept-lines document verdict."""
+    from presto_spark.llm import text as T
+
+    docs = [
+        # 3 kept lines -> keep
+        (1, "This is a good long sentence one.\n"
+            "Here is another proper sentence two!\n"
+            "And a third full sentence right here?\n"
+            "short line\nno terminal punctuation here at all"),
+        # lorem ipsum page -> drop
+        (2, "This is a good long sentence one.\n"
+            "Here is another proper sentence two.\n"
+            "Lorem Ipsum dolor sit amet consectetur."),
+        # brace page -> drop
+        (3, "This is a good long sentence one.\n"
+            "function f() { return 1; }\n"
+            "Here is another proper sentence two.\n"
+            "And a third full sentence right here."),
+        # javascript line -> drop
+        (4, "Please enable javascript to view this.\n"
+            "This is a good long sentence one.\n"
+            "Here is another proper sentence two.\n"
+            "And a third full sentence right here."),
+        # only 2 kept lines -> drop
+        (5, "This is a good long sentence one.\n"
+            "Here is another proper sentence two."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    rows = {r.doc_id: r for r in T.c4_line_filters(df).collect()}
+    assert rows[1].keep_document and rows[1].n_kept_lines == 3
+    assert rows[1].n_lines == 5
+    assert not rows[2].keep_document and rows[2].has_lorem_ipsum
+    assert not rows[3].keep_document and rows[3].has_brace
+    assert not rows[4].keep_document and rows[4].has_javascript_line
+    assert not rows[5].keep_document and rows[5].n_kept_lines == 2
