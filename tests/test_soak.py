@@ -50,6 +50,14 @@ _HEAVY = [
     "geo_aggregate_hulls",
     "agg_classification_curves",
     "agg_reservoir_sample_envelope",
+    # round-7 heavy tiers: SFM build + randomized merge (bitmap-sized
+    # HOF expressions), the convex overlay trio and the n-ary union
+    # stitch (deep nested-lambda trees — the codegen-cost class), and
+    # the RDP Arrow tier.
+    "sketch_sfm_exact_ops",
+    "geo_overlay_polygon_golden",
+    "geo_union_agg_golden",
+    "geo_simplify_flatten_golden",
 ]
 
 
