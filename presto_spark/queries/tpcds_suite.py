@@ -1302,3 +1302,43 @@ dual_sql_query(
         "1=Sunday, DuckDB's is 0=Sunday.",
     tags=("tpcds",),
 )
+
+
+# q6 shape: customers who bought items priced well above the average
+# of the item's own category — a correlated scalar aggregate on the
+# dimension side.
+sql_query(
+    "tpcds_q6_above_category_average",
+    """
+    SELECT n.n_name, CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1995-07-01 00:00:00'
+      -- p > 1.005 * category average, compared in exact integer cents
+      -- (1000 * p_cents * n > 1005 * sum_cents) so the boundary cannot
+      -- flip between engines' avg() roundings (the synthetic price
+      -- spread over the category average shrinks with SF — 1.2% at
+      -- sf0.001 — so q6's literal 1.2x would select nothing anywhere)
+      AND CAST(CAST(p.p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+          * 1000
+          * (SELECT count(*) FROM part p2 WHERE p2.p_type = p.p_type)
+          > 1005 * (SELECT CAST(sum(CAST(p2.p_retailprice AS DECIMAL(12,2))
+                                    * 100) AS BIGINT)
+                    FROM part p2 WHERE p2.p_type = p.p_type)
+    GROUP BY n.n_name
+    HAVING count(*) >= 2
+    ORDER BY cnt, n.n_name
+    """,
+    doc="TPC-DS q6 shape (states whose customers bought items priced "
+        ">= 1.2x the average of the item's category — a correlated "
+        "scalar aggregate over the dimension): both correlated scalars "
+        "decorrelate into one (p_type) aggregate joined back; the "
+        "threshold compares exact integer cents so the ratio boundary "
+        "is engine-independent (1.005x for the SF-dependent synthetic "
+        "price spread).",
+    tags=("tpcds",),
+)
