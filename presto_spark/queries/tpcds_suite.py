@@ -877,7 +877,7 @@ sql_query(
         "fact agg with a HAVING floor, two rank() windows sharing the "
         "channel partitioning, rank-disjunction filter. Item breaks "
         "rank ties so both engines agree on the cut.",
-    tags=("tpcds",),
+    tags=("tpcds", "bench"),
 )
 
 
@@ -920,7 +920,7 @@ sql_query(
         "type/size bucket predicate stays on the dimension side "
         "of the join, one (mgr, y, mo) agg shuffle, one partition-wide "
         "avg() window, deviation filter.",
-    tags=("tpcds",),
+    tags=("tpcds", "bench"),
 )
 
 
@@ -1021,7 +1021,7 @@ sql_query(
         "partitioning, outer-join null-completion rows kept by the "
         "disjunctive filter. Revenue stays in integer cents so the "
         "running sums are exact.",
-    tags=("tpcds",),
+    tags=("tpcds", "bench"),
 )
 
 
