@@ -33,6 +33,8 @@ operators/spatial_join.py.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -1468,4 +1470,55 @@ def st_difference_polygons(
         _convex_polygon_s(a, sa) & _convex_polygon_s(b, sb),
         F.when(F.size(inter) < 3, a)  # disjoint / touching: A unchanged
         .when(fin["np"] == 1, _poly_from_open(fin["piece"])),
+    )
+
+
+_ARC_SAMPLES = 8  # arc samples per vertex wedge (32-gon resolution class)
+
+
+def st_buffer_polygon(
+    geom: Column, distance: Column | float,
+    shell: Column | None = None,
+) -> Column:
+    """ST_Buffer for a CONVEX single-ring polygon (GeoFunctions.java
+    stBuffer with polygon input): the Minkowski sum of the polygon
+    with the polygonal disc the point tier uses — offset each edge
+    outward by d and join consecutive offsets with an arc sampled at
+    the vertex (the sum's extreme points all come from vertex discs,
+    so the construction is exact up to arc resolution).  d = 0 returns
+    the input; d < 0 (erosion) and non-convex operands return NULL,
+    pinned with the overlay tier.  ``shell``: pre-materialized
+    ``polygon_shell`` column (see polygon_shell)."""
+    d = distance if isinstance(distance, Column) else F.lit(float(distance))
+    d = d.cast("double")
+    sh = shell if shell is not None else polygon_shell(geom)
+    n = F.size(sh)
+    two_pi = 2.0 * math.pi
+
+    def arc(i):
+        prev = F.element_at(sh, ((i + n - 2) % n) + 1)
+        cur = F.element_at(sh, i)
+        nxt = F.element_at(sh, (i % n) + 1)
+        # outward normals of the incoming and outgoing edges (CCW ring:
+        # outward = direction rotated -90°)
+        t1 = F.atan2(prev["x"] - cur["x"], cur["y"] - prev["y"])
+        t2 = F.atan2(cur["x"] - nxt["x"], nxt["y"] - cur["y"])
+        delta = (t2 - t1 + two_pi) % two_pi
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(_ARC_SAMPLES)),
+            lambda s: F.struct(
+                (cur["x"] + d * F.cos(t1 + delta * s.cast("double")
+                                      / _ARC_SAMPLES)).alias("x"),
+                (cur["y"] + d * F.sin(t1 + delta * s.cast("double")
+                                      / _ARC_SAMPLES)).alias("y"),
+            ),
+        )
+
+    ring = F.flatten(F.transform(F.sequence(F.lit(1), n), arc))
+    return (
+        F.when(d == 0, geom)
+        .when(
+            _convex_polygon_s(geom, sh) & (d > 0),
+            _poly_from_open(ring),
+        )
     )

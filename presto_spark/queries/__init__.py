@@ -25,22 +25,21 @@ from presto_spark.queries import geo_suite  # noqa: F401,E402
 # first 50 registry entries each round, so registry ORDER decides which
 # queries earn a hard CORRECTNESS row.  Cumulative state after round 6:
 # every registry query checked at least once, 206/206 green on latest
-# status.  Round-7 front (VERDICT r6 #9): the 18 queries written in
+# status.  Round-7 front (VERDICT r6 #9): the 19 queries written in
 # round 7 (SFM sketch family, convex-polygon overlay golden,
 # simplify/flatten golden, TPC-DS q5/q29/q49/q63/q14/q51/q17/q39/
-# q44/q54/q58/q59/q6) plus geo_union_agg_golden and
-# llm_c4_line_filters; 11 re-rows for
+# q44/q54/q58/q59/q6) plus geo_union_agg_golden, llm_c4_line_filters,
+# and geo_buffer_polygon_golden; 11 re-rows for
 # queries whose SEMANTICS changed this round (shift saturation +
 # private-IP list + uuid/timezone columns in the function tails,
 # classification fail-on-out-of-range + empty-group spine, and the
 # two-level bottom-k rebuild under reservoir/theta/setdigest/khll) —
 # their recorded greens describe the old texts; the 19 rows last
-# checked in round 1; and 2 of the 42 round-3-checked rows (TPC-H
-# q01/q03) so the oldest tier keeps
-# draining.  Remaining re-check debt after this window: 40 r3-checked
+# checked in round 1; and q01 from the round-3-checked tier.
+# Remaining re-check debt after this window: 41 r3-checked
 # rows, 0 older.
 _DRIVER_FRONT = [
-    # 18 new round-7 queries (never driver-checked by construction)
+    # 19 new round-7 queries (never driver-checked by construction)
     "sketch_sfm_exact_ops",
     "geo_overlay_polygon_golden",
     "geo_simplify_flatten_golden",
@@ -59,6 +58,7 @@ _DRIVER_FRONT = [
     "geo_union_agg_golden",
     "llm_c4_line_filters",
     "tpcds_q6_above_category_average",
+    "geo_buffer_polygon_golden",
     # 11 re-rows: semantics/build changed in round 7
     "fn_bitwise_shift_suite",
     "fn_ip_prefix_suite2",
@@ -91,9 +91,8 @@ _DRIVER_FRONT = [
     "lateral_top_orders_per_nation",
     "window_groups_frame_emulation",
     "analytics_market_basket",
-    # 2 round-3-checked rows (oldest remaining tier)
+    # 1 round-3-checked row (oldest remaining tier)
     "q01_pricing_summary",
-    "q03_shipping_priority",
 ]
 
 

@@ -905,3 +905,47 @@ def geo_union_agg_golden(spark, sf_dir):
             "%.4f", F.coalesce(geo.st_area(F.col("geometry")), F.lit(0.0))
         ).alias("union_area"),
     ).orderBy("g")
+
+
+@register(
+    "geo_buffer_polygon_golden",
+    oracle="""
+SELECT * FROM (VALUES
+  (0, '35.1214', CAST(37 AS BIGINT), false),
+  (1, '16.0000', CAST(5 AS BIGINT), false),
+  (2, '0.0000', CAST(-1 AS BIGINT), true)
+) AS v(i, buf_area, n_vertices, is_null) ORDER BY i
+""",
+    doc="ST_Buffer with a convex polygon operand (GeoFunctions.java "
+        "stBuffer; round 7): Minkowski sum via outward edge offsets "
+        "joined by 8-sample vertex arcs. The 4x4 square at d=1 gives "
+        "area 35.1214 (exact 16 + 16d + pi d^2 = 35.1416; inscribed "
+        "arcs undershoot by design, pinned at the 32-gon resolution "
+        "class), d=0 is the identity, non-convex operands are NULL.",
+    tags=("geo", "functions"),
+)
+def geo_buffer_polygon_golden(spark, sf_dir):
+    prepare(spark, sf_dir)
+    cases = [
+        (0, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", 1.0),
+        (1, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", 0.0),
+        (2, "POLYGON ((0 0, 4 4, 4 0, 0 4, 0 0))", 1.0),
+    ]
+    df = (
+        spark.createDataFrame(cases, "i int, wkt string, d double")
+        .select("i", "d",
+                geo.st_geometry_from_text(F.col("wkt")).alias("g"))
+        .repartition(2)
+        .withColumn("sh", geo.polygon_shell(F.col("g")))
+        .repartition(2)
+    )
+    buf = geo.st_buffer_polygon(F.col("g"), F.col("d"), F.col("sh"))
+    return df.select(
+        "i",
+        F.format_string(
+            "%.4f", F.coalesce(geo.st_area(buf), F.lit(0.0))
+        ).alias("buf_area"),
+        F.coalesce(F.size(buf["rings"][0]), F.lit(-1)).cast("bigint")
+        .alias("n_vertices"),
+        buf.isNull().alias("is_null"),
+    ).orderBy("i")

