@@ -23,7 +23,14 @@ import struct
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BinaryType, DoubleType, FloatType, StringType
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+)
 
 _M64 = (1 << 64) - 1
 
@@ -354,3 +361,47 @@ def from_base32_udf(s: pd.Series) -> pd.Series:
         return _b64.b32decode(str(v))
 
     return pd.Series([dec(v) for v in s], dtype=object)
+
+
+# ---- FNV-1 / FNV-1a (VarbinaryFunctions.java fnv1_32/64, fnv1a_32/64;
+# FnvHash.java — the draft-eastlake-fnv-17 §6 reference algorithm;
+# goldens TestVarbinaryFunctions.java:415-435) ----
+
+_FNV32_BASIS, _FNV32_PRIME = 0x811C9DC5, 0x01000193
+_FNV64_BASIS, _FNV64_PRIME = 0xCBF29CE484222325, 0x100000001B3
+_M32 = (1 << 32) - 1
+
+
+def _fnv(data: bytes, basis: int, prime: int, mask: int, a_variant: bool) -> int:
+    h = basis
+    for b in data:
+        if a_variant:
+            h = ((h ^ b) * prime) & mask
+        else:
+            h = ((h * prime) & mask) ^ b
+    return h
+
+
+def _signed(v: int, bits: int) -> int:
+    return v - (1 << bits) if v >= (1 << (bits - 1)) else v
+
+
+def _fnv_udf(basis, prime, mask, bits, a_variant, dtype):
+    @pandas_udf(dtype)
+    def fn(data: pd.Series) -> pd.Series:
+        return data.map(
+            lambda d: None if d is None else _signed(
+                _fnv(bytes(d), basis, prime, mask, a_variant), bits))
+    return fn
+
+
+# DataType objects, not DDL strings — string return types parse lazily
+# and need a live session (the same import-time trap as the geo tier).
+fnv1_32_udf = _fnv_udf(_FNV32_BASIS, _FNV32_PRIME, _M32, 32, False,
+                       IntegerType())
+fnv1_64_udf = _fnv_udf(_FNV64_BASIS, _FNV64_PRIME, _M64, 64, False,
+                       LongType())
+fnv1a_32_udf = _fnv_udf(_FNV32_BASIS, _FNV32_PRIME, _M32, 32, True,
+                        IntegerType())
+fnv1a_64_udf = _fnv_udf(_FNV64_BASIS, _FNV64_PRIME, _M64, 64, True,
+                        LongType())

@@ -1118,6 +1118,10 @@ def register_functions(spark: SparkSession) -> list[str]:
         ("from_base32", _bp.from_base32_udf),
         ("spooky_hash_v2_32", _bp.spooky_hash_v2_32_udf),
         ("spooky_hash_v2_64", _bp.spooky_hash_v2_64_udf),
+        ("fnv1_32", _bp.fnv1_32_udf),
+        ("fnv1_64", _bp.fnv1_64_udf),
+        ("fnv1a_32", _bp.fnv1a_32_udf),
+        ("fnv1a_64", _bp.fnv1a_64_udf),
     ):
         spark.udf.register(name, fn)
         registered.append(name)

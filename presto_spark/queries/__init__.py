@@ -34,10 +34,10 @@ from presto_spark.queries import geo_suite  # noqa: F401,E402
 # private-IP list + uuid/timezone columns in the function tails,
 # classification fail-on-out-of-range + empty-group spine, and the
 # two-level bottom-k rebuild under reservoir/theta/setdigest/khll) —
-# their recorded greens describe the old texts; the 19 rows last
-# checked in round 1; and q01 from the round-3-checked tier.
-# Remaining re-check debt after this window: 41 r3-checked
-# rows, 0 older.
+# their recorded greens describe the old texts (fn_binary_suite2
+# re-fronts for the round-7 FNV/crc32 columns); and the 19 rows last
+# checked in round 1.  Remaining re-check debt after this window:
+# 42 r3-checked rows, 0 older — the r3 tier rotates in r8.
 _DRIVER_FRONT = [
     # 19 new round-7 queries (never driver-checked by construction)
     "sketch_sfm_exact_ops",
@@ -59,7 +59,7 @@ _DRIVER_FRONT = [
     "llm_c4_line_filters",
     "tpcds_q6_above_category_average",
     "geo_buffer_polygon_golden",
-    # 11 re-rows: semantics/build changed in round 7
+    # 12 re-rows: semantics/build changed in round 7
     "fn_bitwise_shift_suite",
     "fn_ip_prefix_suite2",
     "fn_misc_scalar_tail",
@@ -71,6 +71,7 @@ _DRIVER_FRONT = [
     "sketch_setdigest_exact_ops",
     "sketch_setdigest_minhash_envelope",
     "sketch_khll_privacy_audit",
+    "fn_binary_suite2",
     # 19 stalest rows (last driver row: round 1)
     "window_top_n_per_group",
     "agg_rollup",
@@ -91,8 +92,6 @@ _DRIVER_FRONT = [
     "lateral_top_orders_per_nation",
     "window_groups_frame_emulation",
     "analytics_market_basket",
-    # 1 round-3-checked row (oldest remaining tier)
-    "q01_pricing_summary",
 ]
 
 

@@ -1445,7 +1445,12 @@ dual_sql_query(
       (from_ieee754_64(to_ieee754_64(cast(i AS DOUBLE) * 2.718281828459045))
         = cast(i AS DOUBLE) * 2.718281828459045) AS rt64_ok,
       (from_ieee754_32(to_ieee754_32(cast(1.5 AS FLOAT)))
-        = cast(1.5 AS FLOAT)) AS rt32_ok
+        = cast(1.5 AS FLOAT)) AS rt32_ok,
+      fnv1_32(encode(msg, 'UTF-8')) AS fnv32,
+      fnv1_64(encode(msg, 'UTF-8')) AS fnv64,
+      fnv1a_32(encode(msg, 'UTF-8')) AS fnv32a,
+      fnv1a_64(encode(msg, 'UTF-8')) AS fnv64a,
+      crc32(encode(msg, 'UTF-8')) AS crc
     FROM t ORDER BY i
     """,
     """
@@ -1457,7 +1462,10 @@ dual_sql_query(
        '84FA5AA0279BBC473267D05A53EA03310A987CECC4C1535FF29B6D76B8F1444A728DF3AADB89D4A9A6709E1998F373566E8F824A8CA93B1821F0B69BC2A2F65E',
        '00000000000000000000000000000000',
        '232706FC6BF50919', '6BF50919', '', '',
-       '3FE0000000000000', '3F000000', true, true),
+       '3FE0000000000000', '3F000000', true, true,
+       -2128831035, CAST(-3750763034362895579 AS BIGINT),
+       -2128831035, CAST(-3750763034362895579 AS BIGINT),
+       CAST(0 AS BIGINT)),
       (1,
        '0A26EBEB0E7B65F528D96F7BC631BC8F',
        '2E7C4C6AEFA7E69F106EEE3CE21944D0046D2F3D',
@@ -1465,9 +1473,12 @@ dual_sql_query(
        'FEFA712B67DED871E1ED987F8B20D6A69EB9FCC87974218B9A1A6D5202B54C18ECDA4839A979DED22F07E0881CF40B762691992D120408F49D6212E112509D72',
        '93192FE805BE23041C8318F67EC4F2BC',
        'EC588E792BA05291', '2BA05291', 'NBQXG2DNMU======', 'hashme',
-       '3FF8000000000000', '3FC00000', true, true)
+       '3FF8000000000000', '3FC00000', true, true,
+       1186288931, CAST(-8283365273186809917 AS BIGINT),
+       1585780803, CAST(4520530899586740515 AS BIGINT),
+       CAST(603088830 AS BIGINT))
     ) AS v(i, h_md5, h_sha1, h_sha256, h_sha512, h_mm3, h_sp64, h_sp32,
-           b32, b32_rt, i64_hex, i32_hex, rt64_ok, rt32_ok)
+           b32, b32_rt, i64_hex, i32_hex, rt64_ok, rt32_ok, fnv32, fnv64, fnv32a, fnv64a, crc)
     ORDER BY i
     """,
     doc="HMAC family (HmacFunctions.java: RFC 2104 over md5/sha1/"

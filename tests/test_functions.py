@@ -789,3 +789,29 @@ def test_is_private_ip_full_reserved_list(spark):
     bad = [(r.ip, r.expected, r.got) for r in rows if r.got != r.expected]
     assert not bad, bad
     assert eng.sql("SELECT is_private_ip(NULL) AS n").collect()[0].n is None
+
+
+def test_fnv1_family_reference_vectors(spark):
+    """fnv1/fnv1a 32/64 against the reference's own goldens
+    (TestVarbinaryFunctions.java:415-435, FnvHash.java); crc32 is the
+    Spark builtin with identical semantics."""
+    from presto_spark.engine import Engine
+
+    eng = Engine(spark)
+    r = eng.sql(
+        "SELECT fnv1_32(from_hex('19')) AS a, "
+        "fnv1_32(from_hex('F5')) AS b, "
+        "fnv1_32(from_hex('0919')) AS c, "
+        "fnv1_32(from_hex('232706FC6BF50919')) AS d, "
+        "fnv1_64(from_hex('232706FC6BF50919')) AS e, "
+        "fnv1a_32(from_hex('0919')) AS f, "
+        "fnv1a_32(from_hex('F50919')) AS g, "
+        "fnv1a_64(from_hex('232706FC6BF50919')) AS h, "
+        "fnv1_64(from_hex('')) AS empty64"
+    ).collect()[0]
+    assert r.a == 0x050C5D06 and r.b == 0x050C5DEA
+    assert r.c == 0x087689BB and r.d == 0x9F2263F3 - (1 << 32)
+    assert r.e == 0x4A65FF96675A9F33
+    assert r.f == 0x34881807 and r.g == 0xEB80C366 - (1 << 32)
+    assert r.h == 0x68ADDC0B0FEBAC5F
+    assert r.empty64 == 0xCBF29CE484222325 - (1 << 64)
