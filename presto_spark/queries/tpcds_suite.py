@@ -1342,3 +1342,116 @@ sql_query(
         "price spread).",
     tags=("tpcds",),
 )
+
+
+# q87 shape: count of customers in channel A minus those present in
+# channels B or C — a chained EXCEPT over distinct key sets.
+sql_query(
+    "tpcds_q87_except_chain_count",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS lost_customers
+    FROM (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderstatus = 'O'
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderstatus = 'P'
+    ) t
+    """,
+    doc="TPC-DS q87 shape (customers in the store channel but absent "
+        "from catalog and web — a chained EXCEPT over distinct "
+        "customer sets, counted): each EXCEPT plans as a left-anti "
+        "join over distinct keys; one scan per channel with the "
+        "status filter pushed down.",
+    tags=("tpcds",),
+)
+
+
+# q97 shape: FULL OUTER JOIN of two channels' buyer sets, classifying
+# every customer as store-only / web-only / both.
+sql_query(
+    "tpcds_q97_channel_overlap_matrix",
+    """
+    WITH f AS (
+      SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    ),
+    o AS (
+      SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT
+      CAST(sum(CASE WHEN f.k IS NOT NULL AND o.k IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS store_only,
+      CAST(sum(CASE WHEN f.k IS NULL AND o.k IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS web_only,
+      CAST(sum(CASE WHEN f.k IS NOT NULL AND o.k IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS both_channels
+    FROM f FULL OUTER JOIN o ON f.k = o.k
+    """,
+    doc="TPC-DS q97 shape (store/catalog buyer overlap matrix via a "
+        "FULL OUTER JOIN of distinct buyer sets with null-pattern "
+        "classification): two distinct aggregates, one outer join on "
+        "the key, conditional counts over the completion rows.",
+    tags=("tpcds",),
+)
+
+
+# q66 shape: wide month-pivot report — twelve conditional sums per
+# group in one pass.
+sql_query(
+    "tpcds_q66_monthly_pivot_report",
+    """
+    SELECT n.n_name,
+      round(CAST(sum(CASE WHEN month(o.o_orderdate) = 1
+        THEN CAST(o.o_totalprice AS DECIMAL(14,2)) * 100
+        ELSE CAST(0 AS DECIMAL(16,2)) END) AS DOUBLE) / 100.0, 2) AS jan,
+      round(CAST(sum(CASE WHEN month(o.o_orderdate) = 2
+        THEN CAST(o.o_totalprice AS DECIMAL(14,2)) * 100
+        ELSE CAST(0 AS DECIMAL(16,2)) END) AS DOUBLE) / 100.0, 2) AS feb,
+      round(CAST(sum(CASE WHEN month(o.o_orderdate) = 3
+        THEN CAST(o.o_totalprice AS DECIMAL(14,2)) * 100
+        ELSE CAST(0 AS DECIMAL(16,2)) END) AS DOUBLE) / 100.0, 2) AS mar,
+      round(CAST(sum(CASE WHEN month(o.o_orderdate) = 4
+        THEN CAST(o.o_totalprice AS DECIMAL(14,2)) * 100
+        ELSE CAST(0 AS DECIMAL(16,2)) END) AS DOUBLE) / 100.0, 2) AS apr,
+      round(CAST(sum(CASE WHEN month(o.o_orderdate) = 5
+        THEN CAST(o.o_totalprice AS DECIMAL(14,2)) * 100
+        ELSE CAST(0 AS DECIMAL(16,2)) END) AS DOUBLE) / 100.0, 2) AS may,
+      round(CAST(sum(CASE WHEN month(o.o_orderdate) = 6
+        THEN CAST(o.o_totalprice AS DECIMAL(14,2)) * 100
+        ELSE CAST(0 AS DECIMAL(16,2)) END) AS DOUBLE) / 100.0, 2) AS jun,
+      round(CAST(sum(CASE WHEN month(o.o_orderdate) = 7
+        THEN CAST(o.o_totalprice AS DECIMAL(14,2)) * 100
+        ELSE CAST(0 AS DECIMAL(16,2)) END) AS DOUBLE) / 100.0, 2) AS jul,
+      round(CAST(sum(CASE WHEN month(o.o_orderdate) = 8
+        THEN CAST(o.o_totalprice AS DECIMAL(14,2)) * 100
+        ELSE CAST(0 AS DECIMAL(16,2)) END) AS DOUBLE) / 100.0, 2) AS aug,
+      round(CAST(sum(CASE WHEN month(o.o_orderdate) = 9
+        THEN CAST(o.o_totalprice AS DECIMAL(14,2)) * 100
+        ELSE CAST(0 AS DECIMAL(16,2)) END) AS DOUBLE) / 100.0, 2) AS sep,
+      round(CAST(sum(CASE WHEN month(o.o_orderdate) = 10
+        THEN CAST(o.o_totalprice AS DECIMAL(14,2)) * 100
+        ELSE CAST(0 AS DECIMAL(16,2)) END) AS DOUBLE) / 100.0, 2) AS oct_,
+      round(CAST(sum(CASE WHEN month(o.o_orderdate) = 11
+        THEN CAST(o.o_totalprice AS DECIMAL(14,2)) * 100
+        ELSE CAST(0 AS DECIMAL(16,2)) END) AS DOUBLE) / 100.0, 2) AS nov,
+      round(CAST(sum(CASE WHEN month(o.o_orderdate) = 12
+        THEN CAST(o.o_totalprice AS DECIMAL(14,2)) * 100
+        ELSE CAST(0 AS DECIMAL(16,2)) END) AS DOUBLE) / 100.0, 2) AS dec_
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    doc="TPC-DS q66 shape (warehouse yearly report pivoted into twelve "
+        "monthly columns): all twelve conditional sums evaluate in ONE "
+        "scan+agg pass (map-side combinable), integer cents per column "
+        "for engine-independent rounding; the dimension joins "
+        "broadcast.",
+    tags=("tpcds",),
+)
