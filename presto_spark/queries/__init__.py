@@ -25,23 +25,23 @@ from presto_spark.queries import geo_suite  # noqa: F401,E402
 # first 50 registry entries each round, so registry ORDER decides which
 # queries earn a hard CORRECTNESS row.  Cumulative state after round 6:
 # every registry query checked at least once, 206/206 green on latest
-# status.  Round-7 front (VERDICT r6 #9): the 22 queries written in
+# status.  Round-7 front (VERDICT r6 #9): the 23 queries written in
 # round 7 (SFM sketch family, convex-polygon overlay golden,
 # simplify/flatten golden, TPC-DS q5/q29/q49/q63/q14/q51/q17/q39/
-# q44/q54/q58/q59/q6/q87/q97/q66) plus geo_union_agg_golden, llm_c4_line_filters,
+# q44/q54/q58/q59/q6/q87/q97/q66/q64) plus geo_union_agg_golden, llm_c4_line_filters,
 # and geo_buffer_polygon_golden; 12 re-rows for
 # queries whose SEMANTICS changed this round (shift saturation +
 # private-IP list + uuid/timezone columns in the function tails,
 # classification fail-on-out-of-range + empty-group spine, and the
 # two-level bottom-k rebuild under reservoir/theta/setdigest/khll) —
 # their recorded greens describe the old texts (fn_binary_suite2
-# re-fronts for the round-7 FNV/crc32 columns); and 16 of the 19 rows
+# re-fronts for the round-7 FNV/crc32 columns); and 15 of the 19 rows
 # last checked in round 1.  Remaining re-check debt after this window:
-# 42 r3-checked + 3 r1 rows (lateral_top_orders_per_nation,
-# window_groups_frame_emulation, analytics_market_basket) — they lead
-# the r8 front.
+# 42 r3-checked + 4 r1 rows (sample_bernoulli_envelope,
+# lateral_top_orders_per_nation, window_groups_frame_emulation,
+# analytics_market_basket) — they lead the r8 front.
 _DRIVER_FRONT = [
-    # 22 new round-7 queries (never driver-checked by construction)
+    # 23 new round-7 queries (never driver-checked by construction)
     "sketch_sfm_exact_ops",
     "geo_overlay_polygon_golden",
     "geo_simplify_flatten_golden",
@@ -64,6 +64,7 @@ _DRIVER_FRONT = [
     "tpcds_q87_except_chain_count",
     "tpcds_q97_channel_overlap_matrix",
     "tpcds_q66_monthly_pivot_report",
+    "tpcds_q64_cross_year_repeat_purchases",
     # 12 re-rows: semantics/build changed in round 7
     "fn_bitwise_shift_suite",
     "fn_ip_prefix_suite2",
@@ -77,7 +78,7 @@ _DRIVER_FRONT = [
     "sketch_setdigest_minhash_envelope",
     "sketch_khll_privacy_audit",
     "fn_binary_suite2",
-    # 16 stalest rows (last driver row: round 1)
+    # 15 stalest rows (last driver row: round 1)
     "window_top_n_per_group",
     "agg_rollup",
     "agg_grouping_sets",
@@ -93,7 +94,6 @@ _DRIVER_FRONT = [
     "subquery_correlated_scalar",
     "subquery_in_uncorrelated",
     "values_inline_table",
-    "sample_bernoulli_envelope",
 ]
 
 

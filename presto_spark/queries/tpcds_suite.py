@@ -1455,3 +1455,52 @@ sql_query(
         "broadcast.",
     tags=("tpcds",),
 )
+
+
+# q64 shape: the wide cross-year repeat-purchase report — same
+# customer re-buys the same item in a later year at a lower price,
+# with customer/geography dimensions carried through both sides.
+sql_query(
+    "tpcds_q64_cross_year_repeat_purchases",
+    """
+    WITH sale AS (
+      SELECT o.o_custkey AS cust, l.l_partkey AS item,
+             year(o.o_orderdate) AS y,
+             -- IEEE division of exact integer cents by the integer
+             -- quantity: both engines divide identical doubles, where
+             -- DECIMAL division rounds at engine-specific scales
+             min(CAST(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
+                           AS BIGINT) AS DOUBLE)
+                 / l.l_quantity) AS unit_min_c
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_quantity > 0
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY o.o_custkey, l.l_partkey, year(o.o_orderdate)
+    )
+    SELECT c.c_name, n.n_name, p.p_brand,
+           s1.item,
+           -- floored integer cents: floor() of identical doubles is
+           -- identical, where round() half-boundary behavior differs
+           -- between engines
+           CAST(floor(s1.unit_min_c) AS BIGINT) AS y1_unit_cents,
+           CAST(floor(s2.unit_min_c) AS BIGINT) AS y2_unit_cents
+    FROM sale s1
+    JOIN sale s2 ON s1.cust = s2.cust AND s1.item = s2.item
+                AND s1.y = 1996 AND s2.y = 1997
+    JOIN customer c ON s1.cust = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN part p ON s1.item = p.p_partkey
+    WHERE s2.unit_min_c < s1.unit_min_c
+    ORDER BY c.c_name, s1.item
+    LIMIT 100
+    """,
+    doc="TPC-DS q64 shape (the wide cross-sale report: customers who "
+        "re-bought the same item in the following year at a lower unit "
+        "price, with customer/geography/item dimensions joined onto "
+        "both sale years): one fact aggregate feeding a (cust, item) "
+        "self-join across years, three broadcast dimension joins, and "
+        "a cross-side price predicate. Unit prices in integer cents.",
+    tags=("tpcds",),
+)
