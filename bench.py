@@ -36,7 +36,15 @@ def _prior_bench() -> dict[str, float]:
         return {}
     try:
         with open(os.path.join(here, benches[-1])) as fh:
-            return dict(json.load(fh).get("queries", {}))
+            d = json.load(fh)
+        # Driver-written BENCH_r*.json files nest this script's JSON
+        # line under "parsed" ({n, rc, tail, parsed}); a raw run of
+        # this script emits the flat shape.  Accept both (VERDICT r7
+        # #1: reading "queries" off the top level made the regression
+        # flag dead code against driver files).
+        if isinstance(d.get("parsed"), dict):
+            d = d["parsed"]
+        return dict(d.get("queries", {}))
     except (OSError, ValueError):
         return {}
 

@@ -1,0 +1,64 @@
+"""Unit tests for bench.py's prior-round regression flag.
+
+VERDICT r7 #1: `_prior_bench` read `"queries"` off the top level of the
+newest BENCH_r*.json, but driver-written files nest the payload under
+`"parsed"` — so the flag was dead code.  These tests feed BOTH file
+shapes and assert a synthetic 1.5x regression actually fires.
+"""
+
+import importlib.util
+import json
+import os
+
+import pytest
+
+
+def _load_bench(tmp_path, monkeypatch):
+    """Import bench.py with its directory patched to tmp_path so
+    _prior_bench scans our synthetic BENCH files, not the repo's."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", os.path.join(repo, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(mod.os.path, "abspath", lambda p: str(tmp_path / "bench.py"))
+    return mod
+
+
+@pytest.mark.parametrize("shape", ["flat", "driver"])
+def test_prior_bench_reads_both_file_shapes(tmp_path, monkeypatch, shape):
+    payload = {"metric": "m", "value": 1.0, "queries": {"q1": 2.0, "q2": 0.5}}
+    if shape == "driver":
+        # The driver wraps bench.py's JSON line: {n, rc, tail, parsed}.
+        body = {"n": 1, "rc": 0, "tail": "...", "parsed": payload}
+    else:
+        body = payload
+    (tmp_path / "BENCH_r07.json").write_text(json.dumps(body))
+    mod = _load_bench(tmp_path, monkeypatch)
+    assert mod._prior_bench() == {"q1": 2.0, "q2": 0.5}
+
+
+def test_regression_flag_fires_on_synthetic_regression(tmp_path, monkeypatch):
+    prior_payload = {"queries": {"fast": 1.0, "slow": 1.0, "gone": 1.0}}
+    (tmp_path / "BENCH_r07.json").write_text(
+        json.dumps({"n": 1, "rc": 0, "parsed": prior_payload}))
+    mod = _load_bench(tmp_path, monkeypatch)
+    prior = mod._prior_bench()
+    timings = {"fast": 0.9, "slow": 1.6, "new": 5.0}  # slow regressed 1.6x
+    flagged = sorted(
+        n for n, t in timings.items()
+        if n in prior and prior[n] > 0 and t > 1.5 * prior[n])
+    assert flagged == ["slow"]
+
+
+def test_prior_bench_newest_file_wins(tmp_path, monkeypatch):
+    (tmp_path / "BENCH_r06.json").write_text(json.dumps({"queries": {"q": 9.0}}))
+    (tmp_path / "BENCH_r07.json").write_text(
+        json.dumps({"parsed": {"queries": {"q": 1.0}}}))
+    mod = _load_bench(tmp_path, monkeypatch)
+    assert mod._prior_bench() == {"q": 1.0}
+
+
+def test_prior_bench_empty_dir(tmp_path, monkeypatch):
+    mod = _load_bench(tmp_path, monkeypatch)
+    assert mod._prior_bench() == {}
