@@ -1321,6 +1321,39 @@ def _strictly_inside(pts: Column, v: Column) -> Column:
     )
 
 
+def _star_strictly_inside(ring: Column, k: Column, v: Column) -> Column:
+    """v strictly interior to a STAR-SHAPED polygon given as an open
+    ring sorted CCW by angle around its star center ``k`` (the shape
+    geometry_union_agg's partial unions have — star-shaped about any
+    point of the group's common intersection).  Unlike the convex
+    ``_strictly_inside`` forall, only the edge whose angular wedge
+    around k contains v's angle decides: v is inside iff it is
+    strictly left of that edge.  On-boundary points give side == 0
+    exactly and report NOT inside — the property the stitch's
+    collinear boundary candidates depend on."""
+    n = F.size(ring)
+    av = F.atan2(v["y"] - k["y"], v["x"] - k["x"])
+    return (n >= 3) & F.exists(
+        F.sequence(F.lit(1), n),
+        lambda i: _star_wedge_hit(ring, k, v, av, i, n),
+    )
+
+
+def _star_wedge_hit(
+    ring: Column, k: Column, v: Column, av: Column, i: Column, n: Column
+) -> Column:
+    p = F.element_at(ring, i)
+    q = F.element_at(ring, (i % n) + 1)
+    ap = F.atan2(p["y"] - k["y"], p["x"] - k["x"])
+    aq = F.atan2(q["y"] - k["y"], q["x"] - k["x"])
+    # The ring is angle-sorted, so every edge but the last spans
+    # [ap, aq); the last wraps through the -pi/pi cut.
+    contains = F.when(
+        i < n, (av >= ap) & (av < aq)
+    ).otherwise((av >= ap) | (av < aq))
+    return contains & (_side(p, q, v) > 0)
+
+
 def _edge_crossings(sa: Column, sb: Column) -> Column:
     """All points where an edge of ``sa`` crosses an edge of ``sb``
     (parametric segment-segment intersection, both t and u in [0,1])."""
@@ -1409,9 +1442,15 @@ def st_union_polygons(
     a: Column, b: Column,
     sa: Column | None = None, sb: Column | None = None,
 ) -> Column:
-    """ST_Union for overlapping convex single-ring polygons — the
-    star-shaped boundary stitch (module note).  Disjoint inputs (a
-    MULTIPOLYGON union) and non-convex operands return NULL, pinned.
+    """ST_Union for convex single-ring polygons whose intersection is
+    FULL-DIMENSIONAL (a proper overlap region) — the star-shaped
+    boundary stitch (module note).  Disjoint inputs (a MULTIPOLYGON
+    union) and non-convex operands return NULL, pinned; so do pairs
+    that touch only at a point or along an edge segment (ADVICE r7:
+    the stitch centroid then lies ON the union boundary and the
+    angular ring is invalid — two unit squares touching at a corner
+    stitched to area 2.5 under the old >= 1 guard).  The >= 3 guard
+    requires three distinct clip vertices, i.e. a 2-D intersection.
     ``sa``/``sb``: pre-materialized ``polygon_shell`` columns."""
     sa = sa if sa is not None else polygon_shell(a)
     sb = sb if sb is not None else polygon_shell(b)
@@ -1424,7 +1463,7 @@ def st_union_polygons(
     )
     return F.when(
         _convex_polygon_s(a, sa) & _convex_polygon_s(b, sb)
-        & (F.size(inter) >= 1),
+        & (F.size(inter) >= 3),
         _poly_from_open(_angular_ring(cand, k)),
     )
 

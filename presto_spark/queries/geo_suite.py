@@ -788,7 +788,9 @@ SELECT * FROM (VALUES
       'POLYGON ((0.0 0.0, 2.0 0.0, 2.0 -1.0, 5.0 -1.0, 5.0 5.0, 2.0 5.0, 2.0 4.0, 0.0 4.0, 0.0 0.0))',
       '26.0000',
       'POLYGON ((0.0 0.0, 2.0 0.0, 2.0 4.0, 0.0 4.0, 0.0 0.0))', '8.0000'),
-  (4, 'EMPTY', '0.0000', 'EMPTY', '0.0000', 'EMPTY', '0.0000')
+  (4, 'EMPTY', '0.0000', 'EMPTY', '0.0000', 'EMPTY', '0.0000'),
+  (5, 'EMPTY', '0.0000', 'EMPTY', '0.0000',
+      'POLYGON ((0.0 0.0, 1.0 0.0, 1.0 1.0, 0.0 1.0, 0.0 0.0))', '1.0000')
 ) AS v(i, inter_wkt, inter_area, union_wkt, union_area, diff_wkt, diff_area)
 ORDER BY i
 """,
@@ -801,8 +803,10 @@ ORDER BY i
         "piece survives; disjoint returns A, A-inside-B is empty). "
         "Cases: offset squares (union is the 8-vertex L-ring, area "
         "4+4-1), disjoint, B-inside-A (holed difference pinned NULL), "
-        "half-clip, and a non-convex operand (pinned NULL). Areas and "
-        "full vertex rings DuckDB-replayed.",
+        "half-clip, a non-convex operand (pinned NULL), and a corner-"
+        "touching pair (degenerate intersection: point-intersection "
+        "EMPTY, union pinned NULL per the ADVICE r7 guard, difference "
+        "returns A). Areas and full vertex rings DuckDB-replayed.",
     tags=("geo", "functions"),
 )
 def geo_overlay_polygon_golden(spark, sf_dir):
@@ -817,6 +821,8 @@ def geo_overlay_polygon_golden(spark, sf_dir):
         (3, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
             "POLYGON ((2 -1, 5 -1, 5 5, 2 5, 2 -1))"),
         (4, "POLYGON ((0 0, 4 4, 4 0, 0 4, 0 0))",
+            "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"),
+        (5, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
             "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"),
     ]
     # Materialize parsed geometries and shells behind repartition
@@ -865,18 +871,23 @@ SELECT * FROM (VALUES
       '7.2500'),
   (1, 'POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))', '16.0000'),
   (2, 'EMPTY', '0.0000'),
-  (3, 'EMPTY', '0.0000')
+  (3, 'EMPTY', '0.0000'),
+  (4, 'EMPTY', '0.0000'),
+  (5, 'EMPTY', '0.0000')
 ) AS v(g, union_wkt, union_area) ORDER BY g
 """,
     doc="geometry_union_agg (geospatial.rst Aggregations; VERDICT r6 "
-        "#2): the true union polygon for groups of convex polygons "
-        "sharing a common point, via the n-ary star-stitch over the "
-        "Sutherland-Hodgman common intersection. Cases: 3 stair-"
-        "stepped squares (area = 4+4+3-1-1.5-2.25+1 = 7.25 by "
-        "inclusion-exclusion, full 12-vertex ring replayed), the "
-        "single-polygon identity, a disjoint pair (MULTIPOLYGON "
-        "result — pinned NULL), and a non-convex member (pinned "
-        "NULL).",
+        "#2, two-level rebuild + degenerate guard + NULL spine r8): "
+        "the true union polygon for groups of convex polygons whose "
+        "common intersection is full-dimensional, via the two-level "
+        "star-stitch (partial union per input partition, final stitch "
+        "over partial boundaries). Cases: 3 stair-stepped squares "
+        "(area = 4+4+3-1-1.5-2.25+1 = 7.25 by inclusion-exclusion, "
+        "full 12-vertex ring replayed), the single-polygon identity, "
+        "a disjoint pair (MULTIPOLYGON result — pinned NULL), a "
+        "non-convex member (pinned NULL), a corner-touching pair "
+        "(degenerate common — pinned NULL, ADVICE r7), and an "
+        "all-NULL group (spine row with NULL geometry).",
     tags=("geo", "agg"),
 )
 def geo_union_agg_golden(spark, sf_dir):
@@ -892,6 +903,10 @@ def geo_union_agg_golden(spark, sf_dir):
         (2, "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"),
         (3, "POLYGON ((0 0, 4 4, 4 0, 0 4, 0 0))"),
         (3, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+        (4, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+        (4, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"),
+        (5, None),
+        (5, None),
     ]
     df = spark.createDataFrame(cases, "g int, wkt string").select(
         "g", geo.st_geometry_from_text(F.col("wkt")).alias("geom")

@@ -273,3 +273,31 @@ def test_sketch_builds_two_level_bottom_k(spark):
             assert "__bk_rk" in below, (
                 f"{name}: bare per-group window over unbounded rows:\n{ln}"
             )
+
+
+def test_geometry_union_agg_two_level(spark):
+    """VERDICT r7 #5: geometry_union_agg must not collect a whole
+    group's shells into one row — the shell collect_list must sit in
+    an Aggregate grouped by (group, __pid) (level 1, map-side bounded
+    state); only partial boundary rings may be collected per group
+    (level 2, state priced in partition count, never row count)."""
+    from presto_spark.functions import geo
+    from presto_spark.operators import geo_agg
+
+    df = (
+        spark.createDataFrame(
+            [(0, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+             (0, "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")],
+            "g int, wkt string")
+        .select("g", geo.st_geometry_from_text(F.col("wkt")).alias("geom"))
+    )
+    out = geo_agg.geometry_union_agg(df, ["g"], "geom")
+    lines = _optimized(out).splitlines()
+    saw_shell_collect = False
+    for ln in lines:
+        if "collect_list(__s" not in ln:
+            continue
+        saw_shell_collect = True
+        assert "__pid" in ln, (
+            f"shell collect_list not partition-scoped:\n{ln}")
+    assert saw_shell_collect, "expected a level-1 shell collect_list"
