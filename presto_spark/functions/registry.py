@@ -87,6 +87,10 @@ def _private_v4_predicate(num: str) -> str:
 # 2001::/23 (second group 0x000-0x1ff), 5f00::/16, fe80::/10
 # (fe80-febf), fc00::/7 (fc00-fdff) — anchored alternation over the
 # canonical compressed lowercase spelling.
+# A valid IPv4 octet (0-255).  Plain text, substituted into an
+# f-string template — braces here must be the FINAL regex braces.
+_V4_OCTET_RE = "(25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})"
+
 _PRIVATE_V6_RE = (
     "^(::1?$"
     "|64:ff9b:1:"
@@ -454,15 +458,20 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
         "ip STRING", "BOOLEAN",
         f"""CASE
              WHEN ip IS NULL THEN NULL
-             WHEN ip rlike '^[0-9]{{1,3}}(\\\\.[0-9]{{1,3}}){{3}}$'
+             WHEN ip rlike
+               '^{_V4_OCTET_RE}(\\\\.{_V4_OCTET_RE}){{3}}$'
              THEN {_private_v4_predicate(_ip2long("ip"))}
              ELSE lower(ip) rlike '{_PRIVATE_V6_RE}'
            END""",
         "IpPrefixFunctions.java isPrivateIp privatePrefixes:64-90 — "
-        "all 14 IPv4 ranges as exact numeric range checks, the 9 IPv6 "
-        "ranges as an anchored alternation over the canonical "
-        "compressed text form (pinned: the engine's IP model is the "
-        "canonical string, not a parsed IPADDRESS)"),
+        "all 14 IPv4 ranges as exact numeric range checks over VALID "
+        "dotted quads only (octets 0-255 — ADVICE r7: the old "
+        "[0-9]{1,3} arm folded '10.0.0.999' into the numeric check), "
+        "the 9 IPv6 ranges as an anchored alternation over the "
+        "canonical compressed text form (pinned: the engine's IP "
+        "model is the canonical string, not a parsed IPADDRESS — "
+        "malformed input answers false here where the reference "
+        "fails the IPADDRESS cast)"),
     "array_sort_desc": (
         "a ARRAY<BIGINT>", "ARRAY<BIGINT>",
         """concat(reverse(array_sort(filter(a, x -> x IS NOT NULL))),

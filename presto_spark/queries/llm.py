@@ -1050,7 +1050,8 @@ sig AS (
          len(lines) AS n_lines,
          len(list_filter(lines,
              l -> regexp_matches(l, '[.!?"]$')
-                  AND len(string_split_regex(l, '\\s+')) >= 5))
+                  AND len(string_split_regex(l, '\\s+')) >= 5
+                  AND NOT contains(lower(l), 'javascript')))
            AS n_kept,
          contains(lower(t), 'lorem ipsum') AS has_lorem,
          contains(t, '{{') AS has_brace,
@@ -1067,7 +1068,7 @@ SELECT doc_id,
        has_lorem AS has_lorem_ipsum,
        has_brace,
        has_js AS has_javascript_line,
-       (n_kept >= 3 AND NOT has_lorem AND NOT has_brace AND NOT has_js)
+       (n_kept >= 3 AND NOT has_lorem AND NOT has_brace)
          AS keep_document
 FROM sig ORDER BY doc_id
 """
@@ -1077,9 +1078,10 @@ FROM sig ORDER BY doc_id
     "llm_c4_line_filters",
     oracle=_C4_ORACLE,
     doc="C4 corpus hygiene per document (Raffel et al. 2020 §2.2): "
-        "keep lines ending in terminal punctuation with >= 5 words; "
-        "page-level lorem-ipsum / brace / javascript flags; document "
-        "verdict >= 3 kept lines and no flags. Line structure is "
+        "keep lines ending in terminal punctuation with >= 5 words "
+        "and no 'javascript' (a LINE-level removal per the paper — "
+        "ADVICE r7); page-level lorem-ipsum / brace flags; document "
+        "verdict >= 3 kept lines and no page flags. Line structure is "
         "synthesized deterministically (split on a common word, flags "
         "planted on modular doc ids) since the corpus documents are "
         "single-line; DuckDB replays every signal exactly. Pure "
