@@ -794,12 +794,17 @@ def geo_simplify_flatten_golden(spark, sf_dir):
 SELECT * FROM (VALUES
   (0, 'POLYGON ((1.0 1.0, 2.0 1.0, 2.0 2.0, 1.0 2.0, 1.0 1.0))', '1.0000',
       'POLYGON ((0.0 0.0, 2.0 0.0, 2.0 1.0, 3.0 1.0, 3.0 3.0, 1.0 3.0, 1.0 2.0, 0.0 2.0, 0.0 0.0))',
-      '7.0000', 'EMPTY', '0.0000'),
-  (1, 'EMPTY', '0.0000', 'EMPTY', '0.0000',
+      '7.0000',
+      'MULTIPOLYGON (((2.0 0.0, 2.0 1.0, 0.0 1.0, 0.0 0.0, 2.0 0.0)), ((0.0 1.0, 1.0 1.0, 1.0 2.0, 0.0 2.0, 0.0 1.0)))',
+      '3.0000'),
+  (1, 'EMPTY', '0.0000',
+      'MULTIPOLYGON (((0.0 0.0, 1.0 0.0, 1.0 1.0, 0.0 1.0, 0.0 0.0)), ((5.0 5.0, 6.0 5.0, 6.0 6.0, 5.0 6.0, 5.0 5.0)))',
+      '2.0000',
       'POLYGON ((0.0 0.0, 1.0 0.0, 1.0 1.0, 0.0 1.0, 0.0 0.0))', '1.0000'),
   (2, 'POLYGON ((1.0 1.0, 2.0 1.0, 2.0 2.0, 1.0 2.0, 1.0 1.0))', '1.0000',
       'POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))', '16.0000',
-      'EMPTY', '0.0000'),
+      'POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0), (1.0 1.0, 2.0 1.0, 2.0 2.0, 1.0 2.0, 1.0 1.0))',
+      '15.0000'),
   (3, 'POLYGON ((2.0 0.0, 4.0 0.0, 4.0 4.0, 2.0 4.0, 2.0 0.0))', '8.0000',
       'POLYGON ((0.0 0.0, 2.0 0.0, 2.0 -1.0, 5.0 -1.0, 5.0 5.0, 2.0 5.0, 2.0 4.0, 0.0 4.0, 0.0 0.0))',
       '26.0000',
@@ -811,14 +816,16 @@ SELECT * FROM (VALUES
 ORDER BY i
 """,
     doc="Convex-polygon overlay tier (GeoFunctions.java stIntersection/"
-        "stUnion/stDifference with polygon operands; VERDICT r6 #2): "
-        "Sutherland-Hodgman intersection (exact for convex x convex), "
-        "star-stitch union (exact when the operands overlap — the union "
-        "of convex sets sharing a point is star-shaped about it), "
-        "half-plane-decomposition difference (emitted when one convex "
-        "piece survives; disjoint returns A, A-inside-B is empty). "
-        "Cases: offset squares (union is the 8-vertex L-ring, area "
-        "4+4-1), disjoint, B-inside-A (holed difference pinned NULL), "
+        "stUnion/stDifference with polygon operands; VERDICT r6 #2, "
+        "MULTIPOLYGON outputs r8): Sutherland-Hodgman intersection, "
+        "star-stitch union for overlapping operands, MULTIPOLYGON "
+        "union for disjoint operands, half-plane-decomposition "
+        "difference (one piece → POLYGON, several → MULTIPOLYGON, "
+        "B-strictly-inside-A → the canonical holed POLYGON; disjoint "
+        "returns A, A-inside-B is empty). Cases: offset squares "
+        "(union is the 8-vertex L-ring, area 4+4-1; difference is the "
+        "2-piece L tiling, area 3), disjoint squares (MULTIPOLYGON "
+        "union, area 2), B-inside-A (holed difference, area 15), "
         "half-clip, a non-convex operand (pinned NULL), and a corner-"
         "touching pair (degenerate intersection: point-intersection "
         "EMPTY, union pinned NULL per the ADVICE r7 guard, difference "
@@ -979,4 +986,63 @@ def geo_buffer_polygon_golden(spark, sf_dir):
         F.coalesce(F.size(buf["rings"][0]), F.lit(-1)).cast("bigint")
         .alias("n_vertices"),
         buf.isNull().alias("is_null"),
+    ).orderBy("i")
+
+
+@register(
+    "geo_multipolygon_golden",
+    oracle="""
+SELECT * FROM (VALUES
+  (0, 'MULTIPOLYGON (((0.0 0.0, 2.0 0.0, 2.0 1.0, 0.0 1.0, 0.0 0.0)), ((3.0 3.0, 5.0 3.0, 5.0 5.0, 3.0 5.0, 3.0 3.0)))',
+      '6.0000', '14.0000', CAST(2 AS BIGINT),
+      'POLYGON ((0.0 0.0, 2.0 0.0, 2.0 1.0, 0.0 1.0, 0.0 0.0))',
+      '4.0000', true, 'ST_MultiPolygon', 2, CAST(1 AS BIGINT)),
+  (1, 'POINT (2.5 7.5)',
+      '0.0000', '0.0000', CAST(1 AS BIGINT),
+      'POINT (2.5 7.5)',
+      '0.0000', true, 'ST_Point', 0, CAST(1 AS BIGINT))
+) AS v(i, rt_wkt, area_q, len_q, n_geoms, g1_wkt, g2_area_q,
+       g3_null, gtype, dim, flat_n)
+ORDER BY i
+""",
+    doc="MULTIPOLYGON surface (round 8 — VERDICT r7 what's-missing "
+        "#1: the struct model gains the kind as an overlay OUTPUT and "
+        "measure tier; GeoFunctions.java stNumGeometries/stGeometryN/"
+        "stArea/stLength multi-geometry arms): WKT parse + exact "
+        "roundtrip, summed area, summed perimeter, ST_NumGeometries, "
+        "ST_GeometryN piece extraction (1-based, NULL out of range), "
+        "ST_GeometryType/ST_Dimension, flatten_geometry_collections "
+        "pass-through; a POINT row pins the simple-kind n=1 identity.",
+    tags=("geo", "functions"),
+)
+def geo_multipolygon_golden(spark, sf_dir):
+    prepare(spark, sf_dir)
+    cases = [
+        (0, "MULTIPOLYGON (((0 0, 2 0, 2 1, 0 1, 0 0)), "
+            "((3 3, 5 3, 5 5, 3 5, 3 3)))"),
+        (1, "POINT (2.5 7.5)"),
+    ]
+    df = (
+        spark.createDataFrame(cases, "i int, wkt string")
+        .select("i", geo.st_geometry_from_text(F.col("wkt")).alias("g"))
+        .repartition(2)
+    )
+    g = F.col("g")
+
+    def q(c):
+        return F.format_string("%.4f", F.coalesce(c, F.lit(0.0)))
+
+    return df.select(
+        "i",
+        geo.st_as_text(g).alias("rt_wkt"),
+        q(geo.st_area(g)).alias("area_q"),
+        q(geo.st_length(g)).alias("len_q"),
+        geo.st_num_geometries(g).cast("bigint").alias("n_geoms"),
+        geo.st_as_text(geo.st_geometry_n(g, F.lit(1))).alias("g1_wkt"),
+        q(geo.st_area(geo.st_geometry_n(g, F.lit(2)))).alias("g2_area_q"),
+        geo.st_geometry_n(g, F.lit(3)).isNull().alias("g3_null"),
+        geo.st_geometry_type(g).alias("gtype"),
+        geo.st_dimension(g).alias("dim"),
+        F.size(geo.flatten_geometry_collections(g)).cast("bigint")
+        .alias("flat_n"),
     ).orderBy("i")

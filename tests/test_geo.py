@@ -699,10 +699,11 @@ def test_convex_polygon_overlay_trio(spark):
         F.col("gd").isNull().alias("nd"),
     ).collect()}
     assert (rows[0].ia, rows[0].ua) == (1.0, 7.0)  # 4 + 4 - 1
-    assert rows[0].nd  # L-shaped difference: 2 pieces, pinned NULL
-    assert rows[1].ni and rows[1].nu and rows[1].da == 1.0  # disjoint: A
+    assert rows[0].da == 3.0  # L-shaped difference: 2-piece MULTIPOLYGON (r8)
+    assert rows[1].ni and rows[1].da == 1.0  # disjoint: A
+    assert rows[1].ua == 2.0  # disjoint union: MULTIPOLYGON of both (r8)
     assert (rows[2].ia, rows[2].ua) == (1.0, 16.0)  # B inside A
-    assert rows[2].nd  # holed difference pinned NULL
+    assert rows[2].da == 15.0  # holed POLYGON difference (r8)
     assert (rows[3].ia, rows[3].ua, rows[3].da) == (8.0, 26.0, 8.0)
     assert rows[4].ni and rows[4].nu and rows[4].nd  # non-convex pinned
 
