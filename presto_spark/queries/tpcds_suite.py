@@ -1504,3 +1504,419 @@ sql_query(
         "a cross-side price predicate. Unit prices in integer cents.",
     tags=("tpcds",),
 )
+
+
+# q4 shape: one per-(nation, channel, year) aggregate CTE referenced
+# SIX times — three channels x two years — with cross-channel growth-
+# ratio predicates.
+sql_query(
+    "tpcds_q4_triple_channel_growth",
+    """
+    WITH yt AS (
+      SELECT c.c_nationkey AS nk, o.o_orderstatus AS st,
+             year(o.o_orderdate) AS y,
+             sum(CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100
+                      AS BIGINT)) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE year(o.o_orderdate) IN (1996, 1997)
+      GROUP BY c.c_nationkey, o.o_orderstatus, year(o.o_orderdate)
+    )
+    SELECT n.n_name,
+           CAST(round(CAST(f2.cents AS DOUBLE) / f1.cents, 6) AS DOUBLE)
+             AS store_growth,
+           CAST(round(CAST(o2.cents AS DOUBLE) / o1.cents, 6) AS DOUBLE)
+             AS web_growth,
+           CAST(round(CAST(p2.cents AS DOUBLE) / p1.cents, 6) AS DOUBLE)
+             AS catalog_growth
+    FROM yt f1 JOIN yt f2 ON f1.nk = f2.nk
+     AND f1.st = 'F' AND f2.st = 'F' AND f1.y = 1996 AND f2.y = 1997
+    JOIN yt o1 ON o1.nk = f1.nk AND o1.st = 'O' AND o1.y = 1996
+    JOIN yt o2 ON o2.nk = f1.nk AND o2.st = 'O' AND o2.y = 1997
+    JOIN yt p1 ON p1.nk = f1.nk AND p1.st = 'P' AND p1.y = 1996
+    JOIN yt p2 ON p2.nk = f1.nk AND p2.st = 'P' AND p2.y = 1997
+    JOIN nation n ON n.n_nationkey = f1.nk
+    WHERE CAST(o2.cents AS DOUBLE) / o1.cents
+          > CAST(f2.cents AS DOUBLE) / f1.cents
+    ORDER BY n.n_name
+    """,
+    doc="TPC-DS q4 shape (the year_total CTE referenced six times — "
+        "store/web/catalog channels x two consecutive years — keeping "
+        "customers whose web growth beats store growth; here at nation "
+        "grain over the o_orderstatus channels): one fact aggregate "
+        "fanned into a six-way self-join on the group key plus a "
+        "cross-channel ratio predicate. Integer-cent sums; ratios are "
+        "divisions of identical doubles on both engines.",
+    tags=("tpcds",),
+)
+
+
+# q9 shape: bucketed scalar subqueries inside CASE — the outer row
+# chooses per bucket between two aggregate subqueries by comparing a
+# third (count) subquery against a threshold.
+sql_query(
+    "tpcds_q9_bucket_case_subqueries",
+    """
+    SELECT
+      CASE WHEN (SELECT count(*) FROM lineitem
+                 WHERE l_quantity BETWEEN 1 AND 10)
+               > (SELECT count(*) FROM lineitem) / 10
+           THEN (SELECT CAST(floor(avg(
+                   CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                        AS BIGINT))) AS BIGINT)
+                 FROM lineitem WHERE l_quantity BETWEEN 1 AND 10)
+           ELSE (SELECT CAST(floor(avg(
+                   CAST(CAST(l_tax AS DECIMAL(6,4)) * 10000
+                        AS BIGINT))) AS BIGINT)
+                 FROM lineitem WHERE l_quantity BETWEEN 1 AND 10)
+      END AS bucket1,
+      CASE WHEN (SELECT count(*) FROM lineitem
+                 WHERE l_quantity BETWEEN 11 AND 20)
+               > (SELECT count(*) FROM lineitem) / 4
+           THEN (SELECT CAST(floor(avg(
+                   CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                        AS BIGINT))) AS BIGINT)
+                 FROM lineitem WHERE l_quantity BETWEEN 11 AND 20)
+           ELSE (SELECT CAST(floor(avg(
+                   CAST(CAST(l_tax AS DECIMAL(6,4)) * 10000
+                        AS BIGINT))) AS BIGINT)
+                 FROM lineitem WHERE l_quantity BETWEEN 11 AND 20)
+      END AS bucket2,
+      CASE WHEN (SELECT count(*) FROM lineitem
+                 WHERE l_quantity BETWEEN 21 AND 30)
+               > (SELECT count(*) FROM lineitem) / 10
+           THEN (SELECT CAST(floor(avg(
+                   CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                        AS BIGINT))) AS BIGINT)
+                 FROM lineitem WHERE l_quantity BETWEEN 21 AND 30)
+           ELSE (SELECT CAST(floor(avg(
+                   CAST(CAST(l_tax AS DECIMAL(6,4)) * 10000
+                        AS BIGINT))) AS BIGINT)
+                 FROM lineitem WHERE l_quantity BETWEEN 21 AND 30)
+      END AS bucket3,
+      CASE WHEN (SELECT count(*) FROM lineitem
+                 WHERE l_quantity BETWEEN 31 AND 40)
+               > (SELECT count(*) FROM lineitem) / 4
+           THEN (SELECT CAST(floor(avg(
+                   CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                        AS BIGINT))) AS BIGINT)
+                 FROM lineitem WHERE l_quantity BETWEEN 31 AND 40)
+           ELSE (SELECT CAST(floor(avg(
+                   CAST(CAST(l_tax AS DECIMAL(6,4)) * 10000
+                        AS BIGINT))) AS BIGINT)
+                 FROM lineitem WHERE l_quantity BETWEEN 31 AND 40)
+      END AS bucket4,
+      CASE WHEN (SELECT count(*) FROM lineitem
+                 WHERE l_quantity BETWEEN 41 AND 50)
+               > (SELECT count(*) FROM lineitem) / 10
+           THEN (SELECT CAST(floor(avg(
+                   CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                        AS BIGINT))) AS BIGINT)
+                 FROM lineitem WHERE l_quantity BETWEEN 41 AND 50)
+           ELSE (SELECT CAST(floor(avg(
+                   CAST(CAST(l_tax AS DECIMAL(6,4)) * 10000
+                        AS BIGINT))) AS BIGINT)
+                 FROM lineitem WHERE l_quantity BETWEEN 41 AND 50)
+      END AS bucket5
+    """,
+    doc="TPC-DS q9 shape (five quantity buckets, each a CASE choosing "
+        "between an avg-price and an avg-tax scalar subquery by "
+        "comparing the bucket's count subquery to a threshold — 15 "
+        "scalar subqueries total): thresholds are FRACTIONS of the "
+        "table count (total/10 always passes a ~20% uniform bucket, "
+        "total/4 never does) so both CASE branches are exercised "
+        "deterministically at every scale factor. Averages emitted as "
+        "floored integer cents/basis-points.",
+    tags=("tpcds",),
+)
+
+
+# q10 shape: a conjunctive EXISTS gate plus a DISJUNCTION of two more
+# correlated EXISTS — the OR prevents a plain semi-join plan.
+sql_query(
+    "tpcds_q10_disjunctive_exists",
+    """
+    SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F')
+      AND (EXISTS (SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderstatus = 'O'
+                     AND year(o.o_orderdate) = 1997)
+           OR EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'P'
+                        AND year(o.o_orderdate) = 1997))
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    doc="TPC-DS q10 shape (customers active in store AND in web-or-"
+        "catalog during the window, counted by demographic): one "
+        "conjunctive EXISTS (plans as a semi join) plus a DISJUNCTION "
+        "of two correlated EXISTS — the OR branch exercises the "
+        "existence-join/aggregate decorrelation path a bare semi join "
+        "never hits.",
+    tags=("tpcds",),
+)
+
+
+# q13 shape: a join whose WHERE is an OR of three conjunctive
+# (segment, price-band) arms — no single predicate can be pushed
+# whole; CNF conversion extracts the common pieces.
+sql_query(
+    "tpcds_q13_disjunctive_band_join",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(floor(CAST(sum(CAST(l.l_quantity AS BIGINT)) * 100
+                           AS DOUBLE) / count(*)) AS BIGINT)
+             AS avg_qty_x100,
+           CAST(floor(CAST(sum(CAST(CAST(l.l_extendedprice
+                                         AS DECIMAL(14,2)) * 100
+                                    AS BIGINT)) AS DOUBLE)
+                      / count(*)) AS BIGINT) AS avg_price_cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE (c.c_mktsegment = 'BUILDING'
+           AND o.o_totalprice BETWEEN 0 AND 100000)
+       OR (c.c_mktsegment = 'MACHINERY'
+           AND o.o_totalprice BETWEEN 50000 AND 200000)
+       OR (c.c_mktsegment = 'HOUSEHOLD'
+           AND o.o_totalprice BETWEEN 100000 AND 300000)
+    """,
+    doc="TPC-DS q13 shape (store sales joined to demographics under an "
+        "OR of three conjunctive segment+band arms): disjunctive "
+        "predicates spanning two tables — CNF conversion can push the "
+        "segment IN-list and the price envelope, but the arm pairing "
+        "must be evaluated post-join. Averages as exact integer-sum "
+        "ratios floored.",
+    tags=("tpcds",),
+)
+
+
+# q16 shape: EXISTS (same order, another supplier) AND NOT EXISTS
+# (a return) gating a count + sum.
+sql_query(
+    "tpcds_q16_multi_supplier_no_returns",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS order_count,
+           CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders o
+    WHERE o.o_orderstatus = 'F'
+      AND EXISTS (SELECT 1
+                  FROM lineitem l1 JOIN lineitem l2
+                    ON l1.l_orderkey = l2.l_orderkey
+                   AND l1.l_suppkey <> l2.l_suppkey
+                  WHERE l1.l_orderkey = o.o_orderkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem lr
+                      WHERE lr.l_orderkey = o.o_orderkey
+                        AND lr.l_returnflag = 'R')
+    """,
+    doc="TPC-DS q16 shape (catalog orders shipped from more than one "
+        "warehouse with no returns — EXISTS over a self-joined fact "
+        "plus NOT EXISTS on the returns set, feeding count + money "
+        "sum): a semi join whose subquery itself contains a join, and "
+        "an anti join, on the same correlation key.",
+    tags=("tpcds",),
+)
+
+
+# q21 shape: per-key quantity split before/after a pivot date with a
+# bounded-ratio HAVING.
+sql_query(
+    "tpcds_q21_before_after_ratio",
+    """
+    WITH inv AS (
+      SELECT l_suppkey,
+             sum(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                      THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+               AS qty_before,
+             sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+                      THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+               AS qty_after
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-08-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_name, i.qty_before, i.qty_after
+    FROM inv i JOIN supplier s ON i.l_suppkey = s.s_suppkey
+    WHERE i.qty_before > 0 AND i.qty_after > 0
+      AND CAST(i.qty_after AS DOUBLE) / i.qty_before
+          BETWEEN 2.0 / 3.0 AND 3.0 / 2.0
+    ORDER BY s.s_name
+    LIMIT 100
+    """,
+    doc="TPC-DS q21 shape (warehouse inventory counted before/after a "
+        "sale date per (warehouse, item), kept when the ratio stays "
+        "within [2/3, 3/2]): one conditional-split aggregate, a "
+        "broadcast dimension join, and a bounded-ratio filter on "
+        "exact integer sums divided as identical doubles.",
+    tags=("tpcds",),
+)
+
+
+# q24 shape: a multi-join aggregate CTE consumed twice — once as rows,
+# once inside the scalar-average threshold subquery.
+sql_query(
+    "tpcds_q24_paid_above_threshold",
+    """
+    WITH ssales AS (
+      SELECT c.c_name AS name, n.n_name AS nation,
+             sum(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
+                      AS BIGINT)) AS paid_cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE l.l_returnflag = 'A'
+      GROUP BY c.c_name, n.n_name
+    )
+    SELECT name, nation, paid_cents
+    FROM ssales
+    WHERE CAST(paid_cents AS DOUBLE)
+          > 0.05 * (SELECT avg(CAST(paid_cents AS DOUBLE)) FROM ssales)
+    ORDER BY name
+    LIMIT 100
+    """,
+    doc="TPC-DS q24 shape (customer net-paid per store joined through "
+        "returns and dimensions, returning customers whose paid "
+        "exceeds 5% of the average over the SAME aggregate — the CTE "
+        "is consumed both as the row source and inside the scalar "
+        "threshold subquery, the materialization-reuse case). Cent "
+        "sums are < 2^53 so the double average is order-independent.",
+    tags=("tpcds",),
+)
+
+
+# q28 shape: independent bucket aggregates (avg / count / count
+# distinct per price band) cross-joined into one row.
+sql_query(
+    "tpcds_q28_bucket_aggregate_crossjoin",
+    """
+    SELECT b1.b1_avg, b1.b1_n, b1.b1_nd,
+           b2.b2_avg, b2.b2_n, b2.b2_nd,
+           b3.b3_avg, b3.b3_n, b3.b3_nd,
+           b4.b4_avg, b4.b4_n, b4.b4_nd
+    FROM
+      (SELECT CAST(floor(avg(cents)) AS BIGINT) AS b1_avg,
+              CAST(count(*) AS BIGINT) AS b1_n,
+              CAST(count(DISTINCT cents) AS BIGINT) AS b1_nd
+       FROM (SELECT CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                         AS BIGINT) AS cents
+             FROM lineitem WHERE l_quantity BETWEEN 1 AND 12) t1) b1,
+      (SELECT CAST(floor(avg(cents)) AS BIGINT) AS b2_avg,
+              CAST(count(*) AS BIGINT) AS b2_n,
+              CAST(count(DISTINCT cents) AS BIGINT) AS b2_nd
+       FROM (SELECT CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                         AS BIGINT) AS cents
+             FROM lineitem WHERE l_quantity BETWEEN 13 AND 25) t2) b2,
+      (SELECT CAST(floor(avg(cents)) AS BIGINT) AS b3_avg,
+              CAST(count(*) AS BIGINT) AS b3_n,
+              CAST(count(DISTINCT cents) AS BIGINT) AS b3_nd
+       FROM (SELECT CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                         AS BIGINT) AS cents
+             FROM lineitem WHERE l_quantity BETWEEN 26 AND 38) t3) b3,
+      (SELECT CAST(floor(avg(cents)) AS BIGINT) AS b4_avg,
+              CAST(count(*) AS BIGINT) AS b4_n,
+              CAST(count(DISTINCT cents) AS BIGINT) AS b4_nd
+       FROM (SELECT CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                         AS BIGINT) AS cents
+             FROM lineitem WHERE l_quantity BETWEEN 39 AND 50) t4) b4
+    """,
+    doc="TPC-DS q28 shape (six independent price-band aggregates — "
+        "avg, count, count-distinct each — cross-joined into a single "
+        "row; four bands here): every band is its own scan+aggregate "
+        "subtree with a DISTINCT aggregate inside, composed by "
+        "single-row cross joins (trivially broadcast).",
+    tags=("tpcds",),
+)
+
+
+# q62 shape: order-to-ship lag bucketed into 5 ranges, pivoted as
+# FILTER counts per group. datediff argument orders differ between
+# the engines, hence the dual text.
+dual_sql_query(
+    "tpcds_q62_ship_lag_buckets",
+    """
+    SELECT l_linestatus,
+      CAST(count(*) FILTER (WHERE lag_days <= 30) AS BIGINT) AS d30,
+      CAST(count(*) FILTER (WHERE lag_days > 30 AND lag_days <= 60)
+           AS BIGINT) AS d60,
+      CAST(count(*) FILTER (WHERE lag_days > 60 AND lag_days <= 90)
+           AS BIGINT) AS d90,
+      CAST(count(*) FILTER (WHERE lag_days > 90 AND lag_days <= 120)
+           AS BIGINT) AS d120,
+      CAST(count(*) FILTER (WHERE lag_days > 120) AS BIGINT) AS d_over
+    FROM (
+      SELECT l.l_linestatus,
+             datediff(CAST(l.l_shipdate AS DATE),
+                      CAST(o.o_orderdate AS DATE)) AS lag_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ) t
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    """
+    SELECT l_linestatus,
+      CAST(count(*) FILTER (WHERE lag_days <= 30) AS BIGINT) AS d30,
+      CAST(count(*) FILTER (WHERE lag_days > 30 AND lag_days <= 60)
+           AS BIGINT) AS d60,
+      CAST(count(*) FILTER (WHERE lag_days > 60 AND lag_days <= 90)
+           AS BIGINT) AS d90,
+      CAST(count(*) FILTER (WHERE lag_days > 90 AND lag_days <= 120)
+           AS BIGINT) AS d120,
+      CAST(count(*) FILTER (WHERE lag_days > 120) AS BIGINT) AS d_over
+    FROM (
+      SELECT l.l_linestatus,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS lag_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ) t
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    doc="TPC-DS q62 shape (web-sales ship lag bucketed 30/60/90/120/"
+        "over days, pivoted into count columns per ship mode): a "
+        "fact-fact join feeding five disjoint-range FILTER counts in "
+        "one aggregate pass. Spark datediff(end, start) vs DuckDB "
+        "date_diff('day', start, end) — dual texts.",
+    tags=("tpcds",),
+)
+
+
+# q65 shape: (supplier, part) revenue kept when at or below 10% of
+# that supplier's average part revenue — aggregate joined to the
+# re-aggregation of itself.
+sql_query(
+    "tpcds_q65_low_revenue_parts",
+    """
+    WITH sa AS (
+      SELECT l_suppkey AS sk, l_partkey AS pk,
+             sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                      AS BIGINT)) AS rev_cents
+      FROM lineitem
+      GROUP BY l_suppkey, l_partkey
+    ),
+    sb AS (
+      SELECT sk, avg(CAST(rev_cents AS DOUBLE)) AS avg_rev
+      FROM sa GROUP BY sk
+    )
+    SELECT s.s_name, p.p_name, sa.rev_cents
+    FROM sa
+    JOIN sb ON sa.sk = sb.sk
+    JOIN supplier s ON sa.sk = s.s_suppkey
+    JOIN part p ON sa.pk = p.p_partkey
+    WHERE CAST(sa.rev_cents AS DOUBLE) <= 0.1 * sb.avg_rev
+    ORDER BY s.s_name, p.p_name
+    LIMIT 100
+    """,
+    doc="TPC-DS q65 shape (store/item revenue kept when <= 10% of the "
+        "store's average item revenue): the (supplier, part) aggregate "
+        "re-aggregated per supplier and joined back to itself, plus "
+        "two broadcast dimension joins. Exact cent sums; the average "
+        "and the 0.1 threshold compare as identical doubles.",
+    tags=("tpcds",),
+)
