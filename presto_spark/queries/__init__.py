@@ -23,77 +23,72 @@ from presto_spark.queries import geo_suite  # noqa: F401,E402
 
 # Driver-window rotation: the driver's correctness harness samples the
 # first 50 registry entries each round, so registry ORDER decides which
-# queries earn a hard CORRECTNESS row.  Cumulative state after round 6:
-# every registry query checked at least once, 206/206 green on latest
-# status.  Round-7 front (VERDICT r6 #9): the 23 queries written in
-# round 7 (SFM sketch family, convex-polygon overlay golden,
-# simplify/flatten golden, TPC-DS q5/q29/q49/q63/q14/q51/q17/q39/
-# q44/q54/q58/q59/q6/q87/q97/q66/q64) plus geo_union_agg_golden, llm_c4_line_filters,
-# and geo_buffer_polygon_golden; 12 re-rows for
-# queries whose SEMANTICS changed this round (shift saturation +
-# private-IP list + uuid/timezone columns in the function tails,
-# classification fail-on-out-of-range + empty-group spine, and the
-# two-level bottom-k rebuild under reservoir/theta/setdigest/khll) —
-# their recorded greens describe the old texts (fn_binary_suite2
-# re-fronts for the round-7 FNV/crc32 columns); and 15 of the 19 rows
-# last checked in round 1.  Remaining re-check debt after this window:
-# 42 r3-checked + 4 r1 rows (sample_bernoulli_envelope,
-# lateral_top_orders_per_nation, window_groups_frame_emulation,
-# analytics_market_basket) — they lead the r8 front.
+# queries earn a hard CORRECTNESS row.  Round-9 front (VERDICT r8 #1 —
+# the r8 rotation was skipped, so this front is exactly the judge's
+# prescription): the 11 rows that have NEVER had a driver check (the 10
+# round-8 TPC-DS shapes + geo_multipolygon_golden), the 4 rows last
+# checked in round 1, and the 35 oldest round-3-stale rows.  Queries
+# ADDED during round 9 must be swapped into this front (displacing the
+# newest r3 entries at the tail, never the never-checked/r1 blocks) in
+# the same commit that registers them — new rows must not land behind
+# the front again.  Remaining debt after this window: 7 r3 rows
+# (q03/q04/q05/q06/q07/q08/q09 TPC-H) plus whatever r3 tail rows get
+# displaced by round-9 additions — they lead the r10 front.
+# tests/test_registry_front.py pins list(REGISTRY)[:50] == this list.
 _DRIVER_FRONT = [
-    # 23 new round-7 queries (never driver-checked by construction)
-    "sketch_sfm_exact_ops",
-    "geo_overlay_polygon_golden",
-    "geo_simplify_flatten_golden",
-    "tpcds_q5_channel_rollup_report",
-    "tpcds_q29_sold_returned_resold",
-    "tpcds_q49_worst_return_ratios",
-    "tpcds_q63_monthly_vs_avg_buckets",
-    "tpcds_q14_cross_channel_intersect_sales",
-    "tpcds_q51_cumulative_channel_compare",
-    "tpcds_q17_quantity_variation_stats",
-    "tpcds_q39_consecutive_month_variance",
-    "tpcds_q44_best_worst_rank_join",
-    "tpcds_q54_spend_segment_histogram",
-    "tpcds_q58_channel_parity_band",
-    "tpcds_q59_weekday_pivot_yoy",
-    "geo_union_agg_golden",
-    "llm_c4_line_filters",
-    "tpcds_q6_above_category_average",
-    "geo_buffer_polygon_golden",
-    "tpcds_q87_except_chain_count",
-    "tpcds_q97_channel_overlap_matrix",
-    "tpcds_q66_monthly_pivot_report",
-    "tpcds_q64_cross_year_repeat_purchases",
-    # 12 re-rows: semantics/build changed in round 7
-    "fn_bitwise_shift_suite",
-    "fn_ip_prefix_suite2",
-    "fn_misc_scalar_tail",
-    "agg_classification_curves",
-    "agg_reservoir_sample_envelope",
-    "agg_reservoir_vasicek_entropy",
-    "sketch_theta_exact_ops",
-    "sketch_theta_estimate_envelope",
-    "sketch_setdigest_exact_ops",
-    "sketch_setdigest_minhash_envelope",
-    "sketch_khll_privacy_audit",
-    "fn_binary_suite2",
-    # 15 stalest rows (last driver row: round 1)
-    "window_top_n_per_group",
-    "agg_rollup",
-    "agg_grouping_sets",
-    "agg_distinct_and_filter",
-    "setop_union_intersect_except",
-    "setop_intersect_except_all",
-    "unnest_with_ordinality",
-    "unnest_multi_array_zip",
-    "sort_limit_offset",
-    "distinct_limit",
-    "sort_nulls_ordering",
-    "subquery_scalar_uncorrelated",
-    "subquery_correlated_scalar",
-    "subquery_in_uncorrelated",
-    "values_inline_table",
+    # 11 rows with no driver check in any round (added in round 8)
+    "tpcds_q4_triple_channel_growth",
+    "tpcds_q9_bucket_case_subqueries",
+    "tpcds_q10_disjunctive_exists",
+    "tpcds_q13_disjunctive_band_join",
+    "tpcds_q16_multi_supplier_no_returns",
+    "tpcds_q21_before_after_ratio",
+    "tpcds_q24_paid_above_threshold",
+    "tpcds_q28_bucket_aggregate_crossjoin",
+    "tpcds_q62_ship_lag_buckets",
+    "tpcds_q65_low_revenue_parts",
+    "geo_multipolygon_golden",
+    # 4 rows whose last driver row is round 1 (7 rounds stale)
+    "sample_bernoulli_envelope",
+    "lateral_top_orders_per_nation",
+    "window_groups_frame_emulation",
+    "analytics_market_basket",
+    # 35 oldest round-3-stale rows (registry order)
+    "llm_token_count",
+    "llm_quality_filter",
+    "llm_cosine_topk",
+    "llm_ann_ivf_topk",
+    "llm_ann_lsh_recall",
+    "llm_multimodal_features",
+    "llm_chunk_documents",
+    "llm_vocabulary",
+    "llm_normalize_nfc",
+    "llm_multimodal_frame_sample",
+    "llm_dedup_clusters",
+    "llm_embedding_normalize",
+    "event_tumbling_window",
+    "event_sliding_window",
+    "event_session_window",
+    "event_json_enrichment",
+    "event_funnel_conversion",
+    "event_daily_retention",
+    "event_sessionization_sql",
+    "event_stream_stateful_stats",
+    "event_stream_interval_join",
+    "sketch_hll_mergeable_rollup",
+    "sketch_approx_most_frequent",
+    "sketch_numeric_histogram",
+    "sketch_approx_percentile_groups",
+    "sketch_quantile_mergeable_rollup",
+    "dml_cow_roundtrip",
+    "presto_dialect_revenue_window",
+    "presto_dialect_array_ops",
+    "fn_datetime_format_suite",
+    "fn_jsonpath_suite",
+    "presto_dialect_try_and_generics",
+    "presto_dialect_session_misc",
+    "presto_dialect_scalar_breadth",
+    "q01_pricing_summary",
 ]
 
 

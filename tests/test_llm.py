@@ -141,13 +141,18 @@ def test_c4_line_filters_rules(spark):
             "function f() { return 1; }\n"
             "Here is another proper sentence two.\n"
             "And a third full sentence right here."),
-        # javascript line -> drop
+        # javascript LINE removed, 3 kept lines remain -> keep
+        # (C4 drops the offending line, not the page; ADVICE r7)
         (4, "Please enable javascript to view this.\n"
             "This is a good long sentence one.\n"
             "Here is another proper sentence two.\n"
             "And a third full sentence right here."),
         # only 2 kept lines -> drop
         (5, "This is a good long sentence one.\n"
+            "Here is another proper sentence two."),
+        # javascript line removal leaves only 2 kept lines -> drop
+        (6, "Please enable javascript to view this.\n"
+            "This is a good long sentence one.\n"
             "Here is another proper sentence two."),
     ]
     df = spark.createDataFrame(docs, "doc_id int, text string")
@@ -156,5 +161,8 @@ def test_c4_line_filters_rules(spark):
     assert rows[1].n_lines == 5
     assert not rows[2].keep_document and rows[2].has_lorem_ipsum
     assert not rows[3].keep_document and rows[3].has_brace
-    assert not rows[4].keep_document and rows[4].has_javascript_line
+    assert rows[4].keep_document and rows[4].has_javascript_line
+    assert rows[4].n_kept_lines == 3
     assert not rows[5].keep_document and rows[5].n_kept_lines == 2
+    assert not rows[6].keep_document and rows[6].has_javascript_line
+    assert rows[6].n_kept_lines == 2
