@@ -56,8 +56,9 @@ def st_geometry_from_text(wkt: Column) -> Column:
     POINT/MULTIPOINT/LINESTRING/POLYGON/MULTIPOLYGON WKT.
     MULTIPOLYGON pieces must be hole-free (one shell per piece — the
     model's MULTIPOLYGON stores one ring per piece, round 8); a
-    holed-piece WKT would fold the hole into its shell, so pass such
-    shapes as separate POLYGONs instead."""
+    holed-piece WKT ('((shell),(hole))') parses to NULL per the
+    pinned-NULL convention for out-of-model inputs (ADVICE r8) —
+    pass such shapes as separate POLYGONs instead."""
     t = F.trim(wkt)
     kind = F.upper(F.regexp_extract(t, r"^\s*([A-Za-z]+)", 1))
     body = F.regexp_extract(t, r"^\s*[A-Za-z]+\s*\((.*)\)\s*$", 1)
@@ -65,6 +66,12 @@ def st_geometry_from_text(wkt: Column) -> Column:
         kind == "MULTIPOLYGON",
         F.split(body, r"\)\s*\)\s*,\s*\(\s*\("),
     ).otherwise(F.split(body, r"\)\s*,\s*\("))
+    # A hole inside a MULTIPOLYGON piece survives the piece-level split
+    # as a lone '),(' separator; folding it into the shell would be
+    # silent corruption, so such WKT is pinned NULL instead.
+    holed_piece = (kind == "MULTIPOLYGON") & F.exists(
+        rings_raw, lambda s: s.rlike(r"\)\s*,\s*\(")
+    )
 
     def parse_ring(s: Column) -> Column:
         pts = F.split(F.trim(F.regexp_replace(s, r"[()]", "")), r"\s*,\s*")
@@ -85,7 +92,8 @@ def st_geometry_from_text(wkt: Column) -> Column:
         F.transform(rings_raw, parse_ring)
     )
     return F.when(
-        body != "", F.struct(kind.alias("kind"), rings.alias("rings"))
+        (body != "") & ~holed_piece,
+        F.struct(kind.alias("kind"), rings.alias("rings")),
     )
 
 
@@ -142,7 +150,7 @@ def st_num_points(geom: Column) -> Column:
     """ST_NumPoints (GeoFunctions.java:731): vertex count; polygons do
     not double-count the closing vertex of each ring."""
     closing = F.when(
-        geom["kind"] == "POLYGON", F.size(geom["rings"])
+        geom["kind"].isin("POLYGON", "MULTIPOLYGON"), F.size(geom["rings"])
     ).otherwise(F.lit(0))
     return (F.size(_all_points(geom)) - closing).cast("long")
 
@@ -190,6 +198,28 @@ def _ring_signed_area2(ring: Column) -> Column:
         a, b, lambda p, q: p["x"] * q["y"] - q["x"] * p["y"]
     )
     return F.aggregate(cross, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _open_area2(ring: Column) -> Column:
+    """Twice the |shoelace area| of an OPEN in-order vertex list (the
+    clip-lattice output shape).  Used by the overlay full-dimensional
+    guards: 3+ DISTINCT clip vertices can still be collinear (zero
+    area), and a stitch keyed on such a degenerate intersection puts
+    the centroid ON the union boundary (ADVICE r8)."""
+    closed = F.concat(ring, F.slice(ring, 1, 1))
+    return F.abs(_ring_signed_area2(closed))
+
+
+# Full-dimensional-intersection tolerance for the overlay guards: twice
+# the area must exceed this.  Absolute, matching the module's absolute
+# coordinate tolerances elsewhere (_strictly_inside eps).
+_FULLDIM_EPS2 = 1e-12
+
+
+def _fulldim(inter: Column) -> Column:
+    """True iff an open distinct-vertex clip result is a genuinely 2-D
+    region: 3+ vertices AND positive shoelace area."""
+    return (F.size(inter) >= 3) & (_open_area2(inter) > F.lit(_FULLDIM_EPS2))
 
 
 def st_area(geom: Column) -> Column:
@@ -1484,14 +1514,18 @@ def st_intersection_polygons(
 ) -> Column:
     """ST_Intersection for convex single-ring polygons (GeoFunctions
     .java stIntersection) — exact Sutherland-Hodgman clip; NULL for
-    non-convex/holed operands (module note) or an empty result.
+    non-convex/holed operands (module note), an empty result, or a
+    zero-area (lower-dimensional) touch — even one with 3+ distinct
+    collinear clip vertices (ADVICE r8, _fulldim).
     ``sa``/``sb``: pre-materialized ``polygon_shell`` columns (strongly
     recommended — see polygon_shell)."""
     sa = sa if sa is not None else polygon_shell(a)
     sb = sb if sb is not None else polygon_shell(b)
+    clip = F.array_distinct(_clip_convex(sa, sb))
     return F.when(
-        _convex_polygon_s(a, sa) & _convex_polygon_s(b, sb),
-        _poly_from_open(_clip_convex(sa, sb)),
+        _convex_polygon_s(a, sa) & _convex_polygon_s(b, sb)
+        & _fulldim(clip),
+        _poly_from_open(clip),
     )
 
 
@@ -1506,8 +1540,9 @@ def st_union_polygons(
     (ADVICE r7: the stitch centroid then lies ON the union boundary
     and the angular ring is invalid — two unit squares touching at a
     corner stitched to area 2.5 under the old >= 1 guard); so do
-    non-convex operands.  The >= 3 guard requires three distinct clip
-    vertices, i.e. a 2-D intersection.
+    non-convex operands.  The _fulldim guard requires three distinct
+    clip vertices AND positive shoelace area (3 collinear vertices on
+    a shared touching edge are still zero-area — ADVICE r8).
     ``sa``/``sb``: pre-materialized ``polygon_shell`` columns."""
     sa = sa if sa is not None else polygon_shell(a)
     sb = sb if sb is not None else polygon_shell(b)
@@ -1520,7 +1555,7 @@ def st_union_polygons(
     )
     both = _convex_polygon_s(a, sa) & _convex_polygon_s(b, sb)
     return (
-        F.when(both & (F.size(inter) >= 3),
+        F.when(both & _fulldim(inter),
                _poly_from_open(_angular_ring(cand, k)))
         .when(both & (F.size(inter) == 0),
               F.struct(F.lit("MULTIPOLYGON").alias("kind"),
@@ -1583,7 +1618,7 @@ def st_difference_polygons(
     )
     return F.when(
         _convex_polygon_s(a, sa) & _convex_polygon_s(b, sb),
-        F.when(F.size(inter) < 3, a)  # disjoint / touching: A unchanged
+        F.when(~_fulldim(inter), a)  # disjoint / zero-area touch: A unchanged
         .when(b_inside_a,
               F.struct(F.lit("POLYGON").alias("kind"),
                        F.array(a["rings"][0], b["rings"][0])

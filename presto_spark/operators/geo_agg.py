@@ -309,7 +309,7 @@ def geometry_union_agg(
         )
         .withColumn("__common", _clip_fold(F.col("__shells")))
     )
-    p_ok = F.col("__allconv") & (F.size("__common") >= 3)
+    p_ok = F.col("__allconv") & G._fulldim(F.col("__common"))
     p_ring = F.when(p_ok, _stitch_candidates(
         F.col("__shells"), G._centroid_of(F.col("__common")),
         lambda r, v: G._strictly_inside(r, v)))
@@ -327,7 +327,7 @@ def geometry_union_agg(
     )
     k = G._centroid_of(F.col("__gcommon"))
     ok = (F.col("__okall") & (F.size("__parts") >= 1)
-          & (F.size("__gcommon") >= 3))
+          & G._fulldim(F.col("__gcommon")))
     # Partial rings re-sorted by angle around the GLOBAL k (same cyclic
     # order — the partial is star-shaped about k too — but the wedge
     # test needs the cut at k's -pi direction).

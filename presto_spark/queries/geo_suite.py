@@ -540,16 +540,23 @@ def geo_aggregate_hulls(spark, sf_dir):
     # exploded form is pure codegen arithmetic behind a broadcast
     # join, and carrying the hull through the aggregation keeps the
     # pandas hull pipeline referenced (and executed) exactly once.
-    hedges = hulls.select("g", "hull", F.explode(edges).alias("__e"))
+    # explode_outer + NULL-edge-is-vacuously-contained: a degenerate
+    # hull (collinear group, ring < 3 vertices, empty edge array) must
+    # keep its group row rather than silently dropping out of the
+    # output (ADVICE r8).
+    hedges = hulls.select("g", "hull", F.explode_outer(edges).alias("__e"))
     point_checked = (
         gdf.join(F.broadcast(hedges), "g")
         .groupBy("g").agg(
             F.bool_and(
-                (F.col("__e")["q"]["x"] - F.col("__e")["p"]["x"])
-                * (F.col("y") - F.col("__e")["p"]["y"])
-                - (F.col("__e")["q"]["y"] - F.col("__e")["p"]["y"])
-                * (F.col("x") - F.col("__e")["p"]["x"])
-                >= F.lit(-1e-9)
+                F.col("__e").isNull()
+                | (
+                    (F.col("__e")["q"]["x"] - F.col("__e")["p"]["x"])
+                    * (F.col("y") - F.col("__e")["p"]["y"])
+                    - (F.col("__e")["q"]["y"] - F.col("__e")["p"]["y"])
+                    * (F.col("x") - F.col("__e")["p"]["x"])
+                    >= F.lit(-1e-9)
+                )
             ).alias("contains_all"),
             F.first("hull").alias("hull"),
         )

@@ -14,14 +14,16 @@ import pytest
 
 
 def _load_bench(tmp_path, monkeypatch):
-    """Import bench.py with its directory patched to tmp_path so
-    _prior_bench scans our synthetic BENCH files, not the repo's."""
+    """Import bench.py with its HERE constant patched to tmp_path so
+    _prior_bench scans our synthetic BENCH files, not the repo's.
+    Patching the module-level constant keeps the process-global
+    os.path untouched (ADVICE r8)."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(
         "bench_under_test", os.path.join(repo, "bench.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    monkeypatch.setattr(mod.os.path, "abspath", lambda p: str(tmp_path / "bench.py"))
+    monkeypatch.setattr(mod, "HERE", str(tmp_path))
     return mod
 
 

@@ -885,3 +885,51 @@ def test_overlay_trio_inclusion_exclusion_randomized(spark):
     # majority of pairs (degenerate slivers may still straddle)
     assert inside_n >= 20 and inside_ok >= 0.8 * inside_n, \
         (inside_ok, inside_n)
+
+
+def test_multipolygon_holed_wkt_pinned_null(spark):
+    """A MULTIPOLYGON piece with an inner ring is outside the model
+    (one hole-free shell per piece); such WKT parses to NULL instead of
+    silently folding the hole into the shell (ADVICE r8)."""
+    from presto_spark.functions import geo
+
+    df = spark.createDataFrame(
+        [
+            (0, "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0), "
+                "(1 1, 2 1, 2 2, 1 2, 1 1)), "
+                "((10 10, 11 10, 11 11, 10 11, 10 10)))"),
+            (1, "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), "
+                "((2 0, 3 0, 3 1, 2 1, 2 0)))"),
+        ],
+        "i int, wkt string",
+    ).select("i", geo.st_geometry_from_text(F.col("wkt")).alias("g"))
+    rows = {r.i: r for r in df.select(
+        "i", F.col("g").isNull().alias("nl"),
+        geo.st_area(F.col("g")).alias("a"),
+        geo.st_num_points(F.col("g")).alias("np"),
+    ).collect()}
+    assert rows[0].nl
+    assert not rows[1].nl and rows[1].a == 2.0
+    # two closed 5-vertex rings, closing vertices not double-counted
+    assert rows[1].np == 8
+
+
+def test_overlay_collinear_touch_pinned_null(spark):
+    """Zero-area touch with 3+ DISTINCT collinear clip vertices (an
+    extra vertex on the shared edge) must behave like any other touch:
+    intersection/union NULL, difference = A (ADVICE r8 — the old
+    size>=3 guard let this stitch a centroid onto the boundary)."""
+    from presto_spark.functions import geo
+
+    # A has a collinear extra vertex at (2 1) on the edge shared with B.
+    df = _overlay_df(spark, [
+        (0, "POLYGON ((0 0, 2 0, 2 1, 2 2, 0 2, 0 0))",
+            "POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))"),
+    ])
+    a, b, sa, sb = F.col("a"), F.col("b"), F.col("sa"), F.col("sb")
+    row = df.select(
+        geo.st_intersection_polygons(a, b, sa, sb).isNull().alias("ni"),
+        geo.st_union_polygons(a, b, sa, sb).isNull().alias("nu"),
+        geo.st_area(geo.st_difference_polygons(a, b, sa, sb)).alias("da"),
+    ).collect()[0]
+    assert row.ni and row.nu and row.da == 4.0
