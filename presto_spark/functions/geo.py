@@ -372,7 +372,12 @@ def st_contains_point(poly: Column, x: Column, y: Column) -> Column:
     across shell and holes at once gives hole-aware containment.
     Boundary behavior follows the half-open crossing rule (callers
     wanting reference-exact ON-boundary semantics should test
-    ST_Distance == 0 as the reference's Esri backend does)."""
+    ST_Distance == 0 as the reference's Esri backend does).
+
+    MULTIPOLYGON (round 9): the same even-odd total over all rings is
+    exactly any-piece containment — the pieces are disjoint hole-free
+    shells, so a point interior to one piece crosses that ring an odd
+    number of times and every other ring an even number."""
 
     def ring_crossings(ring: Column) -> Column:
         a, b = _edges(ring)
@@ -396,7 +401,7 @@ def st_contains_point(poly: Column, x: Column, y: Column) -> Column:
         F.lit(0),
         lambda acc, v: acc + v,
     )
-    return (poly["kind"] == "POLYGON") & (total % 2 == 1)
+    return poly["kind"].isin("POLYGON", "MULTIPOLYGON") & (total % 2 == 1)
 
 
 def st_contains(poly: Column, geom: Column) -> Column:
@@ -417,7 +422,8 @@ def _point_seg_dist(px: Column, py: Column, p: Column, q: Column) -> Column:
     return F.sqrt((px - cx) * (px - cx) + (py - cy) * (py - cy))
 
 
-_SUPPORTED_KINDS = ("POINT", "MULTIPOINT", "LINESTRING", "POLYGON")
+_SUPPORTED_KINDS = (
+    "POINT", "MULTIPOINT", "LINESTRING", "POLYGON", "MULTIPOLYGON")
 
 
 def st_distance(a: Column, b: Column) -> Column:
@@ -673,11 +679,11 @@ def st_intersects(a: Column, b: Column) -> Column:
     # the two are equivalent when boundaries don't cross, but a
     # MULTIPOINT is disconnected — its first point can be outside while
     # another is inside (distance correctness depends on this since r6).
-    a_in_b = (b["kind"] == "POLYGON") & F.exists(
+    a_in_b = b["kind"].isin("POLYGON", "MULTIPOLYGON") & F.exists(
         F.flatten(a["rings"]),
         lambda v: st_contains_point(b, v["x"], v["y"]),
     )
-    b_in_a = (a["kind"] == "POLYGON") & F.exists(
+    b_in_a = a["kind"].isin("POLYGON", "MULTIPOLYGON") & F.exists(
         F.flatten(b["rings"]),
         lambda v: st_contains_point(a, v["x"], v["y"]),
     )

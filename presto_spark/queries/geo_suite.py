@@ -1003,13 +1003,16 @@ SELECT * FROM (VALUES
   (0, 'MULTIPOLYGON (((0.0 0.0, 2.0 0.0, 2.0 1.0, 0.0 1.0, 0.0 0.0)), ((3.0 3.0, 5.0 3.0, 5.0 5.0, 3.0 5.0, 3.0 3.0)))',
       '6.0000', '14.0000', CAST(2 AS BIGINT),
       'POLYGON ((0.0 0.0, 2.0 0.0, 2.0 1.0, 0.0 1.0, 0.0 0.0))',
-      '4.0000', true, 'ST_MultiPolygon', 2, CAST(1 AS BIGINT)),
+      '4.0000', true, 'ST_MultiPolygon', 2, CAST(1 AS BIGINT),
+      true, false, true, '0.7071', '0.0000'),
   (1, 'POINT (2.5 7.5)',
       '0.0000', '0.0000', CAST(1 AS BIGINT),
       'POINT (2.5 7.5)',
-      '0.0000', true, 'ST_Point', 0, CAST(1 AS BIGINT))
+      '0.0000', true, 'ST_Point', 0, CAST(1 AS BIGINT),
+      false, false, false, '5.0000', '7.1589')
 ) AS v(i, rt_wkt, area_q, len_q, n_geoms, g1_wkt, g2_area_q,
-       g3_null, gtype, dim, flat_n)
+       g3_null, gtype, dim, flat_n,
+       ct_in, ct_gap, ix_poly, dist_q, dist0_q)
 ORDER BY i
 """,
     doc="MULTIPOLYGON surface (round 8 — VERDICT r7 what's-missing "
@@ -1019,7 +1022,13 @@ ORDER BY i
         "roundtrip, summed area, summed perimeter, ST_NumGeometries, "
         "ST_GeometryN piece extraction (1-based, NULL out of range), "
         "ST_GeometryType/ST_Dimension, flatten_geometry_collections "
-        "pass-through; a POINT row pins the simple-kind n=1 identity.",
+        "pass-through; a POINT row pins the simple-kind n=1 identity. "
+        "Round 9 (VERDICT r8 what's-missing #4) adds the predicate/"
+        "distance tier: ST_Contains is the any-piece even-odd cast "
+        "(point interior to piece 2 true, gap point false), "
+        "ST_Intersects true against a polygon overlapping piece 1 "
+        "only, ST_Distance is the min over pieces (asymmetric probe "
+        "nearer piece 2) and 0 for an interior probe.",
     tags=("geo", "functions"),
 )
 def geo_multipolygon_golden(spark, sf_dir):
@@ -1032,6 +1041,12 @@ def geo_multipolygon_golden(spark, sf_dir):
     df = (
         spark.createDataFrame(cases, "i int, wkt string")
         .select("i", geo.st_geometry_from_text(F.col("wkt")).alias("g"))
+        .repartition(2)
+        # materialized probe operands (module memory: un-materialized
+        # WKT-parse subtrees inside nested predicate HOFs cost seconds
+        # of Catalyst analysis per inlined lambda copy)
+        .withColumn("pp", geo.st_geometry_from_text(
+            F.lit("POLYGON ((1 0.5, 4 0.5, 4 0.8, 1 0.8, 1 0.5))")))
         .repartition(2)
     )
     g = F.col("g")
@@ -1052,4 +1067,11 @@ def geo_multipolygon_golden(spark, sf_dir):
         geo.st_dimension(g).alias("dim"),
         F.size(geo.flatten_geometry_collections(g)).cast("bigint")
         .alias("flat_n"),
+        geo.st_contains_point(g, F.lit(4.0), F.lit(4.0)).alias("ct_in"),
+        geo.st_contains_point(g, F.lit(2.5), F.lit(2.0)).alias("ct_gap"),
+        geo.st_intersects(g, F.col("pp")).alias("ix_poly"),
+        q(geo.st_distance(
+            g, geo.st_point(F.lit(2.5), F.lit(2.5)))).alias("dist_q"),
+        q(geo.st_distance(
+            g, geo.st_point(F.lit(1.0), F.lit(0.5)))).alias("dist0_q"),
     ).orderBy("i")

@@ -933,3 +933,32 @@ def test_overlay_collinear_touch_pinned_null(spark):
         geo.st_area(geo.st_difference_polygons(a, b, sa, sb)).alias("da"),
     ).collect()[0]
     assert row.ni and row.nu and row.da == 4.0
+
+
+def test_multipolygon_predicate_distance_tier(spark):
+    """ST_Contains / ST_Intersects / ST_Distance over MULTIPOLYGON
+    (round 9): any-piece containment via the even-odd total, min-over-
+    pieces distance, intersects→0 short-circuit."""
+    from presto_spark.functions import geo
+
+    df = spark.createDataFrame(
+        [(0, "MULTIPOLYGON (((0 0, 2 0, 2 1, 0 1, 0 0)), "
+             "((3 3, 5 3, 5 5, 3 5, 3 3)))")],
+        "i int, wkt string",
+    ).select("i", geo.st_geometry_from_text(F.col("wkt")).alias("g")) \
+        .repartition(2)
+    g = F.col("g")
+    row = df.select(
+        geo.st_contains_point(g, F.lit(1.0), F.lit(0.5)).alias("in1"),
+        geo.st_contains_point(g, F.lit(4.0), F.lit(4.0)).alias("in2"),
+        geo.st_contains_point(g, F.lit(2.5), F.lit(2.0)).alias("gap"),
+        geo.st_distance(g, geo.st_point(F.lit(2.5), F.lit(2.5)))
+        .alias("d_gap"),
+        geo.st_distance(g, geo.st_point(F.lit(4.0), F.lit(4.0)))
+        .alias("d_in"),
+        geo.st_intersects(
+            g, geo.st_point(F.lit(1.0), F.lit(0.5))).alias("ix_pt"),
+    ).collect()[0]
+    assert row.in1 and row.in2 and not row.gap
+    assert abs(row.d_gap - 0.5 ** 0.5) < 1e-9  # nearer piece 2's corner
+    assert row.d_in == 0.0 and row.ix_pt
