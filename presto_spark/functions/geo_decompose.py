@@ -1,0 +1,307 @@
+"""Non-convex polygon overlays via convex decomposition (round 9).
+
+Reference surface: ST_Intersection/ST_Union/ST_Difference accept
+arbitrary simple polygons (presto-main-base .../scalar/GeoFunctions.java
+overlay section; the reference delegates to Esri's topological engine).
+The struct-geometry model's convex lattice (functions/geo.py, round 7/8)
+pins non-convex OPERANDS to NULL; this module lifts that pin for simple
+hole-free polygons by the classical decomposition route the r8 verdict
+prescribed: ear-clip the operand into triangles, run the convex clip
+lattice piecewise, and emit the result as a tiling (single piece →
+POLYGON, several → MULTIPOLYGON).
+
+Spark design — and why this tier is pandas, not Column folds:
+
+* Each row's overlay is independent bounded work priced in the
+  operand's own vertex count, so the whole operator is a map-side
+  Arrow-batched pandas_udf: zero shuffle, scales with a plain scan.
+* Ear clipping is an iterative data-dependent vertex-removal loop —
+  not expressible as a Column fold (same documented exception tier as
+  the monotone-chain hull in operators/geo_agg.py).
+* The piecewise clip COULD be written as nested Column HOF folds, and
+  the first cut was — profiled at ~38 s of Catalyst analysis plus
+  ~25 s/row interpreted evaluation for a 3-row golden (HOF lambdas
+  never enter whole-stage codegen, and the difference fold nests four
+  lambda levels deep).  That is the exact interpreted-HOF hazard class
+  the r7 bench regression came from, so the per-piece Sutherland-
+  Hodgman arithmetic lives beside the ear clip in the same UDF: one
+  Python crossing per operand pair, microseconds per row, no
+  per-piece expression interpretation.  The convex single-ring tier
+  in geo.py stays pure-Column (it is flat and cheap there).
+
+Semantics match the convex tier's conventions: empty or zero-area
+(lower-dimensional) results → NULL; out-of-model operands (holes,
+self-intersecting rings, non-POLYGON kinds) → NULL.  Results are
+area-exact tilings with disjoint interiors, not canonical merged
+rings (the WKT differs from Esri's merged representation — documented
+deviation; goldens pin areas and piece invariants).
+
+Piece-count bound: intersection ≤ |ta|·|tb| pieces; the difference
+fold splits a piece only when a subtrahend triangle genuinely overlaps
+it (exact overlap short-circuit), so fragmentation is bounded by the
+number of overlapping triangle pairs — O(|ta|·|tb|) convex pieces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType
+
+from presto_spark.functions import geo as G
+
+_EPS = 1e-12
+_TRIS_T = ArrayType(ArrayType(DoubleType()))
+
+
+# ---- plain-Python geometry kernels (run inside the pandas UDFs) ----------
+
+def _earclip(xs, ys):
+    """Ear-clip a simple hole-free polygon (open ring, either
+    orientation) into CCW triangles [[ax,ay,bx,by,cx,cy], ...].
+    Returns [] when the input is degenerate or not simple (caller
+    pins NULL)."""
+    pts = list(zip(xs, ys))
+    # drop an explicit closing vertex if present
+    if len(pts) >= 2 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    # collapse consecutive duplicates
+    pts = [p for i, p in enumerate(pts) if p != pts[i - 1] or i == 0]
+    n = len(pts)
+    if n < 3:
+        return []
+    area2 = sum(
+        pts[i][0] * pts[(i + 1) % n][1] - pts[(i + 1) % n][0] * pts[i][1]
+        for i in range(n)
+    )
+    if abs(area2) <= _EPS:
+        return []
+    if area2 < 0:
+        pts = pts[::-1]
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    def in_tri(a, b, c, p):
+        # INCLUSIVE: a vertex exactly on the candidate diagonal must
+        # block the ear (an L-shape's reflex corner can sit on the
+        # prev→next diagonal; a strict test admits that invalid ear
+        # and the clip degenerates).  Some valid ears get skipped, but
+        # the two-ears theorem guarantees another exists.
+        d1, d2, d3 = cross(a, b, p), cross(b, c, p), cross(c, a, p)
+        return d1 >= -_EPS and d2 >= -_EPS and d3 >= -_EPS
+
+    idx = list(range(len(pts)))
+    tris = []
+    while len(idx) > 3:
+        n_i = len(idx)
+        for k in range(n_i):
+            i0, i1, i2 = idx[k - 1], idx[k], idx[(k + 1) % n_i]
+            a, b, c = pts[i0], pts[i1], pts[i2]
+            if cross(a, b, c) <= _EPS:  # reflex or collinear corner
+                continue
+            if any(
+                in_tri(a, b, c, pts[j])
+                for j in idx
+                if j not in (i0, i1, i2)
+            ):
+                continue
+            tris.append([a[0], a[1], b[0], b[1], c[0], c[1]])
+            idx.pop(k)
+            break
+        else:
+            return []  # no ear: not a simple polygon
+    a, b, c = (pts[i] for i in idx)
+    if cross(a, b, c) > _EPS:
+        tris.append([a[0], a[1], b[0], b[1], c[0], c[1]])
+    return tris
+
+
+def _area2(poly):
+    """Twice the signed shoelace area of an open vertex list."""
+    n = len(poly)
+    return sum(
+        poly[i][0] * poly[(i + 1) % n][1] - poly[(i + 1) % n][0] * poly[i][1]
+        for i in range(n)
+    )
+
+
+def _halfplane(subj, p, q):
+    """Open CCW ``subj`` clipped to the left of directed line p→q
+    (Sutherland-Hodgman single-edge step — the Python twin of
+    geo._halfplane_clip, same inclusive >= -eps boundary rule)."""
+    out = []
+    n = len(subj)
+    for i in range(n):
+        a, b = subj[i], subj[(i + 1) % n]
+        da = (q[0] - p[0]) * (a[1] - p[1]) - (q[1] - p[1]) * (a[0] - p[0])
+        db = (q[0] - p[0]) * (b[1] - p[1]) - (q[1] - p[1]) * (b[0] - p[0])
+        if da >= -_EPS:
+            out.append(a)
+        if (da > _EPS and db < -_EPS) or (da < -_EPS and db > _EPS):
+            t = da / (da - db)
+            out.append((a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1])))
+    # drop consecutive duplicates
+    return [v for i, v in enumerate(out) if i == 0 or v != out[i - 1]]
+
+
+def _clip(subject, clip_poly):
+    """subject ∩ clip_poly for open CCW convex operands."""
+    out = subject
+    n = len(clip_poly)
+    for i in range(n):
+        if len(out) < 3:
+            return []
+        out = _halfplane(out, clip_poly[i], clip_poly[(i + 1) % n])
+    return out if len(out) >= 3 and abs(_area2(out)) > _EPS else []
+
+
+def _diff_pieces(subject, tri):
+    """Convex open ``subject`` minus triangle ``tri`` as convex open
+    pieces (half-plane decomposition, the Python twin of
+    geo.st_difference_polygons's fold).  Disjoint → [subject]
+    unchanged (no fragmentation without a genuine overlap)."""
+    if not _clip(subject, tri):
+        return [subject]
+    rem, pieces = subject, []
+    n = len(tri)
+    for i in range(n):
+        if len(rem) < 3:
+            break
+        p, q = tri[i], tri[(i + 1) % n]
+        out = _halfplane(rem, q, p)  # outside: reversed edge
+        if len(out) >= 3 and abs(_area2(out)) > _EPS:
+            pieces.append(out)
+        rem = _halfplane(rem, p, q)
+    return pieces
+
+
+def _tris(flat):
+    return [[(t[0], t[1]), (t[2], t[3]), (t[4], t[5])] for t in flat]
+
+
+def _overlay(op, ta, tb):
+    """Piece tiling of A <op> B from flat triangle lists; None for an
+    empty result (the NULL convention)."""
+    a, b = _tris(ta), _tris(tb)
+    if op == "intersection":
+        pieces = [c for p in a for q in b for c in [_clip(p, q)] if c]
+    elif op == "difference":
+        pieces = a
+        for q in b:
+            pieces = [r for p in pieces for r in _diff_pieces(p, q)]
+    else:  # union: A's pieces + tiling of B ∖ A
+        pieces = list(b)
+        for q in a:
+            pieces = [r for p in pieces for r in _diff_pieces(p, q)]
+        pieces = a + pieces
+    pieces = [p for p in pieces if abs(_area2(p)) > _EPS]
+    if not pieces:
+        return None
+    return [[c for v in p for c in v] for p in pieces]
+
+
+def _make_overlay_udf(op):
+    @pandas_udf(_TRIS_T)
+    def run(ta, tb):
+        import pandas as pd
+
+        return pd.Series(
+            [
+                None if a is None or b is None else _overlay(op, a, b)
+                for a, b in zip(ta, tb)
+            ]
+        )
+
+    return run
+
+
+_INTERSECTION_UDF = _make_overlay_udf("intersection")
+_UNION_UDF = _make_overlay_udf("union")
+_DIFFERENCE_UDF = _make_overlay_udf("difference")
+
+
+# ---- Column surface ------------------------------------------------------
+
+# explicit DataType: a DDL-string return type would need an active
+# SparkSession at import time (same pattern as _text_pandas_udfs.py)
+@pandas_udf(_TRIS_T)
+def _triangulate_udf(xs, ys):
+    import pandas as pd
+
+    return pd.Series(
+        [
+            None if x is None or y is None else (_earclip(x, y) or None)
+            for x, y in zip(xs, ys)
+        ]
+    )
+
+
+def triangulate_raw(geom: Column) -> Column:
+    """Simple hole-free POLYGON → flat CCW triangle list
+    (array<array<double>>, [ax,ay,bx,by,cx,cy] each); NULL for other
+    kinds, holed polygons, or non-simple rings.  Materialize the
+    result with withColumn + repartition and feed it to the
+    st_*_general arms (one Python crossing per operand, reused by
+    every overlay that consumes it)."""
+    shell = G.polygon_shell(geom)
+    ok = (geom["kind"] == "POLYGON") & (F.size(geom["rings"]) == 1)
+    return _triangulate_udf(
+        F.when(ok, F.transform(shell, lambda p: p["x"])),
+        F.when(ok, F.transform(shell, lambda p: p["y"])),
+    )
+
+
+def triangles_of(raw: Column) -> Column:
+    """Flat triangle list → array of open CCW triangle rings
+    (array<array<struct<x,y>>>), the struct-geometry view."""
+    return F.transform(
+        raw,
+        lambda t: F.array(
+            F.struct(t[0].alias("x"), t[1].alias("y")),
+            F.struct(t[2].alias("x"), t[3].alias("y")),
+            F.struct(t[4].alias("x"), t[5].alias("y")),
+        ),
+    )
+
+
+def geometry_from_flat_pieces(flat: Column) -> Column:
+    """Flat piece list ([x1,y1,x2,y2,...] per piece) → POLYGON (one
+    piece) / MULTIPOLYGON (several) / NULL (empty)."""
+    rings = F.transform(
+        flat,
+        lambda t: F.transform(
+            F.sequence(F.lit(0), (F.size(t) / 2).cast("int") - 1),
+            lambda i: F.struct(
+                t[i * 2].alias("x"), t[i * 2 + 1].alias("y")
+            ),
+        ),
+    )
+    closed = F.transform(rings, lambda p: F.concat(p, F.slice(p, 1, 1)))
+    np = F.size(flat)
+    return (
+        F.when(np == 1, F.struct(F.lit("POLYGON").alias("kind"),
+                                 closed.alias("rings")))
+        .when(np >= 2, F.struct(F.lit("MULTIPOLYGON").alias("kind"),
+                                closed.alias("rings")))
+    )
+
+
+def st_intersection_general(ta: Column, tb: Column) -> Column:
+    """ST_Intersection for simple hole-free polygons via pre-computed
+    ``triangulate_raw`` columns; NULL when either triangulation is
+    NULL (out-of-model operand) or the result is empty/zero-area."""
+    return geometry_from_flat_pieces(_INTERSECTION_UDF(ta, tb))
+
+
+def st_union_general(ta: Column, tb: Column) -> Column:
+    """ST_Union for simple hole-free polygons (tiling form: A's
+    triangles + the tiling of B ∖ A — disjoint interiors)."""
+    return geometry_from_flat_pieces(_UNION_UDF(ta, tb))
+
+
+def st_difference_general(ta: Column, tb: Column) -> Column:
+    """ST_Difference for simple hole-free polygons; NULL when A ⊆ B
+    (empty result)."""
+    return geometry_from_flat_pieces(_DIFFERENCE_UDF(ta, tb))

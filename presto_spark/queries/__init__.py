@@ -88,7 +88,10 @@ _DRIVER_FRONT = [
     "presto_dialect_try_and_generics",
     "presto_dialect_session_misc",
     "presto_dialect_scalar_breadth",
-    "q01_pricing_summary",
+    # round-9 additions (never checked — swapped in for the r3 tail
+    # per the rotation contract above; displaced rows lead the r10
+    # front)
+    "geo_nonconvex_overlay_golden",
 ]
 
 

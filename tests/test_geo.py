@@ -962,3 +962,83 @@ def test_multipolygon_predicate_distance_tier(spark):
     assert row.in1 and row.in2 and not row.gap
     assert abs(row.d_gap - 0.5 ** 0.5) < 1e-9  # nearer piece 2's corner
     assert row.d_in == 0.0 and row.ix_pt
+
+
+def test_earclip_area_parity():
+    """Ear-clip triangulation (geo_decompose._earclip): triangle areas
+    sum to the shoelace area for concave, convex, star, collinear-
+    vertex, and degenerate inputs; non-simple input returns []."""
+    from presto_spark.functions.geo_decompose import _earclip
+
+    import math
+
+    star = []
+    for i in range(10):
+        r = 2.0 if i % 2 == 0 else 0.8
+        a = math.pi / 2 + i * math.pi / 5
+        star.append((round(r * math.cos(a), 6), round(r * math.sin(a), 6)))
+    shapes = [
+        ([0, 4, 4, 2, 2, 0], [0, 0, 2, 2, 4, 4]),       # L (reflex on diag)
+        ([0, 2, 2, 0], [0, 0, 2, 2]),                   # convex
+        ([0, 4, 2, 4, 0], [0, 0, 1, 4, 4]),             # arrow
+        ([p[0] for p in star], [p[1] for p in star]),   # 5-star
+        ([0, 1, 2, 2, 0], [0, 0, 0, 2, 2]),             # collinear vertex
+    ]
+    for xs, ys in shapes:
+        n = len(xs)
+        shoelace = abs(sum(
+            xs[i] * ys[(i + 1) % n] - xs[(i + 1) % n] * ys[i]
+            for i in range(n))) / 2
+        tris = _earclip(xs, ys)
+        assert len(tris) == len(xs) - 2
+        tot = sum(
+            abs((t[2] - t[0]) * (t[5] - t[1])
+                - (t[3] - t[1]) * (t[4] - t[0])) / 2
+            for t in tris)
+        assert abs(tot - shoelace) < 1e-9, (xs, ys)
+    assert _earclip([0, 1, 2], [0, 1, 2]) == []          # degenerate line
+    assert _earclip([0, 2, 0, 2], [0, 2, 2, 0]) == []    # bowtie: not simple
+
+
+def test_nonconvex_overlay_general(spark):
+    """st_*_general over triangulate_raw columns: inclusion-exclusion
+    holds for concave operands, containment collapses correctly, holed
+    operands stay pinned NULL (round 9)."""
+    from presto_spark.functions import geo_decompose as gd
+
+    cases = [
+        (0, "POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))",
+            "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"),
+        (1, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))",
+            "POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))"),
+        (2, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+            "(1 1, 2 1, 2 2, 1 2, 1 1))",
+            "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+    ]
+    df = (
+        spark.createDataFrame(cases, "i int, wa string, wb string")
+        .select("i", geo.st_geometry_from_text(F.col("wa")).alias("a"),
+                geo.st_geometry_from_text(F.col("wb")).alias("b"))
+        .repartition(2)
+        .withColumn("ta", gd.triangulate_raw(F.col("a")))
+        .withColumn("tb", gd.triangulate_raw(F.col("b")))
+        .repartition(2)
+    )
+    gi = gd.st_intersection_general(F.col("ta"), F.col("tb"))
+    gu = gd.st_union_general(F.col("ta"), F.col("tb"))
+    gdd = gd.st_difference_general(F.col("ta"), F.col("tb"))
+    rows = {r.i: r for r in df.select(
+        "i",
+        geo.st_area(gi).alias("ai"), geo.st_area(gu).alias("au"),
+        geo.st_area(gdd).alias("ad"),
+        gi.isNull().alias("ni"), gu.isNull().alias("nu"),
+        gdd.isNull().alias("nd"),
+        F.size(F.col("ta")).alias("nta"),
+    ).collect()}
+    # L-shape (12) x square (4), overlap 3
+    assert (rows[0].ai, rows[0].au, rows[0].ad) == (3.0, 13.0, 9.0)
+    assert rows[0].nta == 4
+    # A inside concave B: inter = A, union = B, diff empty -> NULL
+    assert (rows[1].ai, rows[1].au) == (1.0, 12.0) and rows[1].nd
+    # holed operand: everything pinned NULL
+    assert rows[2].ni and rows[2].nu and rows[2].nd
