@@ -31,9 +31,13 @@ from presto_spark.queries import geo_suite  # noqa: F401,E402
 # ADDED during round 9 must be swapped into this front (displacing the
 # newest r3 entries at the tail, never the never-checked/r1 blocks) in
 # the same commit that registers them — new rows must not land behind
-# the front again.  Remaining debt after this window: 7 r3 rows
-# (q03/q04/q05/q06/q07/q08/q09 TPC-H) plus whatever r3 tail rows get
-# displaced by round-9 additions — they lead the r10 front.
+# the front again.  Remaining debt after this window: 18 r3 rows
+# (TPC-H q01/q03–q09, sketch_approx_percentile_groups,
+# sketch_quantile_mergeable_rollup, dml_cow_roundtrip,
+# presto_dialect_revenue_window/array_ops/try_and_generics/
+# session_misc/scalar_breadth, fn_datetime_format_suite,
+# fn_jsonpath_suite — displaced by the 11 round-9 additions) — they
+# lead the r10 front.
 # tests/test_registry_front.py pins list(REGISTRY)[:50] == this list.
 _DRIVER_FRONT = [
     # 11 rows with no driver check in any round (added in round 8)
@@ -78,20 +82,20 @@ _DRIVER_FRONT = [
     "sketch_hll_mergeable_rollup",
     "sketch_approx_most_frequent",
     "sketch_numeric_histogram",
-    "sketch_approx_percentile_groups",
-    "sketch_quantile_mergeable_rollup",
-    "dml_cow_roundtrip",
-    "presto_dialect_revenue_window",
-    "presto_dialect_array_ops",
-    "fn_datetime_format_suite",
-    "fn_jsonpath_suite",
-    "presto_dialect_try_and_generics",
-    "presto_dialect_session_misc",
-    "presto_dialect_scalar_breadth",
     # round-9 additions (never checked — swapped in for the r3 tail
     # per the rotation contract above; displaced rows lead the r10
     # front)
     "geo_nonconvex_overlay_golden",
+    "tpcds_q2_monthly_yoy_ratio",
+    "tpcds_q11_two_channel_growth_compare",
+    "tpcds_q30_returners_above_nation_avg",
+    "tpcds_q38_triple_intersect_customers",
+    "tpcds_q41_distinct_names_disjunctive_exists",
+    "tpcds_q45_geo_or_item_subquery",
+    "tpcds_q69_exists_not_exists_demographics",
+    "tpcds_q89_monthly_deviation_window",
+    "tpcds_q93_sales_net_of_returns",
+    "tpcds_q98_class_share_within_brand",
 ]
 
 

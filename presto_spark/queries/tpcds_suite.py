@@ -1920,3 +1920,304 @@ sql_query(
         "and the 0.1 threshold compare as identical doubles.",
     tags=("tpcds",),
 )
+
+
+# ---- round-9 tranche: correlated NOT EXISTS, windowed thresholds,
+# multi-CTE reuse (VERDICT r8 what's-missing #2 / next-round #6) ----
+
+# q2 shape: per-period totals of consecutive years joined on the
+# period for a year-over-year ratio, both arms reading ONE shared CTE.
+sql_query(
+    "tpcds_q2_monthly_yoy_ratio",
+    """
+    WITH m AS (
+      SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon,
+             sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                      AS BIGINT)) AS cents
+      FROM orders
+      GROUP BY year(o_orderdate), month(o_orderdate)
+    )
+    SELECT a.mon AS mon, a.cents AS cents_1995, b.cents AS cents_1996,
+           CAST(floor(CAST(b.cents AS DOUBLE) * 1000 / a.cents)
+                AS BIGINT) AS ratio_x1000
+    FROM m a JOIN m b ON a.mon = b.mon
+    WHERE a.yr = 1995 AND b.yr = 1996
+    ORDER BY mon
+    """,
+    doc="TPC-DS q2 shape (weekly sales of consecutive years from one "
+        "shared CTE, self-joined on the week for YoY ratios — "
+        "presto-benchto-benchmarks/.../tpcds/q02.sql): the CTE "
+        "materializes once and both year arms read it; ratio emitted "
+        "as floored integer per-mille, never a raw double.",
+    tags=("tpcds",),
+)
+
+# q11/q74 shape: per-customer year totals in TWO channels, the same
+# two CTEs each consumed twice, keeping customers whose growth in one
+# channel outpaces the other (cross-multiplied, no division).
+sql_query(
+    "tpcds_q11_two_channel_growth_compare",
+    """
+    WITH yt AS (
+      SELECT o_custkey AS ck, year(o_orderdate) AS yr,
+             sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                      AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey, year(o_orderdate)
+    ),
+    lt AS (
+      SELECT o.o_custkey AS ck, year(l.l_shipdate) AS yr,
+             sum(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
+                      AS BIGINT)) AS cents
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_returnflag <> 'R'
+      GROUP BY o.o_custkey, year(l.l_shipdate)
+    )
+    SELECT c.c_name AS name,
+           o1.cents AS ord_1995, o2.cents AS ord_1996,
+           s1.cents AS ship_1995, s2.cents AS ship_1996
+    FROM customer c
+    JOIN yt o1 ON o1.ck = c.c_custkey AND o1.yr = 1995
+    JOIN yt o2 ON o2.ck = c.c_custkey AND o2.yr = 1996
+    JOIN lt s1 ON s1.ck = c.c_custkey AND s1.yr = 1995
+    JOIN lt s2 ON s2.ck = c.c_custkey AND s2.yr = 1996
+    WHERE o2.cents * s1.cents > s2.cents * o1.cents
+    ORDER BY name
+    LIMIT 100
+    """,
+    doc="TPC-DS q11/q74 shape (store vs web year totals per customer, "
+        "each CTE consumed twice, retained when one channel's YoY "
+        "growth beats the other's — q11.sql/q74.sql): growth "
+        "comparison as exact integer cross-multiplication, the "
+        "division-free spelling of first_year/second_year ratios.",
+    tags=("tpcds",),
+)
+
+# q30/q81 shape: per-customer return totals vs 1.2x the per-nation
+# average, the returns CTE consumed twice (rows + threshold).
+sql_query(
+    "tpcds_q30_returners_above_nation_avg",
+    """
+    WITH ret AS (
+      SELECT c.c_custkey AS ck, c.c_name AS name,
+             c.c_nationkey AS nk,
+             sum(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
+                      AS BIGINT)) AS ret_cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE l.l_returnflag = 'R'
+      GROUP BY c.c_custkey, c.c_name, c.c_nationkey
+    ),
+    nat AS (
+      SELECT nk, sum(ret_cents) AS tot,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ret GROUP BY nk
+    )
+    SELECT r.name AS name, n.n_name AS nation,
+           r.ret_cents AS ret_cents
+    FROM ret r
+    JOIN nat a ON a.nk = r.nk
+    JOIN nation n ON n.n_nationkey = r.nk
+    WHERE r.ret_cents * 5 * a.n > a.tot * 6
+    ORDER BY r.ret_cents DESC, r.name
+    LIMIT 100
+    """,
+    doc="TPC-DS q30/q81 shape (customers whose total return amount "
+        "exceeds 1.2x their state's average, the returns CTE read "
+        "both as output rows and as the threshold population — "
+        "q30.sql/q81.sql): threshold spelled ret*5*n > tot*6, exact "
+        "integers, no avg() re-division.",
+    tags=("tpcds",),
+)
+
+# q38 shape: COUNT over a 3-way INTERSECT of per-channel customer sets.
+sql_query(
+    "tpcds_q38_triple_intersect_customers",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_all_three
+    FROM (
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    ) t
+    """,
+    doc="TPC-DS q38 shape (customers present in all three channels via "
+        "a chained INTERSECT, counted — q38.sql): set semantics make "
+        "each branch DISTINCT before the semi joins; one number out.",
+    tags=("tpcds",),
+)
+
+# q41 shape: DISTINCT names gated by a correlated EXISTS whose body is
+# a disjunction of conjunctive attribute envelopes.
+sql_query(
+    "tpcds_q41_distinct_names_disjunctive_exists",
+    """
+    SELECT DISTINCT p1.p_name AS name
+    FROM part p1
+    WHERE p1.p_size BETWEEN 10 AND 15
+      AND EXISTS (
+        SELECT 1 FROM part p2
+        WHERE p2.p_brand = p1.p_brand
+          AND p2.p_partkey <> p1.p_partkey
+          AND ((p2.p_size BETWEEN 1 AND 5
+                AND p2.p_type IN ('STANDARD', 'PROMO'))
+            OR (p2.p_size BETWEEN 20 AND 30
+                AND p2.p_type IN ('ECONOMY', 'SMALL')))
+      )
+    ORDER BY name
+    LIMIT 100
+    """,
+    doc="TPC-DS q41 shape (distinct product names where a correlated "
+        "count over OR-ed conjunctive manufacturer/attribute arms is "
+        "positive — q41.sql, count > 0 spelled as EXISTS): the "
+        "correlated semi join carries a disjunctive payload that "
+        "cannot collapse to one pushable envelope.",
+    tags=("tpcds",),
+)
+
+# q45 shape: membership disjunction — a literal geography IN-list OR
+# an IN-subquery item list (ExistenceJoin: neither side can become a
+# plain semi join because of the OR).
+sql_query(
+    "tpcds_q45_geo_or_item_subquery",
+    """
+    SELECT n.n_name AS nation,
+           CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE n.n_name IN ('FRANCE', 'GERMANY', 'EGYPT')
+       OR l.l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+    doc="TPC-DS q45 shape (sales where the customer zip is in a "
+        "literal list OR the item is in a subquery list — q45.sql): "
+        "the OR forces an existence-join plan; the subquery side "
+        "becomes a boolean column, not a filterable semi join.",
+    tags=("tpcds",),
+)
+
+# q69/q35 shape: EXISTS in one channel AND NOT EXISTS in the other
+# two, demographic aggregate over the survivors.
+sql_query(
+    "tpcds_q69_exists_not_exists_demographics",
+    """
+    SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND year(o.o_orderdate) = 1995)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND year(o.o_orderdate) = 1996)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND year(o.o_orderdate) = 1997)
+    GROUP BY n.n_name, c.c_mktsegment
+    ORDER BY nation, segment
+    """,
+    doc="TPC-DS q69 shape (customers active in the store channel and "
+        "absent from web AND catalog — one semi join plus two anti "
+        "joins on the same correlation key — q69.sql/q35.sql), "
+        "demographic counts + balance sums over the survivors.",
+    tags=("tpcds",),
+)
+
+# q89 shape: monthly sums vs the year average via window functions,
+# keeping months deviating more than 10% (the windowed-subquery
+# threshold mechanic).
+sql_query(
+    "tpcds_q89_monthly_deviation_window",
+    """
+    WITH m AS (
+      SELECT o_orderpriority AS pri, year(o_orderdate) AS yr,
+             month(o_orderdate) AS mon,
+             sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                      AS BIGINT)) AS cents
+      FROM orders
+      GROUP BY o_orderpriority, year(o_orderdate), month(o_orderdate)
+    ),
+    w AS (
+      SELECT pri, yr, mon, cents,
+             CAST(sum(cents) OVER (PARTITION BY pri, yr) AS BIGINT)
+               AS yr_cents,
+             CAST(count(*) OVER (PARTITION BY pri, yr) AS BIGINT)
+               AS n_mon
+      FROM m
+    )
+    SELECT pri, yr, mon, cents,
+           CAST(floor(CAST(cents AS DOUBLE) * 1000 * n_mon
+                      / yr_cents) AS BIGINT) AS vs_avg_x1000
+    FROM w
+    WHERE cents * n_mon * 10 > yr_cents * 11
+       OR cents * n_mon * 10 < yr_cents * 9
+    ORDER BY pri, yr, mon
+    """,
+    doc="TPC-DS q89 shape (monthly category sales kept when they "
+        "deviate from the yearly average, average via window "
+        "functions over the aggregate CTE — q89.sql): the 10% "
+        "deviation gate is cross-multiplied integers; the reported "
+        "ratio is a floored per-mille of exact integers.",
+    tags=("tpcds",),
+)
+
+# q93 shape: sales net of returns — per-customer totals where returned
+# lines flip sign / drop out.
+sql_query(
+    "tpcds_q93_sales_net_of_returns",
+    """
+    SELECT o.o_custkey AS custkey,
+           CAST(sum(CASE WHEN l.l_returnflag = 'R'
+                         THEN -CAST(l.l_quantity AS BIGINT)
+                         ELSE CAST(l.l_quantity AS BIGINT) END)
+                AS BIGINT) AS net_qty,
+           CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 0
+                         ELSE CAST(CAST(l.l_extendedprice
+                                        AS DECIMAL(14,2)) * 100
+                                   AS BIGINT) END)
+                AS BIGINT) AS kept_cents
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_custkey
+    ORDER BY net_qty DESC, custkey
+    LIMIT 100
+    """,
+    doc="TPC-DS q93 shape (store sales joined to returns; returned "
+        "quantity subtracts from the activity total — q93.sql, the "
+        "left-join+COALESCE spelled as a CASE over the return flag): "
+        "one fact pass, conditional signed sums, top-100 by net.",
+    tags=("tpcds",),
+)
+
+# q98/q12/q20 shape: revenue share of each class within its category
+# via a window sum over the aggregate.
+sql_query(
+    "tpcds_q98_class_share_within_brand",
+    """
+    WITH t AS (
+      SELECT p_brand AS brand, p_type AS ptype,
+             sum(CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100
+                      AS BIGINT)) AS cents
+      FROM part GROUP BY p_brand, p_type
+    )
+    SELECT brand, ptype, cents,
+           CAST(floor(CAST(cents AS DOUBLE) * 100000
+                      / CAST(sum(cents) OVER (PARTITION BY brand)
+                             AS DOUBLE)) AS BIGINT) AS share_x100000
+    FROM t
+    ORDER BY brand, ptype
+    """,
+    doc="TPC-DS q98 shape (item revenue plus its ratio to the class "
+        "total computed by sum() OVER (PARTITION BY class) on top of "
+        "the grouped aggregate — q98.sql/q12.sql/q20.sql): the "
+        "windowed-total ratio mechanic, emitted as floored 1e-5 "
+        "shares of exact integer cents.",
+    tags=("tpcds",),
+)
