@@ -31,13 +31,16 @@ from presto_spark.queries import geo_suite  # noqa: F401,E402
 # ADDED during round 9 must be swapped into this front (displacing the
 # newest r3 entries at the tail, never the never-checked/r1 blocks) in
 # the same commit that registers them — new rows must not land behind
-# the front again.  Remaining debt after this window: 18 r3 rows
+# the front again.  Remaining debt after this window: 25 r3 rows
 # (TPC-H q01/q03–q09, sketch_approx_percentile_groups,
-# sketch_quantile_mergeable_rollup, dml_cow_roundtrip,
-# presto_dialect_revenue_window/array_ops/try_and_generics/
-# session_misc/scalar_breadth, fn_datetime_format_suite,
-# fn_jsonpath_suite — displaced by the 11 round-9 additions) — they
-# lead the r10 front.
+# sketch_quantile_mergeable_rollup, sketch_hll_mergeable_rollup,
+# sketch_approx_most_frequent, sketch_numeric_histogram,
+# dml_cow_roundtrip, presto_dialect_revenue_window/array_ops/
+# try_and_generics/session_misc/scalar_breadth,
+# fn_datetime_format_suite, fn_jsonpath_suite, event_daily_retention,
+# event_sessionization_sql, event_stream_stateful_stats,
+# event_stream_interval_join — displaced by the 18 round-9
+# additions) — they lead the r10 front.
 # tests/test_registry_front.py pins list(REGISTRY)[:50] == this list.
 _DRIVER_FRONT = [
     # 11 rows with no driver check in any round (added in round 8)
@@ -75,13 +78,6 @@ _DRIVER_FRONT = [
     "event_session_window",
     "event_json_enrichment",
     "event_funnel_conversion",
-    "event_daily_retention",
-    "event_sessionization_sql",
-    "event_stream_stateful_stats",
-    "event_stream_interval_join",
-    "sketch_hll_mergeable_rollup",
-    "sketch_approx_most_frequent",
-    "sketch_numeric_histogram",
     # round-9 additions (never checked — swapped in for the r3 tail
     # per the rotation contract above; displaced rows lead the r10
     # front)
@@ -96,6 +92,13 @@ _DRIVER_FRONT = [
     "tpcds_q89_monthly_deviation_window",
     "tpcds_q93_sales_net_of_returns",
     "tpcds_q98_class_share_within_brand",
+    "tpcds_q15_nations_above_share",
+    "tpcds_q32_excess_discount",
+    "tpcds_q37_parts_in_band_with_sales",
+    "tpcds_q46_cross_nation_orders",
+    "tpcds_q61_promo_revenue_ratio",
+    "tpcds_q72_ship_delay_per_priority",
+    "tpcds_q90_half_month_ratio",
 ]
 
 

@@ -2221,3 +2221,209 @@ sql_query(
         "shares of exact integer cents.",
     tags=("tpcds",),
 )
+
+
+# ---- round-9 tranche 5: scalar thresholds, correlated averages,
+# interval-lag joins, ratio reports ----
+
+# q15 shape: groups kept when their total beats a share of the grand
+# total computed by a scalar subquery over the SAME CTE.
+sql_query(
+    "tpcds_q15_nations_above_share",
+    """
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             sum(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
+                      AS BIGINT)) AS cents
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT nation, cents
+    FROM rev
+    WHERE cents * 10000 > (SELECT sum(cents) FROM rev) * 405
+    ORDER BY nation
+    """,
+    doc="TPC-DS q15 shape (zip codes whose catalog sales exceed a "
+        "share threshold of the total — q15.sql variant with the "
+        "threshold as a scalar subquery over the same CTE): grand "
+        "total computed once, compared cross-multiplied.  Threshold "
+        "4.05%: the 25 nations' shares concentrate toward the uniform "
+        "4% as SF grows (max share 8.4% @ sf0.001 -> 4.3% @ sf0.1), "
+        "so a 5% gate zeroes out at sf0.1 — scale-proofed per the "
+        "synthetic-data threshold rule.",
+    tags=("tpcds",),
+)
+
+# q32/q92 shape: lines whose discount exceeds 1.3x the per-part
+# average, the average via a correlated scalar subquery.
+sql_query(
+    "tpcds_q32_excess_discount",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS excess_cents
+    FROM lineitem l
+    WHERE CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)
+          * 10.0 >
+          (SELECT 13.0 * sum(CAST(CAST(l2.l_discount AS DECIMAL(4,2))
+                                  * 100 AS BIGINT))
+                  / count(*)
+           FROM lineitem l2
+           WHERE l2.l_partkey = l.l_partkey)
+    """,
+    doc="TPC-DS q32/q92 shape (excess discount: lines whose discount "
+        "beats 1.3x the item's average, average via a correlated "
+        "scalar subquery on the same fact — q32.sql): decorrelates to "
+        "a per-part aggregate joined back; discounts held as integer "
+        "hundredths so both engines derive the identical double "
+        "threshold from exact sums.",
+    tags=("tpcds",),
+)
+
+# q37/q82 shape: DISTINCT parts in a price band with sales activity
+# inside a date window (EXISTS against the fact).
+sql_query(
+    "tpcds_q37_parts_in_band_with_sales",
+    """
+    SELECT DISTINCT p.p_partkey AS partkey, p.p_name AS name,
+           CAST(CAST(p.p_retailprice AS DECIMAL(12,2)) * 100
+                AS BIGINT) AS price_cents
+    FROM part p
+    WHERE p.p_retailprice BETWEEN 900 AND 1100
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey
+                    AND l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+                    AND l.l_shipdate < TIMESTAMP '1998-07-01 00:00:00')
+    ORDER BY partkey
+    LIMIT 100
+    """,
+    doc="TPC-DS q37/q82 shape (items in a price band with on-hand "
+        "inventory in a date window that also sold — q37.sql, the "
+        "inventory arm spelled as the date-window EXISTS): dimension "
+        "band filter + semi join against the windowed fact.",
+    tags=("tpcds",),
+)
+
+# q46/q68 shape: per-order spend split by whether the supplier sits in
+# a DIFFERENT nation than the customer, orders kept when the
+# cross-nation share dominates.
+sql_query(
+    "tpcds_q46_cross_nation_orders",
+    """
+    WITH x AS (
+      SELECT o.o_orderkey AS okey, c.c_name AS cname,
+             n1.n_name AS cust_nation,
+             sum(CASE WHEN s.s_nationkey <> c.c_nationkey
+                      THEN CAST(CAST(l.l_extendedprice
+                                     AS DECIMAL(14,2)) * 100 AS BIGINT)
+                      ELSE 0 END) AS cross_cents,
+             sum(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
+                      AS BIGINT)) AS total_cents
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      GROUP BY o.o_orderkey, c.c_name, n1.n_name
+    )
+    SELECT okey, cname, cust_nation, cross_cents, total_cents
+    FROM x
+    WHERE cross_cents * 2 > total_cents
+    ORDER BY total_cents DESC, okey
+    LIMIT 100
+    """,
+    doc="TPC-DS q46/q68 shape (sales to customers in a city different "
+        "from the store's, reported per (customer, ticket) — q46.sql "
+        "with nations for cities): the cross-geography CASE rides the "
+        "per-order aggregate; orders kept when the cross share "
+        "dominates (integer cross-multiplication).",
+    tags=("tpcds",),
+)
+
+# q61 shape: promotional vs total revenue ratio per geography.
+sql_query(
+    "tpcds_q61_promo_revenue_ratio",
+    """
+    SELECT n.n_name AS nation,
+           CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(CAST(l.l_extendedprice
+                                        AS DECIMAL(14,2)) * 100
+                                   AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS promo_cents,
+           CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(floor(CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                                    THEN CAST(CAST(l.l_extendedprice
+                                                   AS DECIMAL(14,2)) * 100
+                                              AS BIGINT)
+                                    ELSE 0 END) AS DOUBLE) * 1000
+                      / sum(CAST(CAST(l.l_extendedprice
+                                      AS DECIMAL(14,2)) * 100
+                                 AS BIGINT))) AS BIGINT)
+             AS promo_x1000
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+    doc="TPC-DS q61 shape (promotional-channel revenue over total "
+        "revenue per geography, the two aggregates of q61.sql's "
+        "numerator/denominator fused into one pass with a CASE): "
+        "ratio emitted as floored per-mille of exact integer cents — "
+        "the TPC-H q14 promo-share mechanic at TPC-DS report shape.",
+    tags=("tpcds",),
+)
+
+# q72 shape: fact-to-fact date-lag condition (shipped more than 90
+# days after the order date), bucketed per priority.
+sql_query(
+    "tpcds_q72_ship_delay_per_priority",
+    """
+    SELECT o.o_orderpriority AS pri,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (WHERE l.l_shipdate >
+                                       o.o_orderdate + INTERVAL 90 DAY)
+                AS BIGINT) AS delayed,
+           CAST(floor(CAST(count(*) FILTER
+                           (WHERE l.l_shipdate >
+                                  o.o_orderdate + INTERVAL 90 DAY)
+                           AS DOUBLE) * 1000 / count(*)) AS BIGINT)
+             AS delayed_x1000
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY pri
+    """,
+    doc="TPC-DS q72 shape (catalog lines where the inventory date "
+        "lags the sale date by a bound — q72.sql's d3.d_date > "
+        "d1.d_date + 5 — spelled as ship-vs-order interval "
+        "arithmetic): the date-lag join condition evaluates post-join "
+        "per row; delay share as floored per-mille.",
+    tags=("tpcds",),
+)
+
+# q90 shape: ratio of two disjoint time-bucket counts (am/pm).
+sql_query(
+    "tpcds_q90_half_month_ratio",
+    """
+    SELECT CAST(count(*) FILTER (WHERE day(o_orderdate) <= 15)
+                AS BIGINT) AS first_half,
+           CAST(count(*) FILTER (WHERE day(o_orderdate) > 15)
+                AS BIGINT) AS second_half,
+           CAST(floor(CAST(count(*) FILTER
+                           (WHERE day(o_orderdate) <= 15) AS DOUBLE)
+                      * 1000
+                      / count(*) FILTER (WHERE day(o_orderdate) > 15))
+                AS BIGINT) AS ratio_x1000
+    FROM orders
+    """,
+    doc="TPC-DS q90 shape (am_pm_ratio: one scan, two disjoint "
+        "time-bucket counts and their quotient — q90.sql, hours "
+        "spelled as month halves): FILTER aggregates share the scan; "
+        "the ratio is floored per-mille of exact counts.",
+    tags=("tpcds",),
+)
