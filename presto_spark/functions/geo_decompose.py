@@ -4,8 +4,9 @@ Reference surface: ST_Intersection/ST_Union/ST_Difference accept
 arbitrary simple polygons (presto-main-base .../scalar/GeoFunctions.java
 overlay section; the reference delegates to Esri's topological engine).
 The struct-geometry model's convex lattice (functions/geo.py, round 7/8)
-pins non-convex OPERANDS to NULL; this module lifts that pin for simple
-hole-free polygons by the classical decomposition route the r8 verdict
+pins non-convex OPERANDS to NULL; this module lifts that pin for
+simple hole-free polygons AND multipolygons (one hole-free shell per
+piece) by the classical decomposition route the r8 verdict
 prescribed: ear-clip the operand into triangles, run the convex clip
 lattice piecewise, and emit the result as a tiling (single piece →
 POLYGON, several → MULTIPOLYGON).
@@ -227,29 +228,47 @@ _DIFFERENCE_UDF = _make_overlay_udf("difference")
 # explicit DataType: a DDL-string return type would need an active
 # SparkSession at import time (same pattern as _text_pandas_udfs.py)
 @pandas_udf(_TRIS_T)
-def _triangulate_udf(xs, ys):
+def _triangulate_udf(xss, yss):
+    """Per row: a LIST of rings (each a coordinate array) — one ring
+    for a POLYGON shell, one per piece for a MULTIPOLYGON.  Pieces
+    are disjoint by the model invariant, so the concatenated triangle
+    set still tiles the whole geometry."""
     import pandas as pd
 
-    return pd.Series(
-        [
-            None if x is None or y is None else (_earclip(x, y) or None)
-            for x, y in zip(xs, ys)
-        ]
-    )
+    out = []
+    for rings_x, rings_y in zip(xss, yss):
+        if rings_x is None or rings_y is None:
+            out.append(None)
+            continue
+        tris = []
+        for xs, ys in zip(rings_x, rings_y):
+            t = _earclip(xs, ys)
+            if not t:  # degenerate / non-simple piece poisons the row
+                tris = []
+                break
+            tris.extend(t)
+        out.append(tris or None)
+    return pd.Series(out)
 
 
 def triangulate_raw(geom: Column) -> Column:
-    """Simple hole-free POLYGON → flat CCW triangle list
+    """Simple hole-free POLYGON or MULTIPOLYGON (one hole-free shell
+    per piece — the model invariant) → flat CCW triangle list
     (array<array<double>>, [ax,ay,bx,by,cx,cy] each); NULL for other
-    kinds, holed polygons, or non-simple rings.  Materialize the
-    result with withColumn + repartition and feed it to the
-    st_*_general arms (one Python crossing per operand, reused by
-    every overlay that consumes it)."""
-    shell = G.polygon_shell(geom)
-    ok = (geom["kind"] == "POLYGON") & (F.size(geom["rings"]) == 1)
+    kinds, holed polygons, or non-simple rings.  _earclip normalizes
+    orientation and the closing vertex itself, so rings pass through
+    raw.  Materialize the result with withColumn + repartition and
+    feed it to the st_*_general arms (one Python crossing per
+    operand, reused by every overlay that consumes it)."""
+    ok = (
+        (geom["kind"] == "POLYGON") & (F.size(geom["rings"]) == 1)
+    ) | (geom["kind"] == "MULTIPOLYGON")
+    rings = geom["rings"]
     return _triangulate_udf(
-        F.when(ok, F.transform(shell, lambda p: p["x"])),
-        F.when(ok, F.transform(shell, lambda p: p["y"])),
+        F.when(ok, F.transform(
+            rings, lambda r: F.transform(r, lambda p: p["x"]))),
+        F.when(ok, F.transform(
+            rings, lambda r: F.transform(r, lambda p: p["y"]))),
     )
 
 

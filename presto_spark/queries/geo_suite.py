@@ -1086,7 +1086,8 @@ SELECT * FROM (VALUES
   (2, '0.0000', '8.0000', '4.0000', true, 'MULTIPOLYGON', true),
   (3, '1.0000', '12.0000', '0.0000', false, 'MULTIPOLYGON', true),
   (4, '8.0000', '40.0000', '24.0000', false, 'MULTIPOLYGON', true),
-  (5, '0.0000', '0.0000', '0.0000', true, NULL, true)
+  (5, '0.0000', '0.0000', '0.0000', true, NULL, true),
+  (6, '2.0000', '10.0000', '6.0000', false, 'MULTIPOLYGON', true)
 ) AS v(i, inter_area_q, union_area_q, diff_area_q, inter_null,
        union_kind, incl_excl_ok)
 ORDER BY i
@@ -1126,6 +1127,11 @@ def geo_nonconvex_overlay_golden(spark, sf_dir):
         (5, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
             "(1 1, 2 1, 2 2, 1 2, 1 1))",
             "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+        # MULTIPOLYGON operand (round 9): two disjoint squares vs a
+        # rectangle spanning both — each piece ear-clips separately
+        (6, "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), "
+            "((4 0, 6 0, 6 2, 4 2, 4 0)))",
+            "POLYGON ((1 0, 5 0, 5 1, 1 1, 1 0))"),
     ]
     df = (
         spark.createDataFrame(cases, "i int, wa string, wb string")

@@ -1014,6 +1014,11 @@ def test_nonconvex_overlay_general(spark):
         (2, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
             "(1 1, 2 1, 2 2, 1 2, 1 1))",
             "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+        # MULTIPOLYGON operand: two disjoint unit-spaced squares vs a
+        # spanning rectangle (round 9)
+        (3, "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), "
+            "((4 0, 6 0, 6 2, 4 2, 4 0)))",
+            "POLYGON ((1 0, 5 0, 5 1, 1 1, 1 0))"),
     ]
     df = (
         spark.createDataFrame(cases, "i int, wa string, wb string")
@@ -1042,3 +1047,6 @@ def test_nonconvex_overlay_general(spark):
     assert (rows[1].ai, rows[1].au) == (1.0, 12.0) and rows[1].nd
     # holed operand: everything pinned NULL
     assert rows[2].ni and rows[2].nu and rows[2].nd
+    # MULTIPOLYGON operand: pieces ear-clip separately, overlay exact
+    assert (rows[3].ai, rows[3].au, rows[3].ad) == (2.0, 10.0, 6.0)
+    assert rows[3].nta == 4  # two triangles per square piece
