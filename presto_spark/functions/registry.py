@@ -1043,6 +1043,13 @@ def register_functions(spark: SparkSession) -> list[str]:
     for name, (args, ret, body) in BITWISE_UDFS.items():
         spark.sql(_ddl(name, args, ret, body))
         registered.append(name)
+    # Color/bar terminal-rendering tier (ColorFunctions.java) — bodies
+    # are generated SQL text, see functions/color.py.
+    from presto_spark.functions.color import COLOR_UDFS
+
+    for name, (args, ret, body, _cite) in COLOR_UDFS.items():
+        spark.sql(_ddl(name, args, ret, body))
+        registered.append(name)
     # Extended-JSONPath tier (recursive descent / filters / bracket names /
     # slices — Jayway fallback in the reference, JsonPath.java:140).
     # Arrow-batched pandas UDFs; the dialect layer routes literal extended

@@ -1659,3 +1659,74 @@ dual_sql_query(
         "mod-64 builtins do not (ADVICE r6).",
     tags=("functions", "bitwise"),
 )
+
+
+dual_sql_query(
+    "fn_color_bar_golden",
+    """
+    SELECT
+      color('#f00') AS c_hex,
+      color('red') AS c_red,
+      color('green') AS c_green,
+      color('nonsense') IS NULL AS c_bad_null,
+      color('#xyz') IS NULL AS c_badhex_null,
+      rgb(255, 0, 0) AS rgb_red,
+      rgb(300, 0, 0) IS NULL AS rgb_range_null,
+      color_interp(0.0, rgb(255,0,0), rgb(0,255,0)) AS i_lo,
+      color_interp(0.5, rgb(255,0,0), rgb(0,255,0)) AS i_mid,
+      color_interp(1.0, rgb(255,0,0), rgb(0,255,0)) AS i_hi,
+      color_interp(0.5, color('red'), rgb(0,255,0)) IS NULL
+        AS i_sys_null,
+      color_scaled(50.0, 0.0, 100.0, rgb(255,0,0), rgb(0,255,0))
+        AS i_scaled,
+      replace(render('x', color('red')), chr(27), '<E>') AS r_str,
+      replace(render_num(42, rgb(0,255,0)), chr(27), '<E>') AS r_num,
+      replace(render_bool(true), chr(27), '<E>') AS r_true,
+      replace(render_bool(false), chr(27), '<E>') AS r_false,
+      replace(bar(0.5, 10), chr(27), '<E>') AS bar_half,
+      replace(bar(-0.5, 4), chr(27), '<E>') AS bar_neg,
+      replace(bar(2.0, 3), chr(27), '<E>') AS bar_over,
+      replace(bar_colored(1.0, 4, rgb(0,0,255), rgb(255,0,255)),
+              chr(27), '<E>') AS bar_bm
+    """,
+    """
+    SELECT
+      CAST(16711680 AS BIGINT) AS c_hex,
+      CAST(-2 AS BIGINT) AS c_red,
+      CAST(-3 AS BIGINT) AS c_green,
+      true AS c_bad_null,
+      true AS c_badhex_null,
+      CAST(16711680 AS BIGINT) AS rgb_red,
+      true AS rgb_range_null,
+      CAST(16711680 AS BIGINT) AS i_lo,
+      CAST(16776960 AS BIGINT) AS i_mid,
+      CAST(65280 AS BIGINT) AS i_hi,
+      true AS i_sys_null,
+      CAST(16776960 AS BIGINT) AS i_scaled,
+      '<E>[38;5;1mx<E>[0m' AS r_str,
+      '<E>[38;5;46m42<E>[0m' AS r_num,
+      '<E>[38;5;2m' || chr(10003) || '<E>[0m' AS r_true,
+      '<E>[38;5;1m' || chr(10007) || '<E>[0m' AS r_false,
+      '<E>[38;5;196m' || chr(9608) || '<E>[38;5;202m' || chr(9608)
+        || '<E>[38;5;208m' || chr(9608) || '<E>[38;5;214m' || chr(9608)
+        || '<E>[38;5;226m' || chr(9608) || '<E>[0m     ' AS bar_half,
+      '<E>[0m    ' AS bar_neg,
+      '<E>[38;5;196m' || chr(9608) || '<E>[38;5;226m' || chr(9608)
+        || '<E>[38;5;46m' || chr(9608) || '<E>[0m' AS bar_over,
+      '<E>[38;5;21m' || chr(9608) || '<E>[38;5;57m' || chr(9608)
+        || '<E>[38;5;129m' || chr(9608) || '<E>[38;5;201m' || chr(9608)
+        || '<E>[0m' AS bar_bm
+    """,
+    doc="Color/bar terminal tier (ColorFunctions.java — functions/"
+        "color.py): '#rgb' CSS nibble replication + system-color "
+        "encoding -(index+1), rgb packing with range pins, HSB "
+        "interpolation (red→green midpoint = yellow 16776960, exactly "
+        "the reference's java.awt HSB path), ANSI 256-color render "
+        "escapes (6x6x6 cube toAnsi), render(boolean) green-check/"
+        "red-cross, and the bar gradient with truncation clamping "
+        "(half bar, negative → all padding, >1 → full bar) plus a "
+        "custom blue→magenta ramp.  ESC sanitized to '<E>' for the "
+        "differential hash; expected strings are hand-derived from "
+        "the reference algorithm.",
+    tags=("functions",),
+)

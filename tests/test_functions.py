@@ -815,3 +815,31 @@ def test_fnv1_family_reference_vectors(spark):
     assert r.f == 0x34881807 and r.g == 0xEB80C366 - (1 << 32)
     assert r.h == 0x68ADDC0B0FEBAC5F
     assert r.empty64 == 0xCBF29CE484222325 - (1 << 64)
+
+
+def test_color_bar_tier(spark):
+    """ColorFunctions.java tier (functions/color.py): parse/pack,
+    HSB interpolation reference vectors (red→green midpoint is
+    yellow), ANSI escape assembly, bar clamping."""
+    from presto_spark.functions.registry import register_functions
+
+    register_functions(spark)
+    r = spark.sql("""
+      SELECT color('#abc') AS hex3,
+             color('CYAN') AS cyan,
+             color_interp(0.25, rgb(255,0,0), rgb(0,255,0)) AS quarter,
+             color_interp(-5.0, rgb(10,20,30), rgb(200,100,50)) AS clamp_lo,
+             color_interp(9.0, rgb(10,20,30), rgb(200,100,50)) AS clamp_hi,
+             replace(bar(0.999, 2), chr(27), 'E') AS bar_trunc,
+             length(replace(bar(0.0, 7), chr(27), '')) AS bar_empty_len
+    """).collect()[0]
+    # #abc -> aa bb cc
+    assert r.hex3 == 0xAABBCC
+    assert r.cyan == -7  # index 6 -> -(6+1)
+    # quarter red->green: h=1/12, h6=0.5 sector 0, t=0.5 -> g=128
+    assert r.quarter == (255 << 16) + (128 << 8)
+    assert r.clamp_lo == (10 << 16) + (20 << 8) + 30
+    assert r.clamp_hi == (200 << 16) + (100 << 8) + 50
+    # (int)(0.999*2) = 1 block, one space pad
+    assert r.bar_trunc.count("█") == 1 and r.bar_trunc.endswith(" ")
+    assert r.bar_empty_len == len("[0m") + 7
