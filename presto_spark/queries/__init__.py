@@ -39,8 +39,10 @@ from presto_spark.queries import geo_suite  # noqa: F401,E402
 # try_and_generics/session_misc/scalar_breadth,
 # fn_datetime_format_suite, fn_jsonpath_suite, event_daily_retention,
 # event_sessionization_sql, event_stream_stateful_stats,
-# event_stream_interval_join, event_funnel_conversion — displaced by
-# the 19 round-9 additions) — they lead the r10 front.
+# event_stream_interval_join, event_funnel_conversion,
+# event_json_enrichment, event_session_window, event_sliding_window,
+# event_tumbling_window, llm_embedding_normalize — displaced by the
+# 24 round-9 additions) — they lead the r10 front.
 # tests/test_registry_front.py pins list(REGISTRY)[:50] == this list.
 _DRIVER_FRONT = [
     # 11 rows with no driver check in any round (added in round 8)
@@ -72,11 +74,6 @@ _DRIVER_FRONT = [
     "llm_normalize_nfc",
     "llm_multimodal_frame_sample",
     "llm_dedup_clusters",
-    "llm_embedding_normalize",
-    "event_tumbling_window",
-    "event_sliding_window",
-    "event_session_window",
-    "event_json_enrichment",
     # round-9 additions (never checked — swapped in for the r3 tail
     # per the rotation contract above; displaced rows lead the r10
     # front)
@@ -99,6 +96,11 @@ _DRIVER_FRONT = [
     "tpcds_q72_ship_delay_per_priority",
     "tpcds_q90_half_month_ratio",
     "fn_color_bar_golden",
+    "tpcds_q3_brand_rank_per_year",
+    "tpcds_q26_segment_averages",
+    "tpcds_q40_brand_netted_before_after",
+    "tpcds_q76_tagged_channel_union",
+    "tpcds_q91_returns_loss_report",
 ]
 
 

@@ -2427,3 +2427,164 @@ sql_query(
         "the ratio is floored per-mille of exact counts.",
     tags=("tpcds",),
 )
+
+
+# ---- round-9 tranche 6 ----
+
+# q3 shape: (year, brand) revenue with a per-year rank gate.
+sql_query(
+    "tpcds_q3_brand_rank_per_year",
+    """
+    WITH s AS (
+      SELECT year(o.o_orderdate) AS yr, p.p_brand AS brand,
+             sum(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
+                      AS BIGINT)) AS cents
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY year(o.o_orderdate), p.p_brand
+    )
+    SELECT yr, brand, cents
+    FROM (SELECT yr, brand, cents,
+                 row_number() OVER (PARTITION BY yr
+                                    ORDER BY cents DESC, brand) AS rn
+          FROM s) t
+    WHERE rn <= 5
+    ORDER BY yr, cents DESC, brand
+    """,
+    doc="TPC-DS q3 shape (brand revenue by sold year, top rows per "
+        "year — q3.sql's ORDER BY d_year, sum_agg desc with the "
+        "report cut spelled as a per-year row_number gate): "
+        "deterministic rank ties broken by brand.",
+    tags=("tpcds",),
+)
+
+# q26 shape: catalog averages by demographic with a support HAVING.
+sql_query(
+    "tpcds_q26_segment_averages",
+    """
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(floor(CAST(sum(CAST(l.l_quantity AS BIGINT)) * 100
+                           AS DOUBLE) / count(*)) AS BIGINT)
+             AS avg_qty_x100,
+           CAST(floor(CAST(sum(CAST(CAST(l.l_extendedprice
+                                         AS DECIMAL(14,2)) * 100
+                                    AS BIGINT)) AS DOUBLE) / count(*))
+                AS BIGINT) AS avg_price_cents,
+           CAST(floor(CAST(sum(CAST(CAST(l.l_discount
+                                         AS DECIMAL(4,2)) * 100
+                                    AS BIGINT)) * 100 AS DOUBLE)
+                      / count(*)) AS BIGINT) AS avg_disc_x10000
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    HAVING count(*) >= 100
+    ORDER BY segment
+    """,
+    doc="TPC-DS q26 shape (avg quantity/list-price/coupon by "
+        "demographic — q26.sql): averages as floored exact-integer "
+        "ratios (never re-summed doubles), support floor via HAVING.",
+    tags=("tpcds",),
+)
+
+# q40 shape: value before/after a pivot date counting only
+# non-returned lines, the returns matched by LEFT JOIN and tested
+# with IS NULL.
+sql_query(
+    "tpcds_q40_brand_netted_before_after",
+    """
+    WITH r AS (
+      SELECT l_orderkey, l_linenumber FROM lineitem
+      WHERE l_returnflag = 'R'
+    )
+    SELECT p.p_brand AS brand,
+           sum(CASE WHEN r.l_orderkey IS NULL
+                     AND l.l_shipdate <
+                         TIMESTAMP '1998-01-01 00:00:00'
+                    THEN CAST(CAST(l.l_extendedprice
+                                   AS DECIMAL(14,2)) * 100 AS BIGINT)
+                    ELSE 0 END) AS cents_before,
+           sum(CASE WHEN r.l_orderkey IS NULL
+                     AND l.l_shipdate >=
+                         TIMESTAMP '1998-01-01 00:00:00'
+                    THEN CAST(CAST(l.l_extendedprice
+                                   AS DECIMAL(14,2)) * 100 AS BIGINT)
+                    ELSE 0 END) AS cents_after
+    FROM lineitem l
+    LEFT JOIN r ON r.l_orderkey = l.l_orderkey
+               AND r.l_linenumber = l.l_linenumber
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-08-01 00:00:00'
+    GROUP BY p.p_brand
+    ORDER BY brand
+    LIMIT 100
+    """,
+    doc="TPC-DS q40 shape (catalog sales net of returns split "
+        "before/after a pivot date per (warehouse, item) — q40.sql's "
+        "catalog_returns LEFT JOIN with the IS NULL netting): the "
+        "returns set joins back on the compound line key; un-matched "
+        "rows carry value, matched rows zero out.",
+    tags=("tpcds",),
+)
+
+
+# q76 shape: heterogeneous channel scans tagged with literals,
+# UNION ALL'd, then counted per (channel, year).
+sql_query(
+    "tpcds_q76_tagged_channel_union",
+    """
+    SELECT channel, yr,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM (
+      SELECT 'orders' AS channel, year(o_orderdate) AS yr,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                  AS BIGINT) AS cents
+      FROM orders
+      UNION ALL
+      SELECT 'lines' AS channel, year(l_shipdate) AS yr,
+             CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                  AS BIGINT) AS cents
+      FROM lineitem
+    ) u
+    GROUP BY channel, yr
+    ORDER BY channel, yr
+    """,
+    doc="TPC-DS q76 shape (rows from three channel facts tagged with "
+        "literal channel names, UNION ALL'd and counted per channel/"
+        "year — q76.sql): the heterogeneous-scan union report; each "
+        "branch keeps its own scan shape and the aggregate sees one "
+        "tagged stream.",
+    tags=("tpcds",),
+)
+
+# q91 shape: returns loss report by demographic and month under
+# dimension filters.
+sql_query(
+    "tpcds_q91_returns_loss_report",
+    """
+    SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+           month(l.l_shipdate) AS mon,
+           CAST(count(*) AS BIGINT) AS n_returns,
+           CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS returned_cents
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND year(l.l_shipdate) = 1996
+      AND c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    GROUP BY n.n_name, c.c_mktsegment, month(l.l_shipdate)
+    ORDER BY returned_cents DESC, nation, segment, mon
+    LIMIT 50
+    """,
+    doc="TPC-DS q91 shape (call-center returns loss by manager/"
+        "demographic for one month under education/marital filters — "
+        "q91.sql with segment/nation dims): filtered returns fact, "
+        "two dimension joins, loss ranked per group.",
+    tags=("tpcds",),
+)
