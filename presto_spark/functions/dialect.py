@@ -910,6 +910,36 @@ def _build_approx_percentile(_name: str, args: list[str]) -> str | None:
     return None
 
 
+# Color-tier arity dispatch (ColorFunctions.java overloads color/
+# render/bar by signature; the SQL UDFs in functions/color.py are
+# monomorphic): 3-arg color → color_interp, 5-arg → color_scaled,
+# 1-arg render → render_bool, 4-arg bar → bar_colored.  The 1-arg
+# color and 2-arg render/bar spellings keep their own names.
+_color_call_re = re.compile(r"\b(color)\s*\(", re.IGNORECASE)
+_render_call_re = re.compile(r"\b(render)\s*\(", re.IGNORECASE)
+_bar_call_re = re.compile(r"\b(bar)\s*\(", re.IGNORECASE)
+
+
+def _build_color_call(_name: str, args: list[str]) -> str | None:
+    if len(args) == 3:
+        return f"color_interp({', '.join(args)})"
+    if len(args) == 5:
+        return f"color_scaled({', '.join(args)})"
+    return None
+
+
+def _build_render_call(_name: str, args: list[str]) -> str | None:
+    if len(args) == 1:
+        return f"render_bool({args[0]})"
+    return None
+
+
+def _build_bar_call(_name: str, args: list[str]) -> str | None:
+    if len(args) == 4:
+        return f"bar_colored({', '.join(args)})"
+    return None
+
+
 # Presto split(s, delim[, limit]) treats the delimiter as a LITERAL
 # (StringFunctions.java split uses Slice indexOf); Spark's split takes a
 # Java regex — split(s, '.') silently splits on every character.
@@ -1380,6 +1410,9 @@ def translate(sql: str) -> str:
     out = _rewrite_calls(out, _approx_distinct_re, _build_approx_distinct)
     out = _rewrite_calls(out, _approx_pct_re, _build_approx_percentile)
     out = _rewrite_calls(out, _array_minmax_by_re, _build_array_minmax_by)
+    out = _rewrite_calls(out, _color_call_re, _build_color_call)
+    out = _rewrite_calls(out, _render_call_re, _build_render_call)
+    out = _rewrite_calls(out, _bar_call_re, _build_bar_call)
     # Literal split delimiters quote BEFORE the regexp_split→split
     # rename below, so a renamed regexp_split's pattern is never quoted.
     out = _rewrite_calls(out, _split_call_name_re, _build_split)

@@ -843,3 +843,28 @@ def test_color_bar_tier(spark):
     # (int)(0.999*2) = 1 block, one space pad
     assert r.bar_trunc.count("█") == 1 and r.bar_trunc.endswith(" ")
     assert r.bar_empty_len == len("[0m") + 7
+
+
+def test_color_presto_spellings_via_engine(spark):
+    """The Presto overload spellings route through the dialect layer:
+    3/5-arg color -> color_interp/color_scaled, 1-arg render ->
+    render_bool, 4-arg bar -> bar_colored."""
+    from presto_spark.engine import Engine
+
+    eng = Engine(spark)
+    r = eng.sql("""
+      SELECT color(0.5, rgb(255,0,0), rgb(0,255,0)) AS mid,
+             color(75.0, 50.0, 100.0, rgb(255,0,0), rgb(0,255,0)) AS sc,
+             color('#0f0') AS plain,
+             replace(render(true), chr(27), 'E') AS rb,
+             replace(render('hi', color('blue')), chr(27), 'E') AS rs,
+             replace(bar(1.0, 3, rgb(0,0,255), rgb(255,0,255)),
+                     chr(27), 'E') AS bl
+    """).collect()[0]
+    assert r.mid == 16776960  # yellow
+    assert r.sc == 16776960   # fraction 0.5 after rescale
+    assert r.plain == 65280
+    assert r.rb == "E[38;5;2m✓E[0m"
+    assert r.rs == "E[38;5;4mhiE[0m"
+    # full bar: 3 gradient blocks (blue 21 → 129 → magenta 201), no pad
+    assert r.bl == "E[38;5;21m█E[38;5;129m█E[38;5;201m█E[0m"
