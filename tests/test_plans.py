@@ -301,3 +301,30 @@ def test_geometry_union_agg_two_level(spark):
         assert "__pid" in ln, (
             f"shell collect_list not partition-scoped:\n{ln}")
     assert saw_shell_collect, "expected a level-1 shell collect_list"
+
+
+def test_q69_one_semi_two_anti(spark):
+    """q69 shape: EXISTS + 2x NOT EXISTS on the same correlation key
+    must plan as one semi and two anti joins — never a subquery
+    re-execution per row."""
+    df = REGISTRY["tpcds_q69_exists_not_exists_demographics"].spark(
+        spark, SF_DIR)
+    plan = _optimized(df)
+    assert plan.count("LeftSemi") == 1
+    assert plan.count("LeftAnti") == 2
+
+
+def test_q45_or_membership_is_existence_join(spark):
+    """q45 shape: IN-subquery under OR cannot become a filtering semi
+    join — it must surface as an ExistenceJoin producing a boolean
+    column consumed by the disjunction."""
+    df = REGISTRY["tpcds_q45_geo_or_item_subquery"].spark(spark, SF_DIR)
+    assert "ExistenceJoin" in _optimized(df)
+
+
+def test_q38_intersect_plans_as_semi_joins(spark):
+    """q38 shape: the 3-way INTERSECT lowers to distinct + semi joins
+    (set semantics), not a join-free union/aggregate."""
+    df = REGISTRY["tpcds_q38_triple_intersect_customers"].spark(
+        spark, SF_DIR)
+    assert _optimized(df).count("LeftSemi") == 2
