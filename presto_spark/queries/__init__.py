@@ -41,8 +41,9 @@ from presto_spark.queries import geo_suite  # noqa: F401,E402
 # event_sessionization_sql, event_stream_stateful_stats,
 # event_stream_interval_join, event_funnel_conversion,
 # event_json_enrichment, event_session_window, event_sliding_window,
-# event_tumbling_window, llm_embedding_normalize — displaced by the
-# 24 round-9 additions) — they lead the r10 front.
+# event_tumbling_window, llm_embedding_normalize, llm_vocabulary,
+# llm_normalize_nfc, llm_multimodal_frame_sample, llm_dedup_clusters
+# — displaced by the 28 round-9 additions) — they lead the r10 front.
 # tests/test_registry_front.py pins list(REGISTRY)[:50] == this list.
 _DRIVER_FRONT = [
     # 11 rows with no driver check in any round (added in round 8)
@@ -70,10 +71,6 @@ _DRIVER_FRONT = [
     "llm_ann_lsh_recall",
     "llm_multimodal_features",
     "llm_chunk_documents",
-    "llm_vocabulary",
-    "llm_normalize_nfc",
-    "llm_multimodal_frame_sample",
-    "llm_dedup_clusters",
     # round-9 additions (never checked — swapped in for the r3 tail
     # per the rotation contract above; displaced rows lead the r10
     # front)
@@ -101,6 +98,10 @@ _DRIVER_FRONT = [
     "tpcds_q40_brand_netted_before_after",
     "tpcds_q76_tagged_channel_union",
     "tpcds_q91_returns_loss_report",
+    "tpcds_q22_rollup_avg_quantity",
+    "tpcds_q50_ship_latency_buckets",
+    "tpcds_q77_channel_profit_totals",
+    "tpcds_q83_three_window_share",
 ]
 
 

@@ -2588,3 +2588,139 @@ sql_query(
         "two dimension joins, loss ranked per group.",
     tags=("tpcds",),
 )
+
+
+# ---- round-9 tranche 7 ----
+
+# q22 shape: average quantity over a ROLLUP hierarchy ordered by the
+# aggregate.
+sql_query(
+    "tpcds_q22_rollup_avg_quantity",
+    """
+    SELECT p.p_brand AS brand, p.p_type AS ptype,
+           CAST(grouping(p.p_brand) + grouping(p.p_type) AS BIGINT)
+             AS lvl,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(floor(CAST(sum(CAST(l.l_quantity AS BIGINT)) * 100
+                           AS DOUBLE) / count(*)) AS BIGINT)
+             AS avg_qty_x100
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size <= 10
+    GROUP BY ROLLUP(p.p_brand, p.p_type)
+    ORDER BY avg_qty_x100 DESC, brand, ptype
+    LIMIT 100
+    """,
+    doc="TPC-DS q22 shape (average inventory quantity over the "
+        "product ROLLUP hierarchy, ordered by the average itself — "
+        "q22.sql): margins rank among detail rows; the average is a "
+        "floored exact-integer ratio so ordering is identical on both "
+        "engines.",
+    tags=("tpcds",),
+)
+
+# q50 shape: latency between two linked facts bucketed into day-range
+# counts per group (order date → ship date here).
+sql_query(
+    "tpcds_q50_ship_latency_buckets",
+    """
+    SELECT s.s_name AS supplier,
+           CAST(count(*) FILTER (WHERE l.l_shipdate <=
+                                       o.o_orderdate + INTERVAL 30 DAY)
+                AS BIGINT) AS d30,
+           CAST(count(*) FILTER (WHERE l.l_shipdate >
+                                       o.o_orderdate + INTERVAL 30 DAY
+                                   AND l.l_shipdate <=
+                                       o.o_orderdate + INTERVAL 60 DAY)
+                AS BIGINT) AS d60,
+           CAST(count(*) FILTER (WHERE l.l_shipdate >
+                                       o.o_orderdate + INTERVAL 60 DAY
+                                   AND l.l_shipdate <=
+                                       o.o_orderdate + INTERVAL 90 DAY)
+                AS BIGINT) AS d90,
+           CAST(count(*) FILTER (WHERE l.l_shipdate >
+                                       o.o_orderdate + INTERVAL 90 DAY)
+                AS BIGINT) AS d90plus
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE year(o.o_orderdate) = 1996
+    GROUP BY s.s_name
+    ORDER BY supplier
+    LIMIT 100
+    """,
+    doc="TPC-DS q50 shape (store returns bucketed by days-to-return "
+        "30/60/90/120 per store — q50.sql, sale→return latency "
+        "spelled as order→ship): the inter-fact date-lag lands in "
+        "disjoint FILTER buckets on one pass over the join.",
+    tags=("tpcds",),
+)
+
+# q77 shape: per-channel sales and returns side by side with
+# GROUPING SETS totals.
+sql_query(
+    "tpcds_q77_channel_profit_totals",
+    """
+    SELECT o_orderpriority AS pri,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS lvl,
+           CAST(sum(CASE WHEN l_returnflag <> 'R'
+                         THEN CAST(CAST(l_extendedprice
+                                        AS DECIMAL(14,2)) * 100
+                                   AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS sales_cents,
+           CAST(sum(CASE WHEN l_returnflag = 'R'
+                         THEN CAST(CAST(l_extendedprice
+                                        AS DECIMAL(14,2)) * 100
+                                   AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS returns_cents
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY GROUPING SETS ((o_orderpriority), ())
+    ORDER BY lvl, pri
+    """,
+    doc="TPC-DS q77 shape (sales vs returns per channel plus the "
+        "grand-total row via ROLLUP — q77.sql): both measures ride "
+        "one fact pass as conditional sums; the () grouping set is "
+        "the all-channel total.",
+    tags=("tpcds",),
+)
+
+# q83 shape: one group's share of the sum of three symmetric sets,
+# each defined by a date-window, joined on the item.
+sql_query(
+    "tpcds_q83_three_window_share",
+    """
+    WITH w1 AS (
+      SELECT l_partkey AS pk, sum(CAST(l_quantity AS BIGINT)) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-03-01 00:00:00'
+      GROUP BY l_partkey
+    ),
+    w2 AS (
+      SELECT l_partkey AS pk, sum(CAST(l_quantity AS BIGINT)) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-05-01 00:00:00'
+      GROUP BY l_partkey
+    ),
+    w3 AS (
+      SELECT l_partkey AS pk, sum(CAST(l_quantity AS BIGINT)) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-05-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+      GROUP BY l_partkey
+    )
+    SELECT w1.pk AS partkey, w1.qty AS q1, w2.qty AS q2, w3.qty AS q3,
+           CAST(floor(CAST(w1.qty AS DOUBLE) * 1000
+                      / (w1.qty + w2.qty + w3.qty)) AS BIGINT)
+             AS share1_x1000
+    FROM w1 JOIN w2 ON w2.pk = w1.pk JOIN w3 ON w3.pk = w1.pk
+    ORDER BY share1_x1000 DESC, partkey
+    LIMIT 100
+    """,
+    doc="TPC-DS q83 shape (store/catalog/web returns for the same "
+        "item over three symmetric date windows, each channel's share "
+        "of the three-way total — q83.sql): three windowed aggregates "
+        "of one fact equi-joined on the item key; shares as floored "
+        "per-mille of exact integer sums.",
+    tags=("tpcds",),
+)
