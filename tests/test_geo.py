@@ -1050,3 +1050,62 @@ def test_nonconvex_overlay_general(spark):
     # MULTIPOLYGON operand: pieces ear-clip separately, overlay exact
     assert (rows[3].ai, rows[3].au, rows[3].ad) == (2.0, 10.0, 6.0)
     assert rows[3].nta == 4  # two triangles per square piece
+
+
+def test_nonconvex_overlay_bulk_inclusion_exclusion(spark):
+    """2000 generated concave-L × square pairs through the general
+    overlay: |A∪B| = |A| + |B| − |A∩B| must hold row-wise (1e-9).
+    Doubles as the scale-shape guard — the whole pass is one
+    Arrow-batched map stage, so runtime is seconds, not minutes."""
+    from presto_spark.functions import geo_decompose as gd
+
+    base = spark.range(2000).select(
+        F.col("id"),
+        (F.col("id") % 7).cast("double").alias("dx"),
+        ((F.col("id") % 5) / 2.0).alias("dy"),
+        (1.0 + (F.col("id") % 3)).alias("s"),
+    )
+    # A: L-shape scaled by s at origin; B: 2x2 square at (dx-1, dy-1)
+    # → overlap varies from none to full containment across rows.
+    wa = F.format_string(
+        "POLYGON ((0 0, %s 0, %s %s, %s %s, %s %s, 0 %s, 0 0))",
+        (F.col("s") * 4).cast("string"), (F.col("s") * 4).cast("string"),
+        (F.col("s") * 2).cast("string"), (F.col("s") * 2).cast("string"),
+        (F.col("s") * 2).cast("string"), (F.col("s") * 2).cast("string"),
+        (F.col("s") * 4).cast("string"), (F.col("s") * 4).cast("string"),
+    )
+    wb = F.format_string(
+        "POLYGON ((%s %s, %s %s, %s %s, %s %s, %s %s))",
+        (F.col("dx") - 1).cast("string"), (F.col("dy") - 1).cast("string"),
+        (F.col("dx") + 1).cast("string"), (F.col("dy") - 1).cast("string"),
+        (F.col("dx") + 1).cast("string"), (F.col("dy") + 1).cast("string"),
+        (F.col("dx") - 1).cast("string"), (F.col("dy") + 1).cast("string"),
+        (F.col("dx") - 1).cast("string"), (F.col("dy") - 1).cast("string"),
+    )
+    df = (
+        base.select("id", geo.st_geometry_from_text(wa).alias("a"),
+                    geo.st_geometry_from_text(wb).alias("b"))
+        .repartition(8)
+        .withColumn("ta", gd.triangulate_raw(F.col("a")))
+        .withColumn("tb", gd.triangulate_raw(F.col("b")))
+        .repartition(8)
+    )
+    gi = gd.st_intersection_general(F.col("ta"), F.col("tb"))
+    gu = gd.st_union_general(F.col("ta"), F.col("tb"))
+    out = df.select(
+        geo.st_area(F.col("a")).alias("aa"),
+        geo.st_area(F.col("b")).alias("ab"),
+        F.coalesce(geo.st_area(gi), F.lit(0.0)).alias("ai"),
+        geo.st_area(gu).alias("au"),
+        gi.isNotNull().alias("overlaps"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("overlaps").cast("int")).alias("n_overlap"),
+        F.bool_and(
+            F.abs(F.col("au") - (F.col("aa") + F.col("ab") - F.col("ai")))
+            < 1e-9
+        ).alias("ie_ok"),
+    ).collect()[0]
+    assert out.n == 2000 and out.ie_ok
+    # the construction must exercise both regimes
+    assert 100 < out.n_overlap < 2000
