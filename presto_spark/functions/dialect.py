@@ -940,6 +940,21 @@ def _build_bar_call(_name: str, args: list[str]) -> str | None:
     return None
 
 
+# features(f1, ..., fN) → map<bigint,double> (presto-ml
+# MLFeaturesFunctions.java — 0-indexed dense feature map).  A pure
+# map() literal: no UDF, any arity.
+_features_call_re = re.compile(r"\b(features)\s*\(", re.IGNORECASE)
+
+
+def _build_features_call(_name: str, args: list[str]) -> str | None:
+    if not args:
+        return None
+    entries = ", ".join(
+        f"CAST({i} AS BIGINT), CAST({a} AS DOUBLE)"
+        for i, a in enumerate(args))
+    return f"map({entries})"
+
+
 # Presto split(s, delim[, limit]) treats the delimiter as a LITERAL
 # (StringFunctions.java split uses Slice indexOf); Spark's split takes a
 # Java regex — split(s, '.') silently splits on every character.
@@ -1413,6 +1428,7 @@ def translate(sql: str) -> str:
     out = _rewrite_calls(out, _color_call_re, _build_color_call)
     out = _rewrite_calls(out, _render_call_re, _build_render_call)
     out = _rewrite_calls(out, _bar_call_re, _build_bar_call)
+    out = _rewrite_calls(out, _features_call_re, _build_features_call)
     # Literal split delimiters quote BEFORE the regexp_split→split
     # rename below, so a renamed regexp_split's pattern is never quoted.
     out = _rewrite_calls(out, _split_call_name_re, _build_split)

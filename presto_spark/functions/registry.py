@@ -1050,6 +1050,19 @@ def register_functions(spark: SparkSession) -> list[str]:
     for name, (args, ret, body, _cite) in COLOR_UDFS.items():
         spark.sql(_ddl(name, args, ret, body))
         registered.append(name)
+    # ML scalar tier (presto-ml MLFunctions.java) — Arrow-batched
+    # model-scoring UDFs; training lives in operators/ml.py as
+    # DataFrame operators (the reference trains inside a final-node
+    # aggregate, the same single-site semantics).
+    from presto_spark.operators import ml as _ml
+
+    for name, fn in (
+        ("classify", _ml.classify),
+        ("classify_varchar", _ml.classify_varchar),
+        ("regress", _ml.regress),
+    ):
+        spark.udf.register(name, fn)
+        registered.append(name)
     # Extended-JSONPath tier (recursive descent / filters / bracket names /
     # slices — Jayway fallback in the reference, JsonPath.java:140).
     # Arrow-batched pandas UDFs; the dialect layer routes literal extended

@@ -20,6 +20,7 @@ from presto_spark.queries import functions_suite  # noqa: F401,E402
 from presto_spark.queries import functions_suite2  # noqa: F401,E402
 from presto_spark.queries import tpcds_suite  # noqa: F401,E402
 from presto_spark.queries import geo_suite  # noqa: F401,E402
+from presto_spark.queries import ml_suite  # noqa: F401,E402
 
 # Driver-window rotation: the driver's correctness harness samples the
 # first 50 registry entries each round, so registry ORDER decides which
@@ -42,8 +43,9 @@ from presto_spark.queries import geo_suite  # noqa: F401,E402
 # event_stream_interval_join, event_funnel_conversion,
 # event_json_enrichment, event_session_window, event_sliding_window,
 # event_tumbling_window, llm_embedding_normalize, llm_vocabulary,
-# llm_normalize_nfc, llm_multimodal_frame_sample, llm_dedup_clusters
-# — displaced by the 28 round-9 additions) — they lead the r10 front.
+# llm_normalize_nfc, llm_multimodal_frame_sample, llm_dedup_clusters,
+# llm_chunk_documents — displaced by the 29 round-9 additions) — they
+# lead the r10 front.
 # tests/test_registry_front.py pins list(REGISTRY)[:50] == this list.
 _DRIVER_FRONT = [
     # 11 rows with no driver check in any round (added in round 8)
@@ -70,7 +72,6 @@ _DRIVER_FRONT = [
     "llm_ann_ivf_topk",
     "llm_ann_lsh_recall",
     "llm_multimodal_features",
-    "llm_chunk_documents",
     # round-9 additions (never checked — swapped in for the r3 tail
     # per the rotation contract above; displaced rows lead the r10
     # front)
@@ -102,6 +103,7 @@ _DRIVER_FRONT = [
     "tpcds_q50_ship_latency_buckets",
     "tpcds_q77_channel_profit_totals",
     "tpcds_q83_three_window_share",
+    "ml_learn_classify_golden",
 ]
 
 
