@@ -324,3 +324,122 @@ def st_difference_general(ta: Column, tb: Column) -> Column:
     """ST_Difference for simple hole-free polygons; NULL when A ⊆ B
     (empty result)."""
     return geometry_from_flat_pieces(_DIFFERENCE_UDF(ta, tb))
+
+
+# ---- n-ary union (grouped dissolve) --------------------------------------
+
+def _union_pieces(acc: list, tris: list) -> list:
+    """Disjoint piece-set union: acc + (tris ∖ acc), every new piece
+    clipped against every accumulated piece."""
+    fresh = []
+    for t in tris:
+        parts = [t]
+        for p in acc:
+            parts = [r for s in parts for r in _diff_pieces(s, p)]
+            if not parts:
+                break
+        fresh.extend(parts)
+    return acc + [p for p in fresh if abs(_area2(p)) > _EPS]
+
+
+def _rings_to_pieces(rings_x, rings_y) -> list | None:
+    """One geometry's ring coordinate lists → triangle pieces, or
+    None for an out-of-model/degenerate input."""
+    tris = []
+    for xs, ys in zip(rings_x, rings_y):
+        t = _earclip(xs, ys)
+        if not t:
+            return None
+        tris.extend(_tris(t))
+    return tris
+
+
+def geometry_union_agg_general(df, group_cols, geom_col="geom"):
+    """Grouped n-ary ST_Union for ARBITRARY simple hole-free polygons
+    and multipolygons — the general dissolve the convex tier pins NULL
+    (operators/geo_agg.py geometry_union_agg requires convex members
+    with a common full-dimensional intersection; reference:
+    geospatial.rst aggregations, Esri-backed).
+
+    TWO-LEVEL like the hull/union aggregates: level 1 ear-clips each
+    member and unions piece sets per (group, input partition) —
+    map-side-sized state, the raw geometry crosses the wire once;
+    level 2 unions the partial piece TILINGS per group (the piece-set
+    union is associative: tiles are polygons themselves).  Output:
+    ``group_cols + [geometry]`` where geometry is the POLYGON/
+    MULTIPOLYGON tiling (area-exact, disjoint interiors; WKT is a
+    tiling, not a merged ring — module-level deviation note).  A group
+    containing any out-of-model member (holed piece, non-simple ring)
+    or no geometry yields NULL, on a row-per-group spine.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    g = F.col(geom_col)
+    ok = (
+        (g["kind"] == "POLYGON") & (F.size(g["rings"]) == 1)
+    ) | (g["kind"] == "MULTIPOLYGON")
+    staged = df.select(
+        *group_cols,
+        F.spark_partition_id().alias("__pid"),
+        F.when(g.isNotNull() & ok, F.transform(
+            g["rings"], lambda r: F.transform(r, lambda p: p["x"])))
+        .alias("__xs"),
+        F.when(g.isNotNull() & ok, F.transform(
+            g["rings"], lambda r: F.transform(r, lambda p: p["y"])))
+        .alias("__ys"),
+        g.isNotNull().alias("__present"),
+    )
+    gtypes = {f.name: f.dataType.simpleString() for f in staged.schema.fields}
+    gsig = ", ".join(f"{c} {gtypes[c]}" for c in group_cols)
+    pieces_t = "array<array<double>>"
+
+    def flat(pieces):
+        return [[c for v in p for c in v] for p in pieces]
+
+    def unflat(pieces):
+        return [list(zip(p[0::2], p[1::2])) for p in pieces]
+
+    def level1(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc: list = []
+        bad = False
+        for xs, ys, present in zip(pdf["__xs"], pdf["__ys"],
+                                   pdf["__present"]):
+            if not present:
+                continue
+            if xs is None or ys is None:
+                bad = True
+                break
+            tris = _rings_to_pieces(xs, ys)
+            if tris is None:
+                bad = True
+                break
+            acc = _union_pieces(acc, tris)
+        out = {c: [pdf[c].iloc[0]] for c in group_cols}
+        out["__pieces"] = [None if bad or not acc else flat(acc)]
+        out["__bad"] = [bad]
+        return pd.DataFrame(out)
+
+    partials = staged.groupBy(*group_cols, "__pid").applyInPandas(
+        level1, f"{gsig}, __pieces {pieces_t}, __bad boolean")
+
+    def level2(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc: list = []
+        bad = bool(pdf["__bad"].any())
+        if not bad:
+            for pieces in pdf["__pieces"]:
+                if pieces is None:
+                    continue
+                acc = _union_pieces(acc, unflat(pieces))
+        out = {c: [pdf[c].iloc[0]] for c in group_cols}
+        out["__pieces"] = [None if bad or not acc else flat(acc)]
+        return pd.DataFrame(out)
+
+    unioned = partials.groupBy(*group_cols).applyInPandas(
+        level2, f"{gsig}, __pieces {pieces_t}")
+    out = unioned.select(
+        *group_cols,
+        geometry_from_flat_pieces(F.col("__pieces")).alias("geometry"),
+    )
+    spine = df.select(*group_cols).distinct()
+    return spine.join(out, group_cols, "left")

@@ -44,8 +44,8 @@ from presto_spark.queries import ml_suite  # noqa: F401,E402
 # event_json_enrichment, event_session_window, event_sliding_window,
 # event_tumbling_window, llm_embedding_normalize, llm_vocabulary,
 # llm_normalize_nfc, llm_multimodal_frame_sample, llm_dedup_clusters,
-# llm_chunk_documents — displaced by the 29 round-9 additions) — they
-# lead the r10 front.
+# llm_chunk_documents, llm_multimodal_features — displaced by the 30
+# round-9 additions) — they lead the r10 front.
 # tests/test_registry_front.py pins list(REGISTRY)[:50] == this list.
 _DRIVER_FRONT = [
     # 11 rows with no driver check in any round (added in round 8)
@@ -71,7 +71,6 @@ _DRIVER_FRONT = [
     "llm_cosine_topk",
     "llm_ann_ivf_topk",
     "llm_ann_lsh_recall",
-    "llm_multimodal_features",
     # round-9 additions (never checked — swapped in for the r3 tail
     # per the rotation contract above; displaced rows lead the r10
     # front)
@@ -104,6 +103,7 @@ _DRIVER_FRONT = [
     "tpcds_q77_channel_profit_totals",
     "tpcds_q83_three_window_share",
     "ml_learn_classify_golden",
+    "geo_union_agg_general_golden",
 ]
 
 

@@ -1178,3 +1178,62 @@ def geo_nonconvex_overlay_golden(spark, sf_dir):
             ) < 1e-9
         ).alias("incl_excl_ok"),
     ).orderBy("i")
+
+
+@register(
+    "geo_union_agg_general_golden",
+    oracle="""
+SELECT * FROM (VALUES
+  (0, '7.2500', false, 'MULTIPOLYGON'),
+  (1, '13.0000', false, 'MULTIPOLYGON'),
+  (2, '8.0000', false, 'MULTIPOLYGON'),
+  (3, '10.0000', false, 'MULTIPOLYGON'),
+  (4, '0.0000', true, NULL),
+  (5, '0.0000', true, NULL)
+) AS v(g, union_area_q, is_null, kind)
+ORDER BY g
+""",
+    doc="General grouped dissolve (round 9 — geo_decompose."
+        "geometry_union_agg_general; geospatial.rst geometry_union_agg "
+        "without the convex tier's common-intersection requirement): "
+        "n-ary union of ARBITRARY simple hole-free polygons/"
+        "multipolygons per group via two-level ear-clip piece-set "
+        "union (level 1 per (group, partition), level 2 over partial "
+        "tilings).  Groups: overlapping convex trio (inclusion-"
+        "exclusion 7.25), concave L + square (13), DISJOINT pair (8 — "
+        "pinned NULL in the convex tier), multipolygon member bridging "
+        "its own gap (10), holed member → NULL, all-NULL group keeps "
+        "its spine row.",
+    tags=("geo", "functions"),
+)
+def geo_union_agg_general_golden(spark, sf_dir):
+    from presto_spark.functions import geo_decompose as gd
+
+    prepare(spark, sf_dir)
+    cases = [
+        (0, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+        (0, "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"),
+        (0, "POLYGON ((1 0.5, 2.5 0.5, 2.5 2.5, 1 2.5, 1 0.5))"),
+        (1, "POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))"),
+        (1, "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"),
+        (2, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+        (2, "POLYGON ((5 5, 7 5, 7 7, 5 7, 5 5))"),
+        (3, "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), "
+            "((4 0, 6 0, 6 2, 4 2, 4 0)))"),
+        (3, "POLYGON ((1 0, 5 0, 5 1, 1 1, 1 0))"),
+        (4, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+            "(1 1, 2 1, 2 2, 1 2, 1 1))"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(cases, "g int, wkt string").select(
+        "g", geo.st_geometry_from_text(F.col("wkt")).alias("geom")
+    ).repartition(3)
+    out = gd.geometry_union_agg_general(df, ["g"], "geom")
+    return out.select(
+        "g",
+        F.format_string(
+            "%.4f", F.coalesce(geo.st_area(F.col("geometry")), F.lit(0.0))
+        ).alias("union_area_q"),
+        F.col("geometry").isNull().alias("is_null"),
+        F.col("geometry")["kind"].alias("kind"),
+    ).orderBy("g")

@@ -1109,3 +1109,60 @@ def test_nonconvex_overlay_bulk_inclusion_exclusion(spark):
     assert out.n == 2000 and out.ie_ok
     # the construction must exercise both regimes
     assert 100 < out.n_overlap < 2000
+
+
+def test_geometry_union_agg_general(spark):
+    """General grouped dissolve (geo_decompose.geometry_union_agg
+    _general): arbitrary simple members — overlapping convex trio
+    (inclusion-exclusion 7.25), concave member, DISJOINT pair (the
+    convex tier pins NULL here), multipolygon member bridging its own
+    gap, holed member → NULL, all-NULL group keeps its spine row."""
+    from presto_spark.functions import geo_decompose as gd
+
+    cases = [
+        (0, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+        (0, "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"),
+        (0, "POLYGON ((1 0.5, 2.5 0.5, 2.5 2.5, 1 2.5, 1 0.5))"),
+        (1, "POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))"),
+        (1, "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"),
+        (2, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+        (2, "POLYGON ((5 5, 7 5, 7 7, 5 7, 5 5))"),
+        (3, "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), "
+            "((4 0, 6 0, 6 2, 4 2, 4 0)))"),
+        (3, "POLYGON ((1 0, 5 0, 5 1, 1 1, 1 0))"),
+        (4, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+            "(1 1, 2 1, 2 2, 1 2, 1 1))"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(cases, "g int, wkt string").select(
+        "g", geo.st_geometry_from_text(F.col("wkt")).alias("geom")
+    ).repartition(3)
+    out = gd.geometry_union_agg_general(df, ["g"], "geom")
+    rows = {r.g: r for r in out.select(
+        "g", geo.st_area(F.col("geometry")).alias("a"),
+        F.col("geometry").isNull().alias("nl")).collect()}
+    assert abs(rows[0].a - 7.25) < 1e-9
+    assert abs(rows[1].a - 13.0) < 1e-9
+    assert abs(rows[2].a - 8.0) < 1e-9   # disjoint group unions now
+    assert abs(rows[3].a - 10.0) < 1e-9
+    assert rows[4].nl and rows[5].nl
+    assert len(rows) == 6
+
+
+def test_geometry_union_agg_general_two_level(spark):
+    """The general dissolve must keep its level-1 pandas stage keyed
+    by (group, __pid) — raw geometry crosses the wire once and the
+    per-group stage sees partial TILINGS, never raw members."""
+    from presto_spark.functions import geo_decompose as gd
+
+    df = spark.createDataFrame(
+        [(0, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")],
+        "g int, wkt string").select(
+        "g", geo.st_geometry_from_text(F.col("wkt")).alias("geom"))
+    out = gd.geometry_union_agg_general(df, ["g"], "geom")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 2
+    import re
+    l1 = [ln for ln in plan.splitlines()
+          if "FlatMapGroupsInPandas" in ln and "__pid" in ln]
+    assert l1, "level-1 pandas stage must be keyed by (group, __pid)"
