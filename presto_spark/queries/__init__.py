@@ -44,8 +44,9 @@ from presto_spark.queries import ml_suite  # noqa: F401,E402
 # event_json_enrichment, event_session_window, event_sliding_window,
 # event_tumbling_window, llm_embedding_normalize, llm_vocabulary,
 # llm_normalize_nfc, llm_multimodal_frame_sample, llm_dedup_clusters,
-# llm_chunk_documents, llm_multimodal_features — displaced by the 30
-# round-9 additions) — they lead the r10 front.
+# llm_chunk_documents, llm_multimodal_features, llm_cosine_topk,
+# llm_ann_ivf_topk, llm_ann_lsh_recall, llm_quality_filter —
+# displaced by the 34 round-9 additions) — they lead the r10 front.
 # tests/test_registry_front.py pins list(REGISTRY)[:50] == this list.
 _DRIVER_FRONT = [
     # 11 rows with no driver check in any round (added in round 8)
@@ -67,10 +68,6 @@ _DRIVER_FRONT = [
     "analytics_market_basket",
     # 35 oldest round-3-stale rows (registry order)
     "llm_token_count",
-    "llm_quality_filter",
-    "llm_cosine_topk",
-    "llm_ann_ivf_topk",
-    "llm_ann_lsh_recall",
     # round-9 additions (never checked — swapped in for the r3 tail
     # per the rotation contract above; displaced rows lead the r10
     # front)
@@ -104,6 +101,10 @@ _DRIVER_FRONT = [
     "tpcds_q83_three_window_share",
     "ml_learn_classify_golden",
     "geo_union_agg_general_golden",
+    "tpcds_q8_supplier_rich_nations",
+    "tpcds_q18_rollup_dimension_averages",
+    "tpcds_q35_or_exists_demographic_stats",
+    "tpcds_q71_brand_time_bucket_breakdown",
 ]
 
 

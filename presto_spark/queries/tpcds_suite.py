@@ -2724,3 +2724,123 @@ sql_query(
         "per-mille of exact integer sums.",
     tags=("tpcds",),
 )
+
+
+# ---- round-9 tranche 8 ----
+
+# q8 shape: fact revenue restricted to a geography set defined by a
+# dimension-side subquery threshold.
+sql_query(
+    "tpcds_q8_supplier_rich_nations",
+    """
+    SELECT n.n_name AS nation,
+           CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE n.n_nationkey IN (
+      SELECT s_nationkey FROM supplier
+      GROUP BY s_nationkey
+      HAVING count(*) >= 1
+    )
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+    doc="TPC-DS q8 shape (store sales for stores whose zip sits in a "
+        "preferred set computed by a dimension subquery — q8.sql's "
+        "substr(zip) IN (...) intersection): the membership set is "
+        "itself an aggregate-HAVING subquery, planned as a semi join "
+        "against the grouped dimension.  Threshold >= 1 keeps the set "
+        "selective at sf0.001 (10 of 25 nations have any supplier) "
+        "and non-empty at every SF (scale-proofing rule).",
+    tags=("tpcds",),
+)
+
+# q18 shape: integer-ratio averages over a two-dimension ROLLUP.
+sql_query(
+    "tpcds_q18_rollup_dimension_averages",
+    """
+    SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+           CAST(grouping(n.n_name) + grouping(c.c_mktsegment)
+                AS BIGINT) AS lvl,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(floor(CAST(sum(CAST(l.l_quantity AS BIGINT)) * 100
+                           AS DOUBLE) / count(*)) AS BIGINT)
+             AS avg_qty_x100,
+           CAST(floor(CAST(sum(CAST(CAST(l.l_discount
+                                         AS DECIMAL(4,2)) * 100
+                                    AS BIGINT)) * 100 AS DOUBLE)
+                      / count(*)) AS BIGINT) AS avg_disc_x10000
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE n.n_regionkey <= 1
+    GROUP BY ROLLUP(n.n_name, c.c_mktsegment)
+    ORDER BY lvl, nation, segment
+    """,
+    doc="TPC-DS q18 shape (catalog averages by demographic over the "
+        "ROLLUP(country, state, county) hierarchy — q18.sql): "
+        "rollup-margin averages as floored exact-integer ratios at "
+        "every grouping level.",
+    tags=("tpcds",),
+)
+
+# q35 shape: customers active in ANY of two channels (OR of EXISTS),
+# multi-statistic demographic aggregate.
+sql_query(
+    "tpcds_q35_or_exists_demographic_stats",
+    """
+    SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS bal_cents,
+           CAST(max(CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS max_bal_cents,
+           CAST(min(CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS min_bal_cents
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND year(o.o_orderdate) = 1998
+                    AND o.o_orderpriority = '1-URGENT')
+       OR EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND year(o.o_orderdate) = 1998
+                    AND o.o_orderpriority = '5-LOW')
+    GROUP BY n.n_name, c.c_mktsegment
+    ORDER BY nation, segment
+    """,
+    doc="TPC-DS q35 shape (customers with a purchase in web OR "
+        "catalog — an OR of two EXISTS, which must plan as existence "
+        "joins feeding the disjunction, not filtering semi joins — "
+        "q35.sql): count/sum/max/min stats per demographic bucket.",
+    tags=("tpcds",),
+)
+
+# q71 shape: one brand revenue report broken down by tagged time
+# buckets from a UNION ALL of time-dimension slices.
+sql_query(
+    "tpcds_q71_brand_time_bucket_breakdown",
+    """
+    SELECT p.p_brand AS brand, u.bucket AS bucket,
+           CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+      SELECT 'h1' AS bucket, 1 AS lo, 6 AS hi
+      UNION ALL SELECT 'h2', 7, 12
+    ) u ON month(l.l_shipdate) BETWEEN u.lo AND u.hi
+    WHERE year(l.l_shipdate) = 1997 AND p.p_size <= 5
+    GROUP BY p.p_brand, u.bucket
+    ORDER BY brand, bucket
+    """,
+    doc="TPC-DS q71 shape (brand revenue broken down by breakfast/"
+        "dinner/night time buckets from a UNION ALL of time-dim "
+        "slices joined back to the fact — q71.sql): the tagged-bucket "
+        "dimension union drives a theta(range) join on the time "
+        "attribute.",
+    tags=("tpcds",),
+)
