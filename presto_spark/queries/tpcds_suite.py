@@ -2844,3 +2844,105 @@ sql_query(
         "attribute.",
     tags=("tpcds",),
 )
+
+
+# ---- round-9 tranche 9 ----
+
+# q48 shape: one quantity sum under an OR of (segment x measure-band)
+# conjunctive arms.
+sql_query(
+    "tpcds_q48_segment_quantity_bands",
+    """
+    SELECT CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+             AS total_qty,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE (c.c_mktsegment = 'AUTOMOBILE'
+           AND l.l_quantity BETWEEN 1 AND 20
+           AND l.l_discount BETWEEN 0.00 AND 0.05)
+       OR (c.c_mktsegment = 'FURNITURE'
+           AND l.l_quantity BETWEEN 21 AND 35
+           AND l.l_discount BETWEEN 0.03 AND 0.08)
+       OR (c.c_mktsegment = 'BUILDING'
+           AND l.l_quantity BETWEEN 36 AND 50
+           AND l.l_discount BETWEEN 0.05 AND 0.10)
+    """,
+    doc="TPC-DS q48 shape (store quantity sum under an OR of three "
+        "(marital-status x net-profit band x sales-price band) arms — "
+        "q48.sql): the disjunction spans measure bands on the FACT "
+        "plus a dimension attribute, so only the hull of the bands "
+        "can push to the scan.",
+    tags=("tpcds",),
+)
+
+# q52/q42/q55 shape: brand revenue for one (year, month), ranked.
+sql_query(
+    "tpcds_q52_brand_monthly_revenue",
+    """
+    SELECT year(o.o_orderdate) AS yr, p.p_brand AS brand,
+           CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE year(o.o_orderdate) = 1997 AND month(o.o_orderdate) = 12
+    GROUP BY year(o.o_orderdate), p.p_brand
+    ORDER BY cents DESC, brand
+    LIMIT 100
+    """,
+    doc="TPC-DS q52 shape (brand extended-price for one d_moy/d_year, "
+        "ordered by the aggregate — q52.sql, the q42/q55 family): "
+        "time-dim filter pushed below the star join, deterministic "
+        "tie-break on brand.",
+    tags=("tpcds",),
+)
+
+# q79 shape: best single ticket per customer via a window over the
+# per-(customer, order) aggregate.
+sql_query(
+    "tpcds_q79_best_ticket_per_customer",
+    """
+    WITH t AS (
+      SELECT o.o_custkey AS ck, o.o_orderkey AS okey,
+             sum(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
+                      AS BIGINT)) AS cents
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_custkey, o.o_orderkey
+    )
+    SELECT c.c_name AS name, t.okey AS okey, t.cents AS cents
+    FROM (SELECT ck, okey, cents,
+                 row_number() OVER (PARTITION BY ck
+                                    ORDER BY cents DESC, okey) AS rn
+          FROM t) t
+    JOIN customer c ON c.c_custkey = t.ck
+    WHERE t.rn = 1
+    ORDER BY t.cents DESC, name
+    LIMIT 100
+    """,
+    doc="TPC-DS q79 shape (a customer's maximal store ticket — per-"
+        "(customer, ticket) aggregate then the best row per customer "
+        "— q79.sql): two-key aggregate feeding a per-customer "
+        "window-rank gate, joined back to the dimension.",
+    tags=("tpcds",),
+)
+
+# q96 shape: a bare count under a three-way dimension filter.
+sql_query(
+    "tpcds_q96_three_dim_filter_count",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS cnt
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderpriority = '2-HIGH'
+      AND c.c_mktsegment = 'MACHINERY'
+      AND n.n_regionkey = 2
+    """,
+    doc="TPC-DS q96 shape (count of store sales for one half-hour x "
+        "household-demographic x store triple — q96.sql): three "
+        "broadcast dimension semijoins collapsing to a count; every "
+        "filter sits on its own dimension.",
+    tags=("tpcds",),
+)
