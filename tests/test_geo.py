@@ -1162,7 +1162,6 @@ def test_geometry_union_agg_general_two_level(spark):
     out = gd.geometry_union_agg_general(df, ["g"], "geom")
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("FlatMapGroupsInPandas") == 2
-    import re
     l1 = [ln for ln in plan.splitlines()
           if "FlatMapGroupsInPandas" in ln and "__pid" in ln]
     assert l1, "level-1 pandas stage must be keyed by (group, __pid)"
