@@ -242,3 +242,52 @@ def evaluate_classifier_predictions(df: DataFrame, truth_col: str,
 
     return counts.groupBy("__g").applyInPandas(run, "report string") \
         .select("report")
+
+
+def learn_libsvm_classifier(df: DataFrame, label_col: str,
+                            features_col: str,
+                            params: str = "") -> DataFrame:
+    """learn_libsvm_classifier(label, features, params)
+    (LearnLibSvmClassifierAggregation.java).  ``params`` is the
+    reference's svm_parameter string (LibSvmUtils.java parseParameters
+    — e.g. '-C 10 -t 0'); this engine's substituted closed-form
+    estimator has no corresponding knobs, so the string is accepted
+    for API compatibility and recorded in the model blob untouched."""
+    out = _learn(df, label_col, features_col, "bigint")
+    return _stamp_params(out, params)
+
+
+def learn_libsvm_varchar_classifier(df: DataFrame, label_col: str,
+                                    features_col: str,
+                                    params: str = "") -> DataFrame:
+    """learn_libsvm_classifier(label varchar, features, params)
+    (LearnLibSvmVarcharClassifierAggregation.java)."""
+    out = _learn(df, label_col, features_col, "varchar")
+    return _stamp_params(out, params)
+
+
+def learn_libsvm_regressor(df: DataFrame, label_col: str,
+                           features_col: str,
+                           params: str = "") -> DataFrame:
+    """learn_libsvm_regressor(label, features, params)
+    (LearnLibSvmRegressorAggregation.java)."""
+    out = _learn(df, label_col, features_col, "regressor")
+    return _stamp_params(out, params)
+
+
+def _stamp_params(model_df: DataFrame, params: str) -> DataFrame:
+    """Record the caller's libsvm parameter string in the model blob
+    (informational — see learn_libsvm_classifier)."""
+    if not params:
+        return model_df
+
+    @pandas_udf(StringType())
+    def stamp(models):
+        out = []
+        for blob in models:
+            m = json.loads(blob)
+            m["libsvm_params"] = params
+            out.append(json.dumps(m))
+        return pd.Series(out)
+
+    return model_df.select(stamp(F.col("model")).alias("model"))

@@ -80,3 +80,25 @@ def test_features_dialect_spelling(spark):
     row = eng.sql(
         "SELECT features(1.5, 2.5, 3.5) AS f").collect()[0]
     assert row.f == {0: 1.5, 1: 2.5, 2: 3.5}
+
+
+def test_libsvm_spellings_accept_params(spark):
+    """learn_libsvm_* accept the reference's svm_parameter string for
+    API compatibility; it is recorded in the model blob and the
+    substituted estimator still scores exactly."""
+    import json as J
+
+    from presto_spark.functions.registry import register_functions
+
+    register_functions(spark)
+    base = _clusters(spark, n=40)
+    m = ml.learn_libsvm_classifier(base, "label", "f", "-C 10 -t 0")
+    blob = m.collect()[0].model
+    assert J.loads(blob)["libsvm_params"] == "-C 10 -t 0"
+    bad = base.crossJoin(F.broadcast(m)).filter(
+        F.expr("classify(f, model)") != F.col("label")).count()
+    assert bad == 0
+    r = ml.learn_libsvm_regressor(
+        base.selectExpr("id", "CAST(label AS DOUBLE) AS y", "f"),
+        "y", "f")
+    assert J.loads(r.collect()[0].model)["type"] == "regressor"
