@@ -47,11 +47,14 @@ from presto_spark.queries import ml_suite  # noqa: F401,E402
 # llm_chunk_documents, llm_multimodal_features, llm_cosine_topk,
 # llm_ann_ivf_topk, llm_ann_lsh_recall, llm_quality_filter,
 # llm_token_count — displaced by the 35 fronted round-9 additions).
-# The window could not fit everything: three round-9 tranche-9 rows
+# The window could not fit everything: eight round-9 rows
 # (tpcds_q48_segment_quantity_bands, tpcds_q52_brand_monthly_revenue,
-# tpcds_q96_three_dim_filter_count — the simplest shapes of the
-# round, pytest-swept at sf0.001) are NOT fronted and MUST lead the
-# r10 front together with the displaced r3 rows above.
+# tpcds_q96_three_dim_filter_count, tpcds_q7_promo_demographic_
+# averages, tpcds_q19_brand_geo_mismatch_revenue,
+# tpcds_q25_return_repurchase_stats, tpcds_q80_channel_report_rollup,
+# tpcds_q95_multi_supplier_with_returns — all diffchecked at
+# sf0.001/0.01/0.1 and pytest-swept) are NOT fronted and MUST lead
+# the r10 front together with the displaced r3 rows above.
 # tests/test_registry_front.py pins list(REGISTRY)[:50] == this list.
 _DRIVER_FRONT = [
     # 11 rows with no driver check in any round (added in round 8)

@@ -2946,3 +2946,153 @@ sql_query(
         "filter sits on its own dimension.",
     tags=("tpcds",),
 )
+
+
+# ---- round-9 tranche 10: final family representatives ----
+
+# q7 shape: averages by demographic under a promotion-attribute filter.
+sql_query(
+    "tpcds_q7_promo_demographic_averages",
+    """
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(floor(CAST(sum(CAST(l.l_quantity AS BIGINT)) * 100
+                           AS DOUBLE) / count(*)) AS BIGINT)
+             AS avg_qty_x100,
+           CAST(floor(CAST(sum(CAST(CAST(p.p_retailprice
+                                         AS DECIMAL(12,2)) * 100
+                                    AS BIGINT)) AS DOUBLE) / count(*))
+                AS BIGINT) AS avg_list_cents
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_type = 'PROMO'
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+    doc="TPC-DS q7 shape (item averages by customer demographic where "
+        "the promotion dimension filters the fact — q7.sql's "
+        "p_channel_email/p_channel_event arms spelled as the PROMO "
+        "part type): four-table star with the filter on a second "
+        "dimension, integer-ratio averages.",
+    tags=("tpcds",),
+)
+
+# q19 shape: brand revenue where the buyer's geography differs from
+# the seller's, grouped by the brand hierarchy.
+sql_query(
+    "tpcds_q19_brand_geo_mismatch_revenue",
+    """
+    SELECT p.p_brand AS brand,
+           CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE s.s_nationkey <> c.c_nationkey
+      AND year(o.o_orderdate) = 1997
+    GROUP BY p.p_brand
+    ORDER BY cents DESC, brand
+    LIMIT 100
+    """,
+    doc="TPC-DS q19 shape (brand revenue where the customer's zip "
+        "differs from the store's zip — q19.sql's substr(ca_zip,1,5) "
+        "<> substr(s_zip,1,5) as a nation inequality): the mismatch "
+        "predicate spans two dimensions and only evaluates post-join.",
+    tags=("tpcds",),
+)
+
+# q25 shape: sold-then-returned-then-repurchased chain with aggregate
+# stats per grouping (the q29 family at stat shape).
+sql_query(
+    "tpcds_q25_return_repurchase_stats",
+    """
+    SELECT n.n_name AS nation,
+           CAST(count(DISTINCT r.l_partkey) AS BIGINT) AS n_parts,
+           CAST(sum(CAST(r.l_quantity AS BIGINT)) AS BIGINT)
+             AS returned_qty,
+           CAST(sum(CAST(rep.l_quantity AS BIGINT)) AS BIGINT)
+             AS repurchased_qty
+    FROM lineitem r
+    JOIN orders o1 ON o1.o_orderkey = r.l_orderkey
+    JOIN customer c ON c.c_custkey = o1.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN lineitem rep ON rep.l_partkey = r.l_partkey
+                     AND rep.l_returnflag <> 'R'
+                     AND rep.l_shipdate > r.l_shipdate
+    JOIN orders o2 ON o2.o_orderkey = rep.l_orderkey
+                  AND o2.o_custkey = o1.o_custkey
+    WHERE r.l_returnflag = 'R' AND year(r.l_shipdate) = 1996
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+    doc="TPC-DS q25 shape (store sale, store return, then catalog "
+        "repurchase by the same customer of the same item, aggregate "
+        "stats per store — q25.sql): the fact self-joins on (item, "
+        "same-customer, later-date), stats per geography.",
+    tags=("tpcds",),
+)
+
+# q80 shape: channel sales/returns/profit columns with a ROLLUP total
+# over the channel union.
+sql_query(
+    "tpcds_q80_channel_report_rollup",
+    """
+    WITH u AS (
+      SELECT o_orderpriority AS channel,
+             CASE WHEN l_returnflag <> 'R'
+                  THEN CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                            AS BIGINT) ELSE 0 END AS sales_c,
+             CASE WHEN l_returnflag = 'R'
+                  THEN CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                            AS BIGINT) ELSE 0 END AS returns_c
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE year(l_shipdate) = 1997
+    )
+    SELECT channel,
+           CAST(grouping(channel) AS BIGINT) AS lvl,
+           CAST(sum(sales_c) AS BIGINT) AS sales_cents,
+           CAST(sum(returns_c) AS BIGINT) AS returns_cents,
+           CAST(sum(sales_c) - sum(returns_c) AS BIGINT)
+             AS profit_cents
+    FROM u
+    GROUP BY ROLLUP(channel)
+    ORDER BY lvl, channel
+    """,
+    doc="TPC-DS q80 shape (sales/returns/profit per channel with the "
+        "ROLLUP grand total over the three-channel union — q80.sql): "
+        "conditional measures from one fact pass, rollup margin as "
+        "the 'total' channel row.",
+    tags=("tpcds",),
+)
+
+# q95 shape: orders shipped through more than one supplier where BOTH
+# existence conditions hold (the q16 family with a second positive
+# EXISTS instead of the NOT EXISTS).
+sql_query(
+    "tpcds_q95_multi_supplier_with_returns",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS order_count,
+           CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders o
+    WHERE o.o_orderstatus = 'F'
+      AND EXISTS (SELECT 1
+                  FROM lineitem l1 JOIN lineitem l2
+                    ON l1.l_orderkey = l2.l_orderkey
+                   AND l1.l_suppkey <> l2.l_suppkey
+                  WHERE l1.l_orderkey = o.o_orderkey)
+      AND EXISTS (SELECT 1 FROM lineitem lr
+                  WHERE lr.l_orderkey = o.o_orderkey
+                    AND lr.l_returnflag = 'R')
+    """,
+    doc="TPC-DS q95 shape (web orders shipped from two warehouses "
+        "that WERE returned — q95.sql's ws_wh self-join EXISTS plus a "
+        "positive returns EXISTS; contrast q16's NOT EXISTS arm): two "
+        "semi joins on one correlation key, one of them over a "
+        "self-joined fact.",
+    tags=("tpcds",),
+)
