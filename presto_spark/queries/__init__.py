@@ -54,7 +54,10 @@ from presto_spark.queries import ml_suite  # noqa: F401,E402
 # tpcds_q25_return_repurchase_stats, tpcds_q80_channel_report_rollup,
 # tpcds_q95_multi_supplier_with_returns — all diffchecked at
 # sf0.001/0.01/0.1 and pytest-swept) are NOT fronted and MUST lead
-# the r10 front together with the displaced r3 rows above.
+# the r10 front together with the displaced r3 rows above.  Those 8
+# plus the 42 r3-stale rows (35 displaced this round + the 7 that
+# never fit an earlier front) total EXACTLY 50 — the whole r10 window
+# is already determined; write it first thing next round.
 # tests/test_registry_front.py pins list(REGISTRY)[:50] == this list.
 _DRIVER_FRONT = [
     # 11 rows with no driver check in any round (added in round 8)
