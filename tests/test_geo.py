@@ -1165,3 +1165,39 @@ def test_geometry_union_agg_general_two_level(spark):
     l1 = [ln for ln in plan.splitlines()
           if "FlatMapGroupsInPandas" in ln and "__pid" in ln]
     assert l1, "level-1 pandas stage must be keyed by (group, __pid)"
+
+
+def test_earclip_random_star_polygons_property():
+    """Property: for any star-shaped polygon (random points sorted by
+    angle about their centroid — always simple), ear-clip triangle
+    areas sum to the shoelace area and the count is n-2."""
+    import math
+    import random
+
+    from presto_spark.functions.geo_decompose import _earclip
+
+    rng = random.Random(20260814)
+    for trial in range(50):
+        n = rng.randint(4, 24)
+        pts = {(round(rng.uniform(-10, 10), 3),
+                round(rng.uniform(-10, 10), 3)) for _ in range(n)}
+        pts = list(pts)
+        if len(pts) < 4:
+            continue
+        cx = sum(p[0] for p in pts) / len(pts)
+        cy = sum(p[1] for p in pts) / len(pts)
+        pts.sort(key=lambda p: math.atan2(p[1] - cy, p[0] - cx))
+        xs, ys = [p[0] for p in pts], [p[1] for p in pts]
+        m = len(pts)
+        shoelace = abs(sum(
+            xs[i] * ys[(i + 1) % m] - xs[(i + 1) % m] * ys[i]
+            for i in range(m))) / 2
+        tris = _earclip(xs, ys)
+        # ties in angle can produce collinear triples the clip drops;
+        # the area identity must hold regardless
+        assert tris, (trial, pts)
+        tot = sum(
+            abs((t[2] - t[0]) * (t[5] - t[1])
+                - (t[3] - t[1]) * (t[4] - t[0])) / 2
+            for t in tris)
+        assert abs(tot - shoelace) < 1e-6, (trial, pts)
