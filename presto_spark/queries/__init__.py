@@ -24,98 +24,94 @@ from presto_spark.queries import ml_suite  # noqa: F401,E402
 
 # Driver-window rotation: the driver's correctness harness samples the
 # first 50 registry entries each round, so registry ORDER decides which
-# queries earn a hard CORRECTNESS row.  Round-9 front (VERDICT r8 #1 —
-# the r8 rotation was skipped, so this front is exactly the judge's
-# prescription): the 11 rows that have NEVER had a driver check (the 10
-# round-8 TPC-DS shapes + geo_multipolygon_golden), the 4 rows last
-# checked in round 1, and the 35 oldest round-3-stale rows.  Queries
-# ADDED during round 9 must be swapped into this front (displacing the
-# newest r3 entries at the tail, never the never-checked/r1 blocks) in
-# the same commit that registers them — new rows must not land behind
-# the front again.  Remaining debt after this window: 25 r3 rows
-# (TPC-H q01/q03–q09, sketch_approx_percentile_groups,
-# sketch_quantile_mergeable_rollup, sketch_hll_mergeable_rollup,
-# sketch_approx_most_frequent, sketch_numeric_histogram,
-# dml_cow_roundtrip, presto_dialect_revenue_window/array_ops/
-# try_and_generics/session_misc/scalar_breadth,
-# fn_datetime_format_suite, fn_jsonpath_suite, event_daily_retention,
-# event_sessionization_sql, event_stream_stateful_stats,
-# event_stream_interval_join, event_funnel_conversion,
-# event_json_enrichment, event_session_window, event_sliding_window,
-# event_tumbling_window, llm_embedding_normalize, llm_vocabulary,
-# llm_normalize_nfc, llm_multimodal_frame_sample, llm_dedup_clusters,
-# llm_chunk_documents, llm_multimodal_features, llm_cosine_topk,
-# llm_ann_ivf_topk, llm_ann_lsh_recall, llm_quality_filter,
-# llm_token_count — displaced by the 35 fronted round-9 additions).
-# The window could not fit everything: eight round-9 rows
-# (tpcds_q48_segment_quantity_bands, tpcds_q52_brand_monthly_revenue,
-# tpcds_q96_three_dim_filter_count, tpcds_q7_promo_demographic_
-# averages, tpcds_q19_brand_geo_mismatch_revenue,
-# tpcds_q25_return_repurchase_stats, tpcds_q80_channel_report_rollup,
-# tpcds_q95_multi_supplier_with_returns — all diffchecked at
-# sf0.001/0.01/0.1 and pytest-swept) are NOT fronted and MUST lead
-# the r10 front together with the displaced r3 rows above.  Those 8
-# plus the 42 r3-stale rows (35 displaced this round + the 7 that
-# never fit an earlier front) total EXACTLY 50 — the whole r10 window
-# is already determined; write it first thing next round.
+# queries earn a hard CORRECTNESS row.
+#
+# STANDING RULES (VERDICT r9 next-round #3/#7):
+#   * New queries MUST be swapped into the front in the same commit
+#     that registers them (displace the stalest tail rows, never the
+#     never-checked or red blocks), and COVERAGE.md's total must be
+#     bumped or tests/test_registry_front.py fails.
+#   * EDITED => RE-FRONT: any query whose Spark or oracle text changes
+#     must re-enter the front in the SAME commit as the edit — a
+#     fixed-but-unchecked row must never be reported green by
+#     staleness.
+#
+# Round-10 front (exactly the r9 judge prescription):
+#   1. The 14 round-9 RED rows — all one defect class (bare
+#      sum(CAST .. AS BIGINT) oracle emissions widening to HUGEINT/
+#      float64 in DuckDB) — fixed this round by wrapping the sums in
+#      CAST(... AS BIGINT) at their CTE sites; re-fronted per the
+#      edited=>re-front rule.  tests/test_oracle_dtypes.py now gates
+#      the whole class at binder level.
+#   2. The 8 round-9 rows that have never had a driver check.
+#   3. The 28 stalest r3 rows, prioritizing the TPC-H q01/q03-q09
+#      block and the llm_* block, then the sketch/dml/dialect rows in
+#      the r9 comment's listed order.
+# Remaining r3-stale debt after this window (leads the r11 front):
+# presto_dialect_try_and_generics, presto_dialect_session_misc,
+# presto_dialect_scalar_breadth, fn_datetime_format_suite,
+# fn_jsonpath_suite, event_daily_retention, event_sessionization_sql,
+# event_stream_stateful_stats, event_stream_interval_join,
+# event_funnel_conversion, event_json_enrichment, event_session_window,
+# event_sliding_window, event_tumbling_window — 14 rows, plus whatever
+# round 10 edits or adds beyond its front.
 # tests/test_registry_front.py pins list(REGISTRY)[:50] == this list.
 _DRIVER_FRONT = [
-    # 11 rows with no driver check in any round (added in round 8)
-    "tpcds_q4_triple_channel_growth",
-    "tpcds_q9_bucket_case_subqueries",
-    "tpcds_q10_disjunctive_exists",
-    "tpcds_q13_disjunctive_band_join",
-    "tpcds_q16_multi_supplier_no_returns",
+    # 1. the 14 fixed round-9 red rows (oracle dtype emissions)
     "tpcds_q21_before_after_ratio",
     "tpcds_q24_paid_above_threshold",
-    "tpcds_q28_bucket_aggregate_crossjoin",
-    "tpcds_q62_ship_lag_buckets",
     "tpcds_q65_low_revenue_parts",
-    "geo_multipolygon_golden",
-    # 4 rows whose last driver row is round 1 (7 rounds stale)
-    "sample_bernoulli_envelope",
-    "lateral_top_orders_per_nation",
-    "window_groups_frame_emulation",
-    "analytics_market_basket",
-    # 35 oldest round-3-stale rows (registry order)
-    # round-9 additions (never checked — swapped in for the r3 tail
-    # per the rotation contract above; displaced rows lead the r10
-    # front)
-    "geo_nonconvex_overlay_golden",
     "tpcds_q2_monthly_yoy_ratio",
     "tpcds_q11_two_channel_growth_compare",
     "tpcds_q30_returners_above_nation_avg",
-    "tpcds_q38_triple_intersect_customers",
-    "tpcds_q41_distinct_names_disjunctive_exists",
-    "tpcds_q45_geo_or_item_subquery",
-    "tpcds_q69_exists_not_exists_demographics",
     "tpcds_q89_monthly_deviation_window",
-    "tpcds_q93_sales_net_of_returns",
     "tpcds_q98_class_share_within_brand",
     "tpcds_q15_nations_above_share",
-    "tpcds_q32_excess_discount",
-    "tpcds_q37_parts_in_band_with_sales",
     "tpcds_q46_cross_nation_orders",
-    "tpcds_q61_promo_revenue_ratio",
-    "tpcds_q72_ship_delay_per_priority",
-    "tpcds_q90_half_month_ratio",
-    "fn_color_bar_golden",
     "tpcds_q3_brand_rank_per_year",
-    "tpcds_q26_segment_averages",
     "tpcds_q40_brand_netted_before_after",
-    "tpcds_q76_tagged_channel_union",
-    "tpcds_q91_returns_loss_report",
-    "tpcds_q22_rollup_avg_quantity",
-    "tpcds_q50_ship_latency_buckets",
-    "tpcds_q77_channel_profit_totals",
     "tpcds_q83_three_window_share",
-    "ml_learn_classify_golden",
-    "geo_union_agg_general_golden",
-    "tpcds_q8_supplier_rich_nations",
-    "tpcds_q18_rollup_dimension_averages",
-    "tpcds_q35_or_exists_demographic_stats",
-    "tpcds_q71_brand_time_bucket_breakdown",
     "tpcds_q79_best_ticket_per_customer",
+    # 2. the 8 round-9 rows never driver-checked
+    "tpcds_q48_segment_quantity_bands",
+    "tpcds_q52_brand_monthly_revenue",
+    "tpcds_q96_three_dim_filter_count",
+    "tpcds_q7_promo_demographic_averages",
+    "tpcds_q19_brand_geo_mismatch_revenue",
+    "tpcds_q25_return_repurchase_stats",
+    "tpcds_q80_channel_report_rollup",
+    "tpcds_q95_multi_supplier_with_returns",
+    # 3. the 28 stalest r3 rows: TPC-H block first
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_type_profit",
+    # llm block
+    "llm_embedding_normalize",
+    "llm_vocabulary",
+    "llm_normalize_nfc",
+    "llm_multimodal_frame_sample",
+    "llm_dedup_clusters",
+    "llm_chunk_documents",
+    "llm_multimodal_features",
+    "llm_cosine_topk",
+    "llm_ann_ivf_topk",
+    "llm_ann_lsh_recall",
+    "llm_quality_filter",
+    "llm_token_count",
+    # sketch/dml/dialect rows in the r9 comment's listed order
+    "sketch_approx_percentile_groups",
+    "sketch_quantile_mergeable_rollup",
+    "sketch_hll_mergeable_rollup",
+    "sketch_approx_most_frequent",
+    "sketch_numeric_histogram",
+    "dml_cow_roundtrip",
+    "presto_dialect_revenue_window",
+    "presto_dialect_array_ops",
 ]
 
 

@@ -1730,11 +1730,11 @@ sql_query(
     """
     WITH inv AS (
       SELECT l_suppkey,
-             sum(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-                      THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+             CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
                AS qty_before,
-             sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
-                      THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+             CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+                      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
                AS qty_after
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
@@ -1765,8 +1765,8 @@ sql_query(
     """
     WITH ssales AS (
       SELECT c.c_name AS name, n.n_name AS nation,
-             sum(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
-                      AS BIGINT)) AS paid_cents
+             CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
+                      AS BIGINT)) AS BIGINT) AS paid_cents
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
       JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1895,8 +1895,8 @@ sql_query(
     """
     WITH sa AS (
       SELECT l_suppkey AS sk, l_partkey AS pk,
-             sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
-                      AS BIGINT)) AS rev_cents
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                      AS BIGINT)) AS BIGINT) AS rev_cents
       FROM lineitem
       GROUP BY l_suppkey, l_partkey
     ),
@@ -1932,8 +1932,8 @@ sql_query(
     """
     WITH m AS (
       SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon,
-             sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
-                      AS BIGINT)) AS cents
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                      AS BIGINT)) AS BIGINT) AS cents
       FROM orders
       GROUP BY year(o_orderdate), month(o_orderdate)
     )
@@ -1960,14 +1960,14 @@ sql_query(
     """
     WITH yt AS (
       SELECT o_custkey AS ck, year(o_orderdate) AS yr,
-             sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
-                      AS BIGINT)) AS cents
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                      AS BIGINT)) AS BIGINT) AS cents
       FROM orders GROUP BY o_custkey, year(o_orderdate)
     ),
     lt AS (
       SELECT o.o_custkey AS ck, year(l.l_shipdate) AS yr,
-             sum(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
-                      AS BIGINT)) AS cents
+             CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
+                      AS BIGINT)) AS BIGINT) AS cents
       FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
       WHERE l.l_returnflag <> 'R'
       GROUP BY o.o_custkey, year(l.l_shipdate)
@@ -2000,8 +2000,8 @@ sql_query(
     WITH ret AS (
       SELECT c.c_custkey AS ck, c.c_name AS name,
              c.c_nationkey AS nk,
-             sum(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
-                      AS BIGINT)) AS ret_cents
+             CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
+                      AS BIGINT)) AS BIGINT) AS ret_cents
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
       JOIN customer c ON o.o_custkey = c.c_custkey
@@ -2140,8 +2140,8 @@ sql_query(
     WITH m AS (
       SELECT o_orderpriority AS pri, year(o_orderdate) AS yr,
              month(o_orderdate) AS mon,
-             sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
-                      AS BIGINT)) AS cents
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                      AS BIGINT)) AS BIGINT) AS cents
       FROM orders
       GROUP BY o_orderpriority, year(o_orderdate), month(o_orderdate)
     ),
@@ -2203,8 +2203,8 @@ sql_query(
     """
     WITH t AS (
       SELECT p_brand AS brand, p_type AS ptype,
-             sum(CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100
-                      AS BIGINT)) AS cents
+             CAST(sum(CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100
+                      AS BIGINT)) AS BIGINT) AS cents
       FROM part GROUP BY p_brand, p_type
     )
     SELECT brand, ptype, cents,
@@ -2233,8 +2233,8 @@ sql_query(
     """
     WITH rev AS (
       SELECT n.n_name AS nation,
-             sum(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
-                      AS BIGINT)) AS cents
+             CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
+                      AS BIGINT)) AS BIGINT) AS cents
       FROM lineitem l
       JOIN orders o ON o.o_orderkey = l.l_orderkey
       JOIN customer c ON c.c_custkey = o.o_custkey
@@ -2316,12 +2316,12 @@ sql_query(
     WITH x AS (
       SELECT o.o_orderkey AS okey, c.c_name AS cname,
              n1.n_name AS cust_nation,
-             sum(CASE WHEN s.s_nationkey <> c.c_nationkey
+             CAST(sum(CASE WHEN s.s_nationkey <> c.c_nationkey
                       THEN CAST(CAST(l.l_extendedprice
                                      AS DECIMAL(14,2)) * 100 AS BIGINT)
-                      ELSE 0 END) AS cross_cents,
-             sum(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
-                      AS BIGINT)) AS total_cents
+                      ELSE 0 END) AS BIGINT) AS cross_cents,
+             CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
+                      AS BIGINT)) AS BIGINT) AS total_cents
       FROM lineitem l
       JOIN orders o ON o.o_orderkey = l.l_orderkey
       JOIN customer c ON c.c_custkey = o.o_custkey
@@ -2437,8 +2437,8 @@ sql_query(
     """
     WITH s AS (
       SELECT year(o.o_orderdate) AS yr, p.p_brand AS brand,
-             sum(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
-                      AS BIGINT)) AS cents
+             CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
+                      AS BIGINT)) AS BIGINT) AS cents
       FROM lineitem l
       JOIN orders o ON o.o_orderkey = l.l_orderkey
       JOIN part p ON p.p_partkey = l.l_partkey
@@ -2500,18 +2500,18 @@ sql_query(
       WHERE l_returnflag = 'R'
     )
     SELECT p.p_brand AS brand,
-           sum(CASE WHEN r.l_orderkey IS NULL
+           CAST(sum(CASE WHEN r.l_orderkey IS NULL
                      AND l.l_shipdate <
                          TIMESTAMP '1998-01-01 00:00:00'
                     THEN CAST(CAST(l.l_extendedprice
                                    AS DECIMAL(14,2)) * 100 AS BIGINT)
-                    ELSE 0 END) AS cents_before,
-           sum(CASE WHEN r.l_orderkey IS NULL
+                    ELSE 0 END) AS BIGINT) AS cents_before,
+           CAST(sum(CASE WHEN r.l_orderkey IS NULL
                      AND l.l_shipdate >=
                          TIMESTAMP '1998-01-01 00:00:00'
                     THEN CAST(CAST(l.l_extendedprice
                                    AS DECIMAL(14,2)) * 100 AS BIGINT)
-                    ELSE 0 END) AS cents_after
+                    ELSE 0 END) AS BIGINT) AS cents_after
     FROM lineitem l
     LEFT JOIN r ON r.l_orderkey = l.l_orderkey
                AND r.l_linenumber = l.l_linenumber
@@ -2689,21 +2689,21 @@ sql_query(
     "tpcds_q83_three_window_share",
     """
     WITH w1 AS (
-      SELECT l_partkey AS pk, sum(CAST(l_quantity AS BIGINT)) AS qty
+      SELECT l_partkey AS pk, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1996-03-01 00:00:00'
       GROUP BY l_partkey
     ),
     w2 AS (
-      SELECT l_partkey AS pk, sum(CAST(l_quantity AS BIGINT)) AS qty
+      SELECT l_partkey AS pk, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1996-05-01 00:00:00'
       GROUP BY l_partkey
     ),
     w3 AS (
-      SELECT l_partkey AS pk, sum(CAST(l_quantity AS BIGINT)) AS qty
+      SELECT l_partkey AS pk, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-05-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
@@ -2906,8 +2906,8 @@ sql_query(
     """
     WITH t AS (
       SELECT o.o_custkey AS ck, o.o_orderkey AS okey,
-             sum(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
-                      AS BIGINT)) AS cents
+             CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
+                      AS BIGINT)) AS BIGINT) AS cents
       FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
       GROUP BY o.o_custkey, o.o_orderkey
     )
