@@ -1086,7 +1086,7 @@ SELECT * FROM (VALUES
   (2, '0.0000', '8.0000', '4.0000', true, 'MULTIPOLYGON', true),
   (3, '1.0000', '12.0000', '0.0000', false, 'MULTIPOLYGON', true),
   (4, '8.0000', '40.0000', '24.0000', false, 'MULTIPOLYGON', true),
-  (5, '0.0000', '0.0000', '0.0000', true, NULL, true),
+  (5, '1.0000', '15.0000', '14.0000', false, 'MULTIPOLYGON', true),
   (6, '2.0000', '10.0000', '6.0000', false, 'MULTIPOLYGON', true)
 ) AS v(i, inter_area_q, union_area_q, diff_area_q, inter_null,
        union_kind, incl_excl_ok)
@@ -1100,7 +1100,9 @@ ORDER BY i
         "concave arrow x triangle, disjoint squares (NULL "
         "intersection, 2-piece union), A inside concave B (diff "
         "empty->NULL), concave-notch pentagon x square, and a holed "
-        "operand (still pinned NULL).  Every row checks inclusion-"
+        "operand (supported since round 10 via bridge-edge hole "
+        "insertion: B touches the hole corner, inter=B union=A).  "
+        "Every row checks inclusion-"
         "exclusion |A union B| = |A|+|B|-|A inter B| inside the query; "
         "areas are pinned to 4dp.  Triangulation + piecewise "
         "Sutherland-Hodgman run in ONE Arrow-batched pandas UDF per "
@@ -1188,22 +1190,25 @@ SELECT * FROM (VALUES
   (1, '13.0000', false, 'MULTIPOLYGON'),
   (2, '8.0000', false, 'MULTIPOLYGON'),
   (3, '10.0000', false, 'MULTIPOLYGON'),
-  (4, '0.0000', true, NULL),
-  (5, '0.0000', true, NULL)
+  (4, '15.0000', false, 'MULTIPOLYGON'),
+  (5, '0.0000', true, NULL),
+  (6, '16.0000', false, 'MULTIPOLYGON')
 ) AS v(g, union_area_q, is_null, kind)
 ORDER BY g
 """,
     doc="General grouped dissolve (round 9 — geo_decompose."
         "geometry_union_agg_general; geospatial.rst geometry_union_agg "
         "without the convex tier's common-intersection requirement): "
-        "n-ary union of ARBITRARY simple hole-free polygons/"
-        "multipolygons per group via two-level ear-clip piece-set "
+        "n-ary union of ARBITRARY simple polygons (holes included)/"
+        "hole-free-piece multipolygons per group via two-level ear-clip piece-set "
         "union (level 1 per (group, partition), level 2 over partial "
         "tilings).  Groups: overlapping convex trio (inclusion-"
         "exclusion 7.25), concave L + square (13), DISJOINT pair (8 — "
         "pinned NULL in the convex tier), multipolygon member bridging "
-        "its own gap (10), holed member → NULL, all-NULL group keeps "
-        "its spine row.",
+        "its own gap (10), holed member (15 — supported since round 10 "
+        "via bridge-edge hole insertion), all-NULL group keeps its "
+        "spine row, and a holed member whose hole a second member "
+        "plugs exactly (16).",
     tags=("geo", "functions"),
 )
 def geo_union_agg_general_golden(spark, sf_dir):
@@ -1224,6 +1229,10 @@ def geo_union_agg_general_golden(spark, sf_dir):
         (4, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
             "(1 1, 2 1, 2 2, 1 2, 1 1))"),
         (5, None),
+        # holed member whose hole a second member plugs exactly (r10)
+        (6, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+            "(1 1, 3 1, 3 3, 1 3, 1 1))"),
+        (6, "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"),
     ]
     df = spark.createDataFrame(cases, "g int, wkt string").select(
         "g", geo.st_geometry_from_text(F.col("wkt")).alias("geom")
@@ -1237,3 +1246,99 @@ def geo_union_agg_general_golden(spark, sf_dir):
         F.col("geometry").isNull().alias("is_null"),
         F.col("geometry")["kind"].alias("kind"),
     ).orderBy("g")
+
+
+@register(
+    "geo_holed_overlay_golden",
+    oracle="""
+SELECT * FROM (VALUES
+  (0, '1.0000', '15.0000', '14.0000', false, 'MULTIPOLYGON', true),
+  (1, '3.0000', '18.0000', '9.0000', false, 'MULTIPOLYGON', true),
+  (2, '34.0000', '36.0000', '0.0000', false, 'MULTIPOLYGON', true),
+  (3, '0.0000', '13.0000', '12.0000', true, 'MULTIPOLYGON', true),
+  (4, '4.0000', '20.0000', '8.0000', false, 'MULTIPOLYGON', true)
+) AS v(i, inter_area_q, union_area_q, diff_area_q, inter_null,
+       union_kind, incl_excl_ok)
+ORDER BY i
+""",
+    doc="Holed-operand overlay tier (round 10 — VERDICT r9 "
+        "what's-missing #1 / next-round #4, the last geometry pin): "
+        "POLYGONs with interior rings enter st_*_general via "
+        "bridge-edge hole insertion — each hole's rightmost vertex "
+        "connects to the nearest mutually visible ring vertex through "
+        "a zero-width bridge, and the resulting weakly simple ring "
+        "ear-clips under the full diagonal-validity test (O'Rourke "
+        "§1.6; the reference reaches these shapes through Esri — "
+        "GeoFunctions.java overlay section).  Cases: B touching the "
+        "hole corner from inside the shell (inter=B, union=A), B "
+        "overlapping shell AND hole, a two-hole shell against the "
+        "full cover (diff empty→NULL area 0), B entirely inside the "
+        "hole (inter NULL), and BOTH operands holed.  Every row "
+        "checks inclusion-exclusion |A∪B| = |A|+|B|-|A∩B| in-query; "
+        "areas pinned to 4dp.  Same plan shape as the r9 tier: one "
+        "Arrow-batched pandas UDF per operand column, zero shuffle.",
+    tags=("geo", "functions"),
+)
+def geo_holed_overlay_golden(spark, sf_dir):
+    from presto_spark.functions import geo_decompose as gd
+
+    prepare(spark, sf_dir)
+    cases = [
+        (0, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+            "(1 1, 2 1, 2 2, 1 2, 1 1))",
+            "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+        (1, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+            "(1 1, 3 1, 3 3, 1 3, 1 1))",
+            "POLYGON ((2 2, 5 2, 5 5, 2 5, 2 2))"),
+        (2, "POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0), "
+            "(1 1, 2 1, 2 2, 1 2, 1 1), (4 4, 5 4, 5 5, 4 5, 4 4))",
+            "POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0))"),
+        (3, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+            "(1 1, 3 1, 3 3, 1 3, 1 1))",
+            "POLYGON ((1.5 1.5, 2.5 1.5, 2.5 2.5, 1.5 2.5, 1.5 1.5))"),
+        (4, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+            "(1 1, 3 1, 3 3, 1 3, 1 1))",
+            "POLYGON ((2 0, 6 0, 6 4, 2 4, 2 0), "
+            "(3 1, 5 1, 5 3, 3 3, 3 1))"),
+    ]
+    df = (
+        spark.createDataFrame(cases, "i int, wa string, wb string")
+        .select("i", geo.st_geometry_from_text(F.col("wa")).alias("a"),
+                geo.st_geometry_from_text(F.col("wb")).alias("b"))
+        .repartition(4)
+        .withColumn("ta", gd.triangulate_raw(F.col("a")))
+        .withColumn("tb", gd.triangulate_raw(F.col("b")))
+        .repartition(4)
+    )
+    gi = gd.st_intersection_general(F.col("ta"), F.col("tb"))
+    gu = gd.st_union_general(F.col("ta"), F.col("tb"))
+    gdf = gd.st_difference_general(F.col("ta"), F.col("tb"))
+    staged = df.select(
+        "i",
+        geo.st_area(F.col("a")).alias("aa"),
+        geo.st_area(F.col("b")).alias("ab"),
+        geo.st_area(gi).alias("ai"),
+        geo.st_area(gu).alias("au"),
+        geo.st_area(gdf).alias("ad"),
+        gi.isNull().alias("ni"),
+        gu["kind"].alias("ku"),
+    )
+
+    def q(c):
+        return F.format_string("%.4f", F.coalesce(c, F.lit(0.0)))
+
+    return staged.select(
+        "i",
+        q(F.col("ai")).alias("inter_area_q"),
+        q(F.col("au")).alias("union_area_q"),
+        q(F.col("ad")).alias("diff_area_q"),
+        F.col("ni").alias("inter_null"),
+        F.col("ku").alias("union_kind"),
+        (
+            F.abs(
+                F.col("au")
+                - (F.col("aa") + F.col("ab")
+                   - F.coalesce(F.col("ai"), F.lit(0.0)))
+            ) < 1e-9
+        ).alias("incl_excl_ok"),
+    ).orderBy("i")

@@ -1002,8 +1002,9 @@ def test_earclip_area_parity():
 
 def test_nonconvex_overlay_general(spark):
     """st_*_general over triangulate_raw columns: inclusion-exclusion
-    holds for concave operands, containment collapses correctly, holed
-    operands stay pinned NULL (round 9)."""
+    holds for concave operands, containment collapses correctly, and
+    holed POLYGON operands overlay exactly (round 10 — bridge-edge
+    hole insertion)."""
     from presto_spark.functions import geo_decompose as gd
 
     cases = [
@@ -1045,8 +1046,10 @@ def test_nonconvex_overlay_general(spark):
     assert rows[0].nta == 4
     # A inside concave B: inter = A, union = B, diff empty -> NULL
     assert (rows[1].ai, rows[1].au) == (1.0, 12.0) and rows[1].nd
-    # holed operand: everything pinned NULL
-    assert rows[2].ni and rows[2].nu and rows[2].nd
+    # holed operand (4x4 shell, 1x1 hole, B touching the hole corner):
+    # inter = B (1), union = A (15), diff = 14 (round 10)
+    assert (rows[2].ai, rows[2].au, rows[2].ad) == (1.0, 15.0, 14.0)
+    assert rows[2].nta == 8  # bridged ring: 10 vertices -> 8 triangles
     # MULTIPOLYGON operand: pieces ear-clip separately, overlay exact
     assert (rows[3].ai, rows[3].au, rows[3].ad) == (2.0, 10.0, 6.0)
     assert rows[3].nta == 4  # two triangles per square piece
@@ -1116,7 +1119,8 @@ def test_geometry_union_agg_general(spark):
     _general): arbitrary simple members — overlapping convex trio
     (inclusion-exclusion 7.25), concave member, DISJOINT pair (the
     convex tier pins NULL here), multipolygon member bridging its own
-    gap, holed member → NULL, all-NULL group keeps its spine row."""
+    gap, holed member (round 10: unions exactly), all-NULL group keeps
+    its spine row."""
     from presto_spark.functions import geo_decompose as gd
 
     cases = [
@@ -1145,7 +1149,8 @@ def test_geometry_union_agg_general(spark):
     assert abs(rows[1].a - 13.0) < 1e-9
     assert abs(rows[2].a - 8.0) < 1e-9   # disjoint group unions now
     assert abs(rows[3].a - 10.0) < 1e-9
-    assert rows[4].nl and rows[5].nl
+    assert abs(rows[4].a - 15.0) < 1e-9  # holed member (round 10)
+    assert rows[5].nl
     assert len(rows) == 6
 
 
@@ -1201,3 +1206,95 @@ def test_earclip_random_star_polygons_property():
                 - (t[3] - t[1]) * (t[4] - t[0])) / 2
             for t in tris)
         assert abs(tot - shoelace) < 1e-6, (trial, pts)
+
+
+def _random_radial_polygon(rnd, center, rmin, rmax, nmin, nmax):
+    """Random simple polygon: vertices at strictly increasing angles
+    about ``center`` with every angular gap < pi and all radii > 0 —
+    each edge then stays inside its own angular wedge, wedges are
+    interior-disjoint, so the ring cannot self-intersect.  (A plain
+    sort-by-angle-about-the-centroid does NOT guarantee simplicity
+    when the anchor falls outside the hull.)"""
+    import math
+
+    n = rnd.randint(nmin, nmax)
+    gaps = [rnd.uniform(0.6, 1.0) for _ in range(n)]
+    tot = sum(gaps)
+    a = rnd.uniform(0, 2 * math.pi)
+    out = []
+    for g in gaps:
+        r = rnd.uniform(rmin, rmax)
+        out.append((r * math.cos(a) + center[0], r * math.sin(a) + center[1]))
+        a += g / tot * 2 * math.pi
+    return out
+
+
+def _evenodd(pt, poly):
+    x, y = pt
+    c = False
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        if (y1 > y) != (y2 > y):
+            xi = x1 + (y - y1) / (y2 - y1) * (x2 - x1)
+            if x < xi:
+                c = not c
+    return c
+
+
+def test_earclip_holed_random_property():
+    """Property (round 10, VERDICT r9 #4): for a random simple shell
+    with 1-3 random star holes, the bridged ear-clip's triangle areas
+    sum to shell - sum(holes) (the hole-aware shoelace identity), and
+    every triangle centroid lies inside the shell and outside every
+    hole."""
+    import random
+
+    from presto_spark.functions.geo_decompose import (
+        _area2, _earclip_holed, _tris,
+    )
+
+    rnd = random.Random(20260815)
+    runs = 0
+    for _ in range(120):
+        shell = _random_radial_polygon(rnd, (20, 20), 6, 10, 4, 12)
+        centers = [(17, 20), (23, 20), (20, 23)]
+        holes = [
+            _random_radial_polygon(rnd, centers[ci], 0.2, 1.2, 3, 7)
+            for ci in range(rnd.randint(1, 3))
+        ]
+        sa = abs(_area2(shell)) / 2
+        has = [abs(_area2(h)) / 2 for h in holes]
+        if min(has) < 1e-3:
+            continue
+        runs += 1
+        tris = _earclip_holed([shell] + holes)
+        assert tris, (shell, holes)
+        got = sum(abs(_area2(t)) / 2 for t in _tris(tris))
+        want = sa - sum(has)
+        assert abs(got - want) < 1e-6 * sa, (got, want, shell, holes)
+        for t in _tris(tris):
+            g = (sum(p[0] for p in t) / 3, sum(p[1] for p in t) / 3)
+            assert _evenodd(g, shell), (g, shell, holes)
+            assert not any(_evenodd(g, h) for h in holes), (g, shell, holes)
+    assert runs >= 100
+
+
+def test_earclip_holed_degenerate_inputs():
+    """Degenerate holed inputs pin NULL (empty triangulation): a
+    zero-area hole ring, and a hole-free fallthrough matches the
+    plain clip."""
+    from presto_spark.functions.geo_decompose import (
+        _area2, _earclip, _earclip_holed, _tris,
+    )
+
+    shell = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)]
+    degenerate = [(1.0, 1.0), (2.0, 2.0), (3.0, 3.0)]  # collinear
+    assert _earclip_holed([shell, degenerate]) == []
+    # single-ring fallthrough == plain _earclip
+    a = _earclip_holed([shell])
+    b = _earclip([p[0] for p in shell], [p[1] for p in shell])
+    assert sum(abs(_area2(t)) for t in _tris(a)) == sum(
+        abs(_area2(t)) for t in _tris(b)
+    )
