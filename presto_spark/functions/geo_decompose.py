@@ -410,6 +410,9 @@ def _overlay(op, ta, tb):
     pieces = [p for p in pieces if abs(_area2(p)) > _EPS]
     if not pieces:
         return None
+    # CCW pieces: the struct model's MULTIPOLYGON marks shells by
+    # orientation (round 10), and every piece here is a full shell
+    pieces = [p if _area2(p) > 0 else p[::-1] for p in pieces]
     return [[c for v in p for c in v] for p in pieces]
 
 
@@ -435,6 +438,36 @@ _DIFFERENCE_UDF = _make_overlay_udf("difference")
 
 # ---- Column surface ------------------------------------------------------
 
+def _mp_piece_groups(rings):
+    """Cleaned MULTIPOLYGON rings grouped into [shell, holes...] lists
+    by orientation (shell CCW/non-negative, holes CW — the flat
+    model's round-10 convention)."""
+    pieces = []
+    for r in rings:
+        if _area2(r) >= 0 or not pieces:
+            pieces.append([r])
+        else:
+            pieces[-1].append(r)
+    return pieces
+
+
+def _geometry_tris(kind, rings_x, rings_y):
+    """One geometry's ring coordinate lists → flat CCW triangle list
+    ([] for degenerate/non-simple input).  POLYGON: positional
+    shell+holes via the bridged clip; MULTIPOLYGON: orientation-
+    grouped pieces, each bridged independently."""
+    rings = [_clean_ring(xs, ys) for xs, ys in zip(rings_x, rings_y)]
+    if kind == "POLYGON":
+        return _earclip_holed(rings)
+    tris = []
+    for grp in _mp_piece_groups(rings):
+        t = _earclip_holed(grp)
+        if not t:  # degenerate / non-simple piece poisons the row
+            return []
+        tris.extend(t)
+    return tris
+
+
 # explicit DataType: a DDL-string return type would need an active
 # SparkSession at import time (same pattern as _text_pandas_udfs.py)
 @pandas_udf(_TRIS_T)
@@ -442,9 +475,9 @@ def _triangulate_udf(kinds, xss, yss):
     """Per row: the geometry kind plus a LIST of rings (each a
     coordinate array).  POLYGON: ring 0 is the shell, rings 1..n are
     holes — triangulated via bridge-edge insertion (round 10).
-    MULTIPOLYGON: one hole-free ring per piece (the model invariant);
-    pieces are disjoint, so the concatenated triangle set still tiles
-    the whole geometry."""
+    MULTIPOLYGON: orientation-grouped pieces (CCW shell + following
+    CW holes, round 10); pieces are disjoint, so the concatenated
+    triangle set still tiles the whole geometry."""
     import pandas as pd
 
     out = []
@@ -452,19 +485,7 @@ def _triangulate_udf(kinds, xss, yss):
         if rings_x is None or rings_y is None:
             out.append(None)
             continue
-        if kind == "POLYGON" and len(rings_x) > 1:
-            rings = [_clean_ring(xs, ys)
-                     for xs, ys in zip(rings_x, rings_y)]
-            out.append(_earclip_holed(rings) or None)
-            continue
-        tris = []
-        for xs, ys in zip(rings_x, rings_y):
-            t = _earclip(xs, ys)
-            if not t:  # degenerate / non-simple piece poisons the row
-                tris = []
-                break
-            tris.extend(t)
-        out.append(tris or None)
+        out.append(_geometry_tris(kind, rings_x, rings_y) or None)
     return pd.Series(out)
 
 
@@ -562,20 +583,11 @@ def _union_pieces(acc: list, tris: list) -> list:
 def _rings_to_pieces(kind, rings_x, rings_y) -> list | None:
     """One geometry's ring coordinate lists → triangle pieces, or
     None for a degenerate/non-simple input.  POLYGON rings beyond the
-    first are interior holes (bridge-insertion triangulation, round
-    10); MULTIPOLYGON rings are independent hole-free pieces."""
-    if kind == "POLYGON" and len(rings_x) > 1:
-        t = _earclip_holed(
-            [_clean_ring(xs, ys) for xs, ys in zip(rings_x, rings_y)]
-        )
-        return _tris(t) if t else None
-    tris = []
-    for xs, ys in zip(rings_x, rings_y):
-        t = _earclip(xs, ys)
-        if not t:
-            return None
-        tris.extend(_tris(t))
-    return tris
+    first are interior holes (positional); MULTIPOLYGON rings group
+    into pieces by orientation (round 10) — both bridge-triangulate
+    via _geometry_tris."""
+    t = _geometry_tris(kind, rings_x, rings_y)
+    return _tris(t) if t else None
 
 
 def geometry_union_agg_general(df, group_cols, geom_col="geom"):
@@ -620,7 +632,11 @@ def geometry_union_agg_general(df, group_cols, geom_col="geom"):
     pieces_t = "array<array<double>>"
 
     def flat(pieces):
-        return [[c for v in p for c in v] for p in pieces]
+        # CCW pieces — orientation is the flat model's shell marker
+        return [
+            [c for v in (p if _area2(p) > 0 else p[::-1]) for c in v]
+            for p in pieces
+        ]
 
     def unflat(pieces):
         return [list(zip(p[0::2], p[1::2])) for p in pieces]

@@ -48,14 +48,15 @@ from presto_spark.queries import ml_suite  # noqa: F401,E402
 #      block and the llm_* block, then the sketch/dml/dialect rows in
 #      the r9 comment's listed order.
 # Remaining r3-stale debt after this window (leads the r11 front):
-# dml_cow_roundtrip, presto_dialect_revenue_window,
-# presto_dialect_array_ops (displaced by the round-10 geometry rows),
+# sketch_numeric_histogram, dml_cow_roundtrip,
+# presto_dialect_revenue_window, presto_dialect_array_ops (displaced
+# by the round-10 geometry rows),
 # presto_dialect_try_and_generics, presto_dialect_session_misc,
 # presto_dialect_scalar_breadth, fn_datetime_format_suite,
 # fn_jsonpath_suite, event_daily_retention, event_sessionization_sql,
 # event_stream_stateful_stats, event_stream_interval_join,
 # event_funnel_conversion, event_json_enrichment, event_session_window,
-# event_sliding_window, event_tumbling_window — 17 rows, plus whatever
+# event_sliding_window, event_tumbling_window — 18 rows, plus whatever
 # round 10 edits or adds beyond its front.
 # tests/test_registry_front.py pins list(REGISTRY)[:50] == this list.
 _DRIVER_FRONT = [
@@ -88,6 +89,7 @@ _DRIVER_FRONT = [
     # and general dissolve goldens changed expected rows (holed
     # operands un-pinned), displacing the 3 tail rows below
     "geo_holed_overlay_golden",
+    "geo_holed_multipolygon_golden",
     "geo_nonconvex_overlay_golden",
     "geo_union_agg_general_golden",
     # 3. the 28 stalest r3 rows: TPC-H block first
@@ -117,7 +119,6 @@ _DRIVER_FRONT = [
     "sketch_quantile_mergeable_rollup",
     "sketch_hll_mergeable_rollup",
     "sketch_approx_most_frequent",
-    "sketch_numeric_histogram",
 ]
 
 

@@ -1342,3 +1342,85 @@ def geo_holed_overlay_golden(spark, sf_dir):
             ) < 1e-9
         ).alias("incl_excl_ok"),
     ).orderBy("i")
+
+
+@register(
+    "geo_holed_multipolygon_golden",
+    oracle="""
+SELECT * FROM (VALUES
+  (0, 'MULTIPOLYGON (((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0), (1.0 1.0, 1.0 2.0, 2.0 2.0, 2.0 1.0, 1.0 1.0)), ((6.0 0.0, 8.0 0.0, 8.0 2.0, 6.0 2.0, 6.0 0.0)))',
+      '19.0000', CAST(2 AS BIGINT), '15.0000', false, true, '0.5000',
+      '5.0000', '21.0000'),
+  (1, 'MULTIPOLYGON (((0.0 0.0, 2.0 0.0, 2.0 1.0, 0.0 1.0, 0.0 0.0)), ((3.0 3.0, 5.0 3.0, 5.0 5.0, 3.0 5.0, 3.0 3.0)))',
+      '6.0000', CAST(2 AS BIGINT), '2.0000', false, true, '0.5000',
+      '2.0000', '11.0000'),
+  (2, 'MULTIPOLYGON (((0.0 0.0, 2.0 0.0, 2.0 1.0, 0.0 1.0, 0.0 0.0)))',
+      '2.0000', CAST(1 AS BIGINT), '2.0000', false, false, '0.5000',
+      '2.0000', '7.0000')
+) AS v(i, rt_wkt, area_q, n_geoms, g1_area_q, ct_hole, ct_shell,
+       dist_q, inter_area_q, union_area_q)
+ORDER BY i
+""",
+    doc="Holed MULTIPOLYGON pieces (round 10 — removes the round-9 "
+        "WKT-parse pin, the last geometry model gap): the flat ring "
+        "model marks piece shells CCW and holes CW, normalized at "
+        "parse time, so '((shell),(hole)),((shell2))' WKT parses, "
+        "measures, and overlays.  Pinned per row: the re-nested WKT "
+        "roundtrip (hole re-grouped inside its piece, orientation-"
+        "normalized), signed-ring-sum ST_Area, piece-shell "
+        "ST_NumGeometries, ST_GeometryN returning the piece WITH its "
+        "holes, hole-aware containment (parity over all rings — "
+        "probe inside the hole false, inside a shell true), "
+        "ST_Distance to an in-hole probe (= distance to the hole "
+        "boundary), and the general overlay against a strip "
+        "(orientation-grouped piece triangulation; inclusion-"
+        "exclusion by construction: 19+7-5=21, 6+7-2=11, 2+7-2=7).  "
+        "Rows: holed piece + plain piece, hole-free regression "
+        "(byte-identical r8 roundtrip), CW-wound input normalized.  "
+        "(GeoFunctions.java multi-geometry arms; Esri-backed in the "
+        "reference.)",
+    tags=("geo", "functions"),
+)
+def geo_holed_multipolygon_golden(spark, sf_dir):
+    from presto_spark.functions import geo_decompose as gd
+
+    prepare(spark, sf_dir)
+    cases = [
+        (0, "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0), "
+            "(1 1, 2 1, 2 2, 1 2, 1 1)), ((6 0, 8 0, 8 2, 6 2, 6 0)))"),
+        (1, "MULTIPOLYGON (((0 0, 2 0, 2 1, 0 1, 0 0)), "
+            "((3 3, 5 3, 5 5, 3 5, 3 3)))"),
+        # CW-wound piece: parser normalizes orientation
+        (2, "MULTIPOLYGON (((0 0, 0 1, 2 1, 2 0, 0 0)))"),
+    ]
+    df = (
+        spark.createDataFrame(cases, "i int, wkt string")
+        .select("i", geo.st_geometry_from_text(F.col("wkt")).alias("g"))
+        .repartition(2)
+        .withColumn("b", geo.st_geometry_from_text(
+            F.lit("POLYGON ((0 0, 7 0, 7 1, 0 1, 0 0))")))
+        .repartition(2)
+        .withColumn("ta", gd.triangulate_raw(F.col("g")))
+        .withColumn("tb", gd.triangulate_raw(F.col("b")))
+        .repartition(2)
+    )
+    g = F.col("g")
+    gi = gd.st_intersection_general(F.col("ta"), F.col("tb"))
+    gu = gd.st_union_general(F.col("ta"), F.col("tb"))
+
+    def q(c):
+        return F.format_string("%.4f", F.coalesce(c, F.lit(0.0)))
+
+    return df.select(
+        "i",
+        geo.st_as_text(g).alias("rt_wkt"),
+        q(geo.st_area(g)).alias("area_q"),
+        geo.st_num_geometries(g).cast("bigint").alias("n_geoms"),
+        q(geo.st_area(geo.st_geometry_n(g, F.lit(1)))).alias("g1_area_q"),
+        geo.st_contains_point(g, F.lit(1.5), F.lit(1.5)).alias("ct_hole"),
+        geo.st_contains_point(g, F.lit(3.5), F.lit(3.5)).alias("ct_shell"),
+        q(geo.st_distance(
+            g, geo.st_point(F.lit(1.5), F.lit(1.5)))).alias("dist_q"),
+        q(geo.st_area(gi)).alias("inter_area_q"),
+        q(geo.st_area(gu)).alias("union_area_q"),
+    ).orderBy("i")

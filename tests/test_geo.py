@@ -887,10 +887,12 @@ def test_overlay_trio_inclusion_exclusion_randomized(spark):
         (inside_ok, inside_n)
 
 
-def test_multipolygon_holed_wkt_pinned_null(spark):
-    """A MULTIPOLYGON piece with an inner ring is outside the model
-    (one hole-free shell per piece); such WKT parses to NULL instead of
-    silently folding the hole into the shell (ADVICE r8)."""
+def test_multipolygon_holed_wkt_parses(spark):
+    """A MULTIPOLYGON piece with inner rings parses since round 10
+    (the r9 pin is removed): orientation marks shells (CCW) vs holes
+    (CW), area is the signed ring sum, ST_GeometryN returns the piece
+    WITH its holes, containment honors the hole, and the WKT
+    roundtrip re-nests holes inside their piece."""
     from presto_spark.functions import geo
 
     df = spark.createDataFrame(
@@ -903,12 +905,26 @@ def test_multipolygon_holed_wkt_pinned_null(spark):
         ],
         "i int, wkt string",
     ).select("i", geo.st_geometry_from_text(F.col("wkt")).alias("g"))
+    g = F.col("g")
     rows = {r.i: r for r in df.select(
-        "i", F.col("g").isNull().alias("nl"),
-        geo.st_area(F.col("g")).alias("a"),
-        geo.st_num_points(F.col("g")).alias("np"),
+        "i", g.isNull().alias("nl"),
+        geo.st_area(g).alias("a"),
+        geo.st_num_points(g).alias("np"),
+        geo.st_num_geometries(g).alias("ng"),
+        geo.st_area(geo.st_geometry_n(g, F.lit(1))).alias("a1"),
+        geo.st_contains_point(g, F.lit(1.5), F.lit(1.5)).alias("in_hole"),
+        geo.st_contains_point(g, F.lit(3.0), F.lit(3.0)).alias("in_shell"),
+        geo.st_as_text(g).alias("rt"),
     ).collect()}
-    assert rows[0].nl
+    assert not rows[0].nl
+    assert rows[0].a == 16.0  # 15 (holed piece) + 1
+    assert rows[0].ng == 2 and rows[0].a1 == 15.0
+    assert not rows[0].in_hole and rows[0].in_shell
+    assert rows[0].rt == (
+        "MULTIPOLYGON (((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0), "
+        "(1.0 1.0, 1.0 2.0, 2.0 2.0, 2.0 1.0, 1.0 1.0)), "
+        "((10.0 10.0, 11.0 10.0, 11.0 11.0, 10.0 11.0, 10.0 10.0)))"
+    )
     assert not rows[1].nl and rows[1].a == 2.0
     # two closed 5-vertex rings, closing vertices not double-counted
     assert rows[1].np == 8
