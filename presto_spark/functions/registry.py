@@ -706,6 +706,13 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
         "t TIMESTAMP_NTZ, tz STRING", "STRUCT<utc: TIMESTAMP_NTZ, tz: STRING>",
         "named_struct('utc', convert_timezone(tz, 'UTC', t), 'tz', tz)",
         "DateTimeFunctions.java withTimezone — wall clock in tz → TSWTZ"),
+    "tswtz": (
+        "t TIMESTAMP_NTZ, tz STRING", "STRUCT<utc: TIMESTAMP_NTZ, tz: STRING>",
+        "named_struct('utc', t, 'tz', tz)",
+        "SqlBase.g4 AT_TIMEZONE over a plain TIMESTAMP — the session "
+        "zone is UTC here, so the instant IS the input; only the "
+        "display zone attaches (the dialect lowers `expr AT TIME ZONE "
+        "z` onto this; struct operands use tz_at_timezone)"),
     "tz_at_timezone": (
         "z STRUCT<utc: TIMESTAMP_NTZ, tz: STRING>, tz2 STRING",
         "STRUCT<utc: TIMESTAMP_NTZ, tz: STRING>",

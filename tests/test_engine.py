@@ -283,3 +283,19 @@ def test_prepare_sentinel_shaped_statement_rejected(eng):
     eng.sql("PREPARE q_res FROM SELECT '__ps_param_0__' AS s, ? AS x")
     with pytest.raises(ValueError, match="reserved token"):
         eng.sql("EXECUTE q_res USING 1")
+
+
+def test_corpus_row_restores_shared_catalog(spark):
+    """corpus_product_golden registers the corpus fixture views (a
+    25-row spec nation, etc.) while building its per-case plans; the
+    shared-session catalog must come back to the sf-dir parquet views
+    afterwards or every later nation/region query in the same session
+    reads fixture data (round-10 regression: 43 red diffcheck rows)."""
+    from presto_spark.queries import REGISTRY
+
+    REGISTRY["corpus_product_golden"].spark(
+        spark, "/root/testdata/sf0.001").collect()
+    first = spark.sql(
+        "SELECT n_name FROM nation ORDER BY n_nationkey LIMIT 1"
+    ).collect()[0].n_name
+    assert first == "NATION_0"

@@ -445,17 +445,92 @@ def test_dialect_typed_literals_row_fetch():
 
 def test_dialect_at_time_zone():
     """expr AT TIME ZONE 'z' (SqlBase.g4 AT_TIMEZONE) lowers onto the
-    at_timezone shim; operand may be a typed literal, call, or column."""
+    tswtz shim (the TIMESTAMP-WITH-TIME-ZONE struct — round 10; the
+    round-4 at_timezone lowering lost the zone, so timezone_hour over
+    an AT TIME ZONE result could not analyze); operand may be a typed
+    literal, call, or column."""
     from presto_spark.functions.dialect import translate
     assert translate("SELECT ts AT TIME ZONE 'UTC' FROM t") == \
-        "SELECT at_timezone(ts, 'UTC') FROM t"
+        "SELECT tswtz(ts, 'UTC') FROM t"
     assert translate(
         "SELECT TIMESTAMP '2020-01-01 12:00:00' AT TIME ZONE 'America/New_York'"
-    ) == "SELECT at_timezone(TIMESTAMP '2020-01-01 12:00:00', 'America/New_York')"
+    ) == "SELECT tswtz(TIMESTAMP '2020-01-01 12:00:00', 'America/New_York')"
     assert translate("SELECT date_trunc('hour', ts) AT TIME ZONE zc FROM t") \
-        == "SELECT at_timezone(date_trunc('hour', ts), zc) FROM t"
+        == "SELECT tswtz(date_trunc('hour', ts), zc) FROM t"
     s = "SELECT 'AT TIME ZONE' AS lit"
     assert translate(s) == s
+
+
+def test_dialect_double_quoted_identifiers():
+    """Presto (and its own SQL formatter, which produced the
+    reference's TPC-DS product-test texts) double-quotes identifiers
+    AND function names; Spark wants backticks and bare function names
+    (round 10, corpus tpcds tier)."""
+    from presto_spark.functions.dialect import translate
+    assert translate('SELECT "sum"("x") "total x" FROM "t"') == \
+        'SELECT sum(`x`) `total x` FROM `t`'
+    s = """SELECT '"not an ident"' AS s"""
+    assert translate(s) == s
+    assert translate('SELECT "a""b" FROM t') == 'SELECT `a"b` FROM t'
+
+
+def test_dialect_rankish_window_conformance():
+    """Presto accepts rank() over an unordered window (all rows are
+    peers) and explicit frames on ranking/offset functions; Spark
+    rejects both.  The rewrite inserts a constant ORDER BY (exactly
+    the all-peers semantics) and strips the no-op frames (round 10,
+    corpus window_functions tier)."""
+    from presto_spark.functions.dialect import translate
+    out = translate("SELECT rank() OVER (PARTITION BY p) FROM t")
+    assert "ORDER BY 1" in out
+    out = translate(
+        "SELECT lag(x) OVER (ORDER BY y "
+        "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t")
+    assert "ROWS" not in out and "ORDER BY y" in out
+    out = translate(
+        "SELECT rank() OVER (ORDER BY x "
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM t")
+    assert "RANGE" not in out
+    # aggregate windows keep their (meaningful) frames and may stay
+    # unordered
+    s = "SELECT sum(x) OVER (PARTITION BY p) FROM t"
+    assert translate(s) == s
+    out = translate("SELECT sum(x) OVER (ORDER BY y "
+                    "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t")
+    assert "ROWS BETWEEN 1 PRECEDING" in out
+
+
+def test_dialect_default_nulls_last():
+    """Presto sorts NULLS LAST regardless of direction when no
+    directive is written (select.rst:588); Spark defaults NULLS FIRST
+    on ASC.  Every directive-less sort item gets an explicit NULLS
+    LAST; explicit directives are preserved (round 10)."""
+    from presto_spark.functions.dialect import translate
+    out = translate("SELECT a FROM t ORDER BY a DESC, b ASC NULLS FIRST, c")
+    assert out == ("SELECT a FROM t ORDER BY a DESC NULLS LAST,"
+                   " b ASC NULLS FIRST, c NULLS LAST")
+    out = translate("SELECT max(a) OVER (ORDER BY b) FROM t LIMIT 3")
+    assert "ORDER BY b NULLS LAST" in out and out.endswith("LIMIT 3")
+    out = translate(
+        "SELECT a FROM t ORDER BY CASE WHEN a > 1 THEN 1 ELSE 2 END DESC")
+    assert out.endswith("END DESC NULLS LAST")
+
+
+def test_dialect_kurtosis_is_unbiased(spark):
+    """Presto kurtosis is the UNBIASED excess estimate
+    (aggregate.rst:990); Spark's is the population estimate — the
+    corpus golden aggregate/kurtosis.result distinguishes them.
+    Cross-checked against the hand-computed value on the corpus
+    datatype fixture's c_bigint column."""
+    from presto_spark.engine import Engine
+    eng = Engine(spark)
+    vals = [12, 25, 964, 100, 100, 5252, 100, 8996, 100, 5748, 5748,
+            5748, 5748, 5000, 6000]
+    rows = ", ".join(f"({v})" for v in vals)
+    got = eng.sql(
+        f"SELECT kurtosis(v) AS k FROM (VALUES {rows}) AS t(v)"
+    ).collect()[0].k
+    assert abs(got - (-1.5738414148886837)) < 1e-9
 
 
 def test_dialect_contains_repeat_are_array_semantics():
