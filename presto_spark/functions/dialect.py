@@ -42,6 +42,8 @@ _SIMPLE_MAP = {
     # quoting pass the pattern is a real regex.
     "zip": "arrays_zip",                         # ZipFunction.java (row fields become struct fields)
     "ngrams": "array_ngrams",                    # NgramsFunction.java — macro-expands below
+    "from_base64": "unbase64",                   # VarbinaryFunctions.java fromBase64
+    "to_base64": "base64",                       # VarbinaryFunctions.java toBase64
 }
 
 _simple_renames_re = re.compile(
@@ -482,6 +484,42 @@ _SORT_DESC = ("concat(reverse(array_sort(filter({a}, _ps_x -> _ps_x IS NOT "
               "NULL))), filter({a}, _ps_x -> _ps_x IS NULL))")
 
 _MACROS: dict[str, tuple[int, object]] = {
+    # apply(input, x -> body) (ApplyFunction.java — evaluate a lambda
+    # on a value; heavily used by the reference's own lambda tests):
+    # Spark has no direct analog, so route the value through a
+    # one-element transform.
+    "apply": (
+        2, lambda a: f"element_at(transform(array(({a[0]})), {a[1]}), 1)"),
+    # SQL spellings for aggregates the engine also ships as DataFrame
+    # operators (operators/aggregates.py) — lowered onto Spark
+    # aggregates so the reference's own SQL texts run.  All of them
+    # return NULL over an empty group (Presto aggregates yield NULL on
+    # zero rows; Spark's collect_list yields []), hence the count(*)
+    # guard.
+    # map_agg (MapAggregationFunction.java): map of per-group k/v.
+    "map_agg": (
+        2, lambda a: ("CASE WHEN count(*) = 0 THEN NULL ELSE "
+                      "map_from_entries(collect_list(CASE WHEN ({a0}) IS "
+                      "NOT NULL THEN struct(({a0}), ({a1})) END)) END"
+                      .format(a0=a[0], a1=a[1]))),
+    # set_agg / set_union (SetAggregationFunction.java / SetUnionFunction.java)
+    # (unlike array_agg, set_agg SKIPS null inputs — pinned by the
+    # reference's own setAgg tests over the all-null comment column)
+    "set_agg": (
+        1, lambda a: (f"CASE WHEN count(*) = 0 THEN NULL ELSE "
+                      f"array_distinct(collect_list(({a[0]}))) END")),
+    "set_union": (
+        1, lambda a: ("CASE WHEN count(*) = 0 THEN NULL ELSE "
+                      "array_distinct(flatten(collect_list("
+                      f"coalesce(({a[0]}), array())))) END")),
+    # reduce_agg(input, init, input-lambda, combine-lambda)
+    # (ReduceAggregationFunction.java): Presto requires the lambdas to
+    # be commutative/associative, so a sequential fold over the
+    # collected inputs is a valid evaluation order; the combine lambda
+    # is then never needed.
+    "reduce_agg": (
+        4, lambda a: (f"aggregate(collect_list(({a[0]})), ({a[1]}), "
+                      f"{a[2]})")),
     "remove_nulls": (1, lambda a: f"filter(({a[0]}), _ps_x -> _ps_x IS NOT NULL)"),
     "array_sort_desc": (1, lambda a: _SORT_DESC.format(a=f"({a[0]})")),
     "array_top_n": (
@@ -692,8 +730,12 @@ _type_pos_re = re.compile(r"\bAS\s+(ARRAY|MAP|ROW)\s*\(", re.IGNORECASE)
 # Bare VARCHAR in cast position (Presto's unbounded VARCHAR,
 # AbstractVarcharType.java) — Spark's parser wants VARCHAR(n) or STRING.
 _bare_varchar_re = re.compile(r"\bAS\s+VARCHAR\b(?!\s*\()", re.IGNORECASE)
-_SCALAR_TYPE_MAP = {"varchar": "STRING", "json": "STRING", "real": "FLOAT"}
-_scalar_type_re = re.compile(r"\b(varchar|json|real)\b(?!\s*\()", re.IGNORECASE)
+# VARBINARY (VarbinaryType.java) is Spark's BINARY in any cast position.
+_bare_varbinary_re = re.compile(r"\bAS\s+VARBINARY\b", re.IGNORECASE)
+_SCALAR_TYPE_MAP = {"varchar": "STRING", "json": "STRING", "real": "FLOAT",
+                    "varbinary": "BINARY"}
+_scalar_type_re = re.compile(
+    r"\b(varchar|json|real|varbinary)\b(?!\s*\()", re.IGNORECASE)
 
 
 def _type_to_spark(t: str) -> str:
@@ -766,7 +808,7 @@ _fetch_first_re = re.compile(
 _offset_rows_re = re.compile(r"\bOFFSET\s+(\d+)\s+ROWS?\b", re.IGNORECASE)
 _typed_literal_re = re.compile(
     r"\b(DECIMAL|DOUBLE|REAL|BIGINT|INTEGER|SMALLINT|TINYINT|BOOLEAN"
-    r"|VARCHAR|CHAR|JSON)\s+('(?:[^']|'')*')", re.IGNORECASE)
+    r"|VARCHAR|CHAR|JSON)\s*('(?:[^']|'')*')", re.IGNORECASE)
 _row_ctor_re = re.compile(r"\bROW\s*\(", re.IGNORECASE)
 
 
@@ -912,6 +954,146 @@ def _rewrite_rankish_windows(sql: str) -> str:
 
 def _depth_at(s: str, i: int) -> int:
     return s.count("(", 0, i) - s.count(")", 0, i)
+
+
+# Quantified comparisons (SqlBase.g4 quantifiedComparison; Presto
+# semantics in presto-docs functions/comparison.rst): Spark's parser
+# has no `expr op ANY/ALL/SOME (subquery)`.  The two semi-joinable
+# forms lower onto IN / NOT IN (identical three-valued semantics, and
+# they keep the scalable semi/anti-join plan); every other op lowers
+# onto a scalar aggregate subquery encoding the exact three-valued
+# result: ALL = false dominates, then NULL, else true; ANY = true
+# dominates, then NULL, else false; empty set → true for ALL, false
+# for ANY.
+_quantified_re = re.compile(
+    r"(<=|>=|<>|!=|=|<|>)\s*(ANY|ALL|SOME)\s*\(", re.IGNORECASE)
+
+
+def _scan_left_operand(sql: str, before: int,
+                       spans: list[tuple[int, int]]) -> tuple[int, int]:
+    """[start, end) of the value expression ending just before
+    `before`: a call/paren group (with optional function name), a
+    string literal, or an identifier/number/dotted path."""
+    i = before - 1
+    while i >= 0 and sql[i].isspace():
+        i -= 1
+    end = i + 1
+    if i >= 0 and sql[i] == ")":
+        depth = 0
+        while i >= 0:
+            if _in_string(spans, i):
+                i -= 1
+                continue
+            if sql[i] == ")":
+                depth += 1
+            elif sql[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            i -= 1
+        i -= 1
+        while i >= 0 and (sql[i].isalnum() or sql[i] in "_."):
+            i -= 1
+    elif i >= 0 and sql[i] == "'":
+        sp = next((s for s in spans if s[0] <= i < s[1]), None)
+        if sp is None:
+            return end, end
+        i = sp[0] - 1
+    else:
+        while i >= 0 and (sql[i].isalnum() or sql[i] in "_."):
+            i -= 1
+    return i + 1, end
+
+
+def _rewrite_quantified_comparisons(sql: str) -> str:
+    while True:
+        spans = _string_spans(sql)
+        m = next((c for c in _quantified_re.finditer(sql)
+                  if not _in_string(spans, c.start())), None)
+        if m is None:
+            return sql
+        parsed = _split_call(sql, m.end() - 1)
+        if parsed is None:
+            return sql
+        _, close = parsed
+        sub = sql[m.end():close]
+        op = m.group(1)
+        quant = m.group(2).upper()
+        if quant == "SOME":
+            quant = "ANY"
+        start, end = _scan_left_operand(sql, m.start(), spans)
+        lhs = sql[start:end].strip()
+        if not lhs:
+            return sql
+        if op == "=" and quant == "ANY":
+            repl = f"{lhs} IN ({sub})"
+        elif op in ("<>", "!=") and quant == "ALL":
+            repl = f"{lhs} NOT IN ({sub})"
+        else:
+            # min/max/count summary of the subquery, compared OUTSIDE
+            # the aggregation (Spark forbids outer references inside a
+            # subquery's aggregates); the lhs correlates one level
+            # deep into the scalar subquery's final projection only.
+            x = f"({lhs})"
+            if quant == "ALL":
+                # predicate holding for every non-null element
+                holds = {
+                    "<": f"{x} < mn", "<=": f"{x} <= mn",
+                    ">": f"{x} > mx", ">=": f"{x} >= mx",
+                    "=": f"{x} = mn AND {x} = mx",
+                }[op]
+                body = (
+                    f"CASE WHEN c = 0 THEN true"
+                    f" WHEN {x} IS NULL OR cn = c"
+                    f" THEN CAST(NULL AS BOOLEAN)"
+                    f" WHEN NOT ({holds}) THEN false"
+                    f" WHEN cn > 0 THEN CAST(NULL AS BOOLEAN)"
+                    f" ELSE true END")
+            else:
+                # predicate holding for at least one non-null element
+                exists_ = {
+                    "<": f"{x} < mx", "<=": f"{x} <= mx",
+                    ">": f"{x} > mn", ">=": f"{x} >= mn",
+                    "<>": f"(mn <> mx OR {x} <> mn)",
+                    "!=": f"(mn <> mx OR {x} <> mn)",
+                }[op]
+                body = (
+                    f"CASE WHEN c = 0 THEN false"
+                    f" WHEN {x} IS NULL OR cn = c"
+                    f" THEN CAST(NULL AS BOOLEAN)"
+                    f" WHEN {exists_} THEN true"
+                    f" WHEN cn > 0 THEN CAST(NULL AS BOOLEAN)"
+                    f" ELSE false END")
+            repl = (
+                f"(SELECT {body} FROM "
+                f"(SELECT min(_ps_q) AS mn, max(_ps_q) AS mx, "
+                f"count(*) AS c, count(*) - count(_ps_q) AS cn "
+                f"FROM ({sub}) _ps_qt(_ps_q)) _ps_s)")
+        sql = sql[:start] + repl + sql[close + 1:]
+
+
+# `x IN (VALUES ...)` (SqlBase.g4 inList accepts a query): Spark's IN
+# wants a SELECT subquery or an expression list — wrap the VALUES.
+_in_values_re = re.compile(r"\bIN\s*\(\s*VALUES\b", re.IGNORECASE)
+
+
+def _rewrite_in_values(sql: str) -> str:
+    while True:
+        spans = _string_spans(sql)
+        m = next((c for c in _in_values_re.finditer(sql)
+                  if not _in_string(spans, c.start())), None)
+        if m is None:
+            return sql
+        open_paren = sql.index("(", m.start())
+        parsed = _split_call(sql, open_paren)
+        if parsed is None:
+            return sql
+        _, close = parsed
+        inner = sql[open_paren + 1:close]
+        # the alias matters: Spark mis-parses an IN-list
+        # `(SELECT * FROM (...))` without one
+        sql = (sql[:open_paren] + "(SELECT * FROM (" + inner
+               + ") AS _ps_iv)" + sql[close + 1:])
 
 
 # Default null ordering: Presto sorts NULLS LAST regardless of the
@@ -1120,6 +1302,144 @@ def _build_approx_percentile(_name: str, args: list[str]) -> str | None:
     return None
 
 
+# array_agg (ArrayAggregationFunction.java): Presto KEEPS null
+# elements and returns NULL over an empty group/frame; Spark's
+# collect_list drops nulls and returns [].  Route elements through a
+# struct (a struct cell is never null even when its field is) and
+# guard emptiness on the collected list itself — frame-aware inside
+# windows, where count(*) would not be.  The optional FILTER and OVER
+# tails re-attach to each inner collect_list.  DISTINCT / inner
+# ORDER BY spellings pass through to their dedicated handlers.
+_array_agg_re = re.compile(r"\barray_agg\s*\(", re.IGNORECASE)
+_agg_tail_re = re.compile(
+    r"\s*(?:FILTER\s*\()|\s*(?:IGNORE\s+NULLS|RESPECT\s+NULLS)?\s*OVER\s*\(",
+    re.IGNORECASE)
+
+
+def _rewrite_array_agg(sql: str) -> str:
+    while True:
+        spans = _string_spans(sql)
+        hit = None
+        for m in _array_agg_re.finditer(sql):
+            if _in_string(spans, m.start()):
+                continue
+            parsed = _split_call(sql, m.end() - 1)
+            if parsed is None:
+                continue
+            args, close = parsed
+            if len(args) != 1 or re.search(
+                    r"(?is)^\s*DISTINCT\b|\bORDER\s+BY\b", args[0]):
+                continue
+            if "_ps_v" in args[0]:  # already-rewritten inner call
+                continue
+            hit = (m, args[0].strip(), close)
+            break
+        if hit is None:
+            return sql
+        m, arg, close = hit
+        end = close + 1
+        tail = ""
+        while True:
+            t = _agg_tail_re.match(sql, end)
+            if t is None:
+                break
+            p = _split_call(sql, t.end() - 1)
+            if p is None:
+                break
+            tail += sql[end:p[1] + 1]
+            end = p[1] + 1
+        base = f"collect_list(struct(({arg}) AS _ps_v)){tail}"
+        repl = (f"CASE WHEN size({base}) = 0 THEN NULL ELSE "
+                f"transform({base}, _ps_s -> _ps_s._ps_v) END")
+        sql = sql[:m.start()] + repl + sql[end:]
+
+
+# Zero-argument count() (Presto's CountAggregation accepts it as
+# count(*)); Spark requires the star.
+_count_call_re = re.compile(r"\b(count)\s*\(", re.IGNORECASE)
+
+
+def _build_count(_name: str, args: list[str]) -> str | None:
+    if len(args) == 1 and args[0].strip() == "":
+        return "count(*)"
+    return None
+
+
+# Unicode string literals U&'d\0061ta' [UESCAPE '#'] (SqlBase.g4
+# UNICODE_STRING; Presto docs language/types.rst): the escape
+# character introduces a 4-hex-digit code point, or a 6-digit one
+# with a '+'; a doubled escape character is the literal character.
+_unicode_str_re = re.compile(
+    r"U&('(?:[^']|'')*')(?:\s+UESCAPE\s+'(.)')?", re.IGNORECASE)
+
+
+def _decode_unicode_literal(m: re.Match) -> str:
+    body = m.group(1)[1:-1]
+    esc = m.group(2) or "\\"
+    out, i = [], 0
+    while i < len(body):
+        c = body[i]
+        if c == esc:
+            if i + 1 < len(body) and body[i + 1] == esc:
+                out.append(esc)
+                i += 2
+                continue
+            if i + 1 < len(body) and body[i + 1] == "+":
+                out.append(chr(int(body[i + 2:i + 8], 16)))
+                i += 8
+                continue
+            out.append(chr(int(body[i + 1:i + 5], 16)))
+            i += 5
+            continue
+        out.append(c)
+        i += 1
+    return "'" + "".join(out).replace("\\", "\\\\") + "'"
+
+
+# min_by/max_by 3-arg top-n forms (MinMaxByNAggregationFunction.java):
+# min_by(x, y, n) returns the x's of the n smallest y.  Spark's
+# min_by/max_by are 2-arg only; the n-form sorts the collected (key,
+# value) pairs (array_sort orders structs by field order, nulls-last)
+# and slices.  2-arg calls pass through untouched (native).
+_minmax_by_re = re.compile(r"\b(min_by|max_by)\s*\(", re.IGNORECASE)
+# min(x, n)/max(x, n) (MinAggregationFunction n-form): array of the n
+# smallest/largest — Spark's min/max are strictly 1-arg, so the 2-arg
+# spelling is unambiguous.
+_minmax_n_re = re.compile(r"\b(min|max)\s*\(", re.IGNORECASE)
+
+
+def _build_minmax_n(name: str, args: list[str]) -> str | None:
+    if len(args) != 2:
+        return None
+    arr = (f"array_sort(collect_list(({args[0]})))")
+    if name.lower() == "max":
+        arr = f"reverse({arr})"
+    return f"slice({arr}, 1, ({args[1]}))"
+
+
+def _build_minmax_by(name: str, args: list[str]) -> str | None:
+    if len(args) != 3:
+        return None
+    x, y, n = args
+    pairs = (f"array_sort(collect_list(CASE WHEN ({y}) IS NOT NULL THEN "
+             f"struct(({y}) AS k, ({x}) AS v) END))")
+    if name.lower() == "max_by":
+        pairs = f"reverse({pairs})"
+    return f"transform(slice({pairs}, 1, ({n})), _ps_s -> _ps_s.v)"
+
+
+# grouping(c1, .., cn) (GroupingOperationFunction.java) returns the
+# bitmask over the named columns — Spark's grouping() is 1-arg;
+# the multi-column form IS Spark's grouping_id.
+_grouping_re = re.compile(r"\b(grouping)\s*\(", re.IGNORECASE)
+
+
+def _build_grouping(_name: str, args: list[str]) -> str | None:
+    if len(args) <= 1:
+        return None
+    return f"grouping_id({', '.join(args)})"
+
+
 # Color-tier arity dispatch (ColorFunctions.java overloads color/
 # render/bar by signature; the SQL UDFs in functions/color.py are
 # monomorphic): 3-arg color → color_interp, 5-arg → color_scaled,
@@ -1295,8 +1615,19 @@ def _rewrite_at_time_zone(sql: str) -> str:
 # SYSTEM is splits-based (SampleNode.java) so any engine's SYSTEM is
 # implementation-defined; the row-level approximation is documented.
 _unnest_re = re.compile(r"\bUNNEST\s*\(", re.IGNORECASE)
+# The alias is optional, AS is optional, and the column list is
+# optional (SqlBase.g4 aliasedRelation over the unnest relation):
+# `UNNEST(a)`, `UNNEST(a) t(x)`, `UNNEST(a) AS t (x, y)` all parse.
+# Reserved words are excluded so `UNNEST(a) CROSS JOIN b` doesn't eat
+# CROSS as an alias.
 _unnest_tail_re = re.compile(
-    r"\s*(WITH\s+ORDINALITY\s+)?AS\s+(\w+)\s*\(([^()]*)\)", re.IGNORECASE
+    r"\s*(WITH\s+ORDINALITY\s*)?"
+    r"(?:(?:AS\s+)?"
+    r"(?!(?:JOIN|LEFT|RIGHT|FULL|INNER|OUTER|CROSS|ON|USING|WHERE|GROUP"
+    r"|ORDER|HAVING|LIMIT|UNION|INTERSECT|EXCEPT|WITH|TABLESAMPLE"
+    r"|AS)\b)"
+    r"(\w+)\s*(?:\((\s*\w+(?:\s*,\s*\w+)*\s*)\))?)?",
+    re.IGNORECASE,
 )
 _unnest_prefix_re = re.compile(r"(?is)(CROSS\s+JOIN\s*|,\s*|\bFROM\s*)$")
 _tablesample_re = re.compile(
@@ -1305,22 +1636,67 @@ _tablesample_re = re.compile(
 )
 
 
+def _unnest_arg_specs(args: list[str]) -> list[tuple[str, str, int]]:
+    """(arg, kind, output width) per UNNEST argument: MAPs are (key,
+    value), ARRAY[struct(...)] / array(struct(...)) literals expand
+    their row fields, plain arrays are one column."""
+    specs: list[tuple[str, str, int]] = []
+    for a in args:
+        if re.match(r"(?is)^\s*MAP\s*\(", a):
+            specs.append((a, "map", 2))
+            continue
+        # the ARRAY[...] literal rewrite runs earlier, so row arrays
+        # arrive as array(struct(...)); accept the raw spelling too
+        rm = re.match(r"(?is)^\s*ARRAY\s*[\[(]\s*struct\s*\(", a)
+        if rm:
+            parsed = _split_call(a, rm.end() - 1)
+            specs.append((a, "rowarray", len(parsed[0]) if parsed else 1))
+            continue
+        specs.append((a, "array", 1))
+    return specs
+
+
 def _unnest_inner_select(args: list[str], cols: list[str], ordinal: bool) -> str | None:
     """SELECT text producing the unnested columns, or None if the shape
     is out of scope."""
     data_cols = cols[:-1] if ordinal else cols
-    if len(args) == 1 and len(data_cols) == 2:
-        # MAP unnest
+    if len(args) == 1 and len(data_cols) == 2 and not re.match(
+            r"(?is)^\s*ARRAY\s*[\[(]\s*struct\s*\(", args[0]):
+        # single argument expanding to two columns and not a
+        # row-array literal: a MAP (column or constructor) — the lean
+        # explode form
         if ordinal:
             return (f"SELECT key AS {data_cols[0]}, value AS {data_cols[1]}, "
                     f"pos + 1 AS {cols[-1]} FROM (SELECT posexplode({args[0]}))")
         return (f"SELECT key AS {data_cols[0]}, value AS {data_cols[1]} "
                 f"FROM (SELECT explode({args[0]}))")
-    if len(args) != len(data_cols):
-        return None
-    sz = f"size({args[0]})" if len(args) == 1 else (
-        "greatest(" + ", ".join(f"size({a})" for a in args) + ")")
-    sel = [f"try_element_at({a}, _ps_i) AS {c}" for a, c in zip(args, data_cols)]
+    # general zip: each MAP argument yields (key, value); an
+    # ARRAY[struct(...)] literal yields one column per row field
+    # (Presto's row expansion); plain arrays yield one column
+    # (UnnestOperator.java multi-channel semantics).
+    specs = _unnest_arg_specs(args)
+    if sum(w for _, _, w in specs) != len(data_cols):
+        # widths don't line up with the alias — treat every argument
+        # as a plain array (the historical shape), else out of scope
+        if len(args) != len(data_cols):
+            return None
+        specs = [(a, "array", 1) for a in args]
+    sz = (f"size({specs[0][0]})" if len(specs) == 1 else
+          "greatest(" + ", ".join(f"size({a})" for a, _, _ in specs) + ")")
+    sel: list[str] = []
+    ci = 0
+    for a, kind, w in specs:
+        if kind == "map":
+            ent = f"try_element_at(map_entries({a}), _ps_i)"
+            sel.append(f"{ent}.key AS {data_cols[ci]}")
+            sel.append(f"{ent}.value AS {data_cols[ci + 1]}")
+        elif kind == "rowarray":
+            for j in range(w):
+                sel.append(f"try_element_at({a}, _ps_i).col{j + 1} "
+                           f"AS {data_cols[ci + j]}")
+        else:
+            sel.append(f"try_element_at({a}, _ps_i) AS {data_cols[ci]}")
+        ci += w
     if ordinal:
         sel.append(f"_ps_i AS {cols[-1]}")
     # slice(seq(1, max(sz,1)), 1, max(sz,0)): empty/NULL arrays yield an
@@ -1345,7 +1721,17 @@ def _rewrite_unnest(sql: str) -> str:
             pos = m.end()
             continue
         args = [a.strip() for a in parsed[0]]
-        cols = [c.strip() for c in tail.group(3).split(",")]
+        alias = tail.group(2) or "_ps_unnest"
+        if tail.group(3):
+            cols = [c.strip() for c in tail.group(3).split(",")]
+        else:
+            # no column list: generated names sized by each argument's
+            # output width (maps are 2-wide) — SELECT * consumers see
+            # these
+            width = sum(w for _, _, w in _unnest_arg_specs(args))
+            cols = [f"c{i + 1}" for i in range(width)]
+            if tail.group(1):
+                cols.append("ordinality")
         inner = _unnest_inner_select(args, cols, tail.group(1) is not None)
         if inner is None:
             out.append(sql[pos:m.end()])
@@ -1360,10 +1746,10 @@ def _rewrite_unnest(sql: str) -> str:
         kind = pm.group(1).strip().upper()
         if kind == "FROM":
             out.append(prefix[:pm.start(1)] + "FROM ")
-            out.append(f"({inner}) {tail.group(2)}")
+            out.append(f"({inner}) {alias}")
         else:
             out.append(prefix[:pm.start(1)] + ", LATERAL ")
-            out.append(f"({inner}) {tail.group(2)}")
+            out.append(f"({inner}) {alias}")
         pos = tail.end()
     return "".join(out)
 
@@ -1399,6 +1785,11 @@ def _split_top_binary(expr: str):
             depth += 1
         elif c in ")]":
             depth -= 1
+        elif depth == 0 and c in "<>=!":
+            # a top-level COMPARISON binds looser than any arithmetic
+            # op: TRY(1 / x != 1000) must unwrap whole, never become
+            # try_divide(1, x != 1000)
+            return None
         elif depth == 0 and c in "+-*/%":
             is_unary = c in "+-" and (prev == "" or prev in "(,+-*/%<>=")
             if not is_unary:
@@ -1628,13 +2019,16 @@ def _rewrite_groups_frames(sql: str) -> str:
 
 def translate(sql: str) -> str:
     """Rewrite Presto spellings to Spark spellings.  Idempotent."""
-    out = _rewrite_double_quoted_idents(sql)
+    out = _sub_skipping_strings(_unicode_str_re, _decode_unicode_literal, sql)
+    out = _rewrite_double_quoted_idents(out)
+    out = _rewrite_quantified_comparisons(out)
     out = _rewrite_rankish_windows(out)
     out = _rewrite_groups_frames(out)
     out = _rewrite_order_by_null_defaults(out)
     out = _rewrite_array_literals(out)
     out = _rewrite_type_positions(out)
     out = _sub_outside_strings(_bare_varchar_re, "AS STRING", out)
+    out = _sub_outside_strings(_bare_varbinary_re, "AS BINARY", out)
     out = _sub_skipping_strings(_typed_literal_re, _typed_literal_repl, out)
     out = _sub_outside_strings(_row_ctor_re, "struct(", out)
     out = _rewrite_limit_grammar(out)
@@ -1642,6 +2036,12 @@ def translate(sql: str) -> str:
     out = _rewrite_unnest(out)
     out = _rewrite_calls(out, _approx_distinct_re, _build_approx_distinct)
     out = _rewrite_calls(out, _kurtosis_re, _build_kurtosis)
+    out = _rewrite_calls(out, _minmax_by_re, _build_minmax_by)
+    out = _rewrite_calls(out, _grouping_re, _build_grouping)
+    out = _rewrite_calls(out, _count_call_re, _build_count)
+    out = _rewrite_calls(out, _minmax_n_re, _build_minmax_n)
+    out = _rewrite_array_agg(out)
+    out = _rewrite_in_values(out)
     out = _rewrite_calls(out, _approx_pct_re, _build_approx_percentile)
     out = _rewrite_calls(out, _array_minmax_by_re, _build_array_minmax_by)
     out = _rewrite_calls(out, _color_call_re, _build_color_call)

@@ -49,7 +49,8 @@ from presto_spark.queries import corpus_suite  # noqa: F401,E402
 #      block and the llm_* block, then the sketch/dml/dialect rows in
 #      the r9 comment's listed order.
 # Remaining r3-stale debt after this window (leads the r11 front):
-# sketch_approx_most_frequent (displaced by the round-10 corpus row),
+# sketch_hll_mergeable_rollup, sketch_approx_most_frequent (displaced
+# by the round-10 corpus/semantics rows),
 # sketch_numeric_histogram, dml_cow_roundtrip,
 # presto_dialect_revenue_window, presto_dialect_array_ops (displaced
 # by the round-10 geometry rows),
@@ -58,7 +59,7 @@ from presto_spark.queries import corpus_suite  # noqa: F401,E402
 # fn_jsonpath_suite, event_daily_retention, event_sessionization_sql,
 # event_stream_stateful_stats, event_stream_interval_join,
 # event_funnel_conversion, event_json_enrichment, event_session_window,
-# event_sliding_window, event_tumbling_window — 19 rows, plus whatever
+# event_sliding_window, event_tumbling_window — 20 rows, plus whatever
 # round 10 edits or adds beyond its front.
 # tests/test_registry_front.py pins list(REGISTRY)[:50] == this list.
 _DRIVER_FRONT = [
@@ -94,11 +95,14 @@ _DRIVER_FRONT = [
     "geo_holed_multipolygon_golden",
     "geo_nonconvex_overlay_golden",
     "geo_union_agg_general_golden",
-    # 2c. round-10 product-corpus tier (NEW; new-query rule) — also
-    # re-checks the dialect layer after the round-10 rewrites (double-
-    # quoted identifiers, default NULLS LAST, rankish window
-    # conformance, TSWTZ AT TIME ZONE, unbiased kurtosis)
+    # 2c. round-10 product-corpus + semantic-corpus tiers (NEW;
+    # new-query rule) — also re-check the dialect layer after the
+    # round-10 rewrites (double-quoted identifiers, default NULLS
+    # LAST, rankish window conformance, TSWTZ AT TIME ZONE, unbiased
+    # kurtosis, quantified comparisons, null-keeping array_agg,
+    # aggregate SQL spellings)
     "corpus_product_golden",
+    "presto_dialect_semantics_suite",
     # 3. the 28 stalest r3 rows: TPC-H block first
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -124,7 +128,6 @@ _DRIVER_FRONT = [
     # sketch/dml/dialect rows in the r9 comment's listed order
     "sketch_approx_percentile_groups",
     "sketch_quantile_mergeable_rollup",
-    "sketch_hll_mergeable_rollup",
 ]
 
 

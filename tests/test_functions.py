@@ -533,6 +533,93 @@ def test_dialect_kurtosis_is_unbiased(spark):
     assert abs(got - (-1.5738414148886837)) < 1e-9
 
 
+def test_dialect_quantified_comparisons(spark):
+    """expr op ANY/ALL/SOME (subquery) (SqlBase.g4 quantifiedComparison)
+    — Spark has no quantified comparisons.  = ANY lowers to IN and
+    <> ALL to NOT IN (semi/anti-joinable); ordered ops lower onto a
+    min/max/count summary encoding Presto's exact three-valued result
+    (round 10, semantic corpus)."""
+    from presto_spark.engine import Engine
+    eng = Engine(spark)
+    rows = eng.sql("""
+        SELECT 5 > ALL(SELECT x FROM (VALUES 1, 2) t(x))          AS t1,
+               1 > ALL(SELECT x FROM (VALUES 1, 2) t(x))          AS f1,
+               5 > ALL(SELECT x FROM (VALUES 1, 2) t(x) WHERE x > 9) AS empty_all,
+               5 < ANY(SELECT x FROM (VALUES 1, 2) t(x) WHERE x > 9) AS empty_any,
+               2 > ALL(SELECT x FROM (VALUES 1, NULL) t(x))       AS null_mix,
+               0 > ALL(SELECT x FROM (VALUES 1, NULL) t(x))       AS false_dominates,
+               2 = ALL(SELECT x FROM (VALUES 2, 2) t(x))          AS eq_all,
+               2 = ALL(SELECT x FROM (VALUES 2, 3) t(x))          AS eq_all_f,
+               2 <> ANY(SELECT x FROM (VALUES 2, 3) t(x))         AS ne_any,
+               1 = ANY(SELECT x FROM (VALUES 1, 2) t(x))          AS in_form,
+               4 <> ALL(SELECT x FROM (VALUES 1, 2) t(x))         AS not_in_form
+    """).collect()[0]
+    assert rows.t1 and not rows.f1
+    assert rows.empty_all and not rows.empty_any
+    assert rows.null_mix is None and rows.false_dominates is False
+    assert rows.eq_all and not rows.eq_all_f
+    assert rows.ne_any and rows.in_form and rows.not_in_form
+
+
+def test_dialect_array_agg_presto_semantics(spark):
+    """array_agg KEEPS null elements and returns NULL over an empty
+    group/frame (ArrayAggregationFunction.java); Spark's collect_list
+    drops nulls and returns [] — the struct-routing rewrite closes
+    both (round 10, semantic corpus window tier)."""
+    from presto_spark.engine import Engine
+    eng = Engine(spark)
+    r = eng.sql("SELECT array_agg(x) AS a FROM (VALUES 1, NULL, 2) t(x)"
+                ).collect()[0]
+    assert r.a == [1, None, 2]
+    r = eng.sql("SELECT array_agg(x) AS a FROM (VALUES 1) t(x) WHERE x > 5"
+                ).collect()[0]
+    assert r.a is None
+    rows = eng.sql(
+        "SELECT a, array_agg(a) OVER(ORDER BY a "
+        "ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING) AS w "
+        "FROM (VALUES 1, 2) t(a) ORDER BY a").collect()
+    assert rows[0].w is None and rows[1].w == [1]
+
+
+def test_dialect_agg_spellings(spark):
+    """SQL spellings for the aggregate tier the engine also ships as
+    DataFrame operators: map_agg / set_agg / set_union / reduce_agg /
+    min(x,n) / max(x,n) / count() / apply (round 10)."""
+    from presto_spark.engine import Engine
+    eng = Engine(spark)
+    r = eng.sql("""
+        SELECT map_agg(k, v) AS m,
+               set_agg(k) AS s,
+               reduce_agg(k, 0, (a, b) -> a + b, (a, b) -> a + b) AS r,
+               min(k, 2) AS mn2,
+               max(k, 2) AS mx2,
+               count() AS c
+        FROM (VALUES (1, 'a'), (2, 'b'), (2, 'b')) t(k, v)
+    """).collect()[0]
+    assert r.m == {1: "a", 2: "b"} and sorted(r.s) == [1, 2]
+    assert r.r == 5 and r.mn2 == [1, 2] and r.mx2 == [2, 2] and r.c == 3
+    r = eng.sql("SELECT set_union(x) AS u FROM "
+                "(VALUES ARRAY[1,2], ARRAY[2,3]) t(x)").collect()[0]
+    assert sorted(r.u) == [1, 2, 3]
+    r = eng.sql("SELECT apply(5, x -> x * x) AS a").collect()[0]
+    assert r.a == 25
+    r = eng.sql("SELECT 1.0 IN (VALUES (1), (2))").collect()[0][0]
+    assert r is True
+    r = eng.sql("SELECT U&'text\\000Amore'").collect()[0][0]
+    assert r == "text\nmore"
+
+
+def test_dialect_try_never_splits_under_comparison():
+    """TRY(1 / x != 1000) must unwrap whole — splitting the arithmetic
+    under a top-level comparison produced try_divide(1, x != 1000)
+    (round-10 semantic-corpus catch)."""
+    from presto_spark.functions.dialect import translate
+    out = translate("SELECT TRY(1 / (b-a) != 1000) FROM t")
+    assert "try_divide" not in out
+    out = translate("SELECT TRY(1 / (b-a)) FROM t")
+    assert "try_divide(1, (b-a))" in out
+
+
 def test_dialect_contains_repeat_are_array_semantics():
     """Presto `contains`/`repeat` are ARRAY functions (ArrayContains /
     RepeatFunction) whose names collide with string builtins in Spark —

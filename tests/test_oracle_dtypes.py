@@ -70,6 +70,11 @@ def spark_family(dt: T.DataType) -> str:
         return "datetime"
     if isinstance(dt, T.StringType):
         return "str"
+    if isinstance(dt, T.ArrayType):
+        # arrays land as object(list) in pandas on BOTH engines, but
+        # the ELEMENT family still decides the hashed cell values —
+        # compare it recursively (round 10)
+        return "array:" + spark_family(dt.elementType)
     return "other:" + dt.simpleString()
 
 
@@ -95,6 +100,8 @@ def duck_family(t) -> str:
         return "datetime"
     if s == "VARCHAR":
         return "str"
+    if s.endswith("[]"):
+        return "array:" + duck_family(s[:-2])
     return "other:" + s
 
 
