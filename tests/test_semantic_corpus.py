@@ -122,9 +122,13 @@ def sem(spark):
     duck = duckdb.connect()
     register_semantic_catalog(spark, duck, "/root/testdata/sf0.001")
     yield spark, duck
-    for t in ("orders", "lineitem", "customer", "nation", "region",
-              "part", "supplier"):
-        spark.catalog.dropTempView(t)
+    # restore the engine catalog IN PLACE: base.prepare() memoizes the
+    # session's sf_dir, so dropping the views here would leave later
+    # test modules with no tables at all (round-10 suite regression —
+    # 24 downstream failures)
+    from presto_spark.sources.catalog import register_tables
+
+    register_tables(spark, "/root/testdata/sf0.001")
 
 
 def test_semantic_corpus_sweep(sem):
