@@ -60,6 +60,17 @@ def main() -> None:
     # inflated medians for three queries because the machine was busy
     # for the whole run — loadavg before/after lets the judge spot a
     # hot run without re-probing.
+    # Cooldown gate (VERDICT r10 #2 / next-round #6): r9 and r10 both
+    # recorded hot-started artifacts.  Rather than document the heat,
+    # wait it out: poll until the 1-min loadavg drops below the hot
+    # threshold, up to SPARK_GRAFT_BENCH_COOLDOWN seconds (default
+    # 600; 0 disables).  Only if the machine never cools does the
+    # hot-start warning below still fire.
+    cooldown = float(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "600"))
+    waited = 0.0
+    while os.getloadavg()[0] >= 2.0 and waited < cooldown:
+        time.sleep(15.0)
+        waited += 15.0
     load_before = os.getloadavg()
     wall_start = time.time()
     spark = get_spark("presto_spark_bench")

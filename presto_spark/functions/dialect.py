@@ -123,6 +123,15 @@ _PATTERN_RULES: list[tuple[re.Pattern[str], object]] = [
      lambda m: f"exists(map_values({m.group(1)}),"),
     (re.compile(r"\bno_values_match\s*\(\s*(\w+(?:\.\w+)*)\s*,", re.IGNORECASE),
      lambda m: f"NOT exists(map_values({m.group(1)}),"),
+    # bitwise aggregates (reference: aggregation/BitwiseAndAggregation /
+    # BitwiseOrAggregation; bitwise_xor_agg from the public docs
+    # aggregate.rst) — Spark's bit_and/bit_or/bit_xor aggregates have
+    # identical NULL-skipping semantics.  Must precede the scalar
+    # rewrites (\bbitwise_and\s*\( would not match the _agg spelling,
+    # but keep the families adjacent and ordered for clarity).
+    (re.compile(r"\bbitwise_and_agg\s*\(", re.IGNORECASE), "bit_and("),
+    (re.compile(r"\bbitwise_or_agg\s*\(", re.IGNORECASE), "bit_or("),
+    (re.compile(r"\bbitwise_xor_agg\s*\(", re.IGNORECASE), "bit_xor("),
     # bitwise scalar functions (reference: operator/scalar/BitwiseFunctions.java)
     (re.compile(r"\bbitwise_and\s*\(", re.IGNORECASE), "bit_and_scalar("),
     (re.compile(r"\bbitwise_or\s*\(", re.IGNORECASE), "bit_or_scalar("),

@@ -684,3 +684,91 @@ def geometry_union_agg_general(df, group_cols, geom_col="geom"):
     )
     spine = df.select(*group_cols).distinct()
     return spine.join(out, group_cols, "left")
+
+
+# ---- ST_Buffer for point/line kinds (round 11) ----------------------------
+#
+# Reference: GeoFunctions.java stBuffer (Esri GeometryEngine.buffer) —
+# any geometry, rounded joins.  The struct model's Column tier buffers
+# POINT only (geo.st_buffer, 32-gon disc); this lifts the pin for
+# MULTIPOINT/LINESTRING/MULTILINESTRING the same way the overlay tier
+# lifted non-convex operands: per-segment strip rectangles plus
+# per-vertex 32-gon discs, dissolved into a disjoint tiling with the
+# existing _union_pieces machinery — one Arrow crossing per row, no
+# shuffle, cost bounded by the line's own vertex count.  Same
+# documented deviation as the overlays: the result is an area-exact
+# tiling (POLYGON/MULTIPOLYGON), not Esri's canonical merged ring;
+# the disc is the 32-gon approximation geo.st_buffer pinned.
+
+_BUFFER_SEGS_G = 32
+
+
+def _disc_piece(cx, cy, d):
+    import math
+    return [
+        (cx + d * math.cos(2 * math.pi * k / _BUFFER_SEGS_G),
+         cy + d * math.sin(2 * math.pi * k / _BUFFER_SEGS_G))
+        for k in range(_BUFFER_SEGS_G)
+    ]
+
+
+def _seg_rect(p, q, d):
+    import math
+    dx, dy = q[0] - p[0], q[1] - p[1]
+    ln = math.hypot(dx, dy)
+    if ln <= _EPS:
+        return None
+    nx, ny = -dy / ln * d, dx / ln * d
+    # CCW: p+n, p-n, q-n, q+n
+    return [(p[0] + nx, p[1] + ny), (p[0] - nx, p[1] - ny),
+            (q[0] - nx, q[1] - ny), (q[0] + nx, q[1] + ny)]
+
+
+_BUFFERABLE = {"POINT", "MULTIPOINT", "LINESTRING", "MULTILINESTRING"}
+
+
+@pandas_udf(_TRIS_T)
+def _buffer_udf(kinds, xss, yss, dists):
+    import pandas as pd
+
+    out = []
+    for kind, rings_x, rings_y, d in zip(kinds, xss, yss, dists):
+        if (kind not in _BUFFERABLE or rings_x is None or rings_y is None
+                or d is None or d <= 0):
+            out.append(None)
+            continue
+        cand = []
+        for xs, ys in zip(rings_x, rings_y):
+            pts = list(zip(xs, ys))
+            for p in pts:
+                cand.append(_disc_piece(p[0], p[1], d))
+            if kind in ("LINESTRING", "MULTILINESTRING"):
+                for a, b in zip(pts, pts[1:]):
+                    r = _seg_rect(a, b, d)
+                    if r is not None:
+                        cand.append(r)
+        # candidate pieces overlap each other (discs ∩ strips), so
+        # accumulate one at a time — _union_pieces assumes each batch
+        # is internally disjoint (it is a tiling elsewhere)
+        pieces = []
+        for c in cand:
+            pieces = _union_pieces(pieces, [c])
+        out.append(
+            [[c for v in p for c in v] for p in pieces] or None)
+    return pd.Series(out)
+
+
+def st_buffer_general(geom: Column, distance: Column | float) -> Column:
+    """ST_Buffer for POINT/MULTIPOINT/LINESTRING/MULTILINESTRING
+    (GeoFunctions.java stBuffer; lifts geo.st_buffer's line pin,
+    VERDICT r10 next-round #8).  d = 0 → the input unchanged; d < 0
+    or out-of-model kinds (polygon offsetting) → NULL."""
+    d = distance if isinstance(distance, Column) else F.lit(float(distance))
+    rings = geom["rings"]
+    flat = _buffer_udf(
+        geom["kind"],
+        F.transform(rings, lambda r: F.transform(r, lambda p: p["x"])),
+        F.transform(rings, lambda r: F.transform(r, lambda p: p["y"])),
+        d.cast("double"),
+    )
+    return F.when(d == 0, geom).otherwise(geometry_from_flat_pieces(flat))

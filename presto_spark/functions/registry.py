@@ -125,6 +125,13 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
     "levenshtein_distance": (
         "a STRING, b STRING", "INT", "levenshtein(a, b)",
         "StringFunctions.java levenshteinDistance"),
+    # NOTE: luhn_check(string) → boolean (public Presto docs
+    # string.rst; absent from this reference snapshot) is a Spark 4
+    # builtin with matching core semantics (Luhn mod-10 over digit
+    # strings, NULL → NULL).  Pinned deviation: Spark returns false on
+    # non-digit input where the published docs raise — same class as
+    # the CHAR(n) pad-compare pin.  Exercised by the fn_misc
+    # conformance tier (tests/test_functions.py).
     "from_utf8": ("b BINARY", "STRING", "decode(b, 'UTF-8')",
                   "StringFunctions.java fromUtf8"),
     "to_utf8": ("s STRING", "BINARY", "encode(s, 'UTF-8')",

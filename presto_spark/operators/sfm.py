@@ -245,6 +245,29 @@ def noisy_approx_set_sfm_from_index_and_zeros(
     )
 
 
+def noisy_empty_approx_set_sfm(
+    epsilon: float,
+    buckets: int = DEFAULT_BUCKETS,
+    precision: int = DEFAULT_PRECISION,
+    seed: int = 0,
+    salt: tuple = (),
+) -> Column:
+    """noisy_empty_approx_set_sfm(epsilon[, buckets[, precision]]) —
+    NoisyEmptyApproxSetSfmAggregation surface (noisy.rst:160-168): an
+    SFM sketch with no items, the coalesce() partner for the
+    NULL-on-empty noisy aggregates.  Like the reference, privacy still
+    applies — the empty bitmap is randomized-response flipped at
+    p = 1/(e^epsilon + 1), so only the epsilon = inf regime is the
+    all-zero bitmap.  Scalar Column constructor; pass ``salt`` columns
+    to decorrelate per-row draws when attaching one per group."""
+    p = randomized_response_probability(epsilon)
+    _index_bits(buckets)
+    on = F.sort_array(_privatize(
+        F.array().cast("array<bigint>"), p, buckets, precision, seed,
+        list(salt)))
+    return _sketch_struct(on, p, buckets, precision)
+
+
 def merge_sfm_nonprivate(
     df: DataFrame, group_cols: list[str], sfm_col: str = "sfm"
 ) -> DataFrame:

@@ -1424,3 +1424,293 @@ def geo_holed_multipolygon_golden(spark, sf_dir):
         q(geo.st_area(gi)).alias("inter_area_q"),
         q(geo.st_area(gu)).alias("union_area_q"),
     ).orderBy("i")
+
+
+# ---- SPHERICAL_GEOGRAPHY tier (round 11) ----------------------------------
+
+_SPHERICAL_POLYS = [
+    # (pid, wkt) — no ring encloses a pole, so the spherical excess is
+    # the plain per-edge term sum and DuckDB can replay it exactly
+    # (the pole-correction branch is pinned by
+    # tests/test_geo.py::test_spherical_area_reference_vectors).
+    ("eighth", "POLYGON ((90 0, 0 0, 0 90, 90 0))"),
+    ("holed", "POLYGON ((90 0, 0 0, 0 90, 90 0), "
+              "(89 1, 1 1, 1 89, 89 1))"),
+    ("parcel", "POLYGON ((-122.150124 37.486095, -122.149201 37.486606, "
+               "-122.145725 37.486580, -122.145923 37.483961, "
+               "-122.149324 37.482480, -122.150837 37.483238, "
+               "-122.150901 37.485392, -122.150124 37.486095))"),
+    ("unit_sq", "POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))"),
+]
+
+
+def _spherical_poly_values():
+    rows = []
+    for pid, wkt in _SPHERICAL_POLYS:
+        body = wkt[len("POLYGON ("):-1]
+        for ring_i, ring in enumerate(body.split("), (")):
+            pts = ring.strip("() ").split(",")
+            for seq, p in enumerate(pts):
+                lon, lat = p.split()
+                rows.append(f"('{pid}', {ring_i}, {seq}, {lon}, {lat})")
+    return ",\n         ".join(rows)
+
+
+_SPHERICAL_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nk,
+         ((c_custkey % 340) - 170) + 0.25 AS lon,
+         ((c_custkey % 160) - 80) + 0.25 AS lat,
+         (c_nationkey * 6.0) - 72 AS alat,
+         (c_nationkey * 13.0) - 150 AS alon
+  FROM customer WHERE c_custkey <= 200
+),
+dist AS (
+  SELECT 'dist' AS metric, CAST(c_custkey AS VARCHAR) AS k,
+         printf('%.3f', 1000.0 * 6371.01 * atan2(
+           sqrt(
+             pow(cos(radians(alat)) * sin(radians(lon) - radians(alon)), 2)
+             + pow(cos(radians(lat)) * sin(radians(alat))
+                   - sin(radians(lat)) * cos(radians(alat))
+                     * cos(radians(lon) - radians(alon)), 2)),
+           sin(radians(lat)) * sin(radians(alat))
+           + cos(radians(lat)) * cos(radians(alat))
+             * cos(radians(lon) - radians(alon)))) AS v
+  FROM pts
+),
+segs AS (
+  SELECT nk, lon, lat,
+         lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+  FROM pts
+  WINDOW w AS (PARTITION BY nk ORDER BY c_custkey)
+),
+seglen AS (
+  SELECT nk, 1000.0 * 6371.01 * atan2(
+           sqrt(
+             pow(cos(radians(lat)) * sin(radians(plon) - radians(lon)), 2)
+             + pow(cos(radians(plat)) * sin(radians(lat))
+                   - sin(radians(plat)) * cos(radians(lat))
+                     * cos(radians(plon) - radians(lon)), 2)),
+           sin(radians(plat)) * sin(radians(lat))
+           + cos(radians(plat)) * cos(radians(lat))
+             * cos(radians(plon) - radians(lon))) AS seg
+  FROM segs WHERE plon IS NOT NULL
+),
+pathlen AS (
+  SELECT 'pathlen' AS metric, CAST(nk AS VARCHAR) AS k,
+         printf('%.3f', sum(seg)) AS v
+  FROM seglen GROUP BY nk
+),
+cent3d AS (
+  SELECT nk,
+         sum(sin(radians(90 - lat)) * cos(radians(lon))) AS sx,
+         sum(sin(radians(90 - lat)) * sin(radians(lon))) AS sy,
+         sum(cos(radians(90 - lat))) AS sz,
+         count(*) AS n
+  FROM pts GROUP BY nk HAVING count(*) >= 2
+),
+centroid AS (
+  SELECT 'centroid' AS metric, CAST(nk AS VARCHAR) AS k,
+         printf('%.6f,%.6f',
+                degrees(atan2(sy, sx)),
+                90 - degrees(atan2(sqrt(sx * sx + sy * sy), sz))) AS v
+  FROM cent3d
+),
+verts(pid, ring, seq, lon, lat) AS (
+  VALUES {_spherical_poly_values()}
+),
+terms AS (
+  SELECT a.pid, a.ring,
+         2 * atan2(
+           tan((radians(b.lon) - radians(a.lon)) / 2)
+             * (tan(radians(a.lat) / 2) + tan(radians(b.lat) / 2)),
+           1 + tan(radians(a.lat) / 2) * tan(radians(b.lat) / 2)) AS term
+  FROM verts a
+  JOIN verts b ON b.pid = a.pid AND b.ring = a.ring AND b.seq = a.seq + 1
+),
+ringexc AS (
+  SELECT pid, ring, abs(sum(term)) AS exc FROM terms GROUP BY pid, ring
+),
+areas AS (
+  SELECT 'area' AS metric, pid AS k,
+         printf('%.3f',
+                abs(sum(CASE WHEN ring = 0 THEN exc ELSE -exc END))
+                * 6371010.0 * 6371010.0 / 1e6) AS v
+  FROM ringexc GROUP BY pid
+)
+SELECT metric, k, v FROM (
+  SELECT metric, k, v FROM dist
+  UNION ALL SELECT metric, k, v FROM pathlen
+  UNION ALL SELECT metric, k, v FROM centroid
+  UNION ALL SELECT metric, k, v FROM areas
+) u
+ORDER BY metric, k
+"""
+
+
+@register(
+    "geo_spherical_golden",
+    oracle=_SPHERICAL_ORACLE,
+    doc="SPHERICAL_GEOGRAPHY type tier (SphericalGeoFunctions.java; "
+        "SphericalGeographyUtils.java; geospatial.rst 'Spherical "
+        "Geography'): to_spherical_geography casts with range "
+        "validation, geodesic ST_Distance (POINT, meters), ST_Length "
+        "(LINESTRING, per-edge great-circle sum), ST_Area "
+        "(POLYGON/MULTIPOLYGON spherical excess, holes subtract, "
+        "SphericalExcessCalculator:334-434), ST_Centroid "
+        "(MULTIPOINT 3-D cartesian mean). DuckDB replays the Vincenty "
+        "and L'Huilier excess formulas verbatim over the same "
+        "synthetic lon/lat points and literal no-pole polygons; the "
+        "pole-correction branch is pytest-pinned against the "
+        "reference's own north-pole vector. All floats emitted "
+        "row-level at fixed decimals; sums are over <= 8 terms so "
+        "cross-engine FP order is inert at these precisions.",
+    tags=("geo", "functions"),
+)
+def geo_spherical_golden(spark, sf_dir):
+    prepare(spark, sf_dir)
+    from presto_spark.functions import geo_spherical as sph
+
+    cust = spark.table("customer").filter(F.col("c_custkey") <= 200)
+    pts = cust.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("bigint").alias("nk"),
+        (((F.col("c_custkey") % 340) - 170) + 0.25).alias("lon"),
+        (((F.col("c_custkey") % 160) - 80) + 0.25).alias("lat"),
+        ((F.col("c_nationkey") * 6.0) - 72).alias("alat"),
+        ((F.col("c_nationkey") * 13.0) - 150).alias("alon"),
+    )
+    dist = pts.select(
+        F.lit("dist").alias("metric"),
+        F.col("c_custkey").cast("string").alias("k"),
+        F.format_string("%.3f", sph.st_distance_sphere(
+            sph.to_spherical_geography(
+                geo.st_point(F.col("lon"), F.col("lat"))),
+            sph.to_spherical_geography(
+                geo.st_point(F.col("alon"), F.col("alat"))),
+        )).alias("v"),
+    )
+    grouped = (
+        pts.groupBy("nk")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("c_custkey", "lon", "lat"))).alias("ps"))
+        .filter(F.size("ps") >= 2)
+        .withColumn("ring", F.transform(
+            "ps", lambda p: F.struct(p["lon"].alias("x"),
+                                     p["lat"].alias("y"))))
+    )
+    pathlen = grouped.select(
+        F.lit("pathlen").alias("metric"),
+        F.col("nk").cast("string").alias("k"),
+        F.format_string("%.3f", sph.st_length_sphere(
+            sph.to_spherical_geography(F.struct(
+                F.lit("LINESTRING").alias("kind"),
+                F.array(F.col("ring")).alias("rings"))))).alias("v"),
+    )
+    cent = grouped.withColumn(
+        "c", sph.st_centroid_sphere(F.struct(
+            F.lit("MULTIPOINT").alias("kind"),
+            F.array(F.col("ring")).alias("rings"))),
+    ).select(
+        F.lit("centroid").alias("metric"),
+        F.col("nk").cast("string").alias("k"),
+        F.format_string(
+            "%.6f,%.6f", geo.st_x(F.col("c")), geo.st_y(F.col("c"))
+        ).alias("v"),
+    )
+    polys = spark.createDataFrame(_SPHERICAL_POLYS, "pid string, wkt string")
+    areas = polys.select(
+        F.lit("area").alias("metric"),
+        F.col("pid").alias("k"),
+        F.format_string("%.3f", sph.st_area_sphere(
+            sph.to_spherical_geography(
+                geo.st_geometry_from_text(F.col("wkt")))) / 1e6).alias("v"),
+    )
+    return (
+        dist.unionByName(pathlen).unionByName(cent).unionByName(areas)
+        .orderBy("metric", "k")
+    )
+
+
+_BUFFER_ORACLE = """
+WITH a32 AS (SELECT 16.0 * sin(pi() / 16.0) AS disc)
+SELECT * FROM (
+  SELECT 'h_line' AS k, 'MULTIPOLYGON' AS kind,
+         printf('%.6f', 20.0 + disc) AS area, true AS contains_mid
+  FROM a32
+  UNION ALL
+  SELECT 'collinear', 'MULTIPOLYGON', printf('%.6f', 20.0 + disc), true
+  FROM a32
+  UNION ALL
+  SELECT 'point', 'POLYGON', printf('%.6f', disc), true FROM a32
+  UNION ALL
+  SELECT 'two_points', 'MULTIPOLYGON', printf('%.6f', 2.0 * disc), true
+  FROM a32
+  UNION ALL
+  SELECT 'l_shape', 'MULTIPOLYGON', 'bounded', true FROM a32
+  UNION ALL
+  SELECT 'zero_d', 'LINESTRING', '0.000000', true FROM a32
+) u ORDER BY k
+"""
+
+
+@register(
+    "geo_buffer_line_golden",
+    oracle=_BUFFER_ORACLE,
+    doc="ST_Buffer beyond POINT (GeoFunctions.java stBuffer, Esri-"
+        "backed in the reference; VERDICT r10 next-round #8): "
+        "LINESTRING/MULTIPOINT buffers as per-segment strip rectangles "
+        "+ per-vertex 32-gon discs dissolved into a disjoint tiling "
+        "(geo_decompose.st_buffer_general, one Arrow crossing per "
+        "row). Axis-aligned and collinear cases have closed-form "
+        "union areas (strip + exactly one 32-gon split across the "
+        "ends — DuckDB replays 20 + 16·sin(π/16) exactly); the "
+        "L-shape emits a bounds invariant (corner overlap is "
+        "irrational); d=0 returns the input unchanged; every buffer "
+        "must contain its source vertices (even-odd containment over "
+        "the disjoint tiling).",
+    tags=("geo", "functions"),
+)
+def geo_buffer_line_golden(spark, sf_dir):
+    prepare(spark, sf_dir)
+    import math
+
+    from presto_spark.functions import geo_decompose as gd
+
+    a32 = 16.0 * math.sin(math.pi / 16.0)
+    cases = [
+        ("h_line", "LINESTRING (0 0, 10 0)", 1.0),
+        ("collinear", "LINESTRING (0 0, 5 0, 10 0)", 1.0),
+        ("point", "POINT (3 4)", 1.0),
+        ("two_points", "MULTIPOINT (0 0, 20 0)", 1.0),
+        ("l_shape", "LINESTRING (0 0, 4 0, 4 4)", 1.0),
+        ("zero_d", "LINESTRING (0 0, 10 0)", 0.0),
+    ]
+    df = (
+        spark.createDataFrame(cases, "k string, wkt string, d double")
+        .select("k", "d", geo.st_geometry_from_text(F.col("wkt")).alias("g"))
+        .repartition(2)
+        .withColumn("b", gd.st_buffer_general(F.col("g"), F.col("d")))
+        .repartition(2)
+    )
+    area = geo.st_area(F.col("b"))
+    return df.select(
+        "k",
+        F.col("b")["kind"].alias("kind"),
+        F.when(F.col("k") == "l_shape",
+               # analytic bounds: strips 2·L·d = 16 plus joint/cap
+               # area strictly inside (0, one full disc)
+               F.when((area > 16.0) & (area < 16.0 + a32),
+                      F.lit("bounded")).otherwise(F.lit("out-of-bounds")))
+         .when(F.col("k") == "zero_d", F.format_string("%.6f", F.lit(0.0)))
+         .otherwise(F.format_string("%.6f", area)).alias("area"),
+        F.when(
+            F.col("k") == "zero_d",
+            F.col("b")["kind"] == F.lit("LINESTRING"),
+        ).otherwise(
+            geo.st_contains_point(
+                F.col("b"),
+                F.col("g")["rings"][0][0]["x"],
+                F.col("g")["rings"][0][0]["y"] + F.lit(0.5))
+        ).alias("contains_mid"),
+    ).orderBy("k")

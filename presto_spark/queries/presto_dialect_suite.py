@@ -743,17 +743,26 @@ _presto_sql(
       2 <> ANY(SELECT x FROM (VALUES 2, 3) t(x))                AS q_ne_any,
       1 = ANY(SELECT x FROM (VALUES 1, 2) t(x))                 AS q_in,
       4 <> ALL(SELECT x FROM (VALUES 1, 2) t(x))                AS q_not_in,
-      (SELECT array_agg(x) FROM (VALUES 1, NULL, 2) t(x))       AS agg_keeps_nulls,
+      (SELECT array_join(transform(array_agg(x),
+                e -> coalesce(cast(e AS varchar), 'NULL')), ',')
+       FROM (VALUES 1, NULL, 2) t(x))                           AS agg_keeps_nulls,
       (SELECT array_agg(x) FROM (VALUES 1) t(x) WHERE x > 5)
         IS NULL                                                 AS agg_empty_null,
       (SELECT map_agg(k, v)[2] FROM (VALUES (1,'a'),(2,'b')) t(k,v)) AS map_agg_at,
-      (SELECT array_sort(set_agg(x)) FROM (VALUES 1,2,2) t(x))  AS set_agg_v,
-      (SELECT array_sort(set_union(a))
+      (SELECT array_join(transform(array_sort(set_agg(x)),
+                e -> coalesce(cast(e AS varchar), 'NULL')), ',')
+       FROM (VALUES 1,2,2) t(x))                                AS set_agg_v,
+      (SELECT array_join(transform(array_sort(set_union(a)),
+                e -> coalesce(cast(e AS varchar), 'NULL')), ',')
        FROM (VALUES ARRAY[1,2], ARRAY[2,3]) t(a))               AS set_union_v,
       (SELECT reduce_agg(x, 0, (s, v) -> s + v, (s1, s2) -> s1 + s2)
        FROM (VALUES 1,2,3) t(x))                                AS reduce_agg_v,
-      (SELECT min(x, 2) FROM (VALUES 3,1,2) t(x))               AS min_n,
-      (SELECT max(x, 2) FROM (VALUES 3,1,2) t(x))               AS max_n,
+      (SELECT array_join(transform(min(x, 2),
+                e -> coalesce(cast(e AS varchar), 'NULL')), ',')
+       FROM (VALUES 3,1,2) t(x))                                AS min_n,
+      (SELECT array_join(transform(max(x, 2),
+                e -> coalesce(cast(e AS varchar), 'NULL')), ',')
+       FROM (VALUES 3,1,2) t(x))                                AS max_n,
       (SELECT count() FROM (VALUES 1,2) t(x))                   AS count_bare,
       apply(5, x -> x * x)                                      AS apply_v,
       1.0 IN (VALUES (1), (2))                                  AS in_values,
@@ -776,18 +785,29 @@ _presto_sql(
       2 <> ANY(SELECT x FROM (VALUES (2), (3)) t(x))                AS q_ne_any,
       1 = ANY(SELECT x FROM (VALUES (1), (2)) t(x))                 AS q_in,
       4 <> ALL(SELECT x FROM (VALUES (1), (2)) t(x))                AS q_not_in,
-      (SELECT array_agg(x) FROM (VALUES (1), (NULL), (2)) t(x))     AS agg_keeps_nulls,
+      (SELECT array_to_string(list_transform(array_agg(x),
+                e -> coalesce(CAST(e AS VARCHAR), 'NULL')), ',')
+       FROM (VALUES (1), (NULL), (2)) t(x))                         AS agg_keeps_nulls,
       (SELECT array_agg(x) FROM (VALUES (1)) t(x) WHERE x > 5)
         IS NULL                                                     AS agg_empty_null,
       (SELECT (map_from_entries(list(struct_pack(k := k, v := v)))[2])[1]
        FROM (VALUES (1,'a'),(2,'b')) t(k,v))                        AS map_agg_at,
-      (SELECT list_sort(list_distinct(list(x)))
+      (SELECT array_to_string(list_transform(
+                list_sort(list_distinct(list(x))),
+                e -> coalesce(CAST(e AS VARCHAR), 'NULL')), ',')
        FROM (VALUES (1),(2),(2)) t(x))                              AS set_agg_v,
-      (SELECT list_sort(list_distinct(flatten(list(a))))
+      (SELECT array_to_string(list_transform(
+                list_sort(list_distinct(flatten(list(a)))),
+                e -> coalesce(CAST(e AS VARCHAR), 'NULL')), ',')
        FROM (VALUES ([1,2]), ([2,3])) t(a))                         AS set_union_v,
       (SELECT CAST(sum(x) AS BIGINT) FROM (VALUES (1),(2),(3)) t(x)) AS reduce_agg_v,
-      (SELECT list_sort(list(x))[1:2] FROM (VALUES (3),(1),(2)) t(x)) AS min_n,
-      (SELECT list_sort(list(x), 'DESC')[1:2]
+      (SELECT array_to_string(list_transform(
+                list_sort(list(x))[1:2],
+                e -> coalesce(CAST(e AS VARCHAR), 'NULL')), ',')
+       FROM (VALUES (3),(1),(2)) t(x))                              AS min_n,
+      (SELECT array_to_string(list_transform(
+                list_sort(list(x), 'DESC')[1:2],
+                e -> coalesce(CAST(e AS VARCHAR), 'NULL')), ',')
        FROM (VALUES (3),(1),(2)) t(x))                              AS max_n,
       (SELECT count(*) FROM (VALUES (1),(2)) t(x))                  AS count_bare,
       25                                                            AS apply_v,

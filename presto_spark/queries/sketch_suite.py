@@ -962,7 +962,9 @@ SELECT b.g,
               (2.0 / (exp(2.0) + 1.0)
                - 3.0 / ((exp(2.0) + 1.0) * (exp(2.0) + 1.0)))
               / (1.0 - 2.0 / ((exp(2.0) + 1.0) * (exp(2.0) + 1.0))))
-         AS p_merged
+         AS p_merged,
+       CAST(0 AS BIGINT) AS empty_card,
+       true AS empty_merge_ok
 FROM bits b ORDER BY b.g
 """
 
@@ -1044,6 +1046,17 @@ def sketch_sfm_exact_ops(spark, sf_dir):
              / nd <= 0.5).alias("priv_est_ok"),
             F.format_string("%.8f", F.col("psfm.p")).alias("p_eps2"),
             F.format_string("%.8f", F.col("pm.p")).alias("p_merged"),
+            # noisy_empty_approx_set_sfm (noisy.rst:160-168): the
+            # epsilon=inf empty sketch estimates 0 and is the identity
+            # for the non-private merge — the documented coalesce()
+            # partner for NULL-on-empty noisy aggregates.
+            sfm.sfm_cardinality(
+                sfm.noisy_empty_approx_set_sfm(math.inf, 64, 8)
+            ).cast("bigint").alias("empty_card"),
+            (sfm.sfm_merge_scalar(
+                sfm.noisy_empty_approx_set_sfm(math.inf, 64, 8),
+                F.col("sfm"), 64, 8, seed=3)["on_bits"]
+             == F.col("sfm.on_bits")).alias("empty_merge_ok"),
         )
         .orderBy("g")
     )

@@ -1030,3 +1030,20 @@ def test_color_presto_spellings_via_engine(spark):
     assert r.rs == "E[38;5;4mhiE[0m"
     # full bar: 3 gradient blocks (blue 21 → 129 → magenta 201), no pad
     assert r.bl == "E[38;5;21m█E[38;5;129m█E[38;5;201m█E[0m"
+
+
+def test_luhn_check_and_bitwise_agg_spellings(spark):
+    # luhn_check: Spark 4 builtin, semantics per the public Presto docs
+    # (Luhn mod-10; pinned deviation: false instead of raise on
+    # non-digit input — registry.py note).
+    assert one(spark, "luhn_check('79927398713')") is True
+    assert one(spark, "luhn_check('79927398714')") is False
+    assert one(spark, "luhn_check('')") is False
+    assert one(spark, "luhn_check(CAST(NULL AS STRING))") is None
+    # bitwise_{and,or,xor}_agg → Spark bit_and/bit_or/bit_xor (docs
+    # aggregate.rst; identical NULL-skipping semantics).
+    sql = translate(
+        "SELECT bitwise_and_agg(x) a, bitwise_or_agg(x) o, "
+        "bitwise_xor_agg(x) x3 FROM (VALUES 7, 12, CAST(NULL AS BIGINT)) t(x)")
+    row = spark.sql(sql).collect()[0]
+    assert (row.a, row.o, row.x3) == (7 & 12, 7 | 12, 7 ^ 12)

@@ -9,6 +9,7 @@ plan pin for the grid-binned spatial join.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from presto_spark.functions import geo
@@ -1314,3 +1315,97 @@ def test_earclip_holed_degenerate_inputs():
     assert sum(abs(_area2(t)) for t in _tris(a)) == sum(
         abs(_area2(t)) for t in _tris(b)
     )
+
+
+# ---- SPHERICAL_GEOGRAPHY tier (round 11) ----------------------------------
+# Vectors are the reference's own TestSphericalGeoFunctions.java cases;
+# area asserts replay its ABS(ROUND((area/expected - 1) * 10000)) == 0
+# tolerance (rel error < 5e-5), distance/length its exact doubles.
+
+def _sph_one(spark, wkt, fn):
+    from presto_spark.functions import geo, geo_spherical as sph
+    df = spark.range(1).select(
+        fn(sph.to_spherical_geography(
+            geo.st_geometry_from_text(F.lit(wkt)))).alias("v"))
+    return df.collect()[0].v
+
+
+def test_spherical_distance_reference_vectors(spark):
+    from presto_spark.functions import geo, geo_spherical as sph
+    cases = [
+        ("POINT (-86.67 36.12)", "POINT (-118.40 33.94)", 2886448.973436703),
+        ("POINT (-71.0589 42.3601)", "POINT (-71.2290 42.4430)",
+         16734.69743457461),
+        ("POINT (-86.67 36.12)", "POINT (-86.67 36.12)", 0.0),
+    ]
+    for a, b, want in cases:
+        got = spark.range(1).select(
+            sph.st_distance_sphere(
+                sph.to_spherical_geography(geo.st_geometry_from_text(F.lit(a))),
+                sph.to_spherical_geography(geo.st_geometry_from_text(F.lit(b))),
+            ).alias("v")).collect()[0].v
+        assert got == pytest.approx(want, rel=1e-12), (a, b)
+
+
+def test_spherical_length_reference_vectors(spark):
+    from presto_spark.functions import geo_spherical as sph
+    line = "LINESTRING (-71.05 42.36, -87.62 41.87, -122.41 37.77)"
+    rev = "LINESTRING (-122.41 37.77, -87.62 41.87, -71.05 42.36)"
+    assert _sph_one(spark, line, sph.st_length_sphere) == pytest.approx(
+        4350866.6362, rel=1e-8)
+    assert _sph_one(spark, rev, sph.st_length_sphere) == pytest.approx(
+        4350866.6362, rel=1e-8)
+    # pole-to-pole round trip ~ Earth's circumference
+    assert _sph_one(
+        spark, "LINESTRING (0.0 90.0, 0.0 -90.0, 0.0 90.0)",
+        sph.st_length_sphere) == pytest.approx(4.003e7, rel=1e-3)
+
+
+def test_spherical_area_reference_vectors(spark):
+    from presto_spark.functions import geo_spherical as sph
+    cases = [
+        # polygon around the North Pole (course-delta correction path)
+        ("POLYGON((-135 85, -45 85, 45 85, 135 85, -135 85))", 619.00e9),
+        ("POLYGON((0 0, 0 1, 1 1, 1 0, 0 0))", 123.64e8),
+        ("POLYGON((-122.150124 37.486095, -122.149201 37.486606, "
+         "-122.145725 37.486580, -122.145923 37.483961, "
+         "-122.149324 37.482480, -122.150837 37.483238, "
+         "-122.150901 37.485392, -122.150124 37.486095))",
+         163290.93943446054),
+        # 1/8th of the planet
+        ("POLYGON((90 0, 0 0, 0 90, 90 0))", 637.58e11),
+        # polygon with a large hole
+        ("POLYGON((90 0, 0 0, 0 90, 90 0), (89 1, 1 1, 1 89, 89 1))",
+         348.04e10),
+    ]
+    for wkt, want in cases:
+        got = _sph_one(spark, wkt, sph.st_area_sphere)
+        assert got == pytest.approx(want, rel=5e-5), wkt
+
+
+def test_spherical_centroid_and_casts(spark):
+    from presto_spark.functions import geo, geo_spherical as sph
+
+    def centroid(wkt):
+        r = spark.range(1).select(
+            geo.st_as_text(sph.st_centroid_sphere(
+                sph.to_spherical_geography(
+                    geo.st_geometry_from_text(F.lit(wkt))))).alias("t"),
+        ).collect()[0].t
+        return r
+
+    assert centroid("POINT (3 5)") == "POINT (3.0 5.0)"
+    assert centroid("MULTIPOINT (0 -45, 0 45)") == "POINT (0.0 0.0)"
+    # to_geometry(to_spherical_geography(g)) round-trips the payload
+    rt = spark.range(1).select(
+        geo.st_as_text(sph.to_geometry(sph.to_spherical_geography(
+            geo.st_geometry_from_text(
+                F.lit("LINESTRING (10 20, 30 40)"))))).alias("t")
+    ).collect()[0].t
+    assert rt == "LINESTRING (10.0 20.0, 30.0 40.0)"
+    # out-of-range latitude raises (checkLatitude spelling)
+    with pytest.raises(Exception, match="latitude|Latitude"):
+        spark.range(1).select(
+            sph.to_spherical_geography(
+                geo.st_geometry_from_text(F.lit("POINT (10 91)"))
+            ).alias("g")).collect()
