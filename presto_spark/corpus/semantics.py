@@ -124,6 +124,65 @@ def _literal_value(arg: str) -> str | None:
     return _java_unescape("".join(pieces))
 
 
+# -- round 11 (VERDICT r10 next-round #7): partial evaluation of the
+#    two big recoverable non-literal classes --------------------------------
+
+_IDENT_ARG_RE = re.compile(r"^\s*\w+\s*$")
+_INT_ARG_RE = re.compile(r"^\s*-?\d+L?\s*$")
+_FMT_CALL_RE = re.compile(r"^\s*format\s*\(", re.DOTALL)
+
+
+def _format_eval(arg: str) -> str | None:
+    """``format("...", <constants>)`` with a literal format string and
+    literal/integer arguments, %s/%d specifiers only → the formatted
+    value; else None.  This recovers the constant-argument format()
+    calls the r10 extractor skipped."""
+    m = _FMT_CALL_RE.match(arg)
+    if not m:
+        return None
+    parsed = _scan_call(arg, arg.index("(", m.start()))
+    if parsed is None or arg[parsed[1]:].strip():
+        return None
+    parts = _split_top_level_args(parsed[0])
+    if not parts:
+        return None
+    fmt_v = _literal_value(parts[0])
+    if fmt_v is None:
+        return None
+    vals: list[str] = []
+    for p in parts[1:]:
+        v = _literal_value(p)
+        if v is None:
+            if _INT_ARG_RE.match(p):
+                v = p.strip().rstrip("L")
+            else:
+                return None
+        vals.append(v)
+    toks = re.split(r"(%%|%[A-Za-z])", fmt_v)
+    out: list[str] = []
+    vi = 0
+    for tok in toks:
+        if tok == "%%":
+            out.append("%")
+        elif tok in ("%s", "%d"):
+            if vi >= len(vals):
+                return None
+            out.append(vals[vi])
+            vi += 1
+        elif tok.startswith("%") and len(tok) == 2:
+            return None  # unsupported specifier
+        else:
+            out.append(tok)
+    if vi != len(vals):
+        return None
+    return "".join(out)
+
+
+def _resolved_value(arg: str) -> str | None:
+    v = _literal_value(arg)
+    return v if v is not None else _format_eval(arg)
+
+
 # ---- shared catalog --------------------------------------------------------
 #
 # Both engines read the SAME relations: the driver parquet, renamed to
@@ -239,8 +298,11 @@ def canon(v):
     if isinstance(v, dict):
         return tuple(sorted((canon(k), canon(x)) for k, x in v.items()))
     if hasattr(v, "asDict"):  # pyspark Row (struct cell)
-        return tuple(sorted(
-            (k, canon(x)) for k, x in v.asDict(recursive=False).items()))
+        # positional, names dropped: Presto ROW equality is positional,
+        # and DuckDB's unnamed row(...) arrives as a bare tuple — a
+        # name-tagged canon could never match it (round 11; the
+        # cast-to-row unnest cases)
+        return tuple(canon(x) for x in v)
     if isinstance(v, (list, tuple)):
         return tuple(canon(x) for x in v)
     if isinstance(v, (bytes, bytearray)):
@@ -312,9 +374,20 @@ class SemanticCase:
 def extract_cases(tests_dir: str = REFERENCE_TESTS_DIR,
                   files: tuple[str, ...] = SOURCE_FILES
                   ) -> tuple[list[SemanticCase], int]:
-    """All literal-argument assertQuery[Ordered] cases, plus the count
-    of calls skipped because an argument was not a pure literal
-    (format()/concatenated variables/MaterializedResult forms)."""
+    """All recoverable assertQuery[Ordered] cases, plus the count of
+    calls still skipped because an argument was not resolvable.
+
+    Round 11 widens recovery beyond pure literals (VERDICT r10 #7):
+
+    * a leading bare-identifier Session argument is dropped —
+      ``assertQuery(session, sql[, expected])`` asserts the same
+      Presto-vs-oracle differential, the Session only carries
+      optimizer/feature toggles that must not change results (and a
+      result-changing toggle would surface as a pinned fail here);
+    * ``format("...", <constants>)`` arguments partially evaluate
+      when the format string and every argument are constants
+      (%s/%d only) — _format_eval.
+    """
     cases: list[SemanticCase] = []
     non_literal = 0
     for fname in files:
@@ -328,13 +401,19 @@ def extract_cases(tests_dir: str = REFERENCE_TESTS_DIR,
                 continue
             argtext, _ = parsed
             args = _split_top_level_args(argtext)
-            vals = [_literal_value(a) for a in args]
+            session_arg = bool(
+                len(args) in (2, 3) and _IDENT_ARG_RE.match(args[0])
+                and _resolved_value(args[0]) is None)
+            if session_arg:
+                args = args[1:]
+            vals = [_resolved_value(a) for a in args]
             if len(vals) not in (1, 2) or any(v is None for v in vals):
                 non_literal += 1
                 continue
             line = src.count("\n", 0, m.start()) + 1
             cases.append(SemanticCase(
-                source=f"{fname}:{line}",
+                source=f"{fname}:{line}"
+                       + ("+session" if session_arg else ""),
                 query=vals[0],
                 oracle=vals[1] if len(vals) == 2 else vals[0],
                 ordered=bool(m.group(1)),

@@ -2,8 +2,9 @@
 
 presto_spark/corpus/semantics.py extracts every literal-argument
 ``assertQuery[Ordered]`` from the reference's AbstractTest{Queries,
-Aggregations,WindowQueries,JoinQueries,OrderByQueries}.java (~1530
-cases) and replays it: the query through the Presto dialect on Spark,
+Aggregations,WindowQueries,JoinQueries,OrderByQueries}.java (~1730
+cases after the round-11 session-prefix/format() partial evaluation)
+and replays it: the query through the Presto dialect on Spark,
 the expected text on DuckDB, BOTH over the same parquet-backed
 unprefixed TPC-H catalog — the reference's own Presto-vs-H2 protocol
 with DuckDB as the oracle.
@@ -70,9 +71,14 @@ PINNED = [
     (r"a\.\*, b\.\* FROM",
      "DuckDB oracle quirk: qualified star over a USING join merges "
      "the join column (engine output matches Presto's 4 columns)"),
-    (r"MAP_KEYS\(TRANSFORM_KEYS",
+    (r"MAP_KEYS\(TRANSFORM_KEYS|transform\(col1, x -> concat\(case",
      "the reference's expected text is an H2-ism: arrays written as "
      "bare scalars in VALUES — engine arrays are correct"),
+    (r"^EXECUTE my_query",
+     "session-recovered cases (round 11): the prepared statement "
+     "text lives in the Java Session object, unrecoverable from the "
+     "call site — the engine's EXECUTE surface is pinned by "
+     "presto_dialect_prepared_execute instead"),
     # -- analyzer limits (engine-error status) --------------------------
     (r"(sum|max)_data_size_for_stats",
      "internal ANALYZE statistics aggregates — out of scope"),
@@ -134,7 +140,7 @@ def sem(spark):
 def test_semantic_corpus_sweep(sem):
     spark, duck = sem
     cases, non_literal = extract_cases()
-    assert len(cases) >= 1500 and non_literal < 500
+    assert len(cases) >= 1700 and non_literal < 200
     tallies: dict[str, int] = {}
     unexplained: list[tuple[str, str, str]] = []
     for case in cases:
@@ -146,6 +152,6 @@ def test_semantic_corpus_sweep(sem):
                 unexplained.append((o.source, case.query[:120], o.detail))
     assert not unexplained, unexplained[:10]
     # the green tier can only grow; skips stay bounded
-    assert tallies.get("ok", 0) >= 960, tallies
-    assert tallies.get("fail", 0) + tallies.get("engine-error", 0) <= 140, \
+    assert tallies.get("ok", 0) >= 1060, tallies
+    assert tallies.get("fail", 0) + tallies.get("engine-error", 0) <= 165, \
         tallies
