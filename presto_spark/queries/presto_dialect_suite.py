@@ -755,8 +755,8 @@ _presto_sql(
       (SELECT array_join(transform(array_sort(set_union(a)),
                 e -> coalesce(cast(e AS varchar), 'NULL')), ',')
        FROM (VALUES ARRAY[1,2], ARRAY[2,3]) t(a))               AS set_union_v,
-      (SELECT reduce_agg(x, 0, (s, v) -> s + v, (s1, s2) -> s1 + s2)
-       FROM (VALUES 1,2,3) t(x))                                AS reduce_agg_v,
+      CAST((SELECT reduce_agg(x, 0, (s, v) -> s + v, (s1, s2) -> s1 + s2)
+       FROM (VALUES 1,2,3) t(x)) AS BIGINT)                     AS reduce_agg_v,
       (SELECT array_join(transform(min(x, 2),
                 e -> coalesce(cast(e AS varchar), 'NULL')), ',')
        FROM (VALUES 3,1,2) t(x))                                AS min_n,
