@@ -117,3 +117,103 @@ def simplify_geometry_udf(geom: pd.DataFrame, tol: pd.Series) -> pd.DataFrame:
         ringss.append(
             [_simplify_ring(r, float(t), closed) for r in rings])
     return pd.DataFrame({"kind": kinds, "rings": ringss})
+
+
+# ---- full WKT parse incl. GEOMETRYCOLLECTION (round 11) --------------------
+#
+# Reference: GeoFunctions.java stGeometryFromText accepts every OGC
+# kind.  The Column parser (geo.st_geometry_from_text) stays lean for
+# the hot scan path and parses collections to NULL; this Arrow parser
+# handles everything, emitting the SAME struct — simple kinds
+# identically, GEOMETRYCOLLECTION via the header-ring member encoding
+# (geo.py round-11 notes: 2-vertex NaN-y headers carrying typecode +
+# member ring count).  Nested collections → NULL (out of model).
+
+_GC_CODES = {"POINT": 1, "MULTIPOINT": 2, "LINESTRING": 3,
+             "MULTILINESTRING": 4, "POLYGON": 5, "MULTIPOLYGON": 6}
+
+import re as _re
+
+_MEMBER_SPLIT = _re.compile(
+    r",\s*(?=(?:POINT|MULTIPOINT|LINESTRING|MULTILINESTRING|POLYGON"
+    r"|MULTIPOLYGON|GEOMETRYCOLLECTION)\b)", _re.IGNORECASE)
+
+
+def _py_parse_pts(s):
+    out = []
+    for p in s.replace("(", "").replace(")", "").split(","):
+        xy = p.split()
+        out.append({"x": float(xy[0]), "y": float(xy[1])})
+    return out
+
+
+def _py_signed_area2(ring):
+    n = len(ring)
+    return sum(
+        ring[i]["x"] * ring[(i + 1) % n]["y"]
+        - ring[(i + 1) % n]["x"] * ring[i]["y"]
+        for i in range(n))
+
+
+def _py_rings_of(kind, body):
+    """Python twin of geo._rings_of — identical ring layout."""
+    if kind == "MULTIPOLYGON":
+        pieces = _re.split(r"\)\s*\)\s*,\s*\(\s*\(", body)
+        rings = []
+        for piece in pieces:
+            for i, ring_txt in enumerate(_re.split(r"\)\s*,\s*\(", piece)):
+                r = _py_parse_pts(ring_txt)
+                if i == 0 and _py_signed_area2(r) < 0:
+                    r = list(reversed(r))
+                elif i > 0 and _py_signed_area2(r) > 0:
+                    r = list(reversed(r))
+                rings.append(r)
+        return rings
+    raw = _re.split(r"\)\s*,\s*\(", body)
+    if kind == "MULTIPOINT":
+        return [[p] for ring_txt in raw for p in _py_parse_pts(ring_txt)]
+    return [_py_parse_pts(ring_txt) for ring_txt in raw]
+
+
+def _py_parse_wkt(text):
+    """WKT → (kind, rings) or None — the full-parser core."""
+    if text is None:
+        return None
+    t = text.strip()
+    m = _re.match(r"^([A-Za-z]+)\s*\((.*)\)\s*$", t, _re.DOTALL)
+    if not m or not m.group(2).strip():
+        return None
+    kind, body = m.group(1).upper(), m.group(2)
+    if kind != "GEOMETRYCOLLECTION":
+        if kind not in _GC_CODES:
+            return None
+        return kind, _py_rings_of(kind, body)
+    rings = []
+    for member in _MEMBER_SPLIT.split(body):
+        mm = _re.match(r"^\s*([A-Za-z]+)\s*\((.*)\)\s*$", member, _re.DOTALL)
+        if not mm or mm.group(1).upper() not in _GC_CODES:
+            return None  # nested collection / unknown member kind
+        mkind = mm.group(1).upper()
+        mrings = _py_rings_of(mkind, mm.group(2))
+        # header vertices: y None (NULL) — NaN does not survive the
+        # pandas→Arrow crossing (it nulls out), so NULL IS the marker
+        rings.append([
+            {"x": float(_GC_CODES[mkind]), "y": None},
+            {"x": float(len(mrings)), "y": None},
+        ])
+        rings.extend(mrings)
+    return "GEOMETRYCOLLECTION", rings
+
+
+@pandas_udf(_GEOM_T)
+def parse_wkt_full_udf(wkt: pd.Series) -> pd.DataFrame:
+    kinds, ringss = [], []
+    for text in wkt:
+        parsed = _py_parse_wkt(text)
+        if parsed is None:
+            kinds.append(None)
+            ringss.append(None)
+        else:
+            kinds.append(parsed[0])
+            ringss.append(parsed[1])
+    return pd.DataFrame({"kind": kinds, "rings": ringss})

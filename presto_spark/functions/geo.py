@@ -51,37 +51,30 @@ def st_point(x: Column, y: Column) -> Column:
     )
 
 
-def st_geometry_from_text(wkt: Column) -> Column:
-    """ST_GeometryFromText (GeoFunctions.java:244) for
-    POINT/MULTIPOINT/LINESTRING/POLYGON/MULTIPOLYGON WKT.
-    MULTIPOLYGON pieces may carry interior rings since round 10: the
-    flat ring model distinguishes piece shells from holes by
-    ORIENTATION (shell CCW, hole CW — normalized here at parse time;
-    POLYGON rings stay positional: ring 0 shell, rest holes).  The
-    round-9 holed-piece pin (VERDICT r9 what's-missing #1) is
-    removed."""
-    t = F.trim(wkt)
-    kind = F.upper(F.regexp_extract(t, r"^\s*([A-Za-z]+)", 1))
-    body = F.regexp_extract(t, r"^\s*[A-Za-z]+\s*\((.*)\)\s*$", 1)
+def _parse_ring_txt(s: Column) -> Column:
+    pts = F.split(F.trim(F.regexp_replace(s, r"[()]", "")), r"\s*,\s*")
+    return F.transform(
+        pts,
+        lambda p: F.struct(
+            F.split(F.trim(p), r"\s+")[0].cast("double").alias("x"),
+            F.split(F.trim(p), r"\s+")[1].cast("double").alias("y"),
+        ),
+    )
+
+
+def _rings_of(kind: Column, body: Column) -> Column:
+    """WKT body text → the flat ring array for one (non-collection)
+    geometry of ``kind`` — the shared core of st_geometry_from_text
+    and the GEOMETRYCOLLECTION member parser (round 11)."""
     rings_raw = F.when(
         kind == "MULTIPOLYGON",
         F.split(body, r"\)\s*\)\s*,\s*\(\s*\("),
     ).otherwise(F.split(body, r"\)\s*,\s*\("))
-
-    def parse_ring(s: Column) -> Column:
-        pts = F.split(F.trim(F.regexp_replace(s, r"[()]", "")), r"\s*,\s*")
-        return F.transform(
-            pts,
-            lambda p: F.struct(
-                F.split(F.trim(p), r"\s+")[0].cast("double").alias("x"),
-                F.split(F.trim(p), r"\s+")[1].cast("double").alias("y"),
-            ),
-        )
-
     # MULTIPOINT accepts both "((1 2), (3 4))" and "(1 2, 3 4)" WKT —
     # normalize to one vertex per ring.
     multipoint = F.transform(
-        F.flatten(F.transform(rings_raw, parse_ring)), lambda p: F.array(p)
+        F.flatten(F.transform(rings_raw, _parse_ring_txt)),
+        lambda p: F.array(p),
     )
     # MULTIPOLYGON: re-split each piece into its rings, orient (shell
     # CCW, holes CW) and flatten — the orientation IS the shell/hole
@@ -90,24 +83,136 @@ def st_geometry_from_text(wkt: Column) -> Column:
         rings_raw,
         lambda piece: F.transform(
             F.split(piece, r"\)\s*,\s*\("),
-            lambda ring, i: F.when(i == 0, _ccw_ring(parse_ring(ring)))
-            .otherwise(_cw_ring(parse_ring(ring))),
+            lambda ring, i: F.when(i == 0, _ccw_ring(_parse_ring_txt(ring)))
+            .otherwise(_cw_ring(_parse_ring_txt(ring))),
         ),
     ))
-    rings = (
+    return (
         F.when(kind == "MULTIPOINT", multipoint)
         .when(kind == "MULTIPOLYGON", mp_rings)
-        .otherwise(F.transform(rings_raw, parse_ring))
+        .otherwise(F.transform(rings_raw, _parse_ring_txt))
     )
+
+
+# GEOMETRYCOLLECTION member encoding (round 11): kind
+# "GEOMETRYCOLLECTION", rings = per member a HEADER ring followed by
+# the member's own rings.  A header is TWO vertices
+# (x = typecode 1..6, y = NULL), (x = member ring count, y = NULL) —
+# a NULL y cannot arise from valid WKT (and NaN does not survive the
+# Arrow crossing: pandas→Arrow nulls it), so headers are unambiguous, and
+# carrying the ring count lets every accessor read member extents
+# from headers alone (no next-header scan — the cheap-analysis form
+# after the first cut cost seconds of Catalyst ANALYSIS per accessor,
+# the round-7 deep-HOF hazard).  Nested collections stay out of scope
+# (GeometryCollection members must be simple kinds; parse → NULL).
+_GC_KINDS = ("POINT", "MULTIPOINT", "LINESTRING", "MULTILINESTRING",
+             "POLYGON", "MULTIPOLYGON")
+
+
+def _is_gc_header(ring: Column) -> Column:
+    return (F.size(ring) == 2) & ring[0]["y"].isNull()
+
+
+def _gc_headers(geom: Column) -> Column:
+    return F.filter(geom["rings"], _is_gc_header)
+
+
+def st_geometry_from_text(wkt: Column) -> Column:
+    """ST_GeometryFromText (GeoFunctions.java:244) for
+    POINT/MULTIPOINT/LINESTRING/POLYGON/MULTIPOLYGON WKT;
+    GEOMETRYCOLLECTION parses through the Arrow tier instead
+    (st_geometry_from_text_full, round 11).
+    MULTIPOLYGON pieces may carry interior rings since round 10: the
+    flat ring model distinguishes piece shells from holes by
+    ORIENTATION (shell CCW, hole CW — normalized here at parse time;
+    POLYGON rings stay positional: ring 0 shell, rest holes).  The
+    round-9 holed-piece pin (VERDICT r9 what's-missing #1) is
+    removed."""
+    # NOTE: GEOMETRYCOLLECTION WKT parses to NULL HERE — collections
+    # route through the Arrow parse tier (st_geometry_from_text_full
+    # below; same tier split as simplify_geometry).  A Column-side GC
+    # branch was tried first (round 11): its nested member parse made
+    # THIS tree ~3x bigger and every un-materialized reference of a
+    # parsed geometry re-resolves the whole tree — literal-WKT tests
+    # went from seconds to minutes.  The parse stays lean so the hot
+    # simple-kind path keeps constant-folding and cheap analysis.
+    t = F.trim(wkt)
+    kind = F.upper(F.regexp_extract(t, r"^\s*([A-Za-z]+)", 1))
+    body = F.regexp_extract(t, r"^\s*[A-Za-z]+\s*\((.*)\)\s*$", 1)
+    rings = _rings_of(kind, body)
     return F.when(
-        body != "",
+        (body != "") & (kind != "GEOMETRYCOLLECTION"),
         F.struct(kind.alias("kind"), rings.alias("rings")),
     )
 
 
+def st_geometry_from_text_full(wkt: Column) -> Column:
+    """ST_GeometryFromText including GEOMETRYCOLLECTION (round 11) —
+    the Arrow-tier parser (functions/_geo_pandas_udfs.py).  Emits the
+    identical struct as the Column parser for simple kinds and the
+    header-ring member encoding for flat collections (nested
+    collections → NULL, documented).  Use this when collection WKT
+    can appear; the Column parser stays the hot scan path."""
+    from presto_spark.functions import _geo_pandas_udfs as _gp
+
+    return _gp.parse_wkt_full_udf(wkt)
+
+
+def _gc_member_structs(geom: Column) -> Column:
+    """GEOMETRYCOLLECTION → array of member geometry structs (decoded
+    from the header-ring encoding, round 11).  Headers carry each
+    member's ring count, so extraction is one position scan plus a
+    direct slice.  The operand is let-bound so a Python-UDF-produced
+    geometry lands in the HOF's INPUT, never inside a lambda body
+    (LAMBDA_FUNCTION_WITH_PYTHON_UDF — the round-10 pin)."""
+    return F.element_at(
+        F.transform(F.array(geom), _gc_member_structs_raw), 1)
+
+
+def _gc_member_structs_raw(geom: Column) -> Column:
+    rings = geom["rings"]
+    idx = F.sequence(F.lit(1), F.size(rings))
+    starts = F.filter(
+        idx, lambda i: _is_gc_header(F.element_at(rings, i)))
+
+    def member(s: Column) -> Column:
+        hdr = F.element_at(rings, s)
+        kindstr = F.element_at(
+            F.array(*[F.lit(g) for g in _GC_KINDS]),
+            hdr[0]["x"].cast("int"))
+        return F.struct(
+            kindstr.alias("kind"),
+            F.slice(rings, s + 1, hdr[1]["x"].cast("int")).alias("rings"),
+        )
+
+    return F.transform(starts, member)
+
+
 def st_as_text(geom: Column) -> Column:
     """ST_AsText (GeoFunctions.java:260) — canonical WKT; coordinates
-    use Spark's shortest-round-trip double formatting (deviation)."""
+    use Spark's shortest-round-trip double formatting (deviation).
+    GEOMETRYCOLLECTION prints its decoded members recursively
+    (round 11).  The operand is let-bound once: the printer
+    references it many times (and the GC branch embeds it in a HOF
+    lambda), so an inlined complex argument — a parse tree or a
+    Python-UDF call — would otherwise explode analysis or trip
+    LAMBDA_FUNCTION_WITH_PYTHON_UDF."""
+    return F.element_at(F.transform(F.array(geom), _as_text_bound), 1)
+
+
+def _as_text_bound(geom: Column) -> Column:
+    return F.when(
+        geom["kind"] == "GEOMETRYCOLLECTION",
+        F.concat(
+            F.lit("GEOMETRYCOLLECTION ("),
+            F.concat_ws(", ", F.transform(
+                _gc_member_structs_raw(geom), _simple_as_text)),
+            F.lit(")"),
+        ),
+    ).otherwise(_simple_as_text(geom))
+
+
+def _simple_as_text(geom: Column) -> Column:
     fmt_pt = lambda p: F.concat_ws(" ", p["x"].cast("string"), p["y"].cast("string"))  # noqa: E731
     ring_txt = lambda r: F.concat(F.lit("("), F.concat_ws(", ", F.transform(r, fmt_pt)), F.lit(")"))  # noqa: E731
     rings = geom["rings"]
@@ -200,11 +305,24 @@ def _all_points(geom: Column) -> Column:
 
 def st_num_points(geom: Column) -> Column:
     """ST_NumPoints (GeoFunctions.java:731): vertex count; polygons do
-    not double-count the closing vertex of each ring."""
+    not double-count the closing vertex of each ring.  A
+    GEOMETRYCOLLECTION sums its members (header rings excluded)."""
     closing = F.when(
         geom["kind"].isin("POLYGON", "MULTIPOLYGON"), F.size(geom["rings"])
     ).otherwise(F.lit(0))
-    return (F.size(_all_points(geom)) - closing).cast("long")
+    # GC: vertices of non-header rings, minus one closing vertex per
+    # ring of each polygonal member — both readable from headers alone
+    gc = (
+        F.size(F.flatten(F.filter(
+            geom["rings"], lambda r: ~_is_gc_header(r))))
+        - F.aggregate(
+            _gc_headers(geom), F.lit(0),
+            lambda acc, h: acc + F.when(
+                h[0]["x"].cast("int").isin(5, 6),
+                h[1]["x"].cast("int")).otherwise(F.lit(0)))
+    )
+    return F.when(geom["kind"] == "GEOMETRYCOLLECTION", gc).otherwise(
+        F.size(_all_points(geom)) - closing).cast("long")
 
 
 def st_xmin(geom: Column) -> Column:
@@ -788,6 +906,10 @@ def st_geometry_type(geom: Column) -> Column:
         .when(geom["kind"] == "LINESTRING", F.lit("ST_LineString"))
         .when(geom["kind"] == "POLYGON", F.lit("ST_Polygon"))
         .when(geom["kind"] == "MULTIPOLYGON", F.lit("ST_MultiPolygon"))
+        .when(geom["kind"] == "MULTILINESTRING",
+              F.lit("ST_MultiLineString"))
+        .when(geom["kind"] == "GEOMETRYCOLLECTION",
+              F.lit("ST_GeomCollection"))
     )
 
 
@@ -874,6 +996,8 @@ def st_num_geometries(geom: Column) -> Column:
     return (
         F.when(geom.isNull(), F.lit(None).cast("int"))
         .when(F.size(F.flatten(geom["rings"])) == 0, F.lit(0))
+        .when(geom["kind"] == "GEOMETRYCOLLECTION",
+              F.size(_gc_headers(geom)))
         .when(geom["kind"] == "MULTIPOLYGON",
               F.size(_piece_starts(geom["rings"])))
         .when(geom["kind"] == "MULTIPOINT", F.size(geom["rings"]))
@@ -903,6 +1027,8 @@ def st_geometry_n(geom: Column, n: Column) -> Column:
         F.when(~ok, F.lit(None).cast(
             "struct<kind:string,"
             "rings:array<array<struct<x:double,y:double>>>>"))
+        .when(geom["kind"] == "GEOMETRYCOLLECTION",
+              F.element_at(_gc_member_structs(geom), safe_n))
         .when(geom["kind"] == "MULTIPOINT",
               st_point(ring[0]["x"], ring[0]["y"]))
         .when(geom["kind"] == "MULTIPOLYGON",
@@ -924,11 +1050,21 @@ def st_coord_dim(geom: Column) -> Column:
 
 def st_dimension(geom: Column) -> Column:
     """ST_Dimension (GeoFunctions.java:347): 0 points, 1 lines,
-    2 polygons."""
+    2 polygons; a GEOMETRYCOLLECTION reports its members' maximum
+    (OGCConcreteGeometryCollection.dimension)."""
     return (
         F.when(geom["kind"].isin("POINT", "MULTIPOINT"), F.lit(0))
-        .when(geom["kind"] == "LINESTRING", F.lit(1))
+        .when(geom["kind"].isin("LINESTRING", "MULTILINESTRING"),
+              F.lit(1))
         .when(geom["kind"].isin("POLYGON", "MULTIPOLYGON"), F.lit(2))
+        .when(
+            geom["kind"] == "GEOMETRYCOLLECTION",
+            # header typecodes 1,2 → 0; 3,4 → 1; 5,6 → 2
+            F.array_max(F.transform(
+                _gc_headers(geom),
+                lambda h: (h[0]["x"].cast("int") - 1) / 2,
+            )).cast("int"),
+        )
         .cast("int")
     )
 
@@ -1348,14 +1484,14 @@ def simplify_geometry(geom: Column, tolerance: Column | float) -> Column:
 
 def flatten_geometry_collections(geom: Column) -> Column:
     """flatten_geometry_collections(geometry) → array(geometry)
-    (GeoFunctions.java:1168-1181; geospatial.rst:432): recursively
-    flattens GeometryCollections and returns every other geometry
-    whole.  The struct-geometry model has no GEOMETRYCOLLECTION kind
-    (COVERAGE.md §2.8), so every representable input is a
-    non-collection and the result is the one-element array — the exact
-    reference behavior over the supported type lattice (a MULTIPOINT
-    is an OGC multi-geometry, not a collection, and stays whole)."""
-    return F.when(geom.isNotNull(), F.array(geom))
+    (GeoFunctions.java:1168-1181; geospatial.rst:432): flattens a
+    GeometryCollection into its members (flat collections since round
+    11 — nesting stays out of model, so one level IS the recursive
+    closure) and returns every other geometry whole (a MULTIPOINT is
+    an OGC multi-geometry, not a collection, and stays whole)."""
+    return F.when(
+        geom["kind"] == "GEOMETRYCOLLECTION", _gc_member_structs(geom)
+    ).otherwise(F.when(geom.isNotNull(), F.array(geom)))
 
 
 # ---- convex-polygon overlay tier (GeoFunctions.java stIntersection/

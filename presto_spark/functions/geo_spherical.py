@@ -62,6 +62,10 @@ _THREE_PI = 3.0 * math.pi
 
 # GeometryCursor gate in toSphericalGeography:92-103 — Esri
 # Point/Polyline/Polygon/MultiPoint, spelled over the repo's kinds.
+# Pinned deviation: the reference admits a GEOMETRYCOLLECTION whose
+# members are all convertible (the cursor iterates members); here the
+# collection kind is rejected outright — the spherical measures are
+# point/line/polygon-typed anyway, so no measurable surface is lost.
 _SPHERICAL_KINDS = (
     "POINT", "MULTIPOINT", "LINESTRING", "MULTILINESTRING",
     "POLYGON", "MULTIPOLYGON",

@@ -45,14 +45,16 @@ from presto_spark.queries import corpus_suite  # noqa: F401,E402
 #      both texts; the round-2 collection-column guard passes again).
 #   2. geo_spherical_golden — NEW (SPHERICAL_GEOGRAPHY tier, VERDICT
 #      r10 what's-missing #2); geo_buffer_line_golden — NEW
-#      (ST_Buffer line/multipoint tier, r10 next-round #8).
+#      (ST_Buffer line/multipoint tier, r10 next-round #8);
+#      geo_collection_golden — NEW (GEOMETRYCOLLECTION kind, r10
+#      next-round #8 second half).
 #   3. sketch_sfm_exact_ops — EDITED (noisy_empty_approx_set_sfm
 #      columns added; edited=>re-front).
 #   4. The 20 r3-stale rows (burns the r3 debt to zero).
-#   5. The 26 next-stalest rows, all from the r4 block (alphabetical
+#   5. The 25 next-stalest rows, all from the r4 block (alphabetical
 #      prefix of the 48 r4-stale rows).
 # Remaining staleness debt after this window (leads the r12 front):
-# the other 22 r4 rows (fn_string_suite, fn_struct_suite, fn_time_type,
+# the other 23 r4 rows (fn_regex_suite, fn_string_suite, fn_struct_suite, fn_time_type,
 # fn_timezone_suite, fn_url_suite, fn_word_stem,
 # join_null_safe_equality, recursive_date_spine,
 # recursive_tree_rollup, tpcds_cumulative_compare,
@@ -69,6 +71,7 @@ _DRIVER_FRONT = [
     "geo_spherical_golden",
     "sketch_sfm_exact_ops",
     "geo_buffer_line_golden",
+    "geo_collection_golden",
     # 4. the 20 r3-stale rows
     "dml_cow_roundtrip",
     "event_daily_retention",
@@ -116,7 +119,6 @@ _DRIVER_FRONT = [
     "fn_map_suite2",
     "fn_math_suite",
     "fn_prob_suite",
-    "fn_regex_suite",
 ]
 
 

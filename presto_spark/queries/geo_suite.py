@@ -197,8 +197,15 @@ def geo_measures_wkt_golden(spark, sf_dir):
         ("pt", "POINT (2.5 7.5)"),
         ("mp", "MULTIPOINT ((1 2), (3 4))"),
     ]
-    df = spark.createDataFrame(wkts, "name string, wkt string")
-    g = geo.st_geometry_from_text(F.col("wkt"))
+    # materialize the parsed geometry (round-7/round-11 rule: the
+    # parser tree re-inlines per reference; 8 copies cost minutes of
+    # Catalyst analysis once the GC branch landed)
+    df = (
+        spark.createDataFrame(wkts, "name string, wkt string")
+        .withColumn("g", geo.st_geometry_from_text(F.col("wkt")))
+        .repartition(2)
+    )
+    g = F.col("g")
     c = geo.st_centroid(g)
     return df.select(
         "name",
@@ -355,6 +362,12 @@ def geo_line_referencing_golden(spark, sf_dir):
     ).orderBy("case_id")
 
 
+def _pt_txt(pg):
+    v = pg["rings"][0][0]
+    return F.concat(F.lit("POINT ("), v["x"].cast("string"),
+                    F.lit(" "), v["y"].cast("string"), F.lit(")"))
+
+
 _ACCESSORS_ORACLE = """
 SELECT name, gtype,
        CAST(closed AS BOOLEAN) AS closed,
@@ -400,16 +413,23 @@ def geo_accessors_wkt_golden(spark, sf_dir):
         ("pt", "POINT (2.5 7.5)"),
         ("mp", "MULTIPOINT ((1 2), (3 4))"),
     ]
-    df = spark.createDataFrame(wkts, "name string, wkt string")
-    g = geo.st_geometry_from_text(F.col("wkt"))
+    df = (
+        spark.createDataFrame(wkts, "name string, wkt string")
+        .withColumn("g", geo.st_geometry_from_text(F.col("wkt")))
+        .repartition(2)
+    )
+    g = F.col("g")
     return df.select(
         "name",
         geo.st_geometry_type(g).alias("gtype"),
         geo.st_is_closed(g).alias("closed"),
         geo.st_is_ring(g).alias("ring"),
-        geo.st_as_text(geo.st_start_point(g)).alias("sp"),
-        geo.st_as_text(geo.st_end_point(g)).alias("ep"),
-        geo.st_as_text(geo.st_point_n(g, F.lit(2))).alias("p2"),
+        # derived start/end/point-n are POINTs by construction —
+        # print inline rather than through the (GC-aware, heavier)
+        # st_as_text tree (round-11 analysis-cost note in geo.py)
+        _pt_txt(geo.st_start_point(g)).alias("sp"),
+        _pt_txt(geo.st_end_point(g)).alias("ep"),
+        _pt_txt(geo.st_point_n(g, F.lit(2))).alias("p2"),
         geo.st_num_interior_ring(g).alias("nir"),
         geo.st_dimension(g).alias("dim"),
     ).orderBy("name")
@@ -446,14 +466,20 @@ def geo_geojson_roundtrip(spark, sf_dir):
         ("pt", "POINT (2.5 7.5)"),
         ("mp", "MULTIPOINT ((1 2), (3 4))"),
     ]
-    df = spark.createDataFrame(wkts, "name string, wkt string")
-    g = geo.st_geometry_from_text(F.col("wkt"))
-    j = geo.geometry_as_geojson(g)
+    # materialize parse + geojson (round-11 rule: the parser/printer
+    # trees re-inline per reference and analysis explodes)
+    df = (
+        spark.createDataFrame(wkts, "name string, wkt string")
+        .withColumn("g", geo.st_geometry_from_text(F.col("wkt")))
+        .repartition(2)
+        .withColumn("j", geo.geometry_as_geojson(F.col("g")))
+        .repartition(2)
+    )
     return df.select(
         "name",
-        j.alias("geojson"),
-        (geo.st_as_text(geo.geometry_from_geojson(j))
-         == geo.st_as_text(g)).alias("roundtrip_ok"),
+        F.col("j").alias("geojson"),
+        (geo.st_as_text(geo.geometry_from_geojson(F.col("j")))
+         == geo.st_as_text(F.col("g"))).alias("roundtrip_ok"),
     ).orderBy("name")
 
 
@@ -769,7 +795,8 @@ SELECT * FROM (VALUES
         "through, removed vertices all within tolerance) and "
         "flatten_geometry_collections (GeoFunctions.java:1168-1181 — "
         "non-collection inputs come back whole as a 1-element array; "
-        "the struct model has no GEOMETRYCOLLECTION kind, pinned).",
+        "collection inputs flatten to members since round 11 — "
+        "geo_collection_golden).",
     tags=("geo", "functions"),
 )
 def geo_simplify_flatten_golden(spark, sf_dir):
@@ -784,9 +811,12 @@ def geo_simplify_flatten_golden(spark, sf_dir):
         # tolerance 0 is the identity (reference short-circuit)
         (3, "LINESTRING (0 0, 1 0.1, 2 -0.1, 3 5)", 0.0),
     ]
-    df = spark.createDataFrame(cases, "i int, wkt string, tol double") \
+    df = (
+        spark.createDataFrame(cases, "i int, wkt string, tol double")
+        .withColumn("g", geo.st_geometry_from_text(F.col("wkt")))
         .repartition(1)
-    g = geo.st_geometry_from_text(F.col("wkt"))
+    )
+    g = F.col("g")
     return df.select(
         "i",
         geo.st_as_text(
@@ -1713,4 +1743,88 @@ def geo_buffer_line_golden(spark, sf_dir):
                 F.col("g")["rings"][0][0]["x"],
                 F.col("g")["rings"][0][0]["y"] + F.lit(0.5))
         ).alias("contains_mid"),
+    ).orderBy("k")
+
+
+_GC_ORACLE = """
+SELECT * FROM (VALUES
+  ('four_kinds',
+   'GEOMETRYCOLLECTION (POINT (1.0 2.0), ' ||
+   'LINESTRING (0.0 0.0, 1.0 1.0, 2.0 0.0), ' ||
+   'POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0)), ' ||
+   'MULTIPOINT (5.0 5.0, 6.0 6.0))',
+   CAST(4 AS INT), CAST(10 AS BIGINT), CAST(2 AS INT),
+   'ST_GeomCollection',
+   'POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))',
+   '16.0000'),  -- member 3
+  ('lines_only',
+   'GEOMETRYCOLLECTION (LINESTRING (0.0 0.0, 3.0 4.0), ' ||
+   'POINT (9.0 9.0))',
+   CAST(2 AS INT), CAST(3 AS BIGINT), CAST(1 AS INT),
+   'ST_GeomCollection',
+   'POINT (9.0 9.0)',
+   '0.0000'),  -- member 2; ST_Area(point) = 0 (reference contract)
+  ('with_multipolygon',
+   'GEOMETRYCOLLECTION (MULTIPOLYGON (((0.0 0.0, 1.0 0.0, 1.0 1.0, ' ||
+   '0.0 1.0, 0.0 0.0)), ((2.0 2.0, 3.0 2.0, 3.0 3.0, 2.0 3.0, 2.0 2.0))), ' ||
+   'LINESTRING (0.0 0.0, 1.0 0.0))',
+   CAST(2 AS INT), CAST(10 AS BIGINT), CAST(2 AS INT),
+   'ST_GeomCollection',
+   'MULTIPOLYGON (((0.0 0.0, 1.0 0.0, 1.0 1.0, 0.0 1.0, 0.0 0.0)), ' ||
+   '((2.0 2.0, 3.0 2.0, 3.0 3.0, 2.0 3.0, 2.0 2.0)))',
+   '2.0000')  -- member 1
+) t(k, txt, ng, np, dim, gtype, g_m_txt, g_m_area)
+ORDER BY k
+"""
+
+
+@register(
+    "geo_collection_golden",
+    oracle=_GC_ORACLE,
+    doc="GEOMETRYCOLLECTION kind (GeoFunctions.java; GeometryType.java"
+        ":29 ST_GeomCollection; round 11 — closes the last geometry "
+        "kind pin with user surface): WKT parse/print over the "
+        "header-ring member encoding (geo.py _gc_rings), "
+        "ST_NumGeometries / ST_NumPoints / ST_Dimension (member max) / "
+        "ST_GeometryType / ST_GeometryN member extraction feeding the "
+        "planar measures (member POLYGON/MULTIPOLYGON areas). Members "
+        "are simple kinds only — nested collections parse NULL "
+        "(documented, same class as the empty-geometry pin). Oracle is "
+        "the literal expected table: every output is deterministic "
+        "text/ints over literal WKT.",
+    tags=("geo", "functions"),
+)
+def geo_collection_golden(spark, sf_dir):
+    prepare(spark, sf_dir)
+    # (k, wkt, m) — m is the 1-based member each case extracts
+    cases = [
+        ("four_kinds",
+         "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1, 2 0), "
+         "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)), MULTIPOINT (5 5, 6 6))",
+         3),
+        ("lines_only",
+         "GEOMETRYCOLLECTION (LINESTRING (0 0, 3 4), POINT (9 9))",
+         2),
+        ("with_multipolygon",
+         "GEOMETRYCOLLECTION (MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), "
+         "((2 2, 3 2, 3 3, 2 3, 2 2))), LINESTRING (0 0, 1 0))",
+         1),
+    ]
+    df = (
+        spark.createDataFrame(cases, "k string, wkt string, m int")
+        .select("k", "m",
+                geo.st_geometry_from_text_full(F.col("wkt")).alias("g"))
+        .repartition(2)
+    )
+    g = F.col("g")
+    member = geo.st_geometry_n(g, F.col("m"))
+    return df.select(
+        "k",
+        geo.st_as_text(g).alias("txt"),
+        geo.st_num_geometries(g).alias("ng"),
+        geo.st_num_points(g).alias("np"),
+        geo.st_dimension(g).alias("dim"),
+        geo.st_geometry_type(g).alias("gtype"),
+        geo.st_as_text(member).alias("g_m_txt"),
+        F.format_string("%.4f", geo.st_area(member)).alias("g_m_area"),
     ).orderBy("k")

@@ -1409,3 +1409,41 @@ def test_spherical_centroid_and_casts(spark):
             sph.to_spherical_geography(
                 geo.st_geometry_from_text(F.lit("POINT (10 91)"))
             ).alias("g")).collect()
+
+
+# ---- GEOMETRYCOLLECTION (round 11) ----------------------------------------
+
+def test_geometry_collection_tier(spark):
+    wkt = ("GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1, 2 0), "
+           "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)), MULTIPOINT (5 5, 6 6))")
+    df = (
+        spark.createDataFrame(
+            [(1, wkt),
+             # nested collections are out of model → NULL (documented)
+             (2, "GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (POINT (1 1)))"),
+             (3, "POINT (7 8)")],
+            "i int, wkt string")
+        .select("i", geo.st_geometry_from_text_full(F.col("wkt")).alias("g"))
+        .repartition(2)
+    )
+    rows = {r.i: r for r in df.select(
+        "i",
+        geo.st_as_text(F.col("g")).alias("txt"),
+        geo.st_num_geometries(F.col("g")).alias("ng"),
+        geo.st_num_points(F.col("g")).alias("np"),
+        geo.st_dimension(F.col("g")).alias("dim"),
+        geo.st_geometry_type(F.col("g")).alias("ty"),
+        geo.st_as_text(geo.st_geometry_n(F.col("g"), F.lit(3))).alias("g3"),
+        geo.st_area(geo.st_geometry_n(F.col("g"), F.lit(3))).alias("g3a"),
+    ).collect()}
+    r1 = rows[1]
+    assert r1.txt == (
+        "GEOMETRYCOLLECTION (POINT (1.0 2.0), "
+        "LINESTRING (0.0 0.0, 1.0 1.0, 2.0 0.0), "
+        "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0)), "
+        "MULTIPOINT (5.0 5.0, 6.0 6.0))")
+    assert (r1.ng, r1.np, r1.dim, r1.ty) == (4, 10, 2, "ST_GeomCollection")
+    assert r1.g3 == "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))"
+    assert r1.g3a == 16.0
+    assert rows[2].txt is None  # nested → NULL geometry
+    assert (rows[3].ng, rows[3].np, rows[3].dim) == (1, 1, 0)
