@@ -449,7 +449,9 @@ def st_length(geom: Column) -> Column:
         lambda acc, v: acc + v,
     )
     return F.when(
-        geom["kind"].isin("LINESTRING", "POLYGON", "MULTIPOLYGON"), total
+        geom["kind"].isin(
+            "LINESTRING", "MULTILINESTRING", "POLYGON", "MULTIPOLYGON"),
+        total,
     ).otherwise(F.lit(0.0))
 
 

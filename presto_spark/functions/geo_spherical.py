@@ -277,8 +277,12 @@ def st_centroid_sphere(g: Column) -> Column:
     lat = 90.0 - F.degrees(F.atan2(F.sqrt(sx * sx + sy * sy), sz))
     lon = F.degrees(F.atan2(sy, sx))
     single = g["rings"][0][0]
-    cx = F.when(g["kind"] == "POINT", single["x"]).otherwise(lon)
-    cy = F.when(g["kind"] == "POINT", single["y"]).otherwise(lat)
+    # single-member MULTIPOINT returns the exact point, like the
+    # reference's numGeometries()==1 special case (:279-282) — the 3-D
+    # round trip would otherwise add float residue
+    exact = (g["kind"] == "POINT") | (F.size(pts) == 1)
+    cx = F.when(exact, single["x"]).otherwise(lon)
+    cy = F.when(exact, single["y"]).otherwise(lat)
     ok = g["kind"].isin("POINT", "MULTIPOINT")
     pt = F.struct(
         F.when(ok, cx).otherwise(F.raise_error(F.lit(
