@@ -724,7 +724,8 @@ def _seg_rect(p, q, d):
             (q[0] - nx, q[1] - ny), (q[0] + nx, q[1] + ny)]
 
 
-_BUFFERABLE = {"POINT", "MULTIPOINT", "LINESTRING", "MULTILINESTRING"}
+_BUFFERABLE = {"POINT", "MULTIPOINT", "LINESTRING", "MULTILINESTRING",
+               "POLYGON", "MULTIPOLYGON"}
 
 
 @pandas_udf(_TRIS_T)
@@ -738,18 +739,35 @@ def _buffer_udf(kinds, xss, yss, dists):
             out.append(None)
             continue
         cand = []
+        polygonal = kind in ("POLYGON", "MULTIPOLYGON")
+        if polygonal:
+            # interior: the polygon's own triangulation (holes honored
+            # via the bridged ear clip); the boundary annulus comes
+            # from the strip/disc pieces below — together they tile
+            # the Minkowski sum, and hole interiors farther than d
+            # from any boundary stay uncovered (erosion is exact for
+            # the dissolve, rounded convex corners at 32-gon
+            # resolution like the point tier)
+            tris = _geometry_tris(kind, rings_x, rings_y)
+            if not tris:
+                out.append(None)
+                continue
+            cand.extend(_tris(tris))
         for xs, ys in zip(rings_x, rings_y):
             pts = list(zip(xs, ys))
-            for p in pts:
+            if polygonal and len(pts) >= 2 and pts[0] == pts[-1]:
+                pts = pts[:-1] + [pts[0]]  # closed: keep closure edge
+            for p in (pts[:-1] if polygonal else pts):
                 cand.append(_disc_piece(p[0], p[1], d))
-            if kind in ("LINESTRING", "MULTILINESTRING"):
+            if kind != "POINT" and kind != "MULTIPOINT":
                 for a, b in zip(pts, pts[1:]):
                     r = _seg_rect(a, b, d)
                     if r is not None:
                         cand.append(r)
-        # candidate pieces overlap each other (discs ∩ strips), so
-        # accumulate one at a time — _union_pieces assumes each batch
-        # is internally disjoint (it is a tiling elsewhere)
+        # candidate pieces overlap each other (discs ∩ strips ∩
+        # interior triangles), so accumulate one at a time —
+        # _union_pieces assumes each batch is internally disjoint
+        # (it is a tiling elsewhere)
         pieces = []
         for c in cand:
             pieces = _union_pieces(pieces, [c])
@@ -759,10 +777,13 @@ def _buffer_udf(kinds, xss, yss, dists):
 
 
 def st_buffer_general(geom: Column, distance: Column | float) -> Column:
-    """ST_Buffer for POINT/MULTIPOINT/LINESTRING/MULTILINESTRING
-    (GeoFunctions.java stBuffer; lifts geo.st_buffer's line pin,
-    VERDICT r10 next-round #8).  d = 0 → the input unchanged; d < 0
-    or out-of-model kinds (polygon offsetting) → NULL."""
+    """ST_Buffer for every model kind (GeoFunctions.java stBuffer;
+    lifts geo.st_buffer's line AND polygon pins, VERDICT r10
+    next-round #8): point/line kinds buffer as strip+disc tilings;
+    POLYGON/MULTIPOLYGON (holes honored) add the polygon's own
+    triangulation so the dissolve tiles the full Minkowski sum —
+    convex corners round at 32-gon resolution, holes erode exactly.
+    d = 0 → the input unchanged; d < 0 → NULL."""
     d = distance if isinstance(distance, Column) else F.lit(float(distance))
     rings = geom["rings"]
     flat = _buffer_udf(

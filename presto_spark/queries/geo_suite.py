@@ -1680,6 +1680,16 @@ SELECT * FROM (
   SELECT 'l_shape', 'MULTIPOLYGON', 'bounded', true FROM a32
   UNION ALL
   SELECT 'zero_d', 'LINESTRING', '0.000000', true FROM a32
+  UNION ALL
+  -- square Minkowski sum: s^2 + 4 s d + disc (corner quarters align
+  -- with 32-gon axis vertices, so the quadrant split is exact)
+  SELECT 'square_poly', 'MULTIPOLYGON',
+         printf('%.6f', 100.0 + 40.0 + disc), true FROM a32
+  UNION ALL
+  -- holed square: outer Minkowski minus the eroded hole remnant
+  -- (4-2d)^2 = 4 (erosion by a disc is exact on a square hole)
+  SELECT 'holed_poly', 'MULTIPOLYGON',
+         printf('%.6f', 100.0 + 40.0 + disc - 4.0), true FROM a32
 ) u ORDER BY k
 """
 
@@ -1698,7 +1708,11 @@ SELECT * FROM (
         "L-shape emits a bounds invariant (corner overlap is "
         "irrational); d=0 returns the input unchanged; every buffer "
         "must contain its source vertices (even-odd containment over "
-        "the disjoint tiling).",
+        "the disjoint tiling). POLYGON/MULTIPOLYGON buffer too "
+        "(round-11 second pass): interior triangulation + boundary "
+        "strips/discs tile the Minkowski sum — the square replays "
+        "s^2+4sd+disc exactly and the holed square subtracts the "
+        "exactly-eroded hole remnant.",
     tags=("geo", "functions"),
 )
 def geo_buffer_line_golden(spark, sf_dir):
@@ -1715,6 +1729,10 @@ def geo_buffer_line_golden(spark, sf_dir):
         ("two_points", "MULTIPOINT (0 0, 20 0)", 1.0),
         ("l_shape", "LINESTRING (0 0, 4 0, 4 4)", 1.0),
         ("zero_d", "LINESTRING (0 0, 10 0)", 0.0),
+        ("square_poly", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", 1.0),
+        ("holed_poly",
+         "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+         "(3 3, 7 3, 7 7, 3 7, 3 3))", 1.0),
     ]
     df = (
         spark.createDataFrame(cases, "k string, wkt string, d double")
@@ -1738,10 +1756,14 @@ def geo_buffer_line_golden(spark, sf_dir):
             F.col("k") == "zero_d",
             F.col("b")["kind"] == F.lit("LINESTRING"),
         ).otherwise(
+            # probe near the first vertex but OFF the piece seams —
+            # even-odd parity over a tiling is undefined exactly on
+            # internal edges (the holed-polygon case sits its first
+            # vertex on the x=0 seam)
             geo.st_contains_point(
                 F.col("b"),
-                F.col("g")["rings"][0][0]["x"],
-                F.col("g")["rings"][0][0]["y"] + F.lit(0.5))
+                F.col("g")["rings"][0][0]["x"] + F.lit(0.46875),
+                F.col("g")["rings"][0][0]["y"] + F.lit(0.53125))
         ).alias("contains_mid"),
     ).orderBy("k")
 
