@@ -128,6 +128,13 @@ def _literal_value(arg: str) -> str | None:
 #    two big recoverable non-literal classes --------------------------------
 
 _IDENT_ARG_RE = re.compile(r"^\s*\w+\s*$")
+# 2-arg assertQuery(ident, literal) is ambiguous: the identifier can be
+# a Session OR the SQL text itself (e.g. AbstractTestQueries.java:1849
+# ``assertQuery(query, "VALUES ...")``) — dropping a SQL-text variable
+# would collapse the case to a vacuous literal-vs-itself comparison
+# (ADVICE r11).  Only identifiers that NAME a session are dropped in
+# the 2-arg form; 3-arg calls are unambiguously (Session, sql, expected).
+_SESSION_IDENT_RE = re.compile(r"^\s*\w*[sS]ession\w*\s*$")
 _INT_ARG_RE = re.compile(r"^\s*-?\d+L?\s*$")
 _FMT_CALL_RE = re.compile(r"^\s*format\s*\(", re.DOTALL)
 
@@ -383,7 +390,13 @@ def extract_cases(tests_dir: str = REFERENCE_TESTS_DIR,
       ``assertQuery(session, sql[, expected])`` asserts the same
       Presto-vs-oracle differential, the Session only carries
       optimizer/feature toggles that must not change results (and a
-      result-changing toggle would surface as a pinned fail here);
+      result-changing toggle would surface as a pinned fail here).
+      Round 12 (ADVICE r11): the drop is unconditional only for 3-arg
+      calls; a 2-arg identifier-first call is dropped only when the
+      identifier NAMES a session (``*session*``), because the 2-arg
+      form is ambiguous — ``assertQuery(query, "VALUES ...")`` has the
+      SQL in the identifier, and dropping it would leave a vacuous
+      literal-vs-itself case;
     * ``format("...", <constants>)`` arguments partially evaluate
       when the format string and every argument are constants
       (%s/%d only) — _format_eval.
@@ -402,8 +415,10 @@ def extract_cases(tests_dir: str = REFERENCE_TESTS_DIR,
             argtext, _ = parsed
             args = _split_top_level_args(argtext)
             session_arg = bool(
-                len(args) in (2, 3) and _IDENT_ARG_RE.match(args[0])
-                and _resolved_value(args[0]) is None)
+                _resolved_value(args[0]) is None
+                and ((len(args) == 3 and _IDENT_ARG_RE.match(args[0]))
+                     or (len(args) == 2
+                         and _SESSION_IDENT_RE.match(args[0]))))
             if session_arg:
                 args = args[1:]
             vals = [_resolved_value(a) for a in args]

@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     StringType,
     StructField,
@@ -98,24 +99,41 @@ def _simplify_ring(ring, tol, closed):
     return [{"x": x, "y": y} for x, y in out]
 
 
+# INPUT SHAPE RULE (round 12): geometry-struct INPUTS to pandas UDFs
+# must be decomposed into (kind, xs, ys) coordinate arrays.  PySpark's
+# Arrow→pandas converter re-wraps array<array<struct>> inputs with
+# np.array(...) per row (types.py convert_array_ndarray_as_ndarray),
+# which raises "inhomogeneous shape" for RAGGED ring lengths (a shell
+# and a hole with different vertex counts) on numpy >= 1.24;
+# array<array<double>> skips the re-wrap (no element converter).
+# Struct OUTPUT is fine — the return path builds plain python lists.
+
+
+def _rings_from_xy(rings_x, rings_y):
+    return [[{"x": x, "y": y} for x, y in zip(xs, ys)]
+            for xs, ys in zip(rings_x, rings_y)]
+
+
 @pandas_udf(_GEOM_T)
-def simplify_geometry_udf(geom: pd.DataFrame, tol: pd.Series) -> pd.DataFrame:
-    # Struct columns cross the Arrow boundary as a DataFrame (one
-    # column per field) in both directions.
+def simplify_geometry_udf(kinds_in: pd.Series, xss: pd.Series,
+                          yss: pd.Series, tol: pd.Series) -> pd.DataFrame:
     kinds, ringss = [], []
-    for kind, rings, t in zip(geom["kind"], geom["rings"], tol):
+    for kind, rings_x, rings_y, t in zip(kinds_in, xss, yss, tol):
         if kind is None or t is None:
             kinds.append(None)
             ringss.append(None)
             continue
-        if kind in ("POINT", "MULTIPOINT") or rings is None or not len(rings):
+        if kind in ("POINT", "MULTIPOINT") or rings_x is None \
+                or not len(rings_x):
             kinds.append(kind)
-            ringss.append(rings)
+            ringss.append(None if rings_x is None
+                          else _rings_from_xy(rings_x, rings_y))
             continue
         closed = kind == "POLYGON"
         kinds.append(kind)
         ringss.append(
-            [_simplify_ring(r, float(t), closed) for r in rings])
+            [_simplify_ring(r, float(t), closed)
+             for r in _rings_from_xy(rings_x, rings_y)])
     return pd.DataFrame({"kind": kinds, "rings": ringss})
 
 
@@ -217,3 +235,203 @@ def parse_wkt_full_udf(wkt: pd.Series) -> pd.DataFrame:
             kinds.append(parsed[0])
             ringss.append(parsed[1])
     return pd.DataFrame({"kind": kinds, "rings": ringss})
+
+
+# ---- WKB ingest / emit (round 12) ------------------------------------------
+#
+# Reference: GeoFunctions.java stGeomFromBinary (:252, "ST_GeomFromBinary")
+# and stAsBinary (:268, "ST_AsBinary") — OGC WKB.  At 100 TB geometry
+# columns arrive as WKB in parquet far more often than WKT, so ingest
+# lives in the same Arrow tier as the full WKT parser: one batched
+# crossing, zero shuffle.  Both byte orders parse (XDR=0 / NDR=1, per
+# the OGC spec); the writer emits little-endian NDR like the reference
+# (EsriShape-era writers are NDR).  GEOMETRYCOLLECTION round-trips via
+# the header-ring member encoding; nested collections → NULL (pinned,
+# same scope as the WKT tier).
+
+import struct as _struct
+
+_WKB_KIND = {1: "POINT", 2: "LINESTRING", 3: "POLYGON", 4: "MULTIPOINT",
+             5: "MULTILINESTRING", 6: "MULTIPOLYGON",
+             7: "GEOMETRYCOLLECTION"}
+_WKB_CODE = {v: k for k, v in _WKB_KIND.items()}
+
+
+class _WkbReader:
+    def __init__(self, buf):
+        self.buf = buf
+        self.pos = 0
+
+    def u8(self):
+        v = self.buf[self.pos]
+        self.pos += 1
+        return v
+
+    def u32(self, bo):
+        v = _struct.unpack_from(bo + "I", self.buf, self.pos)[0]
+        self.pos += 4
+        return v
+
+    def pt(self, bo):
+        x, y = _struct.unpack_from(bo + "dd", self.buf, self.pos)
+        self.pos += 16
+        return {"x": x, "y": y}
+
+
+def _wkb_ring(r, bo):
+    return [r.pt(bo) for _ in range(r.u32(bo))]
+
+
+def _wkb_read_one(r):
+    """One WKB geometry at the reader position → (kind, rings) in the
+    flat-ring model (MULTIPOLYGON orientation-normalized like the WKT
+    parser), or None for unsupported/invalid payloads."""
+    bo = "<" if r.u8() == 1 else ">"
+    code = r.u32(bo)
+    kind = _WKB_KIND.get(code & 0xFF)  # mask off EWKB/ISO flag bits
+    if kind is None or (code & 0xFFFFFF00) not in (0,):
+        return None
+    if kind == "POINT":
+        return kind, [[r.pt(bo)]]
+    if kind == "LINESTRING":
+        return kind, [_wkb_ring(r, bo)]
+    if kind == "POLYGON":
+        return kind, [_wkb_ring(r, bo) for _ in range(r.u32(bo))]
+    n = r.u32(bo)
+    if kind == "MULTIPOINT":
+        rings = []
+        for _ in range(n):
+            m = _wkb_read_one(r)
+            if m is None or m[0] != "POINT":
+                return None
+            rings.append(m[1][0])
+        return kind, rings
+    if kind == "MULTILINESTRING":
+        rings = []
+        for _ in range(n):
+            m = _wkb_read_one(r)
+            if m is None or m[0] != "LINESTRING":
+                return None
+            rings.append(m[1][0])
+        return kind, rings
+    if kind == "MULTIPOLYGON":
+        rings = []
+        for _ in range(n):
+            m = _wkb_read_one(r)
+            if m is None or m[0] != "POLYGON":
+                return None
+            for i, ring in enumerate(m[1]):
+                a2 = _py_signed_area2(ring)
+                if (i == 0 and a2 < 0) or (i > 0 and a2 > 0):
+                    ring = list(reversed(ring))
+                rings.append(ring)
+        return kind, rings
+    # GEOMETRYCOLLECTION → header-ring encoding; nested → None
+    rings = []
+    for _ in range(n):
+        m = _wkb_read_one(r)
+        if m is None or m[0] not in _GC_CODES:
+            return None
+        rings.append([
+            {"x": float(_GC_CODES[m[0]]), "y": None},
+            {"x": float(len(m[1])), "y": None},
+        ])
+        rings.extend(m[1])
+    return kind, rings
+
+
+def _py_parse_wkb(buf):
+    if buf is None:
+        return None
+    try:
+        r = _WkbReader(bytes(buf))
+        out = _wkb_read_one(r)
+        if out is None or r.pos != len(r.buf):
+            return None
+        return out
+    except (IndexError, _struct.error):
+        return None
+
+
+def _wkb_pts(pts):
+    return b"".join(_struct.pack("<dd", p["x"], p["y"]) for p in pts)
+
+
+def _wkb_write_one(kind, rings):
+    """(kind, rings) → little-endian WKB bytes, or None for
+    unsupported shapes."""
+    head = b"\x01" + _struct.pack("<I", _WKB_CODE[kind])
+    if kind == "POINT":
+        return head + _wkb_pts(rings[0])
+    if kind == "LINESTRING":
+        return head + _struct.pack("<I", len(rings[0])) + _wkb_pts(rings[0])
+    if kind == "POLYGON":
+        body = _struct.pack("<I", len(rings))
+        for r in rings:
+            body += _struct.pack("<I", len(r)) + _wkb_pts(r)
+        return head + body
+    if kind == "MULTIPOINT":
+        return head + _struct.pack("<I", len(rings)) + b"".join(
+            _wkb_write_one("POINT", [r]) for r in rings)
+    if kind == "MULTILINESTRING":
+        return head + _struct.pack("<I", len(rings)) + b"".join(
+            _wkb_write_one("LINESTRING", [r]) for r in rings)
+    if kind == "MULTIPOLYGON":
+        pieces = []
+        for r in rings:
+            if _py_signed_area2(r) >= 0 or not pieces:
+                pieces.append([r])
+            else:
+                pieces[-1].append(r)
+        return head + _struct.pack("<I", len(pieces)) + b"".join(
+            _wkb_write_one("POLYGON", p) for p in pieces)
+    # GEOMETRYCOLLECTION: decode header rings back into members
+    _code_kind = {v: k for k, v in _GC_CODES.items()}
+    members, i = [], 0
+    while i < len(rings):
+        hdr = rings[i]
+        # header y is NULL in the struct model; a NULL double arrives
+        # as NaN on the Arrow→pandas crossing
+        y0 = hdr[0].get("y")
+        if len(hdr) != 2 or not (y0 is None or
+                                 (isinstance(y0, float) and math.isnan(y0))):
+            return None
+        mkind = _code_kind.get(int(hdr[0]["x"]))
+        cnt = int(hdr[1]["x"])
+        if mkind is None or i + 1 + cnt > len(rings):
+            return None
+        members.append(_wkb_write_one(mkind, rings[i + 1:i + 1 + cnt]))
+        i += 1 + cnt
+    if any(m is None for m in members):
+        return None
+    return head + _struct.pack("<I", len(members)) + b"".join(members)
+
+
+@pandas_udf(_GEOM_T)
+def parse_wkb_udf(wkb: pd.Series) -> pd.DataFrame:
+    kinds, ringss = [], []
+    for buf in wkb:
+        parsed = _py_parse_wkb(buf)
+        if parsed is None:
+            kinds.append(None)
+            ringss.append(None)
+        else:
+            kinds.append(parsed[0])
+            ringss.append(parsed[1])
+    return pd.DataFrame({"kind": kinds, "rings": ringss})
+
+
+@pandas_udf(BinaryType())
+def as_wkb_udf(kinds: pd.Series, xss: pd.Series,
+               yss: pd.Series) -> pd.Series:
+    out = []
+    for kind, rings_x, rings_y in zip(kinds, xss, yss):
+        if kind is None or rings_x is None or kind not in _WKB_CODE:
+            out.append(None)
+            continue
+        try:
+            out.append(_wkb_write_one(
+                kind, _rings_from_xy(rings_x, rings_y)))
+        except (KeyError, TypeError, ValueError):
+            out.append(None)
+    return pd.Series(out)

@@ -130,7 +130,11 @@ def st_geometry_from_text(wkt: Column) -> Column:
     removed."""
     # NOTE: GEOMETRYCOLLECTION WKT parses to NULL HERE — collections
     # route through the Arrow parse tier (st_geometry_from_text_full
-    # below; same tier split as simplify_geometry).  A Column-side GC
+    # below; same tier split as simplify_geometry).  CALLER-FACING
+    # CONSEQUENCE (ADVICE r11): a NULL from THIS parser can mean
+    # either malformed WKT or a valid collection — any call site whose
+    # input may contain collection WKT must use the _full variant or
+    # it silently drops collection rows.  A Column-side GC
     # branch was tried first (round 11): its nested member parse made
     # THIS tree ~3x bigger and every un-materialized reference of a
     # parsed geometry re-resolves the whole tree — literal-WKT tests
@@ -156,6 +160,59 @@ def st_geometry_from_text_full(wkt: Column) -> Column:
     from presto_spark.functions import _geo_pandas_udfs as _gp
 
     return _gp.parse_wkt_full_udf(wkt)
+
+
+def st_geometry_from_binary(wkb: Column) -> Column:
+    """ST_GeomFromBinary (GeoFunctions.java:252) — OGC WKB ingest,
+    both byte orders, all six simple kinds plus flat
+    GEOMETRYCOLLECTION (header-ring encoding); malformed/unsupported
+    payloads → NULL (expression-level spelling of the reference's
+    parse exception).  Arrow tier: WKB is how geometry columns arrive
+    in parquet at scale, and the batched parse is one crossing with
+    zero shuffle."""
+    from presto_spark.functions import _geo_pandas_udfs as _gp
+
+    return _gp.parse_wkb_udf(wkb)
+
+
+def _coord_arrays(geom: Column) -> tuple[Column, Column]:
+    """Geometry struct → (xs, ys) array<array<double>> — the safe
+    pandas-UDF input shape (a ragged array<array<struct>> input trips
+    numpy's inhomogeneous-shape error inside PySpark's Arrow
+    converter; plain double arrays pass through untouched)."""
+    return (
+        F.transform(geom["rings"],
+                    lambda r: F.transform(r, lambda p: p["x"])),
+        F.transform(geom["rings"],
+                    lambda r: F.transform(r, lambda p: p["y"])),
+    )
+
+
+def st_as_binary(geom: Column) -> Column:
+    """ST_AsBinary (GeoFunctions.java:268) — little-endian (NDR) OGC
+    WKB; round-trips through st_geometry_from_binary."""
+    from presto_spark.functions import _geo_pandas_udfs as _gp
+
+    xs, ys = _coord_arrays(geom)
+    return _gp.as_wkb_udf(geom["kind"], xs, ys)
+
+
+def st_line_from_text(wkt: Column) -> Column:
+    """ST_LineFromText (GeoFunctions.java:144): parse WKT and validate
+    the kind is LINESTRING — any other kind raises
+    (INVALID_FUNCTION_ARGUMENT spelling, validateType); NULL input and
+    unparseable WKT propagate NULL like st_geometry_from_text."""
+    g = st_geometry_from_text(wkt)
+    checked_kind = F.when(g["kind"] == "LINESTRING", g["kind"]).otherwise(
+        F.raise_error(F.concat(
+            F.lit("ST_LineFromText: geometry is not a LINE_STRING: "),
+            F.coalesce(g["kind"], F.lit("NULL")))))
+    # NULL-parse passthrough first; the raising kind check sits in the
+    # taken branch's VALUE so it fires only for parsed non-linestrings
+    return F.when(
+        g.isNotNull(),
+        F.struct(checked_kind.alias("kind"), g["rings"].alias("rings")),
+    )
 
 
 def _gc_member_structs(geom: Column) -> Column:
@@ -989,6 +1046,189 @@ def st_exterior_ring(geom: Column) -> Column:
     )
 
 
+_GEOM_DDL = ("struct<kind:string,"
+             "rings:array<array<struct<x:double,y:double>>>>")
+
+
+def st_interior_ring_n(geom: Column, n: Column | int) -> Column:
+    """ST_InteriorRingN (GeoFunctions.java:717): the 1-based n-th
+    interior ring of a POLYGON as a LINESTRING; NULL when the index is
+    out of range; non-POLYGON kinds raise (validateType spelling,
+    like the reference)."""
+    n = n if isinstance(n, Column) else F.lit(n)
+    rings = geom["rings"]
+    ok_kind = F.when(geom["kind"] == "POLYGON", geom["kind"]).otherwise(
+        F.raise_error(F.concat(
+            F.lit("ST_InteriorRingN only applies to POLYGON: "),
+            F.coalesce(geom["kind"], F.lit("NULL")))))
+    in_range = (n >= 1) & (n <= F.size(rings) - 1)
+    ring = F.element_at(rings, F.when(in_range, n + 1).otherwise(F.lit(1)))
+    # NULL first: CaseWhen evaluates branches in order, so the raising
+    # kind check never fires for NULL input (null-propagation contract)
+    return (
+        F.when(geom.isNull(), F.lit(None).cast(_GEOM_DDL))
+        .when(
+            (ok_kind == "POLYGON") & in_range,
+            F.struct(F.lit("LINESTRING").alias("kind"),
+                     F.array(ring).alias("rings")),
+        )
+    )
+
+
+def st_interior_rings(geom: Column) -> Column:
+    """ST_InteriorRings (GeoFunctions.java:557): array of a POLYGON's
+    interior rings as LINESTRINGs (empty array when hole-free);
+    non-POLYGON raises, NULL propagates."""
+    rings = geom["rings"]
+    ok_kind = F.when(geom["kind"] == "POLYGON", geom["kind"]).otherwise(
+        F.raise_error(F.concat(
+            F.lit("ST_InteriorRings only applies to POLYGON: "),
+            F.coalesce(geom["kind"], F.lit("NULL")))))
+    holes = F.slice(rings, 2, F.greatest(F.size(rings) - 1, F.lit(0)))
+    return (
+        F.when(geom.isNull(), F.lit(None).cast(f"array<{_GEOM_DDL}>"))
+        .when(
+            ok_kind == "POLYGON",
+            F.transform(
+                holes,
+                lambda r: F.struct(
+                    F.lit("LINESTRING").alias("kind"),
+                    F.array(r).alias("rings"),
+                ),
+            ),
+        )
+    )
+
+
+def st_envelope_as_pts(geom: Column) -> Column:
+    """ST_EnvelopeAsPts (GeoFunctions.java:887): the bounding box as
+    an array of two POINTs — lower-left then upper-right."""
+    return F.when(
+        geom.isNotNull() & (F.size(F.flatten(geom["rings"])) > 0),
+        F.array(
+            st_point(st_xmin(geom), st_ymin(geom)),
+            st_point(st_xmax(geom), st_ymax(geom)),
+        ),
+    )
+
+
+def st_boundary(geom: Column) -> Column:
+    """ST_Boundary (GeoFunctions.java:866): the combinatorial boundary
+    — POLYGON rings as a LINESTRING (single ring) / MULTILINESTRING,
+    LINESTRING endpoints as MULTIPOINT, MULTILINESTRING mod-2
+    endpoints (shared path ends cancel, OGC curve boundary rule).
+    POINT/MULTIPOINT boundaries and closed-curve boundaries are empty
+    — NULL here (the struct model has no empty-geometry value, same
+    pin as _points_geometry)."""
+    rings = geom["rings"]
+    # every path's two endpoints, kept with odd multiplicity (mod-2)
+    ends = F.flatten(F.transform(
+        rings, lambda r: F.array(r[0], F.element_at(r, -1))))
+    odd = F.filter(
+        F.array_distinct(ends),
+        lambda e: F.size(F.filter(
+            ends, lambda x: (x["x"] == e["x"]) & (x["y"] == e["y"])
+        )) % 2 == 1,
+    )
+    poly_b = F.when(
+        F.size(rings) == 1,
+        F.struct(F.lit("LINESTRING").alias("kind"), rings.alias("rings")),
+    ).otherwise(
+        F.struct(F.lit("MULTILINESTRING").alias("kind"),
+                 rings.alias("rings"))
+    )
+    return (
+        F.when(geom.isNull(), F.lit(None).cast(_GEOM_DDL))
+        .when(geom["kind"].isin("POLYGON", "MULTIPOLYGON"), poly_b)
+        .when(
+            geom["kind"].isin("LINESTRING", "MULTILINESTRING"),
+            F.when(F.size(odd) > 0, _points_geometry(odd)),
+        )
+    )
+
+
+def st_is_valid(geom: Column) -> Column:
+    """ST_IsValid (GeoFunctions.java:399): thin wrapper over
+    geometry_invalid_reason — valid iff no reason."""
+    return F.when(
+        geom.isNotNull(), geometry_invalid_reason(geom).isNull())
+
+
+def _path_self_intersects(ring: Column, closed: Column) -> Column:
+    """Non-adjacent edge pairs of one open-or-closed path intersect —
+    the simplicity core; the (first, last) pair is wrap-adjacent only
+    when the path is closed."""
+    edges = F.zip_with(
+        F.slice(ring, 1, F.size(ring) - 1),
+        F.slice(ring, 2, F.size(ring) - 1),
+        lambda p, q: F.struct(p.alias("p"), q.alias("q")),
+    )
+    n = F.size(edges)
+    return F.exists(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(i + 2 > n, F.lit(False)).otherwise(F.exists(
+            F.sequence(i + 2, n),
+            lambda j: F.when(
+                (i == 1) & (j == n) & closed, F.lit(False)
+            ).otherwise(_segments_intersect(
+                F.try_element_at(edges, i)["p"],
+                F.try_element_at(edges, i)["q"],
+                F.try_element_at(edges, j)["p"],
+                F.try_element_at(edges, j)["q"],
+            )),
+        )),
+    )
+
+
+def st_is_simple(geom: Column) -> Column:
+    """ST_IsSimple (GeoFunctions.java:383): no anomalous geometric
+    points — POINT always, MULTIPOINT iff no repeated point,
+    LINESTRING/MULTILINESTRING iff no path self-intersects away from
+    its endpoints (per-path; cross-path anomalies of a
+    MULTILINESTRING are not checked — documented approximation, same
+    class as ST_IsRing's), polygonal kinds iff valid."""
+    pts = F.flatten(geom["rings"])
+    no_dup = F.size(F.array_distinct(
+        F.transform(pts, lambda p: F.concat_ws(",", p["x"], p["y"]))
+    )) == F.size(pts)
+    path_ok = ~F.exists(
+        geom["rings"],
+        lambda r: F.when(F.size(r) < 3, F.lit(False)).otherwise(
+            _path_self_intersects(
+                r,
+                (r[0]["x"] == F.element_at(r, -1)["x"])
+                & (r[0]["y"] == F.element_at(r, -1)["y"]),
+            )),
+    )
+    return (
+        F.when(geom.isNull(), F.lit(None).cast("boolean"))
+        .when(geom["kind"] == "POINT", F.lit(True))
+        .when(geom["kind"] == "MULTIPOINT", no_dup)
+        .when(geom["kind"].isin("LINESTRING", "MULTILINESTRING"), path_ok)
+        .when(geom["kind"].isin("POLYGON", "MULTIPOLYGON"),
+              geometry_invalid_reason(geom).isNull())
+    )
+
+
+def st_geometries(geom: Column) -> Column:
+    """ST_Geometries (GeoFunctions.java:691): the member geometries of
+    a multi-geometry / collection as an array (a simple kind comes
+    back as a 1-element array; NULL for empty input) — the array twin
+    of st_geometry_n.  The operand is let-bound so Python-UDF-produced
+    geometries (collection parse) stay out of lambda bodies."""
+    def bound(g: Column) -> Column:
+        count = st_num_geometries(g)
+        return F.when(
+            count > 0,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+                lambda n: st_geometry_n(g, n),
+            ),
+        )
+
+    return F.element_at(F.transform(F.array(geom), bound), 1)
+
+
 def st_num_geometries(geom: Column) -> Column:
     """ST_NumGeometries (GeoFunctions.java stNumGeometries): element
     count of a multi-geometry; 1 for simple kinds; 0 for empty.
@@ -1475,12 +1715,14 @@ def simplify_geometry(geom: Column, tolerance: Column | float) -> Column:
               F.raise_error(F.lit("distanceTolerance is negative")))
         .otherwise(tol)
     )
+    xs, ys = _coord_arrays(geom)
     return (
         F.when(geom.isNull() | checked.isNull(), F.lit(None).cast(
             "struct<kind:string,"
             "rings:array<array<struct<x:double,y:double>>>>"))
         .when(checked == 0.0, geom)
-        .otherwise(_gp.simplify_geometry_udf(geom, checked))
+        .otherwise(
+            _gp.simplify_geometry_udf(geom["kind"], xs, ys, checked))
     )
 
 

@@ -372,7 +372,20 @@ def _diff_pieces(subject, tri):
     """Convex open ``subject`` minus triangle ``tri`` as convex open
     pieces (half-plane decomposition, the Python twin of
     geo.st_difference_polygons's fold).  Disjoint → [subject]
-    unchanged (no fragmentation without a genuine overlap)."""
+    unchanged (no fragmentation without a genuine overlap).
+
+    Bounding-box rejection first (ADVICE r11): the buffer dissolve
+    folds candidate pieces one at a time through _union_pieces, so
+    long linestrings pay O(pieces²) of these calls — most pairs are
+    far apart, and the O(n) bbox test skips the O(n·m) half-plane
+    clip for them (exact: disjoint boxes ⇒ disjoint convex pieces)."""
+    sxs = [p[0] for p in subject]
+    sys_ = [p[1] for p in subject]
+    txs = [p[0] for p in tri]
+    tys = [p[1] for p in tri]
+    if (max(sxs) < min(txs) or max(txs) < min(sxs)
+            or max(sys_) < min(tys) or max(tys) < min(sys_)):
+        return [subject]
     if not _clip(subject, tri):
         return [subject]
     rem, pieces = subject, []
@@ -562,6 +575,21 @@ def st_difference_general(ta: Column, tb: Column) -> Column:
     """ST_Difference for simple polygons (holes supported); NULL when A ⊆ B
     (empty result)."""
     return geometry_from_flat_pieces(_DIFFERENCE_UDF(ta, tb))
+
+
+def st_sym_difference_general(ta: Column, tb: Column) -> Column:
+    """ST_SymDifference (GeoFunctions.java:1033) for simple polygons
+    over pre-computed ``triangulate_raw`` columns: (A ∖ B) ∪ (B ∖ A).
+    The two difference tilings are disjoint point sets by
+    construction, so their piece lists concatenate directly — no
+    second union pass, two Arrow crossings total.  NULL when the
+    result is empty (A = B; the no-empty-geometry pin)."""
+    d1 = _DIFFERENCE_UDF(ta, tb)
+    d2 = _DIFFERENCE_UDF(tb, ta)
+    both = F.when(
+        d1.isNotNull() & d2.isNotNull(), F.concat(d1, d2)
+    ).otherwise(F.coalesce(d1, d2))
+    return geometry_from_flat_pieces(both)
 
 
 # ---- n-ary union (grouped dissolve) --------------------------------------
@@ -783,13 +811,25 @@ def st_buffer_general(geom: Column, distance: Column | float) -> Column:
     POLYGON/MULTIPOLYGON (holes honored) add the polygon's own
     triangulation so the dissolve tiles the full Minkowski sum —
     convex corners round at 32-gon resolution, holes erode exactly.
-    d = 0 → the input unchanged; d < 0 → NULL."""
+    d = 0 → the input unchanged; d < 0 or NaN raises
+    (INVALID_FUNCTION_ARGUMENT spelling, GeoFunctions.java stBuffer
+    checkCondition — ADVICE r11 aligned the error contract); NULL
+    distance propagates NULL."""
     d = distance if isinstance(distance, Column) else F.lit(float(distance))
+    d = d.cast("double")
+    checked = (
+        F.when(F.isnan(d), F.raise_error(
+            F.lit("ST_Buffer: distance is NaN")).cast("double"))
+        .when(d < 0, F.raise_error(
+            F.lit("ST_Buffer: distance is negative")).cast("double"))
+        .otherwise(d)
+    )
     rings = geom["rings"]
     flat = _buffer_udf(
         geom["kind"],
         F.transform(rings, lambda r: F.transform(r, lambda p: p["x"])),
         F.transform(rings, lambda r: F.transform(r, lambda p: p["y"])),
-        d.cast("double"),
+        checked,
     )
-    return F.when(d == 0, geom).otherwise(geometry_from_flat_pieces(flat))
+    return F.when(checked == 0, geom).otherwise(
+        geometry_from_flat_pieces(flat))

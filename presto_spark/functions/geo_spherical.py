@@ -95,8 +95,12 @@ def to_spherical_geography(geom: Column) -> Column:
                   "longitude in [-180, 180])"),
         ))
     )
-    return F.struct(
-        checked_kind.alias("kind"), geom["rings"].alias("rings")
+    # NULL propagates (the reference's scalar functions are implicitly
+    # null-propagating; a bare F.when guard would route NULL into the
+    # raising otherwise-branch — ADVICE r11).
+    return F.when(
+        geom.isNotNull(),
+        F.struct(checked_kind.alias("kind"), geom["rings"].alias("rings")),
     )
 
 
@@ -117,11 +121,13 @@ def st_distance_sphere(a: Column, b: Column) -> Column:
     both_points = (a["kind"] == "POINT") & (b["kind"] == "POINT")
     dist = great_circle_distance(
         pa["y"], pa["x"], pb["y"], pb["x"]) * F.lit(1000.0)
-    return F.when(
-        both_points, dist
-    ).otherwise(F.raise_error(F.lit(
-        "When applied to SphericalGeography inputs, ST_Distance only "
-        "supports POINT")).cast("double"))
+    return (
+        F.when(a.isNull() | b.isNull(), F.lit(None).cast("double"))
+        .when(both_points, dist)
+        .otherwise(F.raise_error(F.lit(
+            "When applied to SphericalGeography inputs, ST_Distance only "
+            "supports POINT")).cast("double"))
+    )
 
 
 def _ring_geodesic_length_m(ring: Column) -> Column:
@@ -150,11 +156,13 @@ def st_length_sphere(g: Column) -> Column:
             F.size(ring) >= 2, _ring_geodesic_length_m(ring)
         ).otherwise(F.lit(0.0)),
     )
-    return F.when(
-        g["kind"].isin("LINESTRING", "MULTILINESTRING"), total
-    ).otherwise(F.raise_error(F.lit(
-        "When applied to SphericalGeography inputs, ST_Length only "
-        "supports LINE_STRING or MULTI_LINE_STRING")).cast("double"))
+    return (
+        F.when(g.isNull(), F.lit(None).cast("double"))
+        .when(g["kind"].isin("LINESTRING", "MULTILINESTRING"), total)
+        .otherwise(F.raise_error(F.lit(
+            "When applied to SphericalGeography inputs, ST_Length only "
+            "supports LINE_STRING or MULTI_LINE_STRING")).cast("double"))
+    )
 
 
 def _acc(exc, cd, fib, pfb, first, pcos, psin, ptan, plon) -> Column:
@@ -251,12 +259,16 @@ def st_area_sphere(g: Column) -> Column:
         ).otherwise(F.lit(-1.0)) * F.abs(_ring_spherical_excess(ring)),
     )
     signed = F.aggregate(per_ring, F.lit(0.0), lambda acc, v: acc + v)
-    return F.when(
-        g["kind"].isin("POLYGON", "MULTIPOLYGON"),
-        F.abs(signed) * F.lit(EARTH_RADIUS_M * EARTH_RADIUS_M),
-    ).otherwise(F.raise_error(F.lit(
-        "When applied to SphericalGeography inputs, ST_Area only "
-        "supports POLYGON or MULTI_POLYGON")).cast("double"))
+    return (
+        F.when(g.isNull(), F.lit(None).cast("double"))
+        .when(
+            g["kind"].isin("POLYGON", "MULTIPOLYGON"),
+            F.abs(signed) * F.lit(EARTH_RADIUS_M * EARTH_RADIUS_M),
+        )
+        .otherwise(F.raise_error(F.lit(
+            "When applied to SphericalGeography inputs, ST_Area only "
+            "supports POLYGON or MULTI_POLYGON")).cast("double"))
+    )
 
 
 def st_centroid_sphere(g: Column) -> Column:
@@ -291,7 +303,10 @@ def st_centroid_sphere(g: Column) -> Column:
         ).alias("x"),
         cy.alias("y"),
     )
-    return F.struct(
-        F.lit("POINT").alias("kind"),
-        F.array(F.array(pt)).alias("rings"),
+    return F.when(
+        g.isNotNull(),
+        F.struct(
+            F.lit("POINT").alias("kind"),
+            F.array(F.array(pt)).alias("rings"),
+        ),
     )

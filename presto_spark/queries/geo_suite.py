@@ -1850,3 +1850,274 @@ def geo_collection_golden(spark, sf_dir):
         geo.st_as_text(member).alias("g_m_txt"),
         F.format_string("%.4f", geo.st_area(member)).alias("g_m_area"),
     ).orderBy("k")
+
+
+_PREDICATES_ORACLE = """
+SELECT * FROM (VALUES
+  ('corner_touch', true,  false, false, false, false, false, false,
+   'FF2F01212', false),
+  ('contains',     false, false, false, false, false, true,  false,
+   '212FF1FF2', false),
+  ('disjoint',     false, false, false, true,  false, false, false,
+   'FF2FF1212', false),
+  ('donut_hole',   false, false, false, true,  false, false, false,
+   'FF2FF1212', false),
+  ('edge_touch',   true,  false, false, false, false, false, false,
+   'FF2F11212', false),
+  ('equals',       false, false, false, false, true,  true,  true,
+   '2FFF1FFF2', true),
+  ('fills_hole',   true,  false, false, false, false, false, false,
+   'FF2F112F2', false),
+  ('line_cross',   false, true,  false, false, false, false, false,
+   '0F1FF0102', false),
+  ('line_end_touch', true, false, false, false, false, false, false,
+   'FF1F00102', false),
+  ('line_overlap', false, false, true,  false, false, false, false,
+   '1010F0102', false),
+  ('mpt_partial',  false, true,  false, false, false, false, false,
+   '0F0FFF212', false),
+  ('overlap',      false, false, true,  false, false, false, false,
+   '212101212', false),
+  ('poly_line_cross', false, true, false, false, false, false, false,
+   '1F20F1102', false),
+  ('poly_line_edge', true, false, false, false, false, false, false,
+   'FF2101FF2', false),
+  ('pt_boundary',  true,  false, false, false, false, false, false,
+   'FF20F1FF2', false),
+  ('pt_in',        false, false, false, false, false, true,  false,
+   '0F2FF1FF2', false)
+) t(k, p_touches, p_crosses, p_overlaps, p_disjoint, p_equals,
+    p_contains, p_within, m, eqpat)
+ORDER BY k
+"""
+
+
+@register(
+    "geo_predicates_golden",
+    oracle=_PREDICATES_ORACLE,
+    doc="DE-9IM relationship tier (GeoFunctions.java ST_Touches :1060, "
+        "ST_Crosses :1068, ST_Disjoint :1076, ST_Equals :1083, "
+        "ST_Overlaps, ST_Relate :1445, general ST_Contains/ST_Within; "
+        "docs geospatial.rst:133-167; VERDICT r11 next-round #1): the "
+        "full 9-cell matrix is computed once per pair in one Arrow-"
+        "batched UDF (event-point splitting + subsegment-midpoint "
+        "classification + open-set dimension lifts — geo_relate.py) "
+        "and every predicate reads the matrix as a Column expression. "
+        "Truth table over the interesting configurations: partial "
+        "overlap, shared edge, corner touch, disjoint, containment, "
+        "equality, hole-isolation, hole-filling, proper line cross, "
+        "collinear overlap, endpoint touch, polygon-line cross/edge, "
+        "boundary point, split multipoint. Matrix strings match "
+        "PostGIS/JTS on identical WKT; the oracle is the literal "
+        "expected table. Scale: per-row work, zero shuffle.",
+    tags=("geo", "functions"),
+)
+def geo_predicates_golden(spark, sf_dir):
+    prepare(spark, sf_dir)
+    from presto_spark.functions import geo_relate as gr
+
+    sq = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    donut = ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+             "(3 3, 7 3, 7 7, 3 7, 3 3))")
+    cases = [
+        ("overlap", sq, "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))"),
+        ("edge_touch", sq, "POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))"),
+        ("corner_touch", sq,
+         "POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))"),
+        ("disjoint", sq, "POLYGON ((20 20, 30 20, 30 30, 20 30, 20 20))"),
+        ("contains", sq, "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))"),
+        ("equals", sq, sq),
+        ("donut_hole", donut, "POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))"),
+        ("fills_hole", donut, "POLYGON ((3 3, 7 3, 7 7, 3 7, 3 3))"),
+        ("line_cross", "LINESTRING (0 0, 10 10)",
+         "LINESTRING (0 10, 10 0)"),
+        ("line_overlap", "LINESTRING (0 0, 6 0)",
+         "LINESTRING (4 0, 10 0)"),
+        ("line_end_touch", "LINESTRING (0 0, 10 10)",
+         "LINESTRING (10 10, 20 20)"),
+        ("poly_line_cross", sq, "LINESTRING (5 -5, 5 20)"),
+        ("poly_line_edge", sq, "LINESTRING (0 0, 10 0)"),
+        ("pt_boundary", sq, "POINT (0 5)"),
+        ("pt_in", sq, "POINT (3 3)"),
+        ("mpt_partial", "MULTIPOINT (3 3, 50 50)", sq),
+    ]
+    df = (
+        spark.createDataFrame(cases, "k string, wa string, wb string")
+        .select("k",
+                geo.st_geometry_from_text(F.col("wa")).alias("a"),
+                geo.st_geometry_from_text(F.col("wb")).alias("b"))
+        .repartition(2)
+    )
+    a, b = F.col("a"), F.col("b")
+    return df.select(
+        "k",
+        gr.st_touches(a, b).alias("p_touches"),
+        gr.st_crosses(a, b).alias("p_crosses"),
+        gr.st_overlaps(a, b).alias("p_overlaps"),
+        gr.st_disjoint(a, b).alias("p_disjoint"),
+        gr.st_equals(a, b).alias("p_equals"),
+        gr.st_contains_general(a, b).alias("p_contains"),
+        gr.st_within_general(a, b).alias("p_within"),
+        gr.geometry_relate_matrix(a, b).alias("m"),
+        gr.st_relate(a, b, "T*F**FFF*").alias("eqpat"),
+    ).orderBy("k")
+
+
+def _ndr_hex():
+    """Expected NDR WKB hex, re-derived from the OGC layout spec with
+    struct.pack (independent of the engine's writer)."""
+    import struct
+
+    def pts(ps):
+        return b"".join(struct.pack("<dd", x, y) for x, y in ps)
+
+    def poly(rings):
+        body = struct.pack("<I", len(rings))
+        for r in rings:
+            body += struct.pack("<I", len(r)) + pts(r)
+        return b"\x01" + struct.pack("<I", 3) + body
+
+    pt = b"\x01" + struct.pack("<I", 1) + pts([(1, 2)])
+    ls = b"\x01" + struct.pack("<I", 2) + struct.pack("<I", 2) + \
+        pts([(0, 0), (1, 1)])
+    mp = b"\x01" + struct.pack("<I", 6) + struct.pack("<I", 2) + \
+        poly([[(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)]]) + \
+        poly([[(2, 2), (3, 2), (3, 3), (2, 3), (2, 2)]])
+    gc = b"\x01" + struct.pack("<I", 7) + struct.pack("<I", 2) + pt + ls
+    return {k: v.hex().upper() for k, v in
+            (("pt", pt), ("mp", mp), ("gc", gc))}
+
+
+_HEX = _ndr_hex()
+
+_ACCESSORS2_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('bowtie', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+   CAST(NULL AS VARCHAR),  -- bd_ring is all-NULL: pin VARCHAR or the
+                           -- VALUES table defaults the column to INT
+   false, false, CAST(1 AS INT), NULL, NULL),
+  ('holes', NULL, NULL,
+   'LINESTRING (5.0 5.0, 6.0 5.0, 6.0 6.0, 5.0 6.0, 5.0 5.0)',
+   CAST(2 AS BIGINT),
+   'MULTILINESTRING ((0.0 0.0, 10.0 0.0, 10.0 10.0, 0.0 10.0, 0.0 0.0), ' ||
+   '(1.0 1.0, 2.0 1.0, 2.0 2.0, 1.0 2.0, 1.0 1.0), ' ||
+   '(5.0 5.0, 6.0 5.0, 6.0 6.0, 5.0 6.0, 5.0 5.0))',
+   NULL, NULL, NULL, NULL, true, true, CAST(1 AS INT), NULL, NULL),
+  ('line', NULL, NULL, NULL, NULL,
+   'MULTIPOINT (0.0 0.0, 5.0 5.0)',
+   'POINT (0.0 0.0)', 'POINT (5.0 5.0)',
+   'LINESTRING (0.0 0.0, 5.0 0.0, 5.0 5.0)', NULL,
+   true, true, CAST(1 AS INT), NULL, NULL),
+  ('mpoly_members', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+   true, true, CAST(2 AS INT),
+   'POLYGON ((0.0 0.0, 1.0 0.0, 1.0 1.0, 0.0 1.0, 0.0 0.0))', NULL),
+  ('ring_line', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+   true, true, CAST(1 AS INT), NULL, NULL),
+  ('selfcross_line', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+   true, false, CAST(1 AS INT), NULL, NULL),
+  ('sym', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+   true, true, CAST(1 AS INT), NULL, '4.0000'),
+  ('wkb_gc',
+   'GEOMETRYCOLLECTION (POINT (1.0 2.0), LINESTRING (0.0 0.0, 1.0 1.0))',
+   '{_HEX["gc"]}', NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+   NULL, NULL, CAST(2 AS INT), NULL, NULL),  -- valid/simple: GC out of
+                                             -- scope for the validators
+
+  ('wkb_mpoly',
+   'MULTIPOLYGON (((0.0 0.0, 1.0 0.0, 1.0 1.0, 0.0 1.0, 0.0 0.0)), ' ||
+   '((2.0 2.0, 3.0 2.0, 3.0 3.0, 2.0 3.0, 2.0 2.0)))',
+   '{_HEX["mp"]}', NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+   true, true, CAST(2 AS INT), NULL, NULL),
+  ('wkb_point', 'POINT (1.0 2.0)', '{_HEX["pt"]}',
+   NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+   true, true, CAST(1 AS INT), NULL, NULL)
+) t(k, rt_txt, wkb_hex, ir2_txt, n_int, bd_txt, env_lo, env_hi,
+    lft_txt, bd_ring, valid, simple, n_geoms, g1_txt, sym_area)
+ORDER BY k
+"""
+
+
+@register(
+    "geo_accessors2_golden",
+    oracle=_ACCESSORS2_ORACLE,
+    doc="Round-12 geometry surface tail (VERDICT r11 next-round "
+        "#2/#3/#4): ST_GeomFromBinary/ST_AsBinary WKB round-trip "
+        "(GeoFunctions.java:252/:268 — NDR hex pinned against a "
+        "struct.pack re-derivation of the OGC layout, incl. "
+        "MULTIPOLYGON and GEOMETRYCOLLECTION), ST_LineFromText "
+        "(:144), ST_InteriorRingN/ST_InteriorRings (:717/:557), "
+        "ST_Geometries (:691), ST_EnvelopeAsPts (:887), ST_Boundary "
+        "(:866 — MULTILINESTRING rings, MULTIPOINT curve endpoints, "
+        "NULL for the closed ring's empty boundary), ST_IsValid/"
+        "ST_IsSimple (:399/:383 — bowtie invalid, self-crossing line "
+        "non-simple), ST_SymDifference (:1033 — two unit-overlap "
+        "squares, area 4). Oracle is the literal expected table.",
+    tags=("geo", "functions"),
+)
+def geo_accessors2_golden(spark, sf_dir):
+    prepare(spark, sf_dir)
+    from presto_spark.functions import geo_decompose as gd
+
+    holes_wkt = ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+                 "(1 1, 2 1, 2 2, 1 2, 1 1), (5 5, 6 5, 6 6, 5 6, 5 5))")
+    cases = [
+        # (k, wa, wb) — wb only for the symdifference case
+        ("wkb_point", "POINT (1 2)", None),
+        ("wkb_mpoly",
+         "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), "
+         "((2 2, 3 2, 3 3, 2 3, 2 2)))", None),
+        ("wkb_gc",
+         "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))", None),
+        ("holes", holes_wkt, None),
+        ("line", "LINESTRING (0 0, 5 0, 5 5)", None),
+        ("ring_line", "LINESTRING (0 0, 1 0, 1 1, 0 0)", None),
+        ("bowtie", "POLYGON ((0 0, 4 4, 4 0, 0 4, 0 0))", None),
+        ("selfcross_line", "LINESTRING (0 0, 4 4, 4 0, 0 4)", None),
+        ("mpoly_members",
+         "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), "
+         "((2 2, 3 2, 3 3, 2 3, 2 2)))", None),
+        ("sym", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+         "POLYGON ((1 0, 3 0, 3 2, 1 2, 1 0))"),
+    ]
+    df = (
+        spark.createDataFrame(cases, "k string, wa string, wb string")
+        .select(
+            "k", "wa",
+            geo.st_geometry_from_text_full(F.col("wa")).alias("g"),
+            geo.st_geometry_from_text(F.col("wb")).alias("h"))
+        .repartition(2)
+        .withColumn("ta", gd.triangulate_raw(F.col("g")))
+        .withColumn("tb", gd.triangulate_raw(F.col("h")))
+        .repartition(2)
+    )
+    g, k = F.col("g"), F.col("k")
+    wkb = k.isin("wkb_point", "wkb_mpoly", "wkb_gc")
+    sym = gd.st_sym_difference_general(F.col("ta"), F.col("tb"))
+    return df.select(
+        "k",
+        F.when(wkb, geo.st_as_text(geo.st_geometry_from_binary(
+            geo.st_as_binary(g)))).alias("rt_txt"),
+        F.when(wkb, F.hex(geo.st_as_binary(g))).alias("wkb_hex"),
+        F.when(k == "holes", geo.st_as_text(
+            geo.st_interior_ring_n(g, 2))).alias("ir2_txt"),
+        F.when(k == "holes",
+               geo.st_num_interior_ring(g)).alias("n_int"),
+        F.when(k.isin("holes", "line"),
+               geo.st_as_text(geo.st_boundary(g))).alias("bd_txt"),
+        F.when(k == "line", geo.st_as_text(
+            geo.st_envelope_as_pts(g)[0])).alias("env_lo"),
+        F.when(k == "line", geo.st_as_text(
+            geo.st_envelope_as_pts(g)[1])).alias("env_hi"),
+        F.when(k == "line", geo.st_as_text(
+            geo.st_line_from_text(F.col("wa")))).alias("lft_txt"),
+        # closed ring: empty boundary pin — NULL text
+        F.when(k == "ring_line",
+               geo.st_as_text(geo.st_boundary(g))).alias("bd_ring"),
+        F.when(k != "wkb_gc", geo.st_is_valid(g)).alias("valid"),
+        F.when(k != "wkb_gc", geo.st_is_simple(g)).alias("simple"),
+        F.size(geo.st_geometries(g)).cast("int").alias("n_geoms"),
+        F.when(k == "mpoly_members", geo.st_as_text(
+            geo.st_geometries(g)[0])).alias("g1_txt"),
+        F.when(k == "sym", F.format_string(
+            "%.4f", geo.st_area(sym))).alias("sym_area"),
+    ).orderBy("k")

@@ -140,7 +140,10 @@ def sem(spark):
 def test_semantic_corpus_sweep(sem):
     spark, duck = sem
     cases, non_literal = extract_cases()
-    assert len(cases) >= 1700 and non_literal < 200
+    # round 12 (ADVICE r11): 46 ambiguous 2-arg identifier-first cases
+    # moved from the (possibly vacuous) ok tier into the non_literal
+    # skip bucket — 1734 → 1688 cases, non_literal grows by the same 46
+    assert len(cases) >= 1680 and non_literal < 250
     tallies: dict[str, int] = {}
     unexplained: list[tuple[str, str, str]] = []
     for case in cases:
