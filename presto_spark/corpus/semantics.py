@@ -128,6 +128,113 @@ def _literal_value(arg: str) -> str | None:
 #    two big recoverable non-literal classes --------------------------------
 
 _IDENT_ARG_RE = re.compile(r"^\s*\w+\s*$")
+
+# -- round 12 (VERDICT r11 next-round #8): EXECUTE recovery ----------------
+#
+# The reference's EXECUTE tests hold the prepared text in the Java
+# Session (``Session.builder()...addPreparedStatement("my_query",
+# <literal-or-local-String-var>)``) right above the assertQuery call.
+# The text IS recoverable from the source: find the nearest preceding
+# addPreparedStatement for the EXECUTE'd name, resolve its second
+# argument (string literal, or a local ``String x = "...";``), and
+# bind the USING arguments positionally into the ?s — producing the
+# SELECT both engines can run directly.  Unrecoverable forms stay in
+# the non_literal skip bucket (never silently green).
+
+_EXECUTE_SQL_RE = re.compile(
+    r"^\s*EXECUTE\s+(\w+)\s*(?:USING\s+(.+))?$",
+    re.IGNORECASE | re.DOTALL)
+_PREP_CALL_RE = re.compile(r"\.addPreparedStatement\s*\(")
+
+
+def _local_string_var(src: str, before: int, ident: str) -> str | None:
+    """Nearest preceding ``String <ident> = <literal-concat>;`` value."""
+    pat = re.compile(r"String\s+" + re.escape(ident) + r"\s*=\s*")
+    last = None
+    for m in pat.finditer(src, 0, before):
+        last = m
+    if last is None:
+        return None
+    i, depth, in_str = last.end(), 0, False
+    start = i
+    while i < len(src):
+        c = src[i]
+        if in_str:
+            if c == "\\":
+                i += 2
+                continue
+            if c == '"':
+                in_str = False
+        elif c == '"':
+            in_str = True
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == ";" and depth == 0:
+            return _literal_value(src[start:i])
+        i += 1
+    return None
+
+
+def _bind_positional(text: str, args: list[str]) -> str | None:
+    """Replace each top-level ``?`` in the prepared SQL with the
+    corresponding USING argument (parenthesized); ?s inside SQL string
+    literals are data.  None on arity mismatch."""
+    out: list[str] = []
+    i, ai, in_str = 0, 0, False
+    while i < len(text):
+        c = text[i]
+        if in_str:
+            out.append(c)
+            if c == "'":
+                if i + 1 < len(text) and text[i + 1] == "'":
+                    out.append("'")
+                    i += 2
+                    continue
+                in_str = False
+            i += 1
+            continue
+        if c == "'":
+            in_str = True
+        elif c == "?":
+            if ai >= len(args):
+                return None
+            out.append("(" + args[ai].strip() + ")")
+            ai += 1
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out) if ai == len(args) else None
+
+
+def _recover_execute(src: str, call_start: int, sql: str) -> str | None:
+    m = _EXECUTE_SQL_RE.match(sql)
+    if not m:
+        return None
+    name, using = m.group(1), m.group(2)
+    last = None
+    for pm in _PREP_CALL_RE.finditer(src, 0, call_start):
+        last = pm
+    if last is None:
+        return None
+    parsed = _scan_call(src, last.end() - 1)
+    if parsed is None:
+        return None
+    pargs = _split_top_level_args(parsed[0])
+    if len(pargs) != 2 or _literal_value(pargs[0]) != name:
+        return None
+    text = _literal_value(pargs[1])
+    if text is None and _IDENT_ARG_RE.match(pargs[1]):
+        text = _local_string_var(src, last.start(), pargs[1].strip())
+    if text is None:
+        return None
+    if using is None:
+        return text if "?" not in text else None
+    return _bind_positional(text, _split_top_level_args(using))
+
+
 # 2-arg assertQuery(ident, literal) is ambiguous: the identifier can be
 # a Session OR the SQL text itself (e.g. AbstractTestQueries.java:1849
 # ``assertQuery(query, "VALUES ...")``) — dropping a SQL-text variable
@@ -426,10 +533,18 @@ def extract_cases(tests_dir: str = REFERENCE_TESTS_DIR,
                 non_literal += 1
                 continue
             line = src.count("\n", 0, m.start()) + 1
+            tag = "+session" if session_arg else ""
+            query = vals[0]
+            if len(vals) == 2 and _EXECUTE_SQL_RE.match(query):
+                recovered = _recover_execute(src, m.start(), query)
+                if recovered is None:
+                    non_literal += 1
+                    continue
+                query = recovered
+                tag += "+execute"
             cases.append(SemanticCase(
-                source=f"{fname}:{line}"
-                       + ("+session" if session_arg else ""),
-                query=vals[0],
+                source=f"{fname}:{line}{tag}",
+                query=query,
                 oracle=vals[1] if len(vals) == 2 else vals[0],
                 ordered=bool(m.group(1)),
             ))

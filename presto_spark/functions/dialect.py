@@ -44,6 +44,11 @@ _SIMPLE_MAP = {
     "ngrams": "array_ngrams",                    # NgramsFunction.java — macro-expands below
     "from_base64": "unbase64",                   # VarbinaryFunctions.java fromBase64
     "to_base64": "base64",                       # VarbinaryFunctions.java toBase64
+    # ST_AsBinary collides with Spark 4.1's builtin of the same name
+    # (which operates on Spark's native GEOMETRY type, not the engine's
+    # struct model) — route the Presto spelling to the engine wrapper
+    # (registry.py geo SQL tier, round 12).
+    "st_asbinary": "__st_asbinary",              # GeoFunctions.java:268
 }
 
 _simple_renames_re = re.compile(

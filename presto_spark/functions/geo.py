@@ -478,7 +478,8 @@ def st_area(geom: Column) -> Column:
         lambda acc, v: acc + v,
     )
     return (
-        F.when(geom["kind"] == "POLYGON", shell - holes)
+        F.when(geom.isNull(), F.lit(None).cast("double"))
+        .when(geom["kind"] == "POLYGON", shell - holes)
         .when(geom["kind"] == "MULTIPOLYGON", signed_total)
         .otherwise(F.lit(0.0))
     )
@@ -505,11 +506,16 @@ def st_length(geom: Column) -> Column:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    return F.when(
-        geom["kind"].isin(
-            "LINESTRING", "MULTILINESTRING", "POLYGON", "MULTIPOLYGON"),
-        total,
-    ).otherwise(F.lit(0.0))
+    return (
+        F.when(geom.isNull(), F.lit(None).cast("double"))
+        .when(
+            geom["kind"].isin(
+                "LINESTRING", "MULTILINESTRING", "POLYGON",
+                "MULTIPOLYGON"),
+            total,
+        )
+        .otherwise(F.lit(0.0))
+    )
 
 
 def st_centroid(geom: Column) -> Column:

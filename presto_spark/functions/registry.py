@@ -1168,4 +1168,87 @@ def register_functions(spark: SparkSession) -> list[str]:
     ):
         spark.udf.register(name, fn)
         registered.append(name)
+    # Geospatial SQL spellings (round 12, VERDICT r11 next-round #8):
+    # the reference surface is SQL, so the ingest/emit/relate tier —
+    # already Arrow-batched UDFs — registers under its Presto names,
+    # and the DE-9IM predicates become SQL UDFs doing one regex scan
+    # over the matrix string (one Arrow call per pair regardless of
+    # which predicate is asked).  Measures/overlay/accessors remain
+    # DataFrame-level (functions/geo.py Column builders — a SQL-text
+    # duplicate of those expressions would be a second engine;
+    # documented tier split in COVERAGE.md).  The struct→coordinate
+    # decomposition happens in the SQL wrapper bodies because ragged
+    # array<array<struct>> pandas-UDF inputs trip the Arrow converter.
+    from presto_spark.functions import _geo_pandas_udfs as _gpu
+    from presto_spark.functions.geo_relate import _relate_udf as _gru
+
+    spark.udf.register("st_geometryfromtext", _gpu.parse_wkt_full_udf)
+    spark.udf.register("st_geomfrombinary", _gpu.parse_wkb_udf)
+    spark.udf.register("__st_asbinary3", _gpu.as_wkb_udf)
+    spark.udf.register("__st_relate_matrix6", _gru)
+    registered += ["st_geometryfromtext", "st_geomfrombinary"]
+    _GEO_T = ("STRUCT<kind: STRING, "
+              "rings: ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>>")
+    _XS = "transform(g.rings, r -> transform(r, p -> p.x))"
+    _YS = "transform(g.rings, r -> transform(r, p -> p.y))"
+    _M = ("__st_relate_matrix6(a.kind, "
+          "transform(a.rings, r -> transform(r, p -> p.x)), "
+          "transform(a.rings, r -> transform(r, p -> p.y)), "
+          "b.kind, "
+          "transform(b.rings, r -> transform(r, p -> p.x)), "
+          "transform(b.rings, r -> transform(r, p -> p.y)))")
+    _DIM = ("CASE WHEN {0}.kind IN ('POINT', 'MULTIPOINT') THEN 0 "
+            "WHEN {0}.kind IN ('LINESTRING', 'MULTILINESTRING') THEN 1 "
+            "WHEN {0}.kind IN ('POLYGON', 'MULTIPOLYGON') THEN 2 END")
+    _AB = f"a {_GEO_T}, b {_GEO_T}"
+    for name, args, ret, body in (
+        # "__st_asbinary": the bare name is a Spark 4.1 builtin (for
+        # Spark's native GEOMETRY type); dialect.py renames the Presto
+        # spelling to this wrapper
+        ("__st_asbinary", f"g {_GEO_T}", "BINARY",
+         f"__st_asbinary3(g.kind, {_XS}, {_YS})"),
+        ("st_point", "x DOUBLE, y DOUBLE", _GEO_T,
+         "named_struct('kind', 'POINT', 'rings', "
+         "array(array(named_struct('x', x, 'y', y))))"),
+        ("st_x", f"g {_GEO_T}", "DOUBLE",
+         "CASE WHEN g.kind = 'POINT' THEN g.rings[0][0].x END"),
+        ("st_y", f"g {_GEO_T}", "DOUBLE",
+         "CASE WHEN g.kind = 'POINT' THEN g.rings[0][0].y END"),
+        ("st_geometrytype", f"g {_GEO_T}", "STRING",
+         "CASE g.kind WHEN 'POINT' THEN 'ST_Point' "
+         "WHEN 'MULTIPOINT' THEN 'ST_MultiPoint' "
+         "WHEN 'LINESTRING' THEN 'ST_LineString' "
+         "WHEN 'MULTILINESTRING' THEN 'ST_MultiLineString' "
+         "WHEN 'POLYGON' THEN 'ST_Polygon' "
+         "WHEN 'MULTIPOLYGON' THEN 'ST_MultiPolygon' "
+         "WHEN 'GEOMETRYCOLLECTION' THEN 'ST_GeomCollection' END"),
+        # DE-9IM family: one matrix call, one regex scan per predicate
+        # (pattern positions: II IB IE BI BB BE EI EB EE)
+        ("st_relate", f"{_AB}, p STRING", "BOOLEAN",
+         f"CASE WHEN length(p) = 9 THEN {_M} RLIKE "
+         "concat('^', replace(replace(p, 'T', '[012]'), '*', '.'), '$') "
+         "END"),
+        ("st_touches", _AB, "BOOLEAN",
+         f"{_M} RLIKE '^F([^F]|..[^F]|...[^F])'"),
+        ("st_disjoint", _AB, "BOOLEAN", f"{_M} RLIKE '^FF.FF'"),
+        ("st_equals", _AB, "BOOLEAN", f"{_M} RLIKE '^[^F].F..FFF'"),
+        ("st_contains", _AB, "BOOLEAN", f"{_M} RLIKE '^[^F].{{5}}FF'"),
+        ("st_within", _AB, "BOOLEAN", f"{_M} RLIKE '^[^F].F..F'"),
+        ("st_intersects", _AB, "BOOLEAN", f"NOT ({_M} RLIKE '^FF.FF')"),
+        ("st_crosses", _AB, "BOOLEAN",
+         f"CASE WHEN ({_DIM.format('a')}) < ({_DIM.format('b')}) "
+         f"THEN {_M} RLIKE '^[^F].[^F]' "
+         f"WHEN ({_DIM.format('a')}) > ({_DIM.format('b')}) "
+         f"THEN {_M} RLIKE '^[^F].{{5}}[^F]' "
+         f"WHEN ({_DIM.format('a')}) = 1 AND ({_DIM.format('b')}) = 1 "
+         f"THEN substring({_M}, 1, 1) = '0' ELSE false END"),
+        ("st_overlaps", _AB, "BOOLEAN",
+         f"CASE WHEN ({_DIM.format('a')}) != ({_DIM.format('b')}) "
+         "THEN false "
+         f"WHEN ({_DIM.format('a')}) = 1 "
+         f"THEN {_M} RLIKE '^1.[^F].{{3}}[^F]' "
+         f"ELSE {_M} RLIKE '^[^F].[^F].{{3}}[^F]' END"),
+    ):
+        spark.sql(_ddl(name, args, ret, body))
+        registered.append(name)
     return registered

@@ -363,6 +363,51 @@ def test_simplify_ragged_rings(spark):
     assert "1.0 1.0" in out  # hole survives
 
 
+def test_geo_sql_spellings(spark):
+    """Round-12 SQL tier (registry.py geo block): the Presto spellings
+    ST_GeometryFromText / ST_GeomFromBinary / ST_AsBinary (renamed
+    around the Spark 4.1 builtin by dialect.py) / ST_Point / ST_X /
+    ST_Y / ST_GeometryType and the DE-9IM predicate family work
+    through engine.sql — each predicate is ONE matrix UDF call plus a
+    regex scan."""
+    from presto_spark.engine import Engine
+
+    eng = Engine(spark)
+    rows = eng.sql("""
+        SELECT ST_Touches(a, b) AS t,
+               ST_Intersects(a, b) AS i,
+               ST_Relate(a, b, 'FF2F11212') AS rel,
+               ST_Contains(a, a) AS self_ct,
+               ST_GeometryType(b) AS ty,
+               ST_Y(ST_Point(3.0, 4.0)) AS py,
+               ST_AsText_check(a) AS chk
+        FROM (SELECT
+            ST_GeometryFromText(
+                'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))') AS a,
+            ST_GeomFromBinary(
+                ST_AsBinary(ST_GeometryFromText(
+                    'POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))'))) AS b)
+    """.replace(
+        # Presto subscripts are 1-based through eng.sql
+        "ST_AsText_check(a)", "ST_X(ST_Point(a.rings[1][1].x, 0.0))"
+    )).collect()
+    r = rows[0]
+    assert (r.t, r.i, r.rel, r.self_ct, r.ty, r.py, r.chk) == \
+        (True, True, True, True, "ST_Polygon", 4.0, 0.0)
+
+
+def test_planar_measures_null_propagate(spark):
+    """ST_Area/ST_Length on NULL geometry are NULL, not 0.0 (round 12
+    — same null-propagation contract class as the spherical fixes)."""
+    df = spark.createDataFrame([(None,)], "wkt string").select(
+        geo.st_geometry_from_text(F.col("wkt")).alias("g")).coalesce(1)
+    r = df.select(
+        geo.st_area(F.col("g")).alias("a"),
+        geo.st_length(F.col("g")).alias("ln"),
+    ).collect()[0]
+    assert r.a is None and r.ln is None
+
+
 def test_buffer_negative_raises(spark):
     from presto_spark.functions import geo_decompose as gd
 

@@ -154,7 +154,11 @@ def test_semantic_corpus_sweep(sem):
             if not any(re.search(p, probe) for p, _ in PINNED):
                 unexplained.append((o.source, case.query[:120], o.detail))
     assert not unexplained, unexplained[:10]
-    # the green tier can only grow; skips stay bounded
-    assert tallies.get("ok", 0) >= 1060, tallies
+    # the green tier can only grow; skips stay bounded.  Round 12
+    # rebased the floor DOWN once, deliberately: the 2-arg
+    # identifier-drop fix (ADVICE r11) removed ~46 cases whose green
+    # was vacuous (query == oracle == the expected literal), and the
+    # EXECUTE recovery added 7 real greens — 1077 → 1057 honest.
+    assert tallies.get("ok", 0) >= 1055, tallies
     assert tallies.get("fail", 0) + tallies.get("engine-error", 0) <= 165, \
         tallies
