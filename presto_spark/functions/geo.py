@@ -215,6 +215,82 @@ def st_line_from_text(wkt: Column) -> Column:
     )
 
 
+def st_polygon(wkt: Column) -> Column:
+    """ST_Polygon (GeoFunctions.java stPolygon; docs geospatial.rst):
+    parse WKT and validate the kind is POLYGON — any other kind
+    raises (validateType spelling); NULL/unparseable WKT propagates
+    NULL like st_geometry_from_text."""
+    g = st_geometry_from_text(wkt)
+    checked_kind = F.when(g["kind"] == "POLYGON", g["kind"]).otherwise(
+        F.raise_error(F.concat(
+            F.lit("ST_Polygon: geometry is not a POLYGON: "),
+            F.coalesce(g["kind"], F.lit("NULL")))))
+    return F.when(
+        g.isNotNull(),
+        F.struct(checked_kind.alias("kind"), g["rings"].alias("rings")),
+    )
+
+
+def st_line_string(points: Column) -> Column:
+    """ST_LineString(array<point>) (GeoFunctions.java stLineString):
+    a LINESTRING through the points in order.  Arrays with fewer than
+    2 points have no linestring value in the model (the reference
+    returns an empty LineString) — NULL here, the standing
+    no-empty-geometry pin; a non-POINT member raises
+    (INVALID_FUNCTION_ARGUMENT spelling)."""
+    vertices = F.transform(
+        points,
+        lambda p: F.struct(
+            F.when(p["kind"] == "POINT", p["rings"][0][0]["x"])
+            .otherwise(F.raise_error(F.lit(
+                "ST_LineString: array element is not a POINT")))
+            .alias("x"),
+            p["rings"][0][0]["y"].alias("y"),
+        ),
+    )
+    return F.when(
+        points.isNotNull() & (F.size(points) >= 2),
+        F.struct(F.lit("LINESTRING").alias("kind"),
+                 F.array(vertices).alias("rings")),
+    )
+
+
+def st_multi_point(points: Column) -> Column:
+    """ST_MultiPoint(array<point>) (GeoFunctions.java stMultiPoint):
+    a MULTIPOINT of the points in order (duplicates kept, like the
+    reference).  Empty array → NULL (no-empty-geometry pin);
+    a non-POINT member raises."""
+    rings = F.transform(
+        points,
+        lambda p: F.array(F.struct(
+            F.when(p["kind"] == "POINT", p["rings"][0][0]["x"])
+            .otherwise(F.raise_error(F.lit(
+                "ST_MultiPoint: array element is not a POINT")))
+            .alias("x"),
+            p["rings"][0][0]["y"].alias("y"),
+        )),
+    )
+    return F.when(
+        points.isNotNull() & (F.size(points) >= 1),
+        F.struct(F.lit("MULTIPOINT").alias("kind"), rings.alias("rings")),
+    )
+
+
+def st_points(geom: Column) -> Column:
+    """ST_Points (GeoFunctions.java stPoints; docs:
+    array of the points of a LINESTRING, in order, duplicates kept).
+    Non-LINESTRING kinds raise (validateType spelling); NULL
+    propagates."""
+    checked = F.when(geom["kind"] == "LINESTRING", geom["rings"][0]) \
+        .otherwise(F.raise_error(F.lit(
+            "ST_Points only applies to LINE_STRING")).cast(
+            "array<struct<x:double,y:double>>"))
+    return F.when(
+        geom.isNotNull(),
+        F.transform(checked, lambda v: st_point(v["x"], v["y"])),
+    )
+
+
 def _gc_member_structs(geom: Column) -> Column:
     """GEOMETRYCOLLECTION → array of member geometry structs (decoded
     from the header-ring encoding, round 11).  Headers carry each

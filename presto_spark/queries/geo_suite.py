@@ -1995,44 +1995,54 @@ SELECT * FROM (VALUES
   ('bowtie', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
    CAST(NULL AS VARCHAR),  -- bd_ring is all-NULL: pin VARCHAR or the
                            -- VALUES table defaults the column to INT
-   false, false, CAST(1 AS INT), NULL, NULL),
+   false, false, CAST(1 AS INT), NULL, NULL, NULL, NULL, NULL, NULL),
+  ('ctors', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+   true, true, CAST(1 AS INT), NULL, NULL,
+   'LINESTRING (0.0 0.0, 3.0 4.0, 5.0 0.0)',
+   'MULTIPOINT (1.0 1.0, 1.0 1.0, 2.0 3.0)',
+   'POINT (0.0 0.0)|POINT (3.0 4.0)',
+   'POLYGON ((0.0 0.0, 1.0 0.0, 1.0 1.0, 0.0 1.0, 0.0 0.0))'),
   ('holes', NULL, NULL,
    'LINESTRING (5.0 5.0, 6.0 5.0, 6.0 6.0, 5.0 6.0, 5.0 5.0)',
    CAST(2 AS BIGINT),
    'MULTILINESTRING ((0.0 0.0, 10.0 0.0, 10.0 10.0, 0.0 10.0, 0.0 0.0), ' ||
    '(1.0 1.0, 2.0 1.0, 2.0 2.0, 1.0 2.0, 1.0 1.0), ' ||
    '(5.0 5.0, 6.0 5.0, 6.0 6.0, 5.0 6.0, 5.0 5.0))',
-   NULL, NULL, NULL, NULL, true, true, CAST(1 AS INT), NULL, NULL),
+   NULL, NULL, NULL, NULL, true, true, CAST(1 AS INT), NULL, NULL,
+   NULL, NULL, NULL, NULL),
   ('line', NULL, NULL, NULL, NULL,
    'MULTIPOINT (0.0 0.0, 5.0 5.0)',
    'POINT (0.0 0.0)', 'POINT (5.0 5.0)',
    'LINESTRING (0.0 0.0, 5.0 0.0, 5.0 5.0)', NULL,
-   true, true, CAST(1 AS INT), NULL, NULL),
+   true, true, CAST(1 AS INT), NULL, NULL, NULL, NULL, NULL, NULL),
   ('mpoly_members', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
    true, true, CAST(2 AS INT),
-   'POLYGON ((0.0 0.0, 1.0 0.0, 1.0 1.0, 0.0 1.0, 0.0 0.0))', NULL),
+   'POLYGON ((0.0 0.0, 1.0 0.0, 1.0 1.0, 0.0 1.0, 0.0 0.0))', NULL,
+   NULL, NULL, NULL, NULL),
   ('ring_line', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
-   true, true, CAST(1 AS INT), NULL, NULL),
+   true, true, CAST(1 AS INT), NULL, NULL, NULL, NULL, NULL, NULL),
   ('selfcross_line', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
-   true, false, CAST(1 AS INT), NULL, NULL),
+   true, false, CAST(1 AS INT), NULL, NULL, NULL, NULL, NULL, NULL),
   ('sym', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
-   true, true, CAST(1 AS INT), NULL, '4.0000'),
+   true, true, CAST(1 AS INT), NULL, '4.0000',
+   NULL, NULL, NULL, NULL),
   ('wkb_gc',
    'GEOMETRYCOLLECTION (POINT (1.0 2.0), LINESTRING (0.0 0.0, 1.0 1.0))',
    '{_HEX["gc"]}', NULL, NULL, NULL, NULL, NULL, NULL, NULL,
-   NULL, NULL, CAST(2 AS INT), NULL, NULL),  -- valid/simple: GC out of
-                                             -- scope for the validators
+   NULL, NULL, CAST(2 AS INT), NULL, NULL,
+   NULL, NULL, NULL, NULL),  -- valid/simple: GC out of scope
 
   ('wkb_mpoly',
    'MULTIPOLYGON (((0.0 0.0, 1.0 0.0, 1.0 1.0, 0.0 1.0, 0.0 0.0)), ' ||
    '((2.0 2.0, 3.0 2.0, 3.0 3.0, 2.0 3.0, 2.0 2.0)))',
    '{_HEX["mp"]}', NULL, NULL, NULL, NULL, NULL, NULL, NULL,
-   true, true, CAST(2 AS INT), NULL, NULL),
+   true, true, CAST(2 AS INT), NULL, NULL, NULL, NULL, NULL, NULL),
   ('wkb_point', 'POINT (1.0 2.0)', '{_HEX["pt"]}',
    NULL, NULL, NULL, NULL, NULL, NULL, NULL,
-   true, true, CAST(1 AS INT), NULL, NULL)
+   true, true, CAST(1 AS INT), NULL, NULL, NULL, NULL, NULL, NULL)
 ) t(k, rt_txt, wkb_hex, ir2_txt, n_int, bd_txt, env_lo, env_hi,
-    lft_txt, bd_ring, valid, simple, n_geoms, g1_txt, sym_area)
+    lft_txt, bd_ring, valid, simple, n_geoms, g1_txt, sym_area,
+    lstr_txt, mpt_txt, pts_txt, poly_txt)
 ORDER BY k
 """
 
@@ -2078,6 +2088,7 @@ def geo_accessors2_golden(spark, sf_dir):
          "((2 2, 3 2, 3 3, 2 3, 2 2)))", None),
         ("sym", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
          "POLYGON ((1 0, 3 0, 3 2, 1 2, 1 0))"),
+        ("ctors", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", None),
     ]
     df = (
         spark.createDataFrame(cases, "k string, wa string, wb string")
@@ -2092,6 +2103,13 @@ def geo_accessors2_golden(spark, sf_dir):
     )
     g, k = F.col("g"), F.col("k")
     wkb = k.isin("wkb_point", "wkb_mpoly", "wkb_gc")
+    ctors = k == "ctors"
+    pts3 = F.array(geo.st_point(F.lit(0.0), F.lit(0.0)),
+                   geo.st_point(F.lit(3.0), F.lit(4.0)),
+                   geo.st_point(F.lit(5.0), F.lit(0.0)))
+    mpts = F.array(geo.st_point(F.lit(1.0), F.lit(1.0)),
+                   geo.st_point(F.lit(1.0), F.lit(1.0)),
+                   geo.st_point(F.lit(2.0), F.lit(3.0)))
     sym = gd.st_sym_difference_general(F.col("ta"), F.col("tb"))
     return df.select(
         "k",
@@ -2120,4 +2138,17 @@ def geo_accessors2_golden(spark, sf_dir):
             geo.st_geometries(g)[0])).alias("g1_txt"),
         F.when(k == "sym", F.format_string(
             "%.4f", geo.st_area(sym))).alias("sym_area"),
+        # constructor tail (round-12 second pass): ST_LineString /
+        # ST_MultiPoint over point arrays, ST_Points projection,
+        # ST_Polygon validated parse
+        F.when(ctors, geo.st_as_text(
+            geo.st_line_string(pts3))).alias("lstr_txt"),
+        F.when(ctors, geo.st_as_text(
+            geo.st_multi_point(mpts))).alias("mpt_txt"),
+        F.when(ctors, F.concat_ws("|", F.transform(
+            geo.st_points(geo.st_line_string(F.slice(pts3, 1, 2))),
+            geo.st_as_text))).alias("pts_txt"),
+        F.when(ctors, geo.st_as_text(geo.st_polygon(
+            F.lit("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")))
+        ).alias("poly_txt"),
     ).orderBy("k")

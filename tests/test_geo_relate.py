@@ -363,6 +363,34 @@ def test_simplify_ragged_rings(spark):
     assert "1.0 1.0" in out  # hole survives
 
 
+def test_constructor_tail(spark):
+    """ST_LineString/ST_MultiPoint over point arrays, ST_Points,
+    ST_Polygon (GeoFunctions.java stLineString/stMultiPoint/stPoints/
+    stPolygon — round-12 second pass)."""
+    df = spark.createDataFrame([(1,)], "i int").coalesce(1)
+    pts = F.array(geo.st_point(F.lit(0.0), F.lit(0.0)),
+                  geo.st_point(F.lit(3.0), F.lit(4.0)))
+    r = df.select(
+        geo.st_as_text(geo.st_line_string(pts)).alias("ls"),
+        geo.st_as_text(geo.st_multi_point(pts)).alias("mp"),
+        F.size(geo.st_points(geo.st_line_string(pts))).alias("np"),
+        geo.st_as_text(geo.st_polygon(F.lit(
+            "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"))).alias("pg"),
+        # < 2 points: no-empty-geometry pin → NULL
+        geo.st_line_string(F.slice(pts, 1, 1))["kind"].alias("short"),
+    ).collect()[0]
+    assert r.ls == "LINESTRING (0.0 0.0, 3.0 4.0)"
+    assert r.mp == "MULTIPOINT (0.0 0.0, 3.0 4.0)"
+    assert r.np == 2
+    assert r.pg == "POLYGON ((0.0 0.0, 1.0 0.0, 1.0 1.0, 0.0 1.0, 0.0 0.0))"
+    assert r.short is None
+    with pytest.raises(Exception, match="POLYGON"):
+        df.select(geo.st_polygon(F.lit("POINT (1 1)"))).collect()
+    with pytest.raises(Exception, match="LINE_STRING"):
+        df.select(geo.st_points(geo.st_point(
+            F.lit(1.0), F.lit(1.0)))).collect()
+
+
 def test_geo_sql_spellings(spark):
     """Round-12 SQL tier (registry.py geo block): the Presto spellings
     ST_GeometryFromText / ST_GeomFromBinary / ST_AsBinary (renamed
