@@ -1235,15 +1235,23 @@ def register_functions(spark: SparkSession) -> list[str]:
         ("st_contains", _AB, "BOOLEAN", f"{_M} RLIKE '^[^F].{{5}}FF'"),
         ("st_within", _AB, "BOOLEAN", f"{_M} RLIKE '^[^F].F..F'"),
         ("st_intersects", _AB, "BOOLEAN", f"NOT ({_M} RLIKE '^FF.FF')"),
+        # NULL/collection inputs have NULL dims — lead with the NULL
+        # guard so the ELSE-false arms can't turn NULL into false
+        # (dims are plain CASE expressions, so the guard costs no
+        # extra matrix UDF call)
         ("st_crosses", _AB, "BOOLEAN",
-         f"CASE WHEN ({_DIM.format('a')}) < ({_DIM.format('b')}) "
+         f"CASE WHEN ({_DIM.format('a')}) IS NULL "
+         f"OR ({_DIM.format('b')}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+         f"WHEN ({_DIM.format('a')}) < ({_DIM.format('b')}) "
          f"THEN {_M} RLIKE '^[^F].[^F]' "
          f"WHEN ({_DIM.format('a')}) > ({_DIM.format('b')}) "
          f"THEN {_M} RLIKE '^[^F].{{5}}[^F]' "
          f"WHEN ({_DIM.format('a')}) = 1 AND ({_DIM.format('b')}) = 1 "
          f"THEN substring({_M}, 1, 1) = '0' ELSE false END"),
         ("st_overlaps", _AB, "BOOLEAN",
-         f"CASE WHEN ({_DIM.format('a')}) != ({_DIM.format('b')}) "
+         f"CASE WHEN ({_DIM.format('a')}) IS NULL "
+         f"OR ({_DIM.format('b')}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+         f"WHEN ({_DIM.format('a')}) != ({_DIM.format('b')}) "
          "THEN false "
          f"WHEN ({_DIM.format('a')}) = 1 "
          f"THEN {_M} RLIKE '^1.[^F].{{3}}[^F]' "

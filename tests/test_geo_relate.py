@@ -424,6 +424,22 @@ def test_geo_sql_spellings(spark):
         (True, True, True, True, "ST_Polygon", 4.0, 0.0)
 
 
+def test_geo_sql_null_inputs(spark):
+    """SQL-tier predicates null-propagate: a NULL geometry (failed
+    parse) yields NULL, never false (round-12 self-review — the
+    crosses/overlaps ELSE-false arms need the leading NULL guard)."""
+    from presto_spark.engine import Engine
+
+    eng = Engine(spark)
+    r = eng.sql("""
+        SELECT ST_Crosses(a, b) AS c, ST_Overlaps(a, b) AS o,
+               ST_Touches(a, b) AS t, ST_Equals(a, b) AS e
+        FROM (SELECT ST_GeometryFromText('nonsense') AS a,
+                     ST_GeometryFromText('POINT (1 1)') AS b)
+    """).collect()[0]
+    assert (r.c, r.o, r.t, r.e) == (None, None, None, None)
+
+
 def test_planar_measures_null_propagate(spark):
     """ST_Area/ST_Length on NULL geometry are NULL, not 0.0 (round 12
     — same null-propagation contract class as the spherical fixes)."""
