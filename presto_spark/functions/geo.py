@@ -1400,13 +1400,19 @@ _GEOJSON_TYPES = {
     "MULTIPOINT": "MultiPoint",
     "LINESTRING": "LineString",
     "POLYGON": "Polygon",
+    "MULTILINESTRING": "MultiLineString",
+    "MULTIPOLYGON": "MultiPolygon",
 }
 
 
 def geometry_as_geojson(geom: Column) -> Column:
     """geometry_as_geojson (GeoFunctions.java:1234): RFC 7946 Geometry
     object.  Numbers use Spark's double formatting (deviation from the
-    Esri writer's integer shortening)."""
+    Esri writer's integer shortening).  Round 12 adds the
+    MultiLineString and MultiPolygon shapes (MULTIPOLYGON pieces are
+    recovered from the flat-ring model's CCW-shell orientation
+    grouping); GeometryCollection stays NULL (documented, with the
+    other collection pins)."""
     coord = lambda p: F.concat(  # noqa: E731
         F.lit("["), p["x"].cast("string"), F.lit(","),
         p["y"].cast("string"), F.lit("]"),
@@ -1415,6 +1421,19 @@ def geometry_as_geojson(geom: Column) -> Column:
         F.lit("["), F.concat_ws(",", F.transform(r, coord)), F.lit("]")
     )
     rings = geom["rings"]
+    starts = _piece_starts(rings)
+
+    def mp_piece(s: Column, i: Column) -> Column:
+        nxt = F.when(
+            i + 2 <= F.size(starts), F.element_at(starts, i + 2)
+        ).otherwise(F.size(rings) + 1)
+        return F.concat(
+            F.lit("["),
+            F.concat_ws(",", F.transform(
+                F.slice(rings, s, nxt - s), ring_arr)),
+            F.lit("]"),
+        )
+
     coords = (
         F.when(geom["kind"] == "POINT", coord(rings[0][0]))
         .when(
@@ -1427,10 +1446,18 @@ def geometry_as_geojson(geom: Column) -> Column:
         )
         .when(geom["kind"] == "LINESTRING", ring_arr(rings[0]))
         .when(
-            geom["kind"] == "POLYGON",
+            geom["kind"].isin("POLYGON", "MULTILINESTRING"),
             F.concat(
                 F.lit("["),
                 F.concat_ws(",", F.transform(rings, ring_arr)),
+                F.lit("]"),
+            ),
+        )
+        .when(
+            geom["kind"] == "MULTIPOLYGON",
+            F.concat(
+                F.lit("["),
+                F.concat_ws(",", F.transform(starts, mp_piece)),
                 F.lit("]"),
             ),
         )
@@ -1449,12 +1476,16 @@ def geometry_as_geojson(geom: Column) -> Column:
 
 def geometry_from_geojson(json: Column) -> Column:
     """geometry_from_geojson (GeoFunctions.java:1225) for
-    Point/MultiPoint/LineString/Polygon Geometry objects."""
+    Point/MultiPoint/LineString/Polygon Geometry objects — round 12
+    adds MultiLineString and MultiPolygon (piece rings orientation-
+    normalized into the flat model: shell CCW, holes CW, exactly like
+    the WKT parser)."""
     gtype = F.upper(F.get_json_object(json, "$.type"))
     raw = F.get_json_object(json, "$.coordinates")
     pt = F.from_json(raw, "array<double>")
     arr2 = F.from_json(raw, "array<array<double>>")
     arr3 = F.from_json(raw, "array<array<array<double>>>")
+    arr4 = F.from_json(raw, "array<array<array<array<double>>>>")
     mk_pt = lambda a: F.struct(  # noqa: E731
         a[0].alias("x"), a[1].alias("y")
     )
@@ -1462,6 +1493,15 @@ def geometry_from_geojson(json: Column) -> Column:
     multi_rings = F.transform(arr2, lambda a: F.array(mk_pt(a)))
     line_rings = F.array(F.transform(arr2, mk_pt))
     poly_rings = F.transform(arr3, lambda r: F.transform(r, mk_pt))
+    mpoly_rings = F.flatten(F.transform(
+        arr4,
+        lambda piece: F.transform(
+            piece,
+            lambda ring, j: F.when(
+                j == 0, _ccw_ring(F.transform(ring, mk_pt))
+            ).otherwise(_cw_ring(F.transform(ring, mk_pt))),
+        ),
+    ))
     return (
         F.when(
             gtype == "POINT",
@@ -1480,9 +1520,23 @@ def geometry_from_geojson(json: Column) -> Column:
             ),
         )
         .when(
+            gtype == "MULTILINESTRING",
+            F.struct(
+                F.lit("MULTILINESTRING").alias("kind"),
+                poly_rings.alias("rings"),
+            ),
+        )
+        .when(
             gtype == "POLYGON",
             F.struct(
                 F.lit("POLYGON").alias("kind"), poly_rings.alias("rings")
+            ),
+        )
+        .when(
+            gtype == "MULTIPOLYGON",
+            F.struct(
+                F.lit("MULTIPOLYGON").alias("kind"),
+                mpoly_rings.alias("rings"),
             ),
         )
     )
@@ -1699,8 +1753,10 @@ def st_difference(a: Column, b: Column) -> Column:
 def geometry_union(geoms: Column) -> Column:
     """geometry_union(array<geometry>) (GeoFunctions.java stUnion
     array overload) — point tier: distinct vertex union when every
-    element is POINT/MULTIPOINT; NULL otherwise (same pinned scope as
-    st_union)."""
+    element is POINT/MULTIPOINT; polygon arrays have the general tier
+    (geo_decompose.geometry_union_general, round 12); mixed arrays
+    stay NULL (pinned — the reference's mixed union yields a
+    collection, outside the overlay model)."""
     all_pointish = F.forall(
         geoms, lambda g: g["kind"].isin("POINT", "MULTIPOINT"))
     verts = F.flatten(F.transform(geoms, lambda g: F.flatten(g["rings"])))

@@ -577,6 +577,53 @@ def st_difference_general(ta: Column, tb: Column) -> Column:
     return geometry_from_flat_pieces(_DIFFERENCE_UDF(ta, tb))
 
 
+@pandas_udf(_TRIS_T)
+def _union_many_udf(kinds, xsss, ysss):
+    """Row-wise n-ary polygon union: fold each member geometry's
+    disjoint triangle tiling through _union_pieces (one member at a
+    time — a single geometry's triangulation IS internally disjoint,
+    so the batch invariant holds)."""
+    import pandas as pd
+
+    out = []
+    for ks, xss, yss in zip(kinds, xsss, ysss):
+        if ks is None or xss is None:
+            out.append(None)
+            continue
+        pieces: list = []
+        bad = False
+        for kind, rings_x, rings_y in zip(ks, xss, yss):
+            tris = _rings_to_pieces(kind, rings_x, rings_y)
+            if tris is None:
+                bad = True
+                break
+            pieces = _union_pieces(pieces, tris)
+        out.append(
+            None if bad or not pieces
+            else [[c for v in p for c in v] for p in pieces])
+    return pd.Series(out)
+
+
+def geometry_union_general(geoms: Column) -> Column:
+    """geometry_union(array<geometry>) for POLYGON/MULTIPOLYGON
+    members (GeoFunctions.java stUnion array overload — round 12
+    lifts the point-tier-only pin of geo.geometry_union): the members'
+    disjoint triangle tilings fold through the piece-set union in ONE
+    Arrow crossing per row.  Mixed point/polygon arrays stay NULL
+    (pinned — the reference's mixed union produces a collection,
+    out of the overlay model)."""
+    kinds = F.transform(geoms, lambda g: g["kind"])
+    xsss = F.transform(geoms, lambda g: F.transform(
+        g["rings"], lambda r: F.transform(r, lambda p: p["x"])))
+    ysss = F.transform(geoms, lambda g: F.transform(
+        g["rings"], lambda r: F.transform(r, lambda p: p["y"])))
+    all_poly = F.forall(
+        geoms, lambda g: g["kind"].isin("POLYGON", "MULTIPOLYGON"))
+    flat = _union_many_udf(
+        F.when(all_poly & (F.size(geoms) > 0), kinds), xsss, ysss)
+    return geometry_from_flat_pieces(flat)
+
+
 def st_sym_difference_general(ta: Column, tb: Column) -> Column:
     """ST_SymDifference (GeoFunctions.java:1033) for simple polygons
     over pre-computed ``triangulate_raw`` columns: (A ∖ B) ∪ (B ∖ A).

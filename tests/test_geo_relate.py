@@ -363,6 +363,65 @@ def test_simplify_ragged_rings(spark):
     assert "1.0 1.0" in out  # hole survives
 
 
+def test_geometry_union_general(spark):
+    """geometry_union(array<geometry>) for polygon members (round 12 —
+    lifts the point-tier pin): three unit-overlap squares dissolve to
+    the exact inclusion-exclusion area; a MULTIPOLYGON member folds in
+    piece by piece; mixed point/polygon arrays stay NULL (pinned)."""
+    from presto_spark.functions import geo_decompose as gd
+
+    df = spark.createDataFrame([
+        ("tri_overlap",
+         ["POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+          "POLYGON ((1 0, 3 0, 3 2, 1 2, 1 0))",
+          "POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))"]),
+        ("with_mpoly",
+         ["MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), "
+          "((2 0, 3 0, 3 1, 2 1, 2 0)))",
+          "POLYGON ((0 0, 3 0, 3 1, 0 1, 0 0))"]),
+        ("mixed",
+         ["POINT (1 1)", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"]),
+    ], "k string, wkts array<string>").select(
+        "k",
+        F.transform(F.col("wkts"),
+                    lambda w: geo.st_geometry_from_text(w)).alias("gs"),
+    ).coalesce(2).repartition(2)
+    u = gd.geometry_union_general(F.col("gs"))
+    rows = {r.k: r for r in df.select(
+        "k", u["kind"].alias("kind"), geo.st_area(u).alias("area"),
+    ).collect()}
+    # 2x2 + 2x2 - 1x2 overlap = 6, plus the far 1x1 = 7
+    assert rows["tri_overlap"].area == pytest.approx(7.0)
+    assert rows["tri_overlap"].kind == "MULTIPOLYGON"
+    assert rows["with_mpoly"].area == pytest.approx(3.0)
+    assert rows["mixed"].kind is None
+
+
+def test_geojson_multi_kinds_roundtrip(spark):
+    """geometry_as_geojson / geometry_from_geojson for MultiLineString
+    and MultiPolygon (round 12): round-trip preserves the canonical
+    WKT (holed multipolygon included — orientation re-normalized on
+    parse)."""
+    wkts = [
+        "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3, 4 2))",
+        "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0), "
+        "(1 1, 1 2, 2 2, 2 1, 1 1)), ((6 6, 7 6, 7 7, 6 7, 6 6)))",
+    ]
+    df = spark.createDataFrame([(w,) for w in wkts], "wkt string").select(
+        "wkt", geo.st_geometry_from_text(F.col("wkt")).alias("g")
+    ).coalesce(1)
+    rows = df.select(
+        "wkt",
+        geo.geometry_as_geojson(F.col("g")).alias("gj"),
+        geo.st_as_text(geo.geometry_from_geojson(
+            geo.geometry_as_geojson(F.col("g")))).alias("rt"),
+        geo.st_as_text(F.col("g")).alias("orig"),
+    ).collect()
+    for r in rows:
+        assert r.gj.startswith('{"type":"Multi'), r.wkt
+        assert r.rt == r.orig, (r.wkt, r.gj)
+
+
 def test_constructor_tail(spark):
     """ST_LineString/ST_MultiPoint over point arrays, ST_Points,
     ST_Polygon (GeoFunctions.java stLineString/stMultiPoint/stPoints/
