@@ -1711,43 +1711,80 @@ def _points_geometry(pts: Column) -> Column:
     )
 
 
+def _polyish(g: Column) -> Column:
+    return g["kind"].isin("POLYGON", "MULTIPOLYGON")
+
+
 def st_union(a: Column, b: Column) -> Column:
     """ST_Union (GeoFunctions.java stUnion) — point tier: the distinct
-    vertex union of two POINT/MULTIPOINT inputs.  Polygon operands:
-    use ``st_union_polygons`` (the convex overlay tier below); other
-    kind combinations return NULL (envelope_union_agg and
-    convex_hull_agg in operators/geo_agg.py are the aggregate-shaped
-    alternatives)."""
+    vertex union of two POINT/MULTIPOINT inputs.  Polygon pairs route
+    through the general overlay automatically since round 12
+    (geo_decompose.geometry_union_general over array(a, b) — the
+    explicit st_union_polygons/st_union_general spellings remain the
+    materialized-operand fast path for overlay-heavy plans).  Mixed
+    kind combinations return NULL (pinned — the reference's mixed
+    union yields a collection, outside the overlay model).  NOTE:
+    Catalyst extracts Python UDFs out of CaseWhen branches, so the
+    polygonal branch's Arrow crossing runs for point rows too — cheap
+    (NULL-gated inputs), but overlay-free hot paths should call the
+    point tier's result columns directly."""
+    from presto_spark.functions import geo_decompose as gd
+
     pointish = a["kind"].isin("POINT", "MULTIPOINT") & b["kind"].isin(
         "POINT", "MULTIPOINT")
+    both_poly = _polyish(a) & _polyish(b)
     return F.when(
         pointish,
         _points_geometry(
             F.concat(F.flatten(a["rings"]), F.flatten(b["rings"]))),
-    )
+    ).when(both_poly, gd.geometry_union_general(F.array(a, b)))
 
 
 def st_intersection(a: Column, b: Column) -> Column:
     """ST_Intersection (GeoFunctions.java stIntersection) — point
-    tier: the vertices of a POINT/MULTIPOINT ``a`` covered by ``b``
-    (any supported kind).  NULL for an empty result or non-point ``a``
-    (polygon×polygon: use ``st_intersection_polygons``)."""
-    pointish = a["kind"].isin("POINT", "MULTIPOINT") & b["kind"].isin(
+    tier: the vertices of a POINT/MULTIPOINT operand covered by the
+    other (any supported kind; intersection is symmetric, so the
+    pointish operand may be on either side — round 12).  Polygon
+    pairs route through the general overlay automatically (round 12);
+    NULL for an empty result or the remaining kind combinations
+    (line×line overlap stays pinned with the 1-D overlay)."""
+    from presto_spark.functions import geo_decompose as gd
+
+    def point_side(p: Column, q: Column) -> Column:
+        kept = F.filter(
+            F.flatten(p["rings"]),
+            lambda v: _covers_point(q, v["x"], v["y"]))
+        return _points_geometry(kept)
+
+    a_pointish = a["kind"].isin("POINT", "MULTIPOINT") & b["kind"].isin(
         *_SUPPORTED_KINDS)
-    kept = F.filter(
-        F.flatten(a["rings"]), lambda p: _covers_point(b, p["x"], p["y"]))
-    return F.when(pointish, _points_geometry(kept))
+    b_pointish = b["kind"].isin("POINT", "MULTIPOINT") & a["kind"].isin(
+        *_SUPPORTED_KINDS)
+    both_poly = _polyish(a) & _polyish(b)
+    return (
+        F.when(a_pointish, point_side(a, b))
+        .when(b_pointish, point_side(b, a))
+        .when(both_poly, gd.st_intersection_general(
+            gd.triangulate_raw(a), gd.triangulate_raw(b)))
+    )
 
 
 def st_difference(a: Column, b: Column) -> Column:
     """ST_Difference (GeoFunctions.java stDifference) — point tier:
-    the vertices of a POINT/MULTIPOINT ``a`` NOT covered by ``b``."""
+    the vertices of a POINT/MULTIPOINT ``a`` NOT covered by ``b``;
+    polygon pairs route through the general overlay automatically
+    (round 12)."""
+    from presto_spark.functions import geo_decompose as gd
+
     pointish = a["kind"].isin("POINT", "MULTIPOINT") & b["kind"].isin(
         *_SUPPORTED_KINDS)
+    both_poly = _polyish(a) & _polyish(b)
     kept = F.filter(
         F.flatten(a["rings"]),
         lambda p: ~_covers_point(b, p["x"], p["y"]))
-    return F.when(pointish, _points_geometry(kept))
+    return F.when(pointish, _points_geometry(kept)).when(
+        both_poly, gd.st_difference_general(
+            gd.triangulate_raw(a), gd.triangulate_raw(b)))
 
 
 def geometry_union(geoms: Column) -> Column:

@@ -45,15 +45,17 @@ from presto_spark.queries import corpus_suite  # noqa: F401,E402
 #      accessors, ST_IsValid/IsSimple, ST_SymDifference — r11
 #      what's-missing #2-#4).
 #   2. geo_spherical_golden / geo_buffer_line_golden /
-#      geo_simplify_flatten_golden — re-fronted as edited-TIER rows:
-#      their query texts are unchanged but the functions they traverse
-#      changed this round (spherical NULL propagation, buffer
-#      negative-distance raise, simplify UDF input shape), so they
-#      must re-earn green rather than stay green by staleness.
+#      geo_simplify_flatten_golden / geo_overlay_point_tier_golden —
+#      re-fronted as edited-TIER rows: their query texts are unchanged
+#      but the functions they traverse changed this round (spherical
+#      NULL propagation, buffer negative-distance raise, simplify UDF
+#      input shape, scalar st_union/intersection/difference polygon
+#      auto-routing), so they must re-earn green rather than stay
+#      green by staleness.
 #   3. The 23 remaining r4-stale rows (burns the r4 debt to zero).
-#   4. The 22 alphabetically-first r5-stale rows.
+#   4. The 21 alphabetically-first r5-stale rows.
 # Remaining staleness debt after this window (leads the r13 front):
-# the other 22 r5 rows (llm_language_id, llm_lsh_near_dedup,
+# the other 23 r5 rows (llm_fingerprint, llm_language_id, llm_lsh_near_dedup,
 # llm_minhash_signature, llm_ngram_jaccard_pairs, llm_simhash,
 # llm_text_stats, presto_dialect_grouping_sets,
 # presto_dialect_groups_frames, presto_dialect_prepared_execute,
@@ -72,6 +74,7 @@ _DRIVER_FRONT = [
     "geo_spherical_golden",
     "geo_buffer_line_golden",
     "geo_simplify_flatten_golden",
+    "geo_overlay_point_tier_golden",
     # 3. the 23 remaining r4-stale rows
     "fn_regex_suite",
     "fn_string_suite",
@@ -96,7 +99,7 @@ _DRIVER_FRONT = [
     "unnest_map_entries",
     "window_ignore_nulls",
     "window_range_interval_frame",
-    # 4. the 22 alphabetically-first r5-stale rows
+    # 4. the 21 alphabetically-first r5-stale rows
     "event_asof_join_enrichment",
     "event_range_join_attribution",
     "event_stream_dedup",
@@ -118,7 +121,6 @@ _DRIVER_FRONT = [
     "llm_embedding_near_dup",
     "llm_embedding_near_dup_lsh",
     "llm_exact_dedup",
-    "llm_fingerprint",
 ]
 
 
