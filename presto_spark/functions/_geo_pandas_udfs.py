@@ -237,6 +237,105 @@ def parse_wkt_full_udf(wkt: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"kind": kinds, "rings": ringss})
 
 
+# ---- full GeoJSON parse incl. GeometryCollection (round 12) ----------------
+#
+# Reference: GeoFunctions.java geometry_from_geojson (:1225) accepts
+# every RFC 7946 Geometry object.  The Column parser
+# (geo.geometry_from_geojson) covers the six simple shapes on the hot
+# path; this Arrow parser adds GeometryCollection (header-ring member
+# encoding, nested collections → NULL — the same tier split and pins
+# as the WKT parser).
+
+import json as _json
+
+
+def _gj_rings(gtype, coords):
+    """One simple GeoJSON shape → flat rings, or None."""
+    def pt(c):
+        return {"x": float(c[0]), "y": float(c[1])}
+
+    if gtype == "POINT":
+        return [[pt(coords)]]
+    if gtype == "MULTIPOINT":
+        return [[pt(c)] for c in coords]
+    if gtype == "LINESTRING":
+        return [[pt(c) for c in coords]]
+    if gtype == "MULTILINESTRING":
+        return [[pt(c) for c in line] for line in coords]
+    if gtype == "POLYGON":
+        return [[pt(c) for c in ring] for ring in coords]
+    if gtype == "MULTIPOLYGON":
+        rings = []
+        for piece in coords:
+            for j, ring in enumerate(piece):
+                r = [pt(c) for c in ring]
+                a2 = _py_signed_area2(r)
+                if (j == 0 and a2 < 0) or (j > 0 and a2 > 0):
+                    r = list(reversed(r))
+                rings.append(r)
+        return rings
+    return None
+
+
+_GJ_KIND = {"Point": "POINT", "MultiPoint": "MULTIPOINT",
+            "LineString": "LINESTRING",
+            "MultiLineString": "MULTILINESTRING",
+            "Polygon": "POLYGON", "MultiPolygon": "MULTIPOLYGON"}
+
+
+def _py_parse_geojson(text):
+    if text is None:
+        return None
+    try:
+        obj = _json.loads(text)
+    except (ValueError, TypeError):
+        return None
+    if not isinstance(obj, dict):
+        return None
+    gtype = obj.get("type")
+    if gtype in _GJ_KIND:
+        kind = _GJ_KIND[gtype]
+        try:
+            rings = _gj_rings(kind, obj.get("coordinates"))
+        except (TypeError, ValueError, IndexError):
+            return None
+        return (kind, rings) if rings else None
+    if gtype != "GeometryCollection":
+        return None
+    rings = []
+    for member in obj.get("geometries") or []:
+        mtype = member.get("type") if isinstance(member, dict) else None
+        kind = _GJ_KIND.get(mtype)
+        if kind is None:
+            return None  # nested collection / unknown member
+        try:
+            mrings = _gj_rings(kind, member.get("coordinates"))
+        except (TypeError, ValueError, IndexError):
+            return None
+        if not mrings:
+            return None
+        rings.append([
+            {"x": float(_GC_CODES[kind]), "y": None},
+            {"x": float(len(mrings)), "y": None},
+        ])
+        rings.extend(mrings)
+    return ("GEOMETRYCOLLECTION", rings) if rings else None
+
+
+@pandas_udf(_GEOM_T)
+def parse_geojson_full_udf(js: pd.Series) -> pd.DataFrame:
+    kinds, ringss = [], []
+    for text in js:
+        parsed = _py_parse_geojson(text)
+        if parsed is None:
+            kinds.append(None)
+            ringss.append(None)
+        else:
+            kinds.append(parsed[0])
+            ringss.append(parsed[1])
+    return pd.DataFrame({"kind": kinds, "rings": ringss})
+
+
 # ---- WKB ingest / emit (round 12) ------------------------------------------
 #
 # Reference: GeoFunctions.java stGeomFromBinary (:252, "ST_GeomFromBinary")

@@ -1409,10 +1409,27 @@ def geometry_as_geojson(geom: Column) -> Column:
     """geometry_as_geojson (GeoFunctions.java:1234): RFC 7946 Geometry
     object.  Numbers use Spark's double formatting (deviation from the
     Esri writer's integer shortening).  Round 12 adds the
-    MultiLineString and MultiPolygon shapes (MULTIPOLYGON pieces are
+    MultiLineString / MultiPolygon shapes (MULTIPOLYGON pieces are
     recovered from the flat-ring model's CCW-shell orientation
-    grouping); GeometryCollection stays NULL (documented, with the
-    other collection pins)."""
+    grouping) and GeometryCollection (members printed recursively from
+    the header-ring encoding).  The operand is let-bound once, same
+    hygiene as st_as_text (the GC branch embeds it in a HOF lambda)."""
+    return F.element_at(F.transform(F.array(geom), _geojson_bound), 1)
+
+
+def _geojson_bound(geom: Column) -> Column:
+    return F.when(
+        geom["kind"] == "GEOMETRYCOLLECTION",
+        F.concat(
+            F.lit('{"type":"GeometryCollection","geometries":['),
+            F.concat_ws(",", F.transform(
+                _gc_member_structs_raw(geom), _simple_geojson)),
+            F.lit("]}"),
+        ),
+    ).otherwise(_simple_geojson(geom))
+
+
+def _simple_geojson(geom: Column) -> Column:
     coord = lambda p: F.concat(  # noqa: E731
         F.lit("["), p["x"].cast("string"), F.lit(","),
         p["y"].cast("string"), F.lit("]"),
@@ -1472,6 +1489,22 @@ def geometry_as_geojson(geom: Column) -> Column:
             coords, F.lit("}"),
         ),
     )
+
+
+def geometry_from_geojson_full(json: Column) -> Column:
+    """geometry_from_geojson including GeometryCollection (round 12) —
+    the Arrow-tier parser (functions/_geo_pandas_udfs.py
+    parse_geojson_full_udf), emitting the identical struct as the
+    Column parser for simple shapes and the header-ring member
+    encoding for flat collections (nested collections → NULL) — the
+    same tier split as st_geometry_from_text_full.  CALLER RULE: the
+    json operand must be a materialized column, not an inline HOF
+    expression (e.g. geometry_as_geojson's let-binding) — Catalyst
+    cannot extract a Python UDF whose input embeds a lambda
+    (withColumn + repartition barrier, the overlay-tier rule)."""
+    from presto_spark.functions import _geo_pandas_udfs as _gp
+
+    return _gp.parse_geojson_full_udf(json)
 
 
 def geometry_from_geojson(json: Column) -> Column:

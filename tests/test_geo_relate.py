@@ -422,6 +422,52 @@ def test_geojson_multi_kinds_roundtrip(spark):
         assert r.rt == r.orig, (r.wkt, r.gj)
 
 
+def test_geojson_collection_roundtrip(spark):
+    """GeometryCollection GeoJSON (round 12): the Column writer prints
+    members recursively; the Arrow parser round-trips back to the
+    identical canonical WKT.  Simple shapes through the full parser
+    match the Column parser byte-for-byte."""
+    wkts = [
+        "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1), "
+        "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)))",
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), "
+        "((2 2, 3 2, 3 3, 2 3, 2 2)))",
+        "POINT (1 2)",
+    ]
+    df = (
+        spark.createDataFrame([(w,) for w in wkts], "wkt string")
+        .select(geo.st_geometry_from_text_full(F.col("wkt")).alias("g"))
+        .coalesce(1)
+        # materialize the JSON text across a barrier: a Python UDF
+        # whose input embeds a HOF lambda (the writer's let-binding)
+        # fails Catalyst's UDF extraction (INTERNAL_ERROR "Cannot
+        # evaluate expression") — the same operand-materialization
+        # rule as the overlay tier
+        .withColumn("gj", geo.geometry_as_geojson(F.col("g")))
+        .repartition(1)
+    )
+    rows = df.select(
+        geo.st_as_text(geo.geometry_from_geojson_full(
+            F.col("gj"))).alias("rt"),
+        geo.st_as_text(F.col("g")).alias("orig"),
+    ).collect()
+    for r in rows:
+        assert r.rt == r.orig
+    # malformed / nested-collection inputs → NULL
+    bad = spark.createDataFrame(
+        [("not json",),
+         ('{"type":"GeometryCollection","geometries":'
+          '[{"type":"GeometryCollection","geometries":[]}]}',),
+         (None,)], "j string")
+    got = bad.coalesce(1).select(
+        geo.geometry_from_geojson_full(F.col("j")).alias("g")).collect()
+    # a pandas-udf struct output cannot carry a struct-level NULL —
+    # a failed parse comes back as a struct with NULL fields, which
+    # propagates as NULL through every accessor (same representation
+    # as the WKT/WKB Arrow parsers)
+    assert all(r.g is None or r.g.kind is None for r in got)
+
+
 def test_constructor_tail(spark):
     """ST_LineString/ST_MultiPoint over point arrays, ST_Points,
     ST_Polygon (GeoFunctions.java stLineString/stMultiPoint/stPoints/
