@@ -3096,3 +3096,321 @@ sql_query(
         "self-joined fact.",
     tags=("tpcds",),
 )
+
+# ---------------------------------------------------------------------------
+# Round 12: the eight TPC-DS query numbers with no shape row yet
+# (q27, q43, q53, q60, q84, q85, q94, q99) — closes the suite to 99/99
+# cited shapes over the driver schema.
+
+# q27 shape: fixed demographic filter, ROLLUP(item, state) margins with
+# a grouping() marker and four averages.
+sql_query(
+    "tpcds_q27_rollup_demo_avgs",
+    """
+    SELECT p_brand,
+           n_name,
+           CAST(grouping(n_name) AS BIGINT) AS g_nation,
+           CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
+             / count(*) AS agg1,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+             / count(*) AS agg2,
+           CAST(sum(CAST(l_discount AS DECIMAL(14,2))) AS DOUBLE)
+             / count(*) AS agg3,
+           CAST(sum(CAST(l_tax AS DECIMAL(14,2))) AS DOUBLE)
+             / count(*) AS agg4
+    FROM lineitem, orders, customer, nation, part
+    WHERE l_orderkey = o_orderkey
+      AND o_custkey = c_custkey
+      AND c_nationkey = n_nationkey
+      AND l_partkey = p_partkey
+      AND c_mktsegment = 'BUILDING'
+      AND year(o_orderdate) IN (1995, 1996)
+      AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4',
+                     'NATION_5', 'NATION_6')
+    GROUP BY ROLLUP(p_brand, n_name)
+    ORDER BY p_brand, n_name
+    """,
+    doc="TPC-DS q27 shape (store_sales × cd/date/store/item with a "
+        "fixed demographic slice, GROUP BY ROLLUP(i_item_id, s_state), "
+        "GROUPING(s_state) marker, four avg() measures — q27.sql): the "
+        "demographic filter is the BUILDING/1-URGENT slice, the rollup "
+        "hierarchy brand→nation.  Dim filters broadcast; the rollup is "
+        "one shuffle with partial aggregation per grouping set.",
+    tags=("tpcds",),
+)
+
+# q43 shape: day-of-week pivot — seven conditional sums off one scan.
+# Spark spells ISO day-of-week extract(DAYOFWEEK_ISO ...), DuckDB
+# extract(isodow ...) — same 1=Monday..7=Sunday numbering.
+_Q43_TEXT = """
+    SELECT n_name,
+           {sun}
+    FROM orders, customer, nation
+    WHERE o_custkey = c_custkey
+      AND c_nationkey = n_nationkey
+      AND year(o_orderdate) = 1995
+    GROUP BY n_name
+    ORDER BY n_name
+"""
+
+
+def _q43_buckets(dow_expr: str) -> str:
+    cols = []
+    for i, day in enumerate(
+            ["mon", "tue", "wed", "thu", "fri", "sat", "sun"], start=1):
+        cols.append(
+            f"CAST(sum(CASE WHEN {dow_expr} = {i} "
+            f"THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE) "
+            f"AS {day}_sales")
+    return ",\n           ".join(cols)
+
+
+dual_sql_query(
+    "tpcds_q43_weekday_pivot",
+    _Q43_TEXT.format(sun=_q43_buckets("weekday(o_orderdate) + 1")),
+    _Q43_TEXT.format(sun=_q43_buckets("extract(isodow FROM o_orderdate)")),
+    doc="TPC-DS q43 shape (store sales pivoted into sun_sales..sat_sales "
+        "via CASE-per-weekday conditional sums — q43.sql): one fact "
+        "scan, seven FILTER-style partial aggregates, no extra shuffle. "
+        "Dual text only for the ISO day-of-week spelling "
+        "(weekday()+1 vs isodow, both 1=Monday).",
+    tags=("tpcds",),
+)
+
+# q53 shape: per-quarter sums, window avg per manufacturer, keep rows
+# deviating >10% from their group mean.  The window average is taken
+# as exact-decimal sum / count so both engines derive the identical
+# double.
+sql_query(
+    "tpcds_q53_quarterly_deviation",
+    """
+    SELECT p_brand, sum_sales, avg_quarterly_sales
+    FROM (
+      SELECT p_brand,
+             CAST(qsum AS DOUBLE) AS sum_sales,
+             CAST(sum(qsum) OVER (PARTITION BY p_brand) AS DOUBLE)
+               / count(*) OVER (PARTITION BY p_brand)
+               AS avg_quarterly_sales
+      FROM (
+        SELECT p_brand,
+               sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS qsum
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND ((p_type LIKE 'SMALL%' AND p_size IN (1, 5, 10))
+            OR (p_type LIKE 'LARGE%' AND p_size IN (15, 25, 40)))
+          AND year(l_shipdate) = 1995
+        GROUP BY p_brand, quarter(l_shipdate)
+      ) q
+    ) t
+    WHERE CASE WHEN avg_quarterly_sales > 0
+               THEN abs(sum_sales - avg_quarterly_sales)
+                    / avg_quarterly_sales
+          END > 0.1
+    ORDER BY avg_quarterly_sales, sum_sales, p_brand
+    """,
+    doc="TPC-DS q53 shape (quarterly manufacturer sales vs the "
+        "manufacturer's window average, keep |sum-avg|/avg > 0.1 — "
+        "q53.sql; the disjunctive category/class/brand slice is the "
+        "p_type/p_size OR block): grouped partial agg, then one window "
+        "shuffle on p_brand.  The window mean is sum/count over exact "
+        "decimals so the filter threshold is engine-stable.",
+    tags=("tpcds",),
+)
+
+# q60 shape: three channel CTEs (disjoint priority slices play the
+# store/catalog/web roles), IN-subquery item filter in each, UNION ALL
+# re-aggregated per item.
+sql_query(
+    "tpcds_q60_channel_category_totals",
+    """
+    WITH ss AS (
+      SELECT p_brand AS item_id,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_sales
+      FROM lineitem, orders, part
+      WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+        AND p_brand IN (SELECT p_brand FROM part
+                        WHERE p_type LIKE 'PROMO%')
+        AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        AND year(o_orderdate) = 1995
+      GROUP BY p_brand
+    ),
+    cs AS (
+      SELECT p_brand AS item_id,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_sales
+      FROM lineitem, orders, part
+      WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+        AND p_brand IN (SELECT p_brand FROM part
+                        WHERE p_type LIKE 'PROMO%')
+        AND o_orderpriority = '3-MEDIUM'
+        AND year(o_orderdate) = 1995
+      GROUP BY p_brand
+    ),
+    ws AS (
+      SELECT p_brand AS item_id,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_sales
+      FROM lineitem, orders, part
+      WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+        AND p_brand IN (SELECT p_brand FROM part
+                        WHERE p_type LIKE 'PROMO%')
+        AND o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+        AND year(o_orderdate) = 1995
+      GROUP BY p_brand
+    )
+    SELECT item_id,
+           CAST(sum(total_sales) AS DOUBLE) AS total_sales
+    FROM (SELECT * FROM ss
+          UNION ALL SELECT * FROM cs
+          UNION ALL SELECT * FROM ws) u
+    GROUP BY item_id
+    ORDER BY item_id, total_sales
+    """,
+    doc="TPC-DS q60 shape (per-channel item sales for one category, "
+        "IN-subquery item filter repeated per channel CTE, UNION ALL "
+        "then re-sum per item — q60.sql): the priority slices play "
+        "store/catalog/web.  Each CTE is an independent partial agg; "
+        "the semi-join item filter broadcasts; decimals stay exact "
+        "until the final double.",
+    tags=("tpcds",),
+)
+
+# q84 shape: a pure multi-dim equi-join lookup chain with a band
+# predicate playing income_band, projecting a concat'd display name.
+sql_query(
+    "tpcds_q84_band_lookup_chain",
+    """
+    SELECT c_custkey AS customer_id,
+           concat(substr(c_name, 1, 18), ', ', n_name) AS customername
+    FROM customer, nation, region, orders
+    WHERE c_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND c_acctbal >= 3812.80
+      AND c_acctbal <= 3812.80 + 5000
+      AND o_custkey = c_custkey
+      AND o_orderstatus = 'F'
+    ORDER BY customer_id
+    """,
+    doc="TPC-DS q84 shape (customer lookup through the "
+        "address→demographics→household→income_band join chain with an "
+        "ib_lower/upper band predicate, concat(last, ', ', first) "
+        "display column, one row per store_return — q84.sql): the "
+        "acctbal band plays income_band, orders plays store_returns "
+        "(row multiplicity preserved, no DISTINCT).  All dims "
+        "broadcast under AQE.",
+    tags=("tpcds",),
+)
+
+# q85 shape: disjunctive (demographic band × price band) OR-blocks ANDed
+# with a second (geography × quantity band) OR-block over the returns
+# slice, three averages by reason prefix.
+sql_query(
+    "tpcds_q85_disjunctive_band_report",
+    """
+    SELECT substr(n_name, 1, 20) AS reason_prefix,
+           CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
+             / count(*) AS avg_qty,
+           CAST(sum(CAST(l_discount AS DECIMAL(14,2))) AS DOUBLE)
+             / count(*) AS avg_disc,
+           CAST(sum(CAST(l_tax AS DECIMAL(14,2))) AS DOUBLE)
+             / count(*) AS avg_tax
+    FROM lineitem, orders, customer, nation
+    WHERE l_orderkey = o_orderkey
+      AND o_custkey = c_custkey
+      AND c_nationkey = n_nationkey
+      AND l_returnflag = 'R'
+      AND ((c_mktsegment = 'BUILDING'
+            AND l_extendedprice BETWEEN 100 AND 30000)
+        OR (c_mktsegment = 'AUTOMOBILE'
+            AND l_extendedprice BETWEEN 20000 AND 45000)
+        OR (c_mktsegment = 'MACHINERY'
+            AND l_extendedprice BETWEEN 40000 AND 60000))
+      AND ((n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+            AND l_quantity BETWEEN 1 AND 20)
+        OR (n_name IN ('NATION_4', 'NATION_5', 'NATION_6')
+            AND l_quantity BETWEEN 10 AND 40)
+        OR (n_name IN ('NATION_7', 'NATION_8', 'NATION_9')
+            AND l_quantity BETWEEN 20 AND 50))
+    GROUP BY substr(n_name, 1, 20)
+    ORDER BY reason_prefix
+    """,
+    doc="TPC-DS q85 shape (web returns × two demographics × address × "
+        "reason with OR'd (marital/education × sales-price band) and "
+        "(state-set × net-profit band) predicate blocks, avg measures "
+        "by substr(reason) — q85.sql): mktsegment×price and "
+        "nation×quantity play the two disjunctive band blocks.  The "
+        "OR blocks can't push below the joins but prune after them; "
+        "everything else is broadcast-joined fact flow.",
+    tags=("tpcds",),
+)
+
+# q94 shape: date-window fact slice where a positive EXISTS (same order,
+# different supplier) and a NOT EXISTS (no returned line) both gate —
+# q95's sibling with the anti arm.
+sql_query(
+    "tpcds_q94_multi_supplier_no_returns",
+    """
+    SELECT CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS order_count,
+           CAST(sum(CAST(l1.l_extendedprice AS DECIMAL(14,2)))
+                AS DOUBLE) AS total_price,
+           CAST(sum(CAST(l1.l_quantity AS DECIMAL(14,2)))
+                AS DOUBLE) AS total_qty
+    FROM lineitem l1, orders o, customer c, nation n
+    WHERE o.o_orderdate >= DATE '1995-02-01'
+      AND o.o_orderdate <= DATE '1995-04-02'
+      AND l1.l_orderkey = o.o_orderkey
+      AND o.o_custkey = c.c_custkey
+      AND c.c_nationkey = n.n_nationkey
+      AND n.n_name = 'NATION_3'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l1.l_orderkey = l2.l_orderkey
+                    AND l1.l_suppkey <> l2.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l1.l_orderkey = l3.l_orderkey
+                        AND l3.l_returnflag = 'R')
+    """,
+    doc="TPC-DS q94 shape (60-day ship window, one state, orders "
+        "shipped from >1 warehouse with NO web_returns row — q94.sql; "
+        "the EXISTS arm correlates on order+warehouse inequality, the "
+        "NOT EXISTS on returns): semi + anti join on the same key, "
+        "count(DISTINCT)+sums on the survivors.  Both subqueries "
+        "shuffle on l_orderkey once under AQE.",
+    tags=("tpcds",),
+)
+
+# q99 shape: order→ship latency buckets (30/60/90/120/120+) counted per
+# (warehouse-prefix, ship-mode, call-center) triple.
+_Q99_TEXT = """
+    SELECT substr(s_name, 1, 20) AS warehouse_prefix,
+           l_returnflag AS sm_type,
+           o_orderpriority AS cc_name,
+           CAST(sum(CASE WHEN {d} <= 30 THEN 1 ELSE 0 END)
+                AS BIGINT) AS d_30,
+           CAST(sum(CASE WHEN {d} > 30 AND {d} <= 60 THEN 1 ELSE 0 END)
+                AS BIGINT) AS d_31_60,
+           CAST(sum(CASE WHEN {d} > 60 AND {d} <= 90 THEN 1 ELSE 0 END)
+                AS BIGINT) AS d_61_90,
+           CAST(sum(CASE WHEN {d} > 90 AND {d} <= 120 THEN 1 ELSE 0 END)
+                AS BIGINT) AS d_91_120,
+           CAST(sum(CASE WHEN {d} > 120 THEN 1 ELSE 0 END)
+                AS BIGINT) AS d_over_120
+    FROM lineitem, orders, supplier
+    WHERE l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND year(o_orderdate) = 1996
+    GROUP BY substr(s_name, 1, 20), l_returnflag, o_orderpriority
+    ORDER BY warehouse_prefix, sm_type, cc_name
+"""
+
+dual_sql_query(
+    "tpcds_q99_ship_latency_buckets",
+    _Q99_TEXT.format(d="datediff(l_shipdate, o_orderdate)"),
+    _Q99_TEXT.format(d="datediff('day', o_orderdate, l_shipdate)"),
+    doc="TPC-DS q99 shape (catalog-sales shipping latency bucketed "
+        "30/60/90/120/120+ days, counted per warehouse×ship_mode×"
+        "call_center — q99.sql): order→ship days plays the "
+        "sold→ship latency; supplier/returnflag/priority play the "
+        "three grouping dims.  One fact pass, five conditional "
+        "partial counts, single group-by shuffle.  Dual text only "
+        "for datediff argument order.",
+    tags=("tpcds",),
+)
