@@ -53,14 +53,17 @@ from presto_spark.queries import corpus_suite  # noqa: F401,E402
 #      input shape, scalar st_union/intersection/difference polygon
 #      auto-routing), so they must re-earn green rather than stay
 #      green by staleness.
-#   3. The 8 NEW round-12 TPC-DS completion rows (q27/q43/q53/q60/
+#   3. geo_sql_measures_golden — NEW (SQL spellings of the measure
+#      tier + SPHERICAL_GEOGRAPHY marker casts, r11 next-round #8).
+#   3b. The 8 NEW round-12 TPC-DS completion rows (q27/q43/q53/q60/
 #      q84/q85/q94/q99 — the last uncited TPC-DS query numbers; the
 #      suite now cites all 99 shapes).  New rows front ahead of
 #      staleness rotation (standing rule).
 #   4. The 23 remaining r4-stale rows (burns the r4 debt to zero).
-#   5. The 13 alphabetically-first r5-stale rows (6+8+23+13 = 50).
+#   5. The 12 alphabetically-first r5-stale rows (6+1+8+23+12 = 50).
 # Remaining staleness debt after this window (leads the r13 front):
-# the other 31 r5 rows (geo_geojson_roundtrip, geo_great_circle_routes,
+# the other 32 r5 rows (geo_bing_tile_rollup, geo_geojson_roundtrip,
+# geo_great_circle_routes,
 # geo_line_referencing_golden, geo_measures_wkt_golden,
 # geo_point_in_polygon_zones, llm_embedding_near_dup,
 # llm_embedding_near_dup_lsh, llm_exact_dedup, llm_fingerprint,
@@ -84,7 +87,9 @@ _DRIVER_FRONT = [
     "geo_buffer_line_golden",
     "geo_simplify_flatten_golden",
     "geo_overlay_point_tier_golden",
-    # 3. the 8 new round-12 TPC-DS completion rows
+    # 3. new round-12 rows: SQL measure tier, then the 8 TPC-DS
+    # completion rows
+    "geo_sql_measures_golden",
     "tpcds_q27_rollup_demo_avgs",
     "tpcds_q43_weekday_pivot",
     "tpcds_q53_quarterly_deviation",
@@ -117,7 +122,7 @@ _DRIVER_FRONT = [
     "unnest_map_entries",
     "window_ignore_nulls",
     "window_range_interval_frame",
-    # 5. the 13 alphabetically-first r5-stale rows
+    # 5. the 12 alphabetically-first r5-stale rows
     "event_asof_join_enrichment",
     "event_range_join_attribution",
     "event_stream_dedup",
@@ -130,7 +135,6 @@ _DRIVER_FRONT = [
     "fn_sequence_temporal",
     "fn_string_sql_suite2",
     "geo_accessors_wkt_golden",
-    "geo_bing_tile_rollup",
 ]
 
 

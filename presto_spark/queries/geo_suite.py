@@ -2152,3 +2152,81 @@ def geo_accessors2_golden(spark, sf_dir):
             F.lit("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")))
         ).alias("poly_txt"),
     ).orderBy("k")
+
+
+_SQL_MEASURES_POLY_VALUES = ", ".join(
+    f"('{pid}', '{wkt}')" for pid, wkt in _SPHERICAL_POLYS)
+
+_SQL_MEASURES_TEXT = f"""
+WITH pts AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nk,
+         ((c_custkey % 340) - 170) + 0.25 AS lon,
+         ((c_custkey % 160) - 80) + 0.25 AS lat,
+         (c_nationkey * 6.0) - 72 AS alat,
+         (c_nationkey * 13.0) - 150 AS alon
+  FROM customer WHERE c_custkey <= 200
+),
+dist AS (
+  SELECT 'dist' AS metric, CAST(c_custkey AS STRING) AS k,
+         format_string('%.3f', st_distance(
+           to_spherical_geography(st_point(lon, lat)),
+           to_spherical_geography(st_point(alon, alat)))) AS v
+  FROM pts
+),
+grouped AS (
+  SELECT nk,
+         transform(array_sort(collect_list(struct(c_custkey, lon, lat))),
+                   p -> named_struct('x', p.lon, 'y', p.lat)) AS ring
+  FROM pts GROUP BY nk HAVING count(*) >= 2
+),
+pathlen AS (
+  SELECT 'pathlen' AS metric, CAST(nk AS STRING) AS k,
+         format_string('%.3f', st_length(to_spherical_geography(
+           named_struct('kind', 'LINESTRING', 'rings', array(ring)))))
+           AS v
+  FROM grouped
+),
+cent AS (
+  SELECT 'centroid' AS metric, CAST(nk AS STRING) AS k,
+         format_string('%.6f,%.6f',
+                       c.rings[0][0].x, c.rings[0][0].y) AS v
+  FROM (SELECT nk, to_geometry(st_centroid(to_spherical_geography(
+          named_struct('kind', 'MULTIPOINT', 'rings', array(ring))))) AS c
+        FROM grouped)
+),
+polys(pid, wkt) AS (VALUES {_SQL_MEASURES_POLY_VALUES}),
+areas AS (
+  SELECT 'area' AS metric, pid AS k,
+         format_string('%.3f', st_area(to_spherical_geography(
+           st_geometryfromtext(wkt))) / 1e6) AS v
+  FROM polys
+)
+SELECT metric, k, v FROM (
+  SELECT * FROM dist
+  UNION ALL SELECT * FROM pathlen
+  UNION ALL SELECT * FROM cent
+  UNION ALL SELECT * FROM areas
+)
+ORDER BY metric, k
+"""
+
+
+@register(
+    "geo_sql_measures_golden",
+    oracle=_SPHERICAL_ORACLE,
+    doc="SQL-spelling surface of the measure tier (round 12, VERDICT "
+        "r11 #8): the spherical golden reproduced through ONE "
+        "spark.sql text — st_point/st_geometryfromtext ingest, "
+        "to_spherical_geography/to_geometry marker casts, and the "
+        "dispatching st_distance/st_length/st_area/st_centroid SQL "
+        "UDFs (functions/geo_sql_measures.py, bit-parity-pinned "
+        "against the Column tier by tests/test_geo_sql_measures.py). "
+        "DuckDB replays the same Vincenty/L'Huilier formulas "
+        "(_SPHERICAL_ORACLE, unchanged). Same plan shape as "
+        "geo_spherical_golden: pushed c_custkey filter, per-nation "
+        "<=8-element folds, one small shuffle.",
+    tags=("geo", "functions", "dialect"),
+)
+def geo_sql_measures_golden(spark, sf_dir):
+    prepare(spark, sf_dir)
+    return spark.sql(_SQL_MEASURES_TEXT)
