@@ -497,6 +497,52 @@ def _rewrite_jsonpath_calls(sql: str) -> str:
 _SORT_DESC = ("concat(reverse(array_sort(filter({a}, _ps_x -> _ps_x IS NOT "
               "NULL))), filter({a}, _ps_x -> _ps_x IS NULL))")
 
+def _combinations_macro(arr: str, n: str) -> str:
+    """combinations(array, n) expansion — see the _MACROS entry."""
+    a, k = "_ps_a", f"({n})"
+    # colex enumeration: nested index loops, outermost index last —
+    # (0,1,2),(0,1,3),(0,2,3),(1,2,3),(0,1,4),... matching the
+    # reference's nextCombination walk (smallest movable index steps).
+    def nest(depth: int) -> str:
+        idx = [f"_ps_i{d}" for d in range(depth)]
+        body = f"array({', '.join(f'{a}[{i}]' for i in idx)})"
+        # loops outer->inner: i_{depth-1} in depth-1..size-1, then
+        # i_{d} in d..i_{d+1}-1
+        expr = body
+        for d in range(depth):
+            lo = d
+            hi = f"size({a}) - 1" if d == depth - 1 else f"{idx[d + 1]} - 1"
+            expr = f"transform(sequence({lo}, {hi}), {idx[d]} -> {expr})"
+        return "flatten(" * (depth - 1) + expr + ")" * (depth - 1)
+
+    count = (f"CASE {k} WHEN 0 THEN 1.0D WHEN 1 THEN double(size({a})) "
+             f"WHEN 2 THEN size({a}) * (size({a}) - 1) / 2.0D "
+             f"WHEN 3 THEN size({a}) * (size({a}) - 1) * (size({a}) - 2) "
+             "/ 6.0D "
+             f"WHEN 4 THEN size({a}) * (size({a}) - 1) * (size({a}) - 2) "
+             f"* (size({a}) - 3) / 24.0D "
+             f"ELSE size({a}) * (size({a}) - 1) * (size({a}) - 2) "
+             f"* (size({a}) - 3) * (size({a}) - 4) / 120.0D END")
+    case = (
+        f"CASE WHEN {k} IS NULL THEN NULL "
+        f"WHEN {k} < 0 THEN raise_error(concat("
+        f"'combination size must not be negative: ', string({k}))) "
+        f"WHEN {k} > 5 THEN raise_error(concat("
+        f"'combination size must not exceed 5: ', string({k}))) "
+        f"WHEN {k} > size({a}) THEN "
+        f"slice(transform({a}, _ps_x -> array(_ps_x)), 1, 0) "
+        f"WHEN {count} * {k} > 100000.0D THEN "
+        "raise_error('combinations exceed max size') "
+        f"WHEN {k} = 0 THEN array(slice({a}, 1, 0)) "
+        f"WHEN {k} = 1 THEN transform({a}, _ps_x -> array(_ps_x)) "
+        f"WHEN {k} = 2 THEN {nest(2)} "
+        f"WHEN {k} = 3 THEN {nest(3)} "
+        f"WHEN {k} = 4 THEN {nest(4)} "
+        f"ELSE {nest(5)} END"
+    )
+    return f"element_at(transform(array(({arr})), {a} -> {case}), 1)"
+
+
 _MACROS: dict[str, tuple[int, object]] = {
     # apply(input, x -> body) (ApplyFunction.java — evaluate a lambda
     # on a value; heavily used by the reference's own lambda tests):
@@ -547,6 +593,25 @@ _MACROS: dict[str, tuple[int, object]] = {
         2, lambda a: (f"CASE WHEN size(({a[0]})) < ({a[1]}) THEN array(({a[0]})) "
                       f"ELSE transform(sequence(1, size(({a[0]})) - ({a[1]}) + 1), "
                       f"_ps_i -> slice(({a[0]}), _ps_i, ({a[1]}))) END")),
+    # combinations(array, n) (ArrayCombinationsFunction.java): n-element
+    # subsequences in the reference's colex enumeration order (indices
+    # advance smallest-first), n in [0, 5], empty result when n >
+    # size, INVALID_FUNCTION_ARGUMENT raises for negative/oversize n
+    # and for > 100000 result elements (count via double math — exact
+    # below ~1e15, far past the threshold).  Generic in T, so a macro
+    # (SQL UDFs are monomorphic); the array operand is let-bound
+    # through a 1-element transform so it expands ONCE (round-6
+    # expression-tree rule).  The n-0 arm returns array(slice(a,1,0))
+    # — one empty combination, typed by the operand.
+    "combinations": (2, lambda a: _combinations_macro(a[0], a[1])),
+    # width_bucket(x, bins) — the ARRAY overload (MathFunctions.java:
+    # 1667).  Arity-gated: 4-arg width_bucket() doesn't match nargs=2
+    # and passes through to Spark's builtin untouched.
+    "width_bucket": (
+        2, lambda a: f"__width_bucket_bins(({a[0]}), ({a[1]}))"),
+    # bit_count(num, bits) — Presto's only spelling is 2-arg
+    # (BitwiseFunctions.java:44); 1-arg calls stay on Spark's builtin.
+    "bit_count": (2, lambda a: f"__bit_count2(({a[0]}), ({a[1]}))"),
     # Lambda-predicate array functions (ArrayAllMatchFunction.java /
     # AnyMatch/NoneMatch, ArrayFindFirstFunction.java): the lambda rules
     # out a SQL UDF, and Spark's forall/exists are the exact analogs —

@@ -288,6 +288,27 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
     # NOTE: url_encode / url_decode / typeof are Spark builtins with
     # Presto-compatible semantics — no shim needed.
     "bit_count_64": ("x BIGINT", "INT", "bit_count(x)", "BitwiseFunctions.java bitCount"),
+    # bit_count(num, bits) — the Presto 2-arg spelling (dialect.py
+    # routes 2-arg calls here; 1-arg stays on Spark's builtin).
+    "__bit_count2": (
+        "num BIGINT, bits BIGINT", "BIGINT",
+        """CASE WHEN num IS NULL OR bits IS NULL THEN NULL
+           WHEN bits = 64 THEN CAST(bit_count(num) AS BIGINT)
+           WHEN bits <= 1 OR bits > 64 THEN raise_error(concat(
+             'Bits specified in bit_count must be between 2 and 64, got ',
+             string(bits)))
+           WHEN num > shiftleft(CAST(1 AS BIGINT),
+                                CAST(bits - 1 AS INT)) - 1
+             OR num < ~(shiftleft(CAST(1 AS BIGINT),
+                                  CAST(bits - 1 AS INT)) - 1)
+             THEN raise_error(concat(
+               'Number must be representable with the bits specified. ',
+               string(num), ' can not be represented with ',
+               string(bits), ' bits'))
+           ELSE CAST(bit_count(num & (shiftleft(CAST(1 AS BIGINT),
+                                                CAST(bits AS INT)) - 1))
+                     AS BIGINT) END""",
+        "BitwiseFunctions.java:44-59 bitCount(num, bits)"),
     # ---- array helpers Presto has and Spark spells differently ----
     "array_average": (
         "a ARRAY<DOUBLE>", "DOUBLE",
@@ -355,6 +376,31 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
         """CASE WHEN size(a) < n THEN array(a)
            ELSE transform(sequence(1, size(a) - n + 1), i -> slice(a, i, n)) END""",
         "ArrayNgramsFunction.java (ngrams)"),
+    # width_bucket(x, bins) array overload — __-prefixed because the
+    # bare name would shadow Spark's 4-arg builtin; dialect.py routes
+    # 2-arg width_bucket() calls here (4-arg passes through).  Result
+    # = count of bins <= x (the reference's binary-search 'lower').
+    # Validation deviation (documented): the reference raises on
+    # NULL/unsorted/non-finite bins only when the SEARCH PATH visits
+    # the offending value; here the whole array is checked, so the
+    # raise set is a superset with identical messages.
+    "__width_bucket_bins": (
+        "x DOUBLE, bins ARRAY<DOUBLE>", "BIGINT",
+        """CASE WHEN x IS NULL OR bins IS NULL THEN NULL
+           WHEN size(bins) = 0
+             THEN raise_error('Bins cannot be an empty array')
+           WHEN isnan(x) THEN raise_error('Operand cannot be NaN')
+           WHEN exists(bins, b -> b IS NULL)
+             THEN raise_error('Bin values cannot be NULL')
+           WHEN exists(bins, b -> isnan(b) OR abs(b) = double('Infinity'))
+             THEN raise_error('Bin values must be finite')
+           WHEN exists(zip_with(slice(bins, 1, size(bins) - 1),
+                                slice(bins, 2, size(bins) - 1),
+                                (lo, hi) -> lo > hi), v -> v)
+             THEN raise_error(
+               'Bin values are not sorted in ascending order')
+           ELSE CAST(size(filter(bins, b -> b <= x)) AS BIGINT) END""",
+        "MathFunctions.java:1667 widthBucket(operand, bins)"),
     "trim_array": ("a ARRAY<STRING>, n INT", "ARRAY<STRING>",
                    "slice(a, 1, size(a) - n)",
                    "ArrayTrimFunction.java"),

@@ -54,16 +54,18 @@ from presto_spark.queries import corpus_suite  # noqa: F401,E402
 #      auto-routing), so they must re-earn green rather than stay
 #      green by staleness.
 #   3. geo_sql_measures_golden — NEW (SQL spellings of the measure
-#      tier + SPHERICAL_GEOGRAPHY marker casts, r11 next-round #8).
+#      tier + SPHERICAL_GEOGRAPHY marker casts, r11 next-round #8);
+#      fn_combinations_golden — NEW (combinations() dialect macro,
+#      ArrayCombinationsFunction.java — closed a docs-sweep gap).
 #   3b. The 8 NEW round-12 TPC-DS completion rows (q27/q43/q53/q60/
 #      q84/q85/q94/q99 — the last uncited TPC-DS query numbers; the
 #      suite now cites all 99 shapes).  New rows front ahead of
 #      staleness rotation (standing rule).
 #   4. The 23 remaining r4-stale rows (burns the r4 debt to zero).
-#   5. The 12 alphabetically-first r5-stale rows (6+1+8+23+12 = 50).
+#   5. The 11 alphabetically-first r5-stale rows (6+2+8+23+11 = 50).
 # Remaining staleness debt after this window (leads the r13 front):
-# the other 32 r5 rows (geo_bing_tile_rollup, geo_geojson_roundtrip,
-# geo_great_circle_routes,
+# the other 33 r5 rows (geo_accessors_wkt_golden, geo_bing_tile_rollup,
+# geo_geojson_roundtrip, geo_great_circle_routes,
 # geo_line_referencing_golden, geo_measures_wkt_golden,
 # geo_point_in_polygon_zones, llm_embedding_near_dup,
 # llm_embedding_near_dup_lsh, llm_exact_dedup, llm_fingerprint,
@@ -90,6 +92,7 @@ _DRIVER_FRONT = [
     # 3. new round-12 rows: SQL measure tier, then the 8 TPC-DS
     # completion rows
     "geo_sql_measures_golden",
+    "fn_combinations_golden",
     "tpcds_q27_rollup_demo_avgs",
     "tpcds_q43_weekday_pivot",
     "tpcds_q53_quarterly_deviation",
@@ -122,7 +125,7 @@ _DRIVER_FRONT = [
     "unnest_map_entries",
     "window_ignore_nulls",
     "window_range_interval_frame",
-    # 5. the 12 alphabetically-first r5-stale rows
+    # 5. the 11 alphabetically-first r5-stale rows
     "event_asof_join_enrichment",
     "event_range_join_attribution",
     "event_stream_dedup",
@@ -134,7 +137,6 @@ _DRIVER_FRONT = [
     "fn_normal_cdf_envelope",
     "fn_sequence_temporal",
     "fn_string_sql_suite2",
-    "geo_accessors_wkt_golden",
 ]
 
 

@@ -761,3 +761,76 @@ def agg_classification_curves(spark, sf_dir):
         fmt("miss_rate").alias("miss_s"),
         fmt("fall_out").alias("fall_s"),
     ).orderBy("g")
+
+
+_COMBINATIONS_ORACLE = """
+WITH arrs AS (
+  SELECT n.n_name,
+         (array_agg(c.c_custkey ORDER BY c.c_custkey))[1:6] AS a
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+),
+pairs AS (
+  SELECT n_name,
+         CAST(j * (j - 1) / 2 + i AS BIGINT) AS pos,
+         a[i + 1] AS e1, a[j + 1] AS e2, CAST(NULL AS BIGINT) AS e3,
+         'pair' AS tier
+  FROM arrs, range(0, 6) r1(i), range(0, 6) r2(j)
+  WHERE i < j AND j < len(a)
+),
+triples AS (
+  SELECT n_name,
+         CAST(k * (k - 1) * (k - 2) / 6 + j * (j - 1) / 2 + i AS BIGINT)
+           AS pos,
+         a[i + 1] AS e1, a[j + 1] AS e2, a[k + 1] AS e3,
+         'triple' AS tier
+  FROM arrs, range(0, 6) r1(i), range(0, 6) r2(j), range(0, 6) r3(k)
+  WHERE i < j AND j < k AND k < len(a)
+)
+SELECT n_name, tier, pos, e1, e2, e3
+FROM (SELECT * FROM pairs UNION ALL SELECT * FROM triples)
+ORDER BY n_name, tier, pos
+"""
+
+
+@register(
+    "fn_combinations_golden",
+    oracle=_COMBINATIONS_ORACLE,
+    doc="combinations(array, n) (ArrayCombinationsFunction.java; docs "
+        "array.rst:197-207 — round-12 dialect macro, generic in T): "
+        "2- and 3-element combinations of each nation's first six "
+        "customer keys, POSEXPLODED so the oracle pins the reference's "
+        "colex enumeration order itself — DuckDB replays position "
+        "C(k,3)+C(j,2)+C(i,1) for index triples i<j<k, which is "
+        "exactly the nextCombination walk.  The macro is a pure "
+        "expression (sequence/transform nests, no UDF, no shuffle "
+        "beyond the grouped array build).",
+    tags=("functions", "dialect"),
+)
+def fn_combinations_golden(spark, sf_dir):
+    from presto_spark.functions.dialect import translate
+
+    prepare(spark, sf_dir)
+    return spark.sql(translate("""
+        WITH arrs AS (
+          SELECT n.n_name,
+                 slice(array_sort(collect_list(c.c_custkey)), 1, 6) AS a
+          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+          GROUP BY n.n_name
+        ),
+        pairs AS (
+          SELECT n_name, 'pair' AS tier, p.pos, p.col AS combo
+          FROM arrs
+          LATERAL VIEW posexplode(combinations(a, 2)) p AS pos, col
+        ),
+        triples AS (
+          SELECT n_name, 'triple' AS tier, p.pos, p.col AS combo
+          FROM arrs
+          LATERAL VIEW posexplode(combinations(a, 3)) p AS pos, col
+        )
+        SELECT n_name, tier, CAST(pos AS BIGINT) AS pos,
+               combo[1] AS e1, combo[2] AS e2,
+               CASE WHEN tier = 'triple' THEN combo[3] END AS e3
+        FROM (SELECT * FROM pairs UNION ALL SELECT * FROM triples)
+        ORDER BY n_name, tier, pos
+    """))

@@ -163,6 +163,90 @@ def test_array_ngrams(spark):
     assert v == [["a", "b"], ["b", "c"]]
 
 
+def test_combinations(spark):
+    """ArrayCombinationsFunction.java — the reference doc's own vectors
+    (array.rst:197-207) plus the colex enumeration order, degenerate
+    arms, and null propagation.  combinations() is generic in T, so it
+    is a dialect macro (no monomorphic SQL UDF spelling) — every call
+    routes through translate."""
+    def tr(expr):
+        return spark.sql(translate(f"SELECT {expr} AS v")).collect()[0].v
+
+    assert tr("combinations(array('foo','bar','boo'), 2)") == [
+        ["foo", "bar"], ["foo", "boo"], ["bar", "boo"]]
+    assert tr("combinations(array(1,2,3,4,5), 3)") == [
+        [1, 2, 3], [1, 2, 4], [1, 3, 4], [2, 3, 4], [1, 2, 5],
+        [1, 3, 5], [2, 3, 5], [1, 4, 5], [2, 4, 5], [3, 4, 5]]
+    assert tr("combinations(array(1,2,2), 2)") == [
+        [1, 2], [1, 2], [2, 2]]
+    assert tr("combinations(array(1,2,3), 0)") == [[]]
+    assert tr("combinations(array(1,2), 4)") == []
+    assert tr("combinations(CAST(NULL AS ARRAY<INT>), 2)") is None
+    assert tr("combinations(array(1,2,3), CAST(NULL AS INT))") is None
+    # 4- and 5-element tiers: count and first/last (colex)
+    c4 = tr("combinations(sequence(1, 6), 4)")
+    assert len(c4) == 15 and c4[0] == [1, 2, 3, 4] and c4[-1] == [3, 4, 5, 6]
+    c5 = tr("combinations(sequence(1, 7), 5)")
+    assert len(c5) == 21 and c5[0] == [1, 2, 3, 4, 5]
+    assert c5[-1] == [3, 4, 5, 6, 7]
+
+
+def test_width_bucket_bins_overload(spark):
+    """MathFunctions.java:1667 widthBucket(operand, bins): result =
+    count of bins <= x; the 4-arg spelling stays on Spark's builtin
+    (the macro is arity-gated)."""
+    def tr(expr):
+        return spark.sql(translate(f"SELECT {expr} AS v")).collect()[0].v
+
+    assert tr("width_bucket(3.14, ARRAY[0.0, 2.0, 4.0])") == 2
+    assert tr("width_bucket(-1.0, ARRAY[0.0, 2.0, 4.0])") == 0
+    assert tr("width_bucket(9.0, ARRAY[0.0, 2.0, 4.0])") == 3
+    assert tr("width_bucket(2.0, ARRAY[0.0, 2.0, 4.0])") == 2  # ties low
+    assert tr("width_bucket(CAST(NULL AS DOUBLE), ARRAY[0.0])") is None
+    assert tr("width_bucket(5.0, 0.0, 10.0, 5)") == 3  # builtin 4-arg
+    for expr, msg in [
+        ("width_bucket(1.0, CAST(ARRAY[] AS ARRAY<DOUBLE>))",
+         "empty array"),
+        ("width_bucket(1.0, ARRAY[2.0, 1.0])", "not sorted"),
+        ("width_bucket(double('NaN'), ARRAY[1.0])", "cannot be NaN"),
+    ]:
+        with pytest.raises(Exception, match=msg):
+            spark.sql(translate(f"SELECT {expr} AS v")).coalesce(1).collect()
+
+
+def test_bit_count_two_arg(spark):
+    """BitwiseFunctions.java:44 bitCount(num, bits) — the reference
+    doc's vectors (bitwise.rst); 1-arg stays on Spark's builtin."""
+    def tr(expr):
+        return spark.sql(translate(f"SELECT {expr} AS v")).collect()[0].v
+
+    assert tr("bit_count(9, 64)") == 2
+    assert tr("bit_count(9, 8)") == 2
+    assert tr("bit_count(-7, 64)") == 62
+    assert tr("bit_count(-7, 8)") == 6
+    assert tr("bit_count(CAST(NULL AS BIGINT), 8)") is None
+    for expr, msg in [
+        ("bit_count(9, 1)", "between 2 and 64"),
+        ("bit_count(9, 65)", "between 2 and 64"),
+        ("bit_count(500, 8)", "can not be represented"),
+        ("bit_count(-500, 8)", "can not be represented"),
+    ]:
+        with pytest.raises(Exception, match=msg):
+            spark.sql(translate(f"SELECT {expr} AS v")).coalesce(1).collect()
+
+
+def test_combinations_raises(spark):
+    import pytest as _pytest
+    from presto_spark.functions.dialect import translate
+    for expr, msg in [
+        ("combinations(array(1,2,3), -1)", "must not be negative"),
+        ("combinations(array(1,2,3), 6)", "must not exceed 5"),
+        ("combinations(sequence(1, 300), 5)", "exceed max size"),
+    ]:
+        with _pytest.raises(Exception, match=msg):
+            spark.sql(translate(f"SELECT {expr} AS v")).coalesce(1).collect()
+
+
 def test_native_stats_close_to_exact(spark):
     """Native single-pass stddev/corr agree with exact-decimal formulas
     within FP tolerance (the exact versions are the oracle-checked path)."""
