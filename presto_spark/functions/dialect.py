@@ -497,6 +497,23 @@ def _rewrite_jsonpath_calls(sql: str) -> str:
 _SORT_DESC = ("concat(reverse(array_sort(filter({a}, _ps_x -> _ps_x IS NOT "
               "NULL))), filter({a}, _ps_x -> _ps_x IS NULL))")
 
+_INT_LITERAL_RE = re.compile(r"^[+-]?\d+$")
+
+
+def _substr_zero_guard(name: str, a: list[str]) -> str | None:
+    """substr/substring start-0 conformance — see the _MACROS entry."""
+    if a[0].lstrip().startswith("/*ps*/"):
+        return None  # our own expansion — keeps translate() idempotent
+    start = a[1].strip()
+    if _INT_LITERAL_RE.match(start):
+        if int(start) != 0:
+            return None  # literal non-zero start: engines agree
+        return "''"      # literal 0: Presto's empty string, folded
+    rest = "".join(f", ({x})" for x in a[1:])
+    return (f"CASE WHEN ({a[1]}) = 0 THEN '' "
+            f"ELSE {name}(/*ps*/ ({a[0]}){rest}) END")
+
+
 def _combinations_macro(arr: str, n: str) -> str:
     """combinations(array, n) expansion — see the _MACROS entry."""
     a, k = "_ps_a", f"({n})"
@@ -612,6 +629,51 @@ _MACROS: dict[str, tuple[int, object]] = {
     # bit_count(num, bits) — Presto's only spelling is 2-arg
     # (BitwiseFunctions.java:44); 1-arg calls stay on Spark's builtin.
     "bit_count": (2, lambda a: f"__bit_count2(({a[0]}), ({a[1]}))"),
+    # regexp_extract — Presto returns NULL when nothing matches and
+    # the 2-arg form returns the FULL match (group 0); Spark defaults
+    # idx to 1 and returns '' on no-match.  The RLIKE guard restores
+    # NULL-on-no-match while keeping a genuine empty-string match ''
+    # (Re2JRegexpFunctions.regexpExtract) — same regex grammar on both
+    # sides of the guard.  Remaining pin: a MATCHED pattern whose
+    # requested GROUP did not participate still yields '' (Presto:
+    # NULL) — group participation is invisible to an outer guard.
+    # 2-arg regexp_extract_all spells idx 0 (full matches); its
+    # no-match result is the empty array on both engines already.
+    "regexp_extract": {
+        2: lambda a: (f"CASE WHEN ({a[0]}) RLIKE ({a[1]}) THEN "
+                      f"regexp_extract(/*ps*/ ({a[0]}), ({a[1]}), 0) "
+                      "END"),
+        3: lambda a: (None if a[0].lstrip().startswith("/*ps*/") else
+                      f"CASE WHEN ({a[0]}) RLIKE ({a[1]}) THEN "
+                      f"regexp_extract(/*ps*/ ({a[0]}), ({a[1]}), "
+                      f"({a[2]})) END"),
+    },
+    "regexp_extract_all": (
+        2, lambda a: f"regexp_extract_all(({a[0]}), ({a[1]}), 0)"),
+    # Nth-occurrence strpos/strrpos and truncate-to-n-places — the
+    # 2-arg spellings are SQL UDFs already; arity gating keeps them
+    # untouched (StringFunctions.java:FromStart/:FromEnd,
+    # MathFunctions.java:362).
+    "strpos": (
+        3, lambda a: f"__strpos3(({a[0]}), ({a[1]}), ({a[2]}))"),
+    "strrpos": (
+        3, lambda a: f"__strrpos3(({a[0]}), ({a[1]}), ({a[2]}))"),
+    "truncate": (
+        2, lambda a: f"__truncate2(({a[0]}), ({a[1]}))"),
+    # substr/substring start-0: Presto returns '' (StringFunctions.java
+    # substr: start == 0 -> EMPTY), Spark treats 0 as 1.  A literal
+    # non-zero start passes through untouched (the overwhelmingly
+    # common case — no plan noise); a literal 0 folds to ''; only a
+    # non-literal start gets the runtime guard.  Negative starts agree
+    # on both engines already.
+    "substr": {
+        2: lambda a: _substr_zero_guard("substr", a),
+        3: lambda a: _substr_zero_guard("substr", a),
+    },
+    "substring": {
+        2: lambda a: _substr_zero_guard("substring", a),
+        3: lambda a: _substr_zero_guard("substring", a),
+    },
     # Lambda-predicate array functions (ArrayAllMatchFunction.java /
     # AnyMatch/NoneMatch, ArrayFindFirstFunction.java): the lambda rules
     # out a SQL UDF, and Spark's forall/exists are the exact analogs —
@@ -1904,14 +1966,28 @@ def _expand_macros_and_try(sql: str) -> str:
                 pos = m.end()
                 continue
             parsed = _split_call(sql, m.end() - 1)
-            nargs, build = _MACROS[m.group(1).lower()]
-            if parsed is None or len(parsed[0]) != nargs:
+            entry = _MACROS[m.group(1).lower()]
+            # (nargs, build) tuple, or {nargs: build} for overloaded
+            # arities (regexp_extract 2- and 3-arg forms)
+            if isinstance(entry, dict):
+                build = None if parsed is None else entry.get(
+                    len(parsed[0]))
+            else:
+                nargs, build = entry
+                if parsed is not None and len(parsed[0]) != nargs:
+                    build = None
+            expansion = None
+            if parsed is not None and build is not None:
+                # a builder may decline (None) — e.g. when it sees its
+                # own re-trigger marker, keeping translate() idempotent
+                expansion = build([a.strip() for a in parsed[0]])
+            if expansion is None:
                 out.append(sql[pos:m.end()])
                 pos = m.end()
                 continue
             args, close = parsed
             out.append(sql[pos:m.start()])
-            out.append(build([a.strip() for a in args]))
+            out.append(expansion)
             pos = close + 1
             changed = True
         sql = "".join(out)

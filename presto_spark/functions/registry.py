@@ -114,6 +114,55 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
     # NOTE: chr / levenshtein / split_part / regexp_like etc. exist as
     # Spark builtins with Presto-compatible semantics — no shim needed.
     "codepoint": ("s STRING", "INT", "ascii(s)", "StringFunctions.java codepoint"),
+    # strpos/strrpos instance forms (StringFunctions.java
+    # stringPositionFromStart/:FromEnd) — dialect routes the 3-arg
+    # spellings here.  The Nth-occurrence walk is a bounded fold:
+    # occurrences start at distinct positions, so instance > length(s)
+    # is already 0 and the fold never exceeds length(s) steps.
+    # Overlapping occurrences count, exactly like the reference's
+    # index+1 stepping.
+    "__strpos3": (
+        "s STRING, sub STRING, inst BIGINT", "BIGINT",
+        """CASE WHEN s IS NULL OR sub IS NULL OR inst IS NULL THEN NULL
+           WHEN inst <= 0
+             THEN raise_error("'instance' must be a positive number.")
+           WHEN length(sub) = 0 THEN 1
+           WHEN inst > length(s) THEN 0
+           ELSE CAST(aggregate(sequence(1, CAST(inst AS INT)),
+             named_struct('p', 0, 'dead', false),
+             (acc, i) -> CASE WHEN acc.dead THEN acc
+               ELSE named_struct(
+                 'p', CAST(locate(sub, s, acc.p + 1) AS INT),
+                 'dead', locate(sub, s, acc.p + 1) = 0) END).p
+             AS BIGINT) END""",
+        "StringFunctions.java stringPositionFromStart (instance walk)"),
+    "__strrpos3": (
+        "s STRING, sub STRING, inst BIGINT", "BIGINT",
+        """CASE WHEN s IS NULL OR sub IS NULL OR inst IS NULL THEN NULL
+           WHEN inst <= 0
+             THEN raise_error("'instance' must be a positive number.")
+           WHEN length(sub) = 0 THEN 1
+           WHEN inst > length(s) THEN 0
+           ELSE CAST(CASE WHEN aggregate(
+               sequence(1, CAST(inst AS INT)),
+               named_struct('p', 0, 'dead', false),
+               (acc, i) -> CASE WHEN acc.dead THEN acc
+                 ELSE named_struct(
+                   'p', CAST(locate(reverse(sub), reverse(s),
+                                    acc.p + 1) AS INT),
+                   'dead', locate(reverse(sub), reverse(s),
+                                  acc.p + 1) = 0) END).p = 0 THEN 0
+             ELSE length(s) - aggregate(
+               sequence(1, CAST(inst AS INT)),
+               named_struct('p', 0, 'dead', false),
+               (acc, i) -> CASE WHEN acc.dead THEN acc
+                 ELSE named_struct(
+                   'p', CAST(locate(reverse(sub), reverse(s),
+                                    acc.p + 1) AS INT),
+                   'dead', locate(reverse(sub), reverse(s),
+                                  acc.p + 1) = 0) END).p
+               - length(sub) + 2 END AS BIGINT) END""",
+        "StringFunctions.java stringPositionFromEnd (reversed walk)"),
     "hamming_distance": (
         "a STRING, b STRING", "BIGINT",
         """CASE WHEN length(a) != length(b)
@@ -169,6 +218,23 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
     "truncate": (
         "x DOUBLE", "DOUBLE", "sign(x) * floor(abs(x))",
         "MathFunctions.java truncate (toward zero)"),
+    # truncate(x, n) — dialect routes the 2-arg spelling here.
+    # Documented FP pin: the reference truncates via
+    # BigDecimal.valueOf(x).setScale(n, DOWN) (decimal string space);
+    # the power-of-10 scaling below can differ by one ULP-step when
+    # x*10^n lands just below an integer (e.g. a repeating binary
+    # fraction) — same deviation class as the decimal<->double casts.
+    "__truncate2": (
+        "x DOUBLE, n BIGINT", "DOUBLE",
+        """CASE WHEN x IS NULL OR n IS NULL THEN NULL
+           WHEN isnan(x) OR abs(x) = double('Infinity') THEN x
+           WHEN n = 0 THEN IF(x >= 0, floor(x), ceil(x))
+           ELSE IF(x >= 0,
+                   floor(x * power(10, CAST(n AS INT)))
+                     / power(10, CAST(n AS INT)),
+                   ceil(x * power(10, CAST(n AS INT)))
+                     / power(10, CAST(n AS INT))) END""",
+        "MathFunctions.java:362 truncate(num, decimals)"),
     "is_finite": ("x DOUBLE", "BOOLEAN", "NOT (isnan(x) OR abs(x) = double('Infinity'))",
                   "MathFunctions.java isFinite"),
     "is_infinite": ("x DOUBLE", "BOOLEAN", "abs(x) = double('Infinity')",

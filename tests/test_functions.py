@@ -214,6 +214,80 @@ def test_width_bucket_bins_overload(spark):
             spark.sql(translate(f"SELECT {expr} AS v")).coalesce(1).collect()
 
 
+def test_substr_zero_start_conformance(spark):
+    """StringFunctions.java substr: start == 0 returns '' where Spark
+    treats 0 as 1.  Literal non-zero starts pass through untouched;
+    only literal-0 and non-literal starts are rewritten."""
+    def tr(expr):
+        return spark.sql(translate(f"SELECT {expr} AS v")).collect()[0].v
+
+    assert tr("substr('Quadratically', 0)") == ""
+    assert tr("substr('abc', 0, 2)") == ""
+    assert tr("substring('abc', 0)") == ""
+    assert tr("substr('Quadratically', 5)") == "ratically"
+    assert tr("substring('abc', -2)") == "bc"
+    row = spark.sql(translate(
+        "SELECT substr('abc', x) AS v FROM (SELECT 0 AS x)"
+    )).collect()[0]
+    assert row.v == ""
+    # literal non-zero start leaves the text untouched (no plan noise)
+    from presto_spark.functions.dialect import translate as _t
+    assert "CASE WHEN" not in _t("SELECT substr(s, 3) FROM t")
+    once = _t("SELECT substr(s, n, 2) FROM t")
+    assert _t(once) == once  # idempotent over the runtime guard
+
+
+def test_strpos_strrpos_instance_and_truncate2(spark):
+    """StringFunctions.java stringPositionFromStart/FromEnd (3-arg
+    strpos/strrpos: Nth occurrence, overlapping counted, positive
+    instance required) and MathFunctions.java:362 truncate(x, n)."""
+    import math as _math
+
+    def tr(expr):
+        return spark.sql(translate(f"SELECT {expr} AS v")).collect()[0].v
+
+    assert tr("strpos('foobarfoo', 'foo', 2)") == 7
+    assert tr("strpos('foobarfoo', 'foo', 3)") == 0
+    assert tr("strpos('aaa', 'aa', 2)") == 2  # overlapping occurrences
+    assert tr("strpos('foobarfoo', '', 2)") == 1
+    assert tr("strrpos('foobarfoo', 'foo', 2)") == 1
+    assert tr("strrpos('aaa', 'aa', 2)") == 1
+    assert tr("strrpos('foobarfoo', 'zzz', 1)") == 0
+    assert tr("strpos('high', 'ig')") == 2  # 2-arg stays on the UDF
+    assert tr("truncate(17.18, 1)") == 17.1
+    assert tr("truncate(17.18, -1)") == 10.0
+    assert tr("truncate(-17.18, 1)") == -17.1
+    assert tr("truncate(17.18, 0)") == 17.0
+    assert _math.isnan(tr("truncate(double('NaN'), 1)"))
+    assert tr("truncate(3.7)") == 3.0  # 1-arg stays on the UDF
+    with pytest.raises(Exception, match="positive number"):
+        spark.sql(translate(
+            "SELECT strpos('x', 'y', 0) AS v")).coalesce(1).collect()
+
+
+def test_regexp_extract_presto_conformance(spark):
+    """Re2JRegexpFunctions.regexpExtract[All]: the 2-arg forms return
+    group 0, and regexp_extract is NULL (not '') when nothing matches.
+    Remaining pin: a matched pattern whose requested group did not
+    participate yields '' where Presto gives NULL (group participation
+    is invisible to the RLIKE guard)."""
+    def tr(expr):
+        return spark.sql(translate(f"SELECT {expr} AS v")).collect()[0].v
+
+    assert tr("regexp_extract('1a2b', '[0-9]+')") == "1"
+    assert tr("regexp_extract('abc', '[0-9]+')") is None
+    assert tr("regexp_extract('a7', '([a-z])([0-9])', 2)") == "7"
+    assert tr("regexp_extract('zzz', '([a-z])([0-9])', 2)") is None
+    assert tr("regexp_extract_all('1a2b', '[0-9]')") == ["1", "2"]
+    assert tr("regexp_extract_all('xyz', '[0-9]')") == []
+    assert tr("regexp_extract_all('a1b2', '([a-z])([0-9])', 2)") == [
+        "1", "2"]
+    # translate() idempotency over the guarded expansion
+    from presto_spark.functions.dialect import translate as _t
+    once = _t("SELECT regexp_extract(x, 'p', 1) FROM t")
+    assert _t(once) == once
+
+
 def test_bit_count_two_arg(spark):
     """BitwiseFunctions.java:44 bitCount(num, bits) — the reference
     doc's vectors (bitwise.rst); 1-arg stays on Spark's builtin."""
