@@ -22,7 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from presto_spark import prepared as _prep
 from presto_spark import show as _show
 from presto_spark.functions.dialect import translate
-from presto_spark.functions.registry import register_functions
+from presto_spark.functions.registry import (register_functions,
+                                              register_geo_sql_functions)
 from presto_spark.session_properties import set_session_property
 from presto_spark.sources.catalog import TABLES, register_tables
 
@@ -43,6 +44,9 @@ class Engine:
     def __init__(self, spark: SparkSession, sf_dir: str | None = None, tables=TABLES):
         self.spark = spark
         register_functions(spark)
+        # full SQL surface at the facade; registry rows register the
+        # geo tier lazily instead (analyzer-drag split, round 12)
+        register_geo_sql_functions(spark)
         self.tables: dict[str, DataFrame] = {}
         self.prepared = _prep.PreparedStatements()
         if sf_dir is not None:

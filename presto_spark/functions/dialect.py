@@ -500,6 +500,121 @@ _SORT_DESC = ("concat(reverse(array_sort(filter({a}, _ps_x -> _ps_x IS NOT "
 _INT_LITERAL_RE = re.compile(r"^[+-]?\d+$")
 
 
+def _let(bindings: dict[str, str], body: str) -> str:
+    """Let-bind argument texts through a 1-element transform so each
+    expands ONCE in the emitted SQL (round-6 expression-tree rule).
+    ``body`` references ``_ps_w.<name>`` for each binding.
+
+    These helpers are INLINED at the call site instead of registered
+    as SQL temp functions: every registered SQL-UDF body measurably
+    taxes Spark's analysis of UNRELATED queries (WITH RECURSIVE
+    re-analyzes per UnionLoop iteration — the recursive bench rows
+    regressed ~40% when round 12's helper UDFs were registered), so
+    only user-facing spellings earn a registration.
+    """
+    fields = ", ".join(f"'{k}', ({v})" for k, v in bindings.items())
+    return (f"element_at(transform(array(named_struct({fields})), "
+            f"_ps_w -> {body}), 1)")
+
+
+def _strpos_walk(sub: str, s: str, inst: str, from_end: bool) -> str:
+    """StringFunctions.java stringPositionFromStart/:FromEnd — the
+    Nth-occurrence walk as a bounded fold (occurrences start at
+    distinct positions, so instance > length(s) is already 0 and the
+    fold never exceeds length(s) steps; overlapping occurrences count
+    exactly like the reference's index+1 stepping)."""
+    hay = f"reverse({s})" if from_end else s
+    needle = f"reverse({sub})" if from_end else sub
+    walk = (f"aggregate(sequence(1, CAST({inst} AS INT)), "
+            "named_struct('p', 0, 'dead', false), "
+            "(acc, i) -> CASE WHEN acc.dead THEN acc "
+            f"ELSE named_struct('p', CAST(locate({needle}, {hay}, "
+            "acc.p + 1) AS INT), "
+            f"'dead', locate({needle}, {hay}, acc.p + 1) = 0) END).p")
+    if from_end:
+        found = (f"CASE WHEN {walk} = 0 THEN 0 "
+                 f"ELSE length({s}) - {walk} - length({sub}) + 2 END")
+    else:
+        found = walk
+    return (f"CASE WHEN {s} IS NULL OR {sub} IS NULL "
+            f"OR {inst} IS NULL THEN NULL "
+            f"WHEN {inst} <= 0 THEN raise_error("
+            "\"'instance' must be a positive number.\") "
+            f"WHEN length({sub}) = 0 THEN 1 "
+            f"WHEN {inst} > length({s}) THEN 0 "
+            f"ELSE CAST({found} AS BIGINT) END")
+
+
+def _strpos3_macro(a: list[str], from_end: bool) -> str:
+    return _let(
+        {"s": a[0], "u": a[1], "n": a[2]},
+        _strpos_walk("_ps_w.u", "_ps_w.s", "_ps_w.n", from_end))
+
+
+def _truncate2_macro(a: list[str]) -> str:
+    """MathFunctions.java:362 truncate(num, decimals).  Documented FP
+    pin: the reference truncates via BigDecimal.valueOf(x).setScale(n,
+    DOWN) (decimal string space); the power-of-10 scaling below can
+    differ by one ULP-step when x*10^n lands just below an integer —
+    same deviation class as the decimal<->double casts."""
+    x, n = "_ps_w.x", "CAST(_ps_w.n AS INT)"
+    body = (f"CASE WHEN _ps_w.x IS NULL OR _ps_w.n IS NULL THEN NULL "
+            f"WHEN isnan({x}) OR abs({x}) = double('Infinity') THEN {x} "
+            f"WHEN _ps_w.n = 0 THEN IF({x} >= 0, floor({x}), ceil({x})) "
+            f"ELSE IF({x} >= 0, "
+            f"floor({x} * power(10, {n})) / power(10, {n}), "
+            f"ceil({x} * power(10, {n})) / power(10, {n})) END")
+    return _let({"x": f"CAST(({a[0]}) AS DOUBLE)", "n": a[1]}, body)
+
+
+def _bit_count2_macro(a: list[str]) -> str:
+    """BitwiseFunctions.java:44-59 bitCount(num, bits)."""
+    num, bits = "_ps_w.num", "_ps_w.bits"
+    mask_hi = f"shiftleft(CAST(1 AS BIGINT), CAST({bits} - 1 AS INT)) - 1"
+    body = (
+        f"CASE WHEN {num} IS NULL OR {bits} IS NULL THEN NULL "
+        f"WHEN {bits} = 64 THEN CAST(bit_count({num}) AS BIGINT) "
+        f"WHEN {bits} <= 1 OR {bits} > 64 THEN raise_error(concat("
+        "'Bits specified in bit_count must be between 2 and 64, got ', "
+        f"string({bits}))) "
+        f"WHEN {num} > {mask_hi} OR {num} < ~({mask_hi}) "
+        "THEN raise_error(concat("
+        "'Number must be representable with the bits specified. ', "
+        f"string({num}), ' can not be represented with ', "
+        f"string({bits}), ' bits')) "
+        f"ELSE CAST(bit_count({num} & (shiftleft(CAST(1 AS BIGINT), "
+        f"CAST({bits} AS INT)) - 1)) AS BIGINT) END")
+    return _let({"num": f"CAST(({a[0]}) AS BIGINT)",
+                 "bits": f"CAST(({a[1]}) AS BIGINT)"}, body)
+
+
+def _width_bucket_bins_macro(a: list[str]) -> str:
+    """MathFunctions.java:1667 widthBucket(operand, bins): result =
+    count of bins <= x (the binary search's final 'lower').
+    Validation deviation (documented): the reference raises on
+    NULL/unsorted/non-finite bins only when the SEARCH PATH visits the
+    offending value; here the whole array is checked, so the raise set
+    is a superset with identical messages."""
+    x, bins = "_ps_w.x", "_ps_w.bins"
+    body = (
+        f"CASE WHEN {x} IS NULL OR {bins} IS NULL THEN NULL "
+        f"WHEN size({bins}) = 0 "
+        "THEN raise_error('Bins cannot be an empty array') "
+        f"WHEN isnan({x}) THEN raise_error('Operand cannot be NaN') "
+        f"WHEN exists({bins}, b -> b IS NULL) "
+        "THEN raise_error('Bin values cannot be NULL') "
+        f"WHEN exists({bins}, b -> isnan(b) "
+        "OR abs(b) = double('Infinity')) "
+        "THEN raise_error('Bin values must be finite') "
+        f"WHEN exists(zip_with(slice({bins}, 1, size({bins}) - 1), "
+        f"slice({bins}, 2, size({bins}) - 1), (lo, hi) -> lo > hi), "
+        "v -> v) THEN raise_error("
+        "'Bin values are not sorted in ascending order') "
+        f"ELSE CAST(size(filter({bins}, b -> b <= {x})) AS BIGINT) END")
+    return _let({"x": f"CAST(({a[0]}) AS DOUBLE)",
+                 "bins": f"CAST(({a[1]}) AS ARRAY<DOUBLE>)"}, body)
+
+
 def _substr_zero_guard(name: str, a: list[str]) -> str | None:
     """substr/substring start-0 conformance — see the _MACROS entry."""
     if a[0].lstrip().startswith("/*ps*/"):
@@ -624,11 +739,10 @@ _MACROS: dict[str, tuple[int, object]] = {
     # width_bucket(x, bins) — the ARRAY overload (MathFunctions.java:
     # 1667).  Arity-gated: 4-arg width_bucket() doesn't match nargs=2
     # and passes through to Spark's builtin untouched.
-    "width_bucket": (
-        2, lambda a: f"__width_bucket_bins(({a[0]}), ({a[1]}))"),
+    "width_bucket": (2, _width_bucket_bins_macro),
     # bit_count(num, bits) — Presto's only spelling is 2-arg
     # (BitwiseFunctions.java:44); 1-arg calls stay on Spark's builtin.
-    "bit_count": (2, lambda a: f"__bit_count2(({a[0]}), ({a[1]}))"),
+    "bit_count": (2, _bit_count2_macro),
     # regexp_extract — Presto returns NULL when nothing matches and
     # the 2-arg form returns the FULL match (group 0); Spark defaults
     # idx to 1 and returns '' on no-match.  The RLIKE guard restores
@@ -654,12 +768,9 @@ _MACROS: dict[str, tuple[int, object]] = {
     # 2-arg spellings are SQL UDFs already; arity gating keeps them
     # untouched (StringFunctions.java:FromStart/:FromEnd,
     # MathFunctions.java:362).
-    "strpos": (
-        3, lambda a: f"__strpos3(({a[0]}), ({a[1]}), ({a[2]}))"),
-    "strrpos": (
-        3, lambda a: f"__strrpos3(({a[0]}), ({a[1]}), ({a[2]}))"),
-    "truncate": (
-        2, lambda a: f"__truncate2(({a[0]}), ({a[1]}))"),
+    "strpos": (3, lambda a: _strpos3_macro(a, from_end=False)),
+    "strrpos": (3, lambda a: _strpos3_macro(a, from_end=True)),
+    "truncate": (2, _truncate2_macro),
     # substr/substring start-0: Presto returns '' (StringFunctions.java
     # substr: start == 0 -> EMPTY), Spark treats 0 as 1.  A literal
     # non-zero start passes through untouched (the overwhelmingly

@@ -114,55 +114,6 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
     # NOTE: chr / levenshtein / split_part / regexp_like etc. exist as
     # Spark builtins with Presto-compatible semantics — no shim needed.
     "codepoint": ("s STRING", "INT", "ascii(s)", "StringFunctions.java codepoint"),
-    # strpos/strrpos instance forms (StringFunctions.java
-    # stringPositionFromStart/:FromEnd) — dialect routes the 3-arg
-    # spellings here.  The Nth-occurrence walk is a bounded fold:
-    # occurrences start at distinct positions, so instance > length(s)
-    # is already 0 and the fold never exceeds length(s) steps.
-    # Overlapping occurrences count, exactly like the reference's
-    # index+1 stepping.
-    "__strpos3": (
-        "s STRING, sub STRING, inst BIGINT", "BIGINT",
-        """CASE WHEN s IS NULL OR sub IS NULL OR inst IS NULL THEN NULL
-           WHEN inst <= 0
-             THEN raise_error("'instance' must be a positive number.")
-           WHEN length(sub) = 0 THEN 1
-           WHEN inst > length(s) THEN 0
-           ELSE CAST(aggregate(sequence(1, CAST(inst AS INT)),
-             named_struct('p', 0, 'dead', false),
-             (acc, i) -> CASE WHEN acc.dead THEN acc
-               ELSE named_struct(
-                 'p', CAST(locate(sub, s, acc.p + 1) AS INT),
-                 'dead', locate(sub, s, acc.p + 1) = 0) END).p
-             AS BIGINT) END""",
-        "StringFunctions.java stringPositionFromStart (instance walk)"),
-    "__strrpos3": (
-        "s STRING, sub STRING, inst BIGINT", "BIGINT",
-        """CASE WHEN s IS NULL OR sub IS NULL OR inst IS NULL THEN NULL
-           WHEN inst <= 0
-             THEN raise_error("'instance' must be a positive number.")
-           WHEN length(sub) = 0 THEN 1
-           WHEN inst > length(s) THEN 0
-           ELSE CAST(CASE WHEN aggregate(
-               sequence(1, CAST(inst AS INT)),
-               named_struct('p', 0, 'dead', false),
-               (acc, i) -> CASE WHEN acc.dead THEN acc
-                 ELSE named_struct(
-                   'p', CAST(locate(reverse(sub), reverse(s),
-                                    acc.p + 1) AS INT),
-                   'dead', locate(reverse(sub), reverse(s),
-                                  acc.p + 1) = 0) END).p = 0 THEN 0
-             ELSE length(s) - aggregate(
-               sequence(1, CAST(inst AS INT)),
-               named_struct('p', 0, 'dead', false),
-               (acc, i) -> CASE WHEN acc.dead THEN acc
-                 ELSE named_struct(
-                   'p', CAST(locate(reverse(sub), reverse(s),
-                                    acc.p + 1) AS INT),
-                   'dead', locate(reverse(sub), reverse(s),
-                                  acc.p + 1) = 0) END).p
-               - length(sub) + 2 END AS BIGINT) END""",
-        "StringFunctions.java stringPositionFromEnd (reversed walk)"),
     "hamming_distance": (
         "a STRING, b STRING", "BIGINT",
         """CASE WHEN length(a) != length(b)
@@ -218,23 +169,6 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
     "truncate": (
         "x DOUBLE", "DOUBLE", "sign(x) * floor(abs(x))",
         "MathFunctions.java truncate (toward zero)"),
-    # truncate(x, n) — dialect routes the 2-arg spelling here.
-    # Documented FP pin: the reference truncates via
-    # BigDecimal.valueOf(x).setScale(n, DOWN) (decimal string space);
-    # the power-of-10 scaling below can differ by one ULP-step when
-    # x*10^n lands just below an integer (e.g. a repeating binary
-    # fraction) — same deviation class as the decimal<->double casts.
-    "__truncate2": (
-        "x DOUBLE, n BIGINT", "DOUBLE",
-        """CASE WHEN x IS NULL OR n IS NULL THEN NULL
-           WHEN isnan(x) OR abs(x) = double('Infinity') THEN x
-           WHEN n = 0 THEN IF(x >= 0, floor(x), ceil(x))
-           ELSE IF(x >= 0,
-                   floor(x * power(10, CAST(n AS INT)))
-                     / power(10, CAST(n AS INT)),
-                   ceil(x * power(10, CAST(n AS INT)))
-                     / power(10, CAST(n AS INT))) END""",
-        "MathFunctions.java:362 truncate(num, decimals)"),
     "is_finite": ("x DOUBLE", "BOOLEAN", "NOT (isnan(x) OR abs(x) = double('Infinity'))",
                   "MathFunctions.java isFinite"),
     "is_infinite": ("x DOUBLE", "BOOLEAN", "abs(x) = double('Infinity')",
@@ -354,28 +288,6 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
     # NOTE: url_encode / url_decode / typeof are Spark builtins with
     # Presto-compatible semantics — no shim needed.
     "bit_count_64": ("x BIGINT", "INT", "bit_count(x)", "BitwiseFunctions.java bitCount"),
-    # bit_count(num, bits) — the Presto 2-arg spelling (dialect.py
-    # routes 2-arg calls here; 1-arg stays on Spark's builtin).
-    "__bit_count2": (
-        "num BIGINT, bits BIGINT", "BIGINT",
-        """CASE WHEN num IS NULL OR bits IS NULL THEN NULL
-           WHEN bits = 64 THEN CAST(bit_count(num) AS BIGINT)
-           WHEN bits <= 1 OR bits > 64 THEN raise_error(concat(
-             'Bits specified in bit_count must be between 2 and 64, got ',
-             string(bits)))
-           WHEN num > shiftleft(CAST(1 AS BIGINT),
-                                CAST(bits - 1 AS INT)) - 1
-             OR num < ~(shiftleft(CAST(1 AS BIGINT),
-                                  CAST(bits - 1 AS INT)) - 1)
-             THEN raise_error(concat(
-               'Number must be representable with the bits specified. ',
-               string(num), ' can not be represented with ',
-               string(bits), ' bits'))
-           ELSE CAST(bit_count(num & (shiftleft(CAST(1 AS BIGINT),
-                                                CAST(bits AS INT)) - 1))
-                     AS BIGINT) END""",
-        "BitwiseFunctions.java:44-59 bitCount(num, bits)"),
-    # ---- array helpers Presto has and Spark spells differently ----
     "array_average": (
         "a ARRAY<DOUBLE>", "DOUBLE",
         """CASE WHEN size(filter(a, x -> x IS NOT NULL)) = 0 THEN NULL
@@ -442,31 +354,6 @@ _SQL_UDFS: dict[str, tuple[str, str, str, str]] = {
         """CASE WHEN size(a) < n THEN array(a)
            ELSE transform(sequence(1, size(a) - n + 1), i -> slice(a, i, n)) END""",
         "ArrayNgramsFunction.java (ngrams)"),
-    # width_bucket(x, bins) array overload — __-prefixed because the
-    # bare name would shadow Spark's 4-arg builtin; dialect.py routes
-    # 2-arg width_bucket() calls here (4-arg passes through).  Result
-    # = count of bins <= x (the reference's binary-search 'lower').
-    # Validation deviation (documented): the reference raises on
-    # NULL/unsorted/non-finite bins only when the SEARCH PATH visits
-    # the offending value; here the whole array is checked, so the
-    # raise set is a superset with identical messages.
-    "__width_bucket_bins": (
-        "x DOUBLE, bins ARRAY<DOUBLE>", "BIGINT",
-        """CASE WHEN x IS NULL OR bins IS NULL THEN NULL
-           WHEN size(bins) = 0
-             THEN raise_error('Bins cannot be an empty array')
-           WHEN isnan(x) THEN raise_error('Operand cannot be NaN')
-           WHEN exists(bins, b -> b IS NULL)
-             THEN raise_error('Bin values cannot be NULL')
-           WHEN exists(bins, b -> isnan(b) OR abs(b) = double('Infinity'))
-             THEN raise_error('Bin values must be finite')
-           WHEN exists(zip_with(slice(bins, 1, size(bins) - 1),
-                                slice(bins, 2, size(bins) - 1),
-                                (lo, hi) -> lo > hi), v -> v)
-             THEN raise_error(
-               'Bin values are not sorted in ascending order')
-           ELSE CAST(size(filter(bins, b -> b <= x)) AS BIGINT) END""",
-        "MathFunctions.java:1667 widthBucket(operand, bins)"),
     "trim_array": ("a ARRAY<STRING>, n INT", "ARRAY<STRING>",
                    "slice(a, 1, size(a) - n)",
                    "ArrayTrimFunction.java"),
@@ -1280,6 +1167,29 @@ def register_functions(spark: SparkSession) -> list[str]:
     ):
         spark.udf.register(name, fn)
         registered.append(name)
+    return registered
+
+
+_GEO_SQL_READY: set[int] = set()
+
+
+def register_geo_sql_functions(spark: SparkSession) -> list[str]:
+    """Register the geospatial SQL surface (ingest/emit/relate tier,
+    DE-9IM predicates, measures + SPHERICAL_GEOGRAPHY spellings).
+
+    Split out of register_functions (round 12): ~20 SQL temp
+    functions, several with multi-KB fold bodies, measurably slow
+    Spark's per-iteration analysis of UNRELATED iterative queries
+    (WITH RECURSIVE re-analyzes per UnionLoop step; the recursive
+    bench rows regressed ~40% with the tier registered).  The Engine
+    facade registers it always (full SQL surface); registry rows that
+    run geo SQL text call this explicitly; everything else skips the
+    analyzer drag.  Memoized per session like register_functions.
+    """
+    if id(spark) in _GEO_SQL_READY:
+        return []
+    _GEO_SQL_READY.add(id(spark))
+    registered: list[str] = []
     # Geospatial SQL spellings (round 12, VERDICT r11 next-round #8):
     # the reference surface is SQL, so the ingest/emit/relate tier —
     # already Arrow-batched UDFs — registers under its Presto names,
@@ -1380,3 +1290,4 @@ def register_functions(spark: SparkSession) -> list[str]:
         spark.sql(_ddl(name, args, ret, body))
         registered.append(name)
     return registered
+

@@ -2228,5 +2228,8 @@ ORDER BY metric, k
     tags=("geo", "functions", "dialect"),
 )
 def geo_sql_measures_golden(spark, sf_dir):
+    from presto_spark.functions.registry import register_geo_sql_functions
+
     prepare(spark, sf_dir)
+    register_geo_sql_functions(spark)
     return spark.sql(_SQL_MEASURES_TEXT)
