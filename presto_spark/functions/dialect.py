@@ -36,7 +36,6 @@ _SIMPLE_MAP = {
     # form is WEIGHTED (x, w, percentage), not (x, percentage, accuracy).
     # scalar polymorphics (SQL UDFs can't be generic over element type)
     "cardinality": "size",                       # operator/scalar/ArrayCardinalityFunction.java
-    "from_unixtime": "timestamp_seconds",        # DateTimeFunctions.java fromUnixTime → TIMESTAMP
     # NOTE: regexp_split is a macro (split with a -1 limit marker), not a
     # plain rename — see _MACROS; the marker tells the literal-delimiter
     # quoting pass the pattern is a real regex.
@@ -743,6 +742,21 @@ _MACROS: dict[str, tuple[int, object]] = {
     # bit_count(num, bits) — Presto's only spelling is 2-arg
     # (BitwiseFunctions.java:44); 1-arg calls stay on Spark's builtin.
     "bit_count": (2, _bit_count2_macro),
+    # from_unixtime overloads (DateTimeFunctions.java fromUnixTime):
+    # 1-arg → plain TIMESTAMP (fractional seconds kept); the 2-arg
+    # (zone string) and 3-arg (hour/minute offset) forms return the
+    # engine's TSWTZ struct model <utc, tz> (registry.py with_timezone
+    # notes) — the offset renders as the '+HH:MM' ZoneId Presto packs.
+    "from_unixtime": {
+        1: lambda a: f"timestamp_seconds(({a[0]}))",
+        2: lambda a: (f"named_struct('utc', timestamp_seconds(({a[0]})), "
+                      f"'tz', ({a[1]}))"),
+        3: lambda a: (
+            f"named_struct('utc', timestamp_seconds(({a[0]})), 'tz', "
+            f"concat(IF(({a[1]}) * 60 + ({a[2]}) < 0, '-', '+'), "
+            f"lpad(string(abs(({a[1]}))), 2, '0'), ':', "
+            f"lpad(string(abs(({a[2]}))), 2, '0')))"),
+    },
     # regexp_extract — Presto returns NULL when nothing matches and
     # the 2-arg form returns the FULL match (group 0); Spark defaults
     # idx to 1 and returns '' on no-match.  The RLIKE guard restores
@@ -863,7 +877,17 @@ _MACROS: dict[str, tuple[int, object]] = {
         if _teradata.is_literal_format(a[1])
         else f"to_timestamp_td_py(({a[0]}), ({a[1]}))")),
     # 1-arg normalize defaults to NFC (StringFunctions.java normalize)
-    "normalize": (1, lambda a: f"normalize(({a[0]}), 'NFC')"),
+    # normalize(s[, form]) — the 2-arg form takes a BARE KEYWORD
+    # (NFC/NFD/NFKC/NFKD, SqlParser normalForm rule) that Spark would
+    # read as a column; quote it for the registered UDF.  An already-
+    # quoted form passes through (idempotent).
+    "normalize": {
+        1: lambda a: f"normalize(({a[0]}), 'NFC')",
+        2: lambda a: (
+            f"normalize(({a[0]}), '{a[1].strip().upper()}')"
+            if re.match(r"^(NFC|NFD|NFKC|NFKD)$", a[1].strip(), re.I)
+            else None),
+    },
     # typeof → Presto type-name spelling (TypeOfFunction.java): Spark's
     # typeof speaks Spark names; map int→integer, string→varchar,
     # struct→row, <>→(), etc.  Word-boundary regexes keep bigint/

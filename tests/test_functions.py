@@ -214,6 +214,28 @@ def test_width_bucket_bins_overload(spark):
             spark.sql(translate(f"SELECT {expr} AS v")).coalesce(1).collect()
 
 
+def test_normalize_form_keyword_and_from_unixtime_overloads(spark):
+    """normalize(s, FORM) takes a bare keyword (SqlParser normalForm);
+    from_unixtime's 2-/3-arg forms return the TSWTZ struct model
+    (DateTimeFunctions.java fromUnixTime overloads)."""
+    def tr(expr):
+        return spark.sql(translate(f"SELECT {expr} AS v")).collect()[0].v
+
+    assert tr("normalize('Å', NFC)") == "Å"   # Å angstrom→ring A
+    assert tr("normalize('㎛', NFKC)") != "㎛"  # compat expands
+    assert tr("normalize('x', 'NFC')") == "x"           # quoted passes
+    assert tr("tz_to_iso8601(from_unixtime(7200, 1, 30))") == (
+        "1970-01-01T03:30:00.000+01:30")
+    assert tr("tz_to_iso8601(from_unixtime(7200, -5, -30))") == (
+        "1969-12-31T20:30:00.000-05:30")
+    assert str(tr("from_unixtime(100.5)")) == "1970-01-01 00:01:40.500000"
+    w = tr("tz_wall(from_unixtime(0, 'America/New_York'))")
+    assert str(w) == "1969-12-31 19:00:00"
+    from presto_spark.functions.dialect import translate as _t
+    once = _t("SELECT from_unixtime(x, 1, 30) FROM t")
+    assert _t(once) == once
+
+
 def test_substr_zero_start_conformance(spark):
     """StringFunctions.java substr: start == 0 returns '' where Spark
     treats 0 as 1.  Literal non-zero starts pass through untouched;
