@@ -63,6 +63,14 @@ from presto_spark.queries import corpus_suite  # noqa: F401,E402
 #      staleness rotation (standing rule).
 #   4. The 23 remaining r4-stale rows (burns the r4 debt to zero).
 #   5. The 11 alphabetically-first r5-stale rows (6+2+8+23+11 = 50).
+# R13 re-front obligation (edited-tier rule): the round-12 dialect
+# conformance batch edited translate() (regexp_extract guards, 3-arg
+# strpos/strrpos, 2-arg truncate/bit_count, width_bucket bins,
+# substr-0, combinations, normalize form keyword, from_unixtime
+# overloads), so every translate-routed row (presto_dialect_*,
+# fn_combinations_golden, corpus_product_golden) re-earns green ahead
+# of staleness rotation.  All were diffcheck-green at sf0.01 after the
+# final edit this round (window gate + presto_dialect block).
 # Remaining staleness debt after this window (leads the r13 front):
 # the other 33 r5 rows (geo_accessors_wkt_golden, geo_bing_tile_rollup,
 # geo_geojson_roundtrip, geo_great_circle_routes,
