@@ -29,9 +29,19 @@ def test_translate_idempotent(sql):
 @given(IDENT)
 @settings(max_examples=100, deadline=None)
 def test_translate_leaves_unknown_functions_alone(name):
-    """Only the mapped spellings are rewritten."""
-    if name in {"approx_distinct", "arbitrary", "approx_percentile",
-                "cardinality", "from_unixtime", "try"}:
+    """Only the mapped spellings are rewritten.  The exemption set
+    derives from the live rename/macro tables (a hardcoded list
+    missed 1-arg macro names like normalize — only low generation
+    probability kept it green)."""
+    from presto_spark.functions import dialect as _d
+
+    exempt = (set(_d._SIMPLE_MAP) | set(_d._MACROS)
+              | {"approx_distinct", "approx_percentile", "try",
+                 "kurtosis", "count", "grouping", "split", "color",
+                 "render", "bar", "features", "min_by", "max_by",
+                 "min", "max", "array_min_by", "array_max_by",
+                 "array_agg"})
+    if name in exempt:
         return
     sql = f"SELECT {name}(x) FROM t"
     assert translate(sql) == sql
