@@ -742,6 +742,14 @@ _MACROS: dict[str, tuple[int, object]] = {
     # bit_count(num, bits) — Presto's only spelling is 2-arg
     # (BitwiseFunctions.java:44); 1-arg calls stay on Spark's builtin.
     "bit_count": (2, _bit_count2_macro),
+    # checksum(x) (ChecksumAggregationFunction.java): order-insensitive
+    # aggregate returned as 8-byte VARBINARY.  Engine composition is
+    # sum-mod-2^64 of xxhash64 (the operators/aggregates.py deviation:
+    # equally order-insensitive, spark-native), rendered to binary via
+    # hex/unhex so to_hex(checksum(x)) works like Presto's.
+    "checksum": (
+        1, lambda a: (f"unhex(lpad(hex(sum(xxhash64(({a[0]})))), "
+                      "16, '0'))")),
     # from_unixtime overloads (DateTimeFunctions.java fromUnixTime):
     # 1-arg → plain TIMESTAMP (fractional seconds kept); the 2-arg
     # (zone string) and 3-arg (hour/minute offset) forms return the

@@ -214,6 +214,21 @@ def test_width_bucket_bins_overload(spark):
             spark.sql(translate(f"SELECT {expr} AS v")).coalesce(1).collect()
 
 
+def test_checksum_sql_spelling(spark):
+    """ChecksumAggregationFunction.java: order-insensitive aggregate
+    returned as 8-byte VARBINARY (engine composition: sum-mod-2^64 of
+    xxhash64 — the operators/aggregates.py deviation, rendered to
+    binary so to_hex(checksum(x)) works)."""
+    def tr(sql):
+        return spark.sql(translate(sql)).collect()[0].v
+
+    a = tr("SELECT to_hex(checksum(x)) AS v FROM (VALUES (1),(2),(3)) t(x)")
+    b = tr("SELECT to_hex(checksum(x)) AS v FROM (VALUES (3),(1),(2)) t(x)")
+    assert a == b and len(a) == 16
+    assert tr("SELECT checksum(x) IS NULL AS v "
+              "FROM (SELECT 1 AS x WHERE false) t") is True
+
+
 def test_normalize_form_keyword_and_from_unixtime_overloads(spark):
     """normalize(s, FORM) takes a bare keyword (SqlParser normalForm);
     from_unixtime's 2-/3-arg forms return the TSWTZ struct model
