@@ -628,6 +628,25 @@ def _substr_zero_guard(name: str, a: list[str]) -> str | None:
             f"ELSE {name}(/*ps*/ ({a[0]}){rest}) END")
 
 
+def _checksum_macro(a: list[str]) -> str:
+    """checksum(x) expansion — see the _MACROS entry.
+
+    sum(h) mod 2^64 via 32-bit halves: with h = hi*2^32 + lo
+    (both halves non-negative < 2^32), sum(h) mod 2^64 =
+    ((sum(hi) + sum(lo) div 2^32) mod 2^32)*2^32 | (sum(lo) mod 2^32).
+    shiftleft wraps (never raises) and the final combine is a bitwise
+    OR into known-zero low bits, so the expansion is exact and
+    overflow-free under ANSI mode up to 2^31 rows per group (a single
+    Spark partition/group beyond that is itself a skew bug at scale).
+    """
+    h = f"xxhash64(({a[0]}))"
+    lo = f"sum({h} & 4294967295)"
+    hi = f"sum(shiftrightunsigned({h}, 32))"
+    packed = (f"shiftleft(({hi}) + shiftright(({lo}), 32), 32) "
+              f"| (({lo}) & 4294967295)")
+    return f"unhex(lpad(hex({packed}), 16, '0'))"
+
+
 def _combinations_macro(arr: str, n: str) -> str:
     """combinations(array, n) expansion — see the _MACROS entry."""
     a, k = "_ps_a", f"({n})"
@@ -646,13 +665,16 @@ def _combinations_macro(arr: str, n: str) -> str:
             expr = f"transform(sequence({lo}, {hi}), {idx[d]} -> {expr})"
         return "flatten(" * (depth - 1) + expr + ")" * (depth - 1)
 
+    # count runs in DOUBLE from the first factor: int products wrap
+    # silently past 2^31 (e.g. size 300, k 5), which fed garbage to
+    # the size-gate comparisons below (ADVICE r12).
     count = (f"CASE {k} WHEN 0 THEN 1.0D WHEN 1 THEN double(size({a})) "
-             f"WHEN 2 THEN size({a}) * (size({a}) - 1) / 2.0D "
-             f"WHEN 3 THEN size({a}) * (size({a}) - 1) * (size({a}) - 2) "
-             "/ 6.0D "
-             f"WHEN 4 THEN size({a}) * (size({a}) - 1) * (size({a}) - 2) "
-             f"* (size({a}) - 3) / 24.0D "
-             f"ELSE size({a}) * (size({a}) - 1) * (size({a}) - 2) "
+             f"WHEN 2 THEN double(size({a})) * (size({a}) - 1) / 2.0D "
+             f"WHEN 3 THEN double(size({a})) * (size({a}) - 1) "
+             f"* (size({a}) - 2) / 6.0D "
+             f"WHEN 4 THEN double(size({a})) * (size({a}) - 1) "
+             f"* (size({a}) - 2) * (size({a}) - 3) / 24.0D "
+             f"ELSE double(size({a})) * (size({a}) - 1) * (size({a}) - 2) "
              f"* (size({a}) - 3) * (size({a}) - 4) / 120.0D END")
     case = (
         f"CASE WHEN {k} IS NULL THEN NULL "
@@ -662,6 +684,14 @@ def _combinations_macro(arr: str, n: str) -> str:
         f"'combination size must not exceed 5: ', string({k}))) "
         f"WHEN {k} > size({a}) THEN "
         f"slice(transform({a}, _ps_x -> array(_ps_x)), 1, 0) "
+        # combinationCount's int multiplyExact overflows (largest
+        # intermediate = C(n,k)*k, monotone in the loop index) BEFORE
+        # the max-size check and carries its own message
+        # (ArrayCombinationsFunction.java:103) — ADVICE r12.
+        f"WHEN {count} * {k} > 2147483647.0D THEN "
+        f"raise_error(concat('Number of combinations too large for "
+        f"array of size ', string(size({a})), "
+        f"' and combination length ', string({k}))) "
         f"WHEN {count} * {k} > 100000.0D THEN "
         "raise_error('combinations exceed max size') "
         f"WHEN {k} = 0 THEN array(slice({a}, 1, 0)) "
@@ -672,6 +702,103 @@ def _combinations_macro(arr: str, n: str) -> str:
         f"ELSE {nest(5)} END"
     )
     return f"element_at(transform(array(({arr})), {a} -> {case}), 1)"
+
+
+def _classification_macro(a: list[str], metric: str) -> str:
+    """classification_{precision,recall,miss_rate,fall_out,thresholds}
+    (buckets, outcome, pred [, weight]) SQL-aggregate spellings.
+
+    Reference: PrecisionRecallAggregation.java (two fixed histograms
+    over pred in [0,1], bucket j threshold = j*(max-min)/buckets, the
+    running/remaining-weight results iterator at :180-230) and the
+    five Classification*Aggregation.java outputs; the DataFrame-level
+    twin is operators/classification.py classification_metrics.
+
+    Expansion shape: the bucket count must be an integer LITERAL (the
+    reference itself rejects non-constant bucket counts per group with
+    "Bucket count must be constant"), so the two histograms unroll to
+    2*buckets conditional sums — plain map-side-combinable aggregates,
+    scale-safe — and the curve math (totals, prefix sums, the
+    emit-while-true-weight-remains stop rule, the metric division) is
+    post-aggregation array-HOF work priced in buckets, never rows.
+    Validation parity: NULL args skip the row; pred outside [0,1] and
+    negative weights raise the reference's exact messages.  Documented
+    deviation (same as the DataFrame twin): a no-negatives group
+    yields NULL fall_out entries where the reference's raw double
+    division yields NaN.
+    """
+    b_txt = a[0].strip()
+    if not _INT_LITERAL_RE.match(b_txt):
+        raise ValueError(
+            f"classification_{metric}: bucket count must be an integer "
+            f"literal (the reference requires it constant per group — "
+            f"PrecisionRecallAggregation.java INCONSISTENT_BUCKET_COUNT), "
+            f"got: {b_txt!r}")
+    b = int(b_txt)
+    if b < 2:
+        return (f"raise_error('bucketCount must be at least 2: {b}')")
+    if b > 100:
+        raise ValueError(
+            f"classification_{metric}: bucket counts above 100 are not "
+            f"supported by the unrolled-histogram expansion (got {b}); "
+            f"use operators.classification.classification_metrics")
+    w_txt = f"CAST(({a[3]}) AS DOUBLE)" if len(a) == 4 else \
+        "CAST(1 AS DOUBLE)"
+    rstruct = (f"named_struct('o', CAST(({a[1]}) AS BOOLEAN), "
+               f"'p', CAST(({a[2]}) AS DOUBLE), 'w', {w_txt})")
+    bkt = (f"least(CAST(floor(CAST({b} AS DOUBLE) * "
+           f"least(_ps_r.p, 9.9999999999E-1D)) AS INT), {b - 1})")
+
+    def hist(true_side: bool) -> str:
+        want = "_ps_r.o" if true_side else "(NOT _ps_r.o)"
+        sums = []
+        for j in range(b):
+            case = (
+                "CASE WHEN _ps_r.o IS NULL OR _ps_r.p IS NULL "
+                "OR _ps_r.w IS NULL THEN CAST(NULL AS DOUBLE) "
+                "WHEN _ps_r.p < 0D OR _ps_r.p > 1D THEN raise_error("
+                "'Prediction value must be between 0.0 and 1.0') "
+                "WHEN _ps_r.w < 0D THEN raise_error("
+                "'Weights must be non-negative') "
+                f"WHEN {want} AND {bkt} = {j} THEN _ps_r.w "
+                "ELSE CAST(0 AS DOUBLE) END")
+            sums.append(
+                f"coalesce(sum(element_at(transform(array({rstruct}), "
+                f"_ps_r -> {case}), 1)), CAST(0 AS DOUBLE))")
+        return f"array({', '.join(sums)})"
+
+    def prefix(arr: str) -> str:
+        return (f"aggregate({arr}, named_struct('acc', "
+                "CAST(0 AS DOUBLE), 'out', CAST(array() AS "
+                "ARRAY<DOUBLE>)), (_ps_s, _ps_x) -> named_struct("
+                "'acc', _ps_s.acc + _ps_x, 'out', concat(_ps_s.out, "
+                "array(_ps_s.acc))), _ps_s -> _ps_s.out)")
+
+    def total(arr: str) -> str:
+        return (f"aggregate({arr}, CAST(0 AS DOUBLE), "
+                "(_ps_ac, _ps_x) -> _ps_ac + _ps_x)")
+
+    rt_j = "element_at(_ps_c.rt, _ps_j + 1)"
+    rf_j = "element_at(_ps_c.rf, _ps_j + 1)"
+    body = {
+        "thresholds": f"CAST(_ps_j AS DOUBLE) / CAST({b} AS DOUBLE)",
+        "precision": (f"(_ps_c.tt - {rt_j}) / ((_ps_c.tt - {rt_j}) "
+                      f"+ (_ps_c.tf - {rf_j}))"),
+        "recall": f"(_ps_c.tt - {rt_j}) / _ps_c.tt",
+        "miss_rate": f"{rt_j} / _ps_c.tt",
+        "fall_out": f"(_ps_c.tf - {rf_j}) / _ps_c.tf",
+    }[metric]
+    emit = (f"filter(sequence(0, {b - 1}), _ps_j -> "
+            "_ps_c.tt - element_at(_ps_c.rt, _ps_j + 1) > 0D)")
+    inner = (
+        "element_at(transform(array(named_struct("
+        f"'tt', {total('_ps_w.tw')}, 'tf', {total('_ps_w.fw')}, "
+        f"'rt', {prefix('_ps_w.tw')}, 'rf', {prefix('_ps_w.fw')})), "
+        f"_ps_c -> transform({emit}, _ps_j -> {body})), 1)")
+    return (
+        "element_at(transform(array(named_struct("
+        f"'tw', {hist(True)}, 'fw', {hist(False)})), "
+        f"_ps_w -> {inner}), 1)")
 
 
 _MACROS: dict[str, tuple[int, object]] = {
@@ -746,24 +873,51 @@ _MACROS: dict[str, tuple[int, object]] = {
     # aggregate returned as 8-byte VARBINARY.  Engine composition is
     # sum-mod-2^64 of xxhash64 (the operators/aggregates.py deviation:
     # equally order-insensitive, spark-native), rendered to binary via
-    # hex/unhex so to_hex(checksum(x)) works like Presto's.
-    "checksum": (
-        1, lambda a: (f"unhex(lpad(hex(sum(xxhash64(({a[0]})))), "
-                      "16, '0'))")),
+    # hex/unhex so to_hex(checksum(x)) works like Presto's.  The mod-
+    # 2^64 sum is split into 32-bit halves summed separately and
+    # recombined (carry = low-sum div 2^32), so it is ANSI-proof: no
+    # intermediate can overflow BIGINT below 2^31 rows per group,
+    # where a plain sum(xxhash64) throws ARITHMETIC_OVERFLOW under
+    # spark.sql.ansi.enabled=true instead of wrapping (ADVICE r12).
+    "checksum": (1, _checksum_macro),
+    # classification_* curve aggregates (PrecisionRecallAggregation.java
+    # + the five Classification*Aggregation.java outputs; VERDICT r12
+    # what's-missing #2) — unrolled-histogram expansions, see
+    # _classification_macro.
+    **{
+        f"classification_{_m}": {
+            3: (lambda a, _m=_m: _classification_macro(a, _m)),
+            4: (lambda a, _m=_m: _classification_macro(a, _m)),
+        }
+        for _m in ("precision", "recall", "miss_rate", "fall_out",
+                   "thresholds")
+    },
     # from_unixtime overloads (DateTimeFunctions.java fromUnixTime):
     # 1-arg → plain TIMESTAMP (fractional seconds kept); the 2-arg
     # (zone string) and 3-arg (hour/minute offset) forms return the
     # engine's TSWTZ struct model <utc, tz> (registry.py with_timezone
-    # notes) — the offset renders as the '+HH:MM' ZoneId Presto packs.
+    # notes) — the offset renders as the '+HH:MM' ZoneId Presto packs
+    # (TimeZoneKey.zoneIdForOffset over TOTAL minutes = hours*60 +
+    # minutes, so mixed signs and minutes >= 60 normalize exactly as
+    # getTimeZoneKeyForOffset does — ADVICE r12; |total| > 840 raises
+    # the reference's "Invalid offset minutes" message.  Remaining
+    # pin: total == 0 renders '+00:00' where the reference interns
+    # UTC_KEY and prints 'UTC' — same instant, same offset math).
     "from_unixtime": {
         1: lambda a: f"timestamp_seconds(({a[0]}))",
         2: lambda a: (f"named_struct('utc', timestamp_seconds(({a[0]})), "
                       f"'tz', ({a[1]}))"),
         3: lambda a: (
             f"named_struct('utc', timestamp_seconds(({a[0]})), 'tz', "
-            f"concat(IF(({a[1]}) * 60 + ({a[2]}) < 0, '-', '+'), "
-            f"lpad(string(abs(({a[1]}))), 2, '0'), ':', "
-            f"lpad(string(abs(({a[2]}))), 2, '0')))"),
+            + _let(
+                {"t": (f"CAST(({a[1]}) AS BIGINT) * 60 "
+                       f"+ CAST(({a[2]}) AS BIGINT)")},
+                "CASE WHEN abs(_ps_w.t) > 840 THEN raise_error(concat("
+                "'Invalid offset minutes ', string(_ps_w.t))) "
+                "ELSE concat(IF(_ps_w.t < 0, '-', '+'), "
+                "lpad(string(abs(_ps_w.t) div 60), 2, '0'), ':', "
+                "lpad(string(abs(_ps_w.t) % 60), 2, '0')) END")
+            + ")"),
     },
     # regexp_extract — Presto returns NULL when nothing matches and
     # the 2-arg form returns the FULL match (group 0); Spark defaults

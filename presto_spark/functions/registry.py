@@ -1170,7 +1170,6 @@ def register_functions(spark: SparkSession) -> list[str]:
     return registered
 
 
-_GEO_SQL_READY: set[int] = set()
 
 
 def register_geo_sql_functions(spark: SparkSession) -> list[str]:
@@ -1184,11 +1183,15 @@ def register_geo_sql_functions(spark: SparkSession) -> list[str]:
     bench rows regressed ~40% with the tier registered).  The Engine
     facade registers it always (full SQL surface); registry rows that
     run geo SQL text call this explicitly; everything else skips the
-    analyzer drag.  Memoized per session like register_functions.
+    analyzer drag.  Memoized via a flag attribute stashed on the
+    session object itself — an id(spark) key in a module-global set
+    can collide when a stopped session's address is reused by a new
+    one, silently skipping registration (ADVICE r12); the attribute
+    dies with the session it marks.
     """
-    if id(spark) in _GEO_SQL_READY:
+    if getattr(spark, "_presto_spark_geo_sql_ready", False):
         return []
-    _GEO_SQL_READY.add(id(spark))
+    spark._presto_spark_geo_sql_ready = True
     registered: list[str] = []
     # Geospatial SQL spellings (round 12, VERDICT r11 next-round #8):
     # the reference surface is SQL, so the ingest/emit/relate tier —
@@ -1246,10 +1249,15 @@ def register_geo_sql_functions(spark: SparkSession) -> list[str]:
          "WHEN 'GEOMETRYCOLLECTION' THEN 'ST_GeomCollection' END"),
         # DE-9IM family: one matrix call, one regex scan per predicate
         # (pattern positions: II IB IE BI BB BE EI EB EE)
+        # malformed (non-NULL, not 9 chars over TF012*) patterns RAISE
+        # like the reference's Esri relate(); NULL pattern stays NULL
         ("st_relate", f"{_AB}, p STRING", "BOOLEAN",
-         f"CASE WHEN length(p) = 9 THEN {_M} RLIKE "
+         "CASE WHEN p IS NULL THEN CAST(NULL AS BOOLEAN) "
+         "WHEN p RLIKE '^[TF012*]{9}$' THEN "
+         f"{_M} RLIKE "
          "concat('^', replace(replace(p, 'T', '[012]'), '*', '.'), '$') "
-         "END"),
+         "ELSE CAST(raise_error(concat('Invalid DE-9IM pattern: ', p)) "
+         "AS BOOLEAN) END"),
         ("st_touches", _AB, "BOOLEAN",
          f"{_M} RLIKE '^F([^F]|..[^F]|...[^F])'"),
         ("st_disjoint", _AB, "BOOLEAN", f"{_M} RLIKE '^FF.FF'"),

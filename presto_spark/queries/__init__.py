@@ -37,114 +37,95 @@ from presto_spark.queries import corpus_suite  # noqa: F401,E402
 #     fixed-but-unchecked row must never be reported green by
 #     staleness.
 #
-# Round-12 front (the r11 judge prescription, next-round #1-#7, plus
-# the round-12 TPC-DS completion rows):
-#   1. geo_predicates_golden — NEW (DE-9IM tier: ST_Touches/Crosses/
-#      Overlaps/Disjoint/Equals/Relate + general Contains/Within,
-#      r11 what's-missing #1); geo_accessors2_golden — NEW (WKB
-#      ingest/emit, ST_LineFromText, interior-ring/boundary/envelope
-#      accessors, ST_IsValid/IsSimple, ST_SymDifference — r11
-#      what's-missing #2-#4).
-#   2. geo_spherical_golden / geo_buffer_line_golden /
-#      geo_simplify_flatten_golden / geo_overlay_point_tier_golden —
-#      re-fronted as edited-TIER rows: their query texts are unchanged
-#      but the functions they traverse changed this round (spherical
-#      NULL propagation, buffer negative-distance raise, simplify UDF
-#      input shape, scalar st_union/intersection/difference polygon
-#      auto-routing), so they must re-earn green rather than stay
-#      green by staleness.
-#   3. geo_sql_measures_golden — NEW (SQL spellings of the measure
-#      tier + SPHERICAL_GEOGRAPHY marker casts, r11 next-round #8);
-#      fn_combinations_golden — NEW (combinations() dialect macro,
-#      ArrayCombinationsFunction.java — closed a docs-sweep gap).
-#   3b. The 8 NEW round-12 TPC-DS completion rows (q27/q43/q53/q60/
-#      q84/q85/q94/q99 — the last uncited TPC-DS query numbers; the
-#      suite now cites all 99 shapes).  New rows front ahead of
-#      staleness rotation (standing rule).
-#   4. The 23 remaining r4-stale rows (burns the r4 debt to zero).
-#   5. The 11 alphabetically-first r5-stale rows (6+2+8+23+11 = 50).
-# R13 re-front obligation (edited-tier rule): the round-12 dialect
-# conformance batch edited translate() (regexp_extract guards, 3-arg
-# strpos/strrpos, 2-arg truncate/bit_count, width_bucket bins,
-# substr-0, combinations, normalize form keyword, from_unixtime
-# overloads), so every translate-routed row (presto_dialect_*,
-# fn_combinations_golden, corpus_product_golden) re-earns green ahead
-# of staleness rotation.  All were diffcheck-green at sf0.01 after the
-# final edit this round (window gate + presto_dialect block).
-# Remaining staleness debt after this window (leads the r13 front):
-# the other 33 r5 rows (geo_accessors_wkt_golden, geo_bing_tile_rollup,
-# geo_geojson_roundtrip, geo_great_circle_routes,
-# geo_line_referencing_golden, geo_measures_wkt_golden,
-# geo_point_in_polygon_zones, llm_embedding_near_dup,
-# llm_embedding_near_dup_lsh, llm_exact_dedup, llm_fingerprint,
-# llm_language_id, llm_lsh_near_dedup, llm_minhash_signature,
-# llm_ngram_jaccard_pairs, llm_simhash, llm_text_stats,
-# presto_dialect_grouping_sets, presto_dialect_groups_frames,
-# presto_dialect_prepared_execute, presto_dialect_tablesample,
-# presto_dialect_teradata_fns, sketch_noisy_gaussian_envelope,
-# tpcds_channel_union_rollup, tpcds_cross_channel_intersect,
-# tpcds_dense_rank_over_cube, tpcds_market_share_delta,
-# tpcds_q31_channel_growth, tpcds_q34_frequent_buyers,
-# tpcds_q57_outlier_months, tpcds_q75_yoy_decline,
-# tpcds_rank_within_parent, tpcds_revenue_share_window) then the
-# 41 r6 rows.
+# Round-13 front (the r12 judge prescription, next-round #1-#6):
+#   1. fn_classification_spellings — NEW (the four-plus-one
+#      classification_* SQL-aggregate spellings, r12 what's-missing
+#      #2 / next-round #3).  New rows front ahead of staleness
+#      rotation (standing rule).
+#   2. geo_predicates_golden + geo_sql_measures_golden — re-fronted as
+#      edited-TIER rows: ST_Relate now RAISES on a malformed DE-9IM
+#      pattern in both tiers (r12 next-round #5), so the rows that
+#      traverse the relate family re-earn green.
+#   3. The full translate-routed re-front obligation (edited-tier
+#      rule): round 13 edited translate() again (from_unixtime 3-arg
+#      total-minutes zone fix, combinations int-overflow message arm +
+#      double-math count, ANSI-proof checksum, classification_*
+#      macros), so all 13 presto_dialect_* rows + fn_combinations_
+#      golden + corpus_product_golden re-earn green.
+#   4. The 33 r5-stale rows — the ENTIRE remaining r5 block, including
+#      the north-star llm_* dedup/similarity/text rows last
+#      hard-checked r5 (r12 verdict next-round #1; 5 of the 33 are
+#      presto_dialect_* rows already fronted by #3).
+#   5. The first 4 r6-stale rows, sketch rows first (r12 next-round
+#      #6): sketch_kll_exact_ops, sketch_tdigest_exact_ops,
+#      agg_differential_entropy_histogram, agg_misc_suite.
+#      (1 + 2 + 15 + 28 + 4 = 50.)
+# Remaining staleness debt after this window (leads the r14 front):
+# the other 36 r6 rows (agg_union_tail_suite, fn_decimal_cast_suite,
+# geo_aggregate_hulls, geo_nearest_expand_golden, geo_validity_golden,
+# join_cross, join_full_outer, join_multi_key_with_residual,
+# join_right_outer, join_semi_anti, join_theta_inequality,
+# llm_pii_redaction, llm_repetition_filters, q02, q10-q22,
+# tpcds_q1/q23/q33/q78, window_aggregate_frames, window_ranking,
+# window_value_functions), then the 48 r8 rows.
 # tests/test_registry_front.py pins list(REGISTRY)[:50] == this list.
 _DRIVER_FRONT = [
-    # 1-2. new / edited-tier rows (standing rules)
+    # 1. new row (standing rule)
+    "fn_classification_spellings",
+    # 2. edited-tier geo re-fronts (ST_Relate malformed-pattern raise)
     "geo_predicates_golden",
-    "geo_accessors2_golden",
-    "geo_spherical_golden",
-    "geo_buffer_line_golden",
-    "geo_simplify_flatten_golden",
-    "geo_overlay_point_tier_golden",
-    # 3. new round-12 rows: SQL measure tier, then the 8 TPC-DS
-    # completion rows
     "geo_sql_measures_golden",
+    # 3. translate-routed re-front obligation (translate() edited)
+    "presto_dialect_revenue_window",
+    "presto_dialect_array_ops",
+    "presto_dialect_try_and_generics",
+    "presto_dialect_session_misc",
+    "presto_dialect_scalar_breadth",
+    "presto_dialect_unnest_ordinality",
+    "presto_dialect_tablesample",
+    "presto_dialect_grouping_sets",
+    "presto_dialect_prepared_execute",
+    "presto_dialect_groups_frames",
+    "presto_dialect_teradata_fns",
+    "presto_dialect_sql_invoked_suite3",
+    "presto_dialect_semantics_suite",
     "fn_combinations_golden",
-    "tpcds_q27_rollup_demo_avgs",
-    "tpcds_q43_weekday_pivot",
-    "tpcds_q53_quarterly_deviation",
-    "tpcds_q60_channel_category_totals",
-    "tpcds_q84_band_lookup_chain",
-    "tpcds_q85_disjunctive_band_report",
-    "tpcds_q94_multi_supplier_no_returns",
-    "tpcds_q99_ship_latency_buckets",
-    # 4. the 23 remaining r4-stale rows
-    "fn_regex_suite",
-    "fn_string_suite",
-    "fn_struct_suite",
-    "fn_time_type",
-    "fn_timezone_suite",
-    "fn_url_suite",
-    "fn_word_stem",
-    "join_null_safe_equality",
-    "recursive_date_spine",
-    "recursive_tree_rollup",
-    "tpcds_cumulative_compare",
-    "tpcds_exists_gated_stats",
-    "tpcds_grouping_sets_geo_rank",
-    "tpcds_moving_avg_deviation",
-    "tpcds_multi_bucket_counts",
-    "tpcds_returns_adjusted_spend",
-    "tpcds_rollup_rank_interplay",
-    "tpcds_rollup_topk_per_group",
-    "tpcds_week_over_week",
-    "tpcds_yoy_growth_ratio",
-    "unnest_map_entries",
-    "window_ignore_nulls",
-    "window_range_interval_frame",
-    # 5. the 11 alphabetically-first r5-stale rows
-    "event_asof_join_enrichment",
-    "event_range_join_attribution",
-    "event_stream_dedup",
-    "fn_array_sql_golden",
-    "fn_array_sql_ordering",
-    "fn_cdf_incomplete_suite",
-    "fn_datetime_misc",
-    "fn_map_sql_golden",
-    "fn_normal_cdf_envelope",
-    "fn_sequence_temporal",
-    "fn_string_sql_suite2",
+    "corpus_product_golden",
+    # 4. the 33 r5-stale rows (the llm_* north-star block among them;
+    # the 5 presto_dialect_* r5 rows are already fronted above)
+    "geo_accessors_wkt_golden",
+    "geo_bing_tile_rollup",
+    "geo_geojson_roundtrip",
+    "geo_great_circle_routes",
+    "geo_line_referencing_golden",
+    "geo_measures_wkt_golden",
+    "geo_point_in_polygon_zones",
+    "llm_embedding_near_dup",
+    "llm_embedding_near_dup_lsh",
+    "llm_exact_dedup",
+    "llm_fingerprint",
+    "llm_language_id",
+    "llm_lsh_near_dedup",
+    "llm_minhash_signature",
+    "llm_ngram_jaccard_pairs",
+    "llm_simhash",
+    "llm_text_stats",
+    "sketch_noisy_gaussian_envelope",
+    "tpcds_channel_union_rollup",
+    "tpcds_cross_channel_intersect",
+    "tpcds_dense_rank_over_cube",
+    "tpcds_market_share_delta",
+    "tpcds_q31_channel_growth",
+    "tpcds_q34_frequent_buyers",
+    "tpcds_q57_outlier_months",
+    "tpcds_q75_yoy_decline",
+    "tpcds_rank_within_parent",
+    "tpcds_revenue_share_window",
+    # 5. the first 4 r6-stale rows (sketch rows first)
+    "sketch_kll_exact_ops",
+    "sketch_tdigest_exact_ops",
+    "agg_differential_entropy_histogram",
+    "agg_misc_suite",
 ]
 
 

