@@ -53,6 +53,21 @@ def _prior_bench() -> dict[str, float]:
         return {}
 
 
+def _confirm_flags(
+    flagged: list[str],
+    prior: dict[str, float],
+    requeried: dict[str, float],
+) -> list[str]:
+    """A regression flag survives only if its warm-JVM re-measure
+    still exceeds the 1.5x threshold (VERDICT r12 next-round #2) —
+    a missing requery keeps the flag (fail loud, never silently
+    un-flag)."""
+    return sorted(
+        n for n in flagged
+        if prior.get(n, 0) > 0
+        and requeried.get(n, float("inf")) > 1.5 * prior[n])
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
@@ -90,8 +105,7 @@ def main() -> None:
     # not absorb executor/Arrow/first-job startup cost.
     spark.range(1).collect()
 
-    timings: dict[str, float] = {}
-    for name in names:
+    def _measure(name: str) -> float:
         # Prewarm THIS query (codegen, JIT, parquet footers, broadcast
         # builds), isolate, then measure it immediately — per-query
         # prewarm per the reference protocol (tpch.yaml:3-6).
@@ -105,14 +119,33 @@ def main() -> None:
             t0 = time.time()
             REGISTRY[name].spark(spark, sf_dir).collect()
             runs.append(time.time() - t0)
-        timings[name] = round(sorted(runs)[1], 3)
         _isolate()
+        return round(sorted(runs)[1], 3)
+
+    timings: dict[str, float] = {}
+    load_per_query: dict[str, float] = {}
+    for name in names:
+        timings[name] = _measure(name)
+        load_per_query[name] = round(os.getloadavg()[0], 2)
 
     total = round(sum(timings.values()), 3)
     prior = _prior_bench()
     flagged = sorted(
         n for n, t in timings.items()
         if n in prior and prior[n] > 0 and t > 1.5 * prior[n])
+    # Self-adjudication pass (VERDICT r12 what's-wrong #1 / next-round
+    # #2): the r12 artifact shipped 8 regression flags that were pure
+    # ambient-load noise (the cooldown gate passed at loadavg 1.70 and
+    # the machine heated up mid-run), costing the judge a hand re-run
+    # of every flag.  Re-measure each flagged query a second time on
+    # the now-warm JVM under the same prewarm/isolate/median-of-3
+    # protocol and record BOTH numbers; a flag survives only if the
+    # requery still exceeds the threshold.  One ambient-load window
+    # can no longer write a misleading artifact.
+    requeried: dict[str, float] = {}
+    for name in flagged:
+        requeried[name] = _measure(name)
+    confirmed = _confirm_flags(flagged, prior, requeried)
     out = {
         "metric": "tpch_suite_wall_sec",
         "value": total,
@@ -121,8 +154,14 @@ def main() -> None:
         "sf": float(sf),
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        "loadavg_per_query": load_per_query,
         "run_wall_sec": round(time.time() - wall_start, 1),
-        "regressed_vs_prior": flagged,
+        # regressed_vs_prior survives its own warm-JVM re-measure;
+        # noise-suspected flags (requeried back inside threshold) are
+        # listed separately with both numbers in "requeried".
+        "regressed_vs_prior": confirmed,
+        "flagged_first_pass": flagged,
+        "requeried": requeried,
     }
     # Self-documenting hot-start marker (VERDICT r8 #8): timings from a
     # run that began on a busy machine are not comparable round-over-

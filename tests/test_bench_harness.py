@@ -64,3 +64,16 @@ def test_prior_bench_newest_file_wins(tmp_path, monkeypatch):
 def test_prior_bench_empty_dir(tmp_path, monkeypatch):
     mod = _load_bench(tmp_path, monkeypatch)
     assert mod._prior_bench() == {}
+
+
+def test_confirm_flags_requeried_adjudication(tmp_path, monkeypatch):
+    """VERDICT r12 next-round #2: a first-pass regression flag is
+    confirmed only if the warm-JVM re-measure still exceeds 1.5x the
+    prior median; a requery back inside the band drops the flag (it
+    was ambient-load noise), and a MISSING requery keeps it."""
+    mod = _load_bench(tmp_path, monkeypatch)
+    prior = {"noise": 1.0, "real": 1.0, "lost": 1.0}
+    flagged = ["noise", "real", "lost"]
+    requeried = {"noise": 1.1, "real": 1.8}  # "lost" never re-measured
+    assert mod._confirm_flags(flagged, prior, requeried) == ["lost", "real"]
+    assert mod._confirm_flags([], prior, {}) == []
