@@ -34,10 +34,24 @@ Algorithm (exact for valid/simple inputs on the repo's struct model):
    geometries).
 
 Scope: POINT/MULTIPOINT/LINESTRING/MULTILINESTRING/POLYGON/
-MULTIPOLYGON; GEOMETRYCOLLECTION and NULL relate to NULL (pinned —
-the interior of a mixed-dimension collection is not the union of the
-member interiors, so the shortcut would be wrong, and the reference's
-Esri path on collections is connector-grade niche).
+MULTIPOLYGON, plus HOMOGENEOUS GEOMETRYCOLLECTIONs (all members one
+dimension — round 13, merged member-wise like the matching MULTI
+kind, see _norm_collection).  MIXED-dimension collections and NULL
+relate to NULL (pinned — the open-set lifts reason about the union's
+interior being open, which fails when a lower-dim member pokes out of
+the higher-dim members; the reference's Esri path on such collections
+is connector-grade niche).
+
+Multi-predicate ergonomics: each predicate calls
+``geometry_relate_matrix`` independently, so asking N predicates of
+the SAME pair costs N Arrow crossings.  Materialize the matrix once
+and read it many times instead::
+
+    df = df.withColumn("m", geometry_relate_matrix(a, b))
+    df.select(matrix_predicate("m", "touches"), ...)
+
+(the SQL tier is already one-matrix-per-predicate by construction;
+PLANS.md "DE-9IM matrix reuse" shows the full pattern).
 
 Scale: per-row expression + one Arrow crossing, zero shuffle, zero
 driver work — relating 100 TB of geometry pairs is embarrassingly
@@ -218,12 +232,74 @@ def _sub_midpoints(a, b, events, eps_cross, eps):
     return out
 
 
+_GC_KIND_LIST = ("POINT", "MULTIPOINT", "LINESTRING", "MULTILINESTRING",
+                 "POLYGON", "MULTIPOLYGON")
+
+
+def _norm_collection(xss, yss):
+    """GEOMETRYCOLLECTION (geo.py header-ring encoding: a 2-vertex
+    header (typecode, NULL), (ring count, NULL) before each member's
+    rings) → ONE merged normalized dict, or None.
+
+    Scope (round 13, VERDICT r12 stretch #7): HOMOGENEOUS collections
+    — all members of one dimension — merge exactly like the
+    corresponding MULTI kind: point sets / segments / rings /
+    representative-point lists concatenate, and the 1-dim union
+    boundary recomputes mod-2 ACROSS members (member endpoint counts
+    have the same parity as total segment degree, since a vertex
+    interior to a member path contributes even degree), so shared
+    endpoints cancel just as inside one MULTILINESTRING.  The merged
+    dict is genuinely homogeneous, so every kernel step — locate,
+    event points, midpoints, open-set lifts — stays exact under the
+    module's validity assumptions (disjoint polygon pieces, even-odd).
+    MIXED-dimension collections stay NULL (pinned: the lifts reason
+    about the union's interior being open, which fails when a lower-
+    dim member pokes out of the higher-dim members' interiors)."""
+    def isnull(v):
+        return v is None or (isinstance(v, float) and math.isnan(v))
+
+    norms, i, n = [], 0, len(xss)
+    while i < n:
+        xs, ys = list(xss[i]), list(yss[i])
+        if len(xs) != 2 or not isnull(ys[0]):
+            return None
+        t, cnt = int(xs[0]), int(xs[1])
+        if not 1 <= t <= len(_GC_KIND_LIST) or cnt < 1 or i + 1 + cnt > n:
+            return None
+        norms.append(_norm_geometry(
+            _GC_KIND_LIST[t - 1],
+            xss[i + 1:i + 1 + cnt], yss[i + 1:i + 1 + cnt]))
+        i += 1 + cnt
+    if not norms or len({m["dim"] for m in norms}) != 1:
+        return None
+    g = {"mag": max(m["mag"] for m in norms), "dim": norms[0]["dim"],
+         "pts": [], "segs": [], "bpts": [], "rings": [], "reps": []}
+    for m in norms:
+        for k in ("pts", "segs", "rings", "reps"):
+            g[k].extend(m[k])
+    if g["dim"] == 1:
+        ends = {}
+        for m in norms:
+            for p in m["bpts"]:
+                ends[p] = ends.get(p, 0) + 1
+        g["bpts"] = [p for p, c in ends.items() if c % 2 == 1]
+    return g
+
+
+def _norm_any(kind, xss, yss):
+    if kind == "GEOMETRYCOLLECTION":
+        return _norm_collection(xss, yss)
+    if kind not in _RELATE_KINDS:
+        return None
+    return _norm_geometry(kind, xss, yss)
+
+
 def _relate_pair(ka, axs, ays, kb, bxs, bys):
     """Full DE-9IM matrix string for one geometry pair, or None."""
-    if ka not in _RELATE_KINDS or kb not in _RELATE_KINDS:
+    ga = _norm_any(ka, axs, ays)
+    gb = _norm_any(kb, bxs, bys)
+    if ga is None or gb is None:
         return None
-    ga = _norm_geometry(ka, axs, ays)
-    gb = _norm_geometry(kb, bxs, bys)
     if (ga["dim"] == 0 and not ga["pts"]) or \
             (ga["dim"] > 0 and not ga["segs"]) or \
             (gb["dim"] == 0 and not gb["pts"]) or \
@@ -394,22 +470,100 @@ def st_equals(a: Column, b: Column) -> Column:
     """ST_Equals (GeoFunctions.java:1083): point-set equality —
     DE-9IM pattern T*F**FFF*."""
     m = geometry_relate_matrix(a, b)
-    return F.when(
-        m.isNotNull(),
-        (_mc(m, 1) != "F") & (_mc(m, 3) == "F") & (_mc(m, 6) == "F")
-        & (_mc(m, 7) == "F") & (_mc(m, 8) == "F"),
-    )
+    return F.when(m.isNotNull(), _p_equals(m))
+
+
+# Matrix-level predicate readers (round 13, VERDICT r12 stretch #8):
+# each takes an ALREADY-COMPUTED matrix column, so a query asking N
+# predicates of the same pair can materialize the matrix once and pay
+# ONE Arrow crossing instead of N.  The pair-level st_* functions
+# below are thin wrappers (matrix + NULL guard).
+
+
+def _p_touches(m: Column) -> Column:
+    return ((_mc(m, 1) == "F")
+            & ((_mc(m, 2) != "F") | (_mc(m, 4) != "F")
+               | (_mc(m, 5) != "F")))
+
+
+def _p_equals(m: Column) -> Column:
+    return ((_mc(m, 1) != "F") & (_mc(m, 3) == "F") & (_mc(m, 6) == "F")
+            & (_mc(m, 7) == "F") & (_mc(m, 8) == "F"))
+
+
+def _p_disjoint(m: Column) -> Column:
+    return ((_mc(m, 1) == "F") & (_mc(m, 2) == "F")
+            & (_mc(m, 4) == "F") & (_mc(m, 5) == "F"))
+
+
+def _p_contains(m: Column) -> Column:
+    return (_mc(m, 1) != "F") & (_mc(m, 7) == "F") & (_mc(m, 8) == "F")
+
+
+def _p_within(m: Column) -> Column:
+    return (_mc(m, 1) != "F") & (_mc(m, 3) == "F") & (_mc(m, 6) == "F")
+
+
+def _p_crosses(m: Column, da: Column, db: Column) -> Column:
+    return (
+        F.when(da < db, (_mc(m, 1) != "F") & (_mc(m, 3) != "F"))
+        .when(da > db, (_mc(m, 1) != "F") & (_mc(m, 7) != "F"))
+        .when((da == 1) & (db == 1), _mc(m, 1) == "0")
+        .otherwise(F.lit(False)))
+
+
+def _p_overlaps(m: Column, da: Column, db: Column) -> Column:
+    base = (_mc(m, 3) != "F") & (_mc(m, 7) != "F")
+    return (
+        F.when(da != db, F.lit(False))
+        .when(da == 1, (_mc(m, 1) == "1") & base)
+        .otherwise((_mc(m, 1) != "F") & base))
+
+
+_MATRIX_PREDS = {
+    "touches": _p_touches,
+    "equals": _p_equals,
+    "disjoint": _p_disjoint,
+    "intersects": lambda m: ~_p_disjoint(m),
+    "contains": _p_contains,
+    "within": _p_within,
+}
+
+
+def matrix_predicate(
+    m: Column | str,
+    name: str,
+    dim_a: Column | None = None,
+    dim_b: Column | None = None,
+) -> Column:
+    """Read a spatial predicate off a MATERIALIZED DE-9IM matrix
+    column (``geometry_relate_matrix`` output) — the multi-predicate
+    reuse path: ``withColumn("m", geometry_relate_matrix(a, b))`` then
+    any number of ``matrix_predicate("m", ...)`` reads cost one Arrow
+    crossing total.  ``crosses``/``overlaps`` additionally need the
+    operand dimensions (``geo.st_dimension``) — the matrix alone does
+    not carry them."""
+    mc = F.col(m) if isinstance(m, str) else m
+    key = name.lower()
+    if key in _MATRIX_PREDS:
+        return F.when(mc.isNotNull(), _MATRIX_PREDS[key](mc))
+    if key in ("crosses", "overlaps"):
+        if dim_a is None or dim_b is None:
+            raise ValueError(
+                f"matrix_predicate({key!r}) needs dim_a and dim_b "
+                "(geo.st_dimension of each operand)")
+        fn = _p_crosses if key == "crosses" else _p_overlaps
+        return F.when(mc.isNotNull(), fn(mc, dim_a, dim_b))
+    raise ValueError(
+        f"unknown predicate {name!r}; one of "
+        f"{sorted(_MATRIX_PREDS) + ['crosses', 'overlaps']}")
 
 
 def st_touches(a: Column, b: Column) -> Column:
     """ST_Touches (GeoFunctions.java:1060): they intersect but the
     interiors do not — FT*******, F**T***** or F***T****."""
     m = geometry_relate_matrix(a, b)
-    return F.when(
-        m.isNotNull(),
-        (_mc(m, 1) == "F")
-        & ((_mc(m, 2) != "F") | (_mc(m, 4) != "F") | (_mc(m, 5) != "F")),
-    )
+    return F.when(m.isNotNull(), _p_touches(m))
 
 
 def st_crosses(a: Column, b: Column) -> Column:
@@ -420,14 +574,8 @@ def st_crosses(a: Column, b: Column) -> Column:
     from presto_spark.functions.geo import st_dimension
 
     m = geometry_relate_matrix(a, b)
-    da, db = st_dimension(a), st_dimension(b)
-    res = (
-        F.when(da < db, (_mc(m, 1) != "F") & (_mc(m, 3) != "F"))
-        .when(da > db, (_mc(m, 1) != "F") & (_mc(m, 7) != "F"))
-        .when((da == 1) & (db == 1), _mc(m, 1) == "0")
-        .otherwise(F.lit(False))
-    )
-    return F.when(m.isNotNull(), res)
+    return F.when(
+        m.isNotNull(), _p_crosses(m, st_dimension(a), st_dimension(b)))
 
 
 def st_overlaps(a: Column, b: Column) -> Column:
@@ -437,14 +585,8 @@ def st_overlaps(a: Column, b: Column) -> Column:
     from presto_spark.functions.geo import st_dimension
 
     m = geometry_relate_matrix(a, b)
-    da, db = st_dimension(a), st_dimension(b)
-    base = (_mc(m, 3) != "F") & (_mc(m, 7) != "F")
-    res = (
-        F.when(da != db, F.lit(False))
-        .when(da == 1, (_mc(m, 1) == "1") & base)
-        .otherwise((_mc(m, 1) != "F") & base)
-    )
-    return F.when(m.isNotNull(), res)
+    return F.when(
+        m.isNotNull(), _p_overlaps(m, st_dimension(a), st_dimension(b)))
 
 
 def st_contains_general(a: Column, b: Column) -> Column:
@@ -453,16 +595,10 @@ def st_contains_general(a: Column, b: Column) -> Column:
     interiors meet.  geo.st_contains stays the polygon∋point codegen
     fast path."""
     m = geometry_relate_matrix(a, b)
-    return F.when(
-        m.isNotNull(),
-        (_mc(m, 1) != "F") & (_mc(m, 7) == "F") & (_mc(m, 8) == "F"),
-    )
+    return F.when(m.isNotNull(), _p_contains(m))
 
 
 def st_within_general(a: Column, b: Column) -> Column:
     """ST_Within general form (GeoFunctions.java:1147): T*F**F***."""
     m = geometry_relate_matrix(a, b)
-    return F.when(
-        m.isNotNull(),
-        (_mc(m, 1) != "F") & (_mc(m, 3) == "F") & (_mc(m, 6) == "F"),
-    )
+    return F.when(m.isNotNull(), _p_within(m))

@@ -358,6 +358,93 @@ def exact_dedup(
     )
 
 
+def exact_dedup_against(
+    new_docs: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus exact dedup (incremental ingestion): keep one copy
+    per digest WITHIN the new batch (minimum id wins, like
+    exact_dedup) and drop any digest that already exists in the
+    reference corpus — the standard "dedup today's crawl against
+    everything already ingested" pass.
+
+    Returns (digest, keep_id, n_copies) for surviving digests only.
+
+    Scale: both sides reduce to (digest[, id]) before any join — text
+    never shuffles; the reference side is distinct digests (anti-join
+    build side), so a 100 TB reference costs one digest scan + one
+    hash shuffle, and the anti-join is AQE-broadcastable when the
+    reference digest set is small.
+    """
+    batch = exact_dedup(new_docs, id_col=id_col, text_col=text_col)
+    ref_digests = reference.select(
+        F.md5(F.col(ref_text_col)).alias("digest")).distinct()
+    return batch.join(ref_digests, "digest", "left_anti")
+
+
+def contamination_report(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination report: for each training document,
+    how much of it appears verbatim (word 3-gram granularity) in a
+    benchmark/eval corpus — the pass every training pipeline runs
+    before a model ships, so eval questions are not in the training
+    set.
+
+    Returns (id, n_shingles, n_contaminated, contamination_ratio,
+    n_benchmarks_hit): the document's distinct shingle count, how many
+    of those shingles occur anywhere in the benchmark corpus, their
+    ratio (rounded to 6 places), and how many distinct benchmark
+    documents share at least one shingle.
+
+    Scale: both corpora reduce to (id, shingle-hash BIGINT) rows —
+    text never shuffles.  The containment check is an equi-join on
+    the 8-byte hash (benchmark sides are typically tiny next to the
+    corpus → AQE broadcasts them); n_benchmarks_hit joins the
+    non-distinct benchmark side and dedups (doc, bench) pairs, again
+    keyed on the hash.  No all-pairs, no driver work.
+    """
+    dsh = with_shingles(docs, id_col=id_col, text_col=text_col)
+    d = dsh.select(F.col(id_col), F.explode("shingles").alias("h"))
+    bsh = with_shingles(
+        bench, id_col=bench_id_col, text_col=bench_text_col)
+    b = bsh.select(
+        F.col(bench_id_col).alias("__bench_id"),
+        F.explode("shingles").alias("h"))
+    totals = dsh.select(
+        F.col(id_col), F.size("shingles").alias("n_shingles"))
+    contaminated = (
+        d.join(b.select("h").distinct(), "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated")))
+    hit = (
+        d.join(b, "h")
+        .select(id_col, "__bench_id").distinct()
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_benchmarks_hit")))
+    return (
+        totals.join(contaminated, id_col, "left")
+        .join(hit, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0))
+                / F.col("n_shingles"), 6).alias("contamination_ratio"),
+            F.coalesce("n_benchmarks_hit", F.lit(0))
+            .alias("n_benchmarks_hit"),
+        ))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -40,8 +40,14 @@ from presto_spark.queries import corpus_suite  # noqa: F401,E402
 # Round-13 front (the r12 judge prescription, next-round #1-#6):
 #   1. fn_classification_spellings — NEW (the four-plus-one
 #      classification_* SQL-aggregate spellings, r12 what's-missing
-#      #2 / next-round #3).  New rows front ahead of staleness
-#      rotation (standing rule).
+#      #2 / next-round #3); geo_relate_collections — NEW (homogeneous
+#      GEOMETRYCOLLECTION in the DE-9IM tier, r12 stretch #7; mixed-
+#      dimension stays the pinned NULL); llm_cross_dedup +
+#      llm_decontamination — NEW (cross-corpus incremental-ingest
+#      dedup and benchmark decontamination, llm/dedup.py
+#      exact_dedup_against / contamination_report — training-pipeline
+#      tier growth).  New rows front ahead of staleness rotation
+#      (standing rule).
 #   2. geo_predicates_golden + geo_sql_measures_golden — re-fronted as
 #      edited-TIER rows: ST_Relate now RAISES on a malformed DE-9IM
 #      pattern in both tiers (r12 next-round #5), so the rows that
@@ -56,12 +62,12 @@ from presto_spark.queries import corpus_suite  # noqa: F401,E402
 #      the north-star llm_* dedup/similarity/text rows last
 #      hard-checked r5 (r12 verdict next-round #1; 5 of the 33 are
 #      presto_dialect_* rows already fronted by #3).
-#   5. The first 4 r6-stale rows, sketch rows first (r12 next-round
-#      #6): sketch_kll_exact_ops, sketch_tdigest_exact_ops,
-#      agg_differential_entropy_histogram, agg_misc_suite.
-#      (1 + 2 + 15 + 28 + 4 = 50.)
+#   5. The first r6-stale sketch row (r12 next-round #6):
+#      sketch_kll_exact_ops.  (4 + 2 + 15 + 28 + 1 = 50.)
 # Remaining staleness debt after this window (leads the r14 front):
-# the other 36 r6 rows (agg_union_tail_suite, fn_decimal_cast_suite,
+# the other 39 r6 rows (agg_differential_entropy_histogram,
+# agg_misc_suite, agg_union_tail_suite, fn_decimal_cast_suite,
+# sketch_tdigest_exact_ops,
 # geo_aggregate_hulls, geo_nearest_expand_golden, geo_validity_golden,
 # join_cross, join_full_outer, join_multi_key_with_residual,
 # join_right_outer, join_semi_anti, join_theta_inequality,
@@ -70,8 +76,11 @@ from presto_spark.queries import corpus_suite  # noqa: F401,E402
 # window_value_functions), then the 48 r8 rows.
 # tests/test_registry_front.py pins list(REGISTRY)[:50] == this list.
 _DRIVER_FRONT = [
-    # 1. new row (standing rule)
+    # 1. new rows (standing rule)
     "fn_classification_spellings",
+    "geo_relate_collections",
+    "llm_cross_dedup",
+    "llm_decontamination",
     # 2. edited-tier geo re-fronts (ST_Relate malformed-pattern raise)
     "geo_predicates_golden",
     "geo_sql_measures_golden",
@@ -121,11 +130,8 @@ _DRIVER_FRONT = [
     "tpcds_q75_yoy_decline",
     "tpcds_rank_within_parent",
     "tpcds_revenue_share_window",
-    # 5. the first 4 r6-stale rows (sketch rows first)
+    # 5. the first r6-stale sketch row
     "sketch_kll_exact_ops",
-    "sketch_tdigest_exact_ops",
-    "agg_differential_entropy_histogram",
-    "agg_misc_suite",
 ]
 
 

@@ -1114,3 +1114,109 @@ def llm_c4_line_filters(spark, sf_dir):
         "has_lorem_ipsum", "has_brace", "has_javascript_line",
         "keep_document",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus operators (round 13): incremental-ingest dedup against a
+# reference corpus, and benchmark decontamination.
+# ---------------------------------------------------------------------------
+
+@register(
+    "llm_cross_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    dd AS (
+      SELECT md5(text) AS digest, min(doc_id) AS keep_id,
+             count(*) AS n_copies
+      FROM corpus GROUP BY 1
+    ),
+    ref AS (
+      SELECT DISTINCT md5(text) AS digest
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT digest, keep_id, n_copies
+    FROM dd WHERE digest NOT IN (SELECT digest FROM ref)
+    ORDER BY keep_id
+    """,
+    doc="Cross-corpus exact dedup (llm/dedup.py exact_dedup_against — "
+        "the incremental-ingest pass: dedup the new batch internally, "
+        "then anti-join its digests against the already-ingested "
+        "reference corpus).  Batch = documents plus a shifted copy of "
+        "every 10th doc (in-batch duplicates); reference = every 3rd "
+        "doc.  Only (digest, id) shuffles; text never leaves the scan.",
+    tags=("llm", "dedup", "bench"),
+)
+def llm_cross_dedup(spark, sf_dir):
+    prepare(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    batch = docs.unionAll(
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    reference = docs.where(F.col("doc_id") % 3 == 0)
+    return dedup.exact_dedup_against(batch, reference).orderBy("keep_id")
+
+
+@register(
+    "llm_decontamination",
+    oracle="""
+    WITH dsh AS (
+      SELECT doc_id, sh FROM """ + _shingles_for(
+        "(SELECT * FROM documents "
+        "WHERE doc_id % 4 <> 0 AND doc_id < 120) d") + """ t
+    ),
+    bsh AS (
+      SELECT doc_id AS bench_id, sh FROM """ + _shingles_for(
+        "(SELECT * FROM documents "
+        "WHERE doc_id % 4 = 0 AND doc_id < 120) d") + """ t
+    ),
+    d AS (SELECT doc_id, u.h FROM dsh, unnest(sh) AS u(h)),
+    bflat AS (SELECT bench_id, u.h FROM bsh, unnest(sh) AS u(h)),
+    bad AS (
+      SELECT doc_id, count(*) AS n_contaminated
+      FROM d WHERE h IN (SELECT DISTINCT h FROM bflat)
+      GROUP BY 1
+    ),
+    hit AS (
+      SELECT d.doc_id, count(DISTINCT bflat.bench_id) AS n_benchmarks_hit
+      FROM d JOIN bflat USING (h) GROUP BY 1
+    )
+    SELECT t.doc_id,
+           len(t.sh) AS n_shingles,
+           coalesce(bad.n_contaminated, 0) AS n_contaminated,
+           round(coalesce(bad.n_contaminated, 0)::DOUBLE / len(t.sh), 6)
+             AS contamination_ratio,
+           coalesce(hit.n_benchmarks_hit, 0) AS n_benchmarks_hit
+    FROM dsh t
+    LEFT JOIN bad ON bad.doc_id = t.doc_id
+    LEFT JOIN hit ON hit.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """,
+    doc="Benchmark decontamination report (llm/dedup.py "
+        "contamination_report — the pre-ship pass flagging training "
+        "documents that contain eval-set text at word 3-gram "
+        "granularity): per document, distinct shingles, shingles found "
+        "anywhere in the benchmark corpus, their ratio, and how many "
+        "distinct benchmark docs are hit.  Benchmark = every 4th doc; "
+        "training = the rest (bounded slice).  Both corpora reduce to "
+        "(id, shingle-hash BIGINT) before any join — equi-joins on the "
+        "8-byte hash, no all-pairs, text never shuffles.",
+    tags=("llm", "dedup", "bench"),
+)
+def llm_decontamination(spark, sf_dir):
+    prepare(spark, sf_dir)
+    base = spark.table("documents").where(F.col("doc_id") < 120)
+    docs = base.where(F.col("doc_id") % 4 != 0).select("doc_id", "text")
+    bench = base.where(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    rep = dedup.contamination_report(docs, bench)
+    return rep.select(
+        "doc_id",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        "n_contaminated",
+        "contamination_ratio",
+        "n_benchmarks_hit",
+    ).orderBy("doc_id")

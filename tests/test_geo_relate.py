@@ -173,15 +173,95 @@ def test_st_relate_malformed_pattern_raises(spark):
 
 
 def test_relate_null_and_collection(spark):
+    """NULL and MIXED-dimension collections relate to NULL (pinned);
+    HOMOGENEOUS collections relate like the matching MULTI kind
+    (round 13 — _norm_collection merges members exactly)."""
     df = spark.createDataFrame(
-        [("GEOMETRYCOLLECTION (POINT (1 1))", "POINT (1 1)"), (None, None)],
-        "wa string, wb string")
-    rows = df.select(
+        [("mixed", "GEOMETRYCOLLECTION (POINT (1 1), "
+          "LINESTRING (0 0, 2 2))", "POINT (1 1)"),
+         ("nulls", None, None),
+         ("homog", "GEOMETRYCOLLECTION (POINT (1 1))", "POINT (1 1)")],
+        "k string, wa string, wb string")
+    rows = {r.k: r.m for r in df.select(
+        "k",
         geo_relate.geometry_relate_matrix(
             geo.st_geometry_from_text_full(F.col("wa")),
             geo.st_geometry_from_text(F.col("wb"))).alias("m"),
-    ).coalesce(1).collect()
-    assert all(r.m is None for r in rows)
+    ).coalesce(1).collect()}
+    assert rows["mixed"] is None
+    assert rows["nulls"] is None
+    assert rows["homog"] == "0FFFFFFF2"
+
+
+def test_relate_homogeneous_collections(spark):
+    """Homogeneous GEOMETRYCOLLECTION ≡ the matching MULTI kind in the
+    DE-9IM tier: same matrix for GC-of-lines vs the merged
+    MULTILINESTRING (shared member endpoints cancel from the union
+    boundary mod-2), and GC-of-polygons overlaps like the
+    MULTIPOLYGON."""
+    df = spark.createDataFrame(
+        [("gc_lines",
+          "GEOMETRYCOLLECTION (LINESTRING (0 0, 1 0), "
+          "LINESTRING (1 0, 2 0))",
+          "POINT (1 0)"),
+         ("one_line", "LINESTRING (0 0, 2 0)", "POINT (1 0)"),
+         ("gc_polys",
+          "GEOMETRYCOLLECTION ("
+          "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)), "
+          "POLYGON ((10 0, 14 0, 14 4, 10 4, 10 0)))",
+          "POLYGON ((2 0, 6 0, 6 3, 2 3, 2 0))"),
+         ("mp_polys",
+          "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), "
+          "((10 0, 14 0, 14 4, 10 4, 10 0)))",
+          "POLYGON ((2 0, 6 0, 6 3, 2 3, 2 0))")],
+        "k string, wa string, wb string")
+    rows = {r.k: r for r in df.select(
+        "k",
+        geo_relate.geometry_relate_matrix(
+            geo.st_geometry_from_text_full(F.col("wa")),
+            geo.st_geometry_from_text_full(F.col("wb"))).alias("m"),
+    ).coalesce(1).collect()}
+    # the shared endpoint (1 0) is INTERIOR to the line union
+    assert rows["gc_lines"].m == rows["one_line"].m
+    assert rows["gc_lines"].m[0] == "0"
+    # GC-of-polygons ≡ MULTIPOLYGON
+    assert rows["gc_polys"].m == rows["mp_polys"].m
+
+
+def test_matrix_predicate_reuse(spark):
+    """matrix_predicate reads predicates off ONE materialized matrix
+    column (multi-predicate reuse — one Arrow crossing), agreeing with
+    the pair-level st_* functions; crosses/overlaps take the operand
+    dimensions explicitly."""
+    import pytest
+
+    from presto_spark.functions.geo import st_dimension
+
+    df = _geo_df(spark, [
+        ("overlap", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+         "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))"),
+        ("touch", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+         "POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))"),
+    ]).withColumn(
+        "m", geo_relate.geometry_relate_matrix(F.col("a"), F.col("b")))
+    rows = {r.k: r for r in df.select(
+        "k",
+        geo_relate.matrix_predicate("m", "touches").alias("mt"),
+        geo_relate.matrix_predicate(
+            "m", "overlaps", st_dimension(F.col("a")),
+            st_dimension(F.col("b"))).alias("mo"),
+        geo_relate.matrix_predicate("m", "intersects").alias("mi"),
+        geo_relate.st_touches(F.col("a"), F.col("b")).alias("pt"),
+        geo_relate.st_overlaps(F.col("a"), F.col("b")).alias("po"),
+    ).collect()}
+    for k in ("overlap", "touch"):
+        assert rows[k].mt == rows[k].pt
+        assert rows[k].mo == rows[k].po
+        assert rows[k].mi is True
+    with pytest.raises(ValueError, match="needs dim_a and dim_b"):
+        geo_relate.matrix_predicate("m", "crosses")
+    with pytest.raises(ValueError, match="unknown predicate"):
+        geo_relate.matrix_predicate("m", "nope")
 
 
 def test_wkb_roundtrip(spark):

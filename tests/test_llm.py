@@ -166,3 +166,52 @@ def test_c4_line_filters_rules(spark):
     assert not rows[5].keep_document and rows[5].n_kept_lines == 2
     assert not rows[6].keep_document and rows[6].has_javascript_line
     assert rows[6].n_kept_lines == 2
+
+
+def test_exact_dedup_against_reference(spark):
+    """Cross-corpus exact dedup: in-batch duplicates collapse to the
+    minimum id, and any digest already in the reference corpus drops
+    (llm/dedup.py exact_dedup_against — the incremental-ingest pass)."""
+    from presto_spark.llm import dedup as D
+
+    batch = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha"), (3, "beta"), (4, "gamma")],
+        "doc_id int, text string")
+    reference = spark.createDataFrame(
+        [(100, "beta"), (101, "delta")], "doc_id int, text string")
+    rows = {r.keep_id: r for r in
+            D.exact_dedup_against(batch, reference).collect()}
+    # "alpha" keeps id 1 with 2 copies; "beta" dropped (in reference);
+    # "gamma" survives alone
+    assert set(rows) == {1, 4}
+    assert rows[1].n_copies == 2
+    assert rows[4].n_copies == 1
+
+
+def test_contamination_report_known_overlap(spark):
+    """Decontamination: a training doc sharing a word 3-gram with a
+    benchmark doc reports the contaminated shingle count and the
+    number of benchmark docs hit; a clean doc reports zeros
+    (llm/dedup.py contamination_report)."""
+    from presto_spark.llm import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),   # shares "the quick brown"
+                                             # + "quick brown fox" with b1
+         (2, "completely different words entirely here")],
+        "doc_id int, text string")
+    bench = spark.createDataFrame(
+        [(10, "the quick brown fox"),
+         (11, "the quick brown cat")],
+        "doc_id int, text string")
+    rows = {r.doc_id: r for r in
+            D.contamination_report(docs, bench).collect()}
+    # doc 1: shingles of 5 tokens → 3 distinct 3-grams; "the quick
+    # brown" hits BOTH benchmarks, "quick brown fox" hits b10 only
+    assert rows[1].n_shingles == 3
+    assert rows[1].n_contaminated == 2
+    assert rows[1].n_benchmarks_hit == 2
+    assert abs(rows[1].contamination_ratio - round(2 / 3, 6)) < 1e-9
+    assert rows[2].n_contaminated == 0
+    assert rows[2].n_benchmarks_hit == 0
+    assert rows[2].contamination_ratio == 0.0
