@@ -15,4 +15,4 @@ paths), shuffle-aware, and designed to run at 100 TB:
   extraction — presto_spark/llm/multimodal.py
 """
 
-from presto_spark.llm import dedup, multimodal, similarity, text  # noqa: F401
+from presto_spark.llm import dedup, mix, multimodal, similarity, text  # noqa: F401

@@ -1,0 +1,119 @@
+"""Training-mix assembly operators: deterministic dataset splits and
+per-source token-budget packing.
+
+A training-data pipeline ends by ASSEMBLING a mix: split the corpus
+into train/validation/test reproducibly (no RNG — the split must be
+stable across runs, engines, and cluster sizes), then pack each
+source/language bucket up to a token budget so the mix matches a
+target composition.  Both are pure relational work:
+
+* ``deterministic_split`` is a zero-shuffle map: the split label is a
+  function of the document id alone (md5 → 31-base char fold → unit
+  interval), so any engine — and any re-run over different partitions
+  — assigns the same label to the same id.  The reference analog is
+  deterministic TABLESAMPLE-by-key (the engine's dialect.py
+  TABLESAMPLE shim is rate-only; this is the keyed, label-producing
+  form a training pipeline needs).
+* ``pack_token_budget`` is one window pass per group (hash shuffle on
+  the group key, O(1) state per row): documents enter the mix in a
+  deterministic order until the group's running token total would
+  exceed the budget.
+
+Scale: no collect, no UDF, no all-pairs; the split is map-only and
+the packer shuffles each row once.  Skewed groups cost what any
+window over the group costs — at 100 TB, budget-pack per (source)
+with a composite key (source, shard) if one source dominates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Same fold constants as llm/text.py poly_hash — reproducible in any
+# SQL engine (DuckDB list_reduce over ord(c)).
+_BASE, _MOD = 31, 1_000_000_007
+# Unit-interval denominator: a prime unrelated to _MOD so the scaled
+# bucket is effectively uniform on [0, 1).
+_BUCKETS = 1_000_003
+
+
+def split_bucket(id_col: Column, seed: int = 42) -> Column:
+    """Deterministic bucket in [0, 1) for a document id: 31-base char
+    fold of md5("<id>:<seed>") scaled to the unit interval.  Pure
+    map-side expression; identical in DuckDB (md5 + list_reduce)."""
+    digest = F.md5(F.concat(id_col.cast("string"), F.lit(f":{seed}")))
+    folded = F.aggregate(
+        F.transform(F.split(digest, ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * _BASE + x) % _MOD,
+    )
+    return (folded % _BUCKETS) / F.lit(float(_BUCKETS))
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row a reproducible split label by id hash.
+
+    ``weights`` is an ORDERED mapping label → weight (normalized
+    internally); the id's unit-interval bucket picks the label by
+    cumulative range, so ~weight fraction of ids land in each split
+    and the assignment never changes across runs, engines, partition
+    layouts, or cluster sizes.
+    """
+    weights = weights or {"train": 0.8, "validation": 0.1, "test": 0.1}
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive: {weights}")
+    total = float(sum(weights.values()))
+    b = split_bucket(F.col(id_col), seed)
+    labels = list(weights.items())
+    expr: Column | None = None
+    cum = 0.0
+    for label, w in labels[:-1]:
+        cum += w / total
+        cond = b < F.lit(cum)
+        expr = F.when(cond, label) if expr is None else expr.when(
+            cond, label)
+    last = F.lit(labels[-1][0])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, out)
+
+
+def pack_token_budget(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_count_col: str | None = None,
+) -> DataFrame:
+    """Greedy per-group token-budget packing: order each group by id
+    and keep documents while the group's RUNNING token total (after
+    including the document) stays within ``budget``.
+
+    Adds ``n_tokens`` (whitespace tokens, or ``token_count_col`` if
+    the caller already counted), ``cum_tokens`` (running total in id
+    order), and ``kept`` (inside-budget flag).  One window pass —
+    a single hash shuffle keyed on the group.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive: {budget}")
+    if token_count_col is not None:
+        ntok = F.col(token_count_col).cast("long")
+    else:
+        from presto_spark.llm.text import tokens
+
+        ntok = F.size(tokens(F.col(text_col))).cast("long")
+    w = (Window.partitionBy(group_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    with_tok = df.withColumn("n_tokens", ntok)
+    return (
+        with_tok
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn("kept", F.col("cum_tokens") <= F.lit(budget))
+    )

@@ -45,9 +45,10 @@ from presto_spark.queries import corpus_suite  # noqa: F401,E402
 #      dimension stays the pinned NULL); llm_cross_dedup +
 #      llm_decontamination — NEW (cross-corpus incremental-ingest
 #      dedup and benchmark decontamination, llm/dedup.py
-#      exact_dedup_against / contamination_report — training-pipeline
-#      tier growth).  New rows front ahead of staleness rotation
-#      (standing rule).
+#      exact_dedup_against / contamination_report); llm_dataset_split
+#      + llm_token_budget_mix — NEW (training-mix assembly, llm/mix.py
+#      deterministic_split / pack_token_budget).  New rows front ahead
+#      of staleness rotation (standing rule).
 #   2. geo_predicates_golden + geo_sql_measures_golden — re-fronted as
 #      edited-TIER rows: ST_Relate now RAISES on a malformed DE-9IM
 #      pattern in both tiers (r12 next-round #5), so the rows that
@@ -58,16 +59,17 @@ from presto_spark.queries import corpus_suite  # noqa: F401,E402
 #      double-math count, ANSI-proof checksum, classification_*
 #      macros), so all 13 presto_dialect_* rows + fn_combinations_
 #      golden + corpus_product_golden re-earn green.
-#   4. The 33 r5-stale rows — the ENTIRE remaining r5 block, including
-#      the north-star llm_* dedup/similarity/text rows last
-#      hard-checked r5 (r12 verdict next-round #1; 5 of the 33 are
-#      presto_dialect_* rows already fronted by #3).
-#   5. The first r6-stale sketch row (r12 next-round #6):
-#      sketch_kll_exact_ops.  (4 + 2 + 15 + 28 + 1 = 50.)
+#   4. The r5-stale block — 32 of the remaining 33 r5 rows, ALL the
+#      north-star llm_* dedup/similarity/text rows among them (r12
+#      verdict next-round #1; 5 of the 33 are presto_dialect_* rows
+#      already fronted by #3; the 6 new rows squeezed
+#      tpcds_revenue_share_window out to lead the r14 front).
+#      (6 + 2 + 15 + 27 = 50.)
 # Remaining staleness debt after this window (leads the r14 front):
-# the other 39 r6 rows (agg_differential_entropy_histogram,
+# tpcds_revenue_share_window (r5), then the 40 r6 rows
+# (agg_differential_entropy_histogram,
 # agg_misc_suite, agg_union_tail_suite, fn_decimal_cast_suite,
-# sketch_tdigest_exact_ops,
+# sketch_kll_exact_ops, sketch_tdigest_exact_ops,
 # geo_aggregate_hulls, geo_nearest_expand_golden, geo_validity_golden,
 # join_cross, join_full_outer, join_multi_key_with_residual,
 # join_right_outer, join_semi_anti, join_theta_inequality,
@@ -81,6 +83,8 @@ _DRIVER_FRONT = [
     "geo_relate_collections",
     "llm_cross_dedup",
     "llm_decontamination",
+    "llm_dataset_split",
+    "llm_token_budget_mix",
     # 2. edited-tier geo re-fronts (ST_Relate malformed-pattern raise)
     "geo_predicates_golden",
     "geo_sql_measures_golden",
@@ -129,9 +133,6 @@ _DRIVER_FRONT = [
     "tpcds_q57_outlier_months",
     "tpcds_q75_yoy_decline",
     "tpcds_rank_within_parent",
-    "tpcds_revenue_share_window",
-    # 5. the first r6-stale sketch row
-    "sketch_kll_exact_ops",
 ]
 
 

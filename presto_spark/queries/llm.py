@@ -1220,3 +1220,102 @@ def llm_decontamination(spark, sf_dir):
         "contamination_ratio",
         "n_benchmarks_hit",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Training-mix assembly (round 13): deterministic splits + token-budget
+# packing (llm/mix.py).
+# ---------------------------------------------------------------------------
+
+@register(
+    "llm_dataset_split",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             (list_reduce(list_prepend(0::BIGINT,
+                list_transform(string_split(
+                  md5(doc_id::VARCHAR || ':42'), ''),
+                  c -> ord(c)::BIGINT)),
+                (acc, x) -> (acc * 31 + x) % 1000000007)
+              % 1000003) / 1000003.0 AS bk
+      FROM documents
+    )
+    SELECT CASE WHEN bk < 0.8 THEN 'train'
+                WHEN bk < 0.8 + 0.1 THEN 'validation'
+                ELSE 'test' END AS split,
+           lang,
+           count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM b GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Deterministic train/validation/test split (llm/mix.py "
+        "deterministic_split): the label is a pure function of the "
+        "document id (md5 → 31-base char fold → unit interval → "
+        "cumulative weight ranges), so the assignment is identical "
+        "across runs, engines, partition layouts, and cluster sizes — "
+        "no RNG.  Zero shuffle (map-only); checked by per-(split, "
+        "lang) counts + id checksums, bit-exact vs DuckDB's replay of "
+        "the same fold.",
+    tags=("llm", "mix", "bench"),
+)
+def llm_dataset_split(spark, sf_dir):
+    from presto_spark.llm import mix
+
+    prepare(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "lang")
+    return (
+        mix.deterministic_split(docs)
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("doc_id").cast("bigint").alias("id_checksum"))
+        .orderBy("split", "lang")
+    )
+
+
+@register(
+    "llm_token_budget_mix",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split_regex(lower(trim(text)), '\\s+'))
+               AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT *,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT source,
+           count(*) FILTER (WHERE cum <= 500) AS n_kept,
+           CAST(sum(n_tokens) FILTER (WHERE cum <= 500) AS BIGINT)
+             AS tokens_kept,
+           count(*) AS n_total
+    FROM c GROUP BY source ORDER BY source
+    """,
+    doc="Per-source token-budget packing (llm/mix.py "
+        "pack_token_budget — assemble a training mix whose sources "
+        "each contribute up to a budget): documents enter in "
+        "deterministic id order while the running whitespace-token "
+        "total stays within 500; one window pass, a single hash "
+        "shuffle keyed on the source.  Checked by per-source "
+        "kept-count / kept-token / total aggregates.",
+    tags=("llm", "mix", "bench"),
+)
+def llm_token_budget_mix(spark, sf_dir):
+    from presto_spark.llm import mix
+
+    prepare(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "source", "text")
+    packed = mix.pack_token_budget(docs, budget=500)
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count(F.when(F.col("kept"), F.lit(1))).alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_tokens")))
+            .cast("bigint").alias("tokens_kept"),
+            F.count("*").alias("n_total"),
+        )
+        .orderBy("source")
+    )

@@ -215,3 +215,56 @@ def test_contamination_report_known_overlap(spark):
     assert rows[2].n_contaminated == 0
     assert rows[2].n_benchmarks_hit == 0
     assert rows[2].contamination_ratio == 0.0
+
+
+def test_deterministic_split_stable_and_proportional(spark):
+    """llm/mix.py deterministic_split: the label is a pure function of
+    the id (same assignment on re-run and under different partition
+    layouts), proportions track the weights, and bad weights raise."""
+    import pytest
+
+    from presto_spark.llm import mix
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s1 = {r.doc_id: r.split
+          for r in mix.deterministic_split(df, id_col="doc_id").collect()}
+    s2 = {r.doc_id: r.split
+          for r in mix.deterministic_split(
+              df.repartition(7), id_col="doc_id").collect()}
+    assert s1 == s2
+    n = len(s1)
+    train = sum(1 for v in s1.values() if v == "train") / n
+    val = sum(1 for v in s1.values() if v == "validation") / n
+    assert 0.75 < train < 0.85
+    assert 0.07 < val < 0.13
+    # different seed → different assignment (hash actually keyed)
+    s3 = {r.doc_id: r.split
+          for r in mix.deterministic_split(
+              df, id_col="doc_id", seed=7).collect()}
+    assert s3 != s1
+    with pytest.raises(ValueError, match="positive"):
+        mix.deterministic_split(df, weights={"a": 0.0, "b": 1.0})
+
+
+def test_pack_token_budget_known_case(spark):
+    """llm/mix.py pack_token_budget: documents enter in id order until
+    the running token total would exceed the budget; later groups
+    are independent."""
+    import pytest
+
+    from presto_spark.llm import mix
+
+    df = spark.createDataFrame(
+        [(1, "a", "one two three"),        # 3 tokens, cum 3 → kept
+         (2, "a", "four five six seven"),  # 4 tokens, cum 7 → kept
+         (3, "a", "eight nine"),           # 2 tokens, cum 9 > 8 → out
+         (4, "b", "x y z")],               # separate group, cum 3 → kept
+        "doc_id int, source string, text string")
+    rows = {r.doc_id: r for r in
+            mix.pack_token_budget(df, budget=8).collect()}
+    assert [rows[i].kept for i in (1, 2, 3, 4)] == [True, True, False,
+                                                    True]
+    assert rows[3].cum_tokens == 9
+    assert rows[4].cum_tokens == 3
+    with pytest.raises(ValueError, match="positive"):
+        mix.pack_token_budget(df, budget=0)
