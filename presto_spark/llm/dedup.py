@@ -406,42 +406,40 @@ def contamination_report(
     documents share at least one shingle.
 
     Scale: both corpora reduce to (id, shingle-hash BIGINT) rows —
-    text never shuffles.  The containment check is an equi-join on
-    the 8-byte hash (benchmark sides are typically tiny next to the
-    corpus → AQE broadcasts them); n_benchmarks_hit joins the
-    non-distinct benchmark side and dedups (doc, bench) pairs, again
-    keyed on the hash.  No all-pairs, no driver work.
+    text never shuffles, and each corpus is SHINGLED ONCE: a single
+    LEFT equi-join on the 8-byte hash (benchmark sides are typically
+    tiny next to the corpus → AQE broadcasts them) feeds one aggregate
+    whose three distinct-counts read the shingle hash, the matched
+    shingle hash, and the matched benchmark id.  No all-pairs, no
+    driver work; the only corpus-sized shuffles are the join probe and
+    the per-document aggregation.
     """
-    dsh = with_shingles(docs, id_col=id_col, text_col=text_col)
-    d = dsh.select(F.col(id_col), F.explode("shingles").alias("h"))
-    bsh = with_shingles(
-        bench, id_col=bench_id_col, text_col=bench_text_col)
-    b = bsh.select(
+    d = with_shingles(docs, id_col=id_col, text_col=text_col).select(
+        F.col(id_col), F.explode("shingles").alias("h"))
+    b = with_shingles(
+        bench, id_col=bench_id_col, text_col=bench_text_col,
+    ).select(
         F.col(bench_id_col).alias("__bench_id"),
         F.explode("shingles").alias("h"))
-    totals = dsh.select(
-        F.col(id_col), F.size("shingles").alias("n_shingles"))
-    contaminated = (
-        d.join(b.select("h").distinct(), "h", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_contaminated")))
-    hit = (
-        d.join(b, "h")
-        .select(id_col, "__bench_id").distinct()
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_benchmarks_hit")))
+    joined = d.join(b, "h", "left")
+    n_contaminated = F.count_distinct(
+        F.when(F.col("__bench_id").isNotNull(), F.col("h")))
     return (
-        totals.join(contaminated, id_col, "left")
-        .join(hit, id_col, "left")
+        joined.groupBy(id_col)
+        .agg(
+            F.count_distinct(F.col("h")).alias("n_shingles"),
+            n_contaminated.alias("n_contaminated"),
+            F.count_distinct(F.col("__bench_id"))
+            .alias("n_benchmarks_hit"),
+        )
         .select(
             F.col(id_col),
             "n_shingles",
-            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            "n_contaminated",
             F.round(
-                F.coalesce("n_contaminated", F.lit(0))
-                / F.col("n_shingles"), 6).alias("contamination_ratio"),
-            F.coalesce("n_benchmarks_hit", F.lit(0))
-            .alias("n_benchmarks_hit"),
+                F.col("n_contaminated") / F.col("n_shingles"), 6
+            ).alias("contamination_ratio"),
+            "n_benchmarks_hit",
         ))
 
 
