@@ -1319,3 +1319,129 @@ def llm_token_budget_mix(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Real multimodal decode (round 13): stdlib PGM/PPM/BMP image decode +
+# nearest-neighbor resize, and stdlib PCM WAV audio decode — the
+# previously-stubbed slots now run for the container-decodable formats.
+# ---------------------------------------------------------------------------
+
+@register(
+    "llm_multimodal_image_decode",
+    oracle="""
+    WITH ids AS (SELECT range AS doc_id FROM range(40)),
+    px AS (
+      SELECT doc_id,
+             list_transform(range(0, 48),
+                            k -> (doc_id * 31 + k) % 256) AS p
+      FROM ids
+    ),
+    rs AS (
+      SELECT doc_id,
+             list_transform(range(0, 12),
+               i -> (doc_id * 31 + 16 * (i // 4) + 2 * (i % 4)) % 256)
+               AS rp
+      FROM ids
+    )
+    SELECT px.doc_id,
+           CAST(8 AS BIGINT) AS width,
+           CAST(6 AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS channels,
+           round(list_aggregate(px.p, 'sum')::DOUBLE / 48, 6)
+             AS mean_pixel,
+           CAST(list_aggregate(px.p, 'min') AS BIGINT) AS min_pixel,
+           CAST(list_aggregate(px.p, 'max') AS BIGINT) AS max_pixel,
+           round(list_aggregate(rs.rp, 'sum')::DOUBLE / 12, 6)
+             AS resized_mean
+    FROM px JOIN rs ON rs.doc_id = px.doc_id
+    ORDER BY px.doc_id
+    """,
+    doc="REAL image decode pipeline (llm/multimodal.py decode_image / "
+        "resize_image / image_features — round 13 upgrade of the "
+        "stubbed slots): deterministic 8x6 PGM payloads are decoded "
+        "with the pure-stdlib NetPBM parser, statistics computed over "
+        "the actual pixel buffer, and a 4x3 nearest-neighbor resize "
+        "re-decoded — the oracle replays the synthesis arithmetic AND "
+        "the resize index map, so a decoder bug cannot hash-match.  "
+        "mapInPandas, whole Arrow batches, zero shuffle.",
+    tags=("llm", "multimodal", "bench"),
+)
+def llm_multimodal_image_decode(spark, sf_dir):
+    import pandas as pd
+
+    prepare(spark, sf_dir)
+    ids = spark.range(40).withColumnRenamed("id", "doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf.doc_id,
+                "payload": [multimodal.synth_pgm(int(d), 8, 6)
+                            for d in pdf.doc_id],
+            })
+
+    payloads = ids.mapInPandas(synth, "doc_id long, payload binary")
+    feats = multimodal.image_features(payloads, resize_to=(4, 3))
+    return feats.select(
+        "doc_id", "width", "height", "channels",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+        "min_pixel", "max_pixel",
+        F.round("resized_mean", 6).alias("resized_mean"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "llm_multimodal_audio_wav",
+    oracle="""
+    WITH ids AS (SELECT range AS doc_id FROM range(40)),
+    s AS (
+      SELECT doc_id,
+             list_transform(range(0, 64),
+                            k -> (doc_id * 17 + 3 * k) % 256) AS sm
+      FROM ids
+    )
+    SELECT doc_id,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(8000 AS BIGINT) AS framerate,
+           CAST(64 AS BIGINT) AS n_frames,
+           round(64.0 / 8000, 6) AS duration_sec,
+           round(sqrt(list_aggregate(
+             list_transform(sm, v -> (v - 128) * (v - 128)),
+             'sum')::DOUBLE / 64), 6) AS rms,
+           CAST(len(list_filter(range(0, 63),
+             k -> (sm[k + 1] >= 128) <> (sm[k + 2] >= 128)))
+             AS BIGINT) AS zero_crossings
+    FROM s ORDER BY doc_id
+    """,
+    doc="REAL audio decode pipeline (llm/multimodal.py decode_audio / "
+        "audio_features — stdlib wave module, round 13): deterministic "
+        "8-bit mono PCM WAV payloads are decoded through the actual "
+        "RIFF/WAVE container, then duration, centered RMS, and "
+        "zero-crossing count computed from the PCM samples; the oracle "
+        "replays the synthesis arithmetic and the signal math.  "
+        "mapInPandas, zero shuffle.",
+    tags=("llm", "multimodal", "bench"),
+)
+def llm_multimodal_audio_wav(spark, sf_dir):
+    import pandas as pd
+
+    prepare(spark, sf_dir)
+    ids = spark.range(40).withColumnRenamed("id", "doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf.doc_id,
+                "payload": [multimodal.synth_wav(int(d), 64, 8000)
+                            for d in pdf.doc_id],
+            })
+
+    payloads = ids.mapInPandas(synth, "doc_id long, payload binary")
+    feats = multimodal.audio_features(payloads)
+    return feats.select(
+        "doc_id", "n_channels", "framerate", "n_frames",
+        F.round("duration_sec", 6).alias("duration_sec"),
+        F.round("rms", 6).alias("rms"),
+        "zero_crossings",
+    ).orderBy("doc_id")

@@ -268,3 +268,53 @@ def test_pack_token_budget_known_case(spark):
     assert rows[4].cum_tokens == 3
     with pytest.raises(ValueError, match="positive"):
         mix.pack_token_budget(df, budget=0)
+
+
+def test_stdlib_image_decoders_and_resize():
+    """Round 13: decode_image really parses NetPBM (incl. header
+    comments) and uncompressed 24-bit BMP (bottom-up rows, BGR order,
+    4-byte padding); resize_image nearest-neighbor samples match the
+    index map; codec formats still raise (the PIL slot)."""
+    import struct
+
+    from presto_spark.llm import multimodal as M
+
+    img = M.decode_image(M.synth_pgm(3, 8, 6))
+    assert (img["width"], img["height"], img["channels"]) == (8, 6, 1)
+    assert img["pixels"] == [(3 * 31 + k) % 256 for k in range(48)]
+    # PPM with a header comment
+    ppm = b"P6\n# comment\n2 2 255\n" + bytes(range(12))
+    p = M.decode_image(ppm)
+    assert (p["width"], p["height"], p["channels"]) == (2, 2, 3)
+    assert p["pixels"] == list(range(12))
+    # nearest-neighbor resize: target (x, y) reads src (2x, 2y)
+    r = M.decode_image(M.resize_image(M.synth_pgm(3, 8, 6), 4, 3))
+    assert r["pixels"] == [
+        (3 * 31 + (2 * y) * 8 + 2 * x) % 256
+        for y in range(3) for x in range(4)]
+    # 2x2 24-bit BMP, bottom-up + BGR + row padding
+    rows = [bytes([0, 0, 255, 128, 128, 128]) + b"\x00\x00",   # top
+            bytes([255, 0, 0, 0, 255, 0]) + b"\x00\x00"]       # bottom
+    stored = rows[1] + rows[0]
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(stored), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0,
+                      len(stored), 2835, 2835, 0, 0)
+    b = M.decode_image(hdr + dib + stored)
+    assert b["pixels"][:6] == [255, 0, 0, 128, 128, 128]   # top, RGB
+    assert b["pixels"][6:] == [0, 0, 255, 0, 255, 0]
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\xff\xd8\xff jpeg")
+
+
+def test_stdlib_wav_decode():
+    """Round 13: decode_audio parses the RIFF/WAVE container through
+    the stdlib wave module; non-WAV payloads raise (the
+    torchaudio/ffmpeg slot)."""
+    from presto_spark.llm import multimodal as M
+
+    a = M.decode_audio(M.synth_wav(5, 64, 8000))
+    assert (a["n_channels"], a["framerate"], a["n_frames"]) == (1, 8000,
+                                                                64)
+    assert a["samples"] == [(5 * 17 + 3 * k) % 256 for k in range(64)]
+    with pytest.raises(NotImplementedError):
+        M.decode_audio(b"OggS....")
