@@ -688,3 +688,27 @@ def test_buffer_negative_raises(spark):
     rows = df.select(gd.st_buffer_general(
         F.col("g"), F.lit(None).cast("double")).alias("b")).collect()
     assert rows[0].b is None
+
+
+def test_matrix_relate_reuse(spark):
+    """matrix_relate reads a DE-9IM pattern off a materialized matrix
+    column, agreeing with pair-level st_relate and sharing its
+    NULL/raise contract."""
+    import pytest
+
+    df = _geo_df(spark, [
+        ("within", "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))",
+         "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+    ]).withColumn(
+        "m", geo_relate.geometry_relate_matrix(F.col("a"), F.col("b")))
+    row = df.select(
+        geo_relate.matrix_relate("m", "T*F**F***").alias("mw"),
+        geo_relate.st_relate(F.col("a"), F.col("b"),
+                             "T*F**F***").alias("pw"),
+        geo_relate.matrix_relate(
+            "m", F.lit(None).cast("string")).alias("mn"),
+    ).collect()[0]
+    assert row.mw is True and row.pw is True and row.mn is None
+    with pytest.raises(Exception, match="Invalid DE-9IM pattern"):
+        df.select(geo_relate.matrix_relate("m", "XXX").alias("v")
+                  ).coalesce(1).collect()

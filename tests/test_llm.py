@@ -318,3 +318,25 @@ def test_stdlib_wav_decode():
     assert a["samples"] == [(5 * 17 + 3 * k) % 256 for k in range(64)]
     with pytest.raises(NotImplementedError):
         M.decode_audio(b"OggS....")
+
+
+def test_stdlib_wav_decode_16bit_stereo():
+    """decode_audio handles 16-bit signed stereo PCM (struct-unpacked,
+    channel-interleaved)."""
+    import io
+    import struct
+    import wave
+
+    from presto_spark.llm import multimodal as M
+
+    buf = io.BytesIO()
+    samples = [100, -200, 32767, -32768, 0, 5]
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(struct.pack("<6h", *samples))
+    a = M.decode_audio(buf.getvalue())
+    assert (a["n_channels"], a["framerate"], a["n_frames"]) == (2, 16000,
+                                                                3)
+    assert a["samples"] == samples
