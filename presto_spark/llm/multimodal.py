@@ -102,6 +102,12 @@ def decode_image(payload: bytes) -> dict:
             raise NotImplementedError(
                 f"only uncompressed 24-bit BMP decodes here "
                 f"(bpp={bpp}, compression={compression})")
+        if height <= 0 or width <= 0:
+            # negative height = top-down row order (rare writer
+            # variant) — not wired; zero/negative width is malformed
+            raise NotImplementedError(
+                f"bottom-up positive-dimension BMP only "
+                f"(width={width}, height={height})")
         offset = struct.unpack_from("<I", payload, 10)[0]
         row_bytes = (width * 3 + 3) & ~3
         pixels: list[int] = []
@@ -160,6 +166,9 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
     a PIL-backed implementation would honor; per-image work is
     bounded by the target size.  Formats decode_image cannot parse
     propagate its NotImplementedError."""
+    if width <= 0 or height <= 0:
+        raise ValueError(
+            f"resize dimensions must be positive: {width}x{height}")
     img = decode_image(payload)
     w, h, c = img["width"], img["height"], img["channels"]
     px = img["pixels"]
