@@ -756,6 +756,12 @@ def _classification_macro(a: list[str], metric: str) -> str:
             case = (
                 "CASE WHEN _ps_r.o IS NULL OR _ps_r.p IS NULL "
                 "OR _ps_r.w IS NULL THEN CAST(NULL AS DOUBLE) "
+                # NaN compares false to both range bounds, so it would
+                # silently land in the last bucket; the reference's
+                # histogram add rejects it (FixedHistogramUtils
+                # checkArgument "value must be within range")
+                "WHEN isnan(_ps_r.p) THEN raise_error("
+                "'value must be within range: NaN [0.0, 1.0]') "
                 "WHEN _ps_r.p < 0D OR _ps_r.p > 1D THEN raise_error("
                 "'Prediction value must be between 0.0 and 1.0') "
                 "WHEN _ps_r.w < 0D THEN raise_error("

@@ -1348,6 +1348,10 @@ def test_classification_sql_spelling_contracts(spark):
          "Weights must be non-negative"),
         ("classification_recall(1, o, p)",
          "bucketCount must be at least 2: 1"),
+        # NaN passes both range comparisons (false), so it needs its
+        # own arm — the reference's histogram add rejects it
+        ("classification_recall(5, o, p + double('NaN'))",
+         "value must be within range: NaN"),
     ]:
         with pytest.raises(Exception, match=msg):
             spark.sql(translate(
