@@ -300,6 +300,45 @@ def redact_pii(col: Column) -> Column:
     return out
 
 
+# HTML → text extraction (the first stage of every web-crawl corpus
+# pipeline).  Ordered regexp chain; each step is a codegen
+# regexp_replace, zero shuffle, and the same regexes run verbatim in a
+# SQL oracle.  Scope: tag/comment/script/style stripping + the common
+# named entities — a full HTML5 parser (trafilatura/bs4 class) is a
+# library concern; this is the relational-engine tier of it.
+_HTML_STEPS: tuple[tuple[str, str], ...] = (
+    # script/style/comment blocks drop with their CONTENT
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    # block-level closers become line breaks so paragraphs survive
+    (r"(?i)<(?:br|/p|/div|/h[1-6]|/li|/tr)\b[^>]*>", "\n"),
+    # every remaining tag drops
+    (r"(?s)<[^>]+>", " "),
+    # common named + numeric entities
+    (r"&nbsp;", " "), (r"&amp;", "&"), (r"&lt;", "<"), (r"&gt;", ">"),
+    (r"&quot;", "\""), (r"&#39;", "'"),
+    # whitespace hygiene: collapse runs, trim line edges, drop
+    # leading/trailing line breaks (trim() only strips spaces)
+    (r"[ \t]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"\n{2,}", "\n"),
+    (r"^\n+|\n+$", ""),
+)
+
+
+def html_to_text(col: Column) -> Column:
+    """Extract visible text from an HTML payload — script/style/comment
+    blocks removed with their content, block-level tags become line
+    breaks, remaining tags stripped, the common entities decoded, and
+    whitespace collapsed.  Pure chained regexp_replace (codegen, zero
+    shuffle); the identical regex chain replays in DuckDB."""
+    out = col
+    for pat, rep in _HTML_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return F.trim(out)
+
+
 def pii_stats(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
     """Per-document PII hit counts by category + the redacted text —

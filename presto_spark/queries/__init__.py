@@ -50,8 +50,9 @@ from presto_spark.queries import corpus_suite  # noqa: F401,E402
 #      deterministic_split / pack_token_budget);
 #      llm_multimodal_image_decode + llm_multimodal_audio_wav — NEW
 #      (REAL stdlib PGM/PPM/BMP + WAV decode in the previously-stubbed
-#      multimodal slots).  New rows front ahead of staleness rotation
-#      (standing rule).
+#      multimodal slots); llm_html_extract — NEW (HTML → visible-text
+#      regexp chain, llm/text.py html_to_text).  New rows front ahead
+#      of staleness rotation (standing rule).
 #   2. geo_predicates_golden + geo_sql_measures_golden — re-fronted as
 #      edited-TIER rows: ST_Relate now RAISES on a malformed DE-9IM
 #      pattern in both tiers (r12 next-round #5), so the rows that
@@ -62,15 +63,16 @@ from presto_spark.queries import corpus_suite  # noqa: F401,E402
 #      double-math count, ANSI-proof checksum, classification_*
 #      macros), so all 13 presto_dialect_* rows + fn_combinations_
 #      golden + corpus_product_golden re-earn green.
-#   4. The r5-stale block — 30 of the remaining 33 r5 rows, ALL the
+#   4. The r5-stale block — 29 of the remaining 33 r5 rows, ALL the
 #      north-star llm_* and geo_* rows among them (r12 verdict
 #      next-round #1; 5 of the 33 are presto_dialect_* rows already
-#      fronted by #3; the 8 new rows squeezed the 3 alphabetically-last
+#      fronted by #3; the 9 new rows squeezed the 4 alphabetically-last
 #      r5 tpcds rows out to lead the r14 front).
-#      (8 + 2 + 15 + 25 = 50.)
+#      (9 + 2 + 15 + 24 = 50.)
 # Remaining staleness debt after this window (leads the r14 front):
-# tpcds_q75_yoy_decline, tpcds_rank_within_parent,
-# tpcds_revenue_share_window (r5), then the 40 r6 rows
+# tpcds_q57_outlier_months, tpcds_q75_yoy_decline,
+# tpcds_rank_within_parent, tpcds_revenue_share_window (r5), then the
+# 40 r6 rows
 # (agg_differential_entropy_histogram,
 # agg_misc_suite, agg_union_tail_suite, fn_decimal_cast_suite,
 # sketch_kll_exact_ops, sketch_tdigest_exact_ops,
@@ -91,6 +93,7 @@ _DRIVER_FRONT = [
     "llm_token_budget_mix",
     "llm_multimodal_image_decode",
     "llm_multimodal_audio_wav",
+    "llm_html_extract",
     # 2. edited-tier geo re-fronts (ST_Relate malformed-pattern raise)
     "geo_predicates_golden",
     "geo_sql_measures_golden",
@@ -136,7 +139,6 @@ _DRIVER_FRONT = [
     "tpcds_market_share_delta",
     "tpcds_q31_channel_growth",
     "tpcds_q34_frequent_buyers",
-    "tpcds_q57_outlier_months",
 ]
 
 

@@ -1445,3 +1445,64 @@ def llm_multimodal_audio_wav(spark, sf_dir):
         F.round("rms", 6).alias("rms"),
         "zero_crossings",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (round 13): the first stage of a web-crawl
+# corpus pipeline, as a pure regexp chain.
+# ---------------------------------------------------------------------------
+
+def _duck_html_chain(expr: str) -> str:
+    """DuckDB replay of llm/text.py's _HTML_STEPS — generated FROM the
+    same table so the two chains cannot drift."""
+    from presto_spark.llm.text import _HTML_STEPS
+
+    out = expr
+    for pat, rep in _HTML_STEPS:
+        p = pat.replace("'", "''")
+        r = "chr(10)" if rep == "\n" else "'" + rep.replace("'", "''") + "'"
+        out = f"regexp_replace({out}, '{p}', {r}, 'g')"
+    return f"trim({out})"
+
+
+_HTML_WRAP_PREFIX = ("<html><head><style>p {color: red}</style>"
+                     "<script>var x = 1 < 2;</script></head><body><h1>")
+_HTML_WRAP_MID = "</h1>\n<p>"
+_HTML_WRAP_SUFFIX = (" &amp; more&nbsp;here</p><!-- hidden comment -->"
+                     "<div>tail</div></body></html>")
+
+
+@register(
+    "llm_html_extract",
+    oracle="""
+    SELECT doc_id, """ + _duck_html_chain(
+        "'" + _HTML_WRAP_PREFIX.replace("'", "''") + "' || "
+        "substr(text, 1, 20) || '" + _HTML_WRAP_MID.replace("\n", "' || chr(10) || '")
+        + "' || text || '" + _HTML_WRAP_SUFFIX.replace("'", "''") + "'"
+    ) + """ AS extracted
+    FROM documents WHERE doc_id < 60 ORDER BY doc_id
+    """,
+    doc="HTML -> visible-text extraction (llm/text.py html_to_text — "
+        "the first stage of a web-crawl pipeline): script/style/comment "
+        "blocks drop with their content, block closers become line "
+        "breaks, remaining tags strip, common entities decode, "
+        "whitespace collapses.  Pure chained regexp_replace (codegen, "
+        "zero shuffle); the oracle chain is GENERATED from the same "
+        "step table, so the engines run identical regexes over "
+        "identical synthesized HTML.  Checked on the full extracted "
+        "strings.",
+    tags=("llm", "text", "bench"),
+)
+def llm_html_extract(spark, sf_dir):
+    prepare(spark, sf_dir)
+    docs = spark.table("documents").where(F.col("doc_id") < 60)
+    html = F.concat(
+        F.lit(_HTML_WRAP_PREFIX),
+        F.substring("text", 1, 20),
+        F.lit(_HTML_WRAP_MID),
+        F.col("text"),
+        F.lit(_HTML_WRAP_SUFFIX),
+    )
+    return docs.select(
+        "doc_id", text.html_to_text(html).alias("extracted")
+    ).orderBy("doc_id")

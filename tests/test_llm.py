@@ -340,3 +340,22 @@ def test_stdlib_wav_decode_16bit_stereo():
     assert (a["n_channels"], a["framerate"], a["n_frames"]) == (2, 16000,
                                                                 3)
     assert a["samples"] == samples
+
+
+def test_html_to_text_extraction(spark):
+    """llm/text.py html_to_text: script/style/comment content drops,
+    block closers become line breaks, entities decode, whitespace
+    collapses."""
+    from presto_spark.llm import text as T
+
+    html = ("<html><head><style>p {color: red}</style>"
+            "<script>var hidden = 'secret';</script></head>"
+            "<body><h1>Title  here</h1><p>First &amp; second "
+            "&lt;x&gt;&nbsp;done.</p><!-- invisible -->"
+            "<div>tail</div></body></html>")
+    df = spark.createDataFrame([(1, html)], "doc_id int, html string")
+    got = df.select(T.html_to_text(F.col("html")).alias("v")
+                    ).collect()[0].v
+    assert got == "Title here\nFirst & second <x> done.\ntail"
+    assert "secret" not in got and "color" not in got
+    assert "invisible" not in got
