@@ -72,7 +72,9 @@ from presto_spark.queries import corpus_suite  # noqa: F401,E402
 # Remaining staleness debt after this window (leads the r14 front):
 # tpcds_q57_outlier_months, tpcds_q75_yoy_decline,
 # tpcds_rank_within_parent, tpcds_revenue_share_window (r5), then the
-# 40 r6 rows
+# 38 remaining r6 rows (presto_dialect_unnest_ordinality and
+# presto_dialect_sql_invoked_suite3 earn r13 checks in this window's
+# translate-routed block):
 # (agg_differential_entropy_histogram,
 # agg_misc_suite, agg_union_tail_suite, fn_decimal_cast_suite,
 # sketch_kll_exact_ops, sketch_tdigest_exact_ops,
