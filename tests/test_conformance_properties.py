@@ -133,3 +133,80 @@ def test_bit_count_two_arg_matches_reference(spark, cases):
                      "bit_count(num, bits)")
     want = [bin(num & ((1 << bits) - 1)).count("1") for _, num, bits in rows]
     assert got == want
+
+
+def _classification_oracle(rows, b, metric, weighted):
+    """PrecisionRecallAggregation.java bucket walk re-derived
+    independently: two fixed histograms, running/remaining weights,
+    emit while true weight remains."""
+    tw, fw = [0.0] * b, [0.0] * b
+    for (_, o, p, w) in rows:
+        if o is None or p is None or w is None:
+            continue
+        wt = w if weighted else 1.0
+        j = min(int(b * min(p, 0.99999999999)), b - 1)
+        (tw if o else fw)[j] += wt
+    tt, tf = sum(tw), sum(fw)
+    rt = rf = 0.0
+    out = []
+    for j in range(b):
+        if not tt - rt > 0:
+            break
+        out.append({
+            "thresholds": j * 1.0 / b,
+            "precision": (tt - rt) / ((tt - rt) + (tf - rf)),
+            "recall": (tt - rt) / tt,
+            "miss_rate": rt / tt,
+            "fall_out": (tf - rf) / tf if tf > 0 else None,
+        }[metric])
+        rt += tw[j]
+        rf += fw[j]
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.booleans()),
+        st.one_of(st.none(),
+                  st.floats(min_value=0.0, max_value=1.0,
+                            allow_nan=False)),
+        st.floats(min_value=0.0, max_value=4.0, allow_nan=False),
+    ),
+    min_size=1, max_size=40,
+), st.integers(min_value=2, max_value=9))
+def test_classification_spellings_match_bucket_walk(spark, cases, b):
+    """classification_* spellings vs an independent re-derivation of
+    the reference's two-histogram bucket walk, arbitrary NULL mixes,
+    weights, and bucket counts.  One Spark job per example set; float
+    compares at 1e-9 (sums of hypothesis floats are order-sensitive
+    at the last ulp)."""
+    rows = [(i, o, p, w) for i, (o, p, w) in enumerate(cases)]
+    df = spark.createDataFrame(
+        rows, "rid int, o boolean, p double, w double")
+    df.createOrReplaceTempView("cls_prop_t")
+    got = spark.sql(translate(
+        "SELECT classification_thresholds({b}, o, p) AS thr, "
+        "classification_precision({b}, o, p, w) AS prec, "
+        "classification_recall({b}, o, p) AS rec, "
+        "classification_miss_rate({b}, o, p, w) AS miss, "
+        "classification_fall_out({b}, o, p) AS fall "
+        "FROM cls_prop_t".format(b=b))).collect()[0]
+
+    def close(a, e):
+        assert len(a) == len(e)
+        for x, y in zip(a, e):
+            if y is None:
+                assert x is None
+            else:
+                assert abs(x - y) < 1e-9, (x, y)
+
+    close(list(got.thr),
+          _classification_oracle(rows, b, "thresholds", False))
+    close(list(got.prec),
+          _classification_oracle(rows, b, "precision", True))
+    close(list(got.rec), _classification_oracle(rows, b, "recall", False))
+    close(list(got.miss),
+          _classification_oracle(rows, b, "miss_rate", True))
+    close(list(got.fall),
+          _classification_oracle(rows, b, "fall_out", False))
