@@ -103,3 +103,63 @@ def test_box_disjoint_matches_bbox_separation(a, b):
     kernel_disjoint = (m[0] == "F" and m[1] == "F"
                        and m[3] == "F" and m[4] == "F")
     assert kernel_disjoint == separated, (a, b, m)
+
+
+def _as_gc(members):
+    """Encode member geometries in the header-ring GC layout
+    (geo.py round-11 encoding: (typecode, NULL), (ring count, NULL))."""
+    typecode = {"POINT": 1, "MULTIPOINT": 2, "LINESTRING": 3,
+                "MULTILINESTRING": 4, "POLYGON": 5, "MULTIPOLYGON": 6}
+    xss, yss = [], []
+    for kind, xs, ys in members:
+        xss.append([float(typecode[kind]), float(len(xs))])
+        yss.append([None, None])
+        xss.extend(xs)
+        yss.extend(ys)
+    return "GEOMETRYCOLLECTION", xss, yss
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(_point(), min_size=1, max_size=3), _GEOMS)
+def test_gc_of_points_equals_multipoint(pts, other):
+    """Homogeneous-GC invariant (round 13): a collection of POINTs
+    relates identically to the merged MULTIPOINT, against any other
+    geometry."""
+    gc = _as_gc(pts)
+    mp = ("MULTIPOINT",
+          [xs[0] for _, xs, _ in pts],
+          [ys[0] for _, _, ys in pts])
+    m_gc = _relate_pair(gc[0], gc[1], gc[2],
+                        other[0], other[1], other[2])
+    m_mp = _relate_pair(mp[0], mp[1], mp[2],
+                        other[0], other[1], other[2])
+    assert m_gc == m_mp, (pts, other, m_gc, m_mp)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(_linestring(), min_size=1, max_size=3), _GEOMS)
+def test_gc_of_lines_equals_multilinestring(lines, other):
+    """A collection of LINESTRINGs relates identically to the merged
+    MULTILINESTRING — including the mod-2 boundary cancellation when
+    members share endpoints."""
+    gc = _as_gc(lines)
+    ml = ("MULTILINESTRING",
+          [xs[0] for _, xs, _ in lines],
+          [ys[0] for _, _, ys in lines])
+    m_gc = _relate_pair(gc[0], gc[1], gc[2],
+                        other[0], other[1], other[2])
+    m_ml = _relate_pair(ml[0], ml[1], ml[2],
+                        other[0], other[1], other[2])
+    assert m_gc == m_ml, (lines, other, m_gc, m_ml)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_point(), _linestring(), _GEOMS)
+def test_gc_mixed_dimension_stays_null(pt, line, other):
+    """Mixed-dimension collections keep the pinned NULL (the open-set
+    lifts need the union's interior to be open)."""
+    gc = _as_gc([pt, line])
+    assert _relate_pair(gc[0], gc[1], gc[2],
+                        other[0], other[1], other[2]) is None
+    assert _relate_pair(other[0], other[1], other[2],
+                        gc[0], gc[1], gc[2]) is None
