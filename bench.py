@@ -146,12 +146,16 @@ def main() -> None:
     for name in flagged:
         requeried[name] = _measure(name)
     confirmed = _confirm_flags(flagged, prior, requeried)
-    out = {
-        "metric": "tpch_suite_wall_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf),
+    # Two-line output (VERDICT r13 what's-wrong #3 / next-round #7):
+    # the driver keeps only the last ~2 KB of stdout and parses the
+    # LAST line, so BENCH_r13's per-query map — which sat before the
+    # diagnostic fields inside one big line — was tail-truncated out
+    # of the artifact.  Diagnostics now go on their own earlier line;
+    # the metric line prints LAST, compact-separated, and carries only
+    # the contract fields + the (normally empty) confirmed-regression
+    # list so the full queries map always survives the tail budget.
+    diag = {
+        "diagnostics": True,
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
         "loadavg_per_query": load_per_query,
@@ -159,7 +163,6 @@ def main() -> None:
         # regressed_vs_prior survives its own warm-JVM re-measure;
         # noise-suspected flags (requeried back inside threshold) are
         # listed separately with both numbers in "requeried".
-        "regressed_vs_prior": confirmed,
         "flagged_first_pass": flagged,
         "requeried": requeried,
     }
@@ -167,10 +170,41 @@ def main() -> None:
     # run that began on a busy machine are not comparable round-over-
     # round; say so in the file instead of leaving the judge to infer.
     if load_before[0] >= 2.0:
-        out["warning"] = (
+        diag["warning"] = (
             f"hot start: loadavg_before={load_before[0]:.2f} >= 2; "
             "timings may be inflated by background load")
-    print(json.dumps(out))
+    print(json.dumps(diag))
+    print(_metric_line(total, timings, float(sf), confirmed))
+
+
+def _metric_line(total: float, timings: dict[str, float], sf: float,
+                 confirmed: list[str]) -> str:
+    """The driver-contract JSON line — compact separators, and values
+    re-rounded to 2 decimals if the line would outgrow the driver's
+    ~2 KB stdout tail (the failure that truncated BENCH_r13)."""
+    out = {
+        "metric": "tpch_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "regressed_vs_prior": confirmed,
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        out["queries"] = {n: round(t, 2) for n, t in timings.items()}
+        line = json.dumps(out, separators=(",", ":"))
+    # Last resort if the bench set ever outgrows even the 2-decimal
+    # form: keep the slowest queries (the ones a regression scan needs
+    # most) and say how many were dropped — a truncation marker beats
+    # the silent mid-JSON cut that ate BENCH_r13's map.
+    while len(line) > 1900 and out["queries"]:
+        keep = sorted(out["queries"], key=out["queries"].get,
+                      reverse=True)[:max(0, len(out["queries"]) - 5)]
+        out["queries"] = {n: out["queries"][n] for n in sorted(keep)}
+        out["queries_truncated"] = len(timings) - len(out["queries"])
+        line = json.dumps(out, separators=(",", ":"))
+    return line
 
 
 if __name__ == "__main__":

@@ -736,7 +736,13 @@ def _classification_macro(a: list[str], metric: str) -> str:
             f"got: {b_txt!r}")
     b = int(b_txt)
     if b < 2:
-        return (f"raise_error('bucketCount must be at least 2: {b}')")
+        # translate-time, not a raise_error() expansion: a bare
+        # projection inside a GROUP BY query fails ANALYSIS with
+        # "neither present in the group by nor an aggregate function"
+        # before the runtime message could surface (ADVICE r13), and
+        # the bucket count is a literal here so the reference's
+        # always-raises outcome is decidable at translate time anyway.
+        raise ValueError(f"bucketCount must be at least 2: {b}")
     if b > 100:
         raise ValueError(
             f"classification_{metric}: bucket counts above 100 are not "

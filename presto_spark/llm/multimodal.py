@@ -158,37 +158,59 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
-def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Nearest-neighbor resize — REAL for the stdlib-decodable formats
-    (round 13): decode via :func:`decode_image`, sample src pixel
-    ``(floor(y*H/height), floor(x*W/width))`` per target pixel,
-    re-encode as NetPBM (P5 for 1 channel, P6 for 3).  Same contract
-    a PIL-backed implementation would honor; per-image work is
-    bounded by the target size.  Formats decode_image cannot parse
-    propagate its NotImplementedError."""
+def resample_pixels(img: dict, width: int, height: int) -> list[int]:
+    """Nearest-neighbor resample of a decoded image dict: target pixel
+    ``(x, y)`` reads src pixel ``(floor(x*W/width), floor(y*H/height))``.
+    Pure pixel-list arithmetic — the decode→resample→encode split
+    (ADVICE r13) lets feature extractors share one decode instead of
+    round-tripping through bytes per transform."""
     if width <= 0 or height <= 0:
         raise ValueError(
             f"resize dimensions must be positive: {width}x{height}")
-    img = decode_image(payload)
     w, h, c = img["width"], img["height"], img["channels"]
     px = img["pixels"]
-    out = bytearray()
+    out: list[int] = []
     for y in range(height):
         sy = y * h // height
         for x in range(width):
             sx = x * w // width
             base = (sy * w + sx) * c
-            out += bytes(px[base:base + c])
-    magic = b"P5" if c == 1 else b"P6"
-    return magic + f" {width} {height} 255\n".encode() + bytes(out)
+            out += px[base:base + c]
+    return out
+
+
+def encode_netpbm(pixels: list[int], width: int, height: int,
+                  channels: int) -> bytes:
+    """Encode a pixel list as binary NetPBM (P5 for 1 channel, P6
+    for 3) — the inverse of decode_image's NetPBM arm."""
+    if channels not in (1, 3):
+        raise ValueError(f"NetPBM encodes 1 or 3 channels: {channels}")
+    magic = b"P5" if channels == 1 else b"P6"
+    return magic + f" {width} {height} 255\n".encode() + bytes(pixels)
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resize — REAL for the stdlib-decodable formats
+    (round 13): decode via :func:`decode_image`, resample via
+    :func:`resample_pixels`, re-encode via :func:`encode_netpbm`.
+    Same contract a PIL-backed implementation would honor; per-image
+    work is bounded by the target size.  Formats decode_image cannot
+    parse propagate its NotImplementedError."""
+    img = decode_image(payload)
+    return encode_netpbm(
+        resample_pixels(img, width, height), width, height,
+        img["channels"])
 
 
 def decode_audio(payload: bytes) -> dict:
     """Decode a WAV payload with the stdlib ``wave`` module — REAL
     audio decode (round 13): returns ``{"n_channels", "framerate",
-    "n_frames", "samples"}`` with samples as ints (8-bit unsigned or
-    16-bit signed PCM, channel-interleaved).  Non-WAV payloads raise
-    NotImplementedError (the torchaudio/ffmpeg slot)."""
+    "n_frames", "sample_width", "samples"}`` with samples as ints
+    (8-bit unsigned or 16-bit signed PCM, channel-interleaved) and
+    ``sample_width`` in bytes so feature extractors can pick the
+    matching center convention (ADVICE r13: 8-bit PCM centers on 128,
+    16-bit on 0).  Non-WAV payloads raise NotImplementedError (the
+    torchaudio/ffmpeg slot)."""
     import io
     import struct
     import wave
@@ -210,7 +232,8 @@ def decode_audio(payload: bytes) -> dict:
     else:
         raise NotImplementedError(f"{8 * width}-bit PCM")
     return {"n_channels": n_channels, "framerate": framerate,
-            "n_frames": n_frames, "samples": samples}
+            "n_frames": n_frames, "sample_width": width,
+            "samples": samples}
 
 
 def synth_pgm(doc_id: int, width: int = 8, height: int = 6) -> bytes:
@@ -233,6 +256,26 @@ def synth_wav(doc_id: int, n_frames: int = 64, framerate: int = 8000) -> bytes:
         w.setframerate(framerate)
         w.writeframes(bytes((doc_id * 17 + 3 * k) % 256
                             for k in range(n_frames)))
+    return buf.getvalue()
+
+
+def synth_wav16(doc_id: int, n_frames: int = 64,
+                framerate: int = 8000) -> bytes:
+    """Deterministic 16-bit signed mono PCM WAV: sample k =
+    (doc_id*29 + 5k) % 4096 - 2048 — exercises the signed/centered-
+    on-0 feature path (ADVICE r13)."""
+    import io
+    import struct
+    import wave
+
+    samples = [(doc_id * 29 + 5 * k) % 4096 - 2048
+               for k in range(n_frames)]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(struct.pack(f"<{n_frames}h", *samples))
     return buf.getvalue()
 
 
@@ -260,7 +303,10 @@ def image_features(
     decode → transform → feature shape a PIL-backed pipeline uses,
     with the decode actually running.  mapInPandas: whole Arrow
     batches cross into Python once; per-image work is bounded by the
-    pixel count.  Zero shuffle."""
+    pixel count.  Each payload decodes exactly ONCE — stats and the
+    resample share the pixel buffer (ADVICE r13: the round-13 version
+    re-decoded through resize_image's byte round-trip, ~2x per-image
+    CPU).  Zero shuffle."""
     rw, rh = resize_to
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -269,8 +315,7 @@ def image_features(
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
                 img = decode_image(bytes(payload))
                 px = img["pixels"]
-                resized = decode_image(
-                    resize_image(bytes(payload), rw, rh))["pixels"]
+                resized = resample_pixels(img, rw, rh)
                 rows.append({
                     "doc_id": did,
                     "width": img["width"],
@@ -294,6 +339,7 @@ AUDIO_FEATURE_SCHEMA = T.StructType([
     T.StructField("n_channels", T.LongType()),
     T.StructField("framerate", T.LongType()),
     T.StructField("n_frames", T.LongType()),
+    T.StructField("sample_width", T.LongType()),
     T.StructField("duration_sec", T.DoubleType()),
     T.StructField("rms", T.DoubleType()),
     T.StructField("zero_crossings", T.LongType()),
@@ -306,10 +352,13 @@ def audio_features(
     payload_col: str = "payload",
 ) -> DataFrame:
     """Arrow-batched REAL audio pipeline (round 13): stdlib WAV decode
-    then duration, RMS (8-bit samples centered on 128), and
-    zero-crossing count (sign changes of the centered signal, the
-    >= 128 convention) — all pure arithmetic of the PCM samples, so a
-    SQL oracle replays them exactly.  Zero shuffle."""
+    then duration, RMS, and zero-crossing count — all pure arithmetic
+    of the PCM samples, so a SQL oracle replays them exactly.  The
+    center convention follows the decoded sample width (ADVICE r13:
+    the round-13 version hardwired the 8-bit convention, silently
+    mis-measuring 16-bit WAVs): 8-bit unsigned PCM centers on 128 and
+    zero-crosses at the >= 128 boundary; 16-bit signed PCM centers on
+    0 and zero-crosses at >= 0.  Zero shuffle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -317,16 +366,18 @@ def audio_features(
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
                 a = decode_audio(bytes(payload))
                 s = a["samples"]
-                centered = [v - 128 for v in s]
+                center = 128 if a["sample_width"] == 1 else 0
+                centered = [v - center for v in s]
                 rms = (sum(v * v for v in centered) / len(s)) ** 0.5
                 zc = sum(
                     1 for i in range(len(s) - 1)
-                    if (s[i] >= 128) != (s[i + 1] >= 128))
+                    if (s[i] >= center) != (s[i + 1] >= center))
                 rows.append({
                     "doc_id": did,
                     "n_channels": a["n_channels"],
                     "framerate": a["framerate"],
                     "n_frames": a["n_frames"],
+                    "sample_width": a["sample_width"],
                     "duration_sec": a["n_frames"] / a["framerate"],
                     "rms": rms,
                     "zero_crossings": zc,

@@ -315,9 +315,11 @@ _HTML_STEPS: tuple[tuple[str, str], ...] = (
     (r"(?i)<(?:br|/p|/div|/h[1-6]|/li|/tr)\b[^>]*>", "\n"),
     # every remaining tag drops
     (r"(?s)<[^>]+>", " "),
-    # common named + numeric entities
-    (r"&nbsp;", " "), (r"&amp;", "&"), (r"&lt;", "<"), (r"&gt;", ">"),
-    (r"&quot;", "\""), (r"&#39;", "'"),
+    # common named + numeric entities — &amp; decodes LAST so escaped
+    # entity text single-decodes ('&amp;lt;' → '&lt;', not '<'; the
+    # classic entity-order bug, ADVICE r13)
+    (r"&nbsp;", " "), (r"&lt;", "<"), (r"&gt;", ">"),
+    (r"&quot;", "\""), (r"&#39;", "'"), (r"&amp;", "&"),
     # whitespace hygiene: collapse runs, trim line edges, drop
     # leading/trailing line breaks (trim() only strips spaces)
     (r"[ \t]+", " "),

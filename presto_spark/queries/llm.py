@@ -1161,6 +1161,80 @@ def llm_cross_dedup(spark, sf_dir):
     return dedup.exact_dedup_against(batch, reference).orderBy("keep_id")
 
 
+_D_BANDED = (
+    "SELECT doc_id, b.band, b.bucket FROM ("
+    "  SELECT doc_id,"
+    "         unnest(list_transform(range(0, 4), b -> {{"
+    "           'band': b,"
+    "           'bucket': list_reduce("
+    "              list_prepend(0::BIGINT,"
+    "                           list_slice(sig, b * 4 + 1, b * 4 + 4)),"
+    "              (acc, x) -> (acc * 31 + x % 1000003) % 1000000007)"
+    "         }})) AS b"
+    "  FROM {sig_cte}) t")
+
+
+@register(
+    "llm_cross_near_dedup",
+    oracle="""
+    WITH nsh AS (
+      SELECT doc_id, sh FROM """ + _shingles_for(
+        "(SELECT doc_id + 1000000 AS doc_id, text FROM documents "
+        "WHERE doc_id % 6 = 0 "
+        "UNION ALL SELECT doc_id, text FROM documents "
+        "WHERE doc_id % 2 = 1) d") + """ t
+    ),
+    rsh AS (
+      SELECT doc_id, sh FROM """ + _shingles_for(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0) d"
+    ) + """ t
+    ),
+    nsig AS (SELECT doc_id, """ + D_SIG + """ AS sig FROM nsh),
+    rsig AS (SELECT doc_id, """ + D_SIG + """ AS sig FROM rsh),
+    nband AS (""" + _D_BANDED.format(sig_cte="nsig") + """),
+    rband AS (""" + _D_BANDED.format(sig_cte="rsig") + """),
+    cands AS (
+      SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
+      FROM nband n JOIN rband r
+        ON n.band = r.band AND n.bucket = r.bucket
+    )
+    SELECT new_id, ref_id,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                 6) AS jaccard
+    FROM cands
+    JOIN nsh a ON cands.new_id = a.doc_id
+    JOIN rsh b ON cands.ref_id = b.doc_id
+    WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                6) >= 0.5
+    ORDER BY new_id, ref_id
+    """,
+    doc="Cross-corpus NEAR-dedup (llm/dedup.py near_dedup_against — "
+        "the FineWeb/RefinedWeb-style weekly pass, VERDICT r13 "
+        "next-round #2: flag new-crawl documents that near-duplicate "
+        "the already-ingested corpus).  New batch = odd docs plus "
+        "id-shifted copies of every 6th doc (guaranteed cross-corpus "
+        "exact matches); reference = even docs.  MinHash signatures "
+        "band identically on both sides, candidates come from an "
+        "equi-join of the two banded tables on (band, bucket) — no "
+        "corpus broadcast, no all-pairs (plan-pinned in "
+        "tests/test_plans.py) — and exact shingle Jaccard >= 0.5 "
+        "verifies; the oracle replays signatures and banding "
+        "bit-exactly.",
+    tags=("llm", "dedup", "bench"),
+)
+def llm_cross_near_dedup(spark, sf_dir):
+    prepare(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    reference = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1).unionAll(
+        docs.where(F.col("doc_id") % 6 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return dedup.near_dedup_against(
+        batch, reference, threshold=0.5).orderBy("new_id", "ref_id")
+
+
 @register(
     "llm_decontamination",
     oracle="""
@@ -1394,53 +1468,64 @@ def llm_multimodal_image_decode(spark, sf_dir):
 @register(
     "llm_multimodal_audio_wav",
     oracle="""
-    WITH ids AS (SELECT range AS doc_id FROM range(40)),
+    WITH ids AS (SELECT range AS doc_id FROM range(80)),
     s AS (
       SELECT doc_id,
-             list_transform(range(0, 64),
-                            k -> (doc_id * 17 + 3 * k) % 256) AS sm
+             CASE WHEN doc_id < 40 THEN 1 ELSE 2 END AS sample_width,
+             CASE WHEN doc_id < 40
+                  THEN list_transform(range(0, 64),
+                         k -> (doc_id * 17 + 3 * k) % 256)
+                  ELSE list_transform(range(0, 64),
+                         k -> (doc_id * 29 + 5 * k) % 4096 - 2048)
+             END AS sm,
+             CASE WHEN doc_id < 40 THEN 128 ELSE 0 END AS ctr
       FROM ids
     )
     SELECT doc_id,
            CAST(1 AS BIGINT) AS n_channels,
            CAST(8000 AS BIGINT) AS framerate,
            CAST(64 AS BIGINT) AS n_frames,
+           CAST(sample_width AS BIGINT) AS sample_width,
            round(64.0 / 8000, 6) AS duration_sec,
            round(sqrt(list_aggregate(
-             list_transform(sm, v -> (v - 128) * (v - 128)),
+             list_transform(sm, v -> (v - ctr) * (v - ctr)),
              'sum')::DOUBLE / 64), 6) AS rms,
            CAST(len(list_filter(range(0, 63),
-             k -> (sm[k + 1] >= 128) <> (sm[k + 2] >= 128)))
+             k -> (sm[k + 1] >= ctr) <> (sm[k + 2] >= ctr)))
              AS BIGINT) AS zero_crossings
     FROM s ORDER BY doc_id
     """,
     doc="REAL audio decode pipeline (llm/multimodal.py decode_audio / "
-        "audio_features — stdlib wave module, round 13): deterministic "
-        "8-bit mono PCM WAV payloads are decoded through the actual "
-        "RIFF/WAVE container, then duration, centered RMS, and "
-        "zero-crossing count computed from the PCM samples; the oracle "
-        "replays the synthesis arithmetic and the signal math.  "
-        "mapInPandas, zero shuffle.",
+        "audio_features — stdlib wave module, round 13; round 14 adds "
+        "the 16-bit signed path per ADVICE r13): deterministic 8-bit "
+        "unsigned AND 16-bit signed mono PCM WAV payloads are decoded "
+        "through the actual RIFF/WAVE container, then duration, "
+        "width-matched centered RMS (center 128 for 8-bit, 0 for "
+        "16-bit), and zero-crossing count computed from the PCM "
+        "samples; the oracle replays the synthesis arithmetic and the "
+        "signal math for both widths.  mapInPandas, zero shuffle.",
     tags=("llm", "multimodal", "bench"),
 )
 def llm_multimodal_audio_wav(spark, sf_dir):
     import pandas as pd
 
     prepare(spark, sf_dir)
-    ids = spark.range(40).withColumnRenamed("id", "doc_id")
+    ids = spark.range(80).withColumnRenamed("id", "doc_id")
 
     def synth(batches):
         for pdf in batches:
             yield pd.DataFrame({
                 "doc_id": pdf.doc_id,
-                "payload": [multimodal.synth_wav(int(d), 64, 8000)
-                            for d in pdf.doc_id],
+                "payload": [
+                    multimodal.synth_wav(int(d), 64, 8000) if d < 40
+                    else multimodal.synth_wav16(int(d), 64, 8000)
+                    for d in pdf.doc_id],
             })
 
     payloads = ids.mapInPandas(synth, "doc_id long, payload binary")
     feats = multimodal.audio_features(payloads)
     return feats.select(
-        "doc_id", "n_channels", "framerate", "n_frames",
+        "doc_id", "n_channels", "framerate", "n_frames", "sample_width",
         F.round("duration_sec", 6).alias("duration_sec"),
         F.round("rms", 6).alias("rms"),
         "zero_crossings",

@@ -77,3 +77,32 @@ def test_confirm_flags_requeried_adjudication(tmp_path, monkeypatch):
     requeried = {"noise": 1.1, "real": 1.8}  # "lost" never re-measured
     assert mod._confirm_flags(flagged, prior, requeried) == ["lost", "real"]
     assert mod._confirm_flags([], prior, {}) == []
+
+
+def test_metric_line_is_last_parseable_and_tail_sized():
+    """VERDICT r13 #7: the metric line must survive the driver's ~2 KB
+    stdout tail — compact separators, diagnostics moved to their own
+    earlier line, and a 2-decimal fallback if the registry's bench set
+    ever outgrows the budget."""
+    import json
+
+    import bench
+
+    from presto_spark.queries import REGISTRY
+
+    # the real bench set (3-decimal values) must fit untruncated
+    real = {n: 12.345 for n, q in REGISTRY.items() if "bench" in q.tags}
+    line = bench._metric_line(740.7, real, 0.1, [])
+    assert len(line) <= 2000 - len("\n")
+    parsed = json.loads(line)
+    assert parsed["metric"] == "tpch_suite_wall_sec"
+    assert parsed["queries"] == real and parsed["sf"] == 0.1
+    # a pathologically large set degrades loudly (slowest kept,
+    # truncation counted) instead of overflowing the tail
+    big = {f"a_rather_long_query_name_{i:02d}": 12.345 + (i == 7)
+           for i in range(80)}
+    line = bench._metric_line(990.7, big, 0.1, [])
+    assert len(line) <= 2000 - len("\n")
+    parsed = json.loads(line)
+    assert parsed["queries_truncated"] >= 1
+    assert "a_rather_long_query_name_07" in parsed["queries"]

@@ -1364,3 +1364,13 @@ def test_classification_sql_spelling_contracts(spark):
     assert list(empty) == []
     once = translate("SELECT classification_recall(5, o, p) AS v FROM t")
     assert translate(once) == once
+    # bucketCount < 2 is a translate-time error (ADVICE r13: the old
+    # bare raise_error() expansion failed ANALYSIS under GROUP BY with
+    # Spark's not-an-aggregate message instead of the reference's) —
+    # both the global and the GROUP BY forms surface the same message
+    for q in ("SELECT classification_recall(1, o, p) FROM cls_t2",
+              "SELECT g, classification_recall(1, o, p) "
+              "FROM cls_t2 GROUP BY g"):
+        with pytest.raises(ValueError,
+                           match="bucketCount must be at least 2: 1"):
+            translate(q)

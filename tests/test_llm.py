@@ -359,3 +359,120 @@ def test_html_to_text_extraction(spark):
     assert got == "Title here\nFirst & second <x> done.\ntail"
     assert "secret" not in got and "color" not in got
     assert "invisible" not in got
+
+
+def test_audio_features_width_matched_center(spark):
+    """ADVICE r13: audio_features must center 16-bit signed PCM on 0
+    (8-bit unsigned on 128) — RMS and zero-crossings of a signed
+    square wave come out right only under the width-matched
+    convention."""
+    import pandas as pd
+
+    from presto_spark.llm import multimodal as M
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf.doc_id,
+                "payload": [M.synth_wav(0, 64, 8000) if d == 0
+                            else M.synth_wav16(1, 64, 8000)
+                            for d in pdf.doc_id],
+            })
+
+    payloads = (spark.range(2).withColumnRenamed("id", "doc_id")
+                .mapInPandas(synth, "doc_id long, payload binary"))
+    rows = {r.doc_id: r
+            for r in M.audio_features(payloads).collect()}
+    for did, synth_fn, center in ((0, M.synth_wav, 128),
+                                  (1, M.synth_wav16, 0)):
+        s = M.decode_audio(synth_fn(did, 64, 8000))["samples"]
+        rms = (sum((v - center) ** 2 for v in s) / 64) ** 0.5
+        zc = sum(1 for i in range(63)
+                 if (s[i] >= center) != (s[i + 1] >= center))
+        assert abs(rows[did].rms - rms) < 1e-9
+        assert rows[did].zero_crossings == zc
+    assert rows[0].sample_width == 1
+    assert rows[1].sample_width == 2
+
+
+def test_resample_shares_decode_with_features():
+    """ADVICE r13 / VERDICT r13 nit: resize decomposes into
+    decode -> resample_pixels -> encode_netpbm, so image_features can
+    resample the already-decoded pixel buffer instead of re-decoding
+    through a byte round-trip."""
+    from presto_spark.llm import multimodal as M
+
+    payload = M.synth_pgm(7, 8, 6)
+    img = M.decode_image(payload)
+    resampled = M.resample_pixels(img, 4, 3)
+    # the byte-level resize is exactly encode(resample(decode))
+    assert M.resize_image(payload, 4, 3) == M.encode_netpbm(
+        resampled, 4, 3, img["channels"])
+    # nearest-neighbor index map: target (x, y) reads src (2x, 2y)
+    assert resampled == [img["pixels"][(2 * y) * 8 + 2 * x]
+                         for y in range(3) for x in range(4)]
+
+
+def test_html_escaped_entities_single_decode(spark):
+    """ADVICE r13: '&amp;lt;' is ESCAPED entity text and must decode
+    once (to '&lt;'), not twice (to '<') — &amp; decodes last."""
+    from presto_spark.llm import text as T
+
+    df = spark.createDataFrame(
+        [(1, "<p>use &amp;lt;b&amp;gt; for bold &amp;amp; more</p>")],
+        "doc_id int, html string")
+    got = df.select(T.html_to_text(F.col("html")).alias("v")
+                    ).collect()[0].v
+    assert got == "use &lt;b&gt; for bold &amp; more"
+
+
+def test_contamination_report_null_text_and_df_cap(spark):
+    """ADVICE r13: a NULL-text document must appear in the report
+    (NULL n_shingles/ratio, zero match counts) instead of vanishing;
+    VERDICT r13: max_shingle_bench_df drops hot boilerplate shingles
+    before the corpus join."""
+    from presto_spark.llm import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, None)],
+        "doc_id int, text string")
+    bench = spark.createDataFrame(
+        [(10, "the quick brown fox"), (11, "the quick brown cat")],
+        "doc_id int, text string")
+    rows = {r.doc_id: r for r in
+            D.contamination_report(docs, bench).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2].n_shingles is None
+    assert rows[2].contamination_ratio is None
+    assert rows[2].n_contaminated == 0 and rows[2].n_benchmarks_hit == 0
+    # df cap: "the quick brown" occurs in BOTH bench docs (df 2) and
+    # is dropped at cap 1; "quick brown fox" (df 1) survives
+    capped = {r.doc_id: r for r in
+              D.contamination_report(
+                  docs, bench, max_shingle_bench_df=1).collect()}
+    assert capped[1].n_contaminated == 1
+    assert capped[1].n_benchmarks_hit == 1
+    assert rows[1].n_contaminated == 2  # uncapped baseline unchanged
+
+
+def test_near_dedup_against_known_cross_pairs(spark):
+    """near_dedup_against flags a new-batch doc that near-matches a
+    reference doc (and an exact cross-corpus copy at jaccard 1.0), and
+    never reports in-batch or in-reference pairs."""
+    from presto_spark.llm import dedup as D
+
+    ref = spark.createDataFrame(
+        [(2, "alpha beta gamma delta epsilon zeta"),
+         (4, "totally unrelated reference content here now")],
+        "doc_id int, text string")
+    batch = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),       # exact copy
+         (3, "alpha beta gamma delta epsilon eta"),        # near (4/6 3-grams... )
+         (5, "nothing in common with anything else at all")],
+        "doc_id int, text string")
+    rows = {(r.new_id, r.ref_id): r.jaccard
+            for r in D.near_dedup_against(batch, ref,
+                                          threshold=0.4).collect()}
+    assert rows[(1, 2)] == 1.0
+    assert (3, 2) in rows and 0.4 <= rows[(3, 2)] < 1.0
+    assert all(nid in (1, 3) and rid == 2 for nid, rid in rows)

@@ -328,3 +328,27 @@ def test_q38_intersect_plans_as_semi_joins(spark):
     df = REGISTRY["tpcds_q38_triple_intersect_customers"].spark(
         spark, SF_DIR)
     assert _optimized(df).count("LeftSemi") == 2
+
+
+def test_cross_near_dedup_plan_no_corpus_broadcast(spark):
+    """near_dedup_against (llm/dedup.py) must plan its candidate stage
+    as an equi-join of the two banded signature tables on
+    (band, bucket): with broadcast suppressed the plan contains no
+    BroadcastExchange and no NestedLoop/Cartesian — neither corpus is
+    ever broadcast or all-pairs joined (VERDICT r13 next-round #2)."""
+    from presto_spark.llm import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text")
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        out = dedup.near_dedup_against(
+            docs.where(F.col("doc_id") % 2 == 1),
+            docs.where(F.col("doc_id") % 2 == 0))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(key, prev)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "BroadcastExchange" not in plan
