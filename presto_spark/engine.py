@@ -23,7 +23,8 @@ from presto_spark import prepared as _prep
 from presto_spark import show as _show
 from presto_spark.functions.dialect import translate
 from presto_spark.functions.registry import (register_functions,
-                                              register_geo_sql_functions)
+                                              register_geo_sql_functions,
+                                              register_llm_sql_functions)
 from presto_spark.session_properties import set_session_property
 from presto_spark.sources.catalog import TABLES, register_tables
 
@@ -45,8 +46,9 @@ class Engine:
         self.spark = spark
         register_functions(spark)
         # full SQL surface at the facade; registry rows register the
-        # geo tier lazily instead (analyzer-drag split, round 12)
+        # geo/llm tiers lazily instead (analyzer-drag split, round 12)
         register_geo_sql_functions(spark)
+        register_llm_sql_functions(spark)
         self.tables: dict[str, DataFrame] = {}
         self.prepared = _prep.PreparedStatements()
         if sf_dir is not None:

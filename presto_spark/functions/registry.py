@@ -1299,3 +1299,29 @@ def register_geo_sql_functions(spark: SparkSession) -> list[str]:
         registered.append(name)
     return registered
 
+
+def register_llm_sql_functions(spark: SparkSession) -> list[str]:
+    """Register the LLM scalar tier's SQL spellings (round 14, VERDICT
+    r13 next-round #3): poly_hash/fingerprint, simhash16,
+    split_bucket, html_to_text, quality_score — the north-star
+    operators a SQL-first user needs without dropping to the
+    DataFrame API.
+
+    Same lazy split as register_geo_sql_functions (the simhash body
+    unrolls 16 aggregate folds — analyzer drag for unrelated
+    iterative queries if always-registered): the Engine facade
+    registers it always, registry rows that run the SQL names call
+    this explicitly, everything else skips it.  Memoized via a
+    session attribute (not id(spark) — address reuse, ADVICE r12).
+    """
+    if getattr(spark, "_presto_spark_llm_sql_ready", False):
+        return []
+    spark._presto_spark_llm_sql_ready = True
+    from presto_spark.functions.llm_sql import llm_sql_udfs
+
+    registered: list[str] = []
+    for name, (args, ret, body) in llm_sql_udfs().items():
+        spark.sql(_ddl(name, args, ret, body))
+        registered.append(name)
+    return registered
+

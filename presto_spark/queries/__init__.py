@@ -65,14 +65,18 @@ from presto_spark.queries import corpus_suite  # noqa: F401,E402
 #      fn_decimal_cast_suite, the KLL/tdigest exact-ops rows, the agg
 #      misc/union/entropy suites, 3 geo rows, llm PII/repetition, and
 #      4 tpcds rows.  After this window NO row's evidence predates r8.
-#   3. 3 oldest-r8 fillers (agg_classification_curves,
-#      agg_distinct_and_filter, agg_grouping_sets) hold the slots this
-#      round's NEW rows (cross-corpus near-dedup, LLM SQL spellings,
-#      sequence packing) displace as they land — new rows front in the
-#      same commit that registers them (standing rule).
+#   3. This round's 3 NEW rows, each fronted in the commit that
+#      registered it (standing rule): llm_cross_near_dedup
+#      (cross-corpus MinHash-LSH near-dedup, llm/dedup.py
+#      near_dedup_against — r13 next-round #2), llm_sql_spellings
+#      (the LLM scalar tier reachable from engine.sql,
+#      functions/llm_sql.py — r13 next-round #3), and
+#      llm_sequence_packing (fixed-length training-sequence packing
+#      with boundary flags, llm/mix.py pack_sequences — r13
+#      next-round #4).
 #      (5 + 4 + 38 + 3 = 50.)
 # Remaining staleness debt after this window (leads the r15 front):
-# the 45 remaining r8 rows, then the r9 block.
+# the full 48-row r8 block, then the r9 block.
 # tests/test_registry_front.py pins list(REGISTRY)[:50] == this list.
 _DRIVER_FRONT = [
     # 1. edited => re-front (ADVICE r13 / VERDICT r13 fixes)
@@ -125,10 +129,10 @@ _DRIVER_FRONT = [
     "window_aggregate_frames",
     "window_ranking",
     "window_value_functions",
-    # 3. this round's new rows (+ oldest-r8 fillers awaiting the rest)
+    # 3. this round's new rows
     "llm_cross_near_dedup",
-    "agg_distinct_and_filter",
-    "agg_grouping_sets",
+    "llm_sql_spellings",
+    "llm_sequence_packing",
 ]
 
 

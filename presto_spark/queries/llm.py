@@ -1395,6 +1395,59 @@ def llm_token_budget_mix(spark, sf_dir):
     )
 
 
+@register(
+    "llm_sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT source, doc_id,
+             len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT
+               AS n_tokens
+      FROM documents WHERE doc_id < 200
+    ),
+    c AS (
+      SELECT *,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+      FROM t
+    ),
+    iv AS (SELECT source, doc_id, n_tokens,
+                  (e - n_tokens)::BIGINT AS s, e::BIGINT AS e
+           FROM c WHERE n_tokens > 0),
+    segs AS (
+      SELECT source, doc_id, n_tokens, s, e, u.seq_id
+      FROM iv, unnest(range(s // 128, (e - 1) // 128 + 1)) AS u(seq_id)
+    )
+    SELECT source, doc_id, n_tokens, seq_id,
+           greatest(s, seq_id * 128) - seq_id * 128 AS seq_offset,
+           least(e, (seq_id + 1) * 128) - greatest(s, seq_id * 128)
+             AS seg_tokens,
+           greatest(s, seq_id * 128) - s AS seg_start,
+           greatest(s, seq_id * 128) = s AS is_doc_start,
+           least(e, (seq_id + 1) * 128) = e AS is_doc_end
+    FROM segs
+    ORDER BY source, doc_id, seq_id
+    """,
+    doc="Fixed-length sequence packing (llm/mix.py pack_sequences — "
+        "round 14, VERDICT r13 next-round #4: the standard pre-"
+        "tokenizer assembly step): per source, documents in id order "
+        "are laid end-to-end and cut every 128 tokens; documents "
+        "spill across sequence boundaries with per-segment offsets "
+        "and is_doc_start/is_doc_end flags so attention masks can "
+        "reset at document edges.  One window shuffle on the group "
+        "key + a map-side sequence/explode fan-out; the oracle "
+        "replays the interval arithmetic segment-exactly.",
+    tags=("llm", "mix", "bench"),
+)
+def llm_sequence_packing(spark, sf_dir):
+    from presto_spark.llm import mix
+
+    prepare(spark, sf_dir)
+    docs = (spark.table("documents").where(F.col("doc_id") < 200)
+            .select("doc_id", "source", "text"))
+    return mix.pack_sequences(docs, context_len=128).orderBy(
+        "source", "doc_id", "seq_id")
+
+
 # ---------------------------------------------------------------------------
 # Real multimodal decode (round 13): stdlib PGM/PPM/BMP image decode +
 # nearest-neighbor resize, and stdlib PCM WAV audio decode — the
@@ -1591,3 +1644,91 @@ def llm_html_extract(spark, sf_dir):
     return docs.select(
         "doc_id", text.html_to_text(html).alias("extracted")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# SQL spellings for the LLM scalar tier (round 14): the north-star
+# operators reachable from engine.sql without Python.
+# ---------------------------------------------------------------------------
+
+@register(
+    "llm_sql_spellings",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             """ + D_TOKENS.replace("{s}", "text") + """ AS toks
+      FROM documents WHERE doc_id < 60
+    ),
+    stats AS (
+      SELECT doc_id, text, toks,
+             len(toks) AS n_tokens,
+             round(list_reduce(list_prepend(0::BIGINT,
+                     list_transform(toks, tk -> length(tk)::BIGINT)),
+                   (acc, x) -> acc + x)::DOUBLE / len(toks), 6)
+               AS avg_token_len,
+             round(len(list_filter(toks, tk -> list_contains(
+                     ['the','a','an','and','or','of','to','in','is','it'],
+                     tk)))::DOUBLE / len(toks), 6) AS stopword_ratio
+      FROM t
+    )
+    SELECT doc_id,
+           """ + D_POLY.replace("{s}", "text") + """ AS ph,
+           """ + D_POLY.replace("{s}", "text") + """ AS fp,
+           list_reduce(list_prepend(0::BIGINT,
+             list_transform(range(0, 16), b ->
+               CASE WHEN list_reduce(list_prepend(0::BIGINT,
+                      list_transform(list_transform(toks, tk -> """
+    + D_POLY.replace("{s}", "tk") + """),
+                        h -> ((h // (2 ** b)::BIGINT) % 2 * 2 - 1)::BIGINT)),
+                      (acc, x) -> acc + x) > 0
+                    THEN (2 ** b)::BIGINT ELSE 0::BIGINT END)),
+             (acc, x) -> acc + x) AS sh,
+           round((list_reduce(list_prepend(0::BIGINT,
+                    list_transform(string_split(
+                      md5(doc_id::VARCHAR || ':42'), ''),
+                      c -> ord(c)::BIGINT)),
+                    (acc, x) -> (acc * 31 + x) % 1000000007)
+                  % 1000003) / 1000003.0, 6) AS bucket,
+           CASE WHEN n_tokens < 5 THEN 0.0
+                ELSE round(least(n_tokens / 100.0, 1.0) * 0.4
+                         + least(avg_token_len / 8.0, 1.0) * 0.3
+                         + least(stopword_ratio * 5.0, 1.0) * 0.3, 6)
+           END AS quality,
+           """ + _duck_html_chain(
+        "'<p>lead &amp;amp; escaped&nbsp;entity</p><p>' || text || '</p>'"
+    ) + """ AS extracted
+    FROM stats ORDER BY doc_id
+    """,
+    doc="SQL spellings of the LLM scalar tier (functions/llm_sql.py, "
+        "registered via registry.register_llm_sql_functions — round "
+        "14, VERDICT r13 next-round #3: the north-star operators were "
+        "DataFrame-only, unreachable from engine.sql): ONE spark.sql "
+        "text exercises poly_hash/fingerprint (31-base char fold), "
+        "simhash16 (div/mod majority vote), split_bucket (md5 fold -> "
+        "unit interval), quality_score (two-stage-rounded Gopher/C4 "
+        "composite), and html_to_text (the chain GENERATED from the "
+        "same _HTML_STEPS table the oracle replays).  Every value "
+        "bit-exact vs DuckDB; the SQL bodies are parity-pinned "
+        "against the Column builders by "
+        "tests/test_llm_sql_spellings.py.  Pure map-side scalar work, "
+        "zero shuffle.",
+    tags=("llm", "text", "dialect", "bench"),
+)
+def llm_sql_spellings(spark, sf_dir):
+    from presto_spark.functions.registry import register_llm_sql_functions
+
+    prepare(spark, sf_dir)
+    register_llm_sql_functions(spark)
+    return spark.sql("""
+        SELECT doc_id,
+               poly_hash(text) AS ph,
+               fingerprint(text) AS fp,
+               simhash16(text) AS sh,
+               round(split_bucket(CAST(doc_id AS STRING), 42), 6)
+                 AS bucket,
+               quality_score(text) AS quality,
+               html_to_text(concat(
+                 '<p>lead &amp;amp; escaped&nbsp;entity</p><p>',
+                 text, '</p>')) AS extracted
+        FROM documents WHERE doc_id < 60 ORDER BY doc_id
+    """)

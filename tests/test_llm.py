@@ -476,3 +476,37 @@ def test_near_dedup_against_known_cross_pairs(spark):
     assert rows[(1, 2)] == 1.0
     assert (3, 2) in rows and 0.4 <= rows[(3, 2)] < 1.0
     assert all(nid in (1, 3) and rid == 2 for nid, rid in rows)
+
+
+def test_pack_sequences_spill_and_boundaries(spark):
+    """pack_sequences: docs lay end-to-end per group, cut every L
+    tokens; a doc spanning a cut spills with correct per-segment
+    offsets/flags, and every sequence except the group's last is
+    exactly full."""
+    from presto_spark.llm import mix
+
+    # group g: docs of 6, 4, 5 tokens; L=8 →
+    #   doc1 [0,6) seq0 off0 len6 (start+end)
+    #   doc2 [6,10) seq0 off6 len2 (start), seq1 off0 len2 (end)
+    #   doc3 [10,15) seq1 off2 len5 (start+end)
+    rows = spark.createDataFrame(
+        [(1, "g", "a b c d e f"), (2, "g", "a b c d"),
+         (3, "g", "a b c d e")],
+        "doc_id int, source string, text string")
+    segs = [(r.doc_id, r.seq_id, r.seq_offset, r.seg_tokens,
+             r.seg_start, r.is_doc_start, r.is_doc_end)
+            for r in mix.pack_sequences(rows, context_len=8)
+            .orderBy("doc_id", "seq_id").collect()]
+    assert segs == [
+        (1, 0, 0, 6, 0, True, True),
+        (2, 0, 6, 2, 0, True, False),
+        (2, 1, 0, 2, 2, False, True),
+        (3, 1, 2, 5, 0, True, True),
+    ]
+    # full-sequence invariant: seq 0 carries exactly 8 tokens
+    per_seq = {}
+    for _, sq, _, n, _, _, _ in segs:
+        per_seq[sq] = per_seq.get(sq, 0) + n
+    assert per_seq == {0: 8, 1: 7}
+    with pytest.raises(ValueError, match="context_len"):
+        mix.pack_sequences(rows, context_len=0)
