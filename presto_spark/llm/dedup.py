@@ -311,6 +311,28 @@ def near_dedup_against(
         StorageLevel.MEMORY_AND_DISK)
     sh_ref = with_shingles(reference, ref_id_col, ref_text_col).persist(
         StorageLevel.MEMORY_AND_DISK)
+    pairs, ids = checkpoint_tracked(
+        _cross_near_dedup_plan(sh_new, sh_ref, id_col, ref_id_col,
+                               threshold))
+    sh_new.unpersist()
+    sh_ref.unpersist()
+    pairs.checkpoint_rdd_ids = ids
+    return pairs
+
+
+def _cross_near_dedup_plan(
+    sh_new: DataFrame,
+    sh_ref: DataFrame,
+    id_col: str,
+    ref_id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """The un-checkpointed cross-corpus pipeline over two shingle
+    tables — split out so the plan pin (tests/test_plans.py) can
+    inspect the REAL candidate-join plan: the eager localCheckpoint in
+    near_dedup_against truncates executedPlan to a post-checkpoint
+    scan, which would make a plan assertion on the public API
+    vacuous."""
     banded_new = _banded_signatures(
         minhash_from_shingles(sh_new, id_col), id_col
     ).select(F.col(id_col).alias("new_id"), "band", "bucket")
@@ -326,7 +348,7 @@ def near_dedup_against(
                       F.col("shingles").alias("__nsh"))
     b = sh_ref.select(F.col(ref_id_col).alias("__rid"),
                       F.col("shingles").alias("__rsh"))
-    pairs, ids = checkpoint_tracked(
+    return (
         cands.join(a, cands.new_id == F.col("__nid"))
         .join(b, cands.ref_id == F.col("__rid"))
         .select(
@@ -335,10 +357,6 @@ def near_dedup_against(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    sh_new.unpersist()
-    sh_ref.unpersist()
-    pairs.checkpoint_rdd_ids = ids
-    return pairs
 
 
 def dedup_clusters(

@@ -335,7 +335,10 @@ def test_cross_near_dedup_plan_no_corpus_broadcast(spark):
     as an equi-join of the two banded signature tables on
     (band, bucket): with broadcast suppressed the plan contains no
     BroadcastExchange and no NestedLoop/Cartesian — neither corpus is
-    ever broadcast or all-pairs joined (VERDICT r13 next-round #2)."""
+    ever broadcast or all-pairs joined (VERDICT r13 next-round #2).
+    Inspects the un-checkpointed internal pipeline: the public API's
+    eager localCheckpoint truncates executedPlan to a post-checkpoint
+    scan, which would make this assertion vacuous."""
     from presto_spark.llm import dedup
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
@@ -344,11 +347,15 @@ def test_cross_near_dedup_plan_no_corpus_broadcast(spark):
     prev = spark.conf.get(key)
     spark.conf.set(key, "-1")
     try:
-        out = dedup.near_dedup_against(
-            docs.where(F.col("doc_id") % 2 == 1),
-            docs.where(F.col("doc_id") % 2 == 0))
+        out = dedup._cross_near_dedup_plan(
+            dedup.with_shingles(docs.where(F.col("doc_id") % 2 == 1)),
+            dedup.with_shingles(docs.where(F.col("doc_id") % 2 == 0)),
+            "doc_id", "doc_id", 0.5)
         plan = out._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set(key, prev)
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "BroadcastExchange" not in plan
+    # the banded equi-join is really there: shuffle joins keyed on
+    # band+bucket appear as SortMergeJoin/ShuffledHashJoin
+    assert "Join" in plan
