@@ -510,3 +510,20 @@ def test_pack_sequences_spill_and_boundaries(spark):
     assert per_seq == {0: 8, 1: 7}
     with pytest.raises(ValueError, match="context_len"):
         mix.pack_sequences(rows, context_len=0)
+
+
+def test_deterministic_split_stable_across_partitionings(spark):
+    """The split label is a pure function of the id: the assignment is
+    identical under different partition layouts and row orders (the
+    engine-stability claim a no-RNG split exists to make)."""
+    from presto_spark.llm import mix
+
+    docs = spark.range(500).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split
+         for r in mix.deterministic_split(docs).collect()}
+    shuffled = docs.repartition(13).sortWithinPartitions(
+        F.col("doc_id").desc())
+    b = {r.doc_id: r.split
+         for r in mix.deterministic_split(shuffled).collect()}
+    assert a == b
+    assert 0.7 < sum(1 for v in a.values() if v == "train") / 500 < 0.9

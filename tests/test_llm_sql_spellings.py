@@ -85,3 +85,13 @@ def test_sql_spellings_reachable_via_engine(spark):
     ).collect()[0]
     assert row.h == "hi &amp; bye" and row.q == 0.0
     assert 0.0 <= row.bk < 1.0 and row.p > 0 and row.s >= 0
+
+
+def test_registration_is_idempotent_per_session(spark):
+    """Second registration call is a memoized no-op (session-attribute
+    guard, not id(spark) — the geo tier's address-reuse lesson), and
+    the functions still resolve afterwards."""
+    first = register_llm_sql_functions(spark)  # may be [] if another
+    second = register_llm_sql_functions(spark)  # test registered first
+    assert second == []
+    assert spark.sql("SELECT poly_hash('abc') AS v").collect()[0].v > 0

@@ -34,6 +34,9 @@ from tests.conftest import SF_DIR
 _HEAVY = [
     "llm_dedup_clusters",
     "llm_lsh_near_dedup",
+    # round-14: cross-corpus near-dedup persists BOTH shingle tables
+    # and checkpoints the verified pairs — same lifecycle contract
+    "llm_cross_near_dedup",
     "analytics_market_basket",
     "analytics_yoy_growth",
     "sketch_quantile_mergeable_rollup",
