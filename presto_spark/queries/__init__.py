@@ -76,7 +76,12 @@ from presto_spark.queries import corpus_suite  # noqa: F401,E402
 #      next-round #4).
 #      (5 + 4 + 38 + 3 = 50.)
 # Remaining staleness debt after this window (leads the r15 front):
-# the full 48-row r8 block, then the r9 block.
+# the full 48-row r8 block, then the r9 block.  Also queued for r15:
+# a registry row + DuckDB oracle for llm/lm.py (bigram LM perplexity
+# scoring — implemented and pytest-pinned in r14; the r14 window had
+# no slot left after the full staleness burn), and folding
+# lsh_candidate_pairs_from_signatures onto _banded_signatures
+# (re-fronts llm_lsh_near_dedup).
 # tests/test_registry_front.py pins list(REGISTRY)[:50] == this list.
 _DRIVER_FRONT = [
     # 1. edited => re-front (ADVICE r13 / VERDICT r13 fixes)

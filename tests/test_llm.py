@@ -527,3 +527,35 @@ def test_deterministic_split_stable_across_partitionings(spark):
          for r in mix.deterministic_split(shuffled).collect()}
     assert a == b
     assert 0.7 < sum(1 for v in a.values() if v == "train") / 500 < 0.9
+
+
+def test_bigram_lm_scores_match_hand_computation(spark):
+    """llm/lm.py: train on a two-document corpus, score by hand.
+    Corpus: "a b a" and "a b" → V = 2 + 1 = 3.
+    Pair counts: (<s>,a)=2, (a,b)=2, (b,a)=1; ctx: <s>=2, a=2, b=2."""
+    import math
+
+    from presto_spark.llm import lm
+
+    train = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b")], "doc_id int, text string")
+    model = lm.train_bigram_model(train)
+    assert model.vocab_size == 3
+    pairs = {(r.ctx, r.tok): r.pair_count
+             for r in model.pair_counts.collect()}
+    assert pairs == {("<s>", "a"): 2, ("a", "b"): 2, ("b", "a"): 1}
+
+    docs = spark.createDataFrame(
+        [(10, "a b"),      # P(a|<s>)=(2+1)/(2+3), P(b|a)=(2+1)/(2+3)
+         (11, "c c")],     # all-OOV: P(c|<s>)=1/5, P(c|c)=1/3
+        "doc_id int, text string")
+    got = {r.doc_id: r for r in
+           lm.score_documents(docs, model).collect()}
+    exp10 = (math.log2(3 / 5) + math.log2(3 / 5)) / 2
+    exp11 = (math.log2(1 / 5) + math.log2(1 / 3)) / 2
+    assert got[10].n_grams == 2 and got[11].n_grams == 2
+    assert abs(got[10].avg_log2p - round(exp10, 6)) < 1e-9
+    assert abs(got[11].avg_log2p - round(exp11, 6)) < 1e-9
+    assert got[10].ppl_bits == -got[10].avg_log2p
+    # the in-domain doc scores strictly better (fewer bits/token)
+    assert got[10].ppl_bits < got[11].ppl_bits
