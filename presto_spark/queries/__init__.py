@@ -77,9 +77,10 @@ from presto_spark.queries import corpus_suite  # noqa: F401,E402
 #      (5 + 4 + 38 + 3 = 50.)
 # Remaining staleness debt after this window (leads the r15 front):
 # the full 48-row r8 block, then the r9 block.  Also queued for r15:
-# a registry row + DuckDB oracle for llm/lm.py (bigram LM perplexity
-# scoring — implemented and pytest-pinned in r14; the r14 window had
-# no slot left after the full staleness burn), and folding
+# registry rows + oracles for llm/lm.py (bigram LM perplexity
+# scoring) and llm/bpe.py (BPE training/encoding) — both implemented
+# and pytest-pinned against independent oracles in r14; the r14
+# window had no slot left after the full staleness burn — and folding
 # lsh_candidate_pairs_from_signatures onto _banded_signatures
 # (re-fronts llm_lsh_near_dedup).
 # tests/test_registry_front.py pins list(REGISTRY)[:50] == this list.

@@ -559,3 +559,79 @@ def test_bigram_lm_scores_match_hand_computation(spark):
     assert got[10].ppl_bits == -got[10].avg_log2p
     # the in-domain doc scores strictly better (fewer bits/token)
     assert got[10].ppl_bits < got[11].ppl_bits
+
+
+def _ref_bpe(word_counts, n_merges, min_count=2):
+    """Independent pure-Python Sennrich BPE trainer (test oracle)."""
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get(
+                    (syms[i], syms[i + 1]), 0) + c
+        if not pairs:
+            break
+        maxc = max(pairs.values())
+        if maxc < min_count:
+            break
+        a, b = min(p for p, c in pairs.items() if c == maxc)
+        merges.append((a, b))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == (a, b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_train_bpe_matches_reference_algorithm(spark):
+    """llm/bpe.py train_bpe vs an independent in-test Sennrich
+    implementation on the classic corpus — merge list identical
+    (count argmax + lexicographic tie-break both replayed)."""
+    from collections import Counter
+
+    from presto_spark.llm import bpe
+
+    texts = ["low low low low low",
+             "lower lower newest newest newest",
+             "newest newest newest widest widest"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    words = Counter(w for t in texts for w in t.split())
+    expected = _ref_bpe(words, 8)
+    got = bpe.train_bpe(df, n_merges=8)
+    assert got == expected
+    assert len(got) == 8
+
+
+def test_apply_bpe_roundtrip_and_compression(spark):
+    """Encoding with learned merges: concatenating a word's BPE tokens
+    reproduces the word (+ the end marker), learned words compress to
+    fewer symbols than characters, and unseen words fall back to
+    characters."""
+    from presto_spark.llm import bpe
+
+    train = spark.createDataFrame(
+        [(0, "banana banana banana banana band band")],
+        "doc_id int, text string")
+    merges = bpe.train_bpe(train, n_merges=6)
+    docs = spark.createDataFrame(
+        [(1, "banana band"), (2, "xyzzy"), (3, None)],
+        "doc_id int, text string")
+    rows = {r.doc_id: r for r in bpe.apply_bpe(docs, merges).collect()}
+    joined = "".join(rows[1].bpe_tokens)
+    assert joined == "banana" + bpe.EOW + "band" + bpe.EOW
+    assert rows[1].n_bpe_tokens < len("bananaband") + 2
+    # unseen word: no merge applies beyond any learned char pairs that
+    # happen to occur; it still reconstructs exactly
+    assert "".join(rows[2].bpe_tokens) == "xyzzy" + bpe.EOW
+    assert rows[3].bpe_tokens is None and rows[3].n_bpe_tokens is None
