@@ -635,3 +635,61 @@ def test_apply_bpe_roundtrip_and_compression(spark):
     # happen to occur; it still reconstructs exactly
     assert "".join(rows[2].bpe_tokens) == "xyzzy" + bpe.EOW
     assert rows[3].bpe_tokens is None and rows[3].n_bpe_tokens is None
+
+
+def test_bigram_lm_matches_duckdb_replay(spark, duck):
+    """Differential check for llm/lm.py on real corpus text — the
+    DuckDB replay that becomes the r15 registry oracle: train on even
+    docs, score odd docs, compare per-doc (n_grams, avg_log2p,
+    ppl_bits) to 6 decimals."""
+    from presto_spark.llm import lm
+    from tests.conftest import SF_DIR, assert_same
+
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text"))
+    model = lm.train_bigram_model(docs.where(F.col("doc_id") % 2 == 0))
+    got = lm.score_documents(
+        docs.where(F.col("doc_id") % 2 == 1), model).orderBy("doc_id")
+    oracle = """
+    WITH toked AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_zip(
+               list_concat(['<s>'], list_slice(toks, 1, len(toks) - 1)),
+               toks)) AS g
+      FROM toked
+    ),
+    flat AS (
+      SELECT doc_id, g[1] AS ctx, g[2] AS tok FROM grams
+    ),
+    pair AS (
+      SELECT ctx, tok, count(*) AS pc FROM flat
+      WHERE doc_id % 2 = 0 GROUP BY 1, 2
+    ),
+    ctxc AS (
+      SELECT ctx, count(*) AS cc FROM flat
+      WHERE doc_id % 2 = 0 GROUP BY 1
+    ),
+    v AS (
+      SELECT count(DISTINCT t) + 1 AS vs
+      FROM (SELECT unnest(toks) AS t FROM toked WHERE doc_id % 2 = 0)
+    )
+    SELECT f.doc_id,
+           count(*) AS n_grams,
+           round(avg(log2((coalesce(pc, 0) + 1)::DOUBLE
+                          / (coalesce(cc, 0) + (SELECT vs FROM v)))), 6)
+             AS avg_log2p,
+           round(-avg(log2((coalesce(pc, 0) + 1)::DOUBLE
+                           / (coalesce(cc, 0) + (SELECT vs FROM v)))), 6)
+             AS ppl_bits
+    FROM flat f
+    LEFT JOIN pair USING (ctx, tok)
+    LEFT JOIN ctxc USING (ctx)
+    WHERE f.doc_id % 2 = 1
+    GROUP BY f.doc_id ORDER BY f.doc_id
+    """
+    assert_same(got, duck, oracle)
