@@ -1,0 +1,148 @@
+"""Embedding k-means for corpus curation (round 14, built ahead for
+the r15 driver window).
+
+Why a relational Lloyd's algorithm: semantic bucketing of a corpus —
+domain balancing, semantic dedup beyond sign-LSH, IVF coarse-quantizer
+TRAINING (llm/similarity.py ann_topk_ivf currently uses the first-k
+deterministic bank; these trained centroids drop straight into its
+``cents`` contract) — all want k centers learned from the data at
+corpus scale.
+
+Distributed design:
+* Assignment is a broadcast of the tiny centroid bank (k × dim
+  doubles) against every vector — argmin squared-L2 computed as one
+  fold over the bank per row, map-side, no shuffle, no UDF.
+* The update step is the posexplode shape: (cluster, pos, component)
+  rows feed a partial-aggregatable sum/count per (cluster, pos) —
+  the only shuffle per round, carrying n·dim scalars with map-side
+  combine.  The k × dim result is the ONLY thing that reaches the
+  driver each round.
+
+Determinism (the engine's cross-engine discipline, queries/base.py):
+double summation is order-dependent, so a plain avg() would make
+centroids — and downstream assignments near ties — vary with
+partitioning.  Component sums therefore run in DECIMAL(30,10)
+(exact, order-free; embeddings are float32 ≪ 10 fractional digits),
+and each new centroid component rounds at 9 decimals before going
+back to DOUBLE.  Same input ⇒ bit-identical centroids on any
+partition layout and any engine, which is what lets a SQL oracle
+replay whole training runs.
+
+Empty clusters keep their previous centroid (the standard Lloyd
+fallback; deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SUM_DEC = "decimal(30,10)"
+_ROUND = 9
+
+
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance to a constant centroid — zip with the
+    literal bank + one left-to-right fold.  The lambda form keeps the
+    expression tree shallow (dim literal leaves, O(1) operator nodes),
+    where an unrolled (v[j]-c_j)^2 chain cost seconds of Catalyst
+    analysis per training round at k x dim terms."""
+    bank = F.array(*[F.lit(float(c)) for c in centroid])
+    return F.aggregate(
+        F.zip_with(vec, bank, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def _best_struct(vec: Column, centroids: list[list[float]]) -> Column:
+    """STRUCT(dist, cid) of the nearest centroid: array_min over
+    (dist, cid) structs — one copy of each distance fold, lowest cid
+    wins exact ties."""
+    return F.array_min(F.array(*[
+        F.struct(_sq_dist(vec, c).alias("dist"),
+                 F.lit(i).alias("cid"))
+        for i, c in enumerate(centroids)
+    ]))
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach ``cluster_id`` = argmin squared-L2 over the centroid
+    bank (lowest id wins ties — deterministic).  Map-side only."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.withColumn(
+        "cluster_id", _best_struct(v, centroids)["cid"].cast("int"))
+
+
+def kmeans_train(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_iters: int = 5,
+) -> list[list[float]]:
+    """Lloyd's k-means with deterministic first-k-by-id init and a
+    FIXED iteration count (engine-replayable: a convergence test on
+    doubles would couple the round count to float noise).  Returns the
+    k × dim centroid bank (driver-side — small by construction)."""
+    if k <= 0 or n_iters <= 0:
+        raise ValueError(f"k and n_iters must be positive: {k}, {n_iters}")
+    init_rows = (
+        df.orderBy(id_col).limit(k)
+        .select(F.transform(F.col(vec_col),
+                            lambda x: x.cast("double")).alias("v"))
+        .collect()
+    )
+    centroids = [list(r.v) for r in init_rows]
+    if len(centroids) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(centroids)}")
+    dim = len(centroids[0])
+    for _ in range(n_iters):
+        assigned = assign_clusters(df, centroids, vec_col)
+        comp = assigned.select(
+            "cluster_id",
+            F.posexplode(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ).alias("pos", "val"),
+        )
+        sums = (
+            comp.groupBy("cluster_id", "pos")
+            .agg(
+                F.sum(F.col("val").cast(_SUM_DEC)).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        new = [list(c) for c in centroids]  # empty clusters keep old
+        acc: dict[int, list] = {}
+        for r in sums:
+            acc.setdefault(r.cluster_id, [None] * dim)[r.pos] = (r.s, r.n)
+        for cid, cells in acc.items():
+            new[cid] = [
+                round(float(s) / int(n), _ROUND) for (s, n) in cells
+            ]
+        centroids = new
+    return centroids
+
+
+def kmeans_fit_assign(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_iters: int = 5,
+) -> DataFrame:
+    """Train + final assignment in one call:
+    (id, cluster_id, dist) rows, dist rounded at 6 for cross-engine
+    comparison."""
+    centroids = kmeans_train(df, k, vec_col, id_col, n_iters)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    best = _best_struct(v, centroids)
+    return df.select(
+        F.col(id_col),
+        best["cid"].cast("int").alias("cluster_id"),
+        F.round(best["dist"], 6).alias("dist"))

@@ -78,7 +78,9 @@ from presto_spark.queries import corpus_suite  # noqa: F401,E402
 # Remaining staleness debt after this window (leads the r15 front):
 # the full 48-row r8 block, then the r9 block.  Also queued for r15:
 # registry rows + oracles for llm/lm.py (bigram LM perplexity
-# scoring) and llm/bpe.py (BPE training/encoding) — both implemented
+# scoring), llm/bpe.py (BPE training/encoding), and
+# llm/clustering.py (deterministic embedding k-means with a
+# generated unrolled-SQL oracle) — all implemented
 # and pytest-pinned against independent oracles in r14; the r14
 # window had no slot left after the full staleness burn — and folding
 # lsh_candidate_pairs_from_signatures onto _banded_signatures

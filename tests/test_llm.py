@@ -693,3 +693,108 @@ def test_bigram_lm_matches_duckdb_replay(spark, duck):
     GROUP BY f.doc_id ORDER BY f.doc_id
     """
     assert_same(got, duck, oracle)
+
+
+def test_kmeans_two_obvious_clusters(spark):
+    """llm/clustering.py: two well-separated groups recover their
+    means exactly (exact-decimal sums ⇒ exact averages), every point
+    lands with its group, and training is deterministic across
+    partition layouts."""
+    from presto_spark.llm import clustering
+
+    pts = ([(i, [0.0 + i * 0.01, 0.0]) for i in range(4)]
+           + [(10 + i, [10.0 + i * 0.01, 5.0]) for i in range(4)])
+    df = spark.createDataFrame(pts, "vec_id int, embedding array<double>")
+    cents = clustering.kmeans_train(df, k=2, n_iters=4)
+    # group means: x = mean(0.00,0.01,0.02,0.03) = 0.015 etc.
+    assert cents[0] == [0.015, 0.0]
+    assert cents[1] == [10.015, 5.0]
+    assigned = {r.vec_id: r.cluster_id
+                for r in clustering.kmeans_fit_assign(
+                    df, k=2, n_iters=4).collect()}
+    assert all(assigned[i] == 0 for i in range(4))
+    assert all(assigned[10 + i] == 1 for i in range(4))
+    # partition-layout determinism (the DECIMAL-sum discipline)
+    cents2 = clustering.kmeans_train(
+        df.repartition(7), k=2, n_iters=4)
+    assert cents2 == cents
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """A centroid that captures no points keeps its previous value
+    (deterministic Lloyd fallback) instead of going NaN."""
+    from presto_spark.llm import clustering
+
+    # k=3 but only two real groups; centroid 1 (init at [0.1, 0]) is
+    # strictly dominated by centroid 0 after the first update pulls 0
+    # onto the group mean... construct so one centroid starves:
+    pts = [(0, [0.0, 0.0]), (1, [0.2, 0.0]),
+           (2, [50.0, 0.0]), (3, [50.2, 0.0])]
+    df = spark.createDataFrame(pts, "vec_id int, embedding array<double>")
+    cents = clustering.kmeans_train(df, k=3, n_iters=3)
+    assert len(cents) == 3
+    assert all(all(c == c for c in cent) for cent in cents)  # no NaN
+    assigned = clustering.kmeans_fit_assign(df, k=3, n_iters=3)
+    assert assigned.where(F.col("dist") > 1.0).count() == 0
+
+
+def _duck_kmeans_sql(k, n_iters, dim):
+    """Unrolled DuckDB replay of llm/clustering.py kmeans_fit_assign —
+    generated round-by-round (the r15 registry-oracle text): first-k
+    init, per-round argmin assignment (dist then cid tie-break),
+    exact DECIMAL(30,10) component sums rounded at 9, empty clusters
+    keeping their previous centroid."""
+    d2 = ("list_reduce(list_prepend(0.0::DOUBLE, "
+          "list_transform(list_zip(v.e, c.c), "
+          "p -> (p[1] - p[2]) * (p[1] - p[2]))), "
+          "(acc, d) -> acc + d)")
+    parts = [
+        "WITH v AS (SELECT vec_id, "
+        "list_transform(embedding, x -> x::DOUBLE) AS e "
+        "FROM embeddings)",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, "
+        f"e AS c FROM (SELECT * FROM v ORDER BY vec_id LIMIT {k}) t)",
+    ]
+    for r in range(1, n_iters + 1):
+        parts.append(
+            f"a{r} AS (SELECT vec_id, e, cid FROM ("
+            f"SELECT v.vec_id, v.e, c.cid, "
+            f"row_number() OVER (PARTITION BY v.vec_id "
+            f"ORDER BY {d2}, c.cid) AS rn "
+            f"FROM v CROSS JOIN c{r - 1} c) t WHERE rn = 1)")
+        parts.append(
+            f"s{r} AS (SELECT cid, pv['pos'] AS pos, "
+            f"sum(CAST(pv['val'] AS DECIMAL(30,10))) AS s, "
+            f"count(*) AS n FROM ("
+            f"SELECT cid, unnest(list_transform(range(1, {dim} + 1), "
+            f"i -> {{'pos': i - 1, 'val': e[i]}})) AS pv "
+            f"FROM a{r}) t GROUP BY 1, 2)")
+        parts.append(
+            f"c{r} AS (SELECT p.cid, coalesce(u.c, p.c) AS c "
+            f"FROM c{r - 1} p LEFT JOIN ("
+            f"SELECT cid, list(round(CAST(s AS DOUBLE) / n, 9) "
+            f"ORDER BY pos) AS c FROM s{r} GROUP BY cid) u "
+            f"ON u.cid = p.cid)")
+    final = (
+        f"SELECT vec_id, cid AS cluster_id, round(dist, 6) AS dist "
+        f"FROM (SELECT v.vec_id, c.cid, {d2} AS dist, "
+        f"row_number() OVER (PARTITION BY v.vec_id "
+        f"ORDER BY {d2}, c.cid) AS rn "
+        f"FROM v CROSS JOIN c{n_iters} c) t "
+        f"WHERE rn = 1 ORDER BY vec_id")
+    return ",\n".join(parts) + "\n" + final
+
+
+def test_kmeans_matches_duckdb_unrolled_replay(spark, duck):
+    """Differential check for llm/clustering.py on the real embeddings
+    table: a generated 3-round unrolled SQL replay reproduces the
+    exact (cluster_id, dist) assignment — the determinism the
+    DECIMAL-sum discipline exists to buy."""
+    from presto_spark.llm import clustering
+    from tests.conftest import SF_DIR, assert_same
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(emb.select("embedding").first().embedding)
+    got = clustering.kmeans_fit_assign(
+        emb, k=4, n_iters=3).orderBy("vec_id")
+    assert_same(got, duck, _duck_kmeans_sql(4, 3, dim))
