@@ -146,3 +146,53 @@ def kmeans_fit_assign(
         F.col(id_col),
         best["cid"].cast("int").alias("cluster_id"),
         F.round(best["dist"], 6).alias("dist"))
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    k: int,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_iters: int = 5,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al.
+    2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication" — public recipe): cluster the embedding
+    space with k-means, then compare cosine similarity ONLY within
+    each cluster and report unordered pairs at or above ``threshold``
+    (the caller drops the higher id per pair, or feeds the pairs to
+    dedup_clusters for transitive groups).
+
+    Scale: this is the paper's own answer to all-pairs cosine being
+    quadratic — the join is an equi-join on cluster_id, so compare
+    volume is Σ_c |c|², bounded by choosing k ~ n/target_cluster_size
+    (SemDeDup uses ~50k clusters at web scale).  Embeddings ride the
+    cluster-keyed shuffle once; no corpus broadcast, no NL join
+    (AQE keeps the equi-join hashed).  Cross-cluster near-duplicates
+    at the Voronoi boundary are missed by construction — the paper's
+    documented recall trade; raise k recall via the sign-LSH tier
+    (embedding_near_dup_pairs) when boundary recall matters.
+    """
+    from presto_spark.llm import similarity
+
+    assigned = kmeans_fit_assign(
+        df, k, vec_col, id_col, n_iters).select(id_col, "cluster_id")
+    v = df.join(assigned, id_col).select(
+        F.col(id_col).alias("_id"), "cluster_id",
+        F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        .alias("_e"))
+    a = v.select("cluster_id", F.col("_id").alias("id_a"),
+                 F.col("_e").alias("_ea"))
+    b = v.select("cluster_id", F.col("_id").alias("id_b"),
+                 F.col("_e").alias("_eb"))
+    return (
+        a.join(b, ["cluster_id"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cluster_id", "id_a", "id_b",
+            F.round(similarity.cosine(F.col("_ea"), F.col("_eb")), 6)
+            .alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

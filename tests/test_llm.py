@@ -798,3 +798,26 @@ def test_kmeans_matches_duckdb_unrolled_replay(spark, duck):
     got = clustering.kmeans_fit_assign(
         emb, k=4, n_iters=3).orderBy("vec_id")
     assert_same(got, duck, _duck_kmeans_sql(4, 3, dim))
+
+
+def test_semantic_dedup_pairs_within_clusters(spark):
+    """semantic_dedup_pairs: near-identical vectors co-cluster and
+    report their cosine; dissimilar vectors in the same cluster stay
+    below threshold; pairs never cross clusters."""
+    from presto_spark.llm import clustering
+
+    pts = [(0, [1.0, 0.0, 0.0]), (1, [0.999, 0.01, 0.0]),   # near-dup
+           (2, [0.0, 1.0, 0.0]),                            # same side?
+           (10, [-1.0, 0.0, 0.0]), (11, [-0.999, -0.01, 0.0])]
+    df = spark.createDataFrame(
+        pts, "vec_id int, embedding array<double>")
+    got = clustering.semantic_dedup_pairs(
+        df, k=2, threshold=0.99, n_iters=3)
+    rows = {(r.id_a, r.id_b): r.cosine for r in got.collect()}
+    assert (0, 1) in rows and rows[(0, 1)] >= 0.99
+    assert (10, 11) in rows and rows[(10, 11)] >= 0.99
+    # no pair spans the two opposite-side clusters
+    assert all(not (a < 10 <= b) for a, b in rows)
+    # the plan is an equi-join on cluster_id — no cartesian
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
