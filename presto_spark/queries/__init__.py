@@ -79,8 +79,9 @@ from presto_spark.queries import corpus_suite  # noqa: F401,E402
 # the full 48-row r8 block, then the r9 block.  Also queued for r15:
 # registry rows + oracles for llm/lm.py (bigram LM perplexity
 # scoring), llm/bpe.py (BPE training/encoding), and
-# llm/clustering.py (deterministic embedding k-means with a
-# generated unrolled-SQL oracle) — all implemented
+# llm/clustering.py (deterministic embedding k-means +
+# SemDeDup semantic dedup, with a generated unrolled-SQL
+# oracle), and llm/warc.py (WARC ingestion) — all implemented
 # and pytest-pinned against independent oracles in r14; the r14
 # window had no slot left after the full staleness burn — and folding
 # lsh_candidate_pairs_from_signatures onto _banded_signatures

@@ -821,3 +821,51 @@ def test_semantic_dedup_pairs_within_clusters(spark):
     # the plan is an equi-join on cluster_id — no cartesian
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_warc_parse_and_extract_end_to_end(spark):
+    """llm/warc.py: synthetic WARC segments (plain and gzipped) parse
+    through the stdlib record walker; extract_warc fans records out
+    map-side; chaining html_to_text yields the clean text — the full
+    crawl -> text entry chain in one pipeline."""
+    import pandas as pd
+
+    from presto_spark.llm import text as T_, warc
+
+    # pure-python parse: record structure + http split + gzip
+    recs = warc.parse_warc(warc.synth_warc(7, n_responses=2))
+    assert [r["warc_type"] for r in recs] == [
+        "warcinfo", "response", "response"]
+    assert recs[1]["http_status"] == 200
+    assert recs[1]["http_content_type"] == "text/html"
+    assert recs[1]["target_uri"] == "https://example.com/7/0"
+    assert b"<h1>Doc 7-0</h1>" in recs[1]["body"]
+    assert warc.parse_warc(
+        warc.synth_warc(7, 2, gzipped=True)) == recs
+    with pytest.raises(ValueError, match="malformed"):
+        warc.parse_warc(b"NOT A WARC")
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "segment_id": pdf.segment_id,
+                "payload": [warc.synth_warc(int(s), 3, gzipped=s % 2 == 1)
+                            for s in pdf.segment_id],
+            })
+
+    segs = (spark.range(4).withColumnRenamed("id", "segment_id")
+            .mapInPandas(synth, "segment_id long, payload binary"))
+    out = warc.extract_warc(segs)
+    assert out.count() == 4 * 4  # warcinfo + 3 responses per segment
+    pages = (out.where(F.col("warc_type") == "response")
+             .select("segment_id", "record_no", "target_uri",
+                     F.decode("body", "UTF-8").alias("html")))
+    cleaned = pages.select(
+        "segment_id", "record_no",
+        T_.html_to_text(F.col("html")).alias("clean"))
+    # record_no 0 is the segment's warcinfo; response j sits at j+1
+    row = cleaned.where(
+        (F.col("segment_id") == 2) & (F.col("record_no") == 2)
+    ).collect()[0]
+    assert row.clean == (
+        f"Doc 2-1\nword{(2 * 31 + 1) % 97} word{(2 * 17 + 3) % 89}")
