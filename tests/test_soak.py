@@ -105,5 +105,16 @@ def test_soak_no_leaks_and_steady_timing(spark):
     assert not (_persistent_ids(spark) - baseline)
     # Steady-state bound: pass 2 must not degrade. 1.3x + 3s absorbs
     # scheduler jitter on sub-second queries at test SF while still
-    # catching a leak-driven slowdown (r2's was >5x).
-    assert t2 <= 1.3 * t1 + 3.0, f"pass2 {t2:.1f}s vs pass1 {t1:.1f}s"
+    # catching a leak-driven slowdown (r2's was >5x).  A violation
+    # must SURVIVE a confirming pass (bench.py _confirm_flags
+    # philosophy, added r14 after a one-off GC/JIT spike failed the
+    # bound at the tail of a 65-minute full-suite session while two
+    # standalone runs passed): a real leak slows every subsequent
+    # pass, a compilation/GC spike hits one.
+    bound = 1.3 * t1 + 3.0
+    if t2 > bound:
+        t3, stuck = _run_pass(spark, baseline)
+        assert not stuck, f"blocks refused release after pass 3: {stuck}"
+        assert min(t2, t3) <= bound, (
+            f"pass2 {t2:.1f}s AND pass3 {t3:.1f}s vs pass1 {t1:.1f}s "
+            f"(bound {bound:.1f}s) — degradation persists, not a spike")
