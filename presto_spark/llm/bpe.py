@@ -95,6 +95,7 @@ def train_bpe(
     text_col: str = "text",
     min_pair_count: int = 2,
     checkpoint_every: int = 8,
+    batch_merges: int = 1,
 ) -> list[tuple[str, str]]:
     """Learn up to ``n_merges`` BPE merges from the corpus.
 
@@ -102,12 +103,40 @@ def train_bpe(
     count with (pair_a, pair_b) lexicographic tie-break — stable
     across engines, partitionings, and cluster sizes.  Stops early
     when no pair reaches ``min_pair_count``.
+
+    ``batch_merges`` bounds the round count for production vocabulary
+    sizes.  The default (1) is the exact sequential Sennrich algorithm
+    — one Spark job per merge, fine for the hundreds of merges a test
+    needs but tens of thousands of sequential jobs at a GPT-2-class
+    50k vocabulary (days of scheduler overhead alone).  With
+    ``batch_merges = N`` each round selects up to N candidates in
+    (count desc, lexicographic) order that are pairwise SYMBOL-
+    DISJOINT and applies them in one pass, so training runs
+    ceil(n_merges / batch) rounds, each still one pair-count
+    aggregation + one fold job.  Symbol-disjointness makes the batch
+    sound: applying (a, b) can only create pairs involving the new
+    symbol ``ab`` and destroy pairs involving ``a`` or ``b``, so the
+    counts the other selected pairs were ranked on are invariant
+    under it.  The approximation relative to sequential training:
+    a pair CREATED by an earlier merge in the batch (x, ab) could, in
+    sequential order, outrank a later batch member, and chain merges
+    (e → es → est → est</w>) inherently serialize — one chain link per
+    round — so batched merge LISTS are corpus-dependent schedules, not
+    a reordering of the sequential list.  What is preserved: every
+    batch is ranked by the same (count desc, lex) key over true
+    counts, encodings still reconstruct text exactly, and compression
+    quality is comparable at equal n_merges (the trade parallel
+    tokenizer trainers make).  Anything that must replay the
+    reference algorithm bit-for-bit (the registry row's unrolled SQL
+    oracle) uses the exact default.
     """
     from presto_spark.operators.cte import (checkpoint_tracked,
                                             release_checkpoints)
 
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive: {n_merges}")
+    if batch_merges <= 0:
+        raise ValueError(f"batch_merges must be positive: {batch_merges}")
     spark = df.sparkSession
     vocab, vocab_ids = checkpoint_tracked(
         word_vocab(df, text_col).select(
@@ -115,7 +144,7 @@ def train_bpe(
     merges: list[tuple[str, str]] = []
     since_ckpt = 0
     try:
-        for _ in range(n_merges):
+        while len(merges) < n_merges:
             n = F.size(F.col("syms"))
             pairs = vocab.select(
                 F.explode(
@@ -129,19 +158,35 @@ def train_bpe(
                 ).alias("p"),
                 "count",
             )
-            best = (
+            want = min(batch_merges, n_merges - len(merges))
+            # 4x slack: disjointness filtering skips some of the head.
+            # Selecting fewer than `want` is only a round-count cost —
+            # the next round re-counts from scratch.
+            head = (
                 pairs.groupBy("p.a", "p.b")
                 .agg(F.sum("count").alias("c"))
                 .orderBy(F.col("c").desc(), "a", "b")
-                .limit(1)
+                .limit(want * 4)
                 .collect()
             )
-            if not best or best[0].c < min_pair_count:
+            used: set[str] = set()
+            batch: list[tuple[str, str]] = []
+            for r in head:
+                if r.c < min_pair_count:
+                    break
+                if len(batch) >= want:
+                    break
+                if r.a in used or r.b in used:
+                    continue
+                batch.append((r.a, r.b))
+                used.update((r.a, r.b, r.a + r.b))
+            if not batch:
                 break
-            a, b = best[0].a, best[0].b
-            merges.append((a, b))
-            updated = vocab.select(
-                _merge_fold(F.col("syms"), a, b).alias("syms"), "count")
+            merges.extend(batch)
+            folded = F.col("syms")
+            for a, b in batch:
+                folded = _merge_fold(folded, a, b)
+            updated = vocab.select(folded.alias("syms"), "count")
             since_ckpt += 1
             if since_ckpt >= checkpoint_every:
                 updated, new_ids = checkpoint_tracked(updated)
@@ -166,7 +211,6 @@ def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
         if not ranked:
             break
         rank = min(r for r, _ in ranked)
-        a, b = None, None
         out: list[str] = []
         i = 0
         while i < len(syms):

@@ -637,6 +637,40 @@ def test_apply_bpe_roundtrip_and_compression(spark):
     assert rows[3].bpe_tokens is None and rows[3].n_bpe_tokens is None
 
 
+def test_train_bpe_batched_mode_guarantees(spark):
+    """batch_merges > 1 (the production round-count bound, VERDICT r14
+    What's-wrong #2).  Batched schedules are NOT a reordering of the
+    sequential merge list (chain merges serialize — documented), so
+    the pins are what the algorithm guarantees: the first merge (the
+    true global argmax) matches sequential; the list is deterministic
+    across partition layouts; encoding with the batched merges
+    reconstructs text exactly; and compression at equal n_merges is
+    comparable to sequential (here: within 25% on a held-out doc)."""
+    from presto_spark.llm import bpe
+
+    texts = ["low low low low low",
+             "lower lower newest newest newest",
+             "newest newest newest widest widest"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    seq = bpe.train_bpe(df, n_merges=8)
+    batched = bpe.train_bpe(df, n_merges=8, batch_merges=4)
+    assert len(batched) == 8
+    assert batched[0] == seq[0]  # round-1 argmax is exact
+    assert len(set(batched)) == 8  # no pair learned twice
+    assert batched == bpe.train_bpe(
+        df.repartition(7), n_merges=8, batch_merges=4)
+    docs = spark.createDataFrame(
+        [(1, "low lower newest widest")], "doc_id int, text string")
+    rows_s = bpe.apply_bpe(docs, seq).collect()[0]
+    rows_b = bpe.apply_bpe(docs, batched).collect()[0]
+    expect = "".join(w + bpe.EOW for w in "low lower newest widest".split())
+    assert "".join(rows_b.bpe_tokens) == expect
+    assert rows_b.n_bpe_tokens <= round(rows_s.n_bpe_tokens * 1.25)
+    with pytest.raises(ValueError, match="batch_merges"):
+        bpe.train_bpe(df, n_merges=2, batch_merges=0)
+
+
 def test_bigram_lm_matches_duckdb_replay(spark, duck):
     """Differential check for llm/lm.py on real corpus text — the
     DuckDB replay that becomes the r15 registry oracle: train on even
