@@ -85,14 +85,21 @@ def kmeans_train(
     id_col: str = "vec_id",
     n_iters: int = 5,
 ) -> list[list[float]]:
-    """Lloyd's k-means with deterministic first-k-by-id init and a
+    """Lloyd's k-means with deterministic hash-spread init and a
     FIXED iteration count (engine-replayable: a convergence test on
     doubles would couple the round count to float noise).  Returns the
-    k × dim centroid bank (driver-side — small by construction)."""
+    k × dim centroid bank (driver-side — small by construction).
+
+    Init picks the k vectors whose ids sort first by
+    (md5(id-as-string), id) — the deterministic_split trick.  Replayable
+    like first-k-by-id (both engines hash the same decimal string) but
+    without its degeneracy: the first k rows of a corpus are often
+    CLUSTERED (one crawl batch, one domain), while an md5 order is a
+    uniform sample of the id space (VERDICT r14 What's-wrong #4)."""
     if k <= 0 or n_iters <= 0:
         raise ValueError(f"k and n_iters must be positive: {k}, {n_iters}")
     init_rows = (
-        df.orderBy(id_col).limit(k)
+        df.orderBy(F.md5(F.col(id_col).cast("string")), id_col).limit(k)
         .select(F.transform(F.col(vec_col),
                             lambda x: x.cast("double")).alias("v"))
         .collect()

@@ -1732,3 +1732,56 @@ def llm_sql_spellings(spark, sf_dir):
                  text, '</p>')) AS extracted
         FROM documents WHERE doc_id < 60 ORDER BY doc_id
     """)
+
+
+def duck_kmeans_replay_sql(k: int, n_iters: int, dim: int) -> str:
+    """Generated unrolled DuckDB replay of llm/clustering.py
+    kmeans_fit_assign over the ``embeddings`` view — round by round:
+    min-md5 hash-spread init (md5(id-as-string) then id, matching
+    kmeans_train), per-round argmin assignment (dist then cid
+    tie-break), exact DECIMAL(30,10) component sums rounded at 9
+    back to DOUBLE, empty clusters keeping their previous centroid.
+    Shared by the llm_kmeans_semdedup registry oracle and
+    tests/test_llm.py — generated from one place so the engines
+    cannot drift (the generated-oracle pattern, verify skill r13)."""
+    d2 = ("list_reduce(list_prepend(0.0::DOUBLE, "
+          "list_transform(list_zip(v.e, c.c), "
+          "p -> (p[1] - p[2]) * (p[1] - p[2]))), "
+          "(acc, d) -> acc + d)")
+    seed_key = "md5(CAST(vec_id AS VARCHAR)), vec_id"
+    parts = [
+        "WITH v AS (SELECT vec_id, "
+        "list_transform(embedding, x -> x::DOUBLE) AS e "
+        "FROM embeddings)",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY {seed_key}) - 1 "
+        f"AS cid, e AS c FROM "
+        f"(SELECT * FROM v ORDER BY {seed_key} LIMIT {k}) t)",
+    ]
+    for r in range(1, n_iters + 1):
+        parts.append(
+            f"a{r} AS (SELECT vec_id, e, cid FROM ("
+            f"SELECT v.vec_id, v.e, c.cid, "
+            f"row_number() OVER (PARTITION BY v.vec_id "
+            f"ORDER BY {d2}, c.cid) AS rn "
+            f"FROM v CROSS JOIN c{r - 1} c) t WHERE rn = 1)")
+        parts.append(
+            f"s{r} AS (SELECT cid, pv['pos'] AS pos, "
+            f"sum(CAST(pv['val'] AS DECIMAL(30,10))) AS s, "
+            f"count(*) AS n FROM ("
+            f"SELECT cid, unnest(list_transform(range(1, {dim} + 1), "
+            f"i -> {{'pos': i - 1, 'val': e[i]}})) AS pv "
+            f"FROM a{r}) t GROUP BY 1, 2)")
+        parts.append(
+            f"c{r} AS (SELECT p.cid, coalesce(u.c, p.c) AS c "
+            f"FROM c{r - 1} p LEFT JOIN ("
+            f"SELECT cid, list(round(CAST(s AS DOUBLE) / n, 9) "
+            f"ORDER BY pos) AS c FROM s{r} GROUP BY cid) u "
+            f"ON u.cid = p.cid)")
+    final = (
+        f"SELECT vec_id, cid AS cluster_id, round(dist, 6) AS dist "
+        f"FROM (SELECT v.vec_id, c.cid, {d2} AS dist, "
+        f"row_number() OVER (PARTITION BY v.vec_id "
+        f"ORDER BY {d2}, c.cid) AS rn "
+        f"FROM v CROSS JOIN c{n_iters} c) t "
+        f"WHERE rn = 1 ORDER BY vec_id")
+    return ",\n".join(parts) + "\n" + final

@@ -772,66 +772,22 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     assert assigned.where(F.col("dist") > 1.0).count() == 0
 
 
-def _duck_kmeans_sql(k, n_iters, dim):
-    """Unrolled DuckDB replay of llm/clustering.py kmeans_fit_assign —
-    generated round-by-round (the r15 registry-oracle text): first-k
-    init, per-round argmin assignment (dist then cid tie-break),
-    exact DECIMAL(30,10) component sums rounded at 9, empty clusters
-    keeping their previous centroid."""
-    d2 = ("list_reduce(list_prepend(0.0::DOUBLE, "
-          "list_transform(list_zip(v.e, c.c), "
-          "p -> (p[1] - p[2]) * (p[1] - p[2]))), "
-          "(acc, d) -> acc + d)")
-    parts = [
-        "WITH v AS (SELECT vec_id, "
-        "list_transform(embedding, x -> x::DOUBLE) AS e "
-        "FROM embeddings)",
-        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, "
-        f"e AS c FROM (SELECT * FROM v ORDER BY vec_id LIMIT {k}) t)",
-    ]
-    for r in range(1, n_iters + 1):
-        parts.append(
-            f"a{r} AS (SELECT vec_id, e, cid FROM ("
-            f"SELECT v.vec_id, v.e, c.cid, "
-            f"row_number() OVER (PARTITION BY v.vec_id "
-            f"ORDER BY {d2}, c.cid) AS rn "
-            f"FROM v CROSS JOIN c{r - 1} c) t WHERE rn = 1)")
-        parts.append(
-            f"s{r} AS (SELECT cid, pv['pos'] AS pos, "
-            f"sum(CAST(pv['val'] AS DECIMAL(30,10))) AS s, "
-            f"count(*) AS n FROM ("
-            f"SELECT cid, unnest(list_transform(range(1, {dim} + 1), "
-            f"i -> {{'pos': i - 1, 'val': e[i]}})) AS pv "
-            f"FROM a{r}) t GROUP BY 1, 2)")
-        parts.append(
-            f"c{r} AS (SELECT p.cid, coalesce(u.c, p.c) AS c "
-            f"FROM c{r - 1} p LEFT JOIN ("
-            f"SELECT cid, list(round(CAST(s AS DOUBLE) / n, 9) "
-            f"ORDER BY pos) AS c FROM s{r} GROUP BY cid) u "
-            f"ON u.cid = p.cid)")
-    final = (
-        f"SELECT vec_id, cid AS cluster_id, round(dist, 6) AS dist "
-        f"FROM (SELECT v.vec_id, c.cid, {d2} AS dist, "
-        f"row_number() OVER (PARTITION BY v.vec_id "
-        f"ORDER BY {d2}, c.cid) AS rn "
-        f"FROM v CROSS JOIN c{n_iters} c) t "
-        f"WHERE rn = 1 ORDER BY vec_id")
-    return ",\n".join(parts) + "\n" + final
-
-
 def test_kmeans_matches_duckdb_unrolled_replay(spark, duck):
     """Differential check for llm/clustering.py on the real embeddings
-    table: a generated 3-round unrolled SQL replay reproduces the
+    table: the generated unrolled SQL replay (shared with the
+    llm_kmeans_semdedup registry oracle — queries/llm.py
+    duck_kmeans_replay_sql, min-md5 seeding included) reproduces the
     exact (cluster_id, dist) assignment — the determinism the
     DECIMAL-sum discipline exists to buy."""
     from presto_spark.llm import clustering
+    from presto_spark.queries.llm import duck_kmeans_replay_sql
     from tests.conftest import SF_DIR, assert_same
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     dim = len(emb.select("embedding").first().embedding)
     got = clustering.kmeans_fit_assign(
         emb, k=4, n_iters=3).orderBy("vec_id")
-    assert_same(got, duck, _duck_kmeans_sql(4, 3, dim))
+    assert_same(got, duck, duck_kmeans_replay_sql(4, 3, dim))
 
 
 def test_semantic_dedup_pairs_within_clusters(spark):
