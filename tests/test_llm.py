@@ -869,6 +869,60 @@ def test_warc_parse_and_extract_end_to_end(spark):
         f"Doc 2-1\nword{(2 * 31 + 1) % 97} word{(2 * 17 + 3) % 89}")
 
 
+def test_ann_ivf_trained_bank_improves_recall(spark):
+    """VERDICT r14 next-round #4: clustering.kmeans_train's bank wired
+    into ann_topk_ivf's cents contract.  Corpus: a near-duplicate block
+    at ids 0..3 (one crawl batch — the first-k degeneracy) plus four
+    diffuse true clusters.  The first-k quantizer puts every seed in
+    the dup region, so cell assignment of the real clusters is decided
+    by epsilon-scale noise and neighbors scatter; the trained bank
+    tiles the true clusters.  Recall is measured against the exact
+    brute-force baseline."""
+    from presto_spark.llm import clustering
+
+    dim = 8
+    rows = []
+    # dup block: cluster-0 center + epsilon on a distinct axis each
+    for i in range(4):
+        v = [0.0] * dim
+        v[0] = 1.0
+        v[4 + i % 4] = 0.001 * (i + 1)
+        rows.append((i, v))
+    # four diffuse clusters on axes 0..3, spread over axes 4..5
+    vid = 8
+    for c in range(4):
+        for m in range(6):
+            v = [0.0] * dim
+            v[c] = 1.0
+            v[4] = 0.3 * ((m * 7 + c) % 5) / 4
+            v[5] = 0.3 * ((m * 3 + 2 * c) % 5) / 4
+            rows.append((vid, v))
+            vid += 1
+    corpus = spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>")
+    queries = corpus.where(F.col("vec_id").isin([9, 15, 21, 27]))
+
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(corpus, queries, k=3).collect()
+    }
+
+    def recall(df):
+        got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    r_firstk = recall(
+        similarity.ann_topk_ivf(corpus, queries, k=3, n_centroids=4))
+    trained = clustering.kmeans_train(corpus, k=4, n_iters=5)
+    r_trained = recall(
+        similarity.ann_topk_ivf(
+            corpus, queries, k=3, n_centroids=4, centroids=trained))
+    assert r_trained >= 0.9
+    assert r_trained > r_firstk
+    with pytest.raises(ValueError, match="non-empty"):
+        similarity.kmeans_cents(spark, [])
+
+
 def test_warc_streaming_buffer_trim(monkeypatch):
     """iter_warc_records trims consumed bytes once the parse cursor
     passes the feed quantum — with the quantum forced tiny, a
