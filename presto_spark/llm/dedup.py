@@ -152,24 +152,11 @@ def lsh_candidate_pairs_from_signatures(
 
     Plan shape: explode k/r bands → shuffle on (band, band_hash) →
     per-bucket self-join → distinct pairs.  The band hash folds the r
-    signature values with the same poly recurrence.
+    signature values with the same poly recurrence
+    (_banded_signatures — the one banding implementation, shared with
+    near_dedup_against; folded here in r15 as planned).
     """
-    banded = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.aggregate(
-                        F.slice(F.col("minhash"), b * LSH_ROWS + 1, LSH_ROWS),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: (acc * 31 + x % 1_000_003) % MOD,
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    banded = _banded_signatures(sig, id_col)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -244,10 +231,10 @@ def near_dedup_pairs(
 
 
 def _banded_signatures(sig: DataFrame, id_col: str) -> DataFrame:
-    """(id, band, bucket) rows: one explode, map-side — the same
-    banding shape as lsh_candidate_pairs_from_signatures (which keeps
-    its inline copy this round so its r13-green row is not edited
-    mid-staleness-burn; fold that copy onto this helper next round)."""
+    """(id, band, bucket) rows: one explode, map-side.  The single
+    banding implementation — both lsh_candidate_pairs_from_signatures
+    (same-corpus self-join) and near_dedup_against (cross-corpus
+    equi-join) build their candidate keys here."""
     return sig.select(
         F.col(id_col),
         F.explode(
