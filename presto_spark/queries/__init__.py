@@ -127,13 +127,15 @@ _DRIVER_FRONT = [
     "unnest_with_ordinality",
     "values_inline_table",
     "window_top_n_per_group",
-    # 3. tail — displaced one-per-commit by this round's 4 new rows as
-    # they register (standing rule): the 4 deferred r8 report-shape
-    # rows, least-drift-risk first from the end.
+    # 3. this round's new rows (each fronted in its registering
+    # commit, displacing one tail row)
+    "llm_lm_perplexity",
+    # 4. tail — displaced one-per-commit by this round's remaining new
+    # rows as they register (standing rule): the deferred r8
+    # report-shape rows, least-drift-risk first from the end.
     "tpcds_q58_channel_parity_band",
     "tpcds_q59_weekday_pivot_yoy",
     "tpcds_q64_cross_year_repeat_purchases",
-    "tpcds_q66_monthly_pivot_report",
 ]
 
 

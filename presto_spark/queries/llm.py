@@ -1734,6 +1734,71 @@ def llm_sql_spellings(spark, sf_dir):
     """)
 
 
+@register(
+    "llm_lm_perplexity",
+    oracle="""
+    WITH toked AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_zip(
+               list_concat(['<s>'], list_slice(toks, 1, len(toks) - 1)),
+               toks)) AS g
+      FROM toked
+    ),
+    flat AS (
+      SELECT doc_id, g[1] AS ctx, g[2] AS tok FROM grams
+    ),
+    pair AS (
+      SELECT ctx, tok, count(*) AS pc FROM flat
+      WHERE doc_id % 2 = 0 GROUP BY 1, 2
+    ),
+    ctxc AS (
+      SELECT ctx, count(*) AS cc FROM flat
+      WHERE doc_id % 2 = 0 GROUP BY 1
+    ),
+    v AS (
+      SELECT count(DISTINCT t) + 1 AS vs
+      FROM (SELECT unnest(toks) AS t FROM toked WHERE doc_id % 2 = 0)
+    )
+    SELECT f.doc_id,
+           count(*) AS n_grams,
+           round(avg(log2((coalesce(pc, 0) + 1)::DOUBLE
+                          / (coalesce(cc, 0) + (SELECT vs FROM v)))), 6)
+             AS avg_log2p,
+           round(-avg(log2((coalesce(pc, 0) + 1)::DOUBLE
+                           / (coalesce(cc, 0) + (SELECT vs FROM v)))), 6)
+             AS ppl_bits
+    FROM flat f
+    LEFT JOIN pair USING (ctx, tok)
+    LEFT JOIN ctxc USING (ctx)
+    WHERE f.doc_id % 2 = 1
+    GROUP BY f.doc_id ORDER BY f.doc_id
+    """,
+    doc="Bigram-LM perplexity scoring (llm/lm.py — the KenLM/CCNet-"
+        "style quality filter): train Laplace-smoothed bigram counts "
+        "on the even-id half of the corpus, score every odd-id "
+        "document by average log2 P(token|context) and bits-per-"
+        "token.  Training is two map-side-combinable count "
+        "aggregations; scoring is equi-joins on the count tables; "
+        "only V reaches the driver.  The oracle replays the whole "
+        "model — counts, V, smoothing, log2 — in SQL to 6 decimals "
+        "(lifted from the r14-proven pytest differential).",
+    tags=("llm", "lm", "bench"),
+)
+def llm_lm_perplexity(spark, sf_dir):
+    from presto_spark.llm import lm
+
+    prepare(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    model = lm.train_bigram_model(docs.where(F.col("doc_id") % 2 == 0))
+    return lm.score_documents(
+        docs.where(F.col("doc_id") % 2 == 1), model).orderBy("doc_id")
+
+
 def duck_kmeans_replay_sql(k: int, n_iters: int, dim: int) -> str:
     """Generated unrolled DuckDB replay of llm/clustering.py
     kmeans_fit_assign over the ``embeddings`` view — round by round:
