@@ -130,12 +130,12 @@ _DRIVER_FRONT = [
     # 3. this round's new rows (each fronted in its registering
     # commit, displacing one tail row)
     "llm_lm_perplexity",
+    "llm_kmeans_semdedup",
     # 4. tail — displaced one-per-commit by this round's remaining new
     # rows as they register (standing rule): the deferred r8
     # report-shape rows, least-drift-risk first from the end.
     "tpcds_q58_channel_parity_band",
     "tpcds_q59_weekday_pivot_yoy",
-    "tpcds_q64_cross_year_repeat_purchases",
 ]
 
 

@@ -1799,16 +1799,9 @@ def llm_lm_perplexity(spark, sf_dir):
         docs.where(F.col("doc_id") % 2 == 1), model).orderBy("doc_id")
 
 
-def duck_kmeans_replay_sql(k: int, n_iters: int, dim: int) -> str:
-    """Generated unrolled DuckDB replay of llm/clustering.py
-    kmeans_fit_assign over the ``embeddings`` view — round by round:
-    min-md5 hash-spread init (md5(id-as-string) then id, matching
-    kmeans_train), per-round argmin assignment (dist then cid
-    tie-break), exact DECIMAL(30,10) component sums rounded at 9
-    back to DOUBLE, empty clusters keeping their previous centroid.
-    Shared by the llm_kmeans_semdedup registry oracle and
-    tests/test_llm.py — generated from one place so the engines
-    cannot drift (the generated-oracle pattern, verify skill r13)."""
+def _duck_kmeans_parts(k: int, n_iters: int, dim: int):
+    """CTE list + distance fragment for the unrolled k-means replay —
+    shared by the assignment and SemDeDup-pairs oracle texts."""
     d2 = ("list_reduce(list_prepend(0.0::DOUBLE, "
           "list_transform(list_zip(v.e, c.c), "
           "p -> (p[1] - p[2]) * (p[1] - p[2]))), "
@@ -1842,6 +1835,20 @@ def duck_kmeans_replay_sql(k: int, n_iters: int, dim: int) -> str:
             f"SELECT cid, list(round(CAST(s AS DOUBLE) / n, 9) "
             f"ORDER BY pos) AS c FROM s{r} GROUP BY cid) u "
             f"ON u.cid = p.cid)")
+    return parts, d2
+
+
+def duck_kmeans_replay_sql(k: int, n_iters: int, dim: int) -> str:
+    """Generated unrolled DuckDB replay of llm/clustering.py
+    kmeans_fit_assign over the ``embeddings`` view — round by round:
+    min-md5 hash-spread init (md5(id-as-string) then id, matching
+    kmeans_train), per-round argmin assignment (dist then cid
+    tie-break), exact DECIMAL(30,10) component sums rounded at 9
+    back to DOUBLE, empty clusters keeping their previous centroid.
+    Shared by the registry oracle texts and tests/test_llm.py —
+    generated from one place so the engines cannot drift (the
+    generated-oracle pattern, verify skill r13)."""
+    parts, d2 = _duck_kmeans_parts(k, n_iters, dim)
     final = (
         f"SELECT vec_id, cid AS cluster_id, round(dist, 6) AS dist "
         f"FROM (SELECT v.vec_id, c.cid, {d2} AS dist, "
@@ -1850,3 +1857,59 @@ def duck_kmeans_replay_sql(k: int, n_iters: int, dim: int) -> str:
         f"FROM v CROSS JOIN c{n_iters} c) t "
         f"WHERE rn = 1 ORDER BY vec_id")
     return ",\n".join(parts) + "\n" + final
+
+
+def duck_semdedup_replay_sql(
+    k: int, n_iters: int, dim: int, threshold: float
+) -> str:
+    """Unrolled replay of llm/clustering.py semantic_dedup_pairs: the
+    k-means rounds above, then within-cluster pairwise cosine (a < b)
+    filtered at the ROUNDED 6-decimal value — exactly the engine's
+    filter order, so the boundary pairs match bit-for-bit."""
+    parts, d2 = _duck_kmeans_parts(k, n_iters, dim)
+    parts.append(
+        f"fin AS (SELECT vec_id, e, cid FROM ("
+        f"SELECT v.vec_id, v.e, c.cid, "
+        f"row_number() OVER (PARTITION BY v.vec_id "
+        f"ORDER BY {d2}, c.cid) AS rn "
+        f"FROM v CROSS JOIN c{n_iters} c) t WHERE rn = 1)")
+    cos = ("list_dot_product(a.e, b.e) / "
+           "(sqrt(list_dot_product(a.e, a.e)) * "
+           "sqrt(list_dot_product(b.e, b.e)))")
+    final = (
+        f"SELECT cluster_id, id_a, id_b, cosine FROM ("
+        f"SELECT a.cid AS cluster_id, a.vec_id AS id_a, "
+        f"b.vec_id AS id_b, round({cos}, 6) AS cosine "
+        f"FROM fin a JOIN fin b "
+        f"ON a.cid = b.cid AND a.vec_id < b.vec_id) p "
+        f"WHERE cosine >= {threshold} "
+        f"ORDER BY cluster_id, id_a, id_b")
+    return ",\n".join(parts) + "\n" + final
+
+
+@register(
+    "llm_kmeans_semdedup",
+    oracle=duck_semdedup_replay_sql(8, 3, 64, 0.3),
+    doc="Deterministic embedding k-means + SemDeDup semantic dedup "
+        "(llm/clustering.py; Abbas et al. 2023): 3 Lloyd rounds with "
+        "min-md5 hash-spread seeding, DECIMAL(30,10) exact component "
+        "sums (bit-identical centroids on any partition layout), then "
+        "pairwise cosine ONLY inside each cluster — the paper's "
+        "bound on all-pairs compare volume (sum of cluster sizes "
+        "squared, controlled by k).  The generated unrolled SQL "
+        "oracle replays the whole training run plus the within-"
+        "cluster pair filter at the rounded 6-decimal value.  The "
+        "0.3 threshold fits the synthetic embedding table's cosine "
+        "range (max ~0.5-0.6) so the row carries real pair volume at "
+        "every SF; production near-dup thresholds (~0.95) are the "
+        "same plan.",
+    tags=("llm", "dedup", "clustering", "bench"),
+)
+def llm_kmeans_semdedup(spark, sf_dir):
+    from presto_spark.llm import clustering
+
+    prepare(spark, sf_dir)
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    return clustering.semantic_dedup_pairs(
+        emb, k=8, threshold=0.3, n_iters=3
+    ).orderBy("cluster_id", "id_a", "id_b")
