@@ -1913,3 +1913,92 @@ def llm_kmeans_semdedup(spark, sf_dir):
     return clustering.semantic_dedup_pairs(
         emb, k=8, threshold=0.3, n_iters=3
     ).orderBy("cluster_id", "id_a", "id_b")
+
+
+def duck_bpe_replay_sql(n_merges: int, min_pair_count: int = 2) -> str:
+    """Generated unrolled DuckDB replay of llm/bpe.py train_bpe over
+    the ``documents`` view — per round: weighted adjacent-pair count
+    over the symbol vocabulary, (count desc, a, b) argmax with the
+    min_pair_count floor, and the greedy left-to-right merge fold
+    ((out, pend) state — the exact _merge_fold recurrence, with the
+    accumulator encoded as out + [pend] in ONE list: DuckDB 1.0's
+    list_reduce drops list fields nested inside a struct accumulator,
+    and a plain VARCHAR[] accumulator carries correctly; '' marks an
+    empty pend, unambiguous because symbols are never empty).  Every
+    per-round CTE is MATERIALIZED — v{r} is referenced twice (pair
+    counts + next fold), so un-materialized inlining re-evaluates the
+    whole chain exponentially (measured: >3 min vs 0.2 s at 12
+    rounds).  Early stop replays itself: an empty argmax CTE empties
+    every later round, so the oracle emits exactly as many merges as
+    the engine.  The iterative merge loop is the class the driver
+    flags as non-SQL; unrolling a fixed round count makes it a
+    full-value differential anyway (the kmeans-replay pattern)."""
+    tok = D_TOKENS.format(s="text")
+    parts = [
+        f"WITH w AS (SELECT word, count(*) AS cnt FROM ("
+        f"SELECT unnest({tok}) AS word FROM documents) GROUP BY word)",
+        "v0 AS MATERIALIZED (SELECT list_append(string_split(word, ''), '</w>') "
+        "AS syms, cnt FROM w)",
+    ]
+    for r in range(1, n_merges + 1):
+        pv = f"v{r - 1}"
+        parts.append(
+            f"p{r} AS MATERIALIZED (SELECT pr['a'] AS a, pr['b'] AS b, "
+            f"sum(cnt) AS c FROM ("
+            f"SELECT unnest(list_transform(range(1, len(syms)), "
+            f"i -> {{'a': syms[i], 'b': syms[i + 1]}})) AS pr, cnt "
+            f"FROM {pv}) t GROUP BY 1, 2)")
+        parts.append(
+            f"b{r} AS MATERIALIZED (SELECT a, b FROM p{r} "
+            f"WHERE c >= {min_pair_count} "
+            f"ORDER BY c DESC, a, b LIMIT 1)")
+        parts.append(
+            f"v{r} AS MATERIALIZED (SELECT "
+            f"CASE WHEN fr[len(fr)] = '' "
+            f"THEN list_slice(fr, 1, len(fr) - 1) ELSE fr END "
+            f"AS syms, cnt FROM ("
+            f"SELECT list_reduce("
+            f"list_transform(syms, s -> [s]), "
+            f"(acc, e) -> CASE "
+            f"WHEN acc[len(acc)] = br.a AND e[1] = br.b THEN "
+            f"list_append(list_append("
+            f"list_slice(acc, 1, len(acc) - 1), br.a || br.b), '') "
+            f"WHEN acc[len(acc)] = '' THEN "
+            f"list_append(list_slice(acc, 1, len(acc) - 1), e[1]) "
+            f"ELSE list_append(acc, e[1]) END"
+            f") AS fr, cnt FROM {pv} CROSS JOIN b{r} br) t)")
+    sel = " UNION ALL ".join(
+        f"SELECT {r - 1} AS merge_rank, a, b FROM b{r}"
+        for r in range(1, n_merges + 1))
+    return (",\n".join(parts)
+            + f"\nSELECT merge_rank, a, b FROM ({sel}) u "
+            f"ORDER BY merge_rank")
+
+
+@register(
+    "llm_bpe_train",
+    oracle=duck_bpe_replay_sql(12),
+    doc="Sennrich BPE tokenizer training (llm/bpe.py train_bpe): the "
+        "corpus collapses once to a distributed (word, count) vocab; "
+        "each round is one weighted pair-count aggregation, a "
+        "(count desc, lex) argmax, and a JVM-side greedy merge fold. "
+        "The row reports the learned 12-merge table; the oracle "
+        "replays the ENTIRE training loop — counts, argmax, fold, "
+        "min-count early stop — as 12 unrolled materialized SQL "
+        "rounds (the kmeans-replay pattern applied to the class of "
+        "iterative operators usually stuck with rows-only checks). "
+        "Encoding (apply_bpe, Arrow-batched lowest-rank-first) stays "
+        "pytest-pinned: roundtrip, compression, and batched-trainer "
+        "guarantees in tests/test_llm.py.",
+    tags=("llm", "bpe", "bench"),
+)
+def llm_bpe_train(spark, sf_dir):
+    from presto_spark.llm import bpe
+
+    prepare(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    merges = bpe.train_bpe(docs, n_merges=12)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_rank int, a string, b string",
+    ).orderBy("merge_rank")
