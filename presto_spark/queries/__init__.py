@@ -132,10 +132,7 @@ _DRIVER_FRONT = [
     "llm_lm_perplexity",
     "llm_kmeans_semdedup",
     "llm_bpe_train",
-    # 4. tail — displaced one-per-commit by this round's remaining new
-    # rows as they register (standing rule): the deferred r8
-    # report-shape rows, least-drift-risk first from the end.
-    "tpcds_q58_channel_parity_band",
+    "llm_warc_extract",
 ]
 
 

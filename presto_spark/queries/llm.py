@@ -2002,3 +2002,84 @@ def llm_bpe_train(spark, sf_dir):
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "merge_rank int, a string, b string",
     ).orderBy("merge_rank")
+
+
+@register(
+    "llm_warc_extract",
+    oracle="""
+    WITH rec AS (
+      SELECT s, unnest(range(0, 4)) AS r
+      FROM (SELECT unnest(range(0, 8)) AS s) seg
+    ),
+    shaped AS (
+      SELECT s, r,
+             '<html><body><h1>Doc ' || s || '-' || (r - 1)
+             || '</h1><p>word' || ((s * 31 + (r - 1)) % 97)
+             || ' word' || ((s * 17 + 3 * (r - 1)) % 89)
+             || '</p></body></html>' AS html,
+             'Doc ' || s || '-' || (r - 1) || chr(10)
+             || 'word' || ((s * 31 + (r - 1)) % 97)
+             || ' word' || ((s * 17 + 3 * (r - 1)) % 89) AS cleaned
+      FROM rec
+    )
+    SELECT s AS segment_id, r AS record_no,
+           CASE WHEN r = 0 THEN 'warcinfo' ELSE 'response' END
+             AS warc_type,
+           CASE WHEN r = 0 THEN NULL
+                ELSE 'https://example.com/' || s || '/' || (r - 1) END
+             AS target_uri,
+           CAST(CASE WHEN r = 0 THEN NULL ELSE 200 END AS BIGINT)
+             AS http_status,
+           CASE WHEN r = 0 THEN NULL ELSE 'text/html' END
+             AS http_content_type,
+           CAST(CASE WHEN r = 0
+                     THEN length('software: synth/' || s) + 2
+                     ELSE length(html) END AS BIGINT) AS n_bytes,
+           CASE WHEN r = 0 THEN NULL ELSE cleaned END AS clean
+    FROM shaped ORDER BY segment_id, record_no
+    """,
+    doc="WARC (CommonCrawl-style) ingestion (llm/warc.py): 8 "
+        "deterministic synth_warc segments — plain, whole-segment "
+        "gzip, and per-record gzip members round-robin, so the row "
+        "exercises all three transport layouts including the "
+        "incremental multi-member decompressor — fan out map-side "
+        "through extract_warc, and response bodies chain into "
+        "html_to_text: the full crawl -> clean-text entry pipeline. "
+        "synth_warc bodies are pure arithmetic of (segment, record), "
+        "so the oracle replays every extracted field and the cleaned "
+        "text in SQL (the synth_pgm contract).",
+    tags=("llm", "warc", "bench"),
+)
+def llm_warc_extract(spark, sf_dir):
+    import pandas as pd
+
+    from presto_spark.llm import text as llm_text
+    from presto_spark.llm import warc
+
+    prepare(spark, sf_dir)
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "segment_id": pdf.segment_id,
+                "payload": [
+                    warc.synth_warc(int(s), 3, gzipped=s % 3 == 1,
+                                    member_gzip=s % 3 == 2)
+                    for s in pdf.segment_id
+                ],
+            })
+
+    segs = (
+        spark.range(8).withColumnRenamed("id", "segment_id")
+        .repartition(4)
+        .mapInPandas(synth, "segment_id long, payload binary")
+    )
+    out = warc.extract_warc(segs)
+    return out.select(
+        "segment_id", "record_no", "warc_type", "target_uri",
+        "http_status", "http_content_type", "n_bytes",
+        F.when(
+            F.col("warc_type") == "response",
+            llm_text.html_to_text(F.decode("body", "UTF-8")),
+        ).alias("clean"),
+    ).orderBy("segment_id", "record_no")
