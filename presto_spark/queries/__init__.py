@@ -74,9 +74,14 @@ from presto_spark.queries import corpus_suite  # noqa: F401,E402
 # in the same commit, and llm_ann_*/llm_cosine_topk rotate forward
 # with the r9/r10 staleness blocks next round anyway.
 # Remaining staleness debt after this window (leads the r16 front):
-# the 3 deferred r8 rows above, then the full 34-row r9 block
-# (analytics_market_basket, fn_color_bar_golden, the tpcds disjunctive
-# suite, window_groups_frame_emulation, ...), then r10's 48.
+# the 4 deferred r8 rows above (q58/q59/q64/q66), then the full 34-row
+# r9 block (analytics_market_basket, fn_color_bar_golden, the tpcds
+# disjunctive suite, window_groups_frame_emulation, ...), then r10's
+# 48 — which includes the llm_ann_*/llm_cosine_topk rows whose module
+# gained the optional trained-centroid path this round (r16 rotation
+# doubles as their post-refactor hard check; 4 + 34 + 12-of-48 fills
+# a 50-row window exactly if no new rows land, so expect the r10
+# spill to run into r17).
 # tests/test_registry_front.py pins list(REGISTRY)[:50] == this list.
 _DRIVER_FRONT = [
     # 1. edited => re-front (banding fold; both rows traverse it)

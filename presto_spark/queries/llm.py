@@ -1863,23 +1863,26 @@ def duck_semdedup_replay_sql(
     k: int, n_iters: int, dim: int, threshold: float
 ) -> str:
     """Unrolled replay of llm/clustering.py semantic_dedup_pairs: the
-    k-means rounds above, then within-cluster pairwise cosine (a < b)
-    filtered at the ROUNDED 6-decimal value — exactly the engine's
-    filter order, so the boundary pairs match bit-for-bit."""
+    k-means rounds above, then each side L2-normalized ONCE (the
+    engine's 3x saving on the quadratic stage — replayed so the
+    per-component division rounding matches) and within-cluster
+    pairwise dot (a < b) filtered at the ROUNDED 6-decimal value —
+    exactly the engine's filter order, so the boundary pairs match
+    bit-for-bit."""
     parts, d2 = _duck_kmeans_parts(k, n_iters, dim)
     parts.append(
-        f"fin AS (SELECT vec_id, e, cid FROM ("
+        f"fin AS (SELECT vec_id, "
+        f"list_transform(e, x -> x / sqrt(list_dot_product(e, e))) "
+        f"AS en, cid FROM ("
         f"SELECT v.vec_id, v.e, c.cid, "
         f"row_number() OVER (PARTITION BY v.vec_id "
         f"ORDER BY {d2}, c.cid) AS rn "
         f"FROM v CROSS JOIN c{n_iters} c) t WHERE rn = 1)")
-    cos = ("list_dot_product(a.e, b.e) / "
-           "(sqrt(list_dot_product(a.e, a.e)) * "
-           "sqrt(list_dot_product(b.e, b.e)))")
     final = (
         f"SELECT cluster_id, id_a, id_b, cosine FROM ("
         f"SELECT a.cid AS cluster_id, a.vec_id AS id_a, "
-        f"b.vec_id AS id_b, round({cos}, 6) AS cosine "
+        f"b.vec_id AS id_b, "
+        f"round(list_dot_product(a.en, b.en), 6) AS cosine "
         f"FROM fin a JOIN fin b "
         f"ON a.cid = b.cid AND a.vec_id < b.vec_id) p "
         f"WHERE cosine >= {threshold} "
