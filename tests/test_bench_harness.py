@@ -90,13 +90,20 @@ def test_metric_line_is_last_parseable_and_tail_sized():
 
     from presto_spark.queries import REGISTRY
 
-    # the real bench set (3-decimal values) must fit untruncated
+    # the real bench set must fit with EVERY row present; since the
+    # r15 set (58 rows) outgrew the 3-decimal form, the documented
+    # degradation ladder's first rung (2-decimal values) is the
+    # contract: no row dropped, values within 5 ms of the input
     real = {n: 12.345 for n, q in REGISTRY.items() if "bench" in q.tags}
     line = bench._metric_line(740.7, real, 0.1, [])
     assert len(line) <= 2000 - len("\n")
     parsed = json.loads(line)
     assert parsed["metric"] == "tpch_suite_wall_sec"
-    assert parsed["queries"] == real and parsed["sf"] == 0.1
+    assert parsed["sf"] == 0.1
+    assert "queries_truncated" not in parsed
+    assert set(parsed["queries"]) == set(real)
+    assert all(abs(parsed["queries"][n] - v) <= 0.005
+               for n, v in real.items())
     # a pathologically large set degrades loudly (slowest kept,
     # truncation counted) instead of overflowing the tail
     big = {f"a_rather_long_query_name_{i:02d}": 12.345 + (i == 7)
