@@ -192,3 +192,42 @@ def pack_sequences(
         (seg_lo == F.col("__start")).alias("is_doc_start"),
         (seg_hi == F.col("__end")).alias("is_doc_end"),
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source temperature-reweighted sampling shares
+    (source, n_docs, n_tokens, raw_share, temp_share, up_factor).
+
+    The multilingual/multi-domain mixing recipe (XLM-R / mT5-class
+    pipelines, public): sample source s with probability
+    p_s ∝ n_s^alpha instead of n_s, so low-resource domains are
+    upsampled (alpha < 1) without a hand-tuned table.  ``raw_share``
+    is the natural token share, ``temp_share`` the alpha-tempered
+    share, ``up_factor`` their ratio — the per-source duplication
+    factor a sampler applies.  One token-count aggregation (map-side
+    combinable) plus one tiny per-source window pass; pow() runs once
+    per source row, and all doubles round at 6 for cross-engine
+    replay."""
+    from presto_spark.llm.text import tokens
+
+    per = df.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(F.col(text_col)))).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    tempered = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    raw_share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    temp_share = tempered / F.sum(tempered).over(w)
+    return per.select(
+        F.col(source_col),
+        "n_docs",
+        "n_tokens",
+        F.round(raw_share, 6).alias("raw_share"),
+        F.round(temp_share, 6).alias("temp_share"),
+        F.round(temp_share / raw_share, 6).alias("up_factor"),
+    )

@@ -79,9 +79,14 @@ from presto_spark.queries import corpus_suite  # noqa: F401,E402
 # disjunctive suite, window_groups_frame_emulation, ...), then r10's
 # 48 — which includes the llm_ann_*/llm_cosine_topk rows whose module
 # gained the optional trained-centroid path this round (r16 rotation
-# doubles as their post-refactor hard check; 4 + 34 + 12-of-48 fills
-# a 50-row window exactly if no new rows land, so expect the r10
-# spill to run into r17).
+# doubles as their post-refactor hard check).  Also queued for r16:
+# registry rows for the two operators r15 pre-built and pytest-pinned
+# with proven oracle texts (the r14 -> r15 pattern):
+# llm/dupspan.py duplication_report (Lee et al. 2022 exact-substring
+# audit; oracle generator duck_duplication_report_sql) and
+# llm/mix.py temperature_mix (alpha-tempered domain sampling shares;
+# duck_temperature_mix_sql).  4 + 34 + 2 new leaves 10 slots of
+# r10's 48 in a 50-row window; the r10 spill runs into r17.
 # tests/test_registry_front.py pins list(REGISTRY)[:50] == this list.
 _DRIVER_FRONT = [
     # 1. edited => re-front (banding fold; both rows traverse it)

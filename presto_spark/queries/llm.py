@@ -2086,3 +2086,71 @@ def llm_warc_extract(spark, sf_dir):
             llm_text.html_to_text(F.decode("body", "UTF-8")),
         ).alias("clean"),
     ).orderBy("segment_id", "record_no")
+
+
+def duck_duplication_report_sql(k: int) -> str:
+    """Generated DuckDB replay of llm/dupspan.py duplication_report
+    over the ``documents`` view (Lee et al. 2022 exact-substring
+    audit): positional k-gram poly-hash fingerprints, corpus-wide
+    duplicate counts, and interval-union token coverage — all shared
+    integer arithmetic, so values match bit-for-bit.  Built in r15 as
+    the r16 registry-oracle text (proven by the pytest differential
+    in tests/test_llm.py)."""
+    th = D_TOKHASH.format(s="text")
+    return f"""
+    WITH th AS (SELECT doc_id, {th} AS th FROM documents),
+    g AS (
+      SELECT doc_id, u['pos'] AS pos, u['h'] AS gram_hash FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(th) - {k - 1}, 0) + 1),
+                 i -> {{'pos': i,
+                        'h': list_reduce(list_prepend(0::BIGINT,
+                               list_slice(th, i, i + {k - 1})),
+                             (acc, x) -> (acc * 31 + x) % 1000000007)}}))
+                 AS u
+        FROM th) t
+    ),
+    c AS (SELECT gram_hash, count(*) AS cnt FROM g GROUP BY 1),
+    d AS (SELECT doc_id, pos FROM g JOIN c USING (gram_hash)
+          WHERE cnt >= 2),
+    cov AS (
+      SELECT doc_id, count(DISTINCT ti) AS dup_tokens FROM (
+        SELECT doc_id, unnest(range(pos, pos + {k})) AS ti FROM d) t
+      GROUP BY 1
+    ),
+    nd AS (SELECT doc_id, count(*) AS n_dup_grams FROM d GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(len(th) AS INT) AS n_tokens,
+           CAST(coalesce(n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           round(coalesce(dup_tokens, 0)::DOUBLE
+                 / greatest(len(th), 1), 6) AS dup_token_fraction
+    FROM th t
+    LEFT JOIN nd USING (doc_id)
+    LEFT JOIN cov USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+def duck_temperature_mix_sql(alpha: float) -> str:
+    """Generated DuckDB replay of llm/mix.py temperature_mix over the
+    ``documents`` view — token counts per source, then the alpha-
+    tempered shares with the engine's exact division order.  Built in
+    r15 as the r16 registry-oracle text."""
+    toks = D_TOKENS.format(s="text")
+    t = f"pow(n_tokens::DOUBLE, {alpha})"
+    raw = "n_tokens::DOUBLE / CAST(sum(n_tokens) OVER () AS DOUBLE)"
+    temp = f"{t} / sum({t}) OVER ()"
+    return f"""
+    WITH per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({toks})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           round({raw}, 6) AS raw_share,
+           round({temp}, 6) AS temp_share,
+           round(({temp}) / ({raw}), 6) AS up_factor
+    FROM per ORDER BY source
+    """

@@ -936,3 +936,101 @@ def test_warc_streaming_buffer_trim(monkeypatch):
     got = list(warc.iter_warc_records(seg))
     assert got == expect
     assert len(got) == 21
+# To append to tests/test_llm.py after the full suite finishes.
+
+
+def test_duplication_report_known_spans(spark):
+    """llm/dupspan.py on a hand-built corpus: an exact repeated
+    5-token span is flagged in both documents, coverage counts
+    overlapping gram windows once, unique text reports zero, and
+    sub-k documents are safely empty (the Spark sequence()-descends
+    guard)."""
+    from presto_spark.llm import dupspan
+
+    shared = "alpha beta gamma delta epsilon"
+    docs = [
+        (1, f"{shared} zeta eta theta iota kappa"),
+        (2, f"prefix one two {shared}"),
+        (3, "totally unique words here nothing repeats at all ok"),
+        (4, "tiny doc"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {r.doc_id: r for r in
+           dupspan.duplication_report(df, k=5).collect()}
+    # doc 1: only the k-gram starting at pos 1 repeats -> 5 tokens
+    assert got[1].n_tokens == 10
+    assert got[1].n_dup_grams == 1
+    assert got[1].dup_tokens == 5
+    assert abs(got[1].dup_token_fraction - 0.5) < 1e-9
+    # doc 2: shared span sits at the tail (pos 4 of 8 tokens)
+    assert got[2].n_dup_grams == 1 and got[2].dup_tokens == 5
+    # doc 3: nothing repeats
+    assert got[3].n_dup_grams == 0 and got[3].dup_tokens == 0
+    assert got[3].dup_token_fraction == 0.0
+    # doc 4: shorter than k -> zero, not phantom positions
+    assert got[4].n_tokens == 2 and got[4].n_dup_grams == 0
+
+
+def test_duplication_report_within_doc_and_overlap(spark):
+    """Within-document repetition counts too (Lee et al. count any
+    recurrence), and overlapping duplicated grams union their
+    coverage instead of double-counting."""
+    from presto_spark.llm import dupspan
+
+    # 'a b a b a b a b': with k=2, grams (a b) x4? positions 1..7
+    # alternate (a,b) and (b,a), each occurring >= 2 times -> every
+    # position duplicated, full coverage.
+    df = spark.createDataFrame(
+        [(1, "a b a b a b a b")], "doc_id int, text string")
+    got = dupspan.duplication_report(df, k=2).collect()[0]
+    assert got.n_tokens == 8
+    assert got.n_dup_grams == 7
+    assert got.dup_tokens == 8
+    assert got.dup_token_fraction == 1.0
+
+
+def test_duplication_report_matches_duckdb_replay(spark, duck):
+    """Differential check for llm/dupspan.py on the real documents
+    table — the DuckDB replay that becomes the r16 registry oracle."""
+    from presto_spark.llm import dupspan
+    from presto_spark.queries.llm import duck_duplication_report_sql
+    from tests.conftest import SF_DIR, assert_same
+
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text"))
+    got = dupspan.duplication_report(docs, k=5).orderBy("doc_id")
+    assert_same(got, duck, duck_duplication_report_sql(5))
+
+
+def test_temperature_mix_shares(spark):
+    """llm/mix.py temperature_mix: alpha=1 reproduces raw shares,
+    alpha<1 upsamples the smaller source (up_factor > 1) and shares
+    sum to 1."""
+    from presto_spark.llm import mix
+
+    docs = ([(i, "big " * 10, "web") for i in range(9)]
+            + [(100, "small tokens here now", "books")])
+    df = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in docs],
+        "doc_id int, text string, source string")
+    raw = {r.source: r for r in
+           mix.temperature_mix(df, alpha=1.0).collect()}
+    assert abs(raw["web"].temp_share - raw["web"].raw_share) < 1e-6
+    t5 = {r.source: r for r in
+          mix.temperature_mix(df, alpha=0.5).collect()}
+    assert t5["books"].up_factor > 1.0 > t5["web"].up_factor
+    assert abs(t5["web"].temp_share + t5["books"].temp_share - 1.0) < 1e-5
+    assert t5["web"].n_tokens == 90 and t5["books"].n_tokens == 4
+
+
+def test_temperature_mix_matches_duckdb_replay(spark, duck):
+    """Differential check for temperature_mix on the real documents
+    table (source column) — the r16 registry-oracle text."""
+    from presto_spark.llm import mix
+    from presto_spark.queries.llm import duck_temperature_mix_sql
+    from tests.conftest import SF_DIR, assert_same
+
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text", "source"))
+    got = mix.temperature_mix(docs, alpha=0.5).orderBy("source")
+    assert_same(got, duck, duck_temperature_mix_sql(0.5))
