@@ -61,6 +61,12 @@ _HEAVY = [
     "geo_overlay_polygon_golden",
     "geo_union_agg_golden",
     "geo_simplify_flatten_golden",
+    # round-15 heavy tiers: the iterative k-means trainer + SemDeDup
+    # pair join (now the suite's heaviest row), and BPE training,
+    # whose per-8-round checkpoint_tracked/release cadence is exactly
+    # the lifecycle contract this suite exists to lock.
+    "llm_kmeans_semdedup",
+    "llm_bpe_train",
 ]
 
 
