@@ -63,3 +63,56 @@ def test_date_add_rewrite_shape(unit, n):
 def test_duration_parse(n, unit):
     mult = {"s": 1, "m": 60, "h": 3600, "d": 86400}[unit]
     assert _duration_to_seconds(f"{n}{unit}") == n * mult
+
+
+# ---- round-15 operator properties (pure-Python pieces — no Spark) ----
+
+@given(st.lists(
+    st.binary(min_size=0, max_size=200), min_size=0, max_size=6),
+    st.integers(min_value=0, max_value=2))
+@settings(max_examples=60, deadline=None)
+def test_warc_record_walker_roundtrip(bodies, layout):
+    """llm/warc.py: arbitrary binary content blocks survive the
+    build -> (plain | whole-gzip | member-gzip) -> parse roundtrip
+    byte-for-byte, in order — the walker's framing never depends on
+    body contents."""
+    import gzip
+
+    from presto_spark.llm import warc
+
+    members = []
+    for i, body in enumerate(bodies):
+        head = (f"WARC/1.0\r\nWARC-Type: metadata\r\n"
+                f"WARC-Record-ID: <urn:uuid:p-{i}>\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n").encode()
+        members.append(head + body + b"\r\n\r\n")
+    raw = b"".join(members)
+    payload = (raw if layout == 0
+               else gzip.compress(raw) if layout == 1
+               else b"".join(gzip.compress(m) for m in members))
+    if not payload:
+        return  # empty archive: nothing to parse
+    recs = warc.parse_warc(payload)
+    assert [r["body"] for r in recs] == list(bodies)
+    assert all(r["warc_type"] == "metadata" for r in recs)
+
+
+@given(st.text(alphabet=st.characters(codec="ascii",
+                                      exclude_categories=("Cc", "Zs")),
+               min_size=1, max_size=24),
+       st.lists(st.tuples(st.text(alphabet="abc", min_size=1, max_size=2),
+                          st.text(alphabet="abc", min_size=1, max_size=2)),
+                max_size=12))
+@settings(max_examples=80, deadline=None)
+def test_bpe_encode_reconstructs_any_word(word, merges):
+    """llm/bpe.py _encode_word: for ANY word and ANY merge table,
+    concatenating the output symbols reproduces word + the end marker
+    (lossless), and output length never exceeds the symbol count."""
+    from presto_spark.llm import bpe
+
+    ranks = {}
+    for pair in merges:
+        ranks.setdefault(pair, len(ranks))
+    out = bpe._encode_word(word, ranks)
+    assert "".join(out) == word + bpe.EOW
+    assert 1 <= len(out) <= len(word) + 1
