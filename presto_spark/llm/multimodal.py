@@ -419,3 +419,131 @@ def sample_frames(
         .withColumn("frame_no", F.col("frame_idx") + 1)
         .drop("frame_idx")
     )
+
+
+# ---- perceptual-hash image near-dup (round 15, built ahead for r16) ----
+
+AHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("band0", T.LongType()),
+    T.StructField("band1", T.LongType()),
+    T.StructField("band2", T.LongType()),
+    T.StructField("band3", T.LongType()),
+])
+
+
+def ahash_bands(img: dict) -> list[int]:
+    """64-bit average hash of a decoded image, as four 16-bit bands.
+
+    The classic aHash recipe (public): downsample to 8x8, threshold
+    each cell against the global mean.  Two engine-specific choices
+    keep it exactly replayable in SQL:
+
+    * the grayscale cell value is the INTEGER channel sum (no /c), and
+      the threshold compares 64 * cell > total (strict) — integer
+      cross-multiplication instead of a float mean, so no rounding
+      anywhere;
+    * the hash ships as four 16-bit band ints (cells 16j..16j+15,
+      bit (k - 16j) set when cell k is bright).  Bands fit BIGINT
+      without touching the sign bit AND double as the banding keys:
+      by pigeonhole, two hashes within Hamming distance 3 agree on at
+      least one band, so band-equality joins are a complete candidate
+      generator for max_hamming <= 3 — the MinHash-LSH shape on the
+      image tier.
+    """
+    cells = resample_pixels(img, 8, 8)
+    c = img["channels"]
+    sums = [sum(cells[i * c:(i + 1) * c]) for i in range(64)]
+    total = sum(sums)
+    bands = []
+    for j in range(4):
+        b = 0
+        for i in range(16):
+            if 64 * sums[j * 16 + i] > total:
+                b |= 1 << i
+        bands.append(b)
+    return bands
+
+
+def image_ahash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(id, band0..band3) — Arrow-batched real-decode aHash; one
+    decode per payload, zero shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = ahash_bands(decode_image(bytes(payload)))
+                rows.append({
+                    "doc_id": did, "band0": b[0], "band1": b[1],
+                    "band2": b[2], "band3": b[3],
+                })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AHASH_SCHEMA.fields])
+
+    return df.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Image near-duplicate pairs (id_a < id_b, hamming) by perceptual
+    hash: aHash bands -> candidates from a band-equality self-join
+    (complete for max_hamming <= 3 by pigeonhole; above that it is the
+    standard recall/cost LSH trade, documented rather than silent) ->
+    exact 64-bit Hamming verify via bit_count(xor) over the four
+    bands.  Only (id, 4 x 16-bit ints) ride the shuffle — payloads
+    never leave the scan stage."""
+    sig = image_ahash(df, id_col, payload_col)
+    banded = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("band"),
+                     F.col(f"band{j}").alias("key"))
+            for j in range(4)
+        ])).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.key")
+    cands = (
+        banded.alias("l")
+        .join(banded.alias("r"),
+              on=[F.col("l.band") == F.col("r.band"),
+                  F.col("l.key") == F.col("r.key"),
+                  F.col("l.doc_id") < F.col("r.doc_id")])
+        .select(F.col("l.doc_id").alias("id_a"),
+                F.col("r.doc_id").alias("id_b"))
+        .distinct()
+    )
+    a = sig.alias("sa")
+    b = sig.alias("sb")
+    ham = sum(
+        F.bit_count(
+            F.col(f"sa.band{j}").bitwiseXOR(F.col(f"sb.band{j}")))
+        for j in range(4)
+    )
+    return (
+        cands.join(a, cands.id_a == F.col("sa.doc_id"))
+        .join(b, cands.id_b == F.col("sb.doc_id"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def synth_pgm_pair(doc_id: int, width: int = 8, height: int = 6) -> bytes:
+    """Deterministic near-duplicate PGM family: doc pairs (2m, 2m+1)
+    share base image m (pixel k = (m*31 + k) % 256) and the odd member
+    bumps pixel 0 by 9 — a one-cell perturbation, so perceptual-hash
+    pairs exist by construction and a SQL oracle replays every pixel
+    (the synth_pgm contract extended to near-dup structure)."""
+    base = doc_id // 2
+    bump = 9 if doc_id % 2 else 0
+    body = bytes(
+        ((base * 31 + k + (bump if k == 0 else 0)) % 256)
+        for k in range(width * height))
+    return b"P5 " + f"{width} {height} 255\n".encode() + body

@@ -85,7 +85,9 @@ from presto_spark.queries import corpus_suite  # noqa: F401,E402
 # llm/dupspan.py duplication_report (Lee et al. 2022 exact-substring
 # audit; oracle generator duck_duplication_report_sql) and
 # llm/mix.py temperature_mix (alpha-tempered domain sampling shares;
-# duck_temperature_mix_sql).  4 + 34 + 2 new leaves 10 slots of
+# duck_temperature_mix_sql), and the perceptual-hash image near-dup
+# tier (llm/multimodal.py image_near_dup_pairs over synth_pgm_pair;
+# duck_image_ahash_pairs_sql).  4 + 34 + 3 new leaves 9 slots of
 # r10's 48 in a 50-row window; the r10 spill runs into r17.
 # tests/test_registry_front.py pins list(REGISTRY)[:50] == this list.
 _DRIVER_FRONT = [

@@ -2154,3 +2154,48 @@ def duck_temperature_mix_sql(alpha: float) -> str:
            round(({temp}) / ({raw}), 6) AS up_factor
     FROM per ORDER BY source
     """
+
+
+def duck_image_ahash_pairs_sql(n_docs: int, max_hamming: int) -> str:
+    """Generated DuckDB replay of the perceptual-hash image near-dup
+    tier (llm/multimodal.py image_near_dup_pairs over synth_pgm_pair
+    payloads): pixel synthesis arithmetic, the 8x6 -> 8x8 nearest-
+    neighbor index map, the integer 64*cell > total threshold, the
+    four 16-bit bands, band-equality candidates, and bit_count(xor)
+    Hamming verify.  Built in r15 as the r16 registry-oracle text."""
+    # source pixel index for 8x8 cell j of an 8x6 image:
+    # y = j // 8 -> sy = y * 6 // 8, sx = j % 8
+    idx = "(((j // 8) * 6) // 8) * 8 + (j % 8)"
+    val = (f"((d // 2) * 31 + {idx} + "
+           f"CASE WHEN {idx} = 0 AND d % 2 = 1 THEN 9 ELSE 0 END) % 256")
+    return f"""
+    WITH pix AS (
+      SELECT d, u['j'] AS j, u['v'] AS cell FROM (
+        SELECT d, unnest(list_transform(range(0, 64),
+          j -> {{'j': j, 'v': {val}}})) AS u
+        FROM (SELECT unnest(range(0, {n_docs})) AS d) t) t2
+    ),
+    tot AS (SELECT d, sum(cell) AS total FROM pix GROUP BY d),
+    bands AS (
+      SELECT d, j // 16 AS band,
+             sum(CASE WHEN 64 * cell > total
+                      THEN 1 << (j % 16) ELSE 0 END) AS key
+      FROM pix JOIN tot USING (d) GROUP BY d, j // 16
+    ),
+    ham AS (
+      SELECT a.d AS id_a, b.d AS id_b,
+             sum(bit_count(xor(CAST(a.key AS BIGINT),
+                               CAST(b.key AS BIGINT)))) AS hamming
+      FROM bands a JOIN bands b ON a.band = b.band AND a.d < b.d
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.d AS id_a, b.d AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.d < b.d
+    )
+    SELECT h.id_a, h.id_b, CAST(h.hamming AS INT) AS hamming
+    FROM ham h JOIN cand USING (id_a, id_b)
+    WHERE h.hamming <= {max_hamming}
+    ORDER BY id_a, id_b
+    """

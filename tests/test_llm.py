@@ -1034,3 +1034,81 @@ def test_temperature_mix_matches_duckdb_replay(spark, duck):
             .select("doc_id", "text", "source"))
     got = mix.temperature_mix(docs, alpha=0.5).orderBy("source")
     assert_same(got, duck, duck_temperature_mix_sql(0.5))
+
+
+def test_image_ahash_bands_known_pattern():
+    """llm/multimodal.py ahash_bands: a left-bright 8x8 image hashes
+    to 0x0F0F per band (bits for x<4 set in both rows each band
+    covers), and the integer 64*cell > total threshold is strict."""
+    pixels = bytes(255 if x < 4 else 0
+                   for y in range(8) for x in range(8))
+    img = multimodal.decode_image(
+        b"P5 8 8 255\n" + pixels)
+    assert multimodal.ahash_bands(img) == [0x0F0F] * 4
+    # uniform image: no cell is strictly brighter than the mean
+    flat = multimodal.decode_image(b"P5 8 8 255\n" + bytes([7] * 64))
+    assert multimodal.ahash_bands(flat) == [0, 0, 0, 0]
+
+
+def test_image_near_dup_pairs_finds_perturbed_copies(spark):
+    """image_near_dup_pairs: exact copies pair at hamming 0, a
+    one-pixel perturbation stays within the threshold, unrelated
+    images do not pair — and the band join is candidate-complete for
+    hamming <= 3 (cross-checked against brute force over all pairs)."""
+    import pandas as pd
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf.doc_id,
+                "payload": [multimodal.synth_pgm_pair(int(d))
+                            for d in pdf.doc_id],
+            })
+
+    docs = (spark.range(10).withColumnRenamed("id", "doc_id")
+            .mapInPandas(synth, "doc_id long, payload binary"))
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in multimodal.image_near_dup_pairs(
+               docs, max_hamming=3).collect()}
+    # every synth pair (2m, 2m+1) shares its base image modulo one
+    # bumped pixel -> must be found
+    for m in range(5):
+        assert (2 * m, 2 * m + 1) in got
+        assert got[(2 * m, 2 * m + 1)] <= 3
+    # brute-force completeness check at the pigeonhole bound
+    bands = {r.doc_id: (r.band0, r.band1, r.band2, r.band3)
+             for r in multimodal.image_ahash(docs).collect()}
+    for a in range(10):
+        for b in range(a + 1, 10):
+            h = sum(bin(x ^ y).count("1")
+                    for x, y in zip(bands[a], bands[b]))
+            if h <= 3:
+                assert (a, b) in got and got[(a, b)] == h
+            else:
+                assert (a, b) not in got
+
+
+def test_image_near_dup_matches_duckdb_replay(spark, duck):
+    """Differential check for the perceptual-hash tier — the DuckDB
+    replay that becomes the r16 registry oracle (pixel synthesis,
+    resample index map, integer threshold, bands, Hamming)."""
+    import pandas as pd
+
+    from presto_spark.queries.llm import duck_image_ahash_pairs_sql
+    from tests.conftest import assert_same
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf.doc_id,
+                "payload": [multimodal.synth_pgm_pair(int(d))
+                            for d in pdf.doc_id],
+            })
+
+    docs = (spark.range(24).withColumnRenamed("id", "doc_id")
+            .mapInPandas(synth, "doc_id long, payload binary"))
+    got = (multimodal.image_near_dup_pairs(docs, max_hamming=3)
+           .select("id_a", "id_b",
+                   F.col("hamming").cast("int").alias("hamming"))
+           .orderBy("id_a", "id_b"))
+    assert_same(got, duck, duck_image_ahash_pairs_sql(24, 3))
