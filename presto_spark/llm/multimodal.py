@@ -500,7 +500,15 @@ def image_near_dup_pairs(
     standard recall/cost LSH trade, documented rather than silent) ->
     exact 64-bit Hamming verify via bit_count(xor) over the four
     bands.  Only (id, 4 x 16-bit ints) ride the shuffle — payloads
-    never leave the scan stage."""
+    never leave the scan stage.
+
+    Skew note (the LSH family's standard caveat): boilerplate images
+    — solid fills, blank scans — collapse onto a few hot band keys
+    and make those buckets quadratic, exactly like hot shingles in
+    the text tier.  AQE skew-join splits the hot buckets at runtime;
+    for corpora dominated by such images, pre-filter trivial hashes
+    (all-zero/all-one bands) or cap bucket size upstream, the
+    max_shingle_bench_df recipe."""
     sig = image_ahash(df, id_col, payload_col)
     banded = sig.select(
         "doc_id",
