@@ -555,3 +555,117 @@ def synth_pgm_pair(doc_id: int, width: int = 8, height: int = 6) -> bytes:
         ((base * 31 + k + (bump if k == 0 else 0)) % 256)
         for k in range(width * height))
     return b"P5 " + f"{width} {height} 255\n".encode() + body
+
+
+# ---- energy-contour audio fingerprint (round 15, built ahead) ----
+
+AUDIO_FP_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("fingerprint", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+])
+
+
+def audio_fingerprint_bits(audio: dict, n_windows: int = 32) -> int:
+    """31-bit energy-contour fingerprint of a decoded audio dict.
+
+    Recipe (the shape under Shazam-class audio matchers, reduced to
+    its replayable core): center samples by the width convention
+    (8-bit PCM on 128, 16-bit on 0 — the ADVICE-r13 contract), slice
+    the interleaved stream into ``n_windows`` windows of
+    q = max(1, n // n_windows) samples (the tail folds into the last
+    window), energy_w = integer sum of squared deviations, and bit w
+    is set iff energy_w > energy_{w+1} (strict).  All integers — no
+    float anywhere — so a SQL oracle replays it exactly, and
+    amplitude scaling multiplies every energy by the same factor, so
+    the sign contour (hence the fingerprint) is volume-invariant:
+    the same clip at half volume fingerprints identically and exact
+    fingerprint equality is the audio near-dup join key."""
+    center = 128 if audio["sample_width"] == 1 else 0
+    s = audio["samples"]
+    n = len(s)
+    if n == 0:
+        return 0
+    q = max(1, n // n_windows)
+    energy = [0] * n_windows
+    for i, v in enumerate(s):
+        w = min(i // q, n_windows - 1)
+        d = v - center
+        energy[w] += d * d
+    fp = 0
+    for w in range(n_windows - 1):
+        if energy[w] > energy[w + 1]:
+            fp |= 1 << w
+    return fp
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(id, fingerprint, n_samples) — Arrow-batched real WAV decode +
+    the integer energy-contour fingerprint; zero shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                audio = decode_audio(bytes(payload))
+                rows.append({
+                    "doc_id": did,
+                    "fingerprint": audio_fingerprint_bits(audio),
+                    "n_samples": len(audio["samples"]),
+                })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FP_SCHEMA.fields])
+
+    return df.mapInPandas(run, schema=AUDIO_FP_SCHEMA)
+
+
+def audio_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Audio near-duplicate pairs (id_a < id_b, fingerprint) by exact
+    fingerprint equality — volume-invariant by construction.  Only
+    (id, fingerprint) ride the shuffle; the equality join is the
+    digest-dedup shape (uniform keys, no all-pairs).  Silence and
+    constant tones collapse onto fingerprint 0 — the hot-key caveat
+    of every digest tier; pre-filter or AQE skew-join as usual."""
+    sig = audio_fingerprint(df, id_col, payload_col)
+    a = sig.select(F.col("doc_id").alias("id_a"),
+                   F.col("fingerprint"))
+    b = sig.select(F.col("doc_id").alias("id_b"),
+                   F.col("fingerprint"))
+    return (
+        a.join(b, ["fingerprint"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fingerprint")
+    )
+
+
+def synth_wav16_pair(doc_id: int, n_frames: int = 256,
+                     framerate: int = 8000) -> bytes:
+    """Deterministic near-duplicate WAV family: doc pairs (2m, 2m+1)
+    share base clip m (sample k = ((m*37 + 5k) % 200 - 100) * 100,
+    16-bit signed) and the odd member plays it at EXACTLY half volume
+    (samples * 50 instead of * 100 — exact, no rounding), so
+    fingerprint-equality pairs exist by construction and a SQL oracle
+    replays every sample."""
+    import io
+    import struct
+    import wave
+
+    base = doc_id // 2
+    scale = 50 if doc_id % 2 else 100
+    samples = [((base * 37 + 5 * k) % 200 - 100) * scale
+               for k in range(n_frames)]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(struct.pack(f"<{n_frames}h", *samples))
+    return buf.getvalue()

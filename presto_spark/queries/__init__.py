@@ -87,8 +87,11 @@ from presto_spark.queries import corpus_suite  # noqa: F401,E402
 # llm/mix.py temperature_mix (alpha-tempered domain sampling shares;
 # duck_temperature_mix_sql), and the perceptual-hash image near-dup
 # tier (llm/multimodal.py image_near_dup_pairs over synth_pgm_pair;
-# duck_image_ahash_pairs_sql).  4 + 34 + 3 new leaves 9 slots of
-# r10's 48 in a 50-row window; the r10 spill runs into r17.
+# duck_image_ahash_pairs_sql), and the audio energy-contour
+# fingerprint dup tier (llm/multimodal.py audio_dup_pairs over
+# synth_wav16_pair; duck_audio_fingerprint_pairs_sql).
+# 4 + 34 + 4 new leaves 8 slots of r10's 48 in a 50-row window; the
+# r10 spill runs into r17.
 # tests/test_registry_front.py pins list(REGISTRY)[:50] == this list.
 _DRIVER_FRONT = [
     # 1. edited => re-front (banding fold; both rows traverse it)

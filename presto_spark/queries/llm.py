@@ -2199,3 +2199,36 @@ def duck_image_ahash_pairs_sql(n_docs: int, max_hamming: int) -> str:
     WHERE h.hamming <= {max_hamming}
     ORDER BY id_a, id_b
     """
+
+
+def duck_audio_fingerprint_pairs_sql(n_docs: int) -> str:
+    """Generated DuckDB replay of the audio-fingerprint dup tier
+    (llm/multimodal.py audio_dup_pairs over synth_wav16_pair
+    payloads): sample synthesis arithmetic, 32-window integer energy
+    sums (n=256 -> q=8), the strict energy_w > energy_{w+1} sign
+    contour, and fingerprint-equality pairs.  Built in r15 as the r16
+    registry-oracle text."""
+    s = ("(((d // 2) * 37 + 5 * k) % 200 - 100) * "
+         "(CASE WHEN d % 2 = 1 THEN 50 ELSE 100 END)")
+    return f"""
+    WITH e AS (
+      SELECT d, w, sum(s * s) AS energy FROM (
+        SELECT d, k // 8 AS w, {s} AS s
+        FROM (SELECT unnest(range(0, {n_docs})) AS d) dd,
+             (SELECT unnest(range(0, 256)) AS k) kk) t
+      GROUP BY d, w
+    ),
+    fp AS (
+      SELECT a.d,
+             sum(CASE WHEN a.energy > b.energy
+                      THEN 1 << CAST(a.w AS INT) ELSE 0 END)
+               AS fingerprint
+      FROM e a JOIN e b ON a.d = b.d AND b.w = a.w + 1
+      GROUP BY a.d
+    )
+    SELECT a.d AS id_a, b.d AS id_b,
+           CAST(a.fingerprint AS BIGINT) AS fingerprint
+    FROM fp a JOIN fp b
+      ON a.fingerprint = b.fingerprint AND a.d < b.d
+    ORDER BY id_a, id_b
+    """

@@ -1112,3 +1112,61 @@ def test_image_near_dup_matches_duckdb_replay(spark, duck):
                    F.col("hamming").cast("int").alias("hamming"))
            .orderBy("id_a", "id_b"))
     assert_same(got, duck, duck_image_ahash_pairs_sql(24, 3))
+
+
+def test_audio_fingerprint_volume_invariant_and_dup_pairs(spark):
+    """llm/multimodal.py audio fingerprint: the energy sign contour is
+    invariant under exact amplitude scaling (half-volume clip pairs
+    with its original), different clips separate, and only
+    (id, fingerprint) ride the join."""
+    import pandas as pd
+
+    fp = {
+        d: multimodal.audio_fingerprint_bits(
+            multimodal.decode_audio(multimodal.synth_wav16_pair(d)))
+        for d in range(6)
+    }
+    for m in range(3):
+        assert fp[2 * m] == fp[2 * m + 1]  # volume invariance
+    assert len({fp[0], fp[2], fp[4]}) == 3  # bases separate
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf.doc_id,
+                "payload": [multimodal.synth_wav16_pair(int(d))
+                            for d in pdf.doc_id],
+            })
+
+    docs = (spark.range(6).withColumnRenamed("id", "doc_id")
+            .mapInPandas(synth, "doc_id long, payload binary"))
+    got = {(r.id_a, r.id_b) for r in
+           multimodal.audio_dup_pairs(docs).collect()}
+    assert got == {(0, 1), (2, 3), (4, 5)}
+    # 8-bit path centers on 128 (the width-convention contract)
+    fp8 = multimodal.audio_fingerprint_bits(
+        multimodal.decode_audio(multimodal.synth_wav(3)))
+    assert isinstance(fp8, int) and fp8 >= 0
+
+
+def test_audio_dup_pairs_matches_duckdb_replay(spark, duck):
+    """Differential check for the audio-fingerprint tier — the DuckDB
+    replay that becomes the r16 registry oracle."""
+    import pandas as pd
+
+    from presto_spark.queries.llm import duck_audio_fingerprint_pairs_sql
+    from tests.conftest import assert_same
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf.doc_id,
+                "payload": [multimodal.synth_wav16_pair(int(d))
+                            for d in pdf.doc_id],
+            })
+
+    docs = (spark.range(20).withColumnRenamed("id", "doc_id")
+            .mapInPandas(synth, "doc_id long, payload binary"))
+    got = (multimodal.audio_dup_pairs(docs)
+           .orderBy("id_a", "id_b"))
+    assert_same(got, duck, duck_audio_fingerprint_pairs_sql(20))
