@@ -116,3 +116,37 @@ def test_bpe_encode_reconstructs_any_word(word, merges):
     out = bpe._encode_word(word, ranks)
     assert "".join(out) == word + bpe.EOW
     assert 1 <= len(out) <= len(word) + 1
+# To append to tests/test_properties.py after the suite finishes.
+
+
+@given(st.lists(st.integers(min_value=0, max_value=50),
+                min_size=64, max_size=64),
+       st.integers(min_value=1, max_value=5))
+@settings(max_examples=60, deadline=None)
+def test_ahash_invariant_under_brightness_scaling(pixels, c):
+    """llm/multimodal.py ahash_bands: the integer 64*cell > total
+    threshold is invariant under uniform multiplicative brightness
+    change (both sides scale by c) — the property that makes aHash a
+    perceptual hash rather than an exposure hash."""
+    from presto_spark.llm import multimodal
+
+    img = {"width": 8, "height": 8, "channels": 1, "pixels": pixels}
+    scaled = {"width": 8, "height": 8, "channels": 1,
+              "pixels": [p * c for p in pixels]}
+    assert multimodal.ahash_bands(img) == multimodal.ahash_bands(scaled)
+
+
+@given(st.lists(st.integers(min_value=-100, max_value=100),
+                min_size=0, max_size=300),
+       st.integers(min_value=1, max_value=8))
+@settings(max_examples=60, deadline=None)
+def test_audio_fingerprint_invariant_under_amplitude_scaling(samples, c):
+    """llm/multimodal.py audio_fingerprint_bits: exact amplitude
+    scaling multiplies every window energy by c^2, so the sign
+    contour — hence the fingerprint — is unchanged."""
+    from presto_spark.llm import multimodal
+
+    a = {"sample_width": 2, "samples": samples}
+    b = {"sample_width": 2, "samples": [s * c for s in samples]}
+    assert (multimodal.audio_fingerprint_bits(a)
+            == multimodal.audio_fingerprint_bits(b))
