@@ -168,3 +168,44 @@ def test_interval_join_stream_matches_batch(spark):
     want = sorted(map(tuple, joins.interval_join(
         bv, bc, "user_id", "l_ts", "r_ts", interval="15 minutes").collect()))
     assert got == want and len(want) > 0
+
+
+def test_stream_exact_dedup_matches_batch_distinct(spark, tmp_path):
+    """streaming/dedup.py: draining a document stream through
+    dropDuplicatesWithinWatermark leaves exactly one row per content
+    digest — the same digest set the batch exact_dedup pass keeps —
+    and the plan carries the dedup-within-watermark state operator."""
+    from presto_spark.streaming import dedup as sdedup
+
+    (tmp_path / "documents.parquet").symlink_to(
+        f"{SF_DIR}/documents.parquet")
+    schema = spark.read.parquet(f"{SF_DIR}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(str(tmp_path))
+        .select("doc_id", "text")
+        # +1 day: Spark's INITIAL watermark is epoch 0, and a row whose
+        # event time equals the watermark is dropped as late — doc 0
+        # at timestamp_seconds(0) would silently vanish
+        .withColumn(
+            "ts", F.timestamp_seconds(F.col("doc_id") + 86400))
+    )
+    out = sdedup.stream_exact_dedup(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    got = spark.table("stream_dedup").collect()
+    digests = [r.digest for r in got]
+    assert len(digests) == len(set(digests))  # one row per digest
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(F.md5("text").alias("digest")).distinct()
+    )
+    assert set(digests) == {r.digest for r in batch.collect()}
