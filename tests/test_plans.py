@@ -359,3 +359,59 @@ def test_cross_near_dedup_plan_no_corpus_broadcast(spark):
     # the banded equi-join is really there: shuffle joins keyed on
     # band+bucket appear as SortMergeJoin/ShuffledHashJoin
     assert "Join" in plan
+
+
+def test_perceptual_hash_pairs_plan_no_cartesian(spark):
+    """image_near_dup_pairs (llm/multimodal.py) must plan its
+    candidate stage as an equi-join on (band, key) — with broadcast
+    suppressed there is no BroadcastExchange and no NestedLoop/
+    Cartesian, and the binary payload column never appears in the
+    post-decode plan (only (doc_id, 4 band ints) ride the shuffle)."""
+    import pandas as pd
+
+    from presto_spark.llm import multimodal
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf.doc_id,
+                "payload": [multimodal.synth_pgm_pair(int(d))
+                            for d in pdf.doc_id],
+            })
+
+    docs = (spark.range(8).withColumnRenamed("id", "doc_id")
+            .mapInPandas(synth, "doc_id long, payload binary"))
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        out = multimodal.image_near_dup_pairs(docs, max_hamming=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(key, prev)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "BroadcastExchange" not in plan
+    assert "Join" in plan
+    # payload stays inside the decode stage: every exchange carries
+    # the signature projection, never the binary column
+    for frag in plan.split("Exchange")[1:]:
+        assert "payload" not in frag.split("\n")[0]
+
+
+def test_duplication_report_plan_no_cartesian(spark):
+    """duplication_report (llm/dupspan.py): gram-count and coverage
+    stages are equi-joins on gram_hash / doc id — no NestedLoop or
+    Cartesian anywhere, even with broadcast suppressed."""
+    from presto_spark.llm import dupspan
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text")
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        out = dupspan.duplication_report(docs, k=5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(key, prev)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
