@@ -659,3 +659,66 @@ def embedding_near_dup_pairs(
     # Cosine is recomputed per co-bucketed table (map-side CPU), so the
     # dedup shuffle carries only the above-threshold survivor pairs.
     return scored.dropDuplicates(["id_a", "id_b"])
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style corpus-level boilerplate removal (round 15): split
+    each document into newline paragraphs, digest each, and REMOVE
+    paragraphs whose exact digest occurs ``min_count``-plus times
+    across the corpus (cookie banners, nav bars, license footers);
+    survivors reassemble in order.  Returns
+    (id, n_paragraphs, n_removed, clean_text).
+
+    Shapes: paragraph fan-out is a map-side posexplode; the only
+    corpus-wide shuffle carries (16-byte digest, count) pairs — text
+    rides one group-by-document reassembly keyed on id.  Empty/
+    whitespace-only lines never count as boilerplate and are dropped
+    from the reassembly (paragraph-structure normalization, like the
+    C4 line filters).  Hot digests are bounded by construction: the
+    count table is digest-distinct, and removal is a filter, not a
+    join fan-out.
+
+    The synthetic ``documents`` table has no cross-document repeated
+    paragraphs at the driver SFs, so this operator carries
+    pytest-grade evidence (hand-built corpora + an inline-VALUES
+    DuckDB differential) instead of a vacuous zero-removal registry
+    row — the threshold lesson from the r15 verify notes.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "para"),
+    ).where(F.trim(F.col("para")) != "")
+    counts = paras.groupBy(
+        F.md5(F.col("para")).alias("pdigest")
+    ).agg(F.count("*").alias("pcount"))
+    flagged = paras.withColumn(
+        "pdigest", F.md5(F.col("para"))
+    ).join(counts, "pdigest")
+    kept = flagged.withColumn(
+        "removed", (F.col("pcount") >= min_count).cast("int"))
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_paragraphs"),
+            F.sum("removed").alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("removed") == 0,
+                                F.struct(F.col("idx"), F.col("para")),
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+    )

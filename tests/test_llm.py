@@ -1170,3 +1170,72 @@ def test_audio_dup_pairs_matches_duckdb_replay(spark, duck):
     got = (multimodal.audio_dup_pairs(docs)
            .orderBy("id_a", "id_b"))
     assert_same(got, duck, duck_audio_fingerprint_pairs_sql(20))
+
+
+def test_paragraph_dedup_removes_cross_doc_boilerplate(spark):
+    """llm/dedup.py paragraph_dedup: a footer shared by 3 documents is
+    removed from each, unique paragraphs survive in order, empty lines
+    normalize away, and within-document repeats also count toward the
+    corpus threshold."""
+    footer = "subscribe to our newsletter today"
+    docs = [
+        (1, f"unique intro one\n{footer}\nunique body one"),
+        (2, f"{footer}\nunique body two"),
+        (3, f"unique intro three\n\n{footer}"),
+        (4, "repeat me\nrepeat me\nkeeper line"),
+        (5, "totally unique document"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {r.doc_id: r for r in dedup.paragraph_dedup(df).collect()}
+    assert got[1].clean_text == "unique intro one\nunique body one"
+    assert got[1].n_paragraphs == 3 and got[1].n_removed == 1
+    assert got[2].clean_text == "unique body two"
+    assert got[3].clean_text == "unique intro three"
+    assert got[3].n_paragraphs == 2  # the blank line never counts
+    # within-doc repetition crosses the threshold on its own
+    assert got[4].clean_text == "keeper line"
+    assert got[4].n_removed == 2
+    assert got[5].clean_text == "totally unique document"
+    assert got[5].n_removed == 0
+
+
+def test_paragraph_dedup_matches_duckdb_inline_replay(spark, duck):
+    """Inline-VALUES DuckDB differential for paragraph_dedup — the
+    synthetic documents table has no cross-document boilerplate at the
+    driver SFs (probed: zero repeated lines/sentences), so the
+    operator's differential runs on a hand-built corpus instead of a
+    vacuous zero-removal registry row."""
+    from tests.conftest import assert_same
+
+    docs = [(i, "\n".join(
+        ([f"unique {i} lead"] if i % 2 else [])
+        + ["shared banner text", f"body {i} alpha", f"body {i} beta"]
+        + (["shared footer line"] if i % 3 else [])))
+        for i in range(12)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = dedup.paragraph_dedup(df).orderBy("doc_id")
+    values = ", ".join(
+        "({}, '{}')".format(i, t.replace("'", "''").replace("\n", "' || chr(10) || '"))
+        for i, t in docs)
+    oracle = f"""
+    WITH corpus(doc_id, text) AS (VALUES {values}),
+    p AS (
+      SELECT doc_id, u['i'] AS idx, u['p'] AS para
+      FROM (SELECT doc_id,
+                   unnest(list_transform(string_split(text, chr(10)),
+                          (s, i) -> {{'i': i, 'p': s}})) AS u
+            FROM corpus) t
+      WHERE trim(para) <> ''
+    ),
+    c AS (SELECT md5(para) AS d, count(*) AS n FROM p GROUP BY 1),
+    f AS (SELECT p.*, (n >= 2) AS removed
+          FROM p JOIN c ON md5(p.para) = c.d)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_paragraphs,
+           CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           coalesce(string_agg(para, chr(10) ORDER BY idx)
+                    FILTER (WHERE NOT removed), '') AS clean_text
+    FROM f GROUP BY doc_id ORDER BY doc_id
+    """
+    assert_same(got, duck, oracle)
