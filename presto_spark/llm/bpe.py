@@ -89,6 +89,90 @@ def _merge_fold(symbols: Column, a: str, b: str) -> Column:
     return F.aggregate(symbols, init, step, fin)
 
 
+def _select_batch(
+    head: list[tuple[str, str, int]],
+    want: int,
+    min_pair_count: int,
+) -> list[tuple[str, str]]:
+    """Shared candidate-selection walk over a (count desc, a, b)-ordered
+    head: stop at the min-count floor or ``want`` picks, skip pairs
+    touching an already-used symbol (symbol-disjointness, see
+    train_bpe).  One implementation for the distributed and local
+    paths so the two cannot drift."""
+    used: set[str] = set()
+    batch: list[tuple[str, str]] = []
+    for a, b, c in head:
+        if c < min_pair_count:
+            break
+        if len(batch) >= want:
+            break
+        if a in used or b in used:
+            continue
+        batch.append((a, b))
+        used.update((a, b, a + b))
+    return batch
+
+
+def _fold_local(syms: list[str], a: str, b: str) -> list[str]:
+    """Python replica of _merge_fold's (out, pend) recurrence —
+    greedy left-to-right, same emit order, '' impossible as a symbol
+    so the pend sentinel is unambiguous."""
+    merged = a + b
+    out: list[str] = []
+    pend = ""
+    for s in syms:
+        if pend == a and s == b:
+            out.append(merged)
+            pend = ""
+        else:
+            if pend != "":
+                out.append(pend)
+            pend = s
+    if pend != "":
+        out.append(pend)
+    return out
+
+
+def _train_local(
+    vocab: list[tuple[list[str], int]],
+    n_merges: int,
+    min_pair_count: int,
+    batch_merges: int,
+) -> list[tuple[str, str]]:
+    """The exact train_bpe loop over a driver-resident vocabulary:
+    same weighted pair counts, same (count desc, a, b) argmax over the
+    same 4x-slack head, same greedy fold — pure integer/string work,
+    so the merge list is identical to the distributed path's (pinned
+    by test_train_bpe_local_matches_distributed)."""
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges:
+        counts: dict[tuple[str, str], int] = {}
+        for syms, cnt in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        want = min(batch_merges, n_merges - len(merges))
+        head = sorted(
+            ((a, b, c) for (a, b), c in counts.items()),
+            key=lambda t: (-t[2], t[0], t[1]),
+        )[: want * 4]
+        batch = _select_batch(head, want, min_pair_count)
+        if not batch:
+            break
+        merges.extend(batch)
+        for a, b in batch:
+            vocab = [(_fold_local(syms, a, b), cnt) for syms, cnt in vocab]
+    return merges
+
+
+# Vocabularies at or below this row count run the merge loop on the
+# driver (a few MB — the word-count table HF/Sennrich trainers hold in
+# memory anyway); larger vocabularies use the distributed loop.  The
+# probe is a LIMIT n+1 collect, so the driver never materializes more
+# than n+1 rows of a web-scale vocab.
+LOCAL_VOCAB_ROWS = 200_000
+
+
 def train_bpe(
     df: DataFrame,
     n_merges: int,
@@ -96,6 +180,7 @@ def train_bpe(
     min_pair_count: int = 2,
     checkpoint_every: int = 8,
     batch_merges: int = 1,
+    local_vocab_rows: int = LOCAL_VOCAB_ROWS,
 ) -> list[tuple[str, str]]:
     """Learn up to ``n_merges`` BPE merges from the corpus.
 
@@ -141,6 +226,22 @@ def train_bpe(
     vocab, vocab_ids = checkpoint_tracked(
         word_vocab(df, text_col).select(
             _initial_symbols(F.col("word")).alias("syms"), "count"))
+    # Adaptive local fast path (optimization guide §1.2 "the
+    # distributed algorithm" + the AQE small-side pattern): after the
+    # one corpus-sized aggregation, the merge loop touches only the
+    # (word, count) vocabulary.  When that table is driver-sized, the
+    # remaining n_merges sequential Spark jobs are pure scheduler
+    # overhead — probe with LIMIT n+1 (bounded collect either way) and
+    # run the identical loop in-process.  Web-scale vocabularies
+    # (hundreds of millions of unique words) exceed the limit and stay
+    # on the distributed loop below.
+    if local_vocab_rows > 0:
+        head_rows = vocab.limit(local_vocab_rows + 1).collect()
+        if len(head_rows) <= local_vocab_rows:
+            release_checkpoints(spark, vocab_ids)
+            return _train_local(
+                [(list(r.syms), int(r["count"])) for r in head_rows],
+                n_merges, min_pair_count, batch_merges)
     merges: list[tuple[str, str]] = []
     since_ckpt = 0
     try:
@@ -169,17 +270,8 @@ def train_bpe(
                 .limit(want * 4)
                 .collect()
             )
-            used: set[str] = set()
-            batch: list[tuple[str, str]] = []
-            for r in head:
-                if r.c < min_pair_count:
-                    break
-                if len(batch) >= want:
-                    break
-                if r.a in used or r.b in used:
-                    continue
-                batch.append((r.a, r.b))
-                used.update((r.a, r.b, r.a + r.b))
+            batch = _select_batch(
+                [(r.a, r.b, r.c) for r in head], want, min_pair_count)
             if not batch:
                 break
             merges.extend(batch)

@@ -34,11 +34,56 @@ fallback; deterministic).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _SUM_DEC = "decimal(30,10)"
 _ROUND = 9
+
+
+def _np_dists(X, C):
+    """Squared-L2 distance matrix (n x k) with the ENGINE's summation
+    order: per (row, centroid) the fold is acc + (x_j - c_j)^2 in dim
+    order, left to right — a dim loop of vectorized float64 ops issues
+    the identical IEEE add sequence per cell, so every distance is
+    bit-equal to the Column-fold form (_sq_dist/_best_struct) and to
+    the DuckDB list_reduce replay.  The r15 optimization-round change
+    (guide §4.2): the interpreted-HOF fold cost ~µs per (row,
+    centroid, dim) element; this runs the same arithmetic through
+    numpy at C speed."""
+    import numpy as np
+
+    D = np.zeros((X.shape[0], C.shape[0]), dtype=np.float64)
+    for j in range(C.shape[1]):
+        t = X[:, j, None] - C[None, :, j]
+        D += t * t
+    return D
+
+
+def _np_l2_normalize(X):
+    """Row-wise L2 normalization matching similarity.l2_normalize
+    bit-for-bit: norm = sqrt(fold acc + v*v in dim order), then each
+    component divided by it; zero vectors pass through unchanged."""
+    import numpy as np
+
+    acc = np.zeros(X.shape[0], dtype=np.float64)
+    for j in range(X.shape[1]):
+        acc += X[:, j] * X[:, j]
+    n = np.sqrt(acc)
+    safe = np.where(n == 0.0, 1.0, n)
+    out = X / safe[:, None]
+    out[n == 0.0] = X[n == 0.0]
+    return out
+
+
+def _np_mat(col) -> "object":
+    """pandas Series of float sequences -> (n x d) float64 matrix
+    (exact widening, same as transform(x -> cast(x as double)))."""
+    import numpy as np
+
+    return np.array([np.asarray(v, dtype=np.float64) for v in col])
 
 
 def _sq_dist(vec: Column, centroid: list[float]) -> Column:
@@ -97,6 +142,36 @@ def assign_clusters(
         "cluster_id", _best_struct(v, centroids)["cid"].cast("int"))
 
 
+def _assign_components(
+    df: DataFrame, centroids: list[list[float]], vec_col: str
+) -> DataFrame:
+    """(cluster_id, embedding ARRAY<DOUBLE>) rows for one Lloyd update:
+    argmin assignment in an Arrow-batched numpy pass (bit-equal to the
+    Column-fold form, see _np_dists; np.argmin's first-min matches the
+    array_min struct tie-break of lowest cid).  Map-side, one Python
+    crossing; only the vector column ships (guide §4.1)."""
+    import numpy as np
+
+    bank = [list(map(float, c)) for c in centroids]
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        C = np.asarray(bank, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _np_mat(pdf[vec_col])
+            cid = np.argmin(_np_dists(X, C), axis=1).astype("int32")
+            yield pd.DataFrame({
+                "cluster_id": cid,
+                "embedding": list(X),
+            })
+
+    return df.select(vec_col).mapInPandas(
+        run, schema="cluster_id int, embedding array<double>")
+
+
 def kmeans_train(
     df: DataFrame,
     k: int,
@@ -128,12 +203,9 @@ def kmeans_train(
         raise ValueError(f"need at least k={k} vectors, got {len(centroids)}")
     dim = len(centroids[0])
     for _ in range(n_iters):
-        assigned = assign_clusters(df, centroids, vec_col)
-        comp = assigned.select(
+        comp = _assign_components(df, centroids, vec_col).select(
             "cluster_id",
-            F.posexplode(
-                F.transform(F.col(vec_col), lambda x: x.cast("double"))
-            ).alias("pos", "val"),
+            F.posexplode(F.col("embedding")).alias("pos", "val"),
         )
         sums = (
             comp.groupBy("cluster_id", "pos")
@@ -165,13 +237,34 @@ def kmeans_fit_assign(
     """Train + final assignment in one call:
     (id, cluster_id, dist) rows, dist rounded at 6 for cross-engine
     comparison."""
+    import numpy as np
+
     centroids = kmeans_train(df, k, vec_col, id_col, n_iters)
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    best = _best_struct(v, centroids)
-    return df.select(
-        F.col(id_col),
-        best["cid"].cast("int").alias("cluster_id"),
-        F.round(best["dist"], 6).alias("dist"))
+    bank = [list(map(float, c)) for c in centroids]
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        C = np.asarray(bank, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _np_mat(pdf[vec_col])
+            D = _np_dists(X, C)
+            cid = np.argmin(D, axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "cluster_id": cid.astype("int32"),
+                "__dist": D[np.arange(len(cid)), cid],
+            })
+
+    raw = df.select(id_col, vec_col).mapInPandas(
+        run, schema=f"{id_col} long, cluster_id int, __dist double")
+    # Rounding stays a JVM expression so HALF_UP semantics are the
+    # engine's own (numpy would bankers-round); the raw distance out
+    # of the Arrow pass is bit-equal to the Column-fold value.
+    return raw.select(
+        id_col, "cluster_id", F.round(F.col("__dist"), 6).alias("dist"))
 
 
 def semantic_dedup_pairs(
@@ -205,26 +298,89 @@ def semantic_dedup_pairs(
     recall trade; raise k recall via the sign-LSH tier
     (embedding_near_dup_pairs) when boundary recall matters.
     """
-    from presto_spark.llm import similarity
+    import numpy as np
 
-    assigned = kmeans_fit_assign(
-        df, k, vec_col, id_col, n_iters).select(id_col, "cluster_id")
-    v = df.join(assigned, id_col).select(
-        F.col(id_col).alias("_id"), "cluster_id",
-        similarity.l2_normalize(
-            F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        ).alias("_e"))
-    a = v.select("cluster_id", F.col("_id").alias("id_a"),
-                 F.col("_e").alias("_ea"))
-    b = v.select("cluster_id", F.col("_id").alias("id_b"),
-                 F.col("_e").alias("_eb"))
-    return (
-        a.join(b, ["cluster_id"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "cluster_id", "id_a", "id_b",
-            F.round(similarity.dot(F.col("_ea"), F.col("_eb")), 6)
-            .alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
-    )
+    centroids = kmeans_train(df, k, vec_col, id_col, n_iters)
+    bank = [list(map(float, c)) for c in centroids]
+
+    # Stage 1 (map-side, one Arrow crossing): assignment + per-row L2
+    # normalization fused into a single pass over (id, vector) — the
+    # r14 shape re-joined the corpus against the assignment output and
+    # re-derived the normalized vector in interpreted HOF folds; both
+    # the join and the folds are gone (guide §2.4, §4.2).
+    def stage1(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        C = np.asarray(bank, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _np_mat(pdf[vec_col])
+            cid = np.argmin(_np_dists(X, C), axis=1).astype("int32")
+            yield pd.DataFrame({
+                "cluster_id": cid,
+                "_id": pdf[id_col],
+                "_e": list(_np_l2_normalize(X)),
+            })
+
+    v = df.select(id_col, vec_col).mapInPandas(
+        stage1, schema="cluster_id int, _id long, _e array<double>")
+
+    # Stage 2: pairwise cosine ONLY inside each cluster.  The r14 form
+    # was a cluster-keyed self-join whose per-pair dot ran as an
+    # interpreted 64-step fold — the quadratic stage at interpreter
+    # speed, and the dominant cost of the row (~8 s at sf0.1).  Each
+    # cluster's rows now ship ONCE (n rows instead of the join's 2n),
+    # and the same left-to-right dot runs vectorized over pair blocks
+    # (bit-equal per pair; np.triu over id-sorted rows yields exactly
+    # the id_a < id_b pair set).  Compare volume is unchanged —
+    # Σ_c |c|², bounded by k (the SemDeDup recipe); one task per
+    # cluster is the same placement the equi-join's shuffle produced.
+    def pairs(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("_id", kind="mergesort")
+        m = len(pdf)
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        if m > 1:
+            N = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf["_e"]])
+            # Transposed cluster matrix: each dim row is contiguous
+            # and cache-resident, so the per-dim pair gathers below
+            # never touch main memory for the source side (the
+            # gather-whole-pair-matrices form moved ~100 MB/cluster
+            # and was memory-bandwidth-bound; this form is ~30x
+            # faster at identical op order).
+            NT = np.ascontiguousarray(N.T)
+            ids = pdf["_id"].to_numpy()
+            ii, jj = np.triu_indices(m, 1)
+            # Block the pair stream so peak memory stays bounded for
+            # oversized clusters (the skew case k is meant to bound).
+            step = 1 << 20
+            for s in range(0, len(ii), step):
+                a, b = ii[s:s + step], jj[s:s + step]
+                acc = np.zeros(len(a), dtype=np.float64)
+                for j in range(NT.shape[0]):
+                    acc += NT[j][a] * NT[j][b]
+                out_a.append(ids[a])
+                out_b.append(ids[b])
+                out_c.append(acc)
+        cid = pdf["cluster_id"].iloc[0] if m else None
+        return pd.DataFrame({
+            "cluster_id": np.repeat(cid, sum(map(len, out_a))),
+            "id_a": np.concatenate(out_a) if out_a else [],
+            "id_b": np.concatenate(out_b) if out_b else [],
+            "_cos": np.concatenate(out_c) if out_c else [],
+        })
+
+    raw = v.groupBy("cluster_id").applyInPandas(
+        pairs, schema="cluster_id int, id_a long, id_b long, _cos double")
+    # Rounding + threshold stay JVM expressions: HALF_UP round at 6,
+    # then the filter against the ROUNDED value — the engine's filter
+    # order, which the oracle replays.
+    return raw.select(
+        "cluster_id", "id_a", "id_b",
+        F.round(F.col("_cos"), 6).alias("cosine"),
+    ).where(F.col("cosine") >= threshold)

@@ -114,29 +114,54 @@ def with_shingles(
 def minhash_from_shingles(
     sh: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, minhash ARRAY<BIGINT>(k)) via explode → 16 min() aggregates.
+    """(id, minhash ARRAY<BIGINT>(k)) — row-local signature pass.
 
-    This shape — one row per (doc, shingle_hash), then map-side-combined
-    min() per hash function — computes each shingle hash exactly once.
-    The naive nested-expression form (array of 16 array_min(transform))
-    re-evaluates the shingle pipeline per hash function because Catalyst
-    collapses projections without CSE across output columns: 16x the
-    work (measured: 138s → 8s at sf0.1).  Partial aggregation means the
-    shuffle carries at most k longs per doc per partition.
+    Each document's signature depends only on its OWN shingle array
+    (min over (a_j*h + b_j) mod p per hash function), so no shuffle is
+    fundamentally required.  Earlier shapes paid anyway: the naive
+    nested-expression form re-evaluated the shingle pipeline per hash
+    function (138 s at sf0.1), and the r6–r14 explode → groupBy form
+    fixed that but bought an aggregation exchange plus 16 interpreted
+    min-agg updates per (doc, shingle) row.  r15 (optimization guide
+    §2.4 "remove shuffles outright" + §4.2): one Arrow crossing,
+    signatures computed per batch with vectorized exact int64
+    arithmetic (a_j ≈ 1.6e7, h < 1e9+7 ⇒ a_j*h + b_j < 2^63 — no
+    overflow, so values are bit-identical to the JVM/DuckDB forms;
+    segmented mins via np.minimum.reduceat).  Documents with an empty
+    shingle array drop out, exactly as explode-then-group dropped
+    them.  Plan: Exchange removed; the pass is map-side.
     """
-    exploded = sh.select(F.col(id_col), F.explode("shingles").alias("h"))
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MOD)).alias(f"mh{j}")
-        for j, (a, b) in enumerate(HASH_PARAMS)
-    ]
-    return (
-        exploded.groupBy(id_col)
-        .agg(*aggs)
-        .select(
-            F.col(id_col),
-            F.array(*[F.col(f"mh{j}") for j in range(NUM_HASHES)]).alias("minhash"),
-        )
-    )
+    import numpy as np
+
+    id_type = sh.schema[id_col].dataType.simpleString()
+    A = np.array([a for a, _ in HASH_PARAMS], dtype=np.int64)
+    B = np.array([b for _, b in HASH_PARAMS], dtype=np.int64)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            lens = np.array([len(s) for s in pdf["shingles"]],
+                            dtype=np.int64)
+            keep = lens > 0
+            if not keep.any():
+                continue
+            kept = pdf["shingles"][keep]
+            flat = np.concatenate(
+                [np.asarray(s, dtype=np.int64) for s in kept])
+            offs = np.zeros(len(kept), dtype=np.int64)
+            np.cumsum(lens[keep][:-1], out=offs[1:])
+            sig = np.empty((len(kept), NUM_HASHES), dtype=np.int64)
+            for j in range(NUM_HASHES):
+                sig[:, j] = np.minimum.reduceat(
+                    (A[j] * flat + B[j]) % MOD, offs)
+            yield pd.DataFrame({
+                id_col: pdf[id_col][keep],
+                "minhash": list(sig),
+            })
+
+    return sh.select(id_col, "shingles").mapInPandas(
+        run, schema=f"{id_col} {id_type}, minhash array<bigint>")
 
 
 def with_minhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -346,8 +371,49 @@ def _cross_near_dedup_plan(
     )
 
 
+# Edge lists at or below this row count run connected components on
+# the driver (a LIMIT n+1 probe bounds the collect either way); larger
+# graphs use the distributed label-propagation loop.  Verified near-dup
+# pair lists are far smaller than the corpus, but at web scale they can
+# still be billions of rows — the distributed path stays the fallback.
+LOCAL_EDGE_ROWS = 2_000_000
+
+
+def _cc_local(
+    edges: list[tuple[int, int]]
+) -> dict[int, int]:
+    """Union-find connected components over an edge list →
+    {node: min reachable id}.  Same fixpoint as the distributed
+    min-label propagation (both compute min id per component), pinned
+    equal by test_dedup_clusters_local_matches_distributed."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        for n in (a, b):
+            if n not in parent:
+                parent[n] = n
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    return {n: comp_min[find(n)] for n in parent}
+
+
 def dedup_clusters(
-    pairs: DataFrame, max_iters: int = 20
+    pairs: DataFrame, max_iters: int = 20,
+    local_edge_rows: int = LOCAL_EDGE_ROWS,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs → (doc_id, cluster_id).
 
@@ -371,6 +437,21 @@ def dedup_clusters(
     from presto_spark.operators.cte import checkpoint_tracked, release_checkpoints
 
     spark = pairs.sparkSession
+    # Adaptive local fast path (r15 optimization round, the BPE/AQE
+    # small-side pattern): a bounded LIMIT n+1 probe; if the whole
+    # edge list is driver-sized, union-find replaces 2-5 rounds of
+    # join+checkpoint+count jobs whose cost at small scale is pure
+    # scheduler overhead.  Identical output — both forms label every
+    # node with the min id reachable through the pair graph.
+    if local_edge_rows > 0:
+        head = pairs.select("id_a", "id_b").limit(
+            local_edge_rows + 1).collect()
+        if len(head) <= local_edge_rows:
+            labels = _cc_local([(r.id_a, r.id_b) for r in head])
+            id_type = pairs.schema["id_a"].dataType.simpleString()
+            return spark.createDataFrame(
+                sorted(labels.items()),
+                f"doc_id {id_type}, cluster_id {id_type}")
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))

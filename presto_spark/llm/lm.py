@@ -67,17 +67,31 @@ class BigramModel:
 def train_bigram_model(
     df: DataFrame, text_col: str = "text"
 ) -> BigramModel:
-    """Two count aggregations over the exploded (context, token)
-    stream; V is the one scalar that reaches the driver."""
+    """ONE count aggregation over the exploded (context, token) stream;
+    everything else derives from the pair table (r15 optimization
+    round, guide §1.2/§2.3 — the r14 shape tokenized and exploded the
+    corpus three times):
+
+    * ctx_count(c) = Σ_w pair_count(c, w) — a reaggregation of the
+      already-tiny pair table, identical by definition (every gram
+      with context c is counted once in exactly one (c, w) row).
+    * |vocab| = count(DISTINCT tok) over the pair table — every
+      training token appears as the ``tok`` of exactly one gram (the
+      first behind ``<s>``, the rest behind their predecessor), so
+      distinct tok == distinct corpus token, again by definition.
+
+    The corpus text is scanned and tokenized once; the two derived
+    aggregations shuffle only (ctx, tok) count rows.  V is the one
+    scalar that reaches the driver.
+    """
     grams = df.select(
         F.explode(_bigram_stream(F.col(text_col))).alias("g")
     ).select("g.ctx", "g.tok")
     pair = grams.groupBy("ctx", "tok").agg(
         F.count("*").alias("pair_count"))
-    ctx = grams.groupBy("ctx").agg(F.count("*").alias("ctx_count"))
-    vocab = df.select(
-        F.explode(tokens(F.col(text_col))).alias("t")
-    ).agg(F.count_distinct("t")).collect()[0][0]
+    ctx = pair.groupBy("ctx").agg(
+        F.sum("pair_count").alias("ctx_count"))
+    vocab = pair.agg(F.count_distinct("tok")).collect()[0][0]
     return BigramModel(pair, ctx, int(vocab) + 1)
 
 

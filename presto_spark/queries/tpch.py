@@ -20,7 +20,7 @@ scan+filter+project, and pushes every filter below the joins (verified in
 tests/test_plans.py).
 """
 
-from presto_spark.queries.base import sql_query
+from presto_spark.queries.base import dual_sql_query, sql_query
 
 # Exact-decimal building blocks (see base.py determinism conventions).
 REV = ("CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) "
@@ -368,8 +368,35 @@ sql_query(
     tags=("tpch", "bench"),
 )
 
-sql_query(
+dual_sql_query(
     "q18_large_volume_customer",
+    # r15 optimization round (guide §1.2 "the distributed algorithm"):
+    # the literal Q18 text planned the IN-subquery aggregate TWICE —
+    # Catalyst pushes the semi-join filter into BOTH join inputs, so
+    # lineitem was scanned 3x and aggregated 2x (plan pinned in
+    # plans/r15/q18_large_volume_customer_before.txt).  Because
+    # o_orderkey is in the outer GROUP BY and orders/customer are
+    # keyed 1:1, the outer sum per group IS the per-orderkey sum the
+    # HAVING already computed — aggregate lineitem ONCE, filter, then
+    # join the (small) survivors to orders and customer.  Same rows,
+    # same DECIMAL-exact sums; the oracle keeps the literal TPC-H
+    # shape, so the driver hash proves the equivalence every round.
+    """
+    SELECT
+      c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      CAST(t.sum_qty_dec AS DOUBLE) AS sum_qty
+    FROM (
+        SELECT l_orderkey,
+               sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty_dec
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150
+      ) t
+      JOIN orders ON o_orderkey = t.l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
     """
     SELECT
       c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
@@ -388,7 +415,10 @@ sql_query(
     LIMIT 100
     """,
     doc="TPC-H Q18 (tpch/q18.sql): IN-subquery with HAVING → semi join "
-        "(TransformUncorrelatedInPredicateSubqueryToSemiJoin.java).",
+        "(TransformUncorrelatedInPredicateSubqueryToSemiJoin.java). "
+        "Spark side restructured in r15 to aggregate lineitem once "
+        "(see inline rationale); the DuckDB oracle keeps the original "
+        "correlated text as the equivalence proof.",
     tags=("tpch", "bench"),
 )
 

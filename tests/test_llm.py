@@ -79,6 +79,29 @@ def test_dedup_clusters_transitive(spark):
     assert out[10] == out[11] == 10
 
 
+def test_dedup_clusters_local_matches_distributed(spark):
+    """r15 optimization round: the size-gated driver-local union-find
+    fast path must produce the IDENTICAL (doc_id, cluster_id) labeling
+    as the distributed min-label propagation — including long chains
+    (multiple propagation rounds) and the probe-overflow boundary
+    (local_edge_rows smaller than the edge count forces the
+    distributed path)."""
+    edges = ([(i, i + 1) for i in range(1, 9)]         # 8-node chain
+             + [(20, 21), (22, 21), (23, 20)]          # star, mixed dirs
+             + [(30, 31)])
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    local = {(r.doc_id, r.cluster_id)
+             for r in dedup.dedup_clusters(pairs).collect()}
+    dist = {(r.doc_id, r.cluster_id)
+            for r in dedup.dedup_clusters(
+                pairs, local_edge_rows=0).collect()}
+    assert local == dist
+    boundary = {(r.doc_id, r.cluster_id)
+                for r in dedup.dedup_clusters(
+                    pairs, local_edge_rows=3).collect()}
+    assert boundary == dist
+
+
 # ---- repetition filters + PII redaction (llm/text.py round-6) ----
 
 def test_repetition_stats_known_document(spark):
@@ -669,6 +692,30 @@ def test_train_bpe_batched_mode_guarantees(spark):
     assert rows_b.n_bpe_tokens <= round(rows_s.n_bpe_tokens * 1.25)
     with pytest.raises(ValueError, match="batch_merges"):
         bpe.train_bpe(df, n_merges=2, batch_merges=0)
+
+
+def test_train_bpe_local_matches_distributed(spark):
+    """r15 optimization round: the size-gated driver-local merge loop
+    (train_bpe's small-vocab fast path) must produce the IDENTICAL
+    merge list as the distributed loop — in exact mode and in batched
+    mode — since the registry oracle replays the exact sequential
+    algorithm.  local_vocab_rows=0 forces the distributed path."""
+    from presto_spark.llm import bpe
+
+    texts = ["low low low low low",
+             "lower lower newest newest newest",
+             "newest newest newest widest widest",
+             "a bb a bb ccc ccc d"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    for kw in ({}, {"batch_merges": 4}, {"min_pair_count": 3}):
+        local = bpe.train_bpe(df, n_merges=8, **kw)
+        dist = bpe.train_bpe(df, n_merges=8, local_vocab_rows=0, **kw)
+        assert local == dist, kw
+    # The probe boundary: a vocab LARGER than the limit must also take
+    # the distributed path (limit n+1 sees n+1 rows) and still agree.
+    tiny_limit = bpe.train_bpe(df, n_merges=4, local_vocab_rows=2)
+    assert tiny_limit == bpe.train_bpe(df, n_merges=4, local_vocab_rows=0)
 
 
 def test_bigram_lm_matches_duckdb_replay(spark, duck):
