@@ -114,54 +114,37 @@ def with_shingles(
 def minhash_from_shingles(
     sh: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, minhash ARRAY<BIGINT>(k)) — row-local signature pass.
+    """(id, minhash ARRAY<BIGINT>(k)) via explode → 16 min() aggregates.
 
-    Each document's signature depends only on its OWN shingle array
-    (min over (a_j*h + b_j) mod p per hash function), so no shuffle is
-    fundamentally required.  Earlier shapes paid anyway: the naive
-    nested-expression form re-evaluated the shingle pipeline per hash
-    function (138 s at sf0.1), and the r6–r14 explode → groupBy form
-    fixed that but bought an aggregation exchange plus 16 interpreted
-    min-agg updates per (doc, shingle) row.  r15 (optimization guide
-    §2.4 "remove shuffles outright" + §4.2): one Arrow crossing,
-    signatures computed per batch with vectorized exact int64
-    arithmetic (a_j ≈ 1.6e7, h < 1e9+7 ⇒ a_j*h + b_j < 2^63 — no
-    overflow, so values are bit-identical to the JVM/DuckDB forms;
-    segmented mins via np.minimum.reduceat).  Documents with an empty
-    shingle array drop out, exactly as explode-then-group dropped
-    them.  Plan: Exchange removed; the pass is map-side.
+    This shape — one row per (doc, shingle_hash), then map-side-combined
+    min() per hash function — computes each shingle hash exactly once.
+    The naive nested-expression form (array of 16 array_min(transform))
+    re-evaluates the shingle pipeline per hash function because Catalyst
+    collapses projections without CSE across output columns: 16x the
+    work (measured: 138s → 8s at sf0.1).  Partial aggregation means the
+    shuffle carries at most k longs per doc per partition.
+
+    r15 optimization note: a shuffle-free Arrow alternative (row-local
+    signatures via np.minimum.reduceat, bit-identical int64 math) was
+    measured head-to-head — warm it ties (~1.8 vs ~2.0 s for the full
+    LSH row at sf0.1), but it pays a multi-second Python-worker cold
+    start on first use and puts the Python boundary on the corpus-wide
+    path (guide §4.1), where this form's exchange is already
+    map-side-combined to ≤ k longs per doc.  The JVM form is kept.
     """
-    import numpy as np
-
-    id_type = sh.schema[id_col].dataType.simpleString()
-    A = np.array([a for a, _ in HASH_PARAMS], dtype=np.int64)
-    B = np.array([b for _, b in HASH_PARAMS], dtype=np.int64)
-
-    def run(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            lens = np.array([len(s) for s in pdf["shingles"]],
-                            dtype=np.int64)
-            keep = lens > 0
-            if not keep.any():
-                continue
-            kept = pdf["shingles"][keep]
-            flat = np.concatenate(
-                [np.asarray(s, dtype=np.int64) for s in kept])
-            offs = np.zeros(len(kept), dtype=np.int64)
-            np.cumsum(lens[keep][:-1], out=offs[1:])
-            sig = np.empty((len(kept), NUM_HASHES), dtype=np.int64)
-            for j in range(NUM_HASHES):
-                sig[:, j] = np.minimum.reduceat(
-                    (A[j] * flat + B[j]) % MOD, offs)
-            yield pd.DataFrame({
-                id_col: pdf[id_col][keep],
-                "minhash": list(sig),
-            })
-
-    return sh.select(id_col, "shingles").mapInPandas(
-        run, schema=f"{id_col} {id_type}, minhash array<bigint>")
+    exploded = sh.select(F.col(id_col), F.explode("shingles").alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MOD)).alias(f"mh{j}")
+        for j, (a, b) in enumerate(HASH_PARAMS)
+    ]
+    return (
+        exploded.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"mh{j}") for j in range(NUM_HASHES)]).alias("minhash"),
+        )
+    )
 
 
 def with_minhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -625,7 +608,21 @@ def contamination_report(
         F.col(id_col),
         F.when(F.col("th").isNotNull(),
                shingles_from_token_hashes(F.col("th"))).alias("shingles"))
-    d = dsh.select(F.col(id_col), F.explode("shingles").alias("h"))
+    # r15 optimization round (guide §2.4): the r14 shape aggregated the
+    # inner shingle join and LEFT-joined the result back onto the
+    # per-document shingle counts — a corpus⋈corpus SortMergeJoin (two
+    # sort exchanges) just to re-attach n_shingles and keep match-less
+    # documents.  Instead n_shingles rides the exploded rows (one long
+    # per row), explode_outer keeps NULL-text documents (NULL h), the
+    # bench join turns LEFT, and ONE aggregation produces every output
+    # column: count_distinct ignores NULLs, so unmatched and NULL-text
+    # documents fall out with 0 matches exactly as the join-back form
+    # produced.  Plan diff: SortMergeJoin LeftOuter + 2 Exchanges gone.
+    d = dsh.select(
+        F.col(id_col),
+        F.when(F.col("shingles").isNotNull(),
+               F.size("shingles").cast("long")).alias("n_shingles"),
+        F.explode_outer("shingles").alias("h"))
     b = with_shingles(
         bench, id_col=bench_id_col, text_col=bench_text_col,
     ).select(
@@ -638,31 +635,24 @@ def contamination_report(
             .where(F.col("__df") > max_shingle_bench_df)
             .select("h"))
         b = b.join(hot, "h", "left_anti")
-    matches = (
-        d.join(b, "h")
+    return (
+        d.join(b, "h", "left")
         .groupBy(id_col)
         .agg(
-            F.count_distinct(F.col("h")).alias("__n_cont"),
+            F.first("n_shingles").alias("n_shingles"),
+            F.count_distinct(
+                F.when(F.col("__bench_id").isNotNull(), F.col("h"))
+            ).alias("n_contaminated"),
             F.count_distinct(F.col("__bench_id")).alias("__n_bench"),
-        ))
-    # explicit NULL guard: legacy size(NULL) is -1, the oracle's
-    # len(NULL) is NULL — NULL-text rows must report NULL n_shingles
-    base = dsh.select(
-        F.col(id_col),
-        F.when(F.col("shingles").isNotNull(),
-               F.size("shingles").cast("long")).alias("n_shingles"))
-    return (
-        base.join(matches, id_col, "left")
+        )
         .select(
             F.col(id_col),
             "n_shingles",
-            F.coalesce(F.col("__n_cont"), F.lit(0)).alias("n_contaminated"),
+            "n_contaminated",
             F.round(
-                F.coalesce(F.col("__n_cont"), F.lit(0))
-                / F.col("n_shingles"), 6
+                F.col("n_contaminated") / F.col("n_shingles"), 6
             ).alias("contamination_ratio"),
-            F.coalesce(F.col("__n_bench"), F.lit(0))
-            .alias("n_benchmarks_hit"),
+            F.col("__n_bench").alias("n_benchmarks_hit"),
         ))
 
 

@@ -103,22 +103,56 @@ def _assemble(xs: Column, ys: Column) -> Column:
     )
 
 
+def _partial_hull_stage(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """MAP-SIDE partial hulls: one mapInPandas pass that groups each
+    Arrow batch locally and collapses every (key, batch) point cloud
+    to its hull vertices.  No shuffle — the r14 shape keyed the
+    partial stage by (group, spark_partition_id) through a grouped
+    applyInPandas, paying an Exchange plus a second Python-group stage
+    for what is partition-local work (r15 optimization round, guide
+    §2.4).  Exactness is unchanged: hull(hull(S₁) ∪ hull(S₂)) =
+    hull(S₁ ∪ S₂), so ANY batch-local partial grouping composes to the
+    identical final hull (the r14 partial grouping already varied with
+    the physical partitioning for the same reason)."""
+    gtypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    gsig = ", ".join(f"{c} {gtypes[c]}" for c in key_cols)
+    schema = f"{gsig}, __xs array<double>, __ys array<double>"
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            if len(pdf):
+                for keys, grp in pdf.groupby(
+                        key_cols, sort=False, dropna=False):
+                    if not isinstance(keys, tuple):
+                        keys = (keys,)
+                    hull = _chain(list(zip(grp["__x"], grp["__y"])))
+                    rows.append((*keys,
+                                 [p[0] for p in hull],
+                                 [p[1] for p in hull]))
+            yield pd.DataFrame(
+                rows, columns=[*key_cols, "__xs", "__ys"])
+
+    return df.mapInPandas(run, schema)
+
+
 def convex_hull_agg(
     df: DataFrame, group_cols: list[str], geom_col: str = "geom"
 ) -> DataFrame:
     """convex_hull_agg(geometry) per group (geospatial.rst
     aggregations).  Returns ``group_cols + [hull]`` where hull is a
-    geometry struct.  Two-level: partial hull per (group, input
-    partition), final hull per group over partial vertices only."""
+    geometry struct.  Two-level: map-side partial hull per
+    (group, arrow batch), final hull per group over partial-hull
+    vertices only — the shuffle carries hull vertices, never the
+    point cloud."""
     pts = df.select(
         *group_cols,
         F.explode(F.flatten(F.col(geom_col)["rings"])).alias("__p"),
-        F.spark_partition_id().alias("__pid"),
     ).select(
-        *group_cols, "__pid",
+        *group_cols,
         F.col("__p.x").alias("__x"), F.col("__p.y").alias("__y"),
     )
-    partials = _hull_stage(pts, [*group_cols, "__pid"])
+    partials = _partial_hull_stage(pts, list(group_cols))
     merged_pts = partials.select(
         *group_cols,
         F.explode(F.zip_with(

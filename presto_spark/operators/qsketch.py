@@ -102,32 +102,38 @@ def quantile_sketch_agg(
 ) -> DataFrame:
     """qdigest_agg(x) → one sketch row per group.
 
-    Two-level build: per (group, shard) pandas batches (bounded memory
-    regardless of group skew), then an in-group shard merge.  Output
-    schema: group_cols + (vs array<double>, ws array<double>).
+    Two-level build, MAP-SIDE first level (r15 optimization round,
+    guide §2.3 "aggregate before you shuffle"): each Arrow batch
+    groups locally and collapses its values to a ≤ k coreset per
+    group, so raw rows never cross an exchange — only sketch rows
+    (n_batches × n_groups × ≤ k entries) feed the in-group merge.
+    The r14 shape shuffled every raw row to (group, shard) pandas
+    groups; the shard key existed to cap pandas-group memory, a bound
+    the Arrow batch size now provides directly (``n_shards`` is kept
+    for API compatibility and ignored).  Merge is associative and
+    commutative, so batch-local partials compose to the same
+    rank-error envelope.  Output schema:
+    group_cols + (vs array<double>, ws array<double>).
     """
     gtypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     gsig = ", ".join(f"{c} {gtypes[c]}" for c in group_cols)
-    shard_schema = f"{gsig}, __shard int, vs array<double>, ws array<double>"
+    batch_schema = f"{gsig}, vs array<double>, ws array<double>"
 
-    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        vs, ws = _build(pdf[value_col].to_numpy(), k)
-        out = {c: [pdf[c].iloc[0]] for c in group_cols}
-        out["__shard"] = [int(pdf["__shard"].iloc[0])]
-        out["vs"] = [vs.tolist()]
-        out["ws"] = [ws.tolist()]
-        return pd.DataFrame(out)
+    def build_batches(batches):
+        for pdf in batches:
+            rows = []
+            if len(pdf):
+                for keys, grp in pdf.groupby(
+                        group_cols, sort=False, dropna=False):
+                    if not isinstance(keys, tuple):
+                        keys = (keys,)
+                    vs, ws = _build(grp[value_col].to_numpy(), k)
+                    rows.append((*keys, vs.tolist(), ws.tolist()))
+            yield pd.DataFrame(rows, columns=[*group_cols, "vs", "ws"])
 
-    sharded = df.withColumn(
-        "__shard",
-        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_shards)),
-    )
-    shard_sketches = (
-        sharded.select(*group_cols, "__shard", value_col)
-        .groupBy(*group_cols, "__shard")
-        .applyInPandas(build_shard, shard_schema)
-    )
-    return merge_quantile_sketches(shard_sketches, group_cols, k=k)
+    batch_sketches = df.select(*group_cols, value_col).mapInPandas(
+        build_batches, batch_schema)
+    return merge_quantile_sketches(batch_sketches, group_cols, k=k)
 
 
 def merge_quantile_sketches(

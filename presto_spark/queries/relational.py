@@ -636,7 +636,7 @@ sql_query(
     "analytics_market_basket",
     """
     WITH pairs AS (
-      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      SELECT /*+ MERGE(a, b) */ a.l_partkey AS part_a, b.l_partkey AS part_b
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     )
@@ -650,7 +650,13 @@ sql_query(
     doc="Market-basket co-occurrence: self-join lineitem on order key "
         "(a.part < b.part dedups pairs), count pairs, top-k. The "
         "self-join shuffles on l_orderkey once; pair counting is a "
-        "second shuffle on the pair key.",
+        "second shuffle on the pair key.  r15 (guide §3.1 — pick the "
+        "strategy deliberately): the MERGE hint stops the planner "
+        "broadcasting a full fact-table side (2.1 s → 0.8 s at sf0.1 "
+        "under the session's generous 64 MB auto-broadcast threshold); "
+        "a self-join's two sides share ONE exchange+sort via reuse, "
+        "and a fact-fact join must never broadcast at scale anyway.  "
+        "DuckDB reads the hint as a block comment — one shared text.",
     tags=("relational", "bench"),
 )
 
