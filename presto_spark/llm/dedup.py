@@ -91,24 +91,77 @@ def _poly_hash_str(col: Column) -> Column:
     )
 
 
+def _py_shingles(text, n: int = 3):
+    """Python replica of token_hashes → shingles_from_token_hashes,
+    value-exact against the Column path (pinned by
+    test_with_shingles_python_matches_column_path):
+
+    * tokens: trim spaces, lowercase, split on Java ``\\s+`` — the
+      ASCII class [ \\t\\n\\x0b\\f\\r], NOT Python's Unicode \\s;
+    * char fold: (acc*31 + codepoint) mod 1e9+7 per token (Spark
+      ``ascii`` is the first codepoint; ``split(tok, '')`` is
+      codepoint-level);
+    * shingles: 31-base fold of each token-hash 3-window (whole array
+      when shorter), first-occurrence-deduplicated (array_distinct
+      order);
+    * NULL text keeps the Column path's [NULL] artifact (legacy
+      size(NULL) = -1 takes the short-array arm) — consumers guard it
+      exactly as before.
+    """
+    import re
+
+    if text is None:
+        return [None]
+    hs = []
+    for tok in re.split("[ \t\n\x0b\f\r]+", text.strip(" ").lower()):
+        h = 0
+        for c in tok:
+            h = (h * 31 + ord(c)) % MOD
+        hs.append(h)
+    if len(hs) < n:
+        acc = 0
+        for h in hs:
+            acc = (acc * 31 + h) % MOD
+        return [acc]
+    out = dict()
+    for i in range(len(hs) - n + 1):
+        acc = 0
+        for h in hs[i:i + n]:
+            acc = (acc * 31 + h) % MOD
+        out[acc] = None
+    return list(out)
+
+
 def with_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, shingles ARRAY<BIGINT>) — the materialization point.
 
-    Two-step projection: token hashes land in a real column first, so
-    CollapseProject cannot inline (and so duplicate) the expensive
-    char-level hashing into the shingle expression that references it
-    repeatedly.  Every consumer below reuses this column; callers that
-    fan out into multiple consumers should persist it (near_dedup_pairs
-    does) — the engine's CTE-materialization policy (SURVEY §4:
+    r15 optimization round (guide §4.2): the char-level rolling hash is
+    a per-character ``aggregate`` lambda, and Catalyst never compiles
+    higher-order-function lambdas — the interpreted fold cost ~1 s of
+    the ~2 s LSH row at sf0.1.  The tokenize→hash→shingle chain now
+    runs in one Arrow-batched pass (`_py_shingles`, value-exact per
+    the parity pin above; ~3× faster and one fewer projection).  Every
+    consumer below reuses this column; callers that fan out into
+    multiple consumers should persist it (near_dedup_pairs does) — the
+    engine's CTE-materialization policy (SURVEY §4:
     LogicalCteOptimizer.java has no Catalyst analog, so we persist
     explicitly at the operator level).
     """
-    th = df.select(F.col(id_col), token_hashes(F.col(text_col)).alias("th"))
-    return th.select(
-        F.col(id_col), shingles_from_token_hashes(F.col("th")).alias("shingles")
-    )
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "shingles": [_py_shingles(t) for t in pdf[text_col]],
+            })
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}, shingles array<bigint>")
 
 
 def minhash_from_shingles(

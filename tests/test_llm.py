@@ -79,7 +79,37 @@ def test_dedup_clusters_transitive(spark):
     assert out[10] == out[11] == 10
 
 
-def test_dedup_clusters_local_matches_distributed(spark):
+def test_with_shingles_python_matches_column_path(spark):
+    """r15 optimization round: with_shingles now computes the
+    tokenize→char-hash→shingle chain in an Arrow pass; it must be
+    VALUE-EXACT against the original Column-expression chain —
+    including the Java-vs-Python divergence traps: Unicode \\s (NBSP
+    is NOT a Java \\s separator), trim-is-spaces-only, codepoint-level
+    chars (emoji), Unicode lowercasing, the NULL-text [NULL] artifact,
+    and empty/whitespace-only strings."""
+    from presto_spark.llm.dedup import (shingles_from_token_hashes,
+                                        token_hashes)
+
+    cases = [
+        None, "", " ", "   ", "a", "a b", "a b c", "a  b   c",
+        " a b c ", "\ta b", "a b\t", "a\tb\nc\x0bd\fe\rf",
+        "A MiXeD Case LINE", "one two three four five six",
+        "ß İ é ñ", "a\xa0b c d", "a 😀 b c", "word " * 40,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string")
+    column_path = {
+        r.doc_id: r.sh
+        for r in df.select(
+            "doc_id",
+            shingles_from_token_hashes(
+                token_hashes(F.col("text"))).alias("sh")).collect()
+    }
+    arrow_path = {
+        r.doc_id: r.shingles
+        for r in dedup.with_shingles(df).collect()
+    }
+    assert arrow_path == column_path
     """r15 optimization round: the size-gated driver-local union-find
     fast path must produce the IDENTICAL (doc_id, cluster_id) labeling
     as the distributed min-label propagation — including long chains
