@@ -222,7 +222,8 @@ def differential_entropy_histogram(
     (bucket, weight) breakdown entry in closed form — O(buckets), not
     O(n)).  Returns ``group_cols + [entropy]``.
     """
-    if method not in ("fixed_histogram_mle", "fixed_histogram_jacknife"):
+    if method not in ("fixed_histogram_mle", "fixed_histogram_jacknife",
+                      "fixed_histogram_both"):
         raise ValueError(f"unknown method: {method}")
     width = (max_val - min_val) / bucket_count
     w = (F.col(weight_col).cast("double") if weight_col is not None
@@ -275,11 +276,25 @@ def differential_entropy_histogram(
         F.col("__c").cast("double") * (n_d - 1.0)
         * _h_from_aggregates(width, hold_sw, hold_swlw) / n_d,
     ).otherwise(F.lit(0.0))
-    return joined.groupBy(*group_cols).agg(
+    jack = joined.groupBy(*group_cols).agg(
         (
             F.first("__n").cast("double")
             * _h_from_aggregates(
                 width, F.first("__sw"), F.first("__swlw"))
             - F.sum(holdout)
-        ).alias("entropy")
+        ).alias("entropy"),
+        # 'both' (r15 optimization round): the MLE plug-in estimate is a
+        # pure function of the (__sw, __swlw) totals the jacknife
+        # already aggregates — same _h_from_aggregates expression over
+        # the same first() values, so emitting it here is free and a
+        # caller needing both estimators runs ONE breakdown pipeline
+        # instead of two scans + a join (guide §1.2).
+        _h_from_aggregates(
+            width, F.first("__sw"), F.first("__swlw"))
+        .alias("entropy_mle"),
     )
+    if method == "fixed_histogram_both":
+        return jack.select(
+            *group_cols, F.col("entropy").alias("entropy_jack"),
+            "entropy_mle")
+    return jack.drop("entropy_mle")

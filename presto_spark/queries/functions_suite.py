@@ -535,25 +535,21 @@ def agg_differential_entropy_histogram(spark, sf_dir):
     from presto_spark.operators import reservoir
 
     li = spark.table("lineitem")
-    mle = reservoir.differential_entropy_histogram(
+    # r15 (guide §1.2): both estimators share the (group, bucket,
+    # weight) breakdown, and MLE is a pure function of totals the
+    # jacknife aggregates anyway — method='both' runs ONE pipeline
+    # (the r14 shape scanned lineitem twice and joined; before-plan
+    # plans/r15/..._before.txt shows 22 exchanges, after ~half).
+    both = reservoir.differential_entropy_histogram(
         li, ["l_returnflag"], "l_discount", "l_quantity",
         bucket_count=12, min_val=0.0, max_val=0.12,
-        method="fixed_histogram_mle",
-    ).withColumnRenamed("entropy", "__mle")
-    jack = reservoir.differential_entropy_histogram(
-        li, ["l_returnflag"], "l_discount", "l_quantity",
-        bucket_count=12, min_val=0.0, max_val=0.12,
-        method="fixed_histogram_jacknife",
-    ).withColumnRenamed("entropy", "__jack")
-    return (
-        mle.join(jack, "l_returnflag")
-        .select(
-            F.col("l_returnflag").alias("g"),
-            F.format_string("%.6f", F.col("__mle")).alias("mle_entropy"),
-            F.format_string("%.6f", F.col("__jack")).alias("jack_entropy"),
-        )
-        .orderBy("g")
+        method="fixed_histogram_both",
     )
+    return both.select(
+        F.col("l_returnflag").alias("g"),
+        F.format_string("%.6f", F.col("entropy_mle")).alias("mle_entropy"),
+        F.format_string("%.6f", F.col("entropy_jack")).alias("jack_entropy"),
+    ).orderBy("g")
 
 
 @register(

@@ -1498,7 +1498,11 @@ def llm_multimodal_image_decode(spark, sf_dir):
     import pandas as pd
 
     prepare(spark, sf_dir)
-    ids = spark.range(40).withColumnRenamed("id", "doc_id")
+    # 4 slices, not defaultParallelism (32): 40 synthetic rows through
+    # two Python stages cost one worker launch per task — 64 task
+    # launches for trivial per-row work dominated the row (r15, guide
+    # §4.5/§2.6); partition count only shapes the generator, not values.
+    ids = spark.range(0, 40, 1, 4).withColumnRenamed("id", "doc_id")
 
     def synth(batches):
         for pdf in batches:
@@ -1563,7 +1567,8 @@ def llm_multimodal_audio_wav(spark, sf_dir):
     import pandas as pd
 
     prepare(spark, sf_dir)
-    ids = spark.range(80).withColumnRenamed("id", "doc_id")
+    # 8 slices, same rationale as llm_multimodal_image_decode (r15).
+    ids = spark.range(0, 80, 1, 8).withColumnRenamed("id", "doc_id")
 
     def synth(batches):
         for pdf in batches:
