@@ -747,8 +747,20 @@ def sketch_theta_estimate_envelope(spark, sf_dir):
 
     orders = spark.table("orders")
     dig = theta.sketch_theta(orders, ["o_orderpriority"], "o_custkey", k=256)
-    exact = orders.groupBy("o_orderpriority").agg(
-        F.countDistinct("o_custkey").alias("nd"))
+    # r15 (guide §2.4 — share one exchange): the exact distinct count
+    # is derived from the IDENTICAL distinct-hash subtree the sketch
+    # builds, so Spark reuses that exchange instead of re-scanning
+    # orders for a second countDistinct.  count(distinct md5(custkey))
+    # == count(distinct custkey) — the full 128-bit md5 makes a
+    # collision (the only way a value could differ) cryptographically
+    # impossible, and the oracle re-proves the booleans every run.
+    exact = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .select(
+            "o_orderpriority",
+            theta._portable_hash(F.col("o_custkey")).alias("__h"))
+        .distinct()
+        .groupBy("o_orderpriority").agg(F.count("*").alias("nd")))
     s = F.col("sketch")
     summ = theta.sketch_theta_summary(s)
     return (
