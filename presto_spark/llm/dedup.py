@@ -133,7 +133,8 @@ def _py_shingles(text, n: int = 3):
 
 
 def with_shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    null_text_as_null: bool = False,
 ) -> DataFrame:
     """(id, shingles ARRAY<BIGINT>) — the materialization point.
 
@@ -148,16 +149,25 @@ def with_shingles(
     engine's CTE-materialization policy (SURVEY §4:
     LogicalCteOptimizer.java has no Catalyst analog, so we persist
     explicitly at the operator level).
+
+    ``null_text_as_null=True`` keeps NULL text at NULL shingles instead
+    of the Column chain's legacy [NULL] artifact — the NULL-guarded
+    shape contamination_report needs (ADVICE r13); for non-NULL text
+    both modes are the identical parity-pinned pass.
     """
     id_type = df.schema[id_col].dataType.simpleString()
 
     def run(batches):
         import pandas as pd
 
+        if null_text_as_null:
+            mk = lambda t: None if t is None else _py_shingles(t)  # noqa: E731
+        else:
+            mk = _py_shingles
         for pdf in batches:
             yield pd.DataFrame({
                 id_col: pdf[id_col],
-                "shingles": [_py_shingles(t) for t in pdf[text_col]],
+                "shingles": [mk(t) for t in pdf[text_col]],
             })
 
     return df.select(id_col, text_col).mapInPandas(
@@ -649,18 +659,14 @@ def contamination_report(
     cap turns the worst-case join volume from Σ d(h)·b(h) into
     Σ d(h)·min(b(h), cap).  Capped shingles count as uncontaminated.
     """
-    # Local NULL-text guard (ADVICE r13): with_shingles' short-array
-    # arm sees legacy size(NULL) = -1 and fabricates a bogus [NULL]
-    # shingle for NULL text; guarding on the token-hash column here —
-    # same two-step materialization as with_shingles — keeps NULL text
-    # at NULL shingles (the SQL oracle's NULL-chain semantics) without
-    # touching the shared shingle path every dedup row traverses.
-    th = docs.select(
-        F.col(id_col), token_hashes(F.col(text_col)).alias("th"))
-    dsh = th.select(
-        F.col(id_col),
-        F.when(F.col("th").isNotNull(),
-               shingles_from_token_hashes(F.col("th"))).alias("shingles"))
+    # NULL-text guard (ADVICE r13): NULL text must keep NULL shingles
+    # (the SQL oracle's NULL-chain semantics), not the shared path's
+    # legacy [NULL] artifact.  r15: this side now rides the same Arrow
+    # shingle pass as the bench side via with_shingles'
+    # null_text_as_null mode — the Column token-hash chain here was the
+    # last interpreted char-fold in the row (guide §4.2).
+    dsh = with_shingles(
+        docs, id_col=id_col, text_col=text_col, null_text_as_null=True)
     # r15 optimization round (guide §2.4): the r14 shape aggregated the
     # inner shingle join and LEFT-joined the result back onto the
     # per-document shingle counts — a corpus⋈corpus SortMergeJoin (two

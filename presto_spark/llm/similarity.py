@@ -70,20 +70,27 @@ def cosine_topk(
 
     Returns (query_id, neighbor_id, sim) with sim rounded to 6dp and a
     deterministic (sim DESC, neighbor_id) tie-break.
+
+    r15 optimization round (guide §4.2): norms are per-ROW functions, so
+    they compute once before the join instead of per PAIR inside
+    cosine() — same float expression on the same value (bit-exact; the
+    norm folds are interpreted HOF lambdas, and the pair count
+    multiplies them |corpus|×|queries| times otherwise).
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("nq", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("nc", norm(F.col("cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("sim_raw"),
+            (dot(F.col("qv"), F.col("cv"))
+             / (F.col("nq") * F.col("nc"))).alias("sim_raw"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -242,20 +249,27 @@ def ann_topk_lsh(
     With 2^n_planes buckets the candidate set shrinks ~2^n_planes-fold;
     multi-probe (hamming-1 neighbor buckets) can be added by exploding
     the bucket id — omitted here, recall is checked by the envelope
-    query."""
+    query.
+
+    r15: norms precompute per row before the candidate join (the same
+    bit-exact once-per-row-not-per-pair move as cosine_topk)."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), n_planes, dim))
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), n_planes, dim)) \
+     .withColumn("nc", norm(F.col("cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), n_planes, dim))
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), n_planes, dim)) \
+     .withColumn("nq", norm(F.col("qv")))
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
-            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim_raw")
+            "query_id", "neighbor_id",
+            (dot(F.col("qv"), F.col("cv"))
+             / (F.col("nq") * F.col("nc"))).alias("sim_raw"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -56,12 +56,10 @@ def bpe_ish_tokens(col: Column) -> Column:
     return F.regexp_extract_all(F.lower(col), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0))
 
 
-def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach per-document statistics used for quality filtering.
-
-    100 TB note: pure map-side work; pair with a partition count sized to
-    input splits.  No data skew concern (per-row).
-    """
+def _with_text_stats_column(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Original Column-expression form of with_text_stats — kept as the
+    parity reference for the Arrow pass (pinned by
+    test_with_text_stats_python_matches_column_path)."""
     t = F.col(text_col)
     toks = tokens(t)
     n_tok = F.size(toks)
@@ -93,6 +91,60 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
                 (F.length(t) - F.length(F.regexp_replace(t, " ", ""))).cast("double")
                 / F.length(t), 6),
         )
+    )
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach per-document statistics used for quality filtering.
+
+    r15 optimization round (guide §4.2): the tokenize→aggregate→filter
+    chain is three interpreted higher-order-function lambdas over the
+    token array per row (Catalyst never compiles HOF lambdas) — and
+    Catalyst's projection collapse re-derives the token array for each
+    stats column.  The integer token stats (count, summed length,
+    stopword hits) now come from ONE Arrow-batched pass
+    (text_token_stats_udf, value-exact per its parity pin); the ratio
+    arithmetic and rounding stay JVM expressions on those exact
+    integers, and the char-level regex ratios stay native (codegen'd).
+    NULL text: the struct fields are NULL and n_tokens coalesces to the
+    legacy size(NULL) = -1 the Column chain produced, so every derived
+    value (including stopword_ratio's -1/-1 = 1.0 artifact) is
+    unchanged.
+
+    100 TB note: pure map-side work; pair with a partition count sized to
+    input splits.  No data skew concern (per-row).
+    """
+    from presto_spark.llm._pandas_udfs import text_token_stats_udf
+
+    t = F.col(text_col)
+    d = df.withColumn("__st", text_token_stats_udf(t))
+    n_tok = F.coalesce(F.col("__st.nt"), F.lit(-1))
+    return (
+        d.withColumn("n_chars_calc", F.length(t))
+        .withColumn("n_tokens", n_tok)
+        .withColumn(
+            "avg_token_len",
+            F.round(F.col("__st.cs").cast("double") / n_tok, 6),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(
+                F.coalesce(F.col("__st.sh"), F.lit(-1)).cast("double")
+                / n_tok, 6),
+        )
+        .withColumn(
+            "digit_ratio",
+            F.round(
+                (F.length(t) - F.length(F.regexp_replace(t, "[0-9]", ""))).cast("double")
+                / F.length(t), 6),
+        )
+        .withColumn(
+            "space_ratio",
+            F.round(
+                (F.length(t) - F.length(F.regexp_replace(t, " ", ""))).cast("double")
+                / F.length(t), 6),
+        )
+        .drop("__st")
     )
 
 

@@ -68,6 +68,30 @@ def test_quality_score_bounds(spark):
     assert 0.0 <= row.lo <= row.hi <= 1.0
 
 
+def test_with_text_stats_python_matches_column_path(spark):
+    """r15 optimization round: with_text_stats computes the integer
+    token stats (count, summed length, stopword hits) in one Arrow
+    pass; every derived column must be VALUE-EXACT against the original
+    Column-expression chain — including the Java-vs-Python divergence
+    traps (Unicode \\s vs Java's ASCII class, trim-is-spaces-only,
+    Unicode lowercasing, kept empty edge tokens) and the NULL-text
+    legacy size(NULL) = -1 artifacts (n_tokens = -1,
+    stopword_ratio = 1.0, avg_token_len = NULL)."""
+    cases = [
+        None, "", " ", "   ", "a", "a b", "\ta b\t", "a\tb\nc\x0bd\fe\rf",
+        "the the the the the", "MiXeD CaSe TeXt here ok",
+        "Über straße İstanbul", "a\xa0b c d", "a 😀 b c",
+        "one 22 three 4,4 five-six", "word " * 40,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string")
+    cols = ["doc_id", "n_chars_calc", "n_tokens", "avg_token_len",
+            "stopword_ratio", "digit_ratio", "space_ratio"]
+    want = text._with_text_stats_column(df).select(*cols).orderBy("doc_id")
+    got = text.with_text_stats(df).select(*cols).orderBy("doc_id")
+    assert repr(got.collect()) == repr(want.collect())
+
+
 def test_dedup_clusters_transitive(spark):
     """a-b and b-c near-dup edges must land a, b, c in ONE cluster —
     the transitivity single-pair dedup misses."""
@@ -110,6 +134,15 @@ def test_with_shingles_python_matches_column_path(spark):
         for r in dedup.with_shingles(df).collect()
     }
     assert arrow_path == column_path
+    # null_text_as_null mode: identical on non-NULL text, NULL shingles
+    # (not the legacy [NULL] artifact) for NULL text.
+    null_mode = {
+        r.doc_id: r.shingles
+        for r in dedup.with_shingles(df, null_text_as_null=True).collect()
+    }
+    assert null_mode == {
+        k: (None if cases[k] is None else v) for k, v in column_path.items()
+    }
     """r15 optimization round: the size-gated driver-local union-find
     fast path must produce the IDENTICAL (doc_id, cluster_id) labeling
     as the distributed min-label propagation — including long chains
