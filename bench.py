@@ -165,6 +165,10 @@ def main() -> None:
         # listed separately with both numbers in "requeried".
         "flagged_first_pass": flagged,
         "requeried": requeried,
+        # Full confirmed list, always intact here: the metric line's
+        # copy degrades to a count when a long list would evict
+        # queries entries from the tail budget (r15 fix below).
+        "regressed_confirmed": confirmed,
     }
     # Self-documenting hot-start marker (VERDICT r8 #8): timings from a
     # run that began on a busy machine are not comparable round-over-
@@ -193,6 +197,17 @@ def _metric_line(total: float, timings: dict[str, float], sf: float,
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:
         out["queries"] = {n: round(t, 2) for n, t in timings.items()}
+        line = json.dumps(out, separators=(",", ":"))
+    # r15 measurement-bug fix: a long confirmed-regression list (the
+    # r15 cross-machine run confirmed 11 names) pushed the 2-decimal
+    # line over budget and evicted 10 queries entries — but the
+    # contract says queries rows must never disappear, while the
+    # confirmed list is diagnostic (its full copy is on the earlier
+    # diagnostics line as "regressed_confirmed").  Degrade the LIST to
+    # a count before touching the queries map.
+    if len(line) > 1900 and confirmed:
+        del out["regressed_vs_prior"]
+        out["regr_n"] = len(confirmed)
         line = json.dumps(out, separators=(",", ":"))
     # Last resort if the bench set ever outgrows even the 2-decimal
     # form: keep the slowest queries (the ones a regression scan needs

@@ -104,6 +104,19 @@ def test_metric_line_is_last_parseable_and_tail_sized():
     assert set(parsed["queries"]) == set(real)
     assert all(abs(parsed["queries"][n] - v) <= 0.005
                for n, v in real.items())
+    # r15 fix: a long confirmed-regression list must degrade to a
+    # count BEFORE any queries entry is dropped (the contract forbids
+    # removing queries rows; the full list lives on the diagnostics
+    # line).  The r15 cross-machine run hit exactly this: 11 confirmed
+    # names evicted 10 queries rows.
+    confirmed = sorted(real)[:11]
+    line = bench._metric_line(740.7, real, 0.1, confirmed)
+    assert len(line) <= 2000 - len("\n")
+    parsed = json.loads(line)
+    assert "queries_truncated" not in parsed
+    assert set(parsed["queries"]) == set(real)
+    assert (parsed.get("regressed_vs_prior") == confirmed
+            or parsed.get("regr_n") == len(confirmed))
     # a pathologically large set degrades loudly (slowest kept,
     # truncation counted) instead of overflowing the tail
     big = {f"a_rather_long_query_name_{i:02d}": 12.345 + (i == 7)
