@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -30,12 +31,20 @@ from presto_spark.session import get_spark, tune_for_input
 
 
 def _prior_bench() -> dict[str, float]:
-    """Per-query medians from the newest BENCH_r*.json next to this
-    script, for the regression-flag field (VERDICT r6 #7)."""
+    """Per-query medians from the newest BENCH_r<N>.json next to this
+    script, for the regression-flag field (VERDICT r6 #7).
+
+    Only main-run artifacts count: the driver also writes variant
+    files like BENCH_r15_c8.json (the 8-core scaling run), and
+    "BENCH_r15_c8.json" sorts AFTER "BENCH_r15.json" ("." < "_"), so
+    a loose prefix match would silently baseline the next round's
+    32-core numbers against 8-core ones (VERDICT r15 what's-wrong #4).
+    """
     here = HERE
     benches = sorted(
-        f for f in os.listdir(here)
-        if f.startswith("BENCH_r") and f.endswith(".json"))
+        (f for f in os.listdir(here)
+         if re.fullmatch(r"BENCH_r\d+\.json", f)),
+        key=lambda f: int(f[len("BENCH_r"):-len(".json")]))
     if not benches:
         return {}
     try:
@@ -169,6 +178,13 @@ def main() -> None:
         # copy degrades to a count when a long list would evict
         # queries entries from the tail budget (r15 fix below).
         "regressed_confirmed": confirmed,
+        # Machine-drift estimate (VERDICT r15 what's-wrong #5): the
+        # r15 artifact read 36-regressed because the whole box ran
+        # ~1.25x slower than the prior run and nothing said so.  The
+        # median now/prior ratio over ALL common rows attributes a
+        # uniform shift to the machine, not the code (a code change
+        # moves a few rows; drift moves the median).
+        "drift_median_ratio": _drift(timings, prior),
     }
     # Self-documenting hot-start marker (VERDICT r8 #8): timings from a
     # run that began on a busy machine are not comparable round-over-
@@ -179,6 +195,23 @@ def main() -> None:
             "timings may be inflated by background load")
     print(json.dumps(diag))
     print(_metric_line(total, timings, float(sf), confirmed))
+
+
+def _drift(timings: dict[str, float], prior: dict[str, float]) -> float | None:
+    """Median now/prior ratio over every row present in both runs —
+    ~1.0 on the same machine under the same load; a uniform shift
+    (e.g. the r15 run's ~1.25x) is machine drift, not code."""
+    ratios = sorted(
+        timings[n] / prior[n]
+        for n in timings if prior.get(n, 0) > 0)
+    if not ratios:
+        return None
+    mid = len(ratios) // 2
+    if len(ratios) % 2:
+        med = ratios[mid]
+    else:
+        med = (ratios[mid - 1] + ratios[mid]) / 2.0
+    return round(med, 3)
 
 
 def _metric_line(total: float, timings: dict[str, float], sf: float,

@@ -66,6 +66,48 @@ def test_prior_bench_empty_dir(tmp_path, monkeypatch):
     assert mod._prior_bench() == {}
 
 
+def test_prior_bench_ignores_variant_artifacts(tmp_path, monkeypatch):
+    """VERDICT r15 what's-wrong #4: the driver also writes variant
+    artifacts like BENCH_r15_c8.json (8-core scaling run), and
+    "_c8" sorts after ".json" — a loose prefix match would baseline
+    32-core times against 8-core ones.  Only BENCH_r<digits>.json
+    may ever be the regression baseline."""
+    (tmp_path / "BENCH_r15.json").write_text(
+        json.dumps({"queries": {"q": 1.0}}))
+    (tmp_path / "BENCH_r15_c8.json").write_text(
+        json.dumps({"queries": {"q": 0.1}}))
+    mod = _load_bench(tmp_path, monkeypatch)
+    assert mod._prior_bench() == {"q": 1.0}
+    # variant-only directory: no baseline at all, not the c8 file
+    os.remove(tmp_path / "BENCH_r15.json")
+    assert mod._prior_bench() == {}
+
+
+def test_prior_bench_orders_rounds_numerically(tmp_path, monkeypatch):
+    """Round 9 vs round 10: unpadded numerics must not be compared
+    lexicographically ("BENCH_r9.json" > "BENCH_r10.json" as strings)."""
+    (tmp_path / "BENCH_r9.json").write_text(
+        json.dumps({"queries": {"q": 9.0}}))
+    (tmp_path / "BENCH_r10.json").write_text(
+        json.dumps({"queries": {"q": 10.0}}))
+    mod = _load_bench(tmp_path, monkeypatch)
+    assert mod._prior_bench() == {"q": 10.0}
+
+
+def test_drift_median_ratio(tmp_path, monkeypatch):
+    """VERDICT r15 what's-wrong #5: the diagnostics line carries the
+    median now/prior ratio over all common rows so a uniform machine
+    shift is visible in the artifact itself."""
+    mod = _load_bench(tmp_path, monkeypatch)
+    prior = {"a": 1.0, "b": 2.0, "c": 4.0, "zero": 0.0}
+    now = {"a": 1.25, "b": 2.5, "c": 6.0, "new": 1.0, "zero": 3.0}
+    # ratios: 1.25, 1.25, 1.5 -> median 1.25 ("new" and zero-prior skipped)
+    assert mod._drift(now, prior) == 1.25
+    # even count averages the middle pair
+    assert mod._drift({"a": 1.0, "b": 3.0}, {"a": 1.0, "b": 2.0}) == 1.25
+    assert mod._drift({"x": 1.0}, {}) is None
+
+
 def test_confirm_flags_requeried_adjudication(tmp_path, monkeypatch):
     """VERDICT r12 next-round #2: a first-pass regression flag is
     confirmed only if the warm-JVM re-measure still exceeds 1.5x the
