@@ -15,6 +15,12 @@ from pyspark.sql import functions as F
 from presto_spark.functions import geo
 from presto_spark.operators import spatial_join
 
+# Heavy tier (VERDICT r15 next-round #1): the JTS-semantics and
+# relate-matrix sweeps dominate the suite's wall clock (~19 min on the
+# r16 box); the geo golden registry rows stay covered in the default
+# tier via tests/test_relational.py's oracle sweep.
+pytestmark = pytest.mark.slow
+
 _HOLE_POLY = (
     "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))"
 )

@@ -18,6 +18,12 @@ from pyspark.sql import functions as F
 from presto_spark.functions import geo, geo_relate
 from presto_spark.functions.geo_relate import _relate_pair
 
+# Heavy tier (VERDICT r15 next-round #1): the JTS-semantics and
+# relate-matrix sweeps dominate the suite's wall clock (~19 min on the
+# r16 box); the geo golden registry rows stay covered in the default
+# tier via tests/test_relational.py's oracle sweep.
+pytestmark = pytest.mark.slow
+
 
 def _mk(kind, rings):
     xs = [[p[0] for p in r] for r in rings]

@@ -10,6 +10,12 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+import pytest
+
+# Spark-per-example hypothesis sweeps are the heavy tier (VERDICT r15
+# next-round #1); tests/test_llm.py keeps the deterministic pins.
+pytestmark = pytest.mark.slow
+
 MOD, BASE = 1_000_000_007, 31
 
 WORDS = st.lists(st.text(alphabet="abc", min_size=1, max_size=3),

@@ -196,10 +196,15 @@ def _driver_view_offenders(spark, sf_dir: str) -> list[str]:
     return offenders
 
 
+@pytest.mark.slow
 def test_driver_view_dtype_parity(spark):
     """At sf0.01 — the driver's own check SF.  The binder tier above is
     scale-factor-independent (pure analysis), so one empirical SF
     suffices: a NULL-regime change between SFs can only flip a column
     whose underlying engine types already diverge, which the binder
-    tier catches at any SF."""
+    tier catches at any SF.
+
+    Heavy tier (VERDICT r15 next-round #1): this executes every
+    oracle-bearing row on BOTH engines (~5 min) — the per-query binder
+    tier above stays in the default run as the analysis-level gate."""
     assert not _driver_view_offenders(spark, SF_DIR_MID)

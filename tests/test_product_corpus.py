@@ -27,10 +27,15 @@ import pytest
 
 from presto_spark.corpus.replay import CORPUS_ROOT, discover, run_case
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(CORPUS_ROOT),
-    reason="reference corpus not present",
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.isdir(CORPUS_ROOT),
+        reason="reference corpus not present",
+    ),
+    # Corpus replay is the heavy tier (VERDICT r15 next-round #1):
+    # hundreds of reference cases through Spark+DuckDB.
+    pytest.mark.slow,
+]
 
 CASES = discover() if os.path.isdir(CORPUS_ROOT) else []
 GOLDEN = [rc for rc in CASES if rc.policy == "golden"]

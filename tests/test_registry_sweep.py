@@ -26,6 +26,11 @@ def test_sweep_is_nonempty():
     assert {"event", "sketch", "dml", "presto"} <= prefixes, prefixes
 
 
+# The full per-name oracle sweep is the heavy tier (VERDICT r15
+# next-round #1) — tools/diffcheck.py covers the same ground on
+# demand, and the driver runs its own 50-row oracle gate; the
+# fast-gate guards below stay in the default run.
+@pytest.mark.slow
 @pytest.mark.parametrize("name", NAMES)
 def test_query_matches_oracle(spark, duck, name):
     q = REGISTRY[name]

@@ -36,10 +36,15 @@ from presto_spark.corpus.semantics import (
     run_semantic_case,
 )
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REFERENCE_TESTS_DIR),
-    reason="reference tests not present",
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.isdir(REFERENCE_TESTS_DIR),
+        reason="reference tests not present",
+    ),
+    # ~1730-case reference replay is the heavy tier (VERDICT r15
+    # next-round #1).
+    pytest.mark.slow,
+]
 
 # Pinned failure classes — pattern over "source :: detail".  Every
 # entry is a deliberate, documented deviation, not an open bug.

@@ -24,8 +24,14 @@ from __future__ import annotations
 
 import time
 
+import pytest
+
 from presto_spark.queries import REGISTRY
 from tests.conftest import SF_DIR
+
+# Soak is the heavy tier by definition (VERDICT r15 next-round #1):
+# the heaviest queries run twice in one session.
+pytestmark = pytest.mark.slow
 
 # The heaviest bench-tagged queries by BENCH_r03 wall time — the set
 # whose lifecycle behavior matters in a long-lived session (iterative
