@@ -172,6 +172,164 @@ def _assign_components(
         run, schema="cluster_id int, embedding array<double>")
 
 
+# Corpora at or below this row count train on the driver (one bounded
+# LIMIT n+1 collect — the BPE/CC size-gate pattern); larger corpora
+# keep the unchanged distributed Lloyd loop.  100k rows x 64 dims x
+# 8 B = ~50 MB collected, far under the driver's practical bound; the
+# exact-integer component sums below stay inside int64 for
+# n x max|unit| <= 2^62 (guarded at runtime).
+LOCAL_TRAIN_ROWS = 100_000
+# |component| bound for the local path: keeps the scaled-integer units
+# (|x| * 1e10) small enough that 100k of them sum inside int64, and
+# keeps the fast-tier boundary error analysis valid (ulp(8e10) and the
+# string-parse slack are both ~2e-5 units, 5x inside _HALF_GUARD).
+_LOCAL_MAX_ABS = 8.0
+# Fast-tier band (in fractional units of 1e-10) around a .5 rounding
+# boundary: values outside it quantize vectorized; values inside go
+# through the exact per-value tier below.
+_HALF_GUARD = 1e-4
+
+
+def _quantize_one_exact(x: float):
+    """Exact HALF_UP unit count for one double near a .5 boundary, or
+    None when the engine's string-mediated cast is not provably equal.
+
+    Spark's cast is double -> Double.toString -> BigDecimal ->
+    setScale(10, HALF_UP).  Any round-trip string parses to a decimal
+    within ulp(x)/2 of the exact binary value, so the cast result is
+    determined by the exact value UNLESS that half-ulp interval
+    straddles a .5 boundary.  Two provably-safe cases:
+
+    * the exact fraction IS .5 and repr(x) is the exact decimal
+      expansion (common for float32-origin values: short binary
+      fractions) — every shortest-unique string is then the exact
+      digits (possibly zero-padded), and HALF_UP rounds away from
+      zero;
+    * the exact fraction is farther from .5 than half an ulp — no
+      valid string can flip the rounding.
+
+    Anything else returns None and the caller falls back to the
+    distributed loop."""
+    import math
+    from decimal import Decimal
+    from fractions import Fraction
+
+    p, q = abs(x).as_integer_ratio()
+    n_, r = divmod(p * 10 ** 10, q)
+    if 2 * r == q:
+        if Decimal(repr(x)) == Decimal(x):
+            return n_ + 1  # exact .5: HALF_UP rounds away from zero
+        return None
+    # half-ulp interval around the exact value, in 1e-10 units
+    w = Fraction(math.ulp(x)) / 2 * 10 ** 10
+    d = abs(Fraction(r, q) - Fraction(1, 2))
+    if d <= w:
+        return None
+    return n_ + (1 if 2 * r > q else 0)
+
+
+def _local_quantized_units(X):
+    """Per-value DECIMAL(30,10) HALF_UP quantization as exact integer
+    units of 1e-10 — the replica of Spark's
+    ``cast(val AS DECIMAL(30,10))``.
+
+    Fast tier: for values whose fractional part at the 10th digit is
+    at least _HALF_GUARD away from .5, ``floor(|x|*1e10 + 0.5)`` in
+    float64 is exact for any round-trip string (both the float error,
+    ulp(|x|*1e10) <= 1.6e-5 units at |x| < 8, and the string-parse
+    slack, ulp(x)/2 * 1e10 <= 0.9e-5 units, sit 5x inside the band).
+    Values inside the band take the exact integer tier
+    (_quantize_one_exact); an unresolvable value returns ok=False and
+    the caller uses the distributed loop."""
+    import numpy as np
+
+    ax = np.abs(X)
+    if np.any(~np.isfinite(X)) or np.any(ax >= _LOCAL_MAX_ABS):
+        return None, False
+    u = ax * 1e10
+    f = u - np.floor(u)
+    units = np.floor(u + 0.5)
+    near = np.abs(f - 0.5) < _HALF_GUARD
+    if np.any(near):
+        flat = X.ravel()
+        uf = units.ravel()
+        for i in np.flatnonzero(near.ravel()):
+            exact = _quantize_one_exact(float(flat[i]))
+            if exact is None:
+                return None, False
+            uf[i] = exact
+    return (np.sign(X) * units).astype(np.int64), True
+
+
+def _kmeans_train_local(
+    rows, k: int, n_iters: int
+) -> list[list[float]] | None:
+    """Driver-local Lloyd loop, bit-identical to the distributed one
+    (pinned by test_kmeans_train_local_matches_distributed):
+
+    * init: sort by (md5(str(id)), id) — hashlib.md5 of the decimal
+      string is the same bytes the engine hashes;
+    * assignment: the shared _np_dists / argmin kernel (already
+      bit-equal to the Column fold);
+    * update: exact integer-unit DECIMAL sums (see
+      _local_quantized_units), float(Decimal(S) / 1e10) per component
+      — the same nearest-double the engine's collect returns — then
+      the identical ``round(float(s) / n, 9)`` line.
+
+    Returns None when any guard trips (non-int/str ids, NULL/ragged
+    vectors, duplicate ids, magnitude or rounding-boundary band,
+    int64 headroom) — the caller falls back to the distributed loop.
+    """
+    import hashlib
+    from decimal import Decimal, localcontext
+
+    import numpy as np
+
+    ids = [r[0] for r in rows]
+    if any(i is None for i in ids) or len(set(ids)) != len(ids):
+        return None
+    if not all(isinstance(i, (int, str)) for i in ids):
+        return None
+    vecs = [r[1] for r in rows]
+    if any(v is None for v in vecs):
+        return None
+    dim = len(vecs[0]) if vecs else 0
+    if dim == 0 or any(len(v) != dim for v in vecs):
+        return None
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(),
+                       ids[i]))
+    centroids = [list(map(float, vecs[i])) for i in order[:k]]
+    if len(centroids) < k:
+        raise ValueError(
+            f"need at least k={k} vectors, got {len(centroids)}")
+    X = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+    units, ok = _local_quantized_units(X)
+    if not ok or len(X) * float(np.abs(units).max(initial=0)) >= 2 ** 62:
+        return None
+    C = np.asarray(centroids, dtype=np.float64)
+    with localcontext() as ctx:
+        ctx.prec = 50
+        ten10 = Decimal(10) ** 10
+        for _ in range(n_iters):
+            cid = np.argmin(_np_dists(X, C), axis=1)
+            counts = np.bincount(cid, minlength=k)
+            sums = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(sums, cid, units)
+            new = C.copy()
+            for c in range(k):
+                n = int(counts[c])
+                if n == 0:
+                    continue  # empty clusters keep the old centroid
+                new[c] = [
+                    round(float(Decimal(int(sums[c, j])) / ten10) / n, _ROUND)
+                    for j in range(dim)
+                ]
+            C = new
+    return [list(map(float, c)) for c in C]
+
+
 def kmeans_train(
     df: DataFrame,
     k: int,
@@ -192,6 +350,21 @@ def kmeans_train(
     uniform sample of the id space (VERDICT r14 What's-wrong #4)."""
     if k <= 0 or n_iters <= 0:
         raise ValueError(f"k and n_iters must be positive: {k}, {n_iters}")
+    # Size gate (r16, VERDICT r15 next-round #6 — the BPE/CC pattern):
+    # at bench scale the init job + n_iters round jobs are ~0.35 s of
+    # fixed overhead EACH on a ~1 MB corpus.  Probe with LIMIT n+1
+    # (bounded collect either way); if the corpus fits, train on the
+    # driver with the bit-identical local loop.  Web-scale corpora
+    # overflow the probe and take the unchanged distributed loop, and
+    # any local guard (id types, NULL/ragged vectors, rounding-boundary
+    # band) falls back too.
+    probe = (
+        df.select(id_col, vec_col).limit(LOCAL_TRAIN_ROWS + 1).collect())
+    if len(probe) <= LOCAL_TRAIN_ROWS:
+        local = _kmeans_train_local(probe, k, n_iters)
+        if local is not None:
+            return local
+    del probe
     init_rows = (
         df.orderBy(F.md5(F.col(id_col).cast("string")), id_col).limit(k)
         .select(F.transform(F.col(vec_col),
@@ -258,8 +431,12 @@ def kmeans_fit_assign(
                 "__dist": D[np.arange(len(cid)), cid],
             })
 
+    # ADVICE r15: derive the id type from the input schema (the
+    # replaced Column form preserved any id type; hardcoding long broke
+    # string/decimal ids and silently widened int ids).
+    id_type = df.schema[id_col].dataType.simpleString()
     raw = df.select(id_col, vec_col).mapInPandas(
-        run, schema=f"{id_col} long, cluster_id int, __dist double")
+        run, schema=f"{id_col} {id_type}, cluster_id int, __dist double")
     # Rounding stays a JVM expression so HALF_UP semantics are the
     # engine's own (numpy would bankers-round); the raw distance out
     # of the Arrow pass is bit-equal to the Column-fold value.
@@ -323,8 +500,11 @@ def semantic_dedup_pairs(
                 "_e": list(_np_l2_normalize(X)),
             })
 
+    # ADVICE r15: the id rides through both Python stages with its
+    # input type instead of a hardcoded long.
+    id_type = df.schema[id_col].dataType.simpleString()
     v = df.select(id_col, vec_col).mapInPandas(
-        stage1, schema="cluster_id int, _id long, _e array<double>")
+        stage1, schema=f"cluster_id int, _id {id_type}, _e array<double>")
 
     # Stage 2: pairwise cosine ONLY inside each cluster.  The r14 form
     # was a cluster-keyed self-join whose per-pair dot ran as an
@@ -361,6 +541,11 @@ def semantic_dedup_pairs(
             step = 1 << 20
             for s in range(0, len(ii), step):
                 a, b = ii[s:s + step], jj[s:s + step]
+                # ADVICE r15: the old self-join's strict id_a < id_b
+                # filter excluded pairs of DUPLICATE ids; mask them so
+                # the triu enumeration matches it exactly.
+                keep = ids[a] != ids[b]
+                a, b = a[keep], b[keep]
                 acc = np.zeros(len(a), dtype=np.float64)
                 for j in range(NT.shape[0]):
                     acc += NT[j][a] * NT[j][b]
@@ -376,7 +561,9 @@ def semantic_dedup_pairs(
         })
 
     raw = v.groupBy("cluster_id").applyInPandas(
-        pairs, schema="cluster_id int, id_a long, id_b long, _cos double")
+        pairs,
+        schema=f"cluster_id int, id_a {id_type}, id_b {id_type}, "
+               "_cos double")
     # Rounding + threshold stay JVM expressions: HALF_UP round at 6,
     # then the filter against the ROUNDED value — the engine's filter
     # order, which the oracle replays.

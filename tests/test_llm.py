@@ -900,6 +900,69 @@ def test_kmeans_matches_duckdb_unrolled_replay(spark, duck):
     assert_same(got, duck, duck_kmeans_replay_sql(4, 3, dim))
 
 
+def test_kmeans_train_local_matches_distributed(spark, monkeypatch):
+    """r16 size gate (VERDICT r15 next-round #6): the driver-local
+    Lloyd loop must be bit-identical to the distributed one on the
+    real embeddings table — same seeding order, same DECIMAL(30,10)
+    HALF_UP component sums, same rounding."""
+    from presto_spark.llm import clustering
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    local = clustering.kmeans_train(emb, k=4, n_iters=3)
+    monkeypatch.setattr(clustering, "LOCAL_TRAIN_ROWS", 0)
+    dist = clustering.kmeans_train(emb, k=4, n_iters=3)
+    assert local == dist
+
+
+def test_kmeans_local_guards_fall_back(spark):
+    """Values inside the HALF_UP boundary band (exact .5 at the 10th
+    fractional digit) or duplicate/NULL ids refuse the local path —
+    kmeans_train still trains via the distributed loop and the two
+    paths agree where both are defined."""
+    from presto_spark.llm import clustering
+
+    # 5e-11 * 1e10 = 0.5 exactly: the one shape where the vectorized
+    # quantization could diverge from the string-mediated cast.
+    pts = [(0, [5e-11, 0.0]), (1, [1.0, 0.0]),
+           (2, [2.0, 3.0]), (3, [2.2, 3.0])]
+    df = spark.createDataFrame(pts, "vec_id int, embedding array<double>")
+    rows = [(r.vec_id, r.embedding) for r in df.collect()]
+    assert clustering._kmeans_train_local(rows, 2, 2) is None
+    cents = clustering.kmeans_train(df, k=2, n_iters=2)  # distributed
+    assert len(cents) == 2
+    # duplicate ids refuse the local path
+    dup = [(1, [0.0, 0.0]), (1, [1.0, 0.0])]
+    assert clustering._kmeans_train_local(dup, 1, 1) is None
+    # NULL vector refuses
+    nul = [(0, [0.0, 0.0]), (1, None)]
+    assert clustering._kmeans_train_local(nul, 1, 1) is None
+
+
+def test_kmeans_fit_assign_preserves_id_type(spark):
+    """ADVICE r15: the mapInPandas schemas must carry the input id
+    type — string ids used to fail at runtime and int ids silently
+    widened to bigint."""
+    from presto_spark.llm import clustering
+
+    pts = [("a", [0.0, 0.0]), ("b", [0.1, 0.0]),
+           ("x", [9.0, 9.0]), ("y", [9.1, 9.0])]
+    df = spark.createDataFrame(pts, "vec_id string, embedding array<double>")
+    out = clustering.kmeans_fit_assign(df, k=2, n_iters=2)
+    assert dict(out.dtypes)["vec_id"] == "string"
+    assert out.count() == 4
+    pairs = clustering.semantic_dedup_pairs(df, k=2, threshold=0.5,
+                                            n_iters=2)
+    assert dict(pairs.dtypes)["id_a"] == "string"
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got and all(a != b for a, b in got)
+    ints = clustering.kmeans_fit_assign(
+        spark.createDataFrame([(1, [0.0]), (2, [5.0])],
+                              "vec_id int, embedding array<double>"),
+        k=2, n_iters=1)
+    assert dict(ints.dtypes)["vec_id"] == "int"
+
+
 def test_semantic_dedup_pairs_within_clusters(spark):
     """semantic_dedup_pairs: near-identical vectors co-cluster and
     report their cosine; dissimilar vectors in the same cluster stay
