@@ -763,13 +763,21 @@ def sketch_theta_estimate_envelope(spark, sf_dir):
         .groupBy("o_orderpriority").agg(F.count("*").alias("nd")))
     s = F.col("sketch")
     summ = theta.sketch_theta_summary(s)
+    # LEFT join + nd coalesce (ADVICE r15): the null-filtered exact
+    # side loses a group whose custkeys are ALL NULL, but the sketch
+    # side always emits every group — restore it with nd=0, exactly
+    # what the pre-r15 countDistinct produced, WITHOUT touching the
+    # filtered-distinct subtree (it must stay bit-identical to the
+    # sketch's own so AQE reuses the exchange).  Benign on TPC-H data
+    # (no NULL custkeys): plan and values unchanged.
     return (
-        dig.join(exact, "o_orderpriority")
+        dig.join(exact, ["o_orderpriority"], "left")
         .select(
             F.col("o_orderpriority").alias("g"),
             F.size(s["hashes"]).cast("long").alias("retained"),
             s["theta"].alias("theta_hash"),
-            (F.abs(theta.sketch_theta_estimate(s) / F.col("nd") - 1.0)
+            (F.abs(theta.sketch_theta_estimate(s)
+                   / F.coalesce(F.col("nd"), F.lit(0)) - 1.0)
              <= 3.0 / 16.0).alias("within_3se"),
             ((summ["lower_bound_std"] <= summ["estimate"])
              & (summ["estimate"] <= summ["upper_bound_std"])
