@@ -23,6 +23,15 @@ from presto_spark.session import get_spark, tune_for_input  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     substrs = sys.argv[1:]
+    # Cooldown gate, same as bench.py: a benchq launched while the
+    # previous 32-core session's load is still decaying measures the
+    # machine, not the code (r16: observed 2x swings on Python-stage
+    # rows from back-to-back A/Bs).
+    cooldown = float(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "600"))
+    waited = 0.0
+    while os.getloadavg()[0] >= 1.0 and waited < cooldown:
+        time.sleep(10.0)
+        waited += 10.0
     spark = get_spark("benchq")
     tune_for_input(spark, sf_dir)
     names = [n for n, q in REGISTRY.items() if "bench" in q.tags]
