@@ -495,8 +495,9 @@ def dedup_clusters(
         if len(head) <= local_edge_rows:
             labels = _cc_local([(r.id_a, r.id_b) for r in head])
             id_type = pairs.schema["id_a"].dataType.simpleString()
-            return spark.createDataFrame(
-                sorted(labels.items()),
+            from presto_spark.local_table import local_df
+            return local_df(
+                spark, sorted(labels.items()),
                 f"doc_id {id_type}, cluster_id {id_type}")
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))

@@ -133,7 +133,9 @@ def kmeans_cents(spark, centroids: list[list[float]]) -> DataFrame:
     training order — deterministic like everything else here."""
     if not centroids:
         raise ValueError("centroids must be non-empty")
-    return spark.createDataFrame(
+    from presto_spark.local_table import local_df
+    return local_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cent_id int, cv array<double>",
     )

@@ -532,10 +532,18 @@ def geo_aggregate_hulls(spark, sf_dir):
         (F.col("c_nationkey") % 4).cast("long").alias("g"),
         ((F.col("c_custkey") % 101) / 10.0).alias("x"),
         ((F.col("c_custkey") % 89) / 8.0).alias("y"),
-    ).unionByName(spark.createDataFrame(
-        [(-1, 0.0, 0.0), (-1, 4.0, 0.0), (-1, 4.0, 4.0), (-1, 0.0, 4.0),
-         (-1, 2.0, 2.0), (-1, 1.0, 3.0), (-1, 3.0, 1.0)],
-        "g long, x double, y double",
+    ).unionByName(spark.sql(
+        # Literal golden rows as a SQL VALUES LocalRelation: the
+        # createDataFrame(list) form materializes through a pickled
+        # Python RDD that costs a Python-worker round trip on EVERY
+        # evaluation of this subtree (~0.3 s x 3 consumer branches at
+        # sf0.1, measured r16); a LocalRelation is driver-local JVM
+        # rows — no tasks, no Python. Values and types are identical.
+        "SELECT * FROM VALUES "
+        "(CAST(-1 AS BIGINT), 0.0D, 0.0D), (CAST(-1 AS BIGINT), 4.0D, 0.0D), "
+        "(CAST(-1 AS BIGINT), 4.0D, 4.0D), (CAST(-1 AS BIGINT), 0.0D, 4.0D), "
+        "(CAST(-1 AS BIGINT), 2.0D, 2.0D), (CAST(-1 AS BIGINT), 1.0D, 3.0D), "
+        "(CAST(-1 AS BIGINT), 3.0D, 1.0D) AS v(g, x, y)"
     ))
     # The sf0.1 customer scan is a single parquet split, so without a
     # spread every map-side pass over the points — including the

@@ -2006,7 +2006,9 @@ def llm_bpe_train(spark, sf_dir):
     prepare(spark, sf_dir)
     docs = spark.table("documents").select("doc_id", "text")
     merges = bpe.train_bpe(docs, n_merges=12)
-    return spark.createDataFrame(
+    from presto_spark.local_table import local_df
+    return local_df(
+        spark,
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "merge_rank int, a string, b string",
     ).orderBy("merge_rank")
