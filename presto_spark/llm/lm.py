@@ -57,15 +57,25 @@ def _bigram_stream(col: Column) -> Column:
 
 @dataclass
 class BigramModel:
-    """Distributed bigram counts + the scalar vocabulary size."""
+    """Distributed bigram counts + the vocabulary size.
+
+    ``vocab_size`` is |training vocab| + 1 (one shared OOV slot) — an
+    ``int`` when the model was trained eagerly, or a 1-row DataFrame
+    ``(__V bigint)`` in lazy mode (``train_bigram_model(...,
+    lazy_vocab=True)``): the scalar then rides the scoring plan as a
+    broadcast instead of a separate driver collect, so the pair-count
+    aggregation it derives from is shared with the scoring joins by
+    AQE exchange reuse rather than recomputed in its own job (r16
+    optimization round, guide §1.2 — one-plan A/B 0.98 → 0.78 s at
+    sf0.1, values identical)."""
 
     pair_counts: DataFrame  # (ctx, tok, pair_count)
     ctx_counts: DataFrame   # (ctx, ctx_count)
-    vocab_size: int         # |training vocab| + 1 (OOV slot)
+    vocab_size: "int | DataFrame"  # |training vocab| + 1 (OOV slot)
 
 
 def train_bigram_model(
-    df: DataFrame, text_col: str = "text"
+    df: DataFrame, text_col: str = "text", lazy_vocab: bool = False
 ) -> BigramModel:
     """ONE count aggregation over the exploded (context, token) stream;
     everything else derives from the pair table (r15 optimization
@@ -91,6 +101,9 @@ def train_bigram_model(
         F.count("*").alias("pair_count"))
     ctx = pair.groupBy("ctx").agg(
         F.sum("pair_count").alias("ctx_count"))
+    if lazy_vocab:
+        vdf = pair.agg((F.count_distinct("tok") + F.lit(1)).alias("__V"))
+        return BigramModel(pair, ctx, vdf)
     vocab = pair.agg(F.count_distinct("tok")).collect()[0][0]
     return BigramModel(pair, ctx, int(vocab) + 1)
 
@@ -119,10 +132,17 @@ def score_documents(
         grams.join(model.pair_counts, ["ctx", "tok"], "left")
         .join(model.ctx_counts, ["ctx"], "left")
     )
+    if isinstance(model.vocab_size, DataFrame):
+        # Lazy mode: V joins as a broadcast 1-row relation so the pair
+        # aggregation it derives from shares the scoring plan's
+        # exchange instead of running as a separate collect job.
+        j = j.crossJoin(F.broadcast(model.vocab_size))
+        v_term = F.col("__V")
+    else:
+        v_term = F.lit(model.vocab_size)
     logp = F.log2(
         (F.coalesce(F.col("pair_count"), F.lit(0)) + F.lit(1))
-        / (F.coalesce(F.col("ctx_count"), F.lit(0))
-           + F.lit(model.vocab_size))
+        / (F.coalesce(F.col("ctx_count"), F.lit(0)) + v_term)
     )
     return (
         j.groupBy(id_col)

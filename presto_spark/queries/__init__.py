@@ -39,8 +39,8 @@ from presto_spark.queries import corpus_suite  # noqa: F401,E402
 #
 # Round-16 front (optimization round 2; staleness-burn protocol +
 # EDITED => RE-FRONT, continuing the r15 comment's queued debt order):
-#   1. Ten edited => re-front rows (standing rule) — every registry
-#      row that traverses code changed this round:
+#   1. Fourteen edited => re-front rows (standing rule) — every
+#      registry row that traverses code changed this round:
 #      * the bottom-k size gate (operators/_bottomk.py, VERDICT r15
 #        #3) feeds khll/theta/setdigest/reservoir:
 #        sketch_khll_privacy_audit, sketch_theta_estimate_envelope
@@ -55,10 +55,22 @@ from presto_spark.queries import corpus_suite  # noqa: F401,E402
 #        llm_kmeans_semdedup, and llm_ann_ivf_topk whose optional
 #        trained-centroid bank rides the same module (its rotation
 #        was already queued from r15 as the post-refactor check).
-#   2. The staleness burn, exactly the debt order the r15 comment
-#      queued: the 4 deferred r8 rows (q58/q59/q64/q66), the full
-#      34-row r9 block, then the 2 oldest r10 rows
-#      (tpcds_q21/q24); the r10 remainder runs into r17.
+#      * the lazy-vocab one-plan scoring form (llm/lm.py, r16
+#        continuation): llm_lm_perplexity;
+#      * the driver-local-table Arrow/LocalRelation route
+#        (local_table.py + the geo golden VALUES inline, r16
+#        continuation): llm_dedup_clusters, llm_bpe_train,
+#        geo_aggregate_hulls.
+#   2. The staleness burn, the debt order the r15 comment queued as
+#      far as the window allows: the 4 deferred r8 rows
+#      (q58/q59/q64/q66), then 32 of the 34-row r9 block.  The 14
+#      edited re-fronts leave no room for the last 2 r9 rows
+#      (tpcds_q35_or_exists_demographic_stats,
+#      tpcds_q71_brand_time_bucket_breakdown — the equi-join +
+#      demographic/group-report shapes most densely re-proven by the
+#      r12-r15 fronts, so they carry the least drift risk of the
+#      block, same deferral rationale as r15's r8 spill) or any r10
+#      row; that remainder leads the r17 burn.
 #   NO new rows: VERDICT r15 #10 — the four pre-built tiers
 #   (dupspan, temperature mix, perceptual image/audio) wait for the
 #   next build round to register.
@@ -75,6 +87,10 @@ _DRIVER_FRONT = [
     "agg_reservoir_vasicek_entropy",
     "llm_kmeans_semdedup",
     "llm_ann_ivf_topk",
+    "llm_lm_perplexity",
+    "llm_dedup_clusters",
+    "llm_bpe_train",
+    "geo_aggregate_hulls",
     # 2a. the 4 deferred r8 rows
     "tpcds_q58_channel_parity_band",
     "tpcds_q59_weekday_pivot_yoy",
@@ -113,11 +129,6 @@ _DRIVER_FRONT = [
     "ml_learn_classify_golden",
     "tpcds_q8_supplier_rich_nations",
     "tpcds_q18_rollup_dimension_averages",
-    "tpcds_q35_or_exists_demographic_stats",
-    "tpcds_q71_brand_time_bucket_breakdown",
-    # 2c. the 2 oldest r10 rows (remainder of the r10 block -> r17)
-    "tpcds_q21_before_after_ratio",
-    "tpcds_q24_paid_above_threshold",
 ]
 
 

@@ -1799,7 +1799,8 @@ def llm_lm_perplexity(spark, sf_dir):
 
     prepare(spark, sf_dir)
     docs = spark.table("documents").select("doc_id", "text")
-    model = lm.train_bigram_model(docs.where(F.col("doc_id") % 2 == 0))
+    model = lm.train_bigram_model(
+        docs.where(F.col("doc_id") % 2 == 0), lazy_vocab=True)
     return lm.score_documents(
         docs.where(F.col("doc_id") % 2 == 1), model).orderBy("doc_id")
 

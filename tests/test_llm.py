@@ -781,6 +781,26 @@ def test_train_bpe_local_matches_distributed(spark):
     assert tiny_limit == bpe.train_bpe(df, n_merges=4, local_vocab_rows=0)
 
 
+def test_bigram_lm_lazy_vocab_matches_eager(spark):
+    """lazy_vocab=True (V as a broadcast 1-row relation riding the
+    scoring plan) must be value-identical to the eager collected-int
+    form — the r16 one-plan optimization must not change a score."""
+    from presto_spark.llm import lm
+
+    train = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b"), (3, "x y z z y")],
+        "doc_id int, text string")
+    docs = spark.createDataFrame(
+        [(10, "a b"), (11, "c c"), (12, "z y x w")],
+        "doc_id int, text string")
+    eager = lm.train_bigram_model(train)
+    lazy = lm.train_bigram_model(train, lazy_vocab=True)
+    assert lazy.vocab_size.collect()[0][0] == eager.vocab_size
+    a = sorted(lm.score_documents(docs, eager).collect())
+    b = sorted(lm.score_documents(docs, lazy).collect())
+    assert a == b
+
+
 def test_bigram_lm_matches_duckdb_replay(spark, duck):
     """Differential check for llm/lm.py on real corpus text — the
     DuckDB replay that becomes the r15 registry oracle: train on even
