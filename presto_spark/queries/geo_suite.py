@@ -545,16 +545,20 @@ def geo_aggregate_hulls(spark, sf_dir):
         "(CAST(-1 AS BIGINT), 2.0D, 2.0D), (CAST(-1 AS BIGINT), 1.0D, 3.0D), "
         "(CAST(-1 AS BIGINT), 3.0D, 1.0D) AS v(g, x, y)"
     ))
-    # The sf0.1 customer scan is a single parquet split, so without a
-    # spread every map-side pass over the points — including the
-    # interpreted edge-fold containment check below (HOFs never enter
-    # whole-stage codegen) — runs in ONE task (~1.9 s profiled; the
-    # r7 bench regression, VERDICT r7 what's-wrong #2).  Round-robin
-    # repartition distributes that work 32-ways and doubles as the
-    # optimizer barrier the geo operators want; at real scale the scan
-    # arrives pre-split and this is a no-op-shaped shuffle of tiny
-    # (g, x, y) rows.
-    gdf = pts.repartition(32).select(
+    # The point cloud is a bounded lattice — x has ≤ 101 values, y ≤ 89,
+    # so each group holds ≤ ~9k distinct points while customer contributes
+    # 150k×SF rows.  Every consumer below is duplicate-idempotent
+    # (hull(S) = hull(distinct S); envelope is min/max; the containment
+    # check folds with bool_and), so deduplicate FIRST: the partial
+    # hash-aggregate collapses rows map-side before the exchange (guide
+    # §2.3 — the query knows the multiplicity is irrelevant, the
+    # optimizer cannot), and the dedup's own shuffle replaces the old
+    # repartition(32) as both the work-spread for the Python/interpreted
+    # passes and the optimizer barrier the geo operators want.  At sf0.1
+    # this cuts the hull mapInPandas input and the exploded point×edge
+    # containment arithmetic ~16x; at real scale the exchange carries
+    # distinct lattice points instead of one row per customer.
+    gdf = pts.dropDuplicates(["g", "x", "y"]).select(
         "g", "x", "y", geo.st_point(F.col("x"), F.col("y")).alias("geom"))
     hulls = geo_agg.convex_hull_agg(gdf, ["g"], "geom")
     envs = geo_agg.envelope_union_agg(gdf, ["g"], "geom")
