@@ -38,6 +38,14 @@ def _configure(spark: SparkSession, sf_dir: str | None = None) -> SparkSession:
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # Arrow batch sizing (session.py rationale): batch-local partial
+    # operators (quantile coresets, partial hulls) compose exactly under
+    # ANY batching, but mirroring the engine's batch size keeps a driver
+    # session's sketch envelopes on the exact values the engine was
+    # validated with.
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxBytesPerBatch", str(64 * 1024 * 1024))
     if sf_dir is not None:
         from presto_spark.session import tune_for_input
 

@@ -72,6 +72,18 @@ def get_spark(
         # keys (MapConcatFunction.java); Spark's default is EXCEPTION.
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python-boundary batch sizing (guide §4.2): the 10k-row default
+        # cuts the narrow rows our Arrow stages carry (sketch points,
+        # shingle/minhash ids, lattice coords) into ~0.25 MB batches, so
+        # per-batch overhead dominates the stage.  Size batches by BYTES
+        # instead: raise the record cap and let Spark 4's byte cap bound
+        # the wide-row stages (documents, multimodal binary payloads) at
+        # 64 MB.  Neither knob reads the core count; measured A/B at
+        # sf0.1: decontamination -22%, qsketch/cross-near-dedup -10%,
+        # lsh/kmeans -7%, no row slower (OPTIMIZATION_r16.md).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch",
+                str(64 * 1024 * 1024))
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
