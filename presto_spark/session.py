@@ -58,15 +58,6 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Let AQE rewrite sort-merge joins to shuffled-hash at runtime
-        # when every post-shuffle partition is observed below 64 MB
-        # (guide §3.1; the knob defaults to 0 = never).  Runtime-gated
-        # by ACTUAL partition size, so it cannot OOM a build side at
-        # scale the way the static preferSortMergeJoin=false estimate
-        # can; measured A/B at sf0.1: q02 -33%, market_basket -17%,
-        # tree_rollup -13%, q09 -9%, no row slower.
-        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-                str(64 * 1024 * 1024))
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.cbo.joinReorder.enabled", "true")
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
