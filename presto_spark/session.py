@@ -75,12 +75,16 @@ def get_spark(
         # Python-boundary batch sizing (guide §4.2): the 10k-row default
         # cuts the narrow rows our Arrow stages carry (sketch points,
         # shingle/minhash ids, lattice coords) into ~0.25 MB batches, so
-        # per-batch overhead dominates the stage.  Size batches by BYTES
-        # instead: raise the record cap and let Spark 4's byte cap bound
-        # the wide-row stages (documents, multimodal binary payloads) at
-        # 64 MB.  Neither knob reads the core count; measured A/B at
-        # sf0.1: decontamination -22%, qsketch/cross-near-dedup -10%,
-        # lsh/kmeans -7%, no row slower (OPTIMIZATION_r16.md).
+        # per-batch overhead dominates any stage whose tasks see more
+        # than 10k rows.  Size batches by BYTES instead: raise the
+        # record cap and let Spark 4's byte cap bound the wide-row
+        # stages (documents, multimodal binary payloads) at 64 MB.
+        # Neither knob reads the core count.  Counterbalanced A/B at
+        # sf0.1: the quantile-sketch level-1 (600k rows/task, the one
+        # bench stage that actually exceeds the old cap) -15%,
+        # reproduced in three load windows; the 5k-row document stages
+        # are one batch per task either way and measure neutral
+        # (OPTIMIZATION_r16.md third session).
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         .config("spark.sql.execution.arrow.maxBytesPerBatch",
                 str(64 * 1024 * 1024))
